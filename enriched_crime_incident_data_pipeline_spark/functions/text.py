@@ -1,0 +1,142 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Beyond-parity surface (BASELINE.json north star): language ID,
+quality scoring, token counting, fingerprinting, shingling. All are
+built-in column expressions (split / filter / transform / md5 /
+regexp) so they run JVM-side at 100 TB with no Python in the hot path,
+and every one has an exact ANSI-SQL twin for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets per language for the heuristic
+# lang-id / stopword-ratio features. Intentionally small and frozen:
+# the scoring contract (not linguistic accuracy) is the tested surface.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "von"],
+}
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs of
+    whitespace, trim. The canonical form used by fingerprinting and
+    shingle-based dedup."""
+    lowered = F.lower(text)
+    cleaned = F.regexp_replace(lowered, r"[^a-z0-9]+", " ")
+    return F.trim(cleaned)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>,
+    no empties)."""
+    return F.split(normalize_text(text), r" +")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count over normalized text; empty/NULL-safe
+    (empty string → 0)."""
+    norm = normalize_text(text)
+    return F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, r" +")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles (array<string>) for MinHash / Jaccard dedup.
+
+    Documents shorter than ``n`` tokens yield a single shingle of all
+    their tokens, so every non-empty document has ≥1 shingle.
+    """
+    toks = tokens(text)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-grams of the normalized text (array<string>)."""
+    norm = normalize_text(text)
+    n_gr = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_gr)
+    return F.transform(idx, lambda i: F.substring(norm, i, n))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint: md5 of the
+    normalized text. Exact-dup key that survives whitespace /
+    punctuation / case jitter."""
+    return F.md5(normalize_text(text))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (double,
+    0 for empty docs)."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    total = token_count(text)
+    return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax stopword-hit-count across the
+    known languages, ties broken by language-code order, 'und' when no
+    stopwords hit at all."""
+    toks = tokens(text)
+    scores = []
+    for code in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        score = F.size(F.filter(toks, lambda t, _sw=sw: F.array_contains(_sw, t)))
+        scores.append((code, score))
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # fold right-to-left so earlier language codes win exact ties
+    for code, score in reversed(scores):
+        result = F.when((score == best) & (best > 0), F.lit(code)).otherwise(result)
+    return result
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Document quality signals: length, token stats, punctuation /
+    digit / uppercase ratios, English stopword ratio, and a composite
+    [0,1] quality score. Returns a dict of named columns so callers
+    select the subset they need (column pruning stays effective)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    mean_token_len = F.when(
+        n_tokens > 0,
+        F.length(normalize_text(text)).cast("double") / n_tokens - 1.0 + 1.0 / n_tokens,
+    ).otherwise(F.lit(0.0))
+    # ratio helpers: count chars of a class by deleting the rest
+    def class_ratio(pattern: str) -> Column:
+        kept = F.length(F.regexp_replace(text, pattern, ""))
+        return F.when(
+            n_chars > 0, (n_chars - kept).cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    punct_ratio = class_ratio(r"[\.,;:!\?'\"()\[\]{}-]")
+    digit_ratio = class_ratio(r"[0-9]")
+    upper_ratio = class_ratio(r"[A-Z]")
+    sw_ratio = stopword_ratio(text, "en")
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(sw_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.15
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * 0.15
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_token_len,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "upper_ratio": upper_ratio,
+        "stopword_ratio": sw_ratio,
+        "quality_score": quality,
+    }

@@ -1,0 +1,29 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Built-in higher-order functions (``zip_with`` + ``aggregate``) keep
+the arithmetic JVM-side; elements are cast to double before summing so
+results are bit-identical to a sequential double-precision loop (the
+DuckDB oracle casts to DOUBLE[] for the same reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as double (sequential left-to-right accumulation)."""
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm as double."""
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖); NULL when either norm is zero."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)

@@ -1,0 +1,67 @@
+"""Idempotent append (ON CONFLICT DO NOTHING parity,
+src/db/incidents.py:37-45) and strict-> watermark semantics
+(src/scrape/normanpd.py:23-27,43)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from enriched_crime_incident_data_pipeline_spark.operators.dedup import (
+    dedup_by_key,
+    idempotent_append,
+)
+from enriched_crime_incident_data_pipeline_spark.operators.watermark import (
+    filter_after_watermark,
+    max_date_watermark,
+)
+
+
+def test_dedup_within_batch(spark):
+    df = spark.createDataFrame(
+        [("k1", "x"), ("k1", "y"), ("k2", "z")], "incident_num string, v string"
+    )
+    assert dedup_by_key(df, "incident_num").count() == 2
+
+
+def test_idempotent_append_skips_existing_keys(spark):
+    batch = spark.createDataFrame(
+        [("k1", "new"), ("k2", "new"), ("k2", "dup"), ("k3", "new")],
+        "incident_num string, v string",
+    )
+    existing = spark.createDataFrame([("k1", "old")], "incident_num string, v string")
+    inserted = idempotent_append(batch, existing, "incident_num")
+    keys = sorted(r["incident_num"] for r in inserted.collect())
+    assert keys == ["k2", "k3"]
+
+
+def test_watermark_strictly_greater_at_date_granularity(spark):
+    df = spark.createDataFrame(
+        [
+            (dt.date(2024, 4, 2), "old"),
+            (dt.date(2024, 4, 3), "same-day"),
+            (dt.date(2024, 4, 4), "new"),
+            (None, "no-date"),
+        ],
+        "report_date date, tag string",
+    )
+    out = filter_after_watermark(df, "report_date", dt.date(2024, 4, 3))
+    assert [r["tag"] for r in out.collect()] == ["new"]
+
+
+def test_watermark_none_processes_all_dated_rows(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 4, 2), "a"), (None, "no-date")],
+        "report_date date, tag string",
+    )
+    out = filter_after_watermark(df, "report_date", None)
+    assert [r["tag"] for r in out.collect()] == ["a"]
+
+
+def test_max_date_watermark(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 4, 3, 23, 59),), (dt.datetime(2024, 4, 1, 0, 0),)],
+        "incident_ts timestamp",
+    )
+    assert max_date_watermark(df) == dt.date(2024, 4, 3)
+    empty = spark.createDataFrame([], "incident_ts timestamp")
+    assert max_date_watermark(empty) is None
