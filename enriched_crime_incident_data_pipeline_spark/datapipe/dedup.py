@@ -1,0 +1,205 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale notes (100 TB design):
+- exact dedup is a hash-groupBy on the md5 fingerprint — one shuffle
+  keyed by a uniformly-distributed 128-bit key, no skew;
+- MinHash/LSH shuffles (doc, band_hash) pairs — bands × docs rows,
+  tiny relative to the corpus — and candidate pairs come from a
+  bucket self-join on band_hash, never an all-pairs product;
+- SimHash is a single explode + groupBy(doc) with 32 conditional sums
+  (map-side partial agg);
+- n-gram Jaccard joins on shingle (explode + equi-join), so cost is
+  proportional to shared-shingle pairs, not doc².
+
+All hashing is md5-derived (``hash32``) so the DuckDB oracle
+reproduces signatures exactly — Spark's builtin xxhash/murmur have no
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.functions.text import (
+    doc_fingerprint,
+    tokens,
+    word_shingles,
+)
+
+# MinHash parameter tables — frozen; the oracle SQL is generated from
+# the same constants. p is the Mersenne prime 2^31-1; a_j < 2^20 keeps
+# a*x < 2^52 (no 64-bit overflow for 32-bit x).
+MINHASH_PRIME = 2_147_483_647
+NUM_HASHES = 16
+BAND_SIZE = 4  # → 4 bands of 4 hashes
+MINHASH_A = [((j * 1_299_709 + 104_729) % 1_048_573) | 1 for j in range(NUM_HASHES)]
+MINHASH_B = [(j * 15_485_863 + 32_452_843) % MINHASH_PRIME for j in range(NUM_HASHES)]
+
+
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit hash of a string: first 8 hex digits of
+    md5, as a long in [0, 2^32). Reproducible in any engine with md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct
+    content with the keeper (min id) and the group size."""
+    return (
+        docs.select(
+            F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        )
+    )
+
+
+def _shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str, shingle_words: int
+) -> DataFrame:
+    """(id, x) — 32-bit hash per distinct shingle per doc."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias(
+            "shingle"
+        ),
+    )
+    return sh.select(F.col(id_col), hash32(F.col("shingle")).alias("x"))
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """MinHash signature, banded for LSH: one row per (doc, band) with
+    the band's hash — ``(id, band_id, band_hash)``.
+
+    minhash_j(doc) = min over shingles of (a_j·hash32(shingle)+b_j) mod p;
+    band_hash = md5 of the '-'-joined minhashes in the band.
+    """
+    hashes = _shingle_hashes(docs, id_col, text_col, shingle_words)
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("x") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
+            f"mh{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    sigs = hashes.groupBy(id_col).agg(*aggs)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket —
+    the near-dup candidate set. Bucket equi-join: cost follows bucket
+    sizes, never doc²."""
+    left = bands.select(
+        F.col(id_col).alias("a"), "band_id", "band_hash"
+    )
+    right = bands.select(
+        F.col(id_col).alias("b"), "band_id", "band_hash"
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over token occurrences: bit i is 1 iff the sum
+    over tokens of ±1 (by bit i of the token hash) is positive.
+    ``(id, simhash: bigint)``."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), hash32(F.col("tok")).alias("h"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    min_jaccard: float = 0.0,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Pairwise Jaccard similarity over distinct word shingles:
+    ``(a, b, intersect_size, union_size, jaccard)`` for pairs sharing
+    ≥1 shingle. jaccard = |∩| / |∪| is a ratio of exact ints —
+    bit-stable across engines."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersect_size"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
+    out = (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("intersect_size"))
+        .withColumn(
+            "jaccard",
+            F.col("intersect_size").cast("double") / F.col("union_size").cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "intersect_size", "union_size", "jaccard")
+    )
+    if top_k is not None:
+        w = Window.orderBy(F.desc("jaccard"), "a", "b")
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .drop("_rn")
+        )
+    return out

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; IVF (inverted-file)
+bucketing is the scale path: assign every vector to its nearest
+centroid once (map-only vs a broadcast centroid table), then probe
+only the query's cluster — at 100 TB the probe reads 1/n_centroids of
+the data, and the assignment table is partitionable by cluster.
+
+Dot products accumulate in double, sequentially, via
+``zip_with`` + ``aggregate`` — bit-identical to the DuckDB oracle's
+``list_dot_product`` on a DOUBLE[] cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+)
+
+
+def brute_force_neighbors(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector:
+    ``(neighbor_id, rank)``. The query vector is broadcast (1-row
+    cross join); scoring is a map-only pass over all vectors."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer, deterministic variant: the first
+    ``n_centroids`` stored vectors (by id) act as centroids; every
+    vector is assigned to the nearest centroid by cosine:
+    ``(vec_id, cluster)``.
+
+    (A production build plugs k-means centroids in the same shape;
+    the assignment join/argmax plumbing is identical.)"""
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col("_cid"),
+        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "_cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_cid").cast("int").alias("cluster"))
+    )
+
+
+def ivf_topk_neighbors(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's IVF cluster."""
+    assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    with_cluster = embeddings.join(assign, id_col)
+    q_cluster = assign.filter(F.col(id_col) == query_vec_id).select(
+        F.col("cluster").alias("_qc")
+    )
+    candidates = with_cluster.join(
+        F.broadcast(q_cluster), with_cluster["cluster"] == F.col("_qc")
+    )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        candidates.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("neighbor_id", "rank", "cosine")
+    )

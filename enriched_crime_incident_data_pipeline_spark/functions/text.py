@@ -89,11 +89,16 @@ def lang_id(text: Column) -> Column:
     known languages, ties broken by language-code order, 'und' when no
     stopwords hit at all."""
     toks = tokens(text)
+
+    def contains(sw):
+        # closure factory: a default-arg lambda would change the
+        # lambda's arity, which PySpark inspects for HOF binding
+        return lambda t: F.array_contains(sw, t)
+
     scores = []
     for code in sorted(STOPWORDS):
         sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
-        score = F.size(F.filter(toks, lambda t, _sw=sw: F.array_contains(_sw, t)))
-        scores.append((code, score))
+        scores.append((code, F.size(F.filter(toks, contains(sw)))))
     best = F.greatest(*[s for _, s in scores])
     result = F.lit("und")
     # fold right-to-left so earlier language codes win exact ties

@@ -1,0 +1,1072 @@
+"""Query registry: one named query per operator in SURVEY.md §2 (plus
+the beyond-parity datapipe operators), each with an ANSI-SQL oracle
+the driver runs on DuckDB over the same parquet tables.
+
+Every Spark implementation calls the engine's own operators
+(``operators/``, ``enrich/``, ``datapipe/``, ``functions/``) — the
+registry is the proof that each §2 capability exists and matches an
+independent engine. Column names are aliased identically on both
+sides (the driver's compare sorts columns by name before hashing).
+
+Cross-engine determinism rules used throughout (verified empirically):
+- money aggregates: cast 2-decimal doubles to DECIMAL(18,2), sum
+  exactly, cast the total to DOUBLE — bit-identical in both engines;
+- ratios of ints and dot products (sequential double fold) are
+  bit-identical; libm-heavy outputs (bearings) are bucketed, never
+  emitted raw;
+- hashes are md5-derived (``hash32``), never Spark-internal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+    BAND_SIZE,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
+    NUM_HASHES,
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_bands,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+    brute_force_neighbors,
+    ivf_assignments,
+)
+from enriched_crime_incident_data_pipeline_spark.enrich.geocode import (
+    geocode_misses,
+    with_coordinates,
+)
+from enriched_crime_incident_data_pipeline_spark.enrich.sides import (
+    with_side_of_town,
+)
+from enriched_crime_incident_data_pipeline_spark.enrich.weather import with_weather
+from enriched_crime_incident_data_pipeline_spark.functions.geography import (
+    side_of_town_col,
+)
+from enriched_crime_incident_data_pipeline_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from enriched_crime_incident_data_pipeline_spark.operators.dedup import (
+    dedup_by_key,
+    idempotent_append,
+)
+from enriched_crime_incident_data_pipeline_spark.operators.derive import to_silver
+from enriched_crime_incident_data_pipeline_spark.operators.emsstat import (
+    propagate_emsstat_selfjoin,
+)
+from enriched_crime_incident_data_pipeline_spark.operators.health import (
+    null_count_health,
+)
+from enriched_crime_incident_data_pipeline_spark.operators.ranks import (
+    frequency_rank_table,
+    with_frequency_rank,
+)
+from enriched_crime_incident_data_pipeline_spark.plans.events_adapter import (
+    events_as_incidents_raw,
+    synthetic_location_dim,
+    synthetic_weather_hourly,
+)
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+from enriched_crime_incident_data_pipeline_spark.sources.urls import (
+    classify_report_urls,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments for the events→incidents adapter
+# (mirrors plans/events_adapter.py expression-for-expression)
+# ---------------------------------------------------------------------------
+
+_RAW = """
+    SELECT strftime(ts, '%-m/%-d/%Y %-H:%M') AS datetime_str,
+           CAST(event_id AS VARCHAR) AS incident_num,
+           'BLK ' || CAST(user_id % 40 AS VARCHAR) || ' MAIN ST' AS location,
+           upper(event_type) AS nature,
+           CASE WHEN event_type = 'error' THEN 'EMSSTAT' ELSE 'OK0140200' END
+             AS incident_ori
+    FROM events
+"""
+
+_SILVER = f"""
+    SELECT incident_num,
+           strptime(datetime_str, '%-m/%-d/%Y %-H:%M') AS incident_ts,
+           CAST(dayofweek(strptime(datetime_str, '%-m/%-d/%Y %-H:%M')) + 1
+                AS INTEGER) AS day_of_week,
+           CAST(hour(strptime(datetime_str, '%-m/%-d/%Y %-H:%M'))
+                AS INTEGER) AS time_of_day,
+           location, nature,
+           CASE WHEN incident_ori = 'EMSSTAT' THEN 1 ELSE 0 END AS emsstat
+    FROM ({_RAW})
+"""
+
+_DEDUPED = f"""
+    SELECT * FROM ({_SILVER})
+    QUALIFY row_number() OVER (PARTITION BY incident_num ORDER BY incident_num) = 1
+"""
+
+_LOCDIM = """
+    SELECT 'BLK ' || CAST(m AS VARCHAR) || ' MAIN ST' AS loc,
+           35.2226 + CAST(m - 20 AS DOUBLE) * 0.01 AS latitude,
+           -97.4395 + CAST((m * 7) % 40 - 20 AS DOUBLE) * 0.0125 AS longitude
+    FROM (SELECT DISTINCT user_id % 40 AS m FROM events)
+"""
+
+_SIDE_EXPR = """
+    CASE WHEN latitude IS NOT NULL AND longitude IS NOT NULL THEN
+      (['N','NE','E','SE','S','SW','W','NW'])[
+        CAST(floor(
+          (((degrees(atan2(
+              cos(radians(latitude)) * sin(radians(longitude) - radians(-97.4395)),
+              cos(radians(35.2226)) * sin(radians(latitude))
+                - sin(radians(35.2226)) * cos(radians(latitude))
+                  * cos(radians(longitude) - radians(-97.4395))
+            )) + 360.0) % 360.0 + 22.5) % 360.0) / 45.0
+        ) AS INTEGER) + 1]
+    END
+"""
+
+
+def _silver_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return dedup_by_key(to_silver(events_as_incidents_raw(events)), "incident_num")
+
+
+# ---------------------------------------------------------------------------
+# flagship: the full reference pipeline, end-to-end (SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enriched_crime_incident_data_pipeline_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    bronze = events_as_incidents_raw(events)
+    silver = _silver_deduped(spark, sf_dir)
+    dim = synthetic_location_dim(events)
+    wh = synthetic_weather_hourly(with_coordinates(silver, dim))
+    return run_pipeline(bronze, None, dim, wh)
+
+
+_FLAGSHIP_SQL = f"""
+WITH deduped AS ({_DEDUPED}),
+ems AS (
+  SELECT incident_num, incident_ts, day_of_week, time_of_day, location, nature,
+         CAST(max(emsstat) OVER (PARTITION BY incident_ts, location) AS INTEGER)
+           AS emsstat
+  FROM deduped
+),
+locrank AS (
+  SELECT location,
+         CAST(rank() OVER (ORDER BY count(*) DESC) AS INTEGER) AS location_rank
+  FROM deduped GROUP BY location
+),
+natrank AS (
+  SELECT nature,
+         CAST(rank() OVER (ORDER BY count(*) DESC) AS INTEGER) AS incident_rank
+  FROM deduped GROUP BY nature
+),
+locdim AS ({_LOCDIM}),
+coords AS (
+  SELECT e.*, d.latitude, d.longitude
+  FROM ems e LEFT JOIN locdim d ON e.location = d.loc
+),
+sided AS (
+  SELECT *, {_SIDE_EXPR} AS side_of_town FROM coords
+),
+wh AS (
+  SELECT DISTINCT latitude, longitude,
+         CAST(incident_ts AS DATE) AS date, hour(incident_ts) AS hour,
+         CAST((day(CAST(incident_ts AS DATE)) * 24 + hour(incident_ts)) % 100
+              AS INTEGER) AS weather_code
+  FROM coords WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+)
+SELECT s.day_of_week, s.time_of_day, w.weather_code AS weather, s.location,
+       lr.location_rank, s.side_of_town, nr.incident_rank, s.nature, s.emsstat
+FROM sided s
+LEFT JOIN locrank lr ON s.location = lr.location
+LEFT JOIN natrank nr ON s.nature = nr.nature
+LEFT JOIN wh w
+  ON s.latitude = w.latitude AND s.longitude = w.longitude
+ AND CAST(s.incident_ts AS DATE) = w.date AND hour(s.incident_ts) = w.hour
+"""
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+
+def q_p1_projection(spark, sf_dir):
+    # P1 output projection (main.py:22-25): column-subset select
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def q_p3_point_lookup(spark, sf_dir):
+    # P3 point-lookup filter (location.py:39)
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 500).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_p4_null_health(spark, sf_dir):
+    # P4/A5 conditional NULL counts (main.py:108-112) in ONE pass
+    li = load_table(spark, sf_dir, "lineitem")
+    return null_count_health(li, ["l_quantity", "l_returnflag"])
+
+
+def q_p6_url_classify(spark, sf_dir):
+    # S1/S3/P6/F6/F11: regex-classify report hrefs built from order dates
+    o = load_table(spark, sf_dir, "orders")
+    hrefs = o.select(
+        F.concat(
+            F.lit("/sites/default/files/documents/"),
+            F.date_format("o_orderdate", "yyyy-MM"),
+            F.lit("/"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.when(F.col("o_orderkey") % 3 == 0, "_daily_incident_summary.pdf")
+            .when(F.col("o_orderkey") % 3 == 1, "_daily_case_summary.pdf")
+            .otherwise("_daily_arrest_summary.pdf"),
+        ).alias("href")
+    )
+    out = classify_report_urls(hrefs)
+    return out.filter(F.col("report_kind").isNotNull())
+
+
+_P6_HREFS = """
+    SELECT '/sites/default/files/documents/' || strftime(o_orderdate, '%Y-%m')
+           || '/' || strftime(o_orderdate, '%Y-%m-%d')
+           || CASE WHEN o_orderkey % 3 = 0 THEN '_daily_incident_summary.pdf'
+                   WHEN o_orderkey % 3 = 1 THEN '_daily_case_summary.pdf'
+                   ELSE '_daily_arrest_summary.pdf' END AS href
+    FROM orders
+"""
+
+_P6_CLASSIFIED = f"""
+    SELECT DISTINCT href,
+      CASE
+        WHEN regexp_matches(href, '/sites/default/files/documents/\\d{{4}}-\\d{{2}}/\\d{{4}}-\\d{{2}}-\\d{{2}}_daily_incident_summary\\.pdf')
+          THEN 'incident'
+        WHEN regexp_matches(href, '/sites/default/files/documents/\\d{{4}}-\\d{{2}}/\\d{{4}}-\\d{{2}}-\\d{{2}}_daily_case_summary\\.pdf')
+          THEN 'case'
+        WHEN regexp_matches(href, '/sites/default/files/documents/\\d{{4}}-\\d{{2}}/\\d{{4}}-\\d{{2}}-\\d{{2}}_daily_arrest_summary\\.pdf')
+          THEN 'arrest'
+      END AS report_kind,
+      CASE WHEN regexp_extract(href, '\\d{{4}}-\\d{{2}}-\\d{{2}}', 0) <> ''
+           THEN CAST(regexp_extract(href, '\\d{{4}}-\\d{{2}}-\\d{{2}}', 0) AS DATE)
+      END AS report_date
+    FROM ({_P6_HREFS})
+"""
+
+
+def q_s2_watermark_prune(spark, sf_dir):
+    # S2/P5 strict-> watermark cutoff on the incident URL list
+    import datetime as dt
+
+    from enriched_crime_incident_data_pipeline_spark.sources.urls import (
+        new_incident_urls,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    hrefs = o.select(
+        F.concat(
+            F.lit("/sites/default/files/documents/"),
+            F.date_format("o_orderdate", "yyyy-MM"),
+            F.lit("/"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.when(F.col("o_orderkey") % 3 == 0, "_daily_incident_summary.pdf")
+            .when(F.col("o_orderkey") % 3 == 1, "_daily_case_summary.pdf")
+            .otherwise("_daily_arrest_summary.pdf"),
+        ).alias("href")
+    )
+    return new_incident_urls(hrefs, dt.date(1997, 6, 30)).select(
+        "href", "report_date"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+def q_j1_broadcast_join(spark, sf_dir):
+    # J1 inner equi-join, small dim broadcast (weather.py:34)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+def q_j2_emsstat_selfjoin(spark, sf_dir):
+    # J2 literal self-join propagation; oracle uses the window-max
+    # fixpoint (src/db/incidents.py:48-55 — semantically identical)
+    silver = _silver_deduped(spark, sf_dir)
+    return propagate_emsstat_selfjoin(silver).select("incident_num", "emsstat")
+
+
+def q_j3_cache_antijoin(spark, sf_dir):
+    # J3 geocode-cache miss list: distinct locations anti-join cache
+    silver = _silver_deduped(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    cache = synthetic_location_dim(events).filter(
+        F.col("latitude") < 35.2226  # pretend only southern half is cached
+    )
+    return geocode_misses(silver, cache)
+
+
+def q_j5_weather_joinback(spark, sf_dir):
+    # J5 weather write-back keyed on BOTH ts and location
+    # (weather.py:61, TECHNICAL.md:171-177)
+    events = load_table(spark, sf_dir, "events")
+    silver = _silver_deduped(spark, sf_dir)
+    dim = synthetic_location_dim(events)
+    coords = with_coordinates(silver, dim)
+    wh = synthetic_weather_hourly(coords)
+    return with_weather(coords, wh).select("incident_num", "weather")
+
+
+def q_j7_anti_join(spark, sf_dir):
+    # J7 key anti-join (ON CONFLICT DO NOTHING core): customers with
+    # no URGENT order — non-empty on this data
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey"
+    )
+
+
+def q_s6_idempotent_append(spark, sf_dir):
+    # S6 idempotent batch insert: keys not already present
+    o = load_table(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    inserted = idempotent_append(o, existing, "o_orderkey")
+    return inserted.select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_a1_groupby_count(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_a3_watermark_max(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.max(F.to_date("o_orderdate")).alias("watermark"))
+
+
+def q_a4_global_count(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_a6_distinct_single(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderpriority").distinct()
+
+
+def q_a7_distinct_multi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_nationkey", "o_orderpriority")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+
+def q_w1_frequency_rank(spark, sf_dir):
+    # W1/W2 RANK over grouped counts, tie-gap semantics
+    o = load_table(spark, sf_dir, "orders")
+    return frequency_rank_table(o, "o_orderpriority", "freq_rank")
+
+
+def q_j4_rank_joinback(spark, sf_dir):
+    # J4 rank write-back join to every fact row
+    li = load_table(spark, sf_dir, "lineitem")
+    return with_frequency_rank(li, "l_returnflag", "flag_rank").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "flag_rank"
+    )
+
+
+def q_w3_window_max(spark, sf_dir):
+    # W3 max-over-partition (EMSSTAT fixpoint shape) on events
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts"))
+    flag = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return e.select(
+        "event_id",
+        F.max(flag).over(w).cast("int").alias("any_error_that_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q_f1_derivations(spark, sf_dir):
+    # F1-F4 + F10: ts parse, day-of-week (1=Sunday), hour, EMS flag
+    return _silver_deduped(spark, sf_dir).select(
+        "incident_num", "incident_ts", "day_of_week", "time_of_day", "emsstat"
+    )
+
+
+def q_f5_date_format(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")
+    )
+
+
+def q_f13_side_of_town(spark, sf_dir):
+    # F13/F14/U3 bearing + compass bucket as pure column math over
+    # pseudo-coordinates derived from customer keys
+    c = load_table(spark, sf_dir, "customer")
+    lat = F.lit(35.2226) + ((F.col("c_custkey") % 21) - 10).cast("double") * 0.013
+    lon = F.lit(-97.4395) + ((F.col("c_custkey") % 17) - 8).cast("double") * 0.019
+    return c.select(
+        "c_custkey", side_of_town_col(lat, lon).alias("side_of_town")
+    )
+
+
+def q_f15_element_at(spark, sf_dir):
+    # F15/P8 array index by hour with bounds guard
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = (F.col("vec_id") * 7 % 80).cast("int")
+    return emb.select(
+        "vec_id",
+        F.when(idx < F.size("embedding"), F.element_at("embedding", idx + 1)).alias(
+            "code"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine capabilities beyond the reference's operator set (OLAP core)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    # decimal-exact aggregates (see module docstring) — bench headline
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    filtered = li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                d("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))
+                * (F.lit(1).cast("decimal(18,2)") + d("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(d("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (F.sum(d("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(d("l_discount")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_sort_limit(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_pivot(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "error", "purchase", "signup"]
+    out = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def q_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_sessionization(spark, sf_dir):
+    # gap > 30 min starts a new session; sessions per user
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("_new").cast("bigint").alias("n_sessions"))
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    # batch twin of the streaming 5-minute tumbling aggregation
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# datapipe: dedup / text analysis / similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_dd1_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs)
+
+
+def q_dd2_minhash_bands(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_bands(docs)
+
+
+def q_dd3_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_bands(docs))
+
+
+def q_dd4_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+def q_dd5_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, top_k=20)
+
+
+def q_ta1_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_ta2_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+def q_ta3_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_ta4_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_ss1_ann_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_neighbors(emb, query_vec_id=0, k=10)
+
+
+def q_ss2_ivf_assign(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assignments(emb, n_centroids=8)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — generated alongside, same constants
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKENS = f"string_split_regex({_NORM}, ' +')"
+_TOKEN_COUNT = f"CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKENS}) END"
+_HASH32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_SHINGLES3 = f"""
+    SELECT doc_id, DISTINCT_SH.shingle FROM (
+      SELECT doc_id, toks FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    ) t,
+    LATERAL (
+      SELECT DISTINCT array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+      FROM unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
+    ) DISTINCT_SH
+"""
+
+_MINHASH_TERMS = ",\n".join(
+    f"      min(({MINHASH_A[j]} * x + {MINHASH_B[j]}) % {MINHASH_PRIME}) AS mh{j}"
+    for j in range(NUM_HASHES)
+)
+_BAND_TERMS = ", ".join(
+    f"({b}, md5("
+    + " || '-' || ".join(
+        f"CAST(mh{b * BAND_SIZE + r} AS VARCHAR)" for r in range(BAND_SIZE)
+    )
+    + "))"
+    for b in range(NUM_HASHES // BAND_SIZE)
+)
+
+_MINHASH_BANDS_SQL = f"""
+WITH sh AS ({_SHINGLES3}),
+hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+sig AS (
+  SELECT doc_id,
+{_MINHASH_TERMS}
+  FROM hx GROUP BY doc_id
+)
+SELECT doc_id, b.band_id, b.band_hash
+FROM sig, LATERAL (
+  SELECT * FROM (VALUES {_BAND_TERMS}) AS v(band_id, band_hash)
+) b
+"""
+
+_SIMHASH_SUM_TERMS = ",\n".join(
+    f"      sum(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(32)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+)
+
+_STOPWORD_SETS = {
+    code: "[" + ", ".join(f"'{w}'" for w in STOPWORDS[code]) + "]"
+    for code in STOPWORDS
+}
+_LANG_SCORES = ",\n".join(
+    f"      len(list_filter({_TOKENS}, t -> list_contains({_STOPWORD_SETS[code]}, t))) AS sc_{code}"
+    for code in sorted(STOPWORDS)
+)
+_LANG_BEST = "greatest(" + ", ".join(f"sc_{c}" for c in sorted(STOPWORDS)) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN sc_{c} = {_LANG_BEST} AND {_LANG_BEST} > 0 THEN '{c}'"
+        for c in sorted(STOPWORDS)
+    )
+    + " ELSE 'und' END"
+)
+
+_DOT = "list_dot_product(a.v, b.v)"
+_COS = f"{_DOT} / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        "flagship_enriched_report": _FLAGSHIP_SQL,
+        "p1_projection": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem"
+        ),
+        "p3_point_lookup": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 500"
+        ),
+        "p4_null_health": """
+            SELECT count(*) AS total_rows,
+                   count(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_l_quantity,
+                   count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS null_l_returnflag
+            FROM lineitem
+        """,
+        "p6_url_classify": f"SELECT * FROM ({_P6_CLASSIFIED}) WHERE report_kind IS NOT NULL",
+        "s2_watermark_prune": f"""
+            SELECT href, report_date FROM ({_P6_CLASSIFIED})
+            WHERE report_kind = 'incident' AND report_date > DATE '1997-06-30'
+        """,
+        "j1_broadcast_join": """
+            SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "j2_emsstat_selfjoin": f"""
+            SELECT incident_num,
+                   CAST(max(emsstat) OVER (PARTITION BY incident_ts, location)
+                        AS INTEGER) AS emsstat
+            FROM ({_DEDUPED})
+        """,
+        "j3_cache_antijoin": f"""
+            WITH locdim AS ({_LOCDIM}),
+            cache AS (SELECT loc FROM locdim WHERE latitude < 35.2226),
+            locs AS (SELECT DISTINCT location AS loc FROM ({_DEDUPED}))
+            SELECT loc FROM locs WHERE loc NOT IN (SELECT loc FROM cache)
+        """,
+        "j5_weather_joinback": f"""
+            WITH locdim AS ({_LOCDIM}),
+            coords AS (
+              SELECT s.incident_num, s.incident_ts, d.latitude, d.longitude
+              FROM ({_DEDUPED}) s LEFT JOIN locdim d ON s.location = d.loc
+            ),
+            wh AS (
+              SELECT DISTINCT latitude, longitude,
+                     CAST(incident_ts AS DATE) AS date, hour(incident_ts) AS hour,
+                     CAST((day(CAST(incident_ts AS DATE)) * 24 + hour(incident_ts))
+                          % 100 AS INTEGER) AS weather_code
+              FROM coords WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+            )
+            SELECT c.incident_num, w.weather_code AS weather
+            FROM coords c LEFT JOIN wh w
+              ON c.latitude = w.latitude AND c.longitude = w.longitude
+             AND CAST(c.incident_ts AS DATE) = w.date
+             AND hour(c.incident_ts) = w.hour
+        """,
+        "j7_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
+        """,
+        "s6_idempotent_append": """
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 2 <> 0
+        """,
+        "a1_groupby_count": (
+            "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+        ),
+        "a3_watermark_max": (
+            "SELECT max(CAST(o_orderdate AS DATE)) AS watermark FROM orders"
+        ),
+        "a4_global_count": "SELECT count(*) AS n FROM lineitem",
+        "a6_distinct_single": "SELECT DISTINCT o_orderpriority FROM orders",
+        "a7_distinct_multi": """
+            SELECT DISTINCT c_nationkey, o_orderpriority
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "w1_frequency_rank": """
+            SELECT o_orderpriority,
+                   CAST(rank() OVER (ORDER BY count(*) DESC) AS INTEGER) AS freq_rank
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "j4_rank_joinback": """
+            WITH r AS (
+              SELECT l_returnflag,
+                     CAST(rank() OVER (ORDER BY count(*) DESC) AS INTEGER) AS flag_rank
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, r.flag_rank
+            FROM lineitem l LEFT JOIN r USING (l_returnflag)
+        """,
+        "w3_window_max": """
+            SELECT event_id,
+                   CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id, CAST(ts AS DATE))
+                        AS INTEGER) AS any_error_that_day
+            FROM events
+        """,
+        "f1_derivations": f"""
+            SELECT incident_num, incident_ts, day_of_week, time_of_day, emsstat
+            FROM ({_DEDUPED})
+        """,
+        "f5_date_format": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+            FROM orders
+        """,
+        "f13_side_of_town": f"""
+            SELECT c_custkey, {_SIDE_EXPR} AS side_of_town FROM (
+              SELECT c_custkey,
+                     35.2226 + CAST(c_custkey % 21 - 10 AS DOUBLE) * 0.013 AS latitude,
+                     -97.4395 + CAST(c_custkey % 17 - 8 AS DOUBLE) * 0.019 AS longitude
+              FROM customer
+            )
+        """,
+        "f15_element_at": """
+            SELECT vec_id,
+                   CASE WHEN CAST(vec_id * 7 % 80 AS INTEGER) < len(embedding)
+                        THEN embedding[CAST(vec_id * 7 % 80 AS INTEGER) + 1]
+                   END AS code
+            FROM embeddings
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+                   AS DOUBLE) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+              CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "pivot": """
+            SELECT CAST(ts AS DATE) AS day,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
+            FROM events GROUP BY 1
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "sessionization": """
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
+              SELECT user_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
+        """,
+        "window_tumbling": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dd1_exact_dedup": f"""
+            SELECT md5({_NORM}) AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS group_size
+            FROM documents GROUP BY 1
+        """,
+        "dd2_minhash_bands": _MINHASH_BANDS_SQL,
+        "dd3_lsh_pairs": f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL})
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+            WHERE l.doc_id < r.doc_id
+        """,
+        "dd4_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+            ),
+            hx AS (SELECT doc_id, {_HASH32.format(x='tok')} AS h FROM tok),
+            sums AS (
+              SELECT doc_id,
+{_SIMHASH_SUM_TERMS}
+              FROM hx GROUP BY doc_id
+            )
+            SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM sums
+        """,
+        "dd5_ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES3}),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
+              FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, intersect_size,
+                   sa.n + sb.n - intersect_size AS union_size,
+                   CAST(intersect_size AS DOUBLE)
+                     / (sa.n + sb.n - intersect_size) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            ORDER BY jaccard DESC, a, b LIMIT 20
+        """,
+        "ta1_token_count": f"SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents",
+        "ta2_quality": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     {_TOKEN_COUNT} AS n_tokens,
+                     len(list_filter({_TOKENS},
+                         t -> list_contains({_STOPWORD_SETS['en']}, t))) AS sw_hits,
+                     length(text) - length(regexp_replace(text,
+                       '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g')) AS punct_chars,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS digit_chars
+              FROM documents
+            ),
+            ratios AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens > 0
+                     THEN CAST(sw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     ELSE 0.0 END AS stopword_ratio,
+                CASE WHEN n_chars > 0
+                     THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     ELSE 0.0 END AS punct_ratio,
+                CASE WHEN n_chars > 0
+                     THEN CAST(digit_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     ELSE 0.0 END AS digit_ratio
+              FROM base
+            )
+            SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
+              least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              + least(stopword_ratio * 5.0, 1.0) * 0.3
+              + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.15
+              + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 AS quality_score
+            FROM ratios
+        """,
+        "ta3_lang_id": f"""
+            WITH scores AS (
+              SELECT doc_id,
+{_LANG_SCORES}
+              FROM documents
+            )
+            SELECT doc_id, {_LANG_CASE} AS lang_guess FROM scores
+        """,
+        "ta4_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "ss1_ann_bruteforce": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            a AS (SELECT * FROM e WHERE vec_id <> 0),
+            b AS (SELECT v FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT a.vec_id AS neighbor_id, {_COS} AS cosine FROM a, b
+            )
+            SELECT neighbor_id, CAST(rn AS INTEGER) AS rank, cosine FROM (
+              SELECT *, row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
+        """,
+        "ss2_ivf_assign": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, cent.cid,
+                     list_dot_product(a.v, cent.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(cent.v, cent.v))) AS cos
+              FROM e a, cent
+            )
+            SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+              FROM scored
+            ) WHERE rn = 1
+        """,
+    }
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {
+        "flagship_enriched_report": q_flagship,
+        "p1_projection": q_p1_projection,
+        "p3_point_lookup": q_p3_point_lookup,
+        "p4_null_health": q_p4_null_health,
+        "p6_url_classify": q_p6_url_classify,
+        "s2_watermark_prune": q_s2_watermark_prune,
+        "j1_broadcast_join": q_j1_broadcast_join,
+        "j2_emsstat_selfjoin": q_j2_emsstat_selfjoin,
+        "j3_cache_antijoin": q_j3_cache_antijoin,
+        "j5_weather_joinback": q_j5_weather_joinback,
+        "j7_anti_join": q_j7_anti_join,
+        "s6_idempotent_append": q_s6_idempotent_append,
+        "a1_groupby_count": q_a1_groupby_count,
+        "a3_watermark_max": q_a3_watermark_max,
+        "a4_global_count": q_a4_global_count,
+        "a6_distinct_single": q_a6_distinct_single,
+        "a7_distinct_multi": q_a7_distinct_multi,
+        "w1_frequency_rank": q_w1_frequency_rank,
+        "j4_rank_joinback": q_j4_rank_joinback,
+        "w3_window_max": q_w3_window_max,
+        "f1_derivations": q_f1_derivations,
+        "f5_date_format": q_f5_date_format,
+        "f13_side_of_town": q_f13_side_of_town,
+        "f15_element_at": q_f15_element_at,
+        "topk_per_group": q_topk_per_group,
+        "tpch_q1": q_tpch_q1,
+        "sort_limit": q_sort_limit,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "sessionization": q_sessionization,
+        "window_tumbling": q_window_tumbling,
+        "dd1_exact_dedup": q_dd1_exact_dedup,
+        "dd2_minhash_bands": q_dd2_minhash_bands,
+        "dd3_lsh_pairs": q_dd3_lsh_pairs,
+        "dd4_simhash": q_dd4_simhash,
+        "dd5_ngram_jaccard": q_dd5_ngram_jaccard,
+        "ta1_token_count": q_ta1_token_count,
+        "ta2_quality": q_ta2_quality,
+        "ta3_lang_id": q_ta3_lang_id,
+        "ta4_fingerprint": q_ta4_fingerprint,
+        "ss1_ann_bruteforce": q_ss1_ann_bruteforce,
+        "ss2_ivf_assign": q_ss2_ivf_assign,
+    }
