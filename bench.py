@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is materialized fully via the ``noop`` sink (no driver
+collect, no disk write) — measures plan execution, the thing that
+scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from enriched_crime_incident_data_pipeline_spark import get_spark, registry
+
+HEADLINE = [
+    "flagship_enriched_report",
+    "tpch_q1",
+    "j1_broadcast_join",
+    "j4_rank_joinback",
+    "w3_window_max",
+    "window_tumbling",
+    "sessionization",
+    "dd1_exact_dedup",
+    "dd4_simhash",
+    "dd5_ngram_jaccard",
+    "ss1_ann_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    qs = registry.spark_queries()
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    qs["a4_global_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from enriched_crime_incident_data_pipeline_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from enriched_crime_incident_data_pipeline_spark.operators.parallelism import fan_out
 
 # MinHash parameter tables — frozen; the oracle SQL is generated from
 # the same constants. p is the Mersenne prime 2^31-1; a_j < 2^20 keeps
@@ -65,6 +66,7 @@ def _shingle_hashes(
     docs: DataFrame, id_col: str, text_col: str, shingle_words: int
 ) -> DataFrame:
     """(id, x) — 32-bit hash per distinct shingle per doc."""
+    docs = fan_out(docs)
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias(
@@ -136,7 +138,7 @@ def simhash_signatures(
     """32-bit SimHash over token occurrences: bit i is 1 iff the sum
     over tokens of ±1 (by bit i of the token hash) is positive.
     ``(id, simhash: bigint)``."""
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), hash32(F.col("tok")).alias("h"))
     sums = tok.groupBy(id_col).agg(
@@ -166,12 +168,15 @@ def ngram_jaccard_pairs(
     ``(a, b, intersect_size, union_size, jaccard)`` for pairs sharing
     ≥1 shingle. jaccard = |∩| / |∪| is a ratio of exact ints —
     bit-stable across engines."""
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias(
             "shingle"
         ),
     )
+    # the shingle table feeds three consumers (sizes + both join
+    # sides); persist so the regex/shingle derivation runs once
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         sh.alias("l")
@@ -196,10 +201,7 @@ def ngram_jaccard_pairs(
         .select("a", "b", "intersect_size", "union_size", "jaccard")
     )
     if top_k is not None:
-        w = Window.orderBy(F.desc("jaccard"), "a", "b")
-        out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= top_k)
-            .drop("_rn")
-        )
+        # orderBy+limit compiles to TakeOrderedAndProject — distributed
+        # per-partition top-k, no single-partition window sort
+        out = out.orderBy(F.desc("jaccard"), "a", "b").limit(top_k)
     return out

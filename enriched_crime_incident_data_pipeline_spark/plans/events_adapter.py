@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from enriched_crime_incident_data_pipeline_spark.config import TOWN_CENTER
+from enriched_crime_incident_data_pipeline_spark.operators.parallelism import fan_out
 
 N_LOCATIONS = 40
 
@@ -30,6 +31,7 @@ def events_as_incidents_raw(events: DataFrame) -> DataFrame:
     """events → bronze incidents_raw (5 string columns, including the
     reference's non-padded ``M/d/yyyy H:mm`` datetime layout so the
     parse path is genuinely exercised)."""
+    events = fan_out(events)
     m = F.col("user_id") % N_LOCATIONS
     return events.select(
         F.date_format("ts", "M/d/yyyy H:mm").alias("datetime_str"),

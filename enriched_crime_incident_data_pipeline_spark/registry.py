@@ -151,15 +151,19 @@ def _silver_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from enriched_crime_incident_data_pipeline_spark.plans.pipeline import (
-        run_pipeline,
+        enrich_incidents,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sinks.output import (
+        gold_projection,
     )
 
     events = load_table(spark, sf_dir, "events")
-    bronze = events_as_incidents_raw(events)
-    silver = _silver_deduped(spark, sf_dir)
+    # silver feeds the enrichment DAG and the weather work-list —
+    # persist so the parse/dedup lineage executes once
+    silver = _silver_deduped(spark, sf_dir).persist()
     dim = synthetic_location_dim(events)
     wh = synthetic_weather_hourly(with_coordinates(silver, dim))
-    return run_pipeline(bronze, None, dim, wh)
+    return gold_projection(enrich_incidents(silver, dim, wh))
 
 
 _FLAGSHIP_SQL = f"""
