@@ -205,3 +205,53 @@ def ngram_jaccard_pairs(
         # per-partition top-k, no single-partition window sort
         out = out.orderBy(F.desc("jaccard"), "a", "b").limit(top_k)
     return out
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    block_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(a, b, cosine)`` for
+    every pair a < b with cosine similarity ≥ ``threshold``.
+
+    With ``block_clusters=None`` this is the exact all-pairs formulation
+    — a self equi-range join (a < b) whose cost is O(n²) dot products;
+    fine for a re-rank stage or small n.
+
+    With ``block_clusters=n`` the pair generation is blocked through
+    the deterministic IVF coarse quantizer (first ``n`` vectors by id
+    act as centroids, see ``datapipe.similarity.ivf_assignments``):
+    only intra-cluster pairs are compared. At 100 TB the blocked
+    variant shuffles once on ``cluster`` and each task compares only
+    its bucket — n²/k work and no broadcast of the full corpus; the
+    trade is missing cross-cluster pairs (standard ANN-dedup recall
+    trade-off). Cosine accumulates in double, sequentially, matching
+    the DuckDB oracle bit-for-bit.
+    """
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_assignments,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    vecs = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if block_clusters is not None:
+        assign = ivf_assignments(embeddings, block_clusters, id_col, vec_col)
+        vecs = vecs.join(
+            assign.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+        )
+        join_cond = (F.col("l._id") < F.col("r._id")) & (
+            F.col("l.cluster") == F.col("r.cluster")
+        )
+    else:
+        join_cond = F.col("l._id") < F.col("r._id")
+    pairs = vecs.alias("l").join(vecs.alias("r"), join_cond).select(
+        F.col("l._id").alias("a"),
+        F.col("r._id").alias("b"),
+        cosine_similarity(F.col("l._v"), F.col("r._v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

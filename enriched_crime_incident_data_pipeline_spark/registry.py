@@ -30,15 +30,20 @@ from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
     MINHASH_B,
     MINHASH_PRIME,
     NUM_HASHES,
+    embedding_near_dup_pairs,
     exact_duplicate_groups,
     lsh_candidate_pairs,
     minhash_bands,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+    extract_features,
+)
 from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
     brute_force_neighbors,
     ivf_assignments,
+    ivf_topk_neighbors,
 )
 from enriched_crime_incident_data_pipeline_spark.enrich.geocode import (
     geocode_misses,
@@ -655,6 +660,142 @@ def q_ss2_ivf_assign(spark, sf_dir):
     return ivf_assignments(emb, n_centroids=8)
 
 
+def q_ss3_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_neighbors(emb, query_vec_id=0, k=10, n_centroids=8)
+
+
+def q_dd6_embed_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def q_dd7_embed_blocked(spark, sf_dir):
+    # IVF-blocked variant: intra-cluster pairs only (the 100 TB path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3, block_clusters=8)
+
+
+def _documents_as_media(docs: DataFrame) -> DataFrame:
+    # opaque-binary media table derived deterministically from the
+    # documents fixture: payload = UTF-8 bytes of the text
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+    )
+
+
+def q_mm1_media_features(spark, sf_dir):
+    # Arrow-batched mapInPandas feature extraction over binary media —
+    # genuinely non-SQL (rows-only driver check); fake_feature is
+    # unit-pinned in tests/test_multimodal_streaming.py
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(_documents_as_media(docs))
+
+
+def q_mm2_media_meta(spark, sf_dir):
+    # binary-column metadata path (byte length) — SQL-expressible twin
+    docs = load_table(spark, sf_dir, "documents")
+    media = _documents_as_media(docs)
+    return media.select(
+        "media_id", "kind", F.length("content").cast("bigint").alias("n_bytes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# structured streaming (bounded AvailableNow runs, oracle = batch twin)
+# ---------------------------------------------------------------------------
+
+
+def q_st1_stream_tumbling(spark, sf_dir):
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    s = stream_events(spark, sf_dir)
+    return run_available_now(tumbling_counts(s), "st1_tumbling", "complete")
+
+
+def q_st2_stream_sessions(spark, sf_dir):
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        session_counts_stateful,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    return run_available_now(
+        session_counts_stateful(s), "st2_sessions", "update"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-join OLAP (TPC-H shapes over the star schema)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q3(spark, sf_dir):
+    # shipping-priority shape: 3-way join, decimal-exact revenue, top-10
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cut = F.lit("1997-03-15")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.to_date("o_orderdate") < cut)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.to_date("l_shipdate") > cut)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    # local-supplier-volume shape: 6-way join; region/nation dims are
+    # broadcast, the fact-side joins shuffle on their keys
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — generated alongside, same constants
 # ---------------------------------------------------------------------------
@@ -729,6 +870,24 @@ _LANG_CASE = (
 
 _DOT = "list_dot_product(a.v, b.v)"
 _COS = f"{_DOT} / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+_SESSIONIZATION_SQL = """
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) GROUP BY user_id
+"""
+
+_TUMBLING_SQL = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+"""
 
 
 def oracle_queries() -> dict[str, str]:
@@ -897,21 +1056,103 @@ def oracle_queries() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS cnt
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        "sessionization": """
-            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
-              SELECT user_id,
-                CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
-                     THEN 1 ELSE 0 END AS new_sess
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ) GROUP BY user_id
+        "sessionization": _SESSIONIZATION_SQL,
+        "window_tumbling": _TUMBLING_SQL,
+        # streaming twins: a bounded AvailableNow run must equal batch
+        "st1_stream_tumbling": _TUMBLING_SQL,
+        "st2_stream_sessions": _SESSIONIZATION_SQL,
+        "tpch_q3": """
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND CAST(o_orderdate AS DATE) < DATE '1997-03-15'
+              AND CAST(l_shipdate AS DATE) > DATE '1997-03-15'
+            GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
-        "window_tumbling": """
-            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-                   event_type, count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-            FROM events GROUP BY 1, 2
+        "tpch_q5": """
+            SELECT n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            GROUP BY n_name
+        """,
+        "dd6_embed_cosine": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.4
+        """,
+        "dd7_embed_blocked": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT a.vec_id, cent.cid,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    list_dot_product(a.v, cent.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(cent.v, cent.v))) DESC,
+                    cent.cid) AS rn
+                FROM e a, cent
+              ) WHERE rn = 1
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine
+            FROM e a
+            JOIN assign ca ON a.vec_id = ca.vec_id
+            JOIN assign cb ON cb.cluster = ca.cluster
+            JOIN e b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.3
+        """,
+        "ss3_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT a.vec_id, cent.cid,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    list_dot_product(a.v, cent.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(cent.v, cent.v))) DESC,
+                    cent.cid) AS rn
+                FROM e a, cent
+              ) WHERE rn = 1
+            ),
+            qc AS (SELECT cluster FROM assign WHERE vec_id = 0),
+            cand AS (
+              SELECT e.vec_id, e.v FROM e
+              JOIN assign ON e.vec_id = assign.vec_id
+              JOIN qc ON assign.cluster = qc.cluster
+              WHERE e.vec_id <> 0
+            ),
+            q AS (SELECT v FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT a.vec_id AS neighbor_id, {_COS} AS cosine
+              FROM cand a, q b
+            )
+            SELECT neighbor_id, CAST(rn AS INTEGER) AS rank, cosine FROM (
+              SELECT *, row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
+        """,
+        "mm2_media_meta": """
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "dd1_exact_dedup": f"""
             SELECT md5({_NORM}) AS fingerprint,
@@ -1073,4 +1314,13 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta4_fingerprint": q_ta4_fingerprint,
         "ss1_ann_bruteforce": q_ss1_ann_bruteforce,
         "ss2_ivf_assign": q_ss2_ivf_assign,
+        "ss3_ivf_topk": q_ss3_ivf_topk,
+        "dd6_embed_cosine": q_dd6_embed_cosine,
+        "dd7_embed_blocked": q_dd7_embed_blocked,
+        "mm1_media_features": q_mm1_media_features,
+        "mm2_media_meta": q_mm2_media_meta,
+        "st1_stream_tumbling": q_st1_stream_tumbling,
+        "st2_stream_sessions": q_st2_stream_sessions,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
     }

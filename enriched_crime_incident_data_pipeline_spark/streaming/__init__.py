@@ -1,0 +1,31 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (`/root/reference/TECHNICAL.md:23`);
+its only streaming-adjacent semantics is the high-watermark
+incremental skip (`/root/reference/src/scrape/normanpd.py:23-27,43`).
+This package is the idiomatic Spark upgrade path called out in
+SURVEY.md §2.9: a file-source stream with `Trigger.AvailableNow` +
+checkpointing replaces the hand-rolled MAX(ts) watermark, and
+watermarked windowed aggregation / `applyInPandasWithState` cover the
+late-data and custom-stateful cases a live incident feed would need.
+"""
+
+from enriched_crime_incident_data_pipeline_spark.streaming.source import (
+    stream_events,
+    stream_incidents_raw,
+)
+from enriched_crime_incident_data_pipeline_spark.streaming.windows import (
+    run_available_now,
+    tumbling_counts,
+)
+from enriched_crime_incident_data_pipeline_spark.streaming.sessions import (
+    session_counts_stateful,
+)
+
+__all__ = [
+    "stream_events",
+    "stream_incidents_raw",
+    "tumbling_counts",
+    "run_available_now",
+    "session_counts_stateful",
+]

@@ -1,0 +1,172 @@
+"""Multimodal plumbing, embedding near-dup, and Structured Streaming.
+
+Streaming equivalence contract: a bounded ``Trigger.AvailableNow``
+run of the streaming formulation must equal its batch twin (the
+driver oracle-checks the same equivalence at sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+    embedding_near_dup_pairs,
+)
+from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+    extract_features,
+    fake_feature,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_fake_feature_pinned():
+    # byte-histogram moments: acc[i % 8] += byte, normalized
+    assert fake_feature(b"") == [0.0] * 8
+    assert fake_feature(None) == [0.0] * 8
+    feats = fake_feature(bytes([1, 2, 3, 4, 5, 6, 7, 8, 9]))
+    # acc = [1+9, 2, 3, 4, 5, 6, 7, 8] → total 45
+    assert feats == [
+        round(v / 45.0, 6) for v in [10, 2, 3, 4, 5, 6, 7, 8]
+    ]
+
+
+def test_extract_features_mapinpandas(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"abcd"), "image/png", None, None, None),
+            (2, "audio", None, "audio/wav", None, None, None),
+        ],
+        schema=(
+            "media_id long, kind string, content binary, mime string,"
+            " width int, height int, duration_ms int"
+        ),
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows[1]["n_bytes"] == 4
+    assert rows[2]["n_bytes"] == 0
+    assert len(rows[1]["feature"]) == 8
+    assert rows[2]["feature"] == [0.0] * 8
+
+
+def test_embedding_near_dup_exact_vs_blocked(spark):
+    # centroids = vecs 0,1 (orthogonal); 2 near 0, 3 near 1
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.99, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.01]),
+        ],
+        schema="vec_id long, embedding array<float>",
+    )
+    want = [(0, 2), (1, 3)]
+    exact = embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    assert sorted((r["a"], r["b"]) for r in exact) == want
+    blocked = embedding_near_dup_pairs(
+        emb, threshold=0.9, block_clusters=2
+    ).collect()
+    assert sorted((r["a"], r["b"]) for r in blocked) == want
+
+
+def test_stream_tumbling_equals_batch(spark):
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    streamed = run_available_now(
+        tumbling_counts(stream_events(spark, SF_DIR)),
+        "t_stream_tumbling",
+        "complete",
+    )
+    e = load_table(spark, SF_DIR, "events")
+    batch = (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_sessions_equals_batch(spark):
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        session_counts_stateful,
+        stream_events,
+    )
+    from pyspark.sql import Window
+
+    streamed = run_available_now(
+        session_counts_stateful(stream_events(spark, SF_DIR)),
+        "t_stream_sessions",
+        "update",
+    )
+    e = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    batch = (
+        e.withColumn("_n", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("_n").cast("bigint").alias("n_sessions"))
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_ingest_incremental_checkpoint(spark, tmp_path):
+    """Exactly-once incremental ingest: the checkpoint remembers
+    processed files, so a re-run picks up only new arrivals — the
+    Structured-Streaming replacement for the reference's MAX(ts)
+    watermark pruning (src/scrape/normanpd.py:23-27)."""
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        stream_incidents_raw,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["datetime_str", "incident_num", "location", "nature", "incident_ori"]
+
+    def raw(rows):
+        return spark.createDataFrame(rows, schema=cols)
+
+    def run_once():
+        q = (
+            stream_incidents_raw(spark, bronze)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    day1 = [("1/2/2026 0:03", "2026-001", "MAIN ST", "Theft", "OK0140200")]
+    raw(day1).coalesce(1).write.mode("append").parquet(bronze)
+    run_once()
+    assert spark.read.parquet(sink).count() == 1
+
+    day2 = [("1/3/2026 9:30", "2026-002", "VINE ST", "Fraud", "OK0140200")]
+    raw(day2).coalesce(1).write.mode("append").parquet(bronze)
+    run_once()
+    out = spark.read.parquet(sink)
+    # both days present exactly once — day1 not reprocessed
+    assert out.count() == 2
+    assert out.select("incident_num").distinct().count() == 2
