@@ -46,14 +46,23 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = registry.spark_queries()
 
-    # warm the JVM + parquet footers once (excluded from timings)
-    qs["a4_global_count"](spark, sf_dir).collect()
+    # Steady-state measurement: one untimed warmup run per query
+    # (JVM JIT + whole-stage-codegen compilation + parquet footer
+    # cache), then one timed run. Per-query codegen compilation is a
+    # constant that vanishes at scale; steady-state is the number
+    # that extrapolates to a long-running cluster job.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # drop warmup-populated caches (flagship persists its silver
+    # stage) so every timed run does its own full work
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
