@@ -167,20 +167,22 @@ def ngram_jaccard_pairs(
     """Pairwise Jaccard similarity over distinct word shingles:
     ``(a, b, intersect_size, union_size, jaccard)`` for pairs sharing
     ≥1 shingle. jaccard = |∩| / |∪| is a ratio of exact ints —
-    bit-stable across engines."""
-    sh = fan_out(docs).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias(
-            "shingle"
-        ),
-    )
-    # the shingle table feeds three consumers (sizes + both join
-    # sides); persist so the regex/shingle derivation runs once
-    sh = sh.persist()
+    bit-stable across engines.
+
+    Shingles are joined by their 32-bit md5 hash, not the raw string:
+    the self-join shuffles fixed 8-byte longs instead of ~25-byte
+    3-gram strings — at corpus scale that halves shuffle bytes and
+    makes the equi-join compare a word compare. Standard hashed-
+    shingle approximation (cross-shingle hash collisions can merge
+    shingles); the oracle hashes identically, so results stay
+    bit-equal."""
+    # the shingle-hash table feeds three consumers (sizes + both join
+    # sides); persist so the regex/shingle/hash derivation runs once
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_words).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         sh.alias("l")
-        .join(sh.alias("r"), "shingle")
+        .join(sh.alias("r"), "x")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(
             F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")

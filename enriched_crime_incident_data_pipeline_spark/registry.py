@@ -1181,10 +1181,11 @@ def oracle_queries() -> dict[str, str]:
         """,
         "dd5_ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES3}),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
             inter AS (
               SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
-              FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
               GROUP BY 1, 2
             )
             SELECT a, b, intersect_size,
