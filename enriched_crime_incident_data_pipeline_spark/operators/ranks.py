@@ -6,11 +6,16 @@ The reference runs
 (/root/reference/src/db/incidents.py:64-74). RANK semantics: ties
 share a rank and leave gaps (not dense_rank / row_number).
 
-Scale design: a global ``Window.orderBy`` would collapse to a single
-partition. Instead we aggregate first — the grouped output is tiny
-(distinct locations/natures, not rows) — rank over *that*, and
-broadcast-join the rank table back to the fact. The only wide shuffle
-is the groupBy, which does map-side partial aggregation.
+Scale design: a global ``Window.orderBy`` collapses to a single
+partition, and even windowing over the grouped key table is a global
+sort of the whole key domain (billions of keys for a high-cardinality
+dimension). RANK by descending count depends only on the count
+*value*: ``rank(c) = 1 + Σ_{c' > c} |keys with count c'|``. So we
+aggregate twice — keys→counts (wide, map-side combined), then
+counts→(count value, n_keys) (tiny: distinct frequency values, which
+are heavy-tailed integers) — run the one unavoidable ordered window
+over that value histogram, and broadcast the value→rank map back.
+No stage ever sorts more than |distinct count values| rows.
 """
 
 from __future__ import annotations
@@ -21,12 +26,20 @@ from pyspark.sql import functions as F
 
 def frequency_rank_table(df: DataFrame, key: str, rank_col: str) -> DataFrame:
     """``key, <rank_col>`` table: RANK() by descending frequency of
-    ``key`` in ``df``. The window runs over the aggregated (small)
-    table; deterministic because rank depends only on the count."""
+    ``key`` in ``df``. Exact SQL RANK tie semantics (ties share a
+    rank, gaps follow), computed from the count-value histogram so no
+    global sort of the key domain occurs."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_freq"))
-    w = Window.orderBy(F.desc("_freq"))
-    return counts.select(
-        F.col(key), F.rank().over(w).cast("int").alias(rank_col)
+    hist = counts.groupBy("_freq").agg(F.count(F.lit(1)).alias("_n_keys"))
+    w = Window.orderBy(F.desc("_freq"))  # |distinct count values| rows
+    val_rank = hist.select(
+        "_freq",
+        (F.lit(1) + F.sum("_n_keys").over(w) - F.col("_n_keys"))
+        .cast("int")
+        .alias(rank_col),
+    )
+    return counts.join(F.broadcast(val_rank), "_freq").select(
+        F.col(key), F.col(rank_col)
     )
 
 
