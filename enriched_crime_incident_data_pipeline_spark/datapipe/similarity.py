@@ -42,11 +42,17 @@ def brute_force_neighbors(
             cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
         )
     )
+    return _ranked_topk(scored, k)
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k by cosine with a dense 1..k rank. orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition top-k, then merge) — the
+    rank window runs over only the k survivors, never the corpus."""
+    topk = scored.orderBy(F.desc("cosine"), "neighbor_id").limit(k)
     w = Window.orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("neighbor_id", "rank", "cosine")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "neighbor_id", "rank", "cosine"
     )
 
 
@@ -71,11 +77,13 @@ def ivf_assignments(
         F.col("_cid"),
         cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "_cid")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col("_cid").cast("int").alias("cluster"))
+    # argmax as an aggregation (map-side combinable), not a sort
+    # window: max_by on (cos, -cid) picks highest cosine, lowest cid
+    # on ties — identical to ORDER BY _cos DESC, _cid ASC limit 1
+    return scored.groupBy(id_col).agg(
+        F.max_by("_cid", F.struct(F.col("_cos"), (-F.col("_cid")).alias("_t")))
+        .cast("int")
+        .alias("cluster")
     )
 
 
@@ -107,9 +115,4 @@ def ivf_topk_neighbors(
             cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("neighbor_id", "rank", "cosine")
-    )
+    return _ranked_topk(scored, k)
