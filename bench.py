@@ -26,6 +26,8 @@ from enriched_crime_incident_data_pipeline_spark import get_spark, registry
 HEADLINE = [
     "flagship_enriched_report",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "j1_broadcast_join",
     "j4_rank_joinback",
     "w3_window_max",
@@ -34,7 +36,11 @@ HEADLINE = [
     "dd1_exact_dedup",
     "dd4_simhash",
     "dd5_ngram_jaccard",
+    "dd7_embed_blocked",
     "ss1_ann_bruteforce",
+    "ss3_ivf_topk",
+    "mm1_media_features",
+    "st1_stream_tumbling",
 ]
 
 

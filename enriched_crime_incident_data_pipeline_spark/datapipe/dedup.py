@@ -237,10 +237,17 @@ def embedding_near_dup_pairs(
         ivf_assignments,
     )
     from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
-        cosine_similarity,
+        cosine_from_norms,
+        l2_norm,
     )
 
-    vecs = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norm once per vector, not once per pair — 3× fewer
+    # higher-order-function evaluations in the pairwise stage
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
     if block_clusters is not None:
         assign = ivf_assignments(embeddings, block_clusters, id_col, vec_col)
         vecs = vecs.join(
@@ -254,6 +261,8 @@ def embedding_near_dup_pairs(
     pairs = vecs.alias("l").join(vecs.alias("r"), join_cond).select(
         F.col("l._id").alias("a"),
         F.col("r._id").alias("b"),
-        cosine_similarity(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        cosine_from_norms(
+            F.col("l._v"), F.col("r._v"), F.col("l._n"), F.col("r._n")
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
-    cosine_similarity,
+    cosine_from_norms,
+    l2_norm,
 )
 
 
@@ -32,14 +33,16 @@ def brute_force_neighbors(
     ``(neighbor_id, rank)``. The query vector is broadcast (1-row
     cross join); scoring is a map-only pass over all vectors."""
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
+        F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn")
     )
     scored = (
         embeddings.filter(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col).alias("neighbor_id"),
-            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+            cosine_from_norms(
+                F.col(vec_col), F.col("_qvec"), l2_norm(F.col(vec_col)), F.col("_qn")
+            ).alias("cosine"),
         )
     )
     return _ranked_topk(scored, k)
@@ -70,12 +73,18 @@ def ivf_assignments(
     (A production build plugs k-means centroids in the same shape;
     the assignment join/argmax plumbing is identical.)"""
     cent = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
-    scored = embeddings.crossJoin(F.broadcast(cent)).select(
+    scored = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
+    ).crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col("_cid"),
-        cosine_similarity(F.col(vec_col), F.col("_cvec")).alias("_cos"),
+        cosine_from_norms(
+            F.col(vec_col), F.col("_cvec"), F.col("_vn"), F.col("_cn")
+        ).alias("_cos"),
     )
     # argmax as an aggregation (map-side combinable), not a sort
     # window: max_by on (cos, -cid) picks highest cosine, lowest cid
@@ -105,14 +114,16 @@ def ivf_topk_neighbors(
         F.broadcast(q_cluster), with_cluster["cluster"] == F.col("_qc")
     )
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
+        F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn")
     )
     scored = (
         candidates.filter(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col).alias("neighbor_id"),
-            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+            cosine_from_norms(
+                F.col(vec_col), F.col("_qvec"), l2_norm(F.col(vec_col)), F.col("_qn")
+            ).alias("cosine"),
         )
     )
     return _ranked_topk(scored, k)

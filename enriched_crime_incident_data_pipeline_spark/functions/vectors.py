@@ -27,3 +27,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (‖a‖·‖b‖); NULL when either norm is zero."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """dot(a,b) / (norm_a·norm_b) with the norms precomputed once per
+    vector instead of once per *pair* — in pairwise joins this cuts
+    the higher-order-function evaluations 3×. Bit-identical to
+    ``cosine_similarity`` (same values, same operation order)."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot_product(a, b) / denom)

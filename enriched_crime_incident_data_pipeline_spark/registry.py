@@ -673,7 +673,7 @@ def q_dd6_embed_cosine(spark, sf_dir):
 def q_dd7_embed_blocked(spark, sf_dir):
     # IVF-blocked variant: intra-cluster pairs only (the 100 TB path)
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.3, block_clusters=8)
+    return embedding_near_dup_pairs(emb, threshold=0.3, block_clusters=16)
 
 
 def _documents_as_media(docs: DataFrame) -> DataFrame:
@@ -1099,7 +1099,7 @@ def oracle_queries() -> dict[str, str]:
         """,
         "dd7_embed_blocked": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+            cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 16),
             assign AS (
               SELECT vec_id, cid AS cluster FROM (
                 SELECT a.vec_id, cent.cid,
