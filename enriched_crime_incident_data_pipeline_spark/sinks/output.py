@@ -46,3 +46,30 @@ def write_tsv_stdout(df: DataFrame, limit: int = 1000) -> None:
         sys.stdout.write(
             "\t".join("" if row[c] is None else str(row[c]) for c in cols) + "\n"
         )
+
+
+def write_incidents_partitioned(incidents: DataFrame, path: str) -> None:
+    """Gold-table layout for scale: parquet partitioned by incident
+    date (hive-style ``incident_date=YYYY-MM-DD/`` directories).
+
+    This is the storage-side replacement for the reference's B-tree
+    indexes on ``incident_num``/``incident_ts``
+    (src/db/schema.py:25-26): the watermark read (``MAX(incident_ts)``)
+    and any date-range predicate become partition pruning — Catalyst
+    lists only the matching directories, so a one-day query over a
+    100 TB table reads one day, not 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        incidents.withColumn("incident_date", F.to_date("incident_ts"))
+        .write.mode("overwrite")
+        .partitionBy("incident_date")
+        .parquet(path)
+    )
+
+
+def read_incidents_partitioned(spark, path: str) -> DataFrame:
+    """Load the partitioned gold table; date predicates prune
+    partitions (verify with ``.explain``'s ``PartitionFilters``)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,90 @@
+"""Scale-path operators: date-partitioned gold storage (partition
+pruning) and salted two-phase aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.operators.skew import (
+    salted_agg,
+    salted_count,
+)
+from enriched_crime_incident_data_pipeline_spark.sinks.output import (
+    read_incidents_partitioned,
+    write_incidents_partitioned,
+)
+from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from enriched_crime_incident_data_pipeline_spark.operators.derive import (
+        to_silver,
+    )
+    from enriched_crime_incident_data_pipeline_spark.plans.events_adapter import (
+        events_as_incidents_raw,
+    )
+
+    silver = to_silver(
+        events_as_incidents_raw(load_table(spark, SF_DIR, "events"))
+    )
+    path = str(tmp_path / "gold")
+    write_incidents_partitioned(silver, path)
+
+    gold = read_incidents_partitioned(spark, path)
+    days = [r[0] for r in gold.select("incident_date").distinct().collect()]
+    assert len(days) > 1
+    one_day = gold.filter(F.col("incident_date") == F.lit(days[0]))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the date predicate must prune at the directory listing, never
+    # reach the row-level data filters
+    assert "PartitionFilters: [isnotnull(incident_date" in plan
+    expected = silver.filter(
+        F.to_date("incident_ts") == F.lit(days[0])
+    ).count()
+    assert one_day.count() == expected
+
+
+def test_salted_count_matches_groupby(spark):
+    e = load_table(spark, SF_DIR, "events")
+    direct = {
+        (r["event_type"],): r["n"]
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["event_type"],): r["cnt"]
+        for r in salted_count(e, "event_type", n_salts=8).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_agg_matches_groupby(spark):
+    e = load_table(spark, SF_DIR, "events")
+    direct = sorted(
+        map(
+            tuple,
+            e.groupBy("event_type")
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+                F.max("user_id").alias("peak_user"),
+            )
+            .collect(),
+        )
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_agg(
+                e,
+                "event_type",
+                {
+                    "_s": F.sum(F.col("value").cast("decimal(18,2)")),
+                    "_m": F.max("user_id"),
+                },
+                {"total": F.sum("_s"), "peak_user": F.max("_m")},
+                n_salts=8,
+            ).collect(),
+        )
+    )
+    assert salted == direct
