@@ -92,3 +92,63 @@ def with_coordinates(incidents: DataFrame, cache: DataFrame) -> DataFrame:
     return incidents.join(
         F.broadcast(dim), incidents["location"] == dim["loc"], "left"
     ).drop("loc")
+
+
+class LiveNominatimGeocoder:
+    """Nominatim geocoder with the reference's exact politeness and
+    fallback semantics (location.py:7-32): ≥1 s between requests,
+    10 s timeout, and on a miss of an intersection address
+    ``'A / B'``, retry each side suffixed ``", Norman, OK, USA"``.
+
+    stdlib-only (urllib); ``fetcher(url) -> list | None`` is
+    injectable for tests. Run on the driver over the anti-joined miss
+    list — never inside a parallel UDF (rate limit is global).
+    """
+
+    ENDPOINT = "https://nominatim.openstreetmap.org/search"
+    SUFFIX = ", Norman, OK, USA"
+
+    def __init__(self, fetcher=None, min_delay_s: float = 1.0, timeout_s: float = 10.0):
+        self._fetch = fetcher or self._http_fetch
+        self._min_delay_s = min_delay_s
+        self._timeout_s = timeout_s
+        self._last_call = 0.0
+
+    def _http_fetch(self, url: str):  # pragma: no cover - network
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, headers={"User-Agent": "spark-crime-enrich/1.0"}
+        )
+        with urllib.request.urlopen(req, timeout=self._timeout_s) as resp:
+            return _json.loads(resp.read().decode("utf-8"))
+
+    def _rate_limited_query(self, q: str) -> tuple[float | None, float | None]:
+        import time
+        import urllib.parse
+
+        wait = self._min_delay_s - (time.monotonic() - self._last_call)
+        if wait > 0:
+            time.sleep(wait)
+        self._last_call = time.monotonic()
+        url = f"{self.ENDPOINT}?{urllib.parse.urlencode({'q': q, 'format': 'json', 'limit': 1})}"
+        try:
+            results = self._fetch(url)
+        except Exception:
+            return (None, None)
+        if results:
+            first = results[0]
+            return (float(first["lat"]), float(first["lon"]))
+        return (None, None)
+
+    def geocode(self, address: str) -> tuple[float | None, float | None]:
+        lat, lon = self._rate_limited_query(address)
+        if lat is not None:
+            return (lat, lon)
+        if " / " in address:
+            for side in address.split(" / "):
+                lat, lon = self._rate_limited_query(side.strip() + self.SUFFIX)
+                if lat is not None:
+                    return (lat, lon)
+        return (None, None)
