@@ -88,3 +88,47 @@ def test_salted_agg_matches_groupby(spark):
         )
     )
     assert salted == direct
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from enriched_crime_incident_data_pipeline_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path / 'wh'}'"
+    )
+    # at sf0.001 AQE would broadcast the small side; disable so the
+    # test exercises the big-fact-join scenario bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders")
+        write_bucketed(li, "buckdb.li_b", "l_orderkey", n_buckets=8)
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "buckdb.ord_b",
+            "l_orderkey",
+            n_buckets=8,
+        )
+        joined = (
+            spark.table("buckdb.li_b")
+            .join(spark.table("buckdb.ord_b"), "l_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = joined.collect()
+        assert sum(r["n"] for r in rows) == li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides arrive pre-hashed into matching buckets: the join
+        # itself needs no Exchange (the only exchange is the groupBy's)
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "SelectedBucketsCount" in join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
