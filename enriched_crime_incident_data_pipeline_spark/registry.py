@@ -557,6 +557,16 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 def q_sessionization(spark, sf_dir):
     # gap > 30 min starts a new session; sessions per user
     e = load_table(spark, sf_dir, "events")
@@ -1056,6 +1066,12 @@ def oracle_queries() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS cnt
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         "sessionization": _SESSIONIZATION_SQL,
         "window_tumbling": _TUMBLING_SQL,
         # streaming twins: a bounded AvailableNow run must equal batch
@@ -1324,4 +1340,5 @@ def spark_queries() -> dict[str, QueryFn]:
         "st2_stream_sessions": q_st2_stream_sessions,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "cube": q_cube,
     }
