@@ -65,3 +65,36 @@ def propagate_emsstat_selfjoin(
         flag_col,
         F.when(F.col("_hit") == 1, F.lit(1)).otherwise(F.col(flag_col)),
     ).drop("_hit")
+
+
+def dedup_and_propagate(
+    df: DataFrame,
+    key_col: str = "incident_num",
+    ts_col: str = "incident_ts",
+    loc_col: str = "location",
+    flag_col: str = "emsstat",
+) -> DataFrame:
+    """Key-dedup + EMSSTAT propagation fused onto ONE shuffle.
+
+    ``dropDuplicates(key)`` then ``max() OVER (ts, loc)`` costs two
+    full-table shuffles back-to-back. But duplicate incident rows are
+    re-ingestions of the same record, so they agree on (ts, loc) —
+    which means a single hash shuffle on (ts, loc) colocates both the
+    dedup groups and the propagation groups: run the dedup as a
+    row_number window keyed (ts, loc, key) (satisfied by the (ts,
+    loc) partitioning — no second exchange) and the propagation as
+    the usual (ts, loc) window max.
+
+    Precondition: rows sharing ``key_col`` must share (ts, loc).
+    Where that cannot be assumed, use ``dedup_by_key`` +
+    ``propagate_emsstat`` (two shuffles, no precondition).
+    """
+    part = df.repartition(F.col(ts_col), F.col(loc_col))
+    w_dedup = Window.partitionBy(ts_col, loc_col, key_col).orderBy(key_col)
+    deduped = (
+        part.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_prop = Window.partitionBy(ts_col, loc_col)
+    return deduped.withColumn(flag_col, F.max(flag_col).over(w_prop))

@@ -45,8 +45,21 @@ def enrich_incidents(
     emsstat window-max → frequency ranks (location, nature) →
     coordinates (broadcast dim join) → side_of_town (column math) →
     weather (broadcast hourly-lookup join)."""
-    df = propagate_emsstat(silver)
-    df = with_frequency_rank(df, "location", "location_rank")
+    return enrich_after_emsstat(
+        propagate_emsstat(silver), location_cache, weather_hourly
+    )
+
+
+def enrich_after_emsstat(
+    base: DataFrame,
+    location_cache: DataFrame,
+    weather_hourly: DataFrame,
+) -> DataFrame:
+    """Enrichment tail for inputs whose EMSSTAT is already
+    propagated (e.g. by the fused ``dedup_and_propagate``): ranks →
+    coordinates → side_of_town → weather. Every join here is a
+    broadcast — the fact side is never re-shuffled."""
+    df = with_frequency_rank(base, "location", "location_rank")
     df = with_frequency_rank(df, "nature", "incident_rank")
     df = with_coordinates(df, location_cache)
     df = with_side_of_town(df)

@@ -155,20 +155,26 @@ def _silver_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from enriched_crime_incident_data_pipeline_spark.operators.emsstat import (
+        dedup_and_propagate,
+    )
     from enriched_crime_incident_data_pipeline_spark.plans.pipeline import (
-        enrich_incidents,
+        enrich_after_emsstat,
     )
     from enriched_crime_incident_data_pipeline_spark.sinks.output import (
         gold_projection,
     )
 
     events = load_table(spark, sf_dir, "events")
-    # silver feeds the enrichment DAG and the weather work-list —
-    # persist so the parse/dedup lineage executes once
-    silver = _silver_deduped(spark, sf_dir).persist()
+    silver = to_silver(events_as_incidents_raw(events))
+    # dedup + EMSSTAT fused onto one (ts, location) shuffle (duplicate
+    # incident rows agree on ts/location); the result feeds both the
+    # enrichment DAG and the weather work-list — persist so the
+    # parse + shuffle lineage executes once
+    base = dedup_and_propagate(silver).persist()
     dim = synthetic_location_dim(events)
-    wh = synthetic_weather_hourly(with_coordinates(silver, dim))
-    return gold_projection(enrich_incidents(silver, dim, wh))
+    wh = synthetic_weather_hourly(with_coordinates(base, dim))
+    return gold_projection(enrich_after_emsstat(base, dim, wh))
 
 
 _FLAGSHIP_SQL = f"""

@@ -61,3 +61,37 @@ def test_emsstat_selfjoin_witness_matches_window(spark):
         for r in propagate_emsstat_selfjoin(df).collect()
     }
     assert out == EXPECTED
+
+
+def test_dedup_and_propagate_equals_two_stage(spark):
+    import datetime as dt
+
+    from enriched_crime_incident_data_pipeline_spark.operators.dedup import (
+        dedup_by_key,
+    )
+    from enriched_crime_incident_data_pipeline_spark.operators.emsstat import (
+        dedup_and_propagate,
+        propagate_emsstat,
+    )
+
+    t1 = dt.datetime(2026, 1, 2, 0, 3)
+    t2 = dt.datetime(2026, 1, 2, 9, 0)
+    rows = [
+        # duplicate key (re-ingestion, identical row) + EMSSTAT pair
+        ("A1", t1, "MAIN ST", 1),
+        ("A1", t1, "MAIN ST", 1),
+        ("A2", t1, "MAIN ST", 0),   # same (ts,loc) → propagates to 1
+        ("A3", t2, "MAIN ST", 0),   # different ts → stays 0
+        ("A4", t1, "VINE ST", 0),   # different loc → stays 0
+    ]
+    df = spark.createDataFrame(
+        rows, "incident_num string, incident_ts timestamp, location string, emsstat int"
+    )
+    fused = sorted(map(tuple, dedup_and_propagate(df).collect()))
+    two_stage = sorted(
+        map(tuple, propagate_emsstat(dedup_by_key(df, "incident_num")).collect())
+    )
+    assert fused == two_stage
+    # A1 flagged, A2 propagated via shared (ts,loc); A3 (other ts)
+    # and A4 (other loc) untouched
+    assert [r[3] for r in fused] == [1, 1, 0, 0]
