@@ -573,6 +573,56 @@ def q_cube(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    # exact linear-interpolation percentiles (global sort per group is
+    # confined to each group's values; both engines interpolate on the
+    # exact sorted doubles, so results are bit-equal)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    # EXCEPT / INTERSECT / UNION ALL over key sets
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey"))
+    without = building.subtract(buyers).withColumn(
+        "status", F.lit("no_orders")
+    )
+    with_orders = building.intersect(buyers).withColumn(
+        "status", F.lit("has_orders")
+    )
+    return without.unionByName(with_orders)
+
+
+def q_st3_stream_static_join(spark, sf_dir):
+    # stream-static broadcast join: streaming events enriched against
+    # a static dimension, then a streaming aggregation
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("error", 3), ("purchase", 4), ("signup", 5)],
+        "event_type string, w int",
+    )
+    s = stream_events(spark, sf_dir).join(F.broadcast(dim), "event_type")
+    agg = (
+        s.groupBy("event_type", "w")
+        .count()
+        .select(
+            "event_type",
+            (F.col("count") * F.col("w")).cast("bigint").alias("weighted_n"),
+        )
+    )
+    return run_available_now(agg, "st3_static_join", "complete")
+
+
 def q_sessionization(spark, sf_dir):
     # gap > 30 min starts a new session; sessions per user
     e = load_table(spark, sf_dir, "events")
@@ -1078,6 +1128,32 @@ def oracle_queries() -> dict[str, str]:
                      AS sum_qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.95) AS p95
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "set_ops": """
+            SELECT c_custkey, 'no_orders' AS status FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT SELECT o_custkey FROM orders
+            )
+            UNION ALL
+            SELECT c_custkey, 'has_orders' AS status FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT SELECT o_custkey FROM orders
+            )
+        """,
+        "st3_stream_static_join": """
+            SELECT e.event_type,
+                   CAST(count(*) * max(d.w) AS BIGINT) AS weighted_n
+            FROM events e
+            JOIN (VALUES ('click', 1), ('view', 2), ('error', 3),
+                         ('purchase', 4), ('signup', 5)) AS d(event_type, w)
+              ON e.event_type = d.event_type
+            GROUP BY e.event_type
+        """,
         "sessionization": _SESSIONIZATION_SQL,
         "window_tumbling": _TUMBLING_SQL,
         # streaming twins: a bounded AvailableNow run must equal batch
@@ -1347,4 +1423,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "cube": q_cube,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
+        "st3_stream_static_join": q_st3_stream_static_join,
     }
