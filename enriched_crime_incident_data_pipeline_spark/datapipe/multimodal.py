@@ -95,3 +95,31 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def sample_frame_offsets(
+    media: DataFrame, step_ms: int = 1000, id_col: str = "media_id"
+) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame offset,
+    ``(media_id, frame_idx, offset_ms)`` for offsets
+    0, step, 2·step, … < duration_ms.
+
+    The *decode* of each frame is the stubbed kernel (`decode_image`);
+    the offset fan-out itself is pure relational work
+    (``explode(sequence(...))``) and runs JVM-side — at scale the
+    explode multiplies rows before any binary touch, so the planner
+    prunes the ``content`` column out of this path entirely unless a
+    downstream stage asks for it."""
+    return (
+        media.filter(F.col("duration_ms").isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("duration_ms") - 1,
+                    F.lit(step_ms),
+                )
+            ).alias("frame_idx", "offset_ms"),
+        )
+    )

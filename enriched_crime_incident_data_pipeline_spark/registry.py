@@ -761,6 +761,49 @@ def q_mm1_media_features(spark, sf_dir):
     return extract_features(_documents_as_media(docs))
 
 
+def q_mm3_frame_sample(spark, sf_dir):
+    # frame-sampling fan-out over video metadata (decode stays a stub;
+    # the offset explosion is pure relational work)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        sample_frame_offsets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return sample_frame_offsets(media, step_ms=1000)
+
+
+def q_json_extract(spark, sf_dir):
+    # JSON path extraction from the events props column
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("_k").alias("n_k"),
+            F.sum("_k").cast("bigint").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+def q_ta5_token_pieces(spark, sf_dir):
+    # BPE-ish sub-word piece count: letter runs, single digits,
+    # punctuation runs — a cheap tokenizer-cost estimator
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"), 0
+    )
+    return docs.select(
+        "doc_id", F.size(pieces).cast("int").alias("n_pieces")
+    )
+
+
 def q_mm2_media_meta(spark, sf_dir):
     # binary-column metadata path (byte length) — SQL-expressible twin
     docs = load_table(spark, sf_dir, "documents")
@@ -1252,6 +1295,35 @@ def oracle_queries() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
+        "mm3_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(g.i AS INTEGER) AS frame_idx,
+                   CAST(g.i * 1000 AS INTEGER) AS offset_ms
+            FROM documents,
+            LATERAL (
+              SELECT unnest(generate_series(
+                0, CAST(ceil(CAST(n_chars * 10 AS DOUBLE) / 1000) AS BIGINT) - 1
+              )) AS i
+            ) g
+            WHERE n_chars * 10 > 0
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   count(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                     AS n_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                        AS BIGINT) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                     AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "ta5_token_pieces": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'
+                   )) AS INTEGER) AS n_pieces
+            FROM documents
+        """,
         "dd1_exact_dedup": f"""
             SELECT md5({_NORM}) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS group_size
@@ -1426,4 +1498,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "percentiles": q_percentiles,
         "set_ops": q_set_ops,
         "st3_stream_static_join": q_st3_stream_static_join,
+        "mm3_frame_sample": q_mm3_frame_sample,
+        "json_extract": q_json_extract,
+        "ta5_token_pieces": q_ta5_token_pieces,
     }
