@@ -50,17 +50,21 @@ def read_pdf_binary(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
-def pdf_to_bronze(binary_df: DataFrame) -> DataFrame:
+def pdf_to_bronze(binary_df: DataFrame, parser=None) -> DataFrame:
     """binary rows → bronze incident rows via Arrow-batched
     ``mapInPandas`` (one Python decode per file, vectorized exchange).
-    Raises at execution time until a decoder is installed — the
-    plumbing (schema, batch shape, explode) is the tested surface."""
+
+    ``parser(content: bytes) -> list[5-tuple]`` defaults to the
+    (stubbed) PyMuPDF decoder; tests inject a deterministic fake so
+    the distributed plumbing — binaryFile scan, Arrow batch shape,
+    per-file row explosion, bronze schema — is exercised for real."""
+    parse = parser or parse_pdf_bytes
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
             out: list[dict] = []
             for path, content in zip(pdf_batch["path"], pdf_batch["content"]):
-                for row in parse_pdf_bytes(content):
+                for row in parse(content):
                     out.append(
                         {
                             "path": path,

@@ -47,3 +47,33 @@ def test_long_row_merges_multiline_location(spark):
     assert row["location"] == "12345 E STATE HIGHWAY 9 EASTBOUND"
     assert row["nature"] == "THEFT"
     assert row["incident_ori"] == "OK014"
+
+
+def test_pdf_binary_to_bronze_plumbing(spark, tmp_path):
+    """U4 plumbing with an injected parser: binaryFile scan → Arrow
+    mapInPandas → per-file row explosion in the bronze schema."""
+    from enriched_crime_incident_data_pipeline_spark.sources.pdf import (
+        pdf_to_bronze,
+        read_pdf_binary,
+    )
+
+    (tmp_path / "2026-01-02_daily_incident_summary.pdf").write_bytes(b"%PDF-A")
+    (tmp_path / "2026-01-03_daily_incident_summary.pdf").write_bytes(b"%PDF-BB")
+
+    def fake_parser(content: bytes):
+        # rows derived from the bytes, one per byte past the header
+        n = len(content) - 5
+        return [
+            (f"1/2/2026 0:{i:02d}", f"2026-{i:05d}", "MAIN ST", "Theft", "OK0140200")
+            for i in range(n)
+        ]
+
+    binary = read_pdf_binary(spark, str(tmp_path))
+    assert binary.count() == 2
+    bronze = pdf_to_bronze(binary, parser=fake_parser)
+    rows = bronze.collect()
+    assert len(rows) == 3  # 1 row from file A, 2 from file B
+    assert set(bronze.columns) == {
+        "path", "datetime_str", "incident_num", "location", "nature", "incident_ori"
+    }
+    assert all(r["location"] == "MAIN ST" for r in rows)
