@@ -266,3 +266,65 @@ def embedding_near_dup_pairs(
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: ``(a, b, hamming)`` for pairs
+    whose 32-bit SimHash signatures differ in ≤ ``max_hamming`` bits.
+
+    Pair generation uses the pigeonhole band trick: split the 32-bit
+    signature into 4 byte-bands — any pair within Hamming distance 3
+    must agree exactly on ≥1 band — so candidates come from an
+    equi-join on (band_idx, band_value), never an all-pairs product.
+    The candidate join shuffles (id, band) longs; the exact Hamming
+    filter (``bit_count(xor)``) runs on the joined pairs only.
+    """
+    # the signature table feeds both sides of the band self-join —
+    # persist so the tokenize/hash/groupBy lineage runs once
+    sig = simhash_signatures(docs, id_col, text_col).persist()
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -145,3 +145,17 @@ def quality_features(text: Column) -> dict[str, Column]:
         "stopword_ratio": sw_ratio,
         "quality_score": quality,
     }
+
+
+def winnow_fingerprint(text: Column, n: int = 5) -> Column:
+    """Robust content fingerprint: min 32-bit hash over the distinct
+    character ``n``-grams of the normalized text (a 1-hash winnowing
+    sketch). Survives local edits that break the exact md5
+    fingerprint; collisions between unrelated docs are ~2⁻³² per
+    pair."""
+    grams = F.array_distinct(char_ngrams(text, n))
+    hashed = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    return F.array_min(hashed)

@@ -761,6 +761,26 @@ def q_mm1_media_features(spark, sf_dir):
     return extract_features(_documents_as_media(docs))
 
 
+def q_dd8_simhash_pairs(spark, sf_dir):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def q_ta6_winnow(spark, sf_dir):
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        winnow_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", winnow_fingerprint(F.col("text")).alias("winnow")
+    )
+
+
 def q_mm3_frame_sample(spark, sf_dir):
     # frame-sampling fan-out over video metadata (decode stays a stub;
     # the offset explosion is pure relational work)
@@ -1349,6 +1369,53 @@ def oracle_queries() -> dict[str, str]:
             )
             SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM sums
         """,
+        "dd8_simhash_pairs": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+            ),
+            hx AS (SELECT doc_id, {_HASH32.format(x='tok')} AS h FROM tok),
+            sums AS (
+              SELECT doc_id,
+{_SIMHASH_SUM_TERMS}
+              FROM hx GROUP BY doc_id
+            ),
+            sig AS (
+              SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+              FROM sums
+            ),
+            bands AS (
+              SELECT doc_id, simhash, b.band_idx,
+                     (simhash >> (8 * b.band_idx)) & 255 AS band_val
+              FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                     l.simhash AS sa, r.simhash AS sb
+              FROM bands l JOIN bands r
+                ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+              WHERE l.doc_id < r.doc_id
+            )
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "ta6_winnow": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(t, g.i, 5) AS gram
+              FROM norm, LATERAL (
+                SELECT unnest(generate_series(
+                  1, greatest(length(t) - 4, 1))) AS i
+              ) g
+            )
+            SELECT doc_id,
+                   min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS winnow
+            FROM grams GROUP BY doc_id
+        """,
         "dd5_ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES3}),
             hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
@@ -1501,4 +1568,6 @@ def spark_queries() -> dict[str, QueryFn]:
         "mm3_frame_sample": q_mm3_frame_sample,
         "json_extract": q_json_extract,
         "ta5_token_pieces": q_ta5_token_pieces,
+        "dd8_simhash_pairs": q_dd8_simhash_pairs,
+        "ta6_winnow": q_ta6_winnow,
     }
