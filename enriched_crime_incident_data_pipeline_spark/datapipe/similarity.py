@@ -127,3 +127,80 @@ def ivf_topk_neighbors(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def train_kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the production
+    IVF coarse quantizer (``ivf_assignments`` consumes any centroid
+    table of this shape).
+
+    Deterministic: init = the first ``k`` vectors by id, fixed
+    iteration count, cosine assignment with the same (cos, -cid)
+    tie-break as ``ivf_assignments``. Each iteration is one broadcast
+    of k centroids (collected to the driver — k·dim doubles, tiny) +
+    one map-side-combinable aggregation of per-cluster sums; the fact
+    table is never shuffled by more than the final groupBy(cluster).
+    Returns ``(cluster: int, centroid: array<double>)``.
+    """
+    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_df:
+        return embeddings.sparkSession.createDataFrame(
+            [], "cluster int, centroid array<double>"
+        )
+    dim = dim_df[0]["d"]
+    cent_rows = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in embeddings.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    centroids = {i: v for i, (_, v) in enumerate(sorted(cent_rows))}
+
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
+    )
+    for _ in range(iterations):
+        cent_df = embeddings.sparkSession.createDataFrame(
+            [(c, v) for c, v in centroids.items()],
+            "_cid int, _cvec array<double>",
+        ).select("_cid", "_cvec", l2_norm(F.col("_cvec")).alias("_cn"))
+        assigned = vecs.crossJoin(F.broadcast(cent_df)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cid"),
+            cosine_from_norms(
+                F.col(vec_col), F.col("_cvec"), F.col("_vn"), F.col("_cn")
+            ).alias("_cos"),
+        )
+        best = assigned.groupBy(id_col).agg(
+            F.max_by(
+                F.struct(F.col("_cid"), F.col(vec_col).alias("_v")),
+                F.struct(F.col("_cos"), (-F.col("_cid")).alias("_t")),
+            ).alias("_b")
+        )
+        sums = (
+            best.select(F.col("_b._cid").alias("_cid"), F.col("_b._v").alias("_v"))
+            .groupBy("_cid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.col("_v").getItem(i).cast("double")).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for row in sums:
+            n = row["_n"]
+            if n:
+                centroids[row["_cid"]] = [row[f"_s{i}"] / n for i in range(dim)]
+    return embeddings.sparkSession.createDataFrame(
+        [(c, v) for c, v in sorted(centroids.items())],
+        "cluster int, centroid array<double>",
+    )

@@ -761,6 +761,16 @@ def q_mm1_media_features(spark, sf_dir):
     return extract_features(_documents_as_media(docs))
 
 
+def q_a10_count_distinct(spark, sf_dir):
+    # distinct-aggregate: planned as a two-phase expand + aggregate
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_dd8_simhash_pairs(spark, sf_dir):
     from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
         simhash_near_dup_pairs,
@@ -1369,6 +1379,13 @@ def oracle_queries() -> dict[str, str]:
             )
             SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM sums
         """,
+        "a10_count_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT l_partkey) AS n_part,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "dd8_simhash_pairs": f"""
             WITH tok AS (
               SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
@@ -1570,4 +1587,5 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta5_token_pieces": q_ta5_token_pieces,
         "dd8_simhash_pairs": q_dd8_simhash_pairs,
         "ta6_winnow": q_ta6_winnow,
+        "a10_count_distinct": q_a10_count_distinct,
     }

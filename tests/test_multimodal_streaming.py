@@ -170,3 +170,29 @@ def test_stream_ingest_incremental_checkpoint(spark, tmp_path):
     # both days present exactly once — day1 not reprocessed
     assert out.count() == 2
     assert out.select("incident_num").distinct().count() == 2
+
+
+def test_kmeans_centroids_separate_clusters(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        train_kmeans_centroids,
+    )
+
+    # two tight direction-clusters; init from first 2 vectors
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]), (3, [0.95, 0.05]),
+        (4, [0.1, 0.9]), (5, [0.05, 0.95]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = {
+        r["cluster"]: r["centroid"]
+        for r in train_kmeans_centroids(emb, k=2, iterations=3).collect()
+    }
+    assert set(cents) == {0, 1}
+    # cluster 0 converges toward the x-heavy mean, cluster 1 y-heavy
+    assert cents[0][0] > cents[0][1]
+    assert cents[1][1] > cents[1][0]
+    # means of the assigned members: {0,2,3} and {1,4,5}
+    # (1e-6: embeddings are stored float32)
+    assert abs(cents[0][0] - (1.0 + 0.9 + 0.95) / 3) < 1e-6
+    assert abs(cents[1][1] - (1.0 + 0.9 + 0.95) / 3) < 1e-6
