@@ -935,6 +935,217 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def _dec(c):
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _rev_expr():
+    # decimal-exact extendedprice*(1-discount), the common money term
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+def q_tpch_q6(spark, sf_dir):
+    # forecast-revenue shape: single scan, every predicate pushed to
+    # the parquet reader, one partial+final agg — zero joins, zero
+    # wide shuffles beyond the 1-row final combine
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    # returned-item reporting: fact-fact shuffle join + broadcast dim,
+    # top-20 with a total tiebreak order so the cut is deterministic
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.to_date("o_orderdate") < F.lit("1996-10-01"))
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_expr()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    # customer-distribution shape: LEFT OUTER join with an ON-clause
+    # filter (not WHERE — nulls must survive), then a two-level agg
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    # promo-effect shape: conditional aggregate ratio; both sums stay
+    # decimal-exact until the single final double division
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _rev_expr()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-09-01"))
+            & (F.to_date("l_shipdate") < F.lit("1996-10-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    # top-supplier shape: agg → scalar max → broadcast equality join
+    # back (no global window, no single-partition collapse)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_expr()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    # small-quantity-order shape: the correlated AVG subquery becomes
+    # a per-part aggregate joined back; the brand filter is applied
+    # BEFORE the avg so only the brand's lineitems are aggregated
+    # (equivalent: the correlation key is p_partkey).  l_quantity is
+    # integer-valued so the avg is exact in both engines.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_brand = li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+    thresh = li_brand.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_thresh")
+    ).withColumnRenamed("l_partkey", "_tk")
+    return (
+        li_brand.join(thresh, F.col("l_partkey") == F.col("_tk"))
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    # large-volume-customer shape: HAVING on a grouped sum feeding a
+    # semi-style join; sum_qty is integer-valued hence exact
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    # disjunctive-predicate shape: three brand/size/quantity bands
+    # OR-ed together after a broadcast part join — Catalyst keeps the
+    # common l_partkey=p_partkey conjunct as the join key and the
+    # disjunction as a post-join filter
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    band = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            band("Brand#13", 5, 1, 11)
+            | band("Brand#23", 10, 10, 20)
+            | band("Brand#20", 15, 20, 30)
+        )
+        .agg(F.sum(_rev_expr()).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    # global-market-candidate shape: scalar-subquery threshold
+    # (computed as one double division of decimal-exact sum/count so
+    # both engines agree bit-for-bit) + anti-join + group agg
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_thresh")
+    )
+    rich = cust.crossJoin(F.broadcast(stats)).filter(F.col("c_acctbal") > F.col("_thresh"))
+    quiet = rich.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return quiet.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — generated alongside, same constants
 # ---------------------------------------------------------------------------
@@ -1262,6 +1473,117 @@ def oracle_queries() -> dict[str, str]:
               AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
             GROUP BY n_name
         """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+              SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE) AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+                AND CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+              GROUP BY c_custkey, c_name, c_acctbal, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20
+            )
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "tpch_q14": """
+            SELECT 100.0
+              * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+              / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "tpch_q17": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (
+                SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = p_partkey
+              )
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+            FROM orders
+            JOIN (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+            ) big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": """
+            WITH stats AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                     AS thresh
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer, stats
+            WHERE c_acctbal > thresh
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+              )
+            GROUP BY c_nationkey
+        """,
         "dd6_embed_cosine": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine
@@ -1578,6 +1900,15 @@ def spark_queries() -> dict[str, QueryFn]:
         "st2_stream_sessions": q_st2_stream_sessions,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "cube": q_cube,
         "percentiles": q_percentiles,
         "set_ops": q_set_ops,
