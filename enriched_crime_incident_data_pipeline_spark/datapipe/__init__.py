@@ -8,6 +8,12 @@ correctly on a 1000-executor cluster. Hashes are md5-derived so an
 independent SQL engine (the DuckDB oracle) reproduces them bit-for-bit.
 """
 
+from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+    pack_assignments,
+    prune_boilerplate,
+    shuffle_shards,
+    stratified_sample,
+)
 from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
     exact_duplicate_groups,
     lsh_candidate_pairs,
@@ -22,6 +28,10 @@ from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
 )
 
 __all__ = [
+    "pack_assignments",
+    "prune_boilerplate",
+    "shuffle_shards",
+    "stratified_sample",
     "exact_duplicate_groups",
     "lsh_candidate_pairs",
     "minhash_bands",

@@ -1,0 +1,198 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Beyond-parity surface (BASELINE.json north star, same family as
+``datapipe/dedup.py``): the operations a 100 TB pretraining-corpus
+build needs between "documents exist" and "tokens reach the trainer":
+
+- :func:`pack_assignments` — concat-and-chunk sequence packing (the
+  GPT-style "concatenate the corpus, cut every ``budget`` tokens"
+  layout), computed as a *two-phase prefix sum* so no global
+  single-partition window ever forms;
+- :func:`stratified_sample` — deterministic hash-based per-source
+  sampling (reproducible across runs/engines, no RNG state);
+- :func:`prune_boilerplate` — drop tokens whose document frequency
+  exceeds a threshold (boilerplate/stopword removal) and reassemble
+  each document order-preservingly;
+- :func:`shuffle_shards` — deterministic global training-order
+  shuffle into shards (hash order, not RNG), giving every example a
+  stable (shard, position).
+
+Everything is built-in column expressions — no Python in the hot
+path — and every op has an exact ANSI-SQL twin in the registry.
+
+Scale notes (100 TB):
+- packing's only wide operations are (a) one hash shuffle on the
+  value-derived bucket id, (b) per-bucket windows that parallelize
+  across buckets, and (c) one window over the *bucket totals* (one
+  row per bucket — thousands of rows at cluster scale, trivially
+  small). The classic formulation (global ``Window.orderBy(id)``)
+  collapses to one partition and is exactly what this avoids.
+- sampling and sharding are embarrassingly parallel (pure hash math);
+  the shard window parallelizes across ``n_shards``, which at scale
+  is sized ≫ executor count.
+- boilerplate pruning shuffles tokens once for the DF count and once
+  for the reassembly groupBy; the boilerplate set itself is tiny
+  (vocabulary-sized) and broadcast into the anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import hash32
+from enriched_crime_incident_data_pipeline_spark.functions.text import (
+    token_count,
+    tokens,
+)
+
+PACK_BUDGET = 256
+PACK_BUCKETS = 32
+SHARD_SALT = "shuffle-v1"
+
+
+def pack_assignments(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document its global token ``start_offset`` and
+    ``pack_id`` under concat-and-chunk packing in ``id_col`` order.
+
+    Semantics: lay all documents end-to-end ordered by ``id_col``;
+    the corpus token stream is cut every ``budget`` tokens;
+    ``pack_id`` is the chunk containing the document's first token.
+    (Documents may span chunk boundaries, as in standard LLM
+    pretraining packing.)
+
+    Two-phase prefix sum: bucket ids are **value-derived**
+    (``floor(id·n_buckets/(max_id+1))``, not physical partition ids),
+    so the result is independent of physical partitioning and
+    deterministic across runs and engines.
+    """
+    t = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    )
+    bounds = t.agg(F.max(id_col).alias("_max_id"))
+    b = t.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.floor(F.col(id_col) * n_buckets / (F.col("_max_id") + 1)).cast("int"),
+    )
+    local_w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(local_w), F.lit(0))
+    )
+    # bucket totals: one row per bucket — the only "global" window runs
+    # over this tiny relation, never over the corpus itself
+    totals = b.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bucket_total"))
+    prefix_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.withColumn(
+        "_bucket_prefix", F.coalesce(F.sum("_bucket_total").over(prefix_w), F.lit(0))
+    ).select("_bucket", "_bucket_prefix")
+    return (
+        local.join(F.broadcast(prefix), "_bucket")
+        .withColumn("start_offset", F.col("_bucket_prefix") + F.col("_local_off"))
+        .withColumn("pack_id", F.floor(F.col("start_offset") / budget))
+        .select(id_col, "n_tokens", "start_offset", "pack_id")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_bp: dict[str, int],
+    default_bp: int = 1000,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``hash32('sample:' || id) mod 10000 < rate_bp(stratum)``.
+
+    ``rates_bp`` maps stratum value → keep-rate in basis points
+    (of 10 000); unlisted strata use ``default_bp``. Hash-based (not
+    RNG) so the sample is reproducible across runs, engines, and
+    cluster layouts — the property training-data ablations need.
+    """
+    rate = F.lit(default_bp)
+    for k, v in sorted(rates_bp.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    bucket = F.pmod(hash32(F.concat(F.lit("sample:"), F.col(id_col).cast("string"))), F.lit(10000))
+    return docs.filter(bucket < rate)
+
+
+def prune_boilerplate(
+    docs: DataFrame,
+    df_pct_threshold: int = 79,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove tokens whose document frequency ≥ ``df_pct_threshold``
+    percent of the corpus, reassembling each document's remaining
+    tokens in their original order.
+
+    The threshold compare is integer math (``df·100 ≥ pct·n_docs``) —
+    no float ratio, so engines agree exactly. Returns
+    ``(id, n_kept, pruned_text)`` for every input document (documents
+    reduced to nothing keep an empty string).
+    """
+    tok_pos = (
+        docs.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    boiler = (
+        tok_pos.groupBy("tok")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") * 100 >= F.lit(df_pct_threshold) * F.col("_n_docs"))
+        .select("tok")
+    )
+    kept = tok_pos.join(F.broadcast(boiler), "tok", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("pruned_text"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("pruned_text", F.lit("")).alias("pruned_text"),
+        )
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    salt: str = SHARD_SALT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document
+    gets a stable ``(shard, position)`` from a salted hash order.
+
+    ``shard = hash mod n_shards``; ``position`` ranks by
+    ``(hash, id)`` within the shard (the id tiebreak makes the order
+    total). Changing ``salt`` yields an independent permutation —
+    epochs reshuffle without materializing anything.
+    """
+    h = hash32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("_h"))
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("position", F.row_number().over(w))
+        .select(id_col, "shard", "position")
+    )

@@ -822,6 +822,52 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_tp1_pack(spark, sf_dir):
+    # concat-and-chunk sequence packing via two-phase prefix sum —
+    # the only corpus-wide windows run per value-derived bucket, plus
+    # one window over the (tiny) bucket-totals relation
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        pack_assignments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_assignments(docs)
+
+
+def q_tp2_stratified_sample(spark, sf_dir):
+    # deterministic hash-based stratified sampling (reproducible
+    # across engines/runs — no RNG state)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, rates_bp={"src0": 10000, "src1": 5000, "src2": 0}, default_bp=2500
+    ).select("doc_id", "source")
+
+
+def q_tp3_boilerplate_prune(spark, sf_dir):
+    # document-frequency boilerplate removal + order-preserving
+    # reassembly (integer-math threshold: df·100 ≥ pct·n_docs)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        prune_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prune_boilerplate(docs, df_pct_threshold=79)
+
+
+def q_tp4_shuffle_shards(spark, sf_dir):
+    # deterministic global training-order shuffle into shards
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        shuffle_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=8)
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -1816,6 +1862,57 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, {_LANG_CASE} AS lang_guess FROM scores
         """,
         "ta4_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "tp1_pack": f"""
+            WITH t AS (SELECT doc_id, {_TOKEN_COUNT}::BIGINT AS n_tokens FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                CAST(coalesce(sum(n_tokens) OVER (
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS start_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(floor(start_offset / 256.0) AS BIGINT) AS pack_id
+            FROM o
+        """,
+        "tp2_stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ({_HASH32.format(x="'sample:' || doc_id")} % 10000) <
+              CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                          WHEN 'src2' THEN 0 ELSE 2500 END
+        """,
+        "tp3_boilerplate_prune": f"""
+            WITH tp AS (
+              SELECT doc_id, toks[i] AS tok, i AS pos
+              FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) t,
+              LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+              WHERE toks[i] <> ''
+            ),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            boiler AS (
+              SELECT tok FROM tp, nd GROUP BY tok, n_docs
+              HAVING count(DISTINCT doc_id) * 100 >= 79 * n_docs
+            ),
+            kept AS (SELECT * FROM tp WHERE tok NOT IN (SELECT tok FROM boiler)),
+            rebuilt AS (
+              SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS pruned_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
+                   coalesce(r.pruned_text, '') AS pruned_text
+            FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "tp4_shuffle_shards": f"""
+            WITH h AS (
+              SELECT doc_id, {_HASH32.format(x="'shuffle-v1:' || doc_id")} AS hv
+              FROM documents
+            )
+            SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+                        AS INTEGER) AS position
+            FROM h
+        """,
         "ss1_ann_bruteforce": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             a AS (SELECT * FROM e WHERE vec_id <> 0),
@@ -1919,4 +2016,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd8_simhash_pairs": q_dd8_simhash_pairs,
         "ta6_winnow": q_ta6_winnow,
         "a10_count_distinct": q_a10_count_distinct,
+        "tp1_pack": q_tp1_pack,
+        "tp2_stratified_sample": q_tp2_stratified_sample,
+        "tp3_boilerplate_prune": q_tp3_boilerplate_prune,
+        "tp4_shuffle_shards": q_tp4_shuffle_shards,
     }

@@ -1,0 +1,122 @@
+"""Corpus-preparation operators (datapipe/corpus.py): packing,
+stratified sampling, boilerplate pruning, shard shuffling.
+
+Key properties pinned here: results are deterministic and independent
+of physical partitioning (the packing prefix-sum must agree with the
+naive global-window formulation), and edge semantics (empty prunes,
+boundary-spanning documents) are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+    pack_assignments,
+    prune_boilerplate,
+    shuffle_shards,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_pack_concat_and_chunk_semantics(spark):
+    # 3+4+5+2 tokens, budget 5: offsets 0,3,7,12 → packs 0,0,1,2
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c", "s"),
+            (1, "a b c d", "s"),
+            (2, "a b c d e", "s"),
+            (3, "a b", "s"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"])
+        for r in pack_assignments(docs, budget=5, n_buckets=2).collect()
+    }
+    assert got == {0: (3, 0, 0), 1: (4, 3, 0), 2: (5, 7, 1), 3: (2, 12, 2)}
+
+
+def test_pack_matches_global_window_and_partitioning_invariant(spark):
+    docs = _docs(
+        spark,
+        [(i, " ".join(["w"] * ((i * 7) % 11 + 1)), "s") for i in range(97)],
+    )
+    # naive single-window formulation (what the two-phase sum replaces)
+    from enriched_crime_incident_data_pipeline_spark.functions.text import token_count
+
+    t = docs.select("doc_id", token_count(F.col("text")).cast("bigint").alias("n"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: r["off"]
+        for r in t.withColumn(
+            "off", F.coalesce(F.sum("n").over(w), F.lit(0))
+        ).collect()
+    }
+    for nparts in (1, 7):
+        got = {
+            r["doc_id"]: r["start_offset"]
+            for r in pack_assignments(
+                docs.repartition(nparts), budget=64, n_buckets=5
+            ).collect()
+        }
+        assert got == naive
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(
+        spark,
+        [(i, "x", ["a", "b"][i % 2]) for i in range(400)],
+    )
+    kept = stratified_sample(docs, rates_bp={"a": 10000, "b": 0}).collect()
+    # stratum a fully kept, stratum b fully dropped
+    assert {r["source"] for r in kept} == {"a"}
+    assert len(kept) == 200
+    again = stratified_sample(docs.repartition(13), rates_bp={"a": 10000, "b": 0})
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in kept
+    )
+
+
+def test_prune_boilerplate_order_and_empty(spark):
+    # 'the' is in 3/3 docs (df 100%) → pruned; doc 2 becomes empty
+    docs = _docs(
+        spark,
+        [
+            (0, "the quick fox the end", "s"),
+            (1, "over the lazy dog", "s"),
+            (2, "the the the", "s"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_kept"], r["pruned_text"])
+        for r in prune_boilerplate(docs, df_pct_threshold=100).collect()
+    }
+    assert got == {
+        0: (3, "quick fox end"),
+        1: (3, "over lazy dog"),
+        2: (0, ""),
+    }
+
+
+def test_shuffle_shards_positions_and_salt(spark):
+    docs = _docs(spark, [(i, "x", "s") for i in range(100)])
+    out = shuffle_shards(docs, n_shards=4).collect()
+    assert len(out) == 100
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    # positions within each shard are exactly 1..k
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across partitioning
+    out2 = shuffle_shards(docs.repartition(9), n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # a different salt yields a different permutation
+    other = shuffle_shards(docs, n_shards=4, salt="epoch-2").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
