@@ -1,0 +1,82 @@
+"""As-of (point-in-time) join — an operator the reference's SQL
+surface never needed (it has equi-joins only, SURVEY.md §2.3) but any
+event/feature pipeline does: for each left row, attach the most
+recent right row with ``right.ts <= left.ts`` for the same key.
+
+Spark has no native ASOF JOIN, and the naive formulations are wrong
+at scale: a theta-join (``r.ts <= l.ts``) explodes quadratically per
+key, and a per-row subquery doesn't exist. The implementation here is
+the union-tag pattern:
+
+1. tag left rows ``_side=1`` and right rows ``_side=0`` and union
+   them on the shared ``(keys, ts)`` spine;
+2. one window per key, ordered ``(ts, _side, tiebreak)`` — right
+   rows sort *before* left rows at equal ts, so "at-or-before" is
+   exactly "earlier in the order";
+3. ``last(right_payload, ignorenulls=True)`` over rows up to the
+   current row carries the latest right payload forward;
+4. keep only left rows.
+
+Cost: ONE shuffle (hash on the key columns) and one sort within
+partitions — the same price as a regular join, with no per-key
+blowup. The window parallelizes across keys, so there is no global
+ordering and no single-partition collapse at 100 TB. Ties at equal
+``ts`` resolve to the greatest ``tiebreak`` (deterministic, total).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    asof_prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``asof_<col>`` columns
+    from the most recent right row with ``right.ts <= left.ts`` and
+    equal keys (NULLs when no such row exists).
+
+    ``tiebreak_col`` must exist in both inputs and make
+    ``(ts, tiebreak)`` unique per key on the right side — it pins
+    which right row wins an exact-ts tie, keeping results engine- and
+    partitioning-independent.
+    """
+    keys = list(key_cols)
+    l2 = left.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("_r"),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "_asof", F.last("_r", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"_asof.{c}").alias(f"{asof_prefix}{c}")
+        for c in right.columns
+        if c not in keys
+    ]
+    return matched.select(*out_cols)

@@ -868,6 +868,28 @@ def q_tp4_shuffle_shards(spark, sf_dir):
     return shuffle_shards(docs, n_shards=8)
 
 
+def q_asof_join(spark, sf_dir):
+    # point-in-time join: each purchase picks the latest at-or-before
+    # view of the same user — union-tag + running last(), ONE shuffle
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, ["user_id"], "ts", "event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -1862,6 +1884,17 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, {_LANG_CASE} AS lang_guess FROM scores
         """,
         "ta4_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "asof_join": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   v.event_id AS view_event_id, v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN LATERAL (
+              SELECT event_id, value FROM events v
+              WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                AND v.ts <= p.ts
+              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) v ON true
+        """,
         "tp1_pack": f"""
             WITH t AS (SELECT doc_id, {_TOKEN_COUNT}::BIGINT AS n_tokens FROM documents),
             o AS (
@@ -2016,6 +2049,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd8_simhash_pairs": q_dd8_simhash_pairs,
         "ta6_winnow": q_ta6_winnow,
         "a10_count_distinct": q_a10_count_distinct,
+        "asof_join": q_asof_join,
         "tp1_pack": q_tp1_pack,
         "tp2_stratified_sample": q_tp2_stratified_sample,
         "tp3_boilerplate_prune": q_tp3_boilerplate_prune,

@@ -1,0 +1,93 @@
+"""As-of join (operators/asof.py): exact point-in-time semantics —
+at-or-before inclusion, deterministic exact-ts tiebreak, NULLs for
+no-match, key isolation — pinned against a naive theta-join reference
+on a hand fixture, plus partitioning invariance.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2026-01-01T10:00")),   # after two views
+            (2, 10, _ts("2026-01-01T09:00")),   # exact-ts tie with view 102
+            (3, 10, _ts("2026-01-01T07:00")),   # before all views → NULL
+            (4, 20, _ts("2026-01-01T12:00")),   # other key, isolated
+            (5, 30, _ts("2026-01-01T12:00")),   # key with no views → NULL
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, _ts("2026-01-01T08:00"), 1.0),
+            (102, 10, _ts("2026-01-01T09:00"), 2.0),
+            (103, 10, _ts("2026-01-01T09:00"), 3.0),  # same ts: larger id wins
+            (104, 20, _ts("2026-01-01T11:00"), 4.0),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    out = asof_join(left, right, ["user_id"], "ts", "event_id")
+    got = {r["event_id"]: (r["asof_event_id"], r["asof_value"]) for r in out.collect()}
+    assert got == {
+        1: (103, 3.0),
+        2: (103, 3.0),   # <= includes the equal-ts row; id 103 beats 102
+        3: (None, None),
+        4: (104, 4.0),
+        5: (None, None),
+    }
+    assert out.count() == left.count()  # left join: every left row survives
+
+
+def test_asof_matches_theta_reference_and_partitioning(spark):
+    # random-ish fixture; reference = theta-join + argmax per left row
+    left = spark.createDataFrame(
+        [(i, i % 7, _ts("2026-01-01T00:00") + dt.timedelta(minutes=3 * i)) for i in range(60)],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1000 + j, j % 7, _ts("2026-01-01T00:00") + dt.timedelta(minutes=5 * j), float(j))
+            for j in range(40)
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    theta = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id")) & (F.col("r.ts") <= F.col("l.ts")),
+            "left",
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+                    "l.event_id"
+                ).orderBy(F.desc("r.ts"), F.desc("r.event_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("l.event_id").alias("event_id"),
+            F.col("r.event_id").alias("asof_event_id"),
+            F.col("r.value").alias("asof_value"),
+        )
+    )
+    expected = {r["event_id"]: (r["asof_event_id"], r["asof_value"]) for r in theta.collect()}
+    for nparts in (1, 8):
+        out = asof_join(
+            left.repartition(nparts), right.repartition(nparts), ["user_id"], "ts", "event_id"
+        )
+        got = {r["event_id"]: (r["asof_event_id"], r["asof_value"]) for r in out.collect()}
+        assert got == expected
