@@ -890,6 +890,73 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_sk1_kmv_distinct(spark, sf_dir):
+    # deterministic KMV distinct sketch: k smallest md5 hashes →
+    # estimate, reproducible bit-for-bit in any engine with md5
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct_estimate(li, F.col("l_partkey").cast("string"))
+
+
+def q_scd2_intervals(spark, sf_dir):
+    # SCD2 dimension build: each (user, signup/purchase) event opens a
+    # validity interval, closed by the key's next event
+    from enriched_crime_incident_data_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    out = scd2_intervals(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        "event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_range_join(spark, sf_dir):
+    # interval join with NO equi-key: customers whose balance falls in
+    # a part's price band — bucket-equi-join + residual, not a
+    # nested-loop cartesian
+    from enriched_crime_incident_data_pipeline_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    out = bucketed_range_join(
+        part,
+        cust,
+        lo=F.col("p_retailprice"),
+        hi=F.col("p_retailprice") + F.col("p_size") / 100.0,
+        value=F.col("c_acctbal"),
+        bucket_width=1.0,
+    )
+    return out.select("c_custkey", "p_partkey", "c_acctbal", "p_retailprice")
+
+
+def q_dd9_dup_clusters(spark, sf_dir):
+    # the dedup endgame: LSH candidate pairs → connected components →
+    # one canonical doc per cluster (iterative min-label propagation)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    return dup_clusters(docs, pairs)
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -1884,6 +1951,52 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, {_LANG_CASE} AS lang_guess FROM scores
         """,
         "ta4_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "dd9_dup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              WITH bands AS ({_MINHASH_BANDS_SQL})
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT DISTINCT a AS node, a AS label FROM edges
+              UNION
+              SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+            ),
+            cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                   coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        """,
+        "range_join": """
+            SELECT c_custkey, p_partkey, c_acctbal, p_retailprice
+            FROM customer JOIN part
+              ON c_acctbal >= p_retailprice
+             AND c_acctbal < p_retailprice + p_size / 100.0
+        """,
+        "sk1_kmv_distinct": f"""
+            WITH h AS (
+              SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
+              FROM lineitem
+            ),
+            kmin AS (SELECT h FROM h ORDER BY h LIMIT 256)
+            SELECT CAST(count(*) AS INTEGER) AS k, max(h) AS kth_hash,
+                   CAST(count(*) - 1 AS DOUBLE) * 4294967296.0 / max(h) AS estimate
+            FROM kmin
+        """,
+        "scd2_intervals": """
+            SELECT event_id, user_id, value, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL AS is_current
+            FROM events WHERE event_type IN ('signup', 'purchase')
+        """,
         "asof_join": """
             SELECT p.event_id, p.user_id, p.ts,
                    v.event_id AS view_event_id, v.value AS view_value
@@ -2050,6 +2163,10 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta6_winnow": q_ta6_winnow,
         "a10_count_distinct": q_a10_count_distinct,
         "asof_join": q_asof_join,
+        "sk1_kmv_distinct": q_sk1_kmv_distinct,
+        "range_join": q_range_join,
+        "dd9_dup_clusters": q_dd9_dup_clusters,
+        "scd2_intervals": q_scd2_intervals,
         "tp1_pack": q_tp1_pack,
         "tp2_stratified_sample": q_tp2_stratified_sample,
         "tp3_boilerplate_prune": q_tp3_boilerplate_prune,

@@ -1,0 +1,101 @@
+"""Unit pins for the newest operator families: connected-components
+clustering, bucketed range join, KMV distinct sketch, SCD2 intervals.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+    connected_components,
+    dup_clusters,
+)
+from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+    kmv_distinct_estimate,
+)
+from enriched_crime_incident_data_pipeline_spark.operators.rangejoin import (
+    bucketed_range_join,
+)
+from enriched_crime_incident_data_pipeline_spark.operators.scd import scd2_intervals
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3-4 (diameter > 1 ⇒ needs propagation), triangle 10-11-12,
+    # pair 20-21: transitive closure must collapse the whole chain
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a bigint, b bigint",
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_singletons_and_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "a bigint, b bigint")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (0, False),
+        4: (4, True),
+        5: (0, False),
+    }
+
+
+def test_bucketed_range_join_boundaries(spark):
+    # ranges: A=[10,20) spans buckets, B=[15,15) empty, C=[19,31) spans 3 buckets
+    ranges = spark.createDataFrame(
+        [("A", 10.0, 20.0), ("B", 15.0, 15.0), ("C", 19.0, 31.0)],
+        "label string, lo double, hi double",
+    )
+    probes = spark.createDataFrame(
+        [(1, 10.0), (2, 19.5), (3, 20.0), (4, 30.999), (5, 31.0), (6, 9.999)],
+        "pid int, v double",
+    )
+    out = bucketed_range_join(
+        ranges, probes, F.col("lo"), F.col("hi"), F.col("v"), bucket_width=10.0
+    )
+    got = sorted((r["pid"], r["label"]) for r in out.collect())
+    # 1 hits A (lo inclusive); 2 hits A and C; 3 hits C only (hi exclusive
+    # for A); 4 hits C; 5 misses (hi exclusive); 6 misses; B matches nothing
+    assert got == [(1, "A"), (2, "A"), (2, "C"), (3, "C"), (4, "C")]
+
+
+def test_kmv_estimate_accuracy_and_determinism(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"user-{i % 1000}",) for i in range(n)], "v string")
+    row = kmv_distinct_estimate(df, F.col("v"), k=128).first()
+    assert row["k"] == 128
+    # KMV with k=128 has ~9% stderr; accept 3 sigma around true 1000
+    assert 700 < row["estimate"] < 1300
+    again = kmv_distinct_estimate(df.repartition(17), F.col("v"), k=128).first()
+    assert again["kth_hash"] == row["kth_hash"]
+    assert again["estimate"] == row["estimate"]
+
+
+def test_scd2_intervals(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 7, t0, 1.0),
+            (2, 7, t0 + dt.timedelta(days=1), 2.0),
+            (3, 7, t0 + dt.timedelta(days=5), 3.0),
+            (4, 8, t0, 9.0),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(ev, ["user_id"], "ts", "event_id").collect()
+    }
+    assert got[1] == (t0, t0 + dt.timedelta(days=1), False)
+    assert got[2] == (t0 + dt.timedelta(days=1), t0 + dt.timedelta(days=5), False)
+    assert got[3] == (t0 + dt.timedelta(days=5), None, True)
+    assert got[4] == (t0, None, True)
