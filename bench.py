@@ -28,6 +28,12 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+    "asof_join",
+    "range_join",
+    "tp1_pack",
     "j1_broadcast_join",
     "j4_rank_joinback",
     "w3_window_max",
