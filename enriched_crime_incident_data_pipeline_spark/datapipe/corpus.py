@@ -174,6 +174,66 @@ def prune_boilerplate(
     )
 
 
+def sliding_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    stride: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each document into overlapping token windows (RAG /
+    context-window chunking): chunk ``i`` covers tokens
+    ``[i·stride+1, i·stride+chunk_tokens]``; the last chunk may be
+    short; every non-empty document yields ≥ 1 chunk.
+
+    Chunk counts use integer math (``1 + ⌈(n−C)/S⌉``) so engines
+    agree exactly. The explode is narrow (no shuffle) — chunking a
+    100 TB corpus is a map-only stage.
+    """
+    toks = tokens(F.col(text_col))
+    n = token_count(F.col(text_col))
+    n_extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = (F.floor((n_extra + F.lit(stride - 1)) / F.lit(stride)) + 1).cast("int")
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_nc")
+    ).filter(F.col("_n") > 0)
+    expl = base.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("_i"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_i") * stride + 1, chunk_tokens)
+    return expl.select(
+        F.col(id_col),
+        F.col("_i").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+    )
+
+
+def group_sample(
+    docs: DataFrame,
+    k: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "gs",
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group keep the k
+    rows with the smallest salted hash — the reproducible equivalent
+    of per-group reservoir sampling (hash order ≈ uniform random
+    order, but stable across runs/engines; change ``salt`` for an
+    independent draw).
+    """
+    h = hash32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        docs.select(F.col(id_col), F.col(group_col), h.alias("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, group_col)
+    )
+
+
 def shuffle_shards(
     docs: DataFrame,
     n_shards: int = 8,

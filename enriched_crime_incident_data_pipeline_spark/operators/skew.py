@@ -42,6 +42,34 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("_pc").cast("bigint").alias(out))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str] | str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant shuffle equi-join: salt the big side's key into
+    ``n_salts`` subkeys and replicate the small side once per salt, so
+    a hot key's rows spread over ``n_salts`` reducers instead of one.
+
+    Exact same result set as ``big.join(small, keys, how)`` — each
+    big row meets each matching small row exactly once (via its own
+    salt's replica). Use when BOTH sides are too big to broadcast and
+    the key is power-law; for broadcastable dims just broadcast. The
+    price is shuffling ``n_salts×`` the small side — pick the
+    smallest ``n_salts`` that caps the hottest reducer.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    big_s = big.withColumn(_SALT, F.pmod(F.spark_partition_id(), F.lit(n_salts)))
+    salts = small.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias(_SALT)
+    )
+    small_r = small.crossJoin(salts)
+    return big_s.join(small_r, [*keys, _SALT], how).drop(_SALT)
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str] | str,

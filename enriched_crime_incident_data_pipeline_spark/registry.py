@@ -957,6 +957,40 @@ def q_dd9_dup_clusters(spark, sf_dir):
     return dup_clusters(docs, pairs)
 
 
+def q_tp5_sliding_chunks(spark, sf_dir):
+    # RAG/context-window chunking: overlapping token windows, map-only
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        sliding_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(docs, chunk_tokens=16, stride=12)
+
+
+def q_tp6_group_sample(spark, sf_dir):
+    # deterministic k-per-group sample (reservoir-equivalent, stable)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        group_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample(docs, k=3)
+
+
+def q_st4_stream_dedup(spark, sf_dir):
+    # watermarked streaming dedup feeding a streaming aggregation —
+    # the exactly-once ingest shape for at-least-once feeds
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    dd = s.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return run_available_now(agg, "st4_dedup", "complete")
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -1951,6 +1985,35 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, {_LANG_CASE} AS lang_guess FROM scores
         """,
         "ta4_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "tp5_sliding_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks, {_TOKEN_COUNT} AS n FROM documents
+            ),
+            base AS (
+              SELECT doc_id, toks, n,
+                     1 + (greatest(n - 16, 0) + 11) // 12 AS n_chunks
+              FROM t WHERE n > 0
+            )
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                   array_to_string(list_slice(toks, i*12 + 1, i*12 + 16), ' ')
+                     AS chunk_text,
+                   CAST(len(list_slice(toks, i*12 + 1, i*12 + 16)) AS INTEGER)
+                     AS n_chunk_tokens
+            FROM base,
+            LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g
+        """,
+        "tp6_group_sample": f"""
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY source
+              ORDER BY {_HASH32.format(x="'gs:' || doc_id")}, doc_id
+            ) <= 3
+        """,
+        "st4_stream_dedup": """
+            SELECT event_type, count(*) AS cnt FROM (
+              SELECT DISTINCT * FROM events
+            ) GROUP BY event_type
+        """,
         "dd9_dup_clusters": f"""
             WITH RECURSIVE pairs AS (
               WITH bands AS ({_MINHASH_BANDS_SQL})
@@ -2171,4 +2234,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tp2_stratified_sample": q_tp2_stratified_sample,
         "tp3_boilerplate_prune": q_tp3_boilerplate_prune,
         "tp4_shuffle_shards": q_tp4_shuffle_shards,
+        "tp5_sliding_chunks": q_tp5_sliding_chunks,
+        "tp6_group_sample": q_tp6_group_sample,
+        "st4_stream_dedup": q_st4_stream_dedup,
     }

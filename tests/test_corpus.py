@@ -120,3 +120,46 @@ def test_shuffle_shards_positions_and_salt(spark):
     # a different salt yields a different permutation
     other = shuffle_shards(docs, n_shards=4, salt="epoch-2").collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        sliding_chunks,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, " ".join(f"t{i}" for i in range(10)), "s"),  # 10 toks → 1 chunk
+            (1, " ".join(f"t{i}" for i in range(40)), "s"),  # 40 toks → 3 chunks
+            (2, "", "s"),                                     # empty → 0 chunks
+        ],
+    )
+    out = sliding_chunks(docs, chunk_tokens=16, stride=12).collect()
+    by_doc: dict[int, dict[int, tuple[str, int]]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+            r["chunk_text"],
+            r["n_chunk_tokens"],
+        )
+    assert 2 not in by_doc
+    assert list(by_doc[0]) == [0] and by_doc[0][0][1] == 10
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    # chunk 1 starts at token 12 (0-based): overlap of 4 with chunk 0
+    assert by_doc[1][1][0].split()[0] == "t12"
+    assert by_doc[1][2] == ("t24 t25 t26 t27 t28 t29 t30 t31 t32 t33 t34 t35 t36 t37 t38 t39", 16)
+
+
+def test_group_sample_k_per_group_deterministic(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        group_sample,
+    )
+
+    docs = _docs(spark, [(i, "x", f"g{i % 5}") for i in range(100)])
+    out = sorted(map(tuple, group_sample(docs, k=3).collect()))
+    per = {}
+    for _, g in out:
+        per[g] = per.get(g, 0) + 1
+    assert per == {f"g{i}": 3 for i in range(5)}
+    again = sorted(map(tuple, group_sample(docs.repartition(11), k=3).collect()))
+    assert again == out

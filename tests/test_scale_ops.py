@@ -132,3 +132,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from enriched_crime_incident_data_pipeline_spark.operators.skew import salted_join
+
+    # hot key 1 dominates; include keys missing from each side
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901), (9, 902)],
+        "k int, payload int",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (3, "cool"), (7, "unmatched")], "k int, label string"
+    )
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    salted = sorted(map(tuple, salted_join(big, small, "k", n_salts=4).collect()))
+    assert salted == plain
