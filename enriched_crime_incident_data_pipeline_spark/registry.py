@@ -991,6 +991,44 @@ def q_st4_stream_dedup(spark, sf_dir):
     return run_available_now(agg, "st4_dedup", "complete")
 
 
+def q_st5_stream_stream_join(spark, sf_dir):
+    # stream-stream interval join: purchases ⋈ views of the same user
+    # within the preceding hour. Watermarks on BOTH sides + the
+    # time-range conjunct bound the join state (views older than the
+    # range + watermark are evicted) — the shape that stays flat on an
+    # unbounded feed. Bounded AvailableNow run ≡ the batch twin.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .alias("p")
+    )
+    v = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .alias("v")
+    )
+    j = p.join(
+        v,
+        F.expr(
+            "p.user_id = v.user_id"
+            " AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+        ),
+    )
+    out = j.select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.user_id").alias("user_id"),
+    )
+    return run_available_now(out, "st5_join", "append")
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -2009,6 +2047,14 @@ def oracle_queries() -> dict[str, str]:
               ORDER BY {_HASH32.format(x="'gs:' || doc_id")}, doc_id
             ) <= 3
         """,
+        "st5_stream_stream_join": """
+            SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                   p.user_id AS user_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        """,
         "st4_stream_dedup": """
             SELECT event_type, count(*) AS cnt FROM (
               SELECT DISTINCT * FROM events
@@ -2237,4 +2283,5 @@ def spark_queries() -> dict[str, QueryFn]:
         "tp5_sliding_chunks": q_tp5_sliding_chunks,
         "tp6_group_sample": q_tp6_group_sample,
         "st4_stream_dedup": q_st4_stream_dedup,
+        "st5_stream_stream_join": q_st5_stream_stream_join,
     }
