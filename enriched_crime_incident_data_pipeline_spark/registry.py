@@ -1029,6 +1029,38 @@ def q_st5_stream_stream_join(spark, sf_dir):
     return run_available_now(out, "st5_join", "append")
 
 
+def q_ta7_quality_filter(spark, sf_dir):
+    # Gopher-style keep/drop verdict composed from the ta2 signals —
+    # the actual corpus-filter decision, not just the features
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    keep = (
+        (feats["n_tokens"] >= 10)
+        & (feats["n_tokens"] <= 500)
+        & (feats["stopword_ratio"] >= 0.05)
+        & (feats["digit_ratio"] <= 0.2)
+        & (feats["punct_ratio"] <= 0.2)
+    )
+    return docs.select("doc_id", keep.alias("keep"))
+
+
+def q_inc_agg_merge(spark, sf_dir):
+    # incremental aggregation: three disjoint arrival batches folded
+    # through algebraic state == full-history recompute (exactly)
+    from enriched_crime_incident_data_pipeline_spark.operators.incremental import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    states = [
+        agg_state(li.filter(F.col("l_orderkey") % 3 == i), "l_returnflag", "l_quantity")
+        for i in range(3)
+    ]
+    return finalize_agg(merge_agg_states(states, "l_returnflag"))
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -2014,6 +2046,48 @@ def oracle_queries() -> dict[str, str]:
               + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 AS quality_score
             FROM ratios
         """,
+        "inc_agg_merge": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*) AS avg_value,
+                   min(l_quantity) AS min_value, max(l_quantity) AS max_value
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "ta7_quality_filter": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     {_TOKEN_COUNT} AS n_tokens,
+                     len(list_filter({_TOKENS},
+                         t -> list_contains({_STOPWORD_SETS['en']}, t))) AS sw_hits,
+                     length(text) - length(regexp_replace(text,
+                       '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g')) AS punct_chars,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS digit_chars
+              FROM documents
+            ),
+            ratios AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens > 0
+                     THEN CAST(sw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     ELSE 0.0 END AS stopword_ratio,
+                CASE WHEN n_chars > 0
+                     THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     ELSE 0.0 END AS punct_ratio,
+                CASE WHEN n_chars > 0
+                     THEN CAST(digit_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     ELSE 0.0 END AS digit_ratio
+              FROM base
+            )
+            SELECT doc_id,
+                   n_tokens >= 10 AND n_tokens <= 500
+                   AND stopword_ratio >= 0.05
+                   AND digit_ratio <= 0.2
+                   AND punct_ratio <= 0.2 AS keep
+            FROM ratios
+        """,
         "ta3_lang_id": f"""
             WITH scores AS (
               SELECT doc_id,
@@ -2284,4 +2358,6 @@ def spark_queries() -> dict[str, QueryFn]:
         "tp6_group_sample": q_tp6_group_sample,
         "st4_stream_dedup": q_st4_stream_dedup,
         "st5_stream_stream_join": q_st5_stream_stream_join,
+        "ta7_quality_filter": q_ta7_quality_filter,
+        "inc_agg_merge": q_inc_agg_merge,
     }

@@ -73,3 +73,32 @@ def read_incidents_partitioned(spark, path: str) -> DataFrame:
     """Load the partitioned gold table; date predicates prune
     partitions (verify with ``.explain``'s ``PartitionFilters``)."""
     return spark.read.parquet(path)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    max_records_per_file: int,
+    n_partitions: int | None = None,
+) -> None:
+    """Small-files-aware compacting writer: range-repartition on
+    ``order_cols``, sort within partitions, and cap records per file.
+
+    At 100 TB the small-files problem (and its opposite — one giant
+    unsplittable file) dominates scan cost: this layout yields
+    bounded, evenly-sized files whose parquet min/max column stats
+    are tight on ``order_cols`` (range partitioning makes each file
+    own a narrow key range), so later scans with predicates on those
+    columns skip whole files. ``maxRecordsPerFile`` bounds file size
+    without an extra shuffle.
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (parity with module style)
+
+    parts = df.repartitionByRange(*(([n_partitions] if n_partitions else []) + order_cols))
+    (
+        parts.sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
