@@ -1,0 +1,138 @@
+"""Property-based pins (hypothesis): operators vs independent naive
+models on randomized inputs — a rigor step beyond the reference's
+smoke suite (SURVEY.md §5). Examples are few but adversarially
+shrunk; derandomized for CI stability.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_T0 = dt.datetime(2026, 1, 1)
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.floats(0, 10)),
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_model(spark, lefts, rights):
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, _T0 + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(lefts)],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100 + j, k, _T0 + dt.timedelta(minutes=m), v)
+            for j, (k, m, v) in enumerate(rights)
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(left, right, ["user_id"], "ts", "event_id").collect()
+    }
+    for i, (k, m) in enumerate(lefts):
+        cands = [
+            (mm, 100 + j)
+            for j, (kk, mm, _) in enumerate(rights)
+            if kk == k and mm <= m
+        ]
+        expected = max(cands)[1] if cands else None
+        assert got[i] == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+    )
+
+    edf = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edf).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(ns) for ns in comp.values() for n in ns}
+    assert got == expected
+
+
+@given(
+    sizes=st.lists(st.integers(0, 9), min_size=1, max_size=30),
+    budget=st.integers(2, 20),
+)
+@settings(**SETTINGS)
+def test_pack_offsets_match_cumsum(spark, sizes, budget):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        pack_assignments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(sizes)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"])
+        for r in pack_assignments(docs, budget=budget, n_buckets=3).collect()
+    }
+    off = 0
+    for i, n in enumerate(sizes):
+        assert got[i] == (n, off, off // budget)
+        off += n
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_by_key_keeps_exactly_one_per_key(spark, rows):
+    from enriched_crime_incident_data_pipeline_spark.operators.dedup import (
+        dedup_by_key,
+    )
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], "incident_num bigint, v bigint"
+    )
+    out = dedup_by_key(df, "incident_num")
+    keys = [r["incident_num"] for r in out.select("incident_num").collect()]
+    assert sorted(keys) == sorted({k for k, _ in rows})
