@@ -1061,6 +1061,73 @@ def q_inc_agg_merge(spark, sf_dir):
     return finalize_agg(merge_agg_states(states, "l_returnflag"))
 
 
+def q_ol1_zscore_outliers(spark, sf_dir):
+    # per-group z-score outliers from decimal-exact moments — one agg
+    # pass, broadcast the tiny per-group stats back onto the rows
+    from enriched_crime_incident_data_pipeline_spark.functions.stats import (
+        dec2,
+        mean_from_moments,
+        moments,
+        var_from_moments,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    m = moments(F.col("value"))
+    stats = ev.groupBy("event_type").agg(
+        m["n"].alias("_n"), m["s"].alias("_s"), m["ss"].alias("_ss")
+    )
+    stats = stats.select(
+        "event_type",
+        mean_from_moments(F.col("_n"), F.col("_s")).alias("_mean"),
+        F.sqrt(var_from_moments(F.col("_n"), F.col("_s"), F.col("_ss"))).alias("_sd"),
+    )
+    z = (dec2(F.col("value")).cast("double") - F.col("_mean")) / F.col("_sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("_sd") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+def q_hist1_totalprice(spark, sf_dir):
+    # fixed-width histogram binning: pure map + one groupBy
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(20000.0)).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_stat1_corr(spark, sf_dir):
+    # Pearson correlation from exact decimal co-moments (built-in
+    # corr() is float-sum order-dependent; this is engine-exact)
+    from enriched_crime_incident_data_pipeline_spark.functions.stats import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec2(F.col("l_quantity"))
+    y = dec2(F.col("l_extendedprice"))
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = n * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (n * d("sxx") - d("sx") * d("sx")) * (n * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select((num / den).alias("corr_qty_price"))
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -2046,6 +2113,56 @@ def oracle_queries() -> dict[str, str]:
               + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 AS quality_score
             FROM ratios
         """,
+        "ol1_zscore_outliers": """
+            WITH stats AS (
+              SELECT event_type,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                       AS mean,
+                     sqrt(greatest(
+                       CAST(sum(CAST(value AS DECIMAL(18,2))
+                                * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*)
+                       - (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*))
+                         * (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                            / count(*)),
+                       0.0)) AS sd
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, value,
+                   (CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sd AS z
+            FROM events e JOIN stats s ON e.event_type = s.event_type
+            WHERE sd > 0
+              AND abs((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sd)
+                  > 2.5
+        """,
+        "hist1_totalprice": """
+            SELECT CAST(floor(o_totalprice / 20000.0) AS INTEGER) AS bucket,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "stat1_corr": """
+            WITH m AS (
+              SELECT count(*) AS n,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+              FROM lineitem
+            )
+            SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS corr_qty_price
+            FROM m
+        """,
         "inc_agg_merge": """
             SELECT l_returnflag, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -2360,4 +2477,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "st5_stream_stream_join": q_st5_stream_stream_join,
         "ta7_quality_filter": q_ta7_quality_filter,
         "inc_agg_merge": q_inc_agg_merge,
+        "ol1_zscore_outliers": q_ol1_zscore_outliers,
+        "hist1_totalprice": q_hist1_totalprice,
+        "stat1_corr": q_stat1_corr,
     }
