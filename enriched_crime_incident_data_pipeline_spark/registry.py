@@ -1128,6 +1128,29 @@ def q_stat1_corr(spark, sf_dir):
     return agg.select((num / den).alias("corr_qty_price"))
 
 
+_SQL1 = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(rank() OVER (ORDER BY count(*) DESC, o_orderpriority)
+                AS INTEGER) AS priority_rank
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+def q_sql1_sql_api(spark, sf_dir):
+    # the engine's SQL surface: temp views + spark.sql — the same
+    # ANSI text runs unchanged on the oracle engine
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SQL1)
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -2113,6 +2136,7 @@ def oracle_queries() -> dict[str, str]:
               + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 AS quality_score
             FROM ratios
         """,
+        "sql1_sql_api": _SQL1,
         "ol1_zscore_outliers": """
             WITH stats AS (
               SELECT event_type,
@@ -2477,6 +2501,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "st5_stream_stream_join": q_st5_stream_stream_join,
         "ta7_quality_filter": q_ta7_quality_filter,
         "inc_agg_merge": q_inc_agg_merge,
+        "sql1_sql_api": q_sql1_sql_api,
         "ol1_zscore_outliers": q_ol1_zscore_outliers,
         "hist1_totalprice": q_hist1_totalprice,
         "stat1_corr": q_stat1_corr,
