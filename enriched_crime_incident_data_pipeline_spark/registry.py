@@ -1151,6 +1151,42 @@ def q_sql1_sql_api(spark, sf_dir):
     return spark.sql(_SQL1)
 
 
+def q_corpus_build(spark, sf_dir):
+    # the whole training-corpus build, composed end-to-end from the
+    # engine's own stages: quality keep/drop → near-dup clustering
+    # keeps one canonical doc per cluster → concat-and-chunk packing
+    # of the survivors. One declared query = the pipeline a 100 TB
+    # corpus run executes.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        pack_assignments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    keep = (
+        (feats["n_tokens"] >= 10)
+        & (feats["n_tokens"] <= 500)
+        & (feats["stopword_ratio"] >= 0.05)
+        & (feats["digit_ratio"] <= 0.2)
+        & (feats["punct_ratio"] <= 0.2)
+    )
+    canonical = (
+        dup_clusters(docs, lsh_candidate_pairs(minhash_bands(docs)))
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.withColumn("_keep", keep)
+        .filter(F.col("_keep"))
+        .join(canonical, "doc_id")
+        .select("doc_id", "text")
+    )
+    return pack_assignments(kept, budget=256)
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -2137,6 +2173,67 @@ def oracle_queries() -> dict[str, str]:
             FROM ratios
         """,
         "sql1_sql_api": _SQL1,
+        "corpus_build": f"""
+            WITH RECURSIVE pairs AS (
+              WITH bands AS ({_MINHASH_BANDS_SQL})
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT DISTINCT a AS node, a AS label FROM edges
+              UNION
+              SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+            ),
+            cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            canon AS (
+              SELECT d.doc_id FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+              WHERE coalesce(cc.cluster_id, d.doc_id) = d.doc_id
+            ),
+            qbase AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     {_TOKEN_COUNT} AS n_tokens,
+                     len(list_filter({_TOKENS},
+                         t -> list_contains({_STOPWORD_SETS['en']}, t))) AS sw_hits,
+                     length(text) - length(regexp_replace(text,
+                       '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g')) AS punct_chars,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS digit_chars
+              FROM documents
+            ),
+            keepers AS (
+              SELECT doc_id FROM qbase
+              WHERE n_tokens >= 10 AND n_tokens <= 500
+                AND CASE WHEN n_tokens > 0
+                    THEN CAST(sw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    ELSE 0.0 END >= 0.05
+                AND CASE WHEN n_chars > 0
+                    THEN CAST(digit_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                    ELSE 0.0 END <= 0.2
+                AND CASE WHEN n_chars > 0
+                    THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                    ELSE 0.0 END <= 0.2
+            ),
+            sel AS (
+              SELECT q.doc_id, q.n_tokens::BIGINT AS n_tokens FROM qbase q
+              JOIN canon USING (doc_id) JOIN keepers USING (doc_id)
+            ),
+            o AS (
+              SELECT doc_id, n_tokens,
+                CAST(coalesce(sum(n_tokens) OVER (
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS start_offset
+              FROM sel
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(floor(start_offset / 256.0) AS BIGINT) AS pack_id
+            FROM o
+        """,
         "ol1_zscore_outliers": """
             WITH stats AS (
               SELECT event_type,
@@ -2502,6 +2599,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta7_quality_filter": q_ta7_quality_filter,
         "inc_agg_merge": q_inc_agg_merge,
         "sql1_sql_api": q_sql1_sql_api,
+        "corpus_build": q_corpus_build,
         "ol1_zscore_outliers": q_ol1_zscore_outliers,
         "hist1_totalprice": q_hist1_totalprice,
         "stat1_corr": q_stat1_corr,
