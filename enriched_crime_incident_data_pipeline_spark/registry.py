@@ -1187,6 +1187,54 @@ def q_corpus_build(spark, sf_dir):
     return pack_assignments(kept, budget=256)
 
 
+def q_ts1_gapfill(spark, sf_dir):
+    # densify sparse per-user activity to one row per (user, day),
+    # zero-filling silent days — sequence+explode grid, one join
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        gapfill_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return gapfill_daily(
+        daily,
+        ["user_id"],
+        "day",
+        "2024-01-01",
+        "2024-01-30",
+        fill={"n_events": 0},
+    )
+
+
+def q_ts2_forward_fill(spark, sf_dir):
+    # carry each user's last observed daily purchase value forward
+    # over the dense day grid (leading days before first purchase
+    # stay NULL)
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        forward_fill,
+        gapfill_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    dense = gapfill_daily(daily, ["user_id"], "day", "2024-01-01", "2024-01-30")
+    return forward_fill(dense, ["user_id"], "day", "day_value", "filled_value").select(
+        "user_id", "day", "filled_value"
+    )
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -2172,6 +2220,50 @@ def oracle_queries() -> dict[str, str]:
               + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 AS quality_score
             FROM ratios
         """,
+        "ts1_gapfill": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+              FROM events WHERE user_id < 40 GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT u.user_id, g.day::DATE AS day
+              FROM (SELECT DISTINCT user_id FROM daily) u,
+              LATERAL (
+                SELECT unnest(generate_series(
+                  DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS day
+              ) g
+            )
+            SELECT grid.user_id, grid.day, coalesce(d.n_events, 0) AS n_events
+            FROM grid LEFT JOIN daily d
+              ON grid.user_id = d.user_id AND grid.day = d.day
+        """,
+        "ts2_forward_fill": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+              FROM events WHERE event_type = 'purchase' AND user_id < 40
+              GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT u.user_id, g.day::DATE AS day
+              FROM (SELECT DISTINCT user_id FROM daily) u,
+              LATERAL (
+                SELECT unnest(generate_series(
+                  DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS day
+              ) g
+            ),
+            dense AS (
+              SELECT grid.user_id, grid.day, d.day_value
+              FROM grid LEFT JOIN daily d
+                ON grid.user_id = d.user_id AND grid.day = d.day
+            )
+            SELECT user_id, day,
+                   last_value(day_value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_value
+            FROM dense
+        """,
         "sql1_sql_api": _SQL1,
         "corpus_build": f"""
             WITH RECURSIVE pairs AS (
@@ -2600,6 +2692,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "inc_agg_merge": q_inc_agg_merge,
         "sql1_sql_api": q_sql1_sql_api,
         "corpus_build": q_corpus_build,
+        "ts1_gapfill": q_ts1_gapfill,
+        "ts2_forward_fill": q_ts2_forward_fill,
         "ol1_zscore_outliers": q_ol1_zscore_outliers,
         "hist1_totalprice": q_hist1_totalprice,
         "stat1_corr": q_stat1_corr,

@@ -99,3 +99,27 @@ def test_scd2_intervals(spark):
     assert got[2] == (t0 + dt.timedelta(days=1), t0 + dt.timedelta(days=5), False)
     assert got[3] == (t0 + dt.timedelta(days=5), None, True)
     assert got[4] == (t0, None, True)
+
+
+def test_gapfill_and_forward_fill(spark):
+    import datetime as dt
+
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        forward_fill,
+        gapfill_daily,
+    )
+
+    d = dt.date
+    obs = spark.createDataFrame(
+        [(1, d(2026, 1, 2), 5.0), (1, d(2026, 1, 4), 7.0), (2, d(2026, 1, 1), 1.0)],
+        "user_id bigint, day date, v double",
+    )
+    dense = gapfill_daily(obs, ["user_id"], "day", "2026-01-01", "2026-01-05")
+    assert dense.count() == 10  # 2 users × 5 days
+    filled = forward_fill(dense, ["user_id"], "day", "v", "fv")
+    got = {(r["user_id"], r["day"]): r["fv"] for r in filled.collect()}
+    assert got[(1, d(2026, 1, 1))] is None      # before first obs
+    assert got[(1, d(2026, 1, 3))] == 5.0       # carried
+    assert got[(1, d(2026, 1, 4))] == 7.0       # replaced
+    assert got[(1, d(2026, 1, 5))] == 7.0       # carried to end
+    assert got[(2, d(2026, 1, 5))] == 1.0

@@ -148,3 +148,26 @@ def test_salted_join_equals_plain_join(spark):
     plain = sorted(map(tuple, big.join(small, "k").collect()))
     salted = sorted(map(tuple, salted_join(big, small, "k", n_salts=4).collect()))
     assert salted == plain
+
+
+def test_tpch_plans_broadcast_dims_and_push_filters(spark):
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    q5 = registry.spark_queries()["tpch_q5"](spark, sf)
+    plan5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan5  # nation/region dims broadcast
+
+    q6 = registry.spark_queries()["tpch_q6"](spark, sf)
+    scan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        q6._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in scan
+    # every q6 predicate reaches the parquet reader
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
+        assert frag in scan
+
+    asof = registry.spark_queries()["asof_join"](spark, sf)
+    plan_asof = asof._jdf.queryExecution().executedPlan().toString()
+    # exactly one hash exchange (the key shuffle) — no extra wides
+    assert plan_asof.count("Exchange hashpartitioning") == 1
