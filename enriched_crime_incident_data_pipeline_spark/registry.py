@@ -1235,6 +1235,32 @@ def q_ts2_forward_fill(spark, sf_dir):
     )
 
 
+def q_j8_full_outer(spark, sf_dir):
+    # FULL OUTER join of two sparse per-nation aggregates — rows
+    # survive from either side with NULLs on the other
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    s = (
+        supp.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    c = (
+        cust.filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        s.alias("s")
+        .join(c.alias("c"), F.col("s.nk") == F.col("c.nk"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.nk"), F.col("c.nk")).alias("nk"),
+            "n_supp",
+            "n_cust",
+        )
+    )
+
+
 def q_ta5_token_pieces(spark, sf_dir):
     # BPE-ish sub-word piece count: letter runs, single digits,
     # punctuation runs — a cheap tokenizer-cost estimator
@@ -2220,6 +2246,18 @@ def oracle_queries() -> dict[str, str]:
               + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 AS quality_score
             FROM ratios
         """,
+        "j8_full_outer": """
+            WITH s AS (
+              SELECT s_nationkey AS nk, count(*) AS n_supp
+              FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+            ),
+            c AS (
+              SELECT c_nationkey AS nk, count(*) AS n_cust
+              FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+            )
+            SELECT coalesce(s.nk, c.nk) AS nk, n_supp, n_cust
+            FROM s FULL OUTER JOIN c ON s.nk = c.nk
+        """,
         "ts1_gapfill": """
             WITH daily AS (
               SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
@@ -2692,6 +2730,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "inc_agg_merge": q_inc_agg_merge,
         "sql1_sql_api": q_sql1_sql_api,
         "corpus_build": q_corpus_build,
+        "j8_full_outer": q_j8_full_outer,
         "ts1_gapfill": q_ts1_gapfill,
         "ts2_forward_fill": q_ts2_forward_fill,
         "ol1_zscore_outliers": q_ol1_zscore_outliers,
