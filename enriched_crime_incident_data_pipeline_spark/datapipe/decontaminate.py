@@ -1,0 +1,84 @@
+"""Train/eval decontamination: n-gram overlap between a training
+corpus and a held-out evaluation set.
+
+The standard pre-training hygiene step (popularized by GPT-3/PaLM data
+cards): a training document is *contaminated* if it shares at least
+one word n-gram (n=8..13 in the literature) with any eval document.
+Both sides shingle once, the eval shingle set is tiny relative to the
+training corpus, so the probe is a broadcast semi-join — the 100 TB
+plan is: shingle train (map-only), broadcast the distinct eval-gram
+set, count matches per doc without ever shuffling the corpus.
+
+Reference parity note: the reference pipeline (see SURVEY.md) has no
+decontamination surface; this is part of the beyond-parity
+LLM-data-pipeline operator set (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.functions.text import word_shingles
+
+
+def doc_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Distinct word ``n``-grams per document: (doc_id, gram).
+
+    Documents shorter than ``n`` tokens contribute their full token
+    sequence as a single gram (same clamp as ``word_shingles``), so
+    short eval docs still participate in the overlap check.
+    """
+    grams = F.array_distinct(word_shingles(F.col("text"), n))
+    return docs.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def ngram_contamination(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Per-training-document contamination report against an eval set.
+
+    Returns (doc_id, n_shared, contaminated): the number of distinct
+    train-doc n-grams that appear in ANY eval document, and a 0/1
+    flag. Every training doc appears in the output (n_shared=0 when
+    clean), so the result is a drop-list join key for the corpus
+    build.
+
+    Scale shape: the eval-gram set is broadcast (eval benchmarks are
+    MBs, the corpus is TBs); the train side is shingled map-only and
+    aggregated per doc_id — one shuffle on doc_id, no corpus-vs-corpus
+    join.
+    """
+    eval_grams = doc_ngrams(eval_docs, n).select("gram").distinct()
+    train_grams = doc_ngrams(train, n)
+    shared = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("int").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def cross_snapshot_new_docs(
+    new_docs: DataFrame, old_docs: DataFrame, key_col: str = "fingerprint"
+) -> DataFrame:
+    """Incremental-corpus dedup: keep only new-snapshot docs whose
+    content fingerprint does not already exist in the previous
+    snapshot (left-anti join on the fingerprint).
+
+    The same idempotent-append shape as the reference's
+    ``ON CONFLICT DO NOTHING`` insert (src/db/incidents.py:42),
+    lifted from a key column to a content hash.
+    """
+    old_keys = old_docs.select(key_col).distinct()
+    return new_docs.join(old_keys, key_col, "left_anti")

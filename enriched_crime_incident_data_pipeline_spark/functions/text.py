@@ -9,7 +9,7 @@ and every one has an exact ANSI-SQL twin for oracle checking.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword sets per language for the heuristic
@@ -145,6 +145,58 @@ def quality_features(text: Column) -> dict[str, Column]:
         "stopword_ratio": sw_ratio,
         "quality_score": quality,
     }
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): character classes, +, {n} only — no
+# backrefs, no lookaround.
+PII_EMAIL_PATTERN = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
+PII_PHONE_PATTERN = r"555-[0-9]{4}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact email addresses and 555-xxxx phone numbers from text.
+
+    Training-corpus hygiene step: regex redaction with typed
+    placeholders, entirely JVM-side (``regexp_replace``) so it
+    runs in whole-stage codegen at corpus scale.
+    """
+    cleaned = F.regexp_replace(text, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(cleaned, PII_PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Redaction audit counts: how many emails / phone numbers a
+    document contains (before scrubbing)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_PATTERN)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_PATTERN)),
+    }
+
+
+def repetition_features(doc_grams: "DataFrame") -> "DataFrame":
+    """Gopher-style repetition signals from an exploded
+    (doc_id, gram) relation: per document, the fraction of gram
+    occurrences taken by the single most frequent gram
+    (``top_frac``) and the fraction that are repeats of an earlier
+    occurrence (``dup_frac`` = 1 - distinct/total, computed as an
+    exact integer ratio).
+
+    Two map-side-combinable aggregations on doc_id — no windows, no
+    sorts; the gram relation never leaves its (doc_id, gram) shuffle.
+    High ``top_frac``/``dup_frac`` flag boilerplate and degenerate
+    repetition that per-token quality scores miss.
+    """
+    per_gram = doc_grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("int").alias("n_grams"),
+        F.count("*").cast("int").alias("distinct_grams"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias("top_frac"),
+        (
+            (F.sum("cnt") - F.count("*")).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("dup_frac"),
+    )
 
 
 def winnow_fingerprint(text: Column, n: int = 5) -> Column:

@@ -56,12 +56,23 @@ from enriched_crime_incident_data_pipeline_spark.enrich.weather import with_weat
 from enriched_crime_incident_data_pipeline_spark.functions.geography import (
     side_of_town_col,
 )
+from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+    cross_snapshot_new_docs,
+    ngram_contamination,
+)
+from enriched_crime_incident_data_pipeline_spark.datapipe.tfidf import (
+    tfidf_top_terms,
+)
 from enriched_crime_incident_data_pipeline_spark.functions.text import (
     STOPWORDS,
     doc_fingerprint,
     lang_id,
+    pii_counts,
     quality_features,
+    repetition_features,
+    scrub_pii,
     token_count,
+    word_shingles,
 )
 from enriched_crime_incident_data_pipeline_spark.operators.dedup import (
     dedup_by_key,
@@ -1585,6 +1596,74 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_dc1_contamination(spark, sf_dir):
+    # train/eval 8-gram decontamination: eval set = every 50th doc;
+    # eval-gram set broadcast, corpus never self-joins
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(train, eval_docs, n=8)
+
+
+def q_dc2_cross_snapshot(spark, sf_dir):
+    # incremental-corpus dedup: new snapshot (doc_id >= 250) anti-joined
+    # against the previous snapshot's content fingerprints
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.withColumn("fingerprint", doc_fingerprint(F.col("text")))
+    old = with_fp.filter(F.col("doc_id") < 250)
+    new = with_fp.filter(F.col("doc_id") >= 250)
+    kept = cross_snapshot_new_docs(new, old, "fingerprint")
+    return kept.select("doc_id", "fingerprint")
+
+
+def q_ta8_repetition(spark, sf_dir):
+    # Gopher-style repetition signals over word 2-grams
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("gram")
+    )
+    return repetition_features(grams)
+
+
+def q_ta9_pii_scrub(spark, sf_dir):
+    # PII redaction audit: deterministic synthetic PII injected per
+    # doc (both engines inject identically), then regex scrub + counts
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("raw_text"),
+    )
+    counts = pii_counts(F.col("raw_text"))
+    return injected.select(
+        "doc_id",
+        scrub_pii(F.col("raw_text")).alias("clean_text"),
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_phones"].cast("int").alias("n_phones"),
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — generated alongside, same constants
 # ---------------------------------------------------------------------------
@@ -2638,6 +2717,101 @@ def oracle_queries() -> dict[str, str]:
               FROM scored
             ) WHERE rn = 1
         """,
+        "dc1_contamination": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS t(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            shared AS (
+              SELECT g.doc_id, count(*) AS n_shared
+              FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 50 <> 0
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_shared, 0) AS INTEGER) AS n_shared,
+                   CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+            WHERE d.doc_id % 50 <> 0
+        """,
+        "dc2_cross_snapshot": f"""
+            WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint
+                        FROM documents)
+            SELECT doc_id, fingerprint FROM fp
+            WHERE doc_id >= 250
+              AND fingerprint NOT IN
+                  (SELECT fingerprint FROM fp WHERE doc_id < 250)
+        """,
+        "ta8_repetition": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 1, 1)))
+                       AS t(i)
+            ),
+            c AS (SELECT doc_id, gram, count(*) AS cnt
+                  FROM g GROUP BY doc_id, gram)
+            SELECT doc_id,
+                   CAST(sum(cnt) AS INTEGER) AS n_grams,
+                   CAST(count(*) AS INTEGER) AS distinct_grams,
+                   CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                     AS top_frac,
+                   CAST(sum(cnt) - count(*) AS DOUBLE)
+                     / CAST(sum(cnt) AS DOUBLE) AS dup_frac
+            FROM c GROUP BY doc_id
+        """,
+        "ta9_pii_scrub": """
+            WITH inj AS (
+              SELECT doc_id,
+                text ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS raw_text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(raw_text,
+                       '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+                     '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(raw_text,
+                     '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+')) AS INTEGER)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(raw_text, '555-[0-9]{4}'))
+                     AS INTEGER) AS n_phones
+            FROM inj
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+                       / CAST(dfreq.df AS DOUBLE) AS score
+              FROM tf JOIN dfreq USING (term), n
+            )
+            SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, score,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+                  FROM scored)
+            WHERE rnk <= 3
+        """,
     }
 
 
@@ -2736,4 +2910,9 @@ def spark_queries() -> dict[str, QueryFn]:
         "ol1_zscore_outliers": q_ol1_zscore_outliers,
         "hist1_totalprice": q_hist1_totalprice,
         "stat1_corr": q_stat1_corr,
+        "dc1_contamination": q_dc1_contamination,
+        "dc2_cross_snapshot": q_dc2_cross_snapshot,
+        "ta8_repetition": q_ta8_repetition,
+        "ta9_pii_scrub": q_ta9_pii_scrub,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }

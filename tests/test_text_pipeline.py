@@ -1,0 +1,136 @@
+"""Unit pins for the corpus-hygiene operators: decontamination,
+cross-snapshot dedup, repetition signals, PII scrubbing, TF-IDF."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+    cross_snapshot_new_docs,
+    ngram_contamination,
+)
+from enriched_crime_incident_data_pipeline_spark.datapipe.tfidf import (
+    tfidf_top_terms,
+)
+from enriched_crime_incident_data_pipeline_spark.functions.text import (
+    doc_fingerprint,
+    pii_counts,
+    repetition_features,
+    scrub_pii,
+    word_shingles,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    # eval doc holds "a b c d" (4-gram); train doc 1 contains it,
+    # train doc 2 does not
+    eval_docs = _docs(spark, [(100, "x a b c d y")])
+    train = _docs(
+        spark,
+        [(1, "p q a b c d r s"), (2, "p q r s t u v w")],
+    )
+    out = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in ngram_contamination(train, eval_docs, n=4).collect()
+    }
+    assert out[1][1] == 1 and out[1][0] >= 1
+    assert out[2] == (0, 0)
+
+
+def test_contamination_short_doc_clamp(spark):
+    # a 2-token eval doc still contributes its full text as one gram
+    eval_docs = _docs(spark, [(100, "tiny doc")])
+    train = _docs(spark, [(1, "tiny doc"), (2, "other words here")])
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_contamination(train, eval_docs, n=8).collect()
+    }
+    assert out == {1: 1, 2: 0}
+
+
+def test_cross_snapshot_drops_known_fingerprints(spark):
+    old = _docs(spark, [(1, "same text"), (2, "old only")]).withColumn(
+        "fingerprint", doc_fingerprint(F.col("text"))
+    )
+    # doc 10 duplicates doc 1's content modulo case/punctuation —
+    # the fingerprint normalizes both to the same key
+    new = _docs(spark, [(10, "Same, TEXT!"), (11, "brand new")]).withColumn(
+        "fingerprint", doc_fingerprint(F.col("text"))
+    )
+    kept = [r["doc_id"] for r in cross_snapshot_new_docs(new, old).collect()]
+    assert kept == [11]
+
+
+def test_repetition_features_exact_fractions(spark):
+    # "a b a b a" → 2-grams: [a b, b a, a b, b a] → total 4,
+    # distinct 2, top 2 → top_frac 0.5, dup_frac 0.5
+    docs = _docs(spark, [(1, "a b a b a")])
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("gram")
+    )
+    row = repetition_features(grams).collect()[0]
+    assert row["n_grams"] == 4
+    assert row["distinct_grams"] == 2
+    assert row["top_frac"] == 0.5
+    assert row["dup_frac"] == 0.5
+
+
+def test_repetition_no_repeats(spark):
+    docs = _docs(spark, [(1, "a b c d")])
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("gram")
+    )
+    row = repetition_features(grams).collect()[0]
+    assert row["dup_frac"] == 0.0
+    assert row["top_frac"] == 1.0 / 3.0
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith@mail.example.org or 555-1234 now"),
+            (2, "no pii in here"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            scrub_pii(F.col("text")).alias("clean"),
+            counts["n_emails"].alias("ne"),
+            counts["n_phones"].alias("np"),
+        ).collect()
+    }
+    assert out[1]["clean"] == "mail me at <EMAIL> or <PHONE> now"
+    assert (out[1]["ne"], out[1]["np"]) == (1, 1)
+    assert out[2]["clean"] == "no pii in here"
+    assert (out[2]["ne"], out[2]["np"]) == (0, 0)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    # "rare" appears in 1 of 3 docs, "common" in all 3; for doc 1
+    # (tf equal) the rare term must score higher
+    docs = _docs(
+        spark,
+        [
+            (1, "rare common"),
+            (2, "common filler"),
+            (3, "common other"),
+        ],
+    )
+    top = tfidf_top_terms(docs, k=1).filter(F.col("doc_id") == 1).collect()
+    assert top[0]["term"] == "rare"
+    assert top[0]["score"] == 3.0  # tf=1 * N=3 / df=1
+
+
+def test_tfidf_topk_and_ties_deterministic(spark):
+    docs = _docs(spark, [(1, "b a b a"), (2, "c c")])
+    rows = tfidf_top_terms(docs, k=2).filter(F.col("doc_id") == 1).collect()
+    # a and b tie on tf=2, df=1 → alphabetical tie-break
+    assert [r["term"] for r in sorted(rows, key=lambda r: r["rnk"])] == ["a", "b"]
