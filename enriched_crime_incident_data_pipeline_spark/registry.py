@@ -1664,6 +1664,138 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(docs, k=3)
 
 
+def q_wa1_lead_lag(spark, sf_dir):
+    # day-over-day revenue delta; the lag window partitions by year so
+    # no stage orders more than one year of daily aggregates on a
+    # single partition (the daily rollup is already
+    # bounded-cardinality)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev_dec"))
+    w = Window.partitionBy("yr").orderBy("day")
+    prev = F.lag("rev_dec").over(w)
+    return daily.select(
+        "yr",
+        "day",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        (F.col("rev_dec") - prev).cast("double").alias("delta"),
+    )
+
+
+def q_wa2_rolling(spark, sf_dir):
+    # 7-row trailing frame over per-day order counts (ROWS BETWEEN);
+    # the explicit sum/count division keeps the mean an exact
+    # int-ratio on both engines
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("yr").orderBy("day").rowsBetween(-6, 0)
+    roll_sum = F.sum("n_orders").over(w)
+    roll_cnt = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "yr",
+        "day",
+        F.col("n_orders").cast("int").alias("n_orders"),
+        roll_sum.cast("int").alias("roll7_orders"),
+        (roll_sum.cast("double") / roll_cnt.cast("double")).alias("roll7_avg"),
+    )
+
+
+def q_wa3_range_frame(spark, sf_dir):
+    # per-customer trailing-90-day spend: RANGE frame over an integer
+    # day number — value-based frames include all peers, so ties on
+    # the order date are handled identically in both engines
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("dayn"),
+        _dec("o_totalprice").alias("price_dec"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dayn").rangeBetween(-90, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_90d"),
+        F.sum("price_dec").over(w).cast("double").alias("spend_90d"),
+    )
+
+
+def q_wa4_ntile(spark, sf_dir):
+    # account-balance quartiles per market segment; deterministic
+    # tie-break by custkey
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+def q_wa5_grouping_sets(spark, sf_dir):
+    # explicit GROUPING SETS (finer than cube/rollup) with grouping()
+    # markers distinguishing NULL-as-subtotal from NULL data
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+def q_wa6_unpivot(spark, sf_dir):
+    # wide→long melt of part measures (Spark `unpivot`); values cast
+    # to a common double type as unpivot requires
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+def q_wa7_semi_join(spark, sf_dir):
+    # left-semi: orders with at least one returned lineitem — the
+    # EXISTS shape; semi-join never duplicates the left side
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return orders.join(
+        returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — generated alongside, same constants
 # ---------------------------------------------------------------------------
@@ -2812,6 +2944,82 @@ def oracle_queries() -> dict[str, str]:
                   FROM scored)
             WHERE rnk <= 3
         """,
+        "wa1_lead_lag": """
+            WITH daily AS (
+              SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                     CAST(o_orderdate AS DATE) AS day,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT yr, day, CAST(rev AS DOUBLE) AS revenue,
+                   CAST(lag(rev) OVER w AS DOUBLE) AS prev_revenue,
+                   CAST(rev - lag(rev) OVER w AS DOUBLE) AS delta
+            FROM daily WINDOW w AS (PARTITION BY yr ORDER BY day)
+        """,
+        "wa2_rolling": """
+            WITH daily AS (
+              SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                     CAST(o_orderdate AS DATE) AS day,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT yr, day, CAST(n_orders AS INTEGER) AS n_orders,
+                   CAST(sum(n_orders) OVER w AS INTEGER) AS roll7_orders,
+                   CAST(sum(n_orders) OVER w AS DOUBLE)
+                     / CAST(count(*) OVER w AS DOUBLE) AS roll7_avg
+            FROM daily
+            WINDOW w AS (PARTITION BY yr ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "wa3_range_frame": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(o_orderdate AS DATE) AS day,
+                     date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS dayn,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS price
+              FROM orders
+            )
+            SELECT o_orderkey, o_custkey, day,
+                   CAST(count(*) OVER w AS INTEGER) AS n_90d,
+                   CAST(sum(price) OVER w AS DOUBLE) AS spend_90d
+            FROM o
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY dayn
+                         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        """,
+        "wa4_ntile": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(c_acctbal AS DOUBLE) AS acctbal,
+                   CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey)
+                        AS INTEGER) AS quartile
+            FROM customer
+        """,
+        "wa5_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+                   CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "wa6_unpivot": """
+            SELECT p_partkey, 'p_retailprice' AS measure,
+                   CAST(p_retailprice AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        """,
+        "wa7_semi_join": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(o_totalprice AS DOUBLE) AS totalprice
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+        """,
     }
 
 
@@ -2915,4 +3123,11 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta8_repetition": q_ta8_repetition,
         "ta9_pii_scrub": q_ta9_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "wa1_lead_lag": q_wa1_lead_lag,
+        "wa2_rolling": q_wa2_rolling,
+        "wa3_range_frame": q_wa3_range_frame,
+        "wa4_ntile": q_wa4_ntile,
+        "wa5_grouping_sets": q_wa5_grouping_sets,
+        "wa6_unpivot": q_wa6_unpivot,
+        "wa7_semi_join": q_wa7_semi_join,
     }

@@ -1,0 +1,117 @@
+"""Window-analytics pins: lag deltas, rolling frames, range frames,
+ntile bucketing, grouping sets, unpivot."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_lag_delta_resets_per_partition(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 13.0), (2, 1, 5.0)],
+        "grp int, seq int, v double",
+    )
+    w = Window.partitionBy("grp").orderBy("seq")
+    rows = {
+        (r["grp"], r["seq"]): r["d"]
+        for r in df.select(
+            "grp", "seq", (F.col("v") - F.lag("v").over(w)).alias("d")
+        ).collect()
+    }
+    assert rows[(1, 2)] == 3.0
+    assert rows[(1, 1)] is None and rows[(2, 1)] is None
+
+
+def test_rows_frame_is_positional_not_valued(spark):
+    # two rows share seq=2: a ROWS frame of size 2 sees exactly 2 rows
+    df = spark.createDataFrame(
+        [(1, 1), (2, 10), (2, 100), (3, 1000)], "seq int, v int"
+    )
+    w = Window.orderBy("seq", "v").rowsBetween(-1, 0)
+    out = [r["s"] for r in df.select(F.sum("v").over(w).alias("s")).collect()]
+    assert out == [1, 11, 110, 1100]
+
+
+def test_range_frame_includes_value_peers(spark):
+    # RANGE frame keyed on value: both seq=2 rows see each other
+    df = spark.createDataFrame(
+        [(1, 1), (2, 10), (2, 100), (4, 1000)], "seq int, v int"
+    )
+    w = Window.orderBy("seq").rangeBetween(-1, 0)
+    out = sorted(
+        r["s"] for r in df.select(F.sum("v").over(w).alias("s")).collect()
+    )
+    # seq=1 → 1; seq=2 rows → 1+10+100 each; seq=4 → 1000 (no seq 3)
+    assert out == [1, 111, 111, 1000]
+
+
+def test_ntile_splits_evenly_with_remainder_first(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    w = Window.orderBy("v")
+    buckets = [
+        r["q"] for r in df.select(F.ntile(4).over(w).alias("q")).collect()
+    ]
+    # 10 rows into 4 tiles → sizes 3,3,2,2
+    assert buckets == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_grouping_sets_marker_distinguishes_subtotal_null(spark):
+    df = spark.createDataFrame(
+        [(None, "x", 1), ("a", "x", 2), ("a", "y", 4)],
+        "k string, j string, v int",
+    )
+    df.createOrReplaceTempView("gs_src")
+    rows = spark.sql(
+        """
+        SELECT k, grouping(k) AS g, sum(v) AS s
+        FROM gs_src GROUP BY GROUPING SETS ((k), ())
+        """
+    ).collect()
+    by_key = {(r["k"], r["g"]): r["s"] for r in rows}
+    # data NULL (g=0) is distinct from the grand-total NULL (g=1)
+    assert by_key[(None, 0)] == 1
+    assert by_key[(None, 1)] == 7
+    assert by_key[("a", 0)] == 6
+
+
+def test_unpivot_round_trips_wide_row(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "k int, m1 double, m2 double")
+    long = df.unpivot(
+        ids=["k"], values=["m1", "m2"],
+        variableColumnName="measure", valueColumnName="value",
+    )
+    assert sorted((r["measure"], r["value"]) for r in long.collect()) == [
+        ("m1", 2.0),
+        ("m2", 3.0),
+    ]
+
+
+def test_semi_join_never_duplicates_left(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(1, "a"), (1, "b")], "k int, x string")
+    out = left.join(right, "k", "left_semi").collect()
+    assert [r["k"] for r in out] == [1]
+
+
+def test_trailing_90d_range_frame_on_dates(spark):
+    rows = [
+        (1, dt.date(2024, 1, 1), 10.0),
+        (1, dt.date(2024, 3, 1), 20.0),   # 60 days later: in range
+        (1, dt.date(2024, 7, 1), 40.0),   # >90 days after both
+    ]
+    df = spark.createDataFrame(rows, "k int, day date, v double")
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.datediff("day", F.lit("1992-01-01")))
+        .rangeBetween(-90, 0)
+    )
+    out = {
+        r["day"]: r["s"]
+        for r in df.select("day", F.sum("v").over(w).alias("s")).collect()
+    }
+    assert out[dt.date(2024, 1, 1)] == 10.0
+    assert out[dt.date(2024, 3, 1)] == 30.0
+    assert out[dt.date(2024, 7, 1)] == 40.0
