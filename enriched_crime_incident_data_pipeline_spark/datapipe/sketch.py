@@ -1,4 +1,5 @@
-"""Deterministic distinct-count sketch (KMV / k-minimum-values).
+"""Deterministic sketches: KMV distinct-count, Bloom membership,
+count-min frequency.
 
 Approximate aggregates are a core 100 TB capability (billions of
 distinct keys don't fit exact state), but the usual implementations
@@ -45,4 +46,122 @@ def kmv_distinct_estimate(df: DataFrame, col: Column, k: int = KMV_K) -> DataFra
             * F.lit(4294967296.0)
             / F.max("h")
         ).alias("estimate"),
+    )
+
+
+# Bloom filter: m bits, k md5-derived hash positions per key. The
+# md5 basis makes the bit set — and therefore every false positive —
+# a pure function of the build keys, so membership is exactly
+# reproducible in any engine (unlike Spark's own bloom_filter_agg,
+# whose xxhash layout is engine-internal).
+BLOOM_M = 1 << 16
+BLOOM_K = 3
+
+# count-min: d independent md5-derived rows of w counters.
+CMS_D = 4
+CMS_W = 1024
+
+
+def bloom_positions(col: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """array<long> of the ``k`` bit positions for a key."""
+    return F.array(
+        *[hash32(F.concat(F.lit(f"bloom{j}:"), col)) % m for j in range(k)]
+    )
+
+
+def bloom_build(df: DataFrame, col: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """The filter itself: one row per set bit (``bit`` long).
+
+    At most ``m`` rows regardless of build cardinality — a groupBy
+    with map-side combine absorbs the duplicate mass, and the result
+    broadcasts to probes.
+    """
+    return (
+        df.select(F.explode(bloom_positions(col, k, m)).alias("bit"))
+        .groupBy("bit")
+        .agg(F.lit(1).alias("_"))
+        .select("bit")
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    col: Column,
+    id_col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Membership probe: (id_col, hit) with hit=1 iff every one of the
+    key's bit positions is set. No false negatives; false positives
+    are deterministic given the build set.
+
+    The bit relation (≤ m rows) is broadcast, so probing a 100 TB key
+    stream is map-side only plus one per-id aggregation.
+    """
+    pos = probes.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(bloom_positions(col, k, m))).alias("bit"),
+        F.size(F.array_distinct(bloom_positions(col, k, m))).alias("n_pos"),
+    )
+    hits = (
+        pos.join(F.broadcast(bits), "bit")
+        .groupBy(id_col, "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        probes.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce((F.col("n_hit") == F.col("n_pos")).cast("int"), F.lit(0)).alias(
+                "hit"
+            ),
+        )
+    )
+
+
+def cms_entries(col: Column, d: int = CMS_D, w: int = CMS_W) -> Column:
+    """array<struct<j,bucket>> — one counter coordinate per sketch row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (hash32(F.concat(F.lit(f"cms{j}:"), col)) % w)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+
+
+def cms_counters(df: DataFrame, col: Column, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Build the d×w counter matrix as (j, bucket, cnt) — at most d·w
+    rows whatever the stream size; one map-side-combined groupBy."""
+    pos = df.select(F.explode(cms_entries(col, d, w)).alias("e")).select(
+        "e.j", "e.bucket"
+    )
+    return pos.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimates(
+    keys: DataFrame,
+    counters: DataFrame,
+    col: Column,
+    id_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-query the sketch for each key: (id_col, est) with
+    est = min over rows of the key's counter — an overestimate of the
+    true frequency, exact when no collisions. Counter matrix is
+    broadcast."""
+    pos = keys.select(
+        F.col(id_col), F.explode(cms_entries(col, d, w)).alias("e")
+    ).select(id_col, "e.j", "e.bucket")
+    return (
+        pos.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(id_col)
+        .agg(F.min("cnt").cast("int").alias("est"))
     )

@@ -60,6 +60,16 @@ from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
     cross_snapshot_new_docs,
     ngram_contamination,
 )
+from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+    BLOOM_K,
+    BLOOM_M,
+    CMS_D,
+    CMS_W,
+    bloom_build,
+    bloom_probe,
+    cms_counters,
+    cms_estimates,
+)
 from enriched_crime_incident_data_pipeline_spark.datapipe.tfidf import (
     tfidf_top_terms,
 )
@@ -1781,6 +1791,77 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_sk2_bloom(spark, sf_dir):
+    # Bloom membership: filter built from the old snapshot's content
+    # fingerprints, probed by every doc — md5 basis makes false
+    # positives deterministic and oracle-checkable
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    bits = bloom_build(
+        fp.filter(F.col("doc_id") < 250), F.col("fingerprint")
+    )
+    return bloom_probe(fp, bits, F.col("fingerprint"), "doc_id")
+
+
+def q_sk3_cms(spark, sf_dir):
+    # count-min frequency sketch over the lineitem partkey stream:
+    # 4×1024 counters whatever the stream size; per-key estimate is
+    # min over rows, always ≥ the true count
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_partkey"), F.col("l_partkey").cast("string").alias("key")
+    )
+    counters = cms_counters(src, F.col("key"))
+    keys = src.groupBy("l_partkey", "key").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    est = cms_estimates(keys, counters, F.col("key"), "l_partkey")
+    return (
+        keys.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            F.col("est"),
+            F.col("true_cnt").cast("int").alias("true_cnt"),
+            (F.col("est") - F.col("true_cnt")).cast("int").alias("overcount"),
+        )
+    )
+
+
+def q_tp7_length_buckets(spark, sf_dir):
+    # power-of-two token-length histogram (batch/packing design aid);
+    # bucket index from the binary-representation length — pure
+    # integer math, no log2 floats at bucket boundaries
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    bucketed = docs.select(
+        F.length(F.bin(n)).cast("int").alias("bucket"), n.alias("n_tokens")
+    )
+    g = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("int").alias("sum_tokens"),
+    )
+    return g.select(
+        "bucket",
+        F.expr("shiftleft(1, bucket - 1)").cast("int").alias("lo"),
+        F.expr("shiftleft(1, bucket) - 1").cast("int").alias("hi"),
+        "n_docs",
+        "sum_tokens",
+    )
+
+
+def q_map1_props_map(spark, sf_dir):
+    # JSON props as a typed map column: from_json → explode entries →
+    # per-(key, value) aggregation
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    pairs = ev.select(F.explode(m).alias("key", "value"))
+    return pairs.groupBy("key", "value").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )
+
+
 def q_wa7_semi_join(spark, sf_dir):
     # left-semi: orders with at least one returned lineitem — the
     # EXISTS shape; semi-join never duplicates the left side
@@ -1804,6 +1885,19 @@ _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _TOKENS = f"string_split_regex({_NORM}, ' +')"
 _TOKEN_COUNT = f"CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKENS}) END"
 _HASH32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+# bloom/cms coordinate generators (mirror datapipe/sketch.py)
+_BLOOM_POS = "\n              UNION ALL ".join(
+    f"SELECT doc_id, ('0x' || substr(md5('bloom{j}:' || f), 1, 8))::BIGINT"
+    f" % {BLOOM_M} AS bit FROM {{src}}"
+    for j in range(BLOOM_K)
+)
+_CMS_POS = "\n              UNION ALL ".join(
+    f"SELECT l_partkey, {j} AS j,"
+    f" ('0x' || substr(md5('cms{j}:' || {{keyexpr}}), 1, 8))::BIGINT"
+    f" % {CMS_W} AS bucket FROM {{src}}"
+    for j in range(CMS_D)
+)
 
 _SHINGLES3 = f"""
     SELECT doc_id, DISTINCT_SH.shingle FROM (
@@ -3020,6 +3114,76 @@ def oracle_queries() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
         """,
+        "sk2_bloom": f"""
+            WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+            bits AS (
+              SELECT DISTINCT bit FROM ({_BLOOM_POS.format(src="fp WHERE doc_id < 250")})
+            ),
+            ppos AS (
+              SELECT DISTINCT doc_id, bit FROM ({_BLOOM_POS.format(src="fp")})
+            ),
+            stats AS (
+              SELECT p.doc_id, count(*) AS n_pos,
+                     sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_hit
+              FROM ppos p LEFT JOIN bits b ON p.bit = b.bit
+              GROUP BY p.doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END AS INTEGER)
+                     AS hit
+            FROM stats
+        """,
+        "sk3_cms": f"""
+            WITH src AS (
+              SELECT l_partkey, CAST(l_partkey AS VARCHAR) AS key
+              FROM lineitem
+            ),
+            pos AS ({_CMS_POS.format(src="src", keyexpr="key")}),
+            counters AS (
+              SELECT j, bucket, count(*) AS cnt FROM pos GROUP BY j, bucket
+            ),
+            keys AS (
+              SELECT l_partkey, key, count(*) AS true_cnt
+              FROM src GROUP BY l_partkey, key
+            ),
+            kp AS ({_CMS_POS.format(src="keys", keyexpr="key")}
+            ),
+            est AS (
+              SELECT kp.l_partkey, min(c.cnt) AS est
+              FROM kp JOIN counters c ON kp.j = c.j AND kp.bucket = c.bucket
+              GROUP BY kp.l_partkey
+            )
+            SELECT k.l_partkey, CAST(e.est AS INTEGER) AS est,
+                   CAST(k.true_cnt AS INTEGER) AS true_cnt,
+                   CAST(e.est - k.true_cnt AS INTEGER) AS overcount
+            FROM keys k JOIN est e ON k.l_partkey = e.l_partkey
+        """,
+        "tp7_length_buckets": f"""
+            WITH n AS (SELECT {_TOKEN_COUNT} AS n_tokens FROM documents),
+            b AS (SELECT CAST(length(bin(n_tokens)) AS INTEGER) AS bucket,
+                         n_tokens
+                  FROM n)
+            SELECT bucket,
+                   CAST(1 << (bucket - 1) AS INTEGER) AS lo,
+                   CAST((1 << bucket) - 1 AS INTEGER) AS hi,
+                   CAST(count(*) AS INTEGER) AS n_docs,
+                   CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
+            FROM b GROUP BY bucket
+        """,
+        "map1_props_map": """
+            WITH pairs AS (
+              SELECT unnest(json_keys(props)) AS key, props FROM events
+            ),
+            kv AS (
+              SELECT key,
+                     CAST(json_extract_string(props, '$.' || key) AS INTEGER)
+                       AS value
+              FROM pairs
+            )
+            SELECT key, value, CAST(count(*) AS INTEGER) AS n
+            FROM kv GROUP BY key, value
+        """,
     }
 
 
@@ -3130,4 +3294,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "wa5_grouping_sets": q_wa5_grouping_sets,
         "wa6_unpivot": q_wa6_unpivot,
         "wa7_semi_join": q_wa7_semi_join,
+        "sk2_bloom": q_sk2_bloom,
+        "sk3_cms": q_sk3_cms,
+        "tp7_length_buckets": q_tp7_length_buckets,
+        "map1_props_map": q_map1_props_map,
     }

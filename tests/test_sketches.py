@@ -1,0 +1,82 @@
+"""Pins for the deterministic Bloom and count-min sketches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+    bloom_build,
+    bloom_probe,
+    cms_counters,
+    cms_estimates,
+)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    build = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(100)], "id long, key string"
+    )
+    bits = bloom_build(build, F.col("key"))
+    out = bloom_probe(build, bits, F.col("key"), "id").collect()
+    assert all(r["hit"] == 1 for r in out)
+
+
+def test_bloom_rejects_most_non_members(spark):
+    build = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(100)], "id long, key string"
+    )
+    probes = spark.createDataFrame(
+        [(i, f"stranger-{i}") for i in range(200)], "id long, key string"
+    )
+    bits = bloom_build(build, F.col("key"))
+    hits = sum(
+        r["hit"] for r in bloom_probe(probes, bits, F.col("key"), "id").collect()
+    )
+    # 100 keys × 3 bits in 65536 → FP probability ≈ 9.6e-8 per probe
+    assert hits == 0
+
+
+def test_bloom_probe_is_deterministic(spark):
+    build = spark.createDataFrame([(1, "a")], "id long, key string")
+    probes = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(50)], "id long, key string"
+    )
+    bits = bloom_build(build, F.col("key"))
+    a = sorted(
+        (r["id"], r["hit"])
+        for r in bloom_probe(probes, bits, F.col("key"), "id").collect()
+    )
+    b = sorted(
+        (r["id"], r["hit"])
+        for r in bloom_probe(probes, bits, F.col("key"), "id").collect()
+    )
+    assert a == b
+
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    rows = [(i % 10,) for i in range(1000)]  # keys 0..9, 100 each
+    df = spark.createDataFrame(rows, "k int").select(
+        F.col("k"), F.col("k").cast("string").alias("key")
+    )
+    counters = cms_counters(df, F.col("key"))
+    keys = df.groupBy("k", "key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimates(keys, counters, F.col("key"), "k").collect()
+    }
+    true = {r["k"]: r["true_cnt"] for r in keys.collect()}
+    for k, t in true.items():
+        assert est[k] >= t
+    # 10 keys in 4×1024 counters: collisions essentially impossible
+    assert est == true
+
+
+def test_cms_counter_matrix_is_bounded(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(5000)], "k int"
+    ).select(F.col("k").cast("string").alias("key"))
+    counters = cms_counters(df, F.col("key"))
+    assert counters.count() <= 4 * 1024
+    # total mass per sketch row equals the stream size
+    per_row = counters.groupBy("j").agg(F.sum("cnt").alias("s")).collect()
+    assert all(r["s"] == 5000 for r in per_row)
