@@ -47,6 +47,11 @@ HEADLINE = [
     "ss3_ivf_topk",
     "mm1_media_features",
     "st1_stream_tumbling",
+    "dc1_contamination",
+    "tfidf_top_terms",
+    "sk3_cms",
+    "wa3_range_frame",
+    "wa7_semi_join",
 ]
 
 

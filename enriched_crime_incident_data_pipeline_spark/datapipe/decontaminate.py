@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from enriched_crime_incident_data_pipeline_spark.functions.text import word_shingles
+from enriched_crime_incident_data_pipeline_spark.functions.text import tokens
+from enriched_crime_incident_data_pipeline_spark.operators.parallelism import (
+    fan_out,
+)
 
 
 def doc_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
@@ -28,9 +31,20 @@ def doc_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
     Documents shorter than ``n`` tokens contribute their full token
     sequence as a single gram (same clamp as ``word_shingles``), so
     short eval docs still participate in the overlap check.
+
+    The token array is materialized as a column BEFORE the shingle
+    transform: a higher-order-function lambda re-evaluates outer
+    expressions per element, so tokenizing inside the lambda would
+    rerun the normalize/split regex once per gram position (~n× the
+    work). Narrow scans fan out first (PLANS.md #8).
     """
-    grams = F.array_distinct(word_shingles(F.col("text"), n))
-    return docs.select("doc_id", F.explode(grams).alias("gram"))
+    toks = fan_out(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_sh = F.greatest(F.size(F.col("toks")) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+    )
+    return toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
 def ngram_contamination(

@@ -138,11 +138,19 @@ def cms_entries(col: Column, d: int = CMS_D, w: int = CMS_W) -> Column:
 
 def cms_counters(df: DataFrame, col: Column, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
     """Build the d×w counter matrix as (j, bucket, cnt) — at most d·w
-    rows whatever the stream size; one map-side-combined groupBy."""
-    pos = df.select(F.explode(cms_entries(col, d, w)).alias("e")).select(
-        "e.j", "e.bucket"
+    rows whatever the stream size.
+
+    The stream is reduced per key FIRST (one map-side-combined
+    groupBy), then only the distinct keys explode into d coordinates
+    with their counts as weights: the d× row amplification applies to
+    the distinct-key relation, never to the raw stream."""
+    keyed = df.groupBy(col.alias("_cms_key")).agg(
+        F.count(F.lit(1)).alias("_cms_n")
     )
-    return pos.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    pos = keyed.select(
+        F.explode(cms_entries(F.col("_cms_key"), d, w)).alias("e"), "_cms_n"
+    ).select("e.j", "e.bucket", "_cms_n")
+    return pos.groupBy("j", "bucket").agg(F.sum("_cms_n").alias("cnt"))
 
 
 def cms_estimates(
