@@ -45,24 +45,43 @@ def token_count(text: Column) -> Column:
     return F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, r" +")))
 
 
+def _bind(value: Column, body) -> Column:
+    """Evaluate ``value`` once and pass it to ``body`` as a bound
+    variable (a let-binding for column expressions).
+
+    Spark has no let; an expression referenced inside a
+    higher-order-function lambda is RE-EVALUATED per element, so e.g.
+    tokenizing inside a per-shingle-position lambda reruns the
+    normalize/split regex once per position. Wrapping the value in a
+    1-element array and ``transform``-ing over it binds it to a lambda
+    variable — evaluated once, referenced cheaply."""
+    return F.transform(F.array(value), body)[0]
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-word shingles (array<string>) for MinHash / Jaccard dedup.
 
     Documents shorter than ``n`` tokens yield a single shingle of all
     their tokens, so every non-empty document has ≥1 shingle.
     """
-    toks = tokens(text)
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), n_sh)
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    def build(toks: Column) -> Column:
+        n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), n_sh)
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    return _bind(tokens(text), build)
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Character n-grams of the normalized text (array<string>)."""
-    norm = normalize_text(text)
-    n_gr = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), n_gr)
-    return F.transform(idx, lambda i: F.substring(norm, i, n))
+
+    def build(norm: Column) -> Column:
+        n_gr = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), n_gr)
+        return F.transform(idx, lambda i: F.substring(norm, i, n))
+
+    return _bind(normalize_text(text), build)
 
 
 def doc_fingerprint(text: Column) -> Column:
