@@ -1585,6 +1585,126 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    # order-priority checking; the reduced schema has no
+    # commit/receipt dates, so the EXISTS predicate is adapted to
+    # "has a returned lineitem" — same semi-join + agg shape
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1995-04-01"))
+    )
+    flagged = window.join(
+        li.filter(F.col("l_returnflag") == "R"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    # volume shipping between two nations: fact-fact joins shuffle on
+    # their keys, both nation dims broadcast; symmetric nation-pair
+    # disjunction applied after the joins
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.filter(
+            F.to_date("l_shipdate").between("1995-01-01", "1996-12-31")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(F.sum(_rev_expr()).cast("double").alias("revenue"))
+
+
+def q_tpch_q8(spark, sf_dir):
+    # national market share: ratio of two decimal-exact sums per
+    # year — conditional aggregation, no second pass over the join
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    cust_region = (
+        cust.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    joined = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                F.to_date("o_orderdate").between("1995-01-01", "1996-12-31")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    vol = _rev_expr()
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        (F.sum(target).cast("double") / F.sum(vol).cast("double")).alias(
+            "mkt_share"
+        )
+    )
+
+
 def q_tpch_q22(spark, sf_dir):
     # global-market-candidate shape: scalar-subquery threshold
     # (computed as one double division of decimal-exact sum/count so
@@ -3171,6 +3291,59 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM supplier, lineitem, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND CAST(l_shipdate AS DATE)
+                    BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            WITH joined AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+                         AND r_name = 'AMERICA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE CAST(o_orderdate AS DATE)
+                      BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+            )
+            SELECT CAST(o_year AS INTEGER) AS o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE) AS mkt_share
+            FROM joined GROUP BY o_year
+        """,
         "map1_props_map": """
             WITH pairs AS (
               SELECT unnest(json_keys(props)) AS key, props FROM events
@@ -3296,6 +3469,9 @@ def spark_queries() -> dict[str, QueryFn]:
         "wa7_semi_join": q_wa7_semi_join,
         "sk2_bloom": q_sk2_bloom,
         "sk3_cms": q_sk3_cms,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }
