@@ -125,6 +125,27 @@ def stratified_sample(
     return docs.filter(bucket < rate)
 
 
+def weighted_sample(
+    docs: DataFrame, weight_bp: "Column", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep a row iff
+    ``hash32('wsample:' || id) mod 10000 < weight_bp`` — the row's
+    keep probability is its own weight in basis points (clamp to
+    [0, 10000] upstream).
+
+    The per-stratum variant is ``stratified_sample``; this lifts the
+    rate from a stratum constant to an arbitrary integer column
+    (quality-proportional sampling, temperature curricula). Hash-based
+    so the sample is a pure function of (id, weight), independent of
+    engine, run, or partitioning.
+    """
+    bucket = F.pmod(
+        hash32(F.concat(F.lit("wsample:"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    return docs.filter(bucket < weight_bp)
+
+
 def prune_boilerplate(
     docs: DataFrame,
     df_pct_threshold: int = 79,

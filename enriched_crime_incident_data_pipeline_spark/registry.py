@@ -1911,6 +1911,21 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_tp8_weighted_sample(spark, sf_dir):
+    # quality-proportional sampling: keep probability = clamped
+    # integer weight per row (longer docs likelier kept), hash-based
+    # so the sample is engine- and layout-independent
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") * 20, F.lit(9000)).cast("int")
+    weighted = docs.withColumn("weight_bp", weight)
+    kept = weighted_sample(weighted, F.col("weight_bp"))
+    return kept.select("doc_id", "weight_bp")
+
+
 def q_sk2_bloom(spark, sf_dir):
     # Bloom membership: filter built from the old snapshot's content
     # fingerprints, probed by every doc — md5 basis makes false
@@ -3291,6 +3306,16 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "tp8_weighted_sample": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(least(n_chars * 20, 9000) AS INTEGER) AS weight_bp
+              FROM documents
+            )
+            SELECT doc_id, weight_bp FROM w
+            WHERE {_HASH32.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")}
+                    % 10000 < weight_bp
+        """,
         "tpch_q4": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders
@@ -3472,6 +3497,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
+        "tp8_weighted_sample": q_tp8_weighted_sample,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }

@@ -171,3 +171,35 @@ def test_tpch_plans_broadcast_dims_and_push_filters(spark):
     plan_asof = asof._jdf.queryExecution().executedPlan().toString()
     # exactly one hash exchange (the key shuffle) — no extra wides
     assert plan_asof.count("Exchange hashpartitioning") == 1
+
+
+def test_new_op_plans_broadcast_and_stay_narrow(spark):
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # contamination: the eval-gram set must broadcast — the training
+    # corpus never sort-merge-joins
+    dc1 = qs["dc1_contamination"](spark, sf)
+    plan = dc1._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # bloom probe: bit set broadcast to the probe side
+    sk2 = qs["sk2_bloom"](spark, sf)
+    plan = sk2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # trailing-90d range frame: one hash shuffle (custkey), one Window
+    wa3 = qs["wa3_range_frame"](spark, sf)
+    plan = wa3._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+    # tf-idf: df/N relations broadcast back onto the posting list
+    tfidf = qs["tfidf_top_terms"](spark, sf)
+    plan = tfidf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

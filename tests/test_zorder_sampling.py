@@ -1,0 +1,100 @@
+"""Z-order clustering layout and weighted-sampling pins."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+    weighted_sample,
+)
+from enriched_crime_incident_data_pipeline_spark.sinks.zorder import (
+    morton_code,
+    write_zordered,
+)
+
+
+def test_morton_code_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3)], "a int, b int"
+    )
+    out = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", morton_code(F.col("a"), F.col("b"), 4).alias("z")
+        ).collect()
+    }
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1
+    assert out[(0, 1)] == 2
+    assert out[(1, 1)] == 3
+    assert out[(2, 0)] == 4
+    assert out[(3, 3)] == 15
+
+
+def test_zordered_files_bound_tiles_in_both_dims(spark, tmp_path):
+    # 64x64 grid → 16 z-range files must each cover a small rectangle
+    # in BOTH dimensions (a 1-D sort would leave one dim full-range)
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(grid, path, "x", "y", bits=6, num_files=16)
+
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 8
+    total_area = 0
+    for f in files:
+        stats = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("x") - F.min("x")).alias("dx"),
+                (F.max("y") - F.min("y")).alias("dy"),
+            )
+            .collect()[0]
+        )
+        total_area += (stats["dx"] + 1) * (stats["dy"] + 1)
+    # perfect 16-tile z-layout → every file a 16x16 tile; allow 3x
+    # slack for range-boundary sampling, still far under the 1-D
+    # sort's worst case (each file spanning the full 64 in one dim)
+    assert total_area / len(files) <= 3 * 16 * 16
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    rows = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 9000).otherwise(1000).alias("w"),
+    )
+    kept = weighted_sample(rows, F.col("w"))
+    high = kept.filter(F.col("w") == 9000).count()
+    low = kept.filter(F.col("w") == 1000).count()
+    assert abs(high / 10000 - 0.9) < 0.03
+    assert abs(low / 10000 - 0.1) < 0.03
+
+
+def test_weighted_sample_is_reproducible_and_monotone(spark):
+    rows = spark.range(1000).select(F.col("id").alias("doc_id"))
+    w50 = set(
+        r["doc_id"]
+        for r in weighted_sample(
+            rows.withColumn("w", F.lit(5000)), F.col("w")
+        ).collect()
+    )
+    w50_again = set(
+        r["doc_id"]
+        for r in weighted_sample(
+            rows.withColumn("w", F.lit(5000)), F.col("w")
+        ).collect()
+    )
+    w80 = set(
+        r["doc_id"]
+        for r in weighted_sample(
+            rows.withColumn("w", F.lit(8000)), F.col("w")
+        ).collect()
+    )
+    assert w50 == w50_again
+    # raising every weight only ADDS rows (hash threshold is monotone)
+    assert w50 <= w80
