@@ -1,0 +1,121 @@
+"""Blocked similarity self-joins: 2-D grid proximity and fuzzy
+string matching.
+
+Two more join families SQL engines lack natively, both built on the
+same scale pattern as the engine's range/LSH joins: generate
+candidates with an EQUI-join on a derived blocking key (so the plan
+is a hash join, never a cartesian/BroadcastNestedLoop), then apply
+the exact predicate as a residual filter.
+
+Reference tie-in: the reference's `location` strings are raw PDF
+addresses (SURVEY.md §1.4) — near-identical variants ("BLK 12 MAIN
+ST" vs "BLK 13 MAIN ST") and nearby coordinates are exactly what
+these operators cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_proximity_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+) -> DataFrame:
+    """All pairs (id_a < id_b) within Chebyshev distance ``radius``
+    (integer coordinates): |Δx| ≤ r AND |Δy| ≤ r.
+
+    Blocking: cells of side ``radius``; the left side explodes to its
+    3×3 cell neighborhood, the right side keeps its home cell, and
+    the join is an equi-join on the cell key. Any qualifying pair is
+    ≤ 1 cell apart in each axis, so it is found exactly once (via the
+    right point's unique home cell) — no post-dedup needed. Shuffle
+    volume is 9·|points| + |points|, versus |points|² for the naive
+    theta join.
+    """
+    cx = F.floor(F.col(x_col) / radius)
+    cy = F.floor(F.col(y_col) / radius)
+    offsets = F.expr(
+        "array(-1,0,1)"
+    )
+    left = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(x_col).alias("xa"),
+        F.col(y_col).alias("ya"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    offsets,
+                    lambda dx: F.transform(
+                        F.expr("array(-1,0,1)"),
+                        lambda dy: F.struct(
+                            (cx + dx).alias("cx"), (cy + dy).alias("cy")
+                        ),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    ).select("id_a", "xa", "ya", "cell.cx", "cell.cy")
+    right = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).alias("xb"),
+        F.col(y_col).alias("yb"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    pairs = left.join(right, ["cx", "cy"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.filter(
+        (F.abs(F.col("xa") - F.col("xb")) <= radius)
+        & (F.abs(F.col("ya") - F.col("yb")) <= radius)
+    ).select(
+        "id_a",
+        "id_b",
+        (F.col("xb") - F.col("xa")).alias("dx"),
+        (F.col("yb") - F.col("ya")).alias("dy"),
+    )
+
+
+def fuzzy_name_pairs(
+    names: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate name pairs: block on (all-but-last
+    character, length), verify with exact levenshtein ≤
+    ``max_distance``.
+
+    Prefix blocking bounds each block at |alphabet| rows, so the
+    self-join is linear in the input; like any LSH-style scheme it
+    trades recall (pairs differing in an earlier character fall in
+    different blocks) for never forming the quadratic product. The
+    levenshtein residual is exact on both engines.
+    """
+    blocked = names.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.concat(
+            F.expr(f"substring({name_col}, 1, length({name_col}) - 1)"),
+            F.lit("#"),
+            F.length(name_col).cast("string"),
+        ).alias("block"),
+    )
+    a = blocked.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    )
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

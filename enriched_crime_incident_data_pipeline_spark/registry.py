@@ -1911,6 +1911,34 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_geo1_grid_join(spark, sf_dir):
+    # 2-D proximity self-join via grid blocking: cell equi-join +
+    # exact Chebyshev residual, never a cartesian (plan-asserted)
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        grid_proximity_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    points = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_custkey") % 89).cast("int").alias("px"),
+        (F.col("c_custkey") % 97).cast("int").alias("py"),
+    )
+    return grid_proximity_join(points, "pid", "px", "py", radius=1)
+
+
+def q_fuzzy1_name_pairs(spark, sf_dir):
+    # fuzzy dedup of near-identical names: prefix blocking + exact
+    # levenshtein residual (the dirty-address clustering shape from
+    # the reference's location strings)
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        fuzzy_name_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_name_pairs(cust, "c_custkey", "c_name", max_distance=1)
+
+
 def q_tp8_weighted_sample(spark, sf_dir):
     # quality-proportional sampling: keep probability = clamped
     # integer weight per row (longer docs likelier kept), hash-based
@@ -3306,6 +3334,31 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "geo1_grid_join": """
+            WITH pts AS (
+              SELECT c_custkey AS pid,
+                     CAST(c_custkey % 89 AS INTEGER) AS px,
+                     CAST(c_custkey % 97 AS INTEGER) AS py
+              FROM customer
+            )
+            SELECT a.pid AS id_a, b.pid AS id_b,
+                   b.px - a.px AS dx, b.py - a.py AS dy
+            FROM pts a, pts b
+            WHERE a.pid < b.pid
+              AND abs(a.px - b.px) <= 1 AND abs(a.py - b.py) <= 1
+        """,
+        "fuzzy1_name_pairs": """
+            WITH blocked AS (
+              SELECT c_custkey AS id, c_name AS name,
+                     substring(c_name, 1, length(c_name) - 1)
+                       || '#' || CAST(length(c_name) AS VARCHAR) AS block
+              FROM customer
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+            FROM blocked a JOIN blocked b USING (block)
+            WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+        """,
         "tp8_weighted_sample": f"""
             WITH w AS (
               SELECT doc_id,
@@ -3498,6 +3551,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tp8_weighted_sample": q_tp8_weighted_sample,
+        "geo1_grid_join": q_geo1_grid_join,
+        "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }

@@ -1,0 +1,74 @@
+"""Pins for grid proximity join and fuzzy name matching."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+    fuzzy_name_pairs,
+    grid_proximity_join,
+)
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "pid int, x int, y int")
+
+
+def test_grid_join_finds_exactly_the_close_pairs(spark):
+    pts = _points(
+        spark,
+        [
+            (1, 0, 0),
+            (2, 1, 1),    # within r=1 of 1 and 3
+            (3, 2, 2),    # within r=1 of 2, not of 1
+            (4, 10, 10),  # isolated
+        ],
+    )
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in grid_proximity_join(pts, "pid", "x", "y", radius=1).collect()
+    )
+    assert pairs == [(1, 2), (2, 3)]
+
+
+def test_grid_join_each_pair_reported_once(spark):
+    # points in the same cell AND adjacent cells must not duplicate
+    pts = _points(spark, [(1, 0, 0), (2, 0, 1), (3, 1, 0), (4, 1, 1)])
+    out = grid_proximity_join(pts, "pid", "x", "y", radius=2).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(pairs) == len(set(pairs)) == 6  # all C(4,2) pairs, once
+
+
+def test_grid_join_plan_is_equi_join(spark):
+    pts = _points(spark, [(i, i % 5, i % 7) for i in range(50)])
+    plan = (
+        grid_proximity_join(pts, "pid", "x", "y", radius=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_blocked_levenshtein(spark):
+    names = spark.createDataFrame(
+        [
+            (1, "MAIN ST BLK 12"),
+            (2, "MAIN ST BLK 13"),   # lev 1 in the last char: same block
+            (3, "MAIN ST BLK 1"),    # shorter → different block
+            (4, "OAK AVE"),
+        ],
+        "id int, name string",
+    )
+    out = fuzzy_name_pairs(names, "id", "name", max_distance=1).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in out] == [(1, 2, 1)]
+
+
+def test_fuzzy_blocking_excludes_cross_block_pairs(spark):
+    # lev("AB","AC")=1 but different (prefix, length) blocks when the
+    # difference is not in the last char: "XAB" vs "YAB"
+    names = spark.createDataFrame(
+        [(1, "XAB"), (2, "YAB")], "id int, name string"
+    )
+    assert fuzzy_name_pairs(names, "id", "name").count() == 0
