@@ -1911,6 +1911,44 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_scd3_temporal_lookup(spark, sf_dir):
+    # point-in-interval dimension lookup: facts equi-join the SCD2
+    # version table on the natural key, half-open containment as the
+    # residual — time partitioning guarantees ≤1 version per fact.
+    # Pinned equivalent to the as-of-join formulation in
+    # tests/test_asof.py::test_scd2_containment_equals_asof
+    from enriched_crime_incident_data_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+            F.col("event_id").alias("dim_event_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("dim_value"),
+        ),
+        ["user_id"],
+        "ts",
+        "dim_event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+        "left",
+    )
+    return joined.select(
+        facts["event_id"], facts["user_id"], facts["ts"],
+        "dim_event_id", "dim_value",
+    )
+
+
 def q_geo1_grid_join(spark, sf_dir):
     # 2-D proximity self-join via grid blocking: cell equi-join +
     # exact Chebyshev residual, never a cartesian (plan-asserted)
@@ -3334,6 +3372,29 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "scd3_temporal_lookup": """
+            WITH dim AS (
+              SELECT event_id AS dim_event_id, user_id, ts,
+                     value AS dim_value
+              FROM events WHERE event_type IN ('signup', 'purchase')
+            ),
+            iv AS (
+              SELECT dim_event_id, user_id, dim_value,
+                     ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, dim_event_id) AS valid_to
+              FROM dim
+            ),
+            facts AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error'
+            )
+            SELECT f.event_id, f.user_id, f.ts,
+                   i.dim_event_id, i.dim_value
+            FROM facts f LEFT JOIN iv i
+              ON i.user_id = f.user_id AND i.valid_from <= f.ts
+                 AND (i.valid_to IS NULL OR f.ts < i.valid_to)
+        """,
         "geo1_grid_join": """
             WITH pts AS (
               SELECT c_custkey AS pid,
@@ -3553,6 +3614,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tp8_weighted_sample": q_tp8_weighted_sample,
         "geo1_grid_join": q_geo1_grid_join,
         "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
+        "scd3_temporal_lookup": q_scd3_temporal_lookup,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }

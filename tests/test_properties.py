@@ -136,3 +136,87 @@ def test_dedup_by_key_keeps_exactly_one_per_key(spark, rows):
     out = dedup_by_key(df, "incident_num")
     keys = [r["incident_num"] for r in out.select("incident_num").collect()]
     assert sorted(keys) == sorted({k for k, _ in rows})
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    ),
+    radius=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_grid_proximity_equals_naive_theta(spark, pts, radius):
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        grid_proximity_join,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid int, x int, y int")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dx"], r["dy"])
+        for r in grid_proximity_join(df, "pid", "x", "y", radius).collect()
+    )
+    want = sorted(
+        (a, b, xb - xa, yb - ya)
+        for (a, xa, ya) in rows
+        for (b, xb, yb) in rows
+        if a < b and abs(xa - xb) <= radius and abs(ya - yb) <= radius
+    )
+    assert got == want
+
+
+@given(
+    dim=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)), max_size=10),
+    facts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_scd2_containment_equals_asof(spark, dim, facts):
+    """Point-in-interval lookup over SCD2 versions ≡ as-of join on
+    the raw version events (two independent formulations)."""
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+    from enriched_crime_incident_data_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    dim_rows = [
+        (i, u, _T0 + dt.timedelta(minutes=m), float(i)) for i, (u, m) in enumerate(dim)
+    ]
+    fact_rows = [
+        (1000 + i, u, _T0 + dt.timedelta(minutes=m))
+        for i, (u, m) in enumerate(facts)
+    ]
+    dim_df = spark.createDataFrame(
+        dim_rows, "dim_event_id long, user_id long, ts timestamp, dim_value double"
+    )
+    fact_df = spark.createDataFrame(
+        fact_rows, "event_id long, user_id long, ts timestamp"
+    )
+
+    iv = scd2_intervals(dim_df, ["user_id"], "ts", "dim_event_id")
+    contain = fact_df.join(
+        iv,
+        (fact_df["user_id"] == iv["user_id"])
+        & (iv["valid_from"] <= fact_df["ts"])
+        & (iv["valid_to"].isNull() | (fact_df["ts"] < iv["valid_to"])),
+        "left",
+    ).select(fact_df["event_id"], "dim_event_id")
+
+    asof = asof_join(
+        fact_df,
+        dim_df.withColumnRenamed("dim_event_id", "event_id"),
+        ["user_id"],
+        "ts",
+        "event_id",
+    ).select("event_id", F.col("asof_event_id").alias("dim_event_id"))
+
+    got = sorted(map(tuple, contain.collect()))
+    want = sorted(map(tuple, asof.collect()))
+    assert got == want
