@@ -1911,6 +1911,21 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_udf1_pandas_parity(spark, sf_dir):
+    # the UDF-safety contract: an Arrow-batched Pandas UDF whose
+    # result is bit-identical to the JVM expression twin (and to the
+    # DuckDB oracle) — proves Python stages can swap in without a
+    # correctness diff
+    from enriched_crime_incident_data_pipeline_spark.functions.udfs import (
+        token_count_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_udf(F.col("text")).alias("n_tokens")
+    )
+
+
 def q_scd3_temporal_lookup(spark, sf_dir):
     # point-in-interval dimension lookup: facts equi-join the SCD2
     # version table on the natural key, half-open containment as the
@@ -3372,6 +3387,9 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "udf1_pandas_parity": f"""
+            SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents
+        """,
         "scd3_temporal_lookup": """
             WITH dim AS (
               SELECT event_id AS dim_event_id, user_id, ts,
@@ -3615,6 +3633,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "geo1_grid_join": q_geo1_grid_join,
         "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
         "scd3_temporal_lookup": q_scd3_temporal_lookup,
+        "udf1_pandas_parity": q_udf1_pandas_parity,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }
