@@ -123,3 +123,45 @@ def sample_frame_offsets(
             ).alias("frame_idx", "offset_ms"),
         )
     )
+
+
+RESIZE_DDL = (
+    "media_id long, width int, height int, "
+    "new_width int, new_height int, n_bytes long"
+)
+
+
+def resize_thumbnails(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Thumbnail planning over binary media via ``mapInPandas``: fit
+    (width, height) into a ``max_side`` box preserving aspect ratio.
+
+    The pixel resample itself is the stubbed kernel (needs
+    PIL/opencv); the dimension math is exact integer arithmetic
+    (``new_w = w·max_side // max(w, h)``), so this stage — unlike the
+    decode — has a SQL twin and is oracle-checked end-to-end through
+    the Arrow batch path (`mm4_resize_plan`). Batches arrive
+    columnar; content bytes are length-counted but never shuffled.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            m = np.maximum(w, h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "new_width": (w * max_side // m).astype("int32"),
+                    "new_height": (h * max_side // m).astype("int32"),
+                    "n_bytes": pdf["content"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                }
+            )
+
+    return media.select(
+        "media_id", "width", "height", "content"
+    ).mapInPandas(run, RESIZE_DDL)

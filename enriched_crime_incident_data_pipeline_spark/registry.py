@@ -782,6 +782,24 @@ def q_mm1_media_features(spark, sf_dir):
     return extract_features(_documents_as_media(docs))
 
 
+def q_mm4_resize_plan(spark, sf_dir):
+    # thumbnail-fit dimensions through the Arrow mapInPandas path —
+    # integer math gives the UDF stage an exact SQL twin
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        resize_thumbnails,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = _documents_as_media(docs).select(
+        "media_id",
+        "kind",
+        "content",
+        (320 + (F.col("media_id") % 7) * 160).cast("int").alias("width"),
+        (240 + (F.col("media_id") % 5) * 120).cast("int").alias("height"),
+    )
+    return resize_thumbnails(media, max_side=224)
+
+
 def q_a10_count_distinct(spark, sf_dir):
     # distinct-aggregate: planned as a two-phase expand + aggregate
     li = load_table(spark, sf_dir, "lineitem")
@@ -3387,6 +3405,22 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "mm4_resize_plan": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CAST(320 + (doc_id % 7) * 160 AS BIGINT) AS w,
+                     CAST(240 + (doc_id % 5) * 120 AS BIGINT) AS h,
+                     encode(text) AS content
+              FROM documents
+            )
+            SELECT media_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST((w * 224) // greatest(w, h) AS INTEGER) AS new_width,
+                   CAST((h * 224) // greatest(w, h) AS INTEGER) AS new_height,
+                   CAST(octet_length(content) AS BIGINT) AS n_bytes
+            FROM m
+        """,
         "udf1_pandas_parity": f"""
             SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents
         """,
@@ -3634,6 +3668,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
         "scd3_temporal_lookup": q_scd3_temporal_lookup,
         "udf1_pandas_parity": q_udf1_pandas_parity,
+        "mm4_resize_plan": q_mm4_resize_plan,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }

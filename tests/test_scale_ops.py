@@ -203,3 +203,51 @@ def test_new_op_plans_broadcast_and_stay_narrow(spark):
     plan = tfidf._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling is the engine's runtime answer to hot
+    keys (PLANS.md): build a join where one key holds ~all the mass
+    and assert AQE marks/splits the skewed side at execution."""
+    left = spark.range(200_000).selectExpr(
+        "CASE WHEN id % 100 < 99 THEN 0 ELSE id END AS k", "id AS v"
+    )
+    right = spark.range(1000).selectExpr("id AS k", "id * 10 AS w")
+    conf = spark.conf
+    old = {
+        "spark.sql.adaptive.skewJoin.enabled": conf.get(
+            "spark.sql.adaptive.skewJoin.enabled", "true"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        ),
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # forbid broadcast so the join actually shuffles both sides
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = left.join(right, "k")
+        # execute THIS Dataset's QueryExecution (count() would build a
+        # separate one and leave this plan un-finalized):
+        # k=0 carries 198000 rows; k=99,199,…,999 match 10 more
+        assert len(joined.collect()) == 198_010
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for key, val in old.items():
+            conf.set(key, val)
