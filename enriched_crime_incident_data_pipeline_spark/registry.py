@@ -252,6 +252,11 @@ def q_p1_projection(spark, sf_dir):
     return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
+def q_p2_star(spark, sf_dir):
+    # P2 star projection (temp.py:14): SELECT * — the CSV-export scan
+    return load_table(spark, sf_dir, "region")
+
+
 def q_p3_point_lookup(spark, sf_dir):
     # P3 point-lookup filter (location.py:39)
     c = load_table(spark, sf_dir, "customer")
@@ -2224,6 +2229,7 @@ def oracle_queries() -> dict[str, str]:
         "p1_projection": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem"
         ),
+        "p2_star": "SELECT * FROM region",
         "p3_point_lookup": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 500"
         ),
@@ -3555,6 +3561,7 @@ def spark_queries() -> dict[str, QueryFn]:
     return {
         "flagship_enriched_report": q_flagship,
         "p1_projection": q_p1_projection,
+        "p2_star": q_p2_star,
         "p3_point_lookup": q_p3_point_lookup,
         "p4_null_health": q_p4_null_health,
         "p6_url_classify": q_p6_url_classify,
