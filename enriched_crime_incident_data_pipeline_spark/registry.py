@@ -1934,6 +1934,62 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_stat2_mad(spark, sf_dir):
+    # median absolute deviation: two exact-percentile passes; the
+    # per-group median broadcasts back onto the fact rows
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("absdev"),
+        "med",
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.first("med").alias("median_price"),
+        F.expr("percentile(absdev, 0.5)").alias("mad"),
+    )
+
+
+def q_stat3_mode(spark, sf_dir):
+    # per-group mode as an aggregation (max_by on (count, -value)):
+    # map-side combinable, deterministic tie-break, no sort window
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.expr(
+            "max_by(l_quantity, struct(cnt, -l_quantity))"
+        ).alias("mode_quantity"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+def q_stat4_gini(spark, sf_dir):
+    # Gini impurity of the per-source language mix, computed from
+    # exact integer count sums (1 - Σcnt²/total²) — no float
+    # accumulation order anywhere
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    return per_source.select(
+        "source",
+        F.col("total").cast("int").alias("n_docs"),
+        (
+            F.lit(1.0)
+            - F.col("sumsq").cast("double")
+            / (F.col("total") * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
 def q_udf1_pandas_parity(spark, sf_dir):
     # the UDF-safety contract: an Arrow-batched Pandas UDF whose
     # result is bit-identical to the JVM expression twin (and to the
@@ -3411,6 +3467,45 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "stat2_mad": """
+            WITH med AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.5) AS med
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag,
+                   any_value(m.med) AS median_price,
+                   quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+            FROM lineitem l JOIN med m USING (l_returnflag)
+            GROUP BY l.l_returnflag
+        """,
+        "stat3_mode": """
+            WITH c AS (
+              SELECT l_returnflag, l_quantity, count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            )
+            SELECT l_returnflag, l_quantity AS mode_quantity,
+                   cnt AS mode_count
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY cnt DESC, l_quantity ASC) AS rn
+                  FROM c)
+            WHERE rn = 1
+        """,
+        "stat4_gini": """
+            WITH c AS (
+              SELECT source, lang, count(*) AS cnt
+              FROM documents GROUP BY source, lang
+            ),
+            s AS (
+              SELECT source, sum(cnt) AS total, sum(cnt * cnt) AS sumsq
+              FROM c GROUP BY source
+            )
+            SELECT source, CAST(total AS INTEGER) AS n_docs,
+                   1.0 - CAST(sumsq AS DOUBLE)
+                       / CAST(total * total AS DOUBLE) AS gini
+            FROM s
+        """,
         "mm4_resize_plan": """
             WITH m AS (
               SELECT doc_id AS media_id,
@@ -3676,6 +3771,9 @@ def spark_queries() -> dict[str, QueryFn]:
         "scd3_temporal_lookup": q_scd3_temporal_lookup,
         "udf1_pandas_parity": q_udf1_pandas_parity,
         "mm4_resize_plan": q_mm4_resize_plan,
+        "stat2_mad": q_stat2_mad,
+        "stat3_mode": q_stat3_mode,
+        "stat4_gini": q_stat4_gini,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }
