@@ -80,3 +80,36 @@ def test_cms_counter_matrix_is_bounded(spark):
     # total mass per sketch row equals the stream size
     per_row = counters.groupBy("j").agg(F.sum("cnt").alias("s")).collect()
     assert all(r["s"] == 5000 for r in per_row)
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Randomized no-false-negative sweep: several disjoint build
+    sets, every member must probe as hit."""
+    from pyspark.sql import functions as F
+
+    for seed in (3, 17, 91):
+        build = spark.createDataFrame(
+            [(i, f"s{seed}-key-{i * seed % 977}") for i in range(80)],
+            "id long, key string",
+        ).dropDuplicates(["key"])
+        bits = bloom_build(build, F.col("key"))
+        out = bloom_probe(build, bits, F.col("key"), "id").collect()
+        assert all(r["hit"] == 1 for r in out), f"false negative at seed {seed}"
+
+
+def test_cms_overestimate_property(spark):
+    """est ≥ true for every key, on a skewed random-ish stream."""
+    from pyspark.sql import functions as F
+
+    rows = [((i * i + 7 * i) % 37,) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k int").select(
+        F.col("k"), F.col("k").cast("string").alias("key")
+    )
+    counters = cms_counters(df, F.col("key"))
+    keys = df.groupBy("k", "key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimates(keys, counters, F.col("key"), "k").collect()
+    }
+    for r in keys.collect():
+        assert est[r["k"]] >= r["true_cnt"]
