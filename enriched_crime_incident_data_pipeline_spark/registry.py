@@ -1934,6 +1934,74 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_funnel1_conversion(spark, sf_dir):
+    # conversion funnel: per user, first view → first click after it →
+    # first purchase after that; stage timestamps as min-aggregations
+    # over conditional predecessors (one shuffle per stage, all on
+    # user_id — co-partitioned, no window over the event stream)
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    funnel = (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+    )
+    return funnel.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        (
+            F.col("first_click").isNotNull().cast("int")
+            + F.col("first_purchase").isNotNull().cast("int")
+            + F.lit(1)
+        ).alias("stages_reached"),
+    )
+
+
+def q_retention1_cohorts(spark, sf_dir):
+    # cohort retention: users grouped by signup week; per (cohort,
+    # weeks-since-signup) distinct active users — two hash
+    # aggregations and one broadcastable cohort join
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    active = ev.join(F.broadcast(cohorts), "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(
+                F.to_date(F.date_trunc("week", F.col("ts"))),
+                F.to_date("cohort_week"),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_n"),
+    )
+    return (
+        active.filter(F.col("week_n") >= 0)
+        .groupBy(F.to_date("cohort_week").alias("cohort_week"), F.col("week_n"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 def q_stat2_mad(spark, sf_dir):
     # median absolute deviation: two exact-percentile passes; the
     # per-group median broadcasts back onto the fact rows
@@ -3467,6 +3535,52 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "funnel1_conversion": """
+            WITH views AS (
+              SELECT user_id, min(ts) AS first_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            clicks AS (
+              SELECT e.user_id, min(e.ts) AS first_click
+              FROM events e JOIN views v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.first_view
+              GROUP BY e.user_id
+            ),
+            purch AS (
+              SELECT e.user_id, min(e.ts) AS first_purchase
+              FROM events e JOIN clicks c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+              GROUP BY e.user_id
+            )
+            SELECT v.user_id, v.first_view, c.first_click,
+                   p.first_purchase,
+                   CAST(1 + CASE WHEN c.first_click IS NOT NULL
+                                 THEN 1 ELSE 0 END
+                          + CASE WHEN p.first_purchase IS NOT NULL
+                                 THEN 1 ELSE 0 END AS INTEGER)
+                     AS stages_reached
+            FROM views v
+            LEFT JOIN clicks c ON v.user_id = c.user_id
+            LEFT JOIN purch p ON v.user_id = p.user_id
+        """,
+        "retention1_cohorts": """
+            WITH cohorts AS (
+              SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            active AS (
+              SELECT e.user_id, c.cohort_week,
+                     CAST(date_diff('day',
+                            CAST(c.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                          AS INTEGER) AS week_n
+              FROM events e JOIN cohorts c ON e.user_id = c.user_id
+            )
+            SELECT CAST(cohort_week AS DATE) AS cohort_week, week_n,
+                   count(DISTINCT user_id) AS active_users
+            FROM active WHERE week_n >= 0
+            GROUP BY 1, 2
+        """,
         "stat2_mad": """
             WITH med AS (
               SELECT l_returnflag,
@@ -3774,6 +3888,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "stat2_mad": q_stat2_mad,
         "stat3_mode": q_stat3_mode,
         "stat4_gini": q_stat4_gini,
+        "funnel1_conversion": q_funnel1_conversion,
+        "retention1_cohorts": q_retention1_cohorts,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }
