@@ -1934,6 +1934,35 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_agg1_ordered_listagg(spark, sf_dir):
+    # ordered string aggregation: collect → sort → join makes the
+    # result order-deterministic regardless of partitioning (raw
+    # collect_list order is partition-dependent and never exposed)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.year("o_orderdate").cast("int"))),
+            ",",
+        ).alias("active_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_arr1_token_sets(spark, sf_dir):
+    # array set algebra over token arrays: distinct size, stopword
+    # intersection, union with a literal vocabulary
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_distinct"),
+        F.size(F.array_intersect(toks, sw)).alias("n_stop"),
+        F.size(F.array_union(toks, sw)).alias("n_union"),
+        F.size(F.array_except(toks, sw)).alias("n_content"),
+    )
+
+
 def q_funnel1_conversion(spark, sf_dir):
     # conversion funnel: per user, first view → first click after it →
     # first purchase after that; stage timestamps as min-aggregations
@@ -3535,6 +3564,38 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "agg1_ordered_listagg": """
+            WITH y AS (
+              SELECT DISTINCT o_orderpriority,
+                     CAST(year(o_orderdate) AS INTEGER) AS yr
+              FROM orders
+            ),
+            n AS (SELECT o_orderpriority, count(*) AS n_orders
+                  FROM orders GROUP BY 1)
+            SELECT y.o_orderpriority,
+                   string_agg(CAST(yr AS VARCHAR), ',' ORDER BY yr)
+                     AS active_years,
+                   any_value(n.n_orders) AS n_orders
+            FROM y JOIN n ON y.o_orderpriority = n.o_orderpriority
+            GROUP BY y.o_orderpriority
+        """,
+        "arr1_token_sets": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_distinct,
+                   CAST(len(list_filter(toks,
+                        x -> list_contains({_STOPWORD_SETS['en']}, x)))
+                     AS INTEGER) AS n_stop,
+                   CAST(len(list_distinct(list_concat(toks,
+                        {_STOPWORD_SETS['en']}))) AS INTEGER) AS n_union,
+                   CAST(len(list_filter(toks,
+                        x -> NOT list_contains({_STOPWORD_SETS['en']}, x)))
+                     AS INTEGER) AS n_content
+            FROM t
+        """,
         "funnel1_conversion": """
             WITH views AS (
               SELECT user_id, min(ts) AS first_view FROM events
@@ -3890,6 +3951,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "stat4_gini": q_stat4_gini,
         "funnel1_conversion": q_funnel1_conversion,
         "retention1_cohorts": q_retention1_cohorts,
+        "agg1_ordered_listagg": q_agg1_ordered_listagg,
+        "arr1_token_sets": q_arr1_token_sets,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }
