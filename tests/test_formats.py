@@ -57,3 +57,28 @@ def test_partitioned_parquet_moves_column_to_path(spark, tmp_path):
     # lands in the __HIVE_DEFAULT_PARTITION__ directory)
     assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
     assert back.filter(F.col("day").isNull()).count() == 1
+
+
+def test_managed_table_catalog_round_trip(spark, tmp_path):
+    """S10 DDL parity: CREATE TABLE IF NOT EXISTS via the catalog —
+    saveAsTable + catalog API + idempotent re-create."""
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS cat_t LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        df.write.saveAsTable("cat_t.incidents")
+        # IF NOT EXISTS: second create is a no-op, not an error
+        spark.sql(
+            "CREATE TABLE IF NOT EXISTS cat_t.incidents (id LONG) USING parquet"
+        )
+        assert spark.catalog.tableExists("cat_t.incidents")
+        cols = {c.name for c in spark.catalog.listColumns("cat_t.incidents")}
+        assert cols == {"id", "nature", "score", "ts"}
+        back = spark.table("cat_t.incidents")
+        assert back.count() == 3
+        # append stays idempotent-friendly: same schema enforced
+        df.write.mode("append").saveAsTable("cat_t.incidents")
+        assert spark.table("cat_t.incidents").count() == 6
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cat_t CASCADE")
