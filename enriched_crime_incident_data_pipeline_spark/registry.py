@@ -1934,6 +1934,23 @@ def q_wa6_unpivot(spark, sf_dir):
     )
 
 
+def q_graph1_tree_paths(spark, sf_dir):
+    # recursive-CTE workload without a recursive CTE: decimal-digit
+    # parent tree over custkeys (parent = key/10, root 0), resolved by
+    # pointer doubling in ⌈log₂ depth⌉ joins; oracle is a true
+    # DuckDB WITH RECURSIVE
+    from enriched_crime_incident_data_pipeline_spark.operators.hierarchy import (
+        tree_paths,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    return tree_paths(edges)
+
+
 def q_agg1_ordered_listagg(spark, sf_dir):
     # ordered string aggregation: collect → sort → join makes the
     # result order-deterministic regardless of partitioning (raw
@@ -3564,6 +3581,19 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(n_tokens) AS INTEGER) AS sum_tokens
             FROM b GROUP BY bucket
         """,
+        "graph1_tree_paths": """
+            WITH RECURSIVE walk AS (
+              SELECT c_custkey AS node, c_custkey AS cur,
+                     CAST(0 AS INTEGER) AS d
+              FROM customer
+              UNION ALL
+              SELECT node, cur // 10 AS cur, d + 1 FROM walk
+              WHERE cur <> 0
+            )
+            SELECT node, CAST(0 AS BIGINT) AS root,
+                   CAST(max(d) AS INTEGER) AS depth
+            FROM walk GROUP BY node
+        """,
         "agg1_ordered_listagg": """
             WITH y AS (
               SELECT DISTINCT o_orderpriority,
@@ -3953,6 +3983,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "retention1_cohorts": q_retention1_cohorts,
         "agg1_ordered_listagg": q_agg1_ordered_listagg,
         "arr1_token_sets": q_arr1_token_sets,
+        "graph1_tree_paths": q_graph1_tree_paths,
         "tp7_length_buckets": q_tp7_length_buckets,
         "map1_props_map": q_map1_props_map,
     }

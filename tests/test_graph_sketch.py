@@ -123,3 +123,35 @@ def test_gapfill_and_forward_fill(spark):
     assert got[(1, d(2026, 1, 4))] == 7.0       # replaced
     assert got[(1, d(2026, 1, 5))] == 7.0       # carried to end
     assert got[(2, d(2026, 1, 5))] == 1.0
+
+
+def test_tree_paths_pointer_doubling_exact(spark):
+    from enriched_crime_incident_data_pipeline_spark.operators.hierarchy import (
+        tree_paths,
+    )
+
+    # two trees: 0←1←2←3 chain (roots self-point) and isolated root 9
+    edges = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 2), (9, 9)], "node long, parent long"
+    )
+    out = {
+        r["node"]: (r["root"], r["depth"])
+        for r in tree_paths(edges).collect()
+    }
+    assert out == {0: (0, 0), 1: (0, 1), 2: (0, 2), 3: (0, 3), 9: (9, 0)}
+
+
+def test_tree_paths_log_rounds_on_deep_chain(spark):
+    from enriched_crime_incident_data_pipeline_spark.operators.hierarchy import (
+        tree_paths,
+    )
+
+    # a 100-deep chain resolves within the doubling bound (~7 rounds,
+    # far below the naive 100 sequential joins)
+    n = 100
+    edges = spark.createDataFrame(
+        [(i, max(i - 1, 0)) for i in range(n)], "node long, parent long"
+    )
+    out = {r["node"]: r["depth"] for r in tree_paths(edges).collect()}
+    assert out[0] == 0 and out[n - 1] == n - 1
+    assert all(out[i] == i for i in (1, 50, 99))
