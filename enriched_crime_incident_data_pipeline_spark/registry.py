@@ -1749,6 +1749,238 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    # min-cost-supplier shape (adapted: the testdata has no partsupp
+    # table, so the supply cost of a (part, supplier) pair is their
+    # min observed unit price in lineitem).  The correlated-min
+    # subquery becomes a per-part aggregate joined back on cost
+    # equality — the scale-safe formulation (no per-row re-scan).
+    # Unit price is one IEEE double division, identical cross-engine.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eur = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    target = part.filter(
+        (F.col("p_size") == 15) & F.col("p_type").startswith("S")
+    ).select("p_partkey")
+    cost_t = cost.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+    best = cost_t.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("supplycost").alias("_min_cost")
+    )
+    return (
+        cost_t.join(
+            best,
+            (F.col("l_partkey") == F.col("_pk"))
+            & (F.col("supplycost") == F.col("_min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    # product-type-profit shape (adapted: cost side uses
+    # 0.1 * p_retailprice * l_quantity in place of ps_supplycost).
+    # Revenue and cost are separate decimal-exact sums cast to double
+    # before the double subtract/multiply, so both engines agree
+    # bit-for-bit.  Profit per (supplier nation, order year).
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(_rev_expr()).cast("double")
+                - F.sum(_dec("p_retailprice") * _dec("l_quantity")).cast("double")
+                * F.lit(0.1)
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    # important-stock shape (adapted: a part's "stock value" is the
+    # decimal-exact revenue its NATION_3-supplied lineitems produced).
+    # The scalar-subquery fraction threshold is a 1-row broadcast
+    # cross join; per-part and global sums are independently exact,
+    # so the double compare is deterministic cross-engine.
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n7 = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    li_n7 = li.join(F.broadcast(n7), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = li_n7.groupBy("l_partkey").agg(
+        F.sum(_rev_expr()).cast("double").alias("part_value")
+    )
+    total = li_n7.agg(
+        (F.sum(_rev_expr()).cast("double") * F.lit(0.001)).alias("_thresh")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_thresh"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    # shipmode-priority shape (adapted: l_returnflag stands in for
+    # the missing l_shipmode).  Fact-fact join + CASE-conditional
+    # counts, the canonical map-side-combine aggregation.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    # parts/supplier-relationship shape (adapted: supplier exclusion
+    # is s_acctbal < 1000 in place of the comment LIKE; the pair
+    # relation comes from lineitem instead of partsupp).  NOT-IN
+    # subquery becomes a broadcast anti-join; COUNT(DISTINCT) groups
+    # by the part descriptor.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    excluded = supp.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    keep_parts = part.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(keep_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    # potential-promotion shape (adapted: a supplier qualifies when
+    # it shipped > 30% of some red part's total 1996 volume).  The
+    # nested IN-with-correlated-aggregate becomes per-(supp, part)
+    # sums joined to per-part totals, then a semi-join to suppliers.
+    # l_quantity is integer-valued so the double sums are exact.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    li96 = li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    ).join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+    per_sp = li96.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = li96.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    qualifying = (
+        per_sp.join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("supp_qty") > F.lit(0.3) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        asia.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    # waiting-supplier shape (adapted: l_returnflag = 'R' marks the
+    # "failed" lineitem in place of receipt > commit).  The canonical
+    # EXISTS / NOT-EXISTS double self-join over the fact table is
+    # re-founded as ONE per-order aggregate (distinct suppliers,
+    # distinct returning suppliers) — the fact table is scanned once
+    # and never self-joined, which is the 100 TB-safe plan.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    lf = li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = lf.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    waits = (
+        lf.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+    )
+    return (
+        waits.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 def q_dc1_contamination(spark, sf_dir):
     # train/eval 8-gram decontamination: eval set = every 50th doc;
     # eval-gram set broadcast, corpus never self-joins
@@ -2737,6 +2969,133 @@ def oracle_queries() -> dict[str, str]:
                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
               )
             GROUP BY c_nationkey
+        """,
+        "tpch_q2": """
+            WITH eur AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            cost AS (
+              SELECT l_partkey, s_name, s_acctbal, n_name,
+                     min(l_extendedprice / l_quantity) AS supplycost
+              FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+              GROUP BY l_partkey, s_name, s_acctbal, n_name
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+            FROM part JOIN cost ON p_partkey = l_partkey
+            WHERE p_size = 15 AND p_type LIKE 'S%'
+              AND supplycost = (
+                SELECT min(c2.supplycost) FROM cost c2
+                WHERE c2.l_partkey = p_partkey
+              )
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   year(CAST(o_orderdate AS DATE)) AS o_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE)
+                   - CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.1
+                     AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(CAST(o_orderdate AS DATE))
+        """,
+        "tpch_q11": """
+            WITH li_n7 AS (
+              SELECT l_partkey,
+                     CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS amt
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+            )
+            SELECT l_partkey, CAST(sum(amt) AS DOUBLE) AS part_value
+            FROM li_n7
+            GROUP BY l_partkey
+            HAVING CAST(sum(amt) AS DOUBLE)
+                   > (SELECT CAST(sum(amt) AS DOUBLE) * 0.001 FROM li_n7)
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag AS ship_class,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag IN ('A', 'R')
+              AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+              )
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q20": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%red%'
+                  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 0.3 * (
+                  SELECT sum(l2.l_quantity) FROM lineitem l2 JOIN part p2
+                    ON l2.l_partkey = p2.p_partkey
+                  WHERE l2.l_partkey = lineitem.l_partkey
+                    AND p2.p_name LIKE '%red%'
+                    AND CAST(l2.l_shipdate AS DATE) >= DATE '1996-01-01'
+                    AND CAST(l2.l_shipdate AS DATE) < DATE '1997-01-01'
+                )
+              )
+            ORDER BY s_name
+        """,
+        "tpch_q21": """
+            SELECT s_name, count(*) AS numwait
+            FROM (
+              SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+              FROM lineitem l1
+              JOIN orders ON o_orderkey = l1.l_orderkey
+              WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+                AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey
+                )
+                AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R'
+                )
+            ) w JOIN supplier ON s_suppkey = w.l_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100
         """,
         "dd6_embed_cosine": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -3920,6 +4279,13 @@ def spark_queries() -> dict[str, QueryFn]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "cube": q_cube,
         "percentiles": q_percentiles,
         "set_ops": q_set_ops,
