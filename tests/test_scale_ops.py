@@ -251,3 +251,37 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for key, val in old.items():
             conf.set(key, val)
+
+
+def test_full_tpch_suite_plans_stay_hash_joined(spark):
+    """The 7 suite-completing adapted TPC-H queries (q2 q9 q11 q12
+    q16 q20 q21) must plan as hash joins — dims broadcast, facts
+    shuffle on keys, and nothing degrades to a per-row nested loop.
+    The one sanctioned nested-loop is q11's 1-row scalar-threshold
+    broadcast cross join."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    for name in ("tpch_q2", "tpch_q9", "tpch_q12", "tpch_q16",
+                 "tpch_q20", "tpch_q21"):
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+    plan11 = qs["tpch_q11"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan11
+    # supplier-nation probe side broadcasts into the lineitem scan
+    assert "BroadcastHashJoin" in plan11
+
+    # q16's NOT-IN exclusion must be a broadcast anti-join
+    plan16 = qs["tpch_q16"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan16
+
+    # q21 aggregates per order instead of EXISTS/NOT-EXISTS double
+    # self-joins: the lineitem relation feeds two aggregates, joined
+    # once on the order key — a bounded number of scans, no theta join
+    plan21 = qs["tpch_q21"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan21 and "Cartesian" not in plan21
