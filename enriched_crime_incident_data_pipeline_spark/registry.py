@@ -1829,9 +1829,12 @@ def q_tpch_q9(spark, sf_dir):
 def q_tpch_q11(spark, sf_dir):
     # important-stock shape (adapted: a part's "stock value" is the
     # decimal-exact revenue its NATION_3-supplied lineitems produced).
-    # The scalar-subquery fraction threshold is a 1-row broadcast
-    # cross join; per-part and global sums are independently exact,
-    # so the double compare is deterministic cross-engine.
+    # The scalar-subquery threshold is 2x the mean per-part value —
+    # scale-free where the canonical fixed fraction degenerates as
+    # the part count grows (canonical TPC-H scales it by 1/SF for the
+    # same reason).  The threshold is a 1-row broadcast cross join;
+    # per-part and global sums are independently exact, so the double
+    # compare is deterministic cross-engine.
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -1845,7 +1848,11 @@ def q_tpch_q11(spark, sf_dir):
         F.sum(_rev_expr()).cast("double").alias("part_value")
     )
     total = li_n7.agg(
-        (F.sum(_rev_expr()).cast("double") * F.lit(0.001)).alias("_thresh")
+        (
+            F.sum(_rev_expr()).cast("double")
+            * F.lit(2.0)
+            / F.countDistinct("l_partkey")
+        ).alias("_thresh")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -3025,7 +3032,8 @@ def oracle_queries() -> dict[str, str]:
             FROM li_n7
             GROUP BY l_partkey
             HAVING CAST(sum(amt) AS DOUBLE)
-                   > (SELECT CAST(sum(amt) AS DOUBLE) * 0.001 FROM li_n7)
+                   > (SELECT CAST(sum(amt) AS DOUBLE) * 2.0
+                             / count(DISTINCT l_partkey) FROM li_n7)
         """,
         "tpch_q12": """
             SELECT l_returnflag AS ship_class,
