@@ -114,3 +114,28 @@ def test_adapter_pipeline_on_driver_testdata(spark):
     assert health["null_weather"] == 0
     assert health["null_location_rank"] == 0
     assert health["null_side_of_town"] == 0
+
+
+def test_cli_report_and_export(spark, tmp_path, capsys):
+    """python -m enriched_crime_incident_data_pipeline_spark mirrors the
+    reference's two entry points: 9-col TSV report (main.py) and CSV
+    export (temp.py)."""
+    from enriched_crime_incident_data_pipeline_spark.__main__ import main
+    from enriched_crime_incident_data_pipeline_spark.sinks.output import (
+        OUTPUT_COLUMNS,
+    )
+
+    assert main(["report", "--limit", "7"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == OUTPUT_COLUMNS
+    assert len(out) == 1 + 7
+    # every data row has exactly the 9 documented fields
+    assert all(len(line.split("\t")) == len(OUTPUT_COLUMNS) for line in out[1:])
+
+    dest = str(tmp_path / "export_csv")
+    assert main(["export", "--out", dest, "--single-file"]) == 0
+    exported = spark.read.option("header", "true").csv(dest)
+    assert exported.count() == 1000  # sf0.001 events fixture
+    assert {"incident_num", "incident_ts", "weather", "side_of_town"} <= set(
+        exported.columns
+    )
