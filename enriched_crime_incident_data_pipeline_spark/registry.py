@@ -2358,6 +2358,26 @@ def q_udf1_pandas_parity(spark, sf_dir):
     )
 
 
+def q_udtf2_word_offsets(spark, sf_dir):
+    # the table-function extensibility surface (Spark 4 Python UDTF):
+    # one doc row → one row per word with running char offset; output
+    # pinned equal to the relational twin (explode + running-sum
+    # window) — UDTFs are the escape hatch, built-ins the hot path
+    from enriched_crime_incident_data_pipeline_spark.functions.tablefns import (
+        register_word_offsets,
+    )
+
+    register_word_offsets(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 100).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.idx, s.word, s.char_offset
+        FROM _udtf_docs, LATERAL word_offsets(text) s
+        """
+    )
+
+
 def q_scd3_temporal_lookup(spark, sf_dir):
     # point-in-interval dimension lookup: facts equi-join the SCD2
     # version table on the natural key, half-open containment as the
@@ -4097,6 +4117,23 @@ def oracle_queries() -> dict[str, str]:
         "udf1_pandas_parity": f"""
             SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents
         """,
+        "udtf2_word_offsets": """
+            WITH ex AS (
+              SELECT doc_id,
+                     generate_subscripts(parts, 1) - 1 AS idx,
+                     unnest(parts) AS word
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS parts
+                FROM documents WHERE doc_id < 100
+              )
+            )
+            SELECT doc_id, CAST(idx AS INT) AS idx, word,
+                   CAST(coalesce(sum(length(word) + 1) OVER (
+                     PARTITION BY doc_id ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS INT) AS char_offset
+            FROM ex
+        """,
         "scd3_temporal_lookup": """
             WITH dim AS (
               SELECT event_id AS dim_event_id, user_id, ts,
@@ -4349,6 +4386,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
         "scd3_temporal_lookup": q_scd3_temporal_lookup,
         "udf1_pandas_parity": q_udf1_pandas_parity,
+        "udtf2_word_offsets": q_udtf2_word_offsets,
         "mm4_resize_plan": q_mm4_resize_plan,
         "stat2_mad": q_stat2_mad,
         "stat3_mode": q_stat3_mode,

@@ -110,3 +110,47 @@ def test_streaming_cms_merge_equals_batch_sketch(spark, tmp_path):
     assert sorted(map(tuple, est_stream.collect())) == sorted(
         map(tuple, est_batch.collect())
     )
+
+
+def test_udtf_word_offsets_equals_relational_twin(spark):
+    """The Python UDTF (table function) emits exactly what the
+    explode + running-sum-window formulation emits — per-row state in
+    Python is interchangeable with the relational hot path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.functions.tablefns import (
+        register_word_offsets,
+    )
+
+    register_word_offsets(spark)
+    docs = spark.createDataFrame(
+        [(1, "a bb ccc"), (2, "solo"), (3, None), (4, "x  y")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("_udtf_pin_docs")
+    got = spark.sql(
+        "SELECT doc_id, s.idx, s.word, s.char_offset "
+        "FROM _udtf_pin_docs, LATERAL word_offsets(text) s"
+    )
+
+    ex = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("idx", "word")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = ex.withColumn(
+        "char_offset",
+        F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0)).cast("int"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # NULL text yields no rows (UDTF returns early, split of NULL is NULL)
+    assert got.filter("doc_id = 3").count() == 0
+    # consecutive delimiters produce empty words with correct offsets
+    assert [
+        (r["word"], r["char_offset"])
+        for r in got.filter("doc_id = 4").orderBy("idx").collect()
+    ] == [("x", 0), ("", 2), ("y", 3)]
