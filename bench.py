@@ -31,6 +31,9 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q21",
     "asof_join",
     "range_join",
     "tp1_pack",
