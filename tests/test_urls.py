@@ -41,3 +41,48 @@ def test_new_incident_urls_strict_watermark(spark):
     assert [r["report_date"] for r in out.collect()] == [dt.date(2024, 4, 4)]
     # empty DB → everything incident-kind flows through
     assert new_incident_urls(df, None).count() == 2
+
+
+def test_report_pages_python_datasource(spark, tmp_path):
+    """S1 as a first-class Spark source: the Python DataSource scans
+    HTML page snapshots (one partition per file, executor-side href
+    extraction) and feeds the declarative classify/watermark chain."""
+    from enriched_crime_incident_data_pipeline_spark.sources.report_pages import (
+        register_report_pages,
+    )
+
+    page1 = tmp_path / "reports_2024-04.html"
+    page1.write_text(
+        """<html><body>
+        <a href="/sites/default/files/documents/2024-04/2024-04-03_daily_incident_summary.pdf">Apr 3</a>
+        <a class=x HREF='/sites/default/files/documents/2024-04/2024-04-04_daily_incident_summary.pdf'>Apr 4</a>
+        <a href="/sites/default/files/documents/2024-04/2024-04-03_daily_case_summary.pdf">case</a>
+        <a href="/about-us/contact">contact</a>
+        <link href="/styles.css"/>
+        </body></html>"""
+    )
+    page2 = tmp_path / "reports_2024-05.html"
+    page2.write_text(
+        '<a href="/sites/default/files/documents/2024-05/2024-05-01_daily_arrest_summary.pdf">May 1</a>'
+    )
+
+    register_report_pages(spark)
+    pages = (
+        spark.read.format("report_pages")
+        .option("path", str(tmp_path / "reports_*.html"))
+        .load()
+    )
+    # one partition per matched page file
+    assert pages.rdd.getNumPartitions() == 2
+    assert pages.count() == 6  # every href attribute, both quote styles
+
+    classified = classify_report_urls(pages)
+    kinds = {
+        r["report_kind"]
+        for r in classified.filter("report_kind IS NOT NULL").collect()
+    }
+    assert kinds == {"incident", "case", "arrest"}
+
+    # chains into the S2 strict-> watermark cutoff unchanged
+    fresh = new_incident_urls(pages, dt.date(2024, 4, 3))
+    assert [r["report_date"] for r in fresh.collect()] == [dt.date(2024, 4, 4)]
