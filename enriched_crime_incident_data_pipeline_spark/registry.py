@@ -2120,6 +2120,23 @@ def q_wa3_range_frame(spark, sf_dir):
     )
 
 
+def q_wa8_dist_functions(spark, sf_dir):
+    # distribution analytics: percent_rank / cume_dist over the
+    # per-segment balance order — both are exact ratios of integer
+    # rank counts ((r-1)/(n-1), n_le/n), bit-identical cross-engine.
+    # Partitioned by segment: no global single-partition window.
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 def q_wa4_ntile(spark, sf_dir):
     # account-balance quartiles per market segment; deterministic
     # tie-break by custkey
@@ -3886,6 +3903,16 @@ def oracle_queries() -> dict[str, str]:
                         AS INTEGER) AS quartile
             FROM customer
         """,
+        "wa8_dist_functions": """
+            SELECT c_custkey, c_mktsegment,
+                   percent_rank() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey)
+                     AS pct_rank,
+                   cume_dist() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey)
+                     AS cume
+            FROM customer
+        """,
         "wa5_grouping_sets": """
             SELECT l_returnflag, l_linestatus,
                    CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
@@ -4373,6 +4400,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "wa2_rolling": q_wa2_rolling,
         "wa3_range_frame": q_wa3_range_frame,
         "wa4_ntile": q_wa4_ntile,
+        "wa8_dist_functions": q_wa8_dist_functions,
         "wa5_grouping_sets": q_wa5_grouping_sets,
         "wa6_unpivot": q_wa6_unpivot,
         "wa7_semi_join": q_wa7_semi_join,
