@@ -285,3 +285,48 @@ def test_full_tpch_suite_plans_stay_hash_joined(spark):
     # once on the order key — a bounded number of scans, no theta join
     plan21 = qs["tpch_q21"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan21 and "Cartesian" not in plan21
+
+
+def test_dynamic_partition_pruning_on_date_dim_join(spark, tmp_path):
+    """Star-schema runtime pruning: joining the date-partitioned gold
+    table to a FILTERED date dimension must plan a dynamic-pruning
+    subquery on the partition column — at 100 TB the fact scan lists
+    only the dim-selected day directories, decided at runtime, without
+    a literal date predicate in the query."""
+    from enriched_crime_incident_data_pipeline_spark.operators.derive import (
+        to_silver,
+    )
+    from enriched_crime_incident_data_pipeline_spark.plans.events_adapter import (
+        events_as_incidents_raw,
+    )
+
+    silver = to_silver(
+        events_as_incidents_raw(load_table(spark, SF_DIR, "events"))
+    )
+    path = str(tmp_path / "gold_dpp")
+    write_incidents_partitioned(silver, path)
+    gold = read_incidents_partitioned(spark, path)
+
+    dates = [r[0] for r in gold.select("incident_date").distinct().collect()]
+    assert len(dates) >= 3
+    picked = sorted(dates)[:2]
+    # a dim with MORE rows than selected: the selective filter on the
+    # dim side is what makes runtime pruning worthwhile (and is a DPP
+    # precondition); broadcast it so the fact stays the probe side
+    dim = spark.createDataFrame(
+        [(d, "audit") for d in picked]
+        + [(d, "skip") for d in sorted(dates)[2:]],
+        "d date, tag string",
+    ).filter(F.col("tag") == "audit")
+
+    joined = (
+        gold.join(F.broadcast(dim), gold.incident_date == dim.d)
+        .groupBy("tag")
+        .count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    rows = {r["tag"]: r["count"] for r in joined.collect()}
+    expected = gold.filter(F.col("incident_date").isin(picked)).count()
+    assert rows == {"audit": expected} and expected > 0
