@@ -1517,13 +1517,20 @@ def q_tpch_q14(spark, sf_dir):
 
 def q_tpch_q15(spark, sf_dir):
     # top-supplier shape: agg → scalar max → broadcast equality join
-    # back (no global window, no single-partition collapse)
+    # back (no global window, no single-partition collapse).  The
+    # explicit isNotNull on the group key matters: the supplier join
+    # infers it on one consumer of `rev` but not the other, and the
+    # mismatched Filter defeats exchange reuse — with it stated once
+    # here, both consumers canonicalize equal and the lineitem
+    # scan+partial-agg shuffle executes ONCE (ReusedExchange,
+    # asserted in test_scale_ops.py) instead of twice.
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     rev = (
         li.filter(
             (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
             & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev_expr()).cast("double").alias("total_revenue"))

@@ -330,3 +330,16 @@ def test_dynamic_partition_pruning_on_date_dim_join(spark, tmp_path):
     rows = {r["tag"]: r["count"] for r in joined.collect()}
     expected = gold.filter(F.col("incident_date").isin(picked)).count()
     assert rows == {"audit": expected} and expected > 0
+
+
+def test_q15_reuses_revenue_exchange(spark):
+    """`rev` feeds both the scalar max and the equality join-back;
+    the shuffle must execute once (ReusedExchange), not re-scan the
+    fact table per consumer — at 100 TB the difference is a full
+    extra lineitem scan."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    df = registry.spark_queries()["tpch_q15"](spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
