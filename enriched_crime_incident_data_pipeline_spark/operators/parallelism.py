@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to the session default parallelism when the
-    plan's current partitioning is narrower."""
+    plan's current partitioning is narrower. Streaming DataFrames
+    pass through untouched (no ``.rdd`` on streams; micro-batch
+    sizing belongs to the source's ``maxFilesPerTrigger``)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

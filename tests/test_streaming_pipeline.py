@@ -1,0 +1,77 @@
+"""Streaming flagship: incremental file-stream ingest → key-deduped
+date-partitioned gold → batch enrichment view, equal to the batch
+pipeline on the same data (plans/streaming_pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.operators.dedup import dedup_by_key
+from enriched_crime_incident_data_pipeline_spark.operators.derive import to_silver
+from enriched_crime_incident_data_pipeline_spark.plans import (
+    events_as_incidents_raw,
+    synthetic_location_dim,
+    synthetic_weather_hourly,
+)
+from enriched_crime_incident_data_pipeline_spark.enrich.geocode import (
+    with_coordinates,
+)
+from enriched_crime_incident_data_pipeline_spark.plans.pipeline import (
+    enrich_incidents,
+)
+from enriched_crime_incident_data_pipeline_spark.plans.streaming_pipeline import (
+    enriched_view,
+    ingest_silver_to_gold,
+    silver_stream,
+)
+from enriched_crime_incident_data_pipeline_spark.sinks.output import (
+    gold_projection,
+)
+from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_ingest_equals_batch_pipeline(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "arrivals")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave A: first 600 events arrive as one file
+    events.filter(F.col("event_id") < 600).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_ingest():
+        stream = spark.readStream.schema(schema).parquet(src)
+        ingest_silver_to_gold(silver_stream(stream), gold, ckpt)
+
+    run_ingest()
+    assert spark.read.parquet(gold).count() == 600
+
+    # wave B overlaps A by 200 keys — the at-least-once reality the
+    # key dedup (reference's ON CONFLICT) must absorb
+    events.filter(F.col("event_id") >= 400).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_ingest()
+    out = spark.read.parquet(gold)
+    assert out.count() == events.count()  # overlap deduped, nothing lost
+    assert out.select("incident_num").distinct().count() == events.count()
+    # gold is date-partitioned (hive directories)
+    assert out.select("incident_date").distinct().count() > 1
+
+    # the enrichment view over streaming-built gold ≡ the batch DAG
+    dim = synthetic_location_dim(events)
+    batch_silver = dedup_by_key(
+        to_silver(events_as_incidents_raw(events)), "incident_num"
+    )
+    wh = synthetic_weather_hourly(with_coordinates(batch_silver, dim))
+    want = gold_projection(enrich_incidents(batch_silver, dim, wh))
+    got = gold_projection(enriched_view(spark, gold, dim, wh))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
