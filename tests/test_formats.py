@@ -83,30 +83,3 @@ def test_managed_table_catalog_round_trip(spark, tmp_path):
     finally:
         spark.sql("DROP DATABASE IF EXISTS cat_t CASCADE")
 
-
-def test_parquet_schema_evolution_merge(spark, tmp_path):
-    """Schema drift across ingest generations: v1 files lack a column
-    later generations add. ``mergeSchema`` unions the schemas (old
-    rows surface NULL for new columns) — the 100 TB reality where a
-    table's files span years of pipeline versions and a rewrite is
-    not an option."""
-    from pyspark.sql import functions as F
-
-    path = str(tmp_path / "evolving")
-    v1 = spark.createDataFrame(
-        [(1, "THEFT"), (2, "FRAUD")], "incident_id long, nature string"
-    )
-    v1.write.parquet(path + "/gen=1")
-    v2 = spark.createDataFrame(
-        [(3, "BURGLARY", 7)], "incident_id long, nature string, weather int"
-    )
-    v2.write.parquet(path + "/gen=2")
-
-    merged = spark.read.option("mergeSchema", "true").parquet(path)
-    assert set(merged.columns) == {"incident_id", "nature", "weather", "gen"}
-    rows = {r["incident_id"]: r["weather"] for r in merged.collect()}
-    assert rows == {1: None, 2: None, 3: 7}
-
-    # filters on the late-added column still push down and old files
-    # (no such column) contribute nothing rather than erroring
-    assert merged.filter(F.col("weather") == 7).count() == 1
