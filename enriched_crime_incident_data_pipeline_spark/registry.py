@@ -625,6 +625,51 @@ def q_set_ops(spark, sf_dir):
     return without.unionByName(with_orders)
 
 
+def q_set_ops_all(spark, sf_dir):
+    # multiset set-algebra (bag semantics): EXCEPT ALL keeps surplus
+    # multiplicities, INTERSECT ALL keeps min(multiplicity) — the
+    # variant `set_ops`' distinct forms can't express.  Spark plans
+    # both as counted aggregates + generate, never a row-pair join.
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderpriority")
+    y97 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderpriority")
+    surplus = y96.exceptAll(y97).withColumn("bag", F.lit("surplus_96"))
+    common = y96.intersectAll(y97).withColumn("bag", F.lit("common"))
+    return surplus.unionByName(common)
+
+
+def q_j9_nullsafe_join(spark, sf_dir):
+    # null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    # match each other — the equi-join family's missing member (a
+    # plain ON k = k silently drops NULL groups).  Both sides are
+    # aggregated FIRST so the NULL group is one row per side, never a
+    # NULL×NULL cross blow-up; Spark still plans a hash join (the
+    # null-safe condition is a join key wrapped in coalesce/knownnotnull).
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(
+        F.col("value") >= 100, (F.col("user_id") % 10).cast("long")
+    )  # value < 100 → NULL bucket
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(bucket.alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(bucket.alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    return clicks.join(
+        views, clicks["bk"].eqNullSafe(views["bk"]), "inner"
+    ).select(clicks["bk"].alias("bucket"), "n_clicks", "n_views")
+
+
 def q_st3_stream_static_join(spark, sf_dir):
     # stream-static broadcast join: streaming events enriched against
     # a static dimension, then a streaming aggregation
@@ -2866,6 +2911,38 @@ def oracle_queries() -> dict[str, str]:
               INTERSECT SELECT o_custkey FROM orders
             )
         """,
+        "set_ops_all": """
+            WITH y96 AS (
+              SELECT o_orderpriority FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            ),
+            y97 AS (
+              SELECT o_orderpriority FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+            )
+            SELECT o_orderpriority, 'surplus_96' AS bag
+            FROM (SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97)
+            UNION ALL
+            SELECT o_orderpriority, 'common' AS bag
+            FROM (SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97)
+        """,
+        "j9_nullsafe_join": """
+            WITH clicks AS (
+              SELECT CASE WHEN value >= 100 THEN user_id % 10 END AS bk,
+                     count(*) AS n_clicks
+              FROM events WHERE event_type = 'click' GROUP BY 1
+            ),
+            views AS (
+              SELECT CASE WHEN value >= 100 THEN user_id % 10 END AS bk,
+                     count(*) AS n_views
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            )
+            SELECT clicks.bk AS bucket, n_clicks, n_views
+            FROM clicks JOIN views
+              ON clicks.bk IS NOT DISTINCT FROM views.bk
+        """,
         "st3_stream_static_join": """
             SELECT e.event_type,
                    CAST(count(*) * max(d.w) AS BIGINT) AS weighted_n
@@ -4368,6 +4445,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "cube": q_cube,
         "percentiles": q_percentiles,
         "set_ops": q_set_ops,
+        "set_ops_all": q_set_ops_all,
+        "j9_nullsafe_join": q_j9_nullsafe_join,
         "st3_stream_static_join": q_st3_stream_static_join,
         "mm3_frame_sample": q_mm3_frame_sample,
         "json_extract": q_json_extract,
