@@ -129,6 +129,69 @@ def ivf_topk_neighbors(
     return _ranked_topk(scored, k)
 
 
+def _rademacher_plane(plane: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane coefficients from md5 — the same
+    formula any engine can reproduce (DuckDB twin:
+    ``('0x' || substr(md5('hp{j}:{d}'), 1, 8))::BIGINT % 2``)."""
+    import hashlib
+
+    return [
+        1
+        if int(hashlib.md5(f"hp{plane}:{d}".encode()).hexdigest()[:8], 16) % 2
+        == 0
+        else -1
+        for d in range(dim)
+    ]
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection LSH (SimHash for embeddings): a
+    ``n_planes``-bit signature per vector; cosine-similar vectors
+    agree on most bits, so equal signatures are near-duplicate /
+    ANN candidate buckets — the 100 TB path where the quadratic
+    all-pairs cosine is replaced by an equi-join on ``sig``.
+
+    Engine-exact by construction: components are quantized
+    ``floor(x·10⁶)`` to integers first, hyperplanes are md5-derived
+    Rademacher (±1) vectors, so every projection is an integer sum —
+    no float accumulation order anywhere. The signature pass is
+    map-only (array expressions, no shuffle); the one shuffle is the
+    final bucket-size count by ``sig``.
+
+    Returns ``(vec_id, sig, bucket_size)``.
+    """
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    sig = None
+    for j in range(n_planes):
+        coefs = F.array(
+            *[F.lit(c) for c in _rademacher_plane(j, dim)]
+        ).cast("array<long>")
+        proj = F.aggregate(
+            F.zip_with(quant, coefs, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig + term
+    signed = embeddings.select(F.col(id_col), sig.alias("sig"))
+    w = Window.partitionBy("sig")
+    return signed.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(w)
+    )
+
+
 def train_kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,

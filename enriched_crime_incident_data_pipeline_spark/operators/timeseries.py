@@ -56,6 +56,81 @@ def gapfill_daily(
     return out
 
 
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_us_col: str,
+    end_us_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching ``[start, end)`` intervals per key
+    (gaps-and-islands) and report per-key island count and total
+    covered span.
+
+    Times are integer microseconds (``unix_micros``) so the span
+    arithmetic is exact in any engine. An interval starts a new
+    island iff its start exceeds the running max end of every earlier
+    interval of the key; island id is the running count of such
+    starts. Both windows and the island aggregation share one hash
+    partitioning by key — a single shuffle end-to-end, parallel
+    across keys at any scale.
+
+    Returns one row per key: ``n_islands``,
+    ``covered_us = Σ_islands (max end − min start)``.
+    """
+    keys = list(key_cols)
+    order = Window.partitionBy(*keys).orderBy(start_us_col, end_us_col)
+    prev_max_end = F.max(F.col(end_us_col)).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull()
+            | (F.col(start_us_col) > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy(*keys, "_island").agg(
+        F.min(start_us_col).alias("_s"), F.max(end_us_col).alias("_e")
+    )
+    return islands.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s")).alias("covered_us"),
+    )
+
+
+def cumulative_distinct_daily(
+    df: DataFrame, id_col: str, ts_col: str
+) -> DataFrame:
+    """Running distinct-entity count per day: each entity counts on
+    its first-seen day, then forever after.
+
+    Distinct-per-prefix is re-founded as first-seen aggregation —
+    ``min(day) per entity`` (one map-side-combinable shuffle by
+    entity) → daily new-entity counts (shuffle by day) → a running
+    sum over the *day* relation only. The ordered window touches one
+    row per day, never the fact table, so there is no global
+    single-partition pass over data that grows with volume.
+
+    Returns ``(day, new_entities, cumulative_entities)``.
+    """
+    first_seen = df.groupBy(id_col).agg(
+        F.min(F.to_date(ts_col)).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_entities")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "cumulative_entities", F.sum("new_entities").over(w)
+    )
+
+
 def forward_fill(
     df: DataFrame,
     key_cols: Sequence[str],

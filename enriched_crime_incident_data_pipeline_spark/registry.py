@@ -2614,6 +2614,171 @@ def q_wa7_semi_join(spark, sf_dir):
     )
 
 
+def q_cdc1_upsert_merge(spark, sf_dir):
+    # changelog → current-state fold (latest-wins upsert + delete
+    # tombstones): the reference's in-place UPDATE / ON CONFLICT
+    # maintenance lifted to a single max_by aggregation — map-side
+    # combinable, one shuffle, no per-key window over raw history
+    from enriched_crime_incident_data_pipeline_spark.operators.cdc import (
+        latest_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = latest_state(
+        ev,
+        key_cols=["user_id"],
+        version_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+        is_delete=F.col("event_type") == "error",
+    )
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        "n_changes",
+    )
+
+
+def q_ts3_interval_merge(spark, sf_dir):
+    # gaps-and-islands: coalesce overlapping per-user activity
+    # intervals [ts, ts+30min) and measure covered time — exact
+    # integer-microsecond arithmetic, one hash shuffle by user
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1800000000).cast("long")).alias("e"),
+    )
+    return coalesce_intervals(iv, ["user_id"], "s", "e")
+
+
+def q_ts4_cumulative_distinct(spark, sf_dir):
+    # running distinct users per day, re-founded as first-seen
+    # aggregation; the ordered window runs over the day relation only
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        cumulative_distinct_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulative_distinct_daily(ev, "user_id", "ts")
+
+
+def q_seq1_transitions(spark, sf_dir):
+    # event-type transition matrix: lag over (user, time) order, then
+    # pair counts — the Markov-chain / user-journey building block
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_seq2_cooccurrence(spark, sf_dir):
+    # market-basket pair co-occurrence: parts ordered together.  The
+    # self-join key is the order id, so fan-out is bounded by max
+    # basket size (≤7 lines) — pairs-per-order is O(1), never a
+    # cross join; top-k by a deterministic (count, p1, p2) order
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    counts = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return counts.orderBy(F.desc("n_orders"), "p1", "p2").limit(50)
+
+
+def q_dq1_constraint_audit(spark, sf_dir):
+    # data-quality audit: the constraint surface a schemaless lake
+    # loses vs the reference's Postgres DDL (PK uniqueness, NOT NULL,
+    # FK integrity, CHECK ranges — src/db/schema.py:10-26) recast as
+    # violation-count queries.  Each check is a pruned single-purpose
+    # scan (pushdown filter + column pruning); the FK checks are hash
+    # joins on the key
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def named(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    pk_dup = named(
+        "orders_pk_dup",
+        orders.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                "violations"
+            )
+        ),
+    )
+    null_cust = named(
+        "orders_null_cust",
+        orders.filter(F.col("o_custkey").isNull()).agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+    )
+    qty_range = named(
+        "li_qty_range",
+        li.filter(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    disc_range = named(
+        "li_discount_range",
+        li.filter(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    orphan = named(
+        "li_orphan",
+        li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    ship_before = named(
+        "li_ship_before_order",
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.to_date("l_shipdate") < F.to_date("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("violations")),
+    )
+    return (
+        pk_dup.unionByName(null_cust)
+        .unionByName(qty_range)
+        .unionByName(disc_range)
+        .unionByName(orphan)
+        .unionByName(ship_before)
+    )
+
+
+def q_ss4_hyperplane_lsh(spark, sf_dir):
+    # signed-random-projection LSH over embeddings: md5-derived ±1
+    # hyperplanes on floor-quantized integer components — an
+    # engine-exact 16-bit bucket signature; map-only except the
+    # bucket-size count
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        hyperplane_signatures,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_signatures(emb, n_planes=16, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — generated alongside, same constants
 # ---------------------------------------------------------------------------
@@ -2910,6 +3075,137 @@ def oracle_queries() -> dict[str, str]:
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
               INTERSECT SELECT o_custkey FROM orders
             )
+        """,
+        "cdc1_upsert_merge": """
+            WITH ranked AS (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n_changes
+              FROM events
+            )
+            SELECT user_id, event_type AS last_type, value AS last_value,
+                   n_changes
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "ts3_interval_merge": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, s, e,
+                CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                     THEN 1 ELSE 0 END AS new_island
+              FROM iv
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                sum(new_island) OVER (
+                  PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS island
+              FROM flagged
+            ),
+            islands AS (
+              SELECT user_id, island, min(s) AS s0, max(e) AS e1
+              FROM isl GROUP BY user_id, island
+            )
+            SELECT user_id, count(*) AS n_islands,
+                   CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+            FROM islands GROUP BY user_id
+        """,
+        "ts4_cumulative_distinct": """
+            WITH fs AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS day
+              FROM events GROUP BY user_id
+            ),
+            daily AS (
+              SELECT day, count(*) AS new_entities FROM fs GROUP BY day
+            )
+            SELECT day, new_entities,
+                   CAST(sum(new_entities) OVER (
+                     ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cumulative_entities
+            FROM daily
+        """,
+        "seq1_transitions": """
+            WITH seqd AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seqd WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "seq2_cooccurrence": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   count(*) AS n_orders
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, p1, p2
+            LIMIT 50
+        """,
+        "dq1_constraint_audit": """
+            SELECT 'orders_pk_dup' AS check_name,
+                   count(*) - count(DISTINCT o_orderkey) AS violations
+            FROM orders
+            UNION ALL
+            SELECT 'orders_null_cust', count(*) FROM orders
+            WHERE o_custkey IS NULL
+            UNION ALL
+            SELECT 'li_qty_range', count(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50
+            UNION ALL
+            SELECT 'li_discount_range', count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1
+            UNION ALL
+            SELECT 'li_orphan', count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            UNION ALL
+            SELECT 'li_ship_before_order', count(*)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)
+        """,
+        "ss4_hyperplane_lsh": """
+            WITH comp AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS d,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS qx
+              FROM embeddings
+            ),
+            proj AS (
+              SELECT c.vec_id, p.j,
+                     sum(c.qx * (CASE WHEN
+                       ('0x' || substr(md5('hp' || p.j || ':' || c.d), 1, 8))::BIGINT
+                       % 2 = 0 THEN 1 ELSE -1 END)) AS s
+              FROM comp c
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) p
+              GROUP BY 1, 2
+            ),
+            sigs AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j)
+                              ELSE 0 END) AS BIGINT) AS sig
+              FROM proj GROUP BY vec_id
+            )
+            SELECT vec_id, sig,
+                   count(*) OVER (PARTITION BY sig) AS bucket_size
+            FROM sigs
         """,
         "set_ops_all": """
             WITH y96 AS (
@@ -4447,6 +4743,13 @@ def spark_queries() -> dict[str, QueryFn]:
         "set_ops": q_set_ops,
         "set_ops_all": q_set_ops_all,
         "j9_nullsafe_join": q_j9_nullsafe_join,
+        "cdc1_upsert_merge": q_cdc1_upsert_merge,
+        "ts3_interval_merge": q_ts3_interval_merge,
+        "ts4_cumulative_distinct": q_ts4_cumulative_distinct,
+        "seq1_transitions": q_seq1_transitions,
+        "seq2_cooccurrence": q_seq2_cooccurrence,
+        "dq1_constraint_audit": q_dq1_constraint_audit,
+        "ss4_hyperplane_lsh": q_ss4_hyperplane_lsh,
         "st3_stream_static_join": q_st3_stream_static_join,
         "mm3_frame_sample": q_mm3_frame_sample,
         "json_extract": q_json_extract,

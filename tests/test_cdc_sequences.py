@@ -1,0 +1,169 @@
+"""Semantic pins for the changelog/sequence operator family:
+latest-wins CDC fold, interval coalescing, cumulative distinct,
+hyperplane-LSH signatures, and the constraint audit."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+    _rademacher_plane,
+    hyperplane_signatures,
+)
+from enriched_crime_incident_data_pipeline_spark.operators.cdc import latest_state
+from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+    coalesce_intervals,
+    cumulative_distinct_daily,
+)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_latest_state_latest_wins_and_tombstones(spark):
+    rows = [
+        # key 1: upsert then delete → dropped entirely
+        (1, _ts(0), 0, "upsert", 1.0),
+        (1, _ts(1), 1, "delete", 0.0),
+        # key 2: delete then upsert → survives with last payload
+        (2, _ts(0), 2, "delete", 0.0),
+        (2, _ts(5), 3, "upsert", 7.5),
+        # key 3: same ts, event_id breaks the tie → id 5 wins
+        (3, _ts(2), 4, "upsert", 1.0),
+        (3, _ts(2), 5, "upsert", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, event_id int, op string, v double"
+    )
+    out = {
+        r["k"]: (r["op"], r["v"], r["n_changes"])
+        for r in latest_state(
+            df,
+            key_cols=["k"],
+            version_cols=["ts", "event_id"],
+            payload_cols=["op", "v"],
+            is_delete=F.col("op") == "delete",
+        ).collect()
+    }
+    assert 1 not in out  # tombstone wins
+    assert out[2] == ("upsert", 7.5, 2)  # resurrection after delete
+    assert out[3] == ("upsert", 2.0, 2)  # event_id tiebreak
+
+
+def test_coalesce_intervals_islands_and_span(spark):
+    # key 1: [0,10) [5,15) overlap → one island [0,15); [20,30) apart
+    # key 2: [0,10) [10,20) touch at the boundary (10 > 10 false) →
+    # merged: containment [0,100) ∪ [1,2) → one island of 100
+    rows = [
+        (1, 0, 10),
+        (1, 5, 15),
+        (1, 20, 30),
+        (2, 0, 10),
+        (2, 10, 20),
+        (3, 0, 100),
+        (3, 1, 2),
+    ]
+    df = spark.createDataFrame(rows, "k int, s long, e long")
+    out = {
+        r["k"]: (r["n_islands"], r["covered_us"])
+        for r in coalesce_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert out[1] == (2, 25)  # 15 + 10
+    assert out[2] == (1, 20)  # touching intervals merge
+    assert out[3] == (1, 100)  # contained interval adds nothing
+
+
+def test_cumulative_distinct_counts_first_seen_only(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9)),
+        (1, dt.datetime(2024, 1, 2, 9)),  # repeat user: not new on d2
+        (2, dt.datetime(2024, 1, 2, 9)),
+        (3, dt.datetime(2024, 1, 2, 10)),
+        (3, dt.datetime(2024, 1, 4, 10)),
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts timestamp")
+    out = {
+        str(r["day"]): (r["new_entities"], r["cumulative_entities"])
+        for r in cumulative_distinct_daily(df, "uid", "ts").collect()
+    }
+    assert out["2024-01-01"] == (1, 1)
+    assert out["2024-01-02"] == (2, 3)
+    assert "2024-01-04" not in out  # user 3 already counted
+
+
+def test_hyperplane_signature_matches_python_reference(spark):
+    # pin the full signature computation against a pure-Python fold
+    vecs = [(0, [0.5, -1.25, 3.0, 0.0]), (1, [-0.1, 0.2, -0.3, 0.4])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["sig"]
+        for r in hyperplane_signatures(df, n_planes=4, dim=4).collect()
+    }
+    import math
+
+    for vid, v in vecs:
+        q = [math.floor(float(x) * 1e6) for x in v]
+        sig = 0
+        for j in range(4):
+            c = _rademacher_plane(j, 4)
+            if sum(a * b for a, b in zip(q, c)) >= 0:
+                sig |= 1 << j
+        assert out[vid] == sig, f"vec {vid}"
+
+
+def test_hyperplane_identical_vectors_share_bucket(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0]), (2, [-1.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = hyperplane_signatures(df, n_planes=8, dim=2).collect()
+    sig = {r["vec_id"]: r["sig"] for r in rows}
+    size = {r["vec_id"]: r["bucket_size"] for r in rows}
+    assert sig[0] == sig[1] and size[0] == 2
+    # antipodal vector flips every projection with a nonzero sum
+    assert sig[2] != sig[0]
+
+
+def test_constraint_audit_counts_injected_violations(spark, tmp_path):
+    # build a tiny lake with one violation of each class
+    orders = spark.createDataFrame(
+        [
+            (1, 10, dt.datetime(2024, 1, 5)),
+            (1, 11, dt.datetime(2024, 1, 5)),  # duplicate PK
+            (2, None, dt.datetime(2024, 1, 6)),  # NULL FK
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 5.0, 0.05, dt.datetime(2024, 1, 7)),
+            (1, 99.0, 0.05, dt.datetime(2024, 1, 7)),  # qty out of range
+            (1, 5.0, 1.5, dt.datetime(2024, 1, 7)),  # discount out of range
+            (7, 5.0, 0.05, dt.datetime(2024, 1, 7)),  # orphan order key
+            (2, 5.0, 0.05, dt.datetime(2024, 1, 1)),  # shipped before order
+        ],
+        "l_orderkey long, l_quantity double, l_discount double,"
+        " l_shipdate timestamp",
+    )
+    sf = str(tmp_path)
+    orders.write.parquet(f"{sf}/orders.parquet")
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        q_dq1_constraint_audit,
+    )
+
+    out = {
+        r["check_name"]: r["violations"]
+        for r in q_dq1_constraint_audit(spark, sf).collect()
+    }
+    assert out == {
+        "orders_pk_dup": 1,
+        "orders_null_cust": 1,
+        "li_qty_range": 1,
+        "li_discount_range": 1,
+        "li_orphan": 1,
+        "li_ship_before_order": 1,
+    }
