@@ -192,6 +192,71 @@ def hyperplane_signatures(
     )
 
 
+def hyperplane_near_dup_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    band_bits: int = 8,
+    max_hamming: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate candidate pairs from hyperplane signatures via
+    banded LSH: pairs agreeing exactly on ≥1 signature band, kept if
+    their full-signature Hamming distance ≤ ``max_hamming``.
+
+    The pigeonhole guarantee: with ``n_planes/band_bits`` bands, any
+    pair within Hamming distance ``n_bands − 1`` shares a band, so
+    recall is exact up to that distance and approximate beyond — the
+    standard LSH contract. The join key is ``(band_idx, band_val)``
+    (an equi-join on small ints); the corpus is never self-joined on
+    anything wider, so candidate volume is governed by bucket sizes,
+    not n². Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``,
+    each pair once.
+    """
+    sigs = hyperplane_signatures(
+        embeddings, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "sig")
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("sig", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "sig", "_b.band_idx", "_b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def train_kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,

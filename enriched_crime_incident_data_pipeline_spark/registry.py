@@ -2779,9 +2779,83 @@ def q_ss4_hyperplane_lsh(spark, sf_dir):
     return hyperplane_signatures(emb, n_planes=16, dim=64)
 
 
+def q_ss5_lsh_near_dup(spark, sf_dir):
+    # banded LSH over the hyperplane signatures: candidate pairs share
+    # a band (equi-join on small ints), verified by bit_count Hamming —
+    # the end of the embedding near-dup scale path (never an n² join)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        hyperplane_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_near_dup_pairs(
+        emb, n_planes=16, dim=64, band_bits=8, max_hamming=4
+    )
+
+
+def q_stat5_winsorize(spark, sf_dir):
+    # winsorized (clamped-tail) mean per group: exact-percentile
+    # bounds broadcast back onto the fact rows; the clamped sum is
+    # decimal-exact (double→decimal(18,6) has no rounding ties — a
+    # decimal tie needs a 5^k denominator no binary double can have)
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    joined = li.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.first("p05").alias("p05"),
+        F.first("p95").alias("p95"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low"),
+        F.sum(
+            F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high"),
+        (
+            F.sum(clamped.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — generated alongside, same constants
 # ---------------------------------------------------------------------------
+
+# hyperplane-LSH signature pipeline (mirrors
+# datapipe/similarity.py:hyperplane_signatures — same md5 Rademacher
+# planes, same floor(x·10⁶) quantization)
+_HYPERPLANE_SIGS_CTE = """comp AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS d,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS qx
+              FROM embeddings
+            ),
+            proj AS (
+              SELECT c.vec_id, p.j,
+                     sum(c.qx * (CASE WHEN
+                       ('0x' || substr(md5('hp' || p.j || ':' || c.d), 1, 8))::BIGINT
+                       % 2 = 0 THEN 1 ELSE -1 END)) AS s
+              FROM comp c
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) p
+              GROUP BY 1, 2
+            ),
+            sigs AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j)
+                              ELSE 0 END) AS BIGINT) AS sig
+              FROM proj GROUP BY vec_id
+            )"""
 
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _TOKENS = f"string_split_regex({_NORM}, ' +')"
@@ -3180,32 +3254,45 @@ def oracle_queries() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)
         """,
-        "ss4_hyperplane_lsh": """
-            WITH comp AS (
-              SELECT vec_id,
-                     generate_subscripts(embedding, 1) - 1 AS d,
-                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                          * 1000000.0) AS BIGINT) AS qx
-              FROM embeddings
-            ),
-            proj AS (
-              SELECT c.vec_id, p.j,
-                     sum(c.qx * (CASE WHEN
-                       ('0x' || substr(md5('hp' || p.j || ':' || c.d), 1, 8))::BIGINT
-                       % 2 = 0 THEN 1 ELSE -1 END)) AS s
-              FROM comp c
-              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) p
-              GROUP BY 1, 2
-            ),
-            sigs AS (
-              SELECT vec_id,
-                     CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j)
-                              ELSE 0 END) AS BIGINT) AS sig
-              FROM proj GROUP BY vec_id
-            )
+        "ss4_hyperplane_lsh": f"""
+            WITH {_HYPERPLANE_SIGS_CTE}
             SELECT vec_id, sig,
                    count(*) OVER (PARTITION BY sig) AS bucket_size
             FROM sigs
+        """,
+        "ss5_lsh_near_dup": f"""
+            WITH {_HYPERPLANE_SIGS_CTE},
+            bands AS (
+              SELECT vec_id, sig, 0 AS band_idx, sig & 255 AS band_val
+              FROM sigs
+              UNION ALL
+              SELECT vec_id, sig, 1, (sig >> 8) & 255 FROM sigs
+            )
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.vec_id < b.vec_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        """,
+        "stat5_winsorize": """
+            WITH bounds AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.05) AS p05,
+                     quantile_cont(l_extendedprice, 0.95) AS p95
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag,
+                   max(p05) AS p05, max(p95) AS p95,
+                   CAST(sum(CASE WHEN l_extendedprice < p05
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN l_extendedprice > p95
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(sum(CAST(least(greatest(l_extendedprice, p05), p95)
+                            AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                     AS winsorized_mean
+            FROM lineitem l JOIN bounds b USING (l_returnflag)
+            GROUP BY l.l_returnflag
         """,
         "set_ops_all": """
             WITH y96 AS (
@@ -4750,6 +4837,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "seq2_cooccurrence": q_seq2_cooccurrence,
         "dq1_constraint_audit": q_dq1_constraint_audit,
         "ss4_hyperplane_lsh": q_ss4_hyperplane_lsh,
+        "ss5_lsh_near_dup": q_ss5_lsh_near_dup,
+        "stat5_winsorize": q_stat5_winsorize,
         "st3_stream_static_join": q_st3_stream_static_join,
         "mm3_frame_sample": q_mm3_frame_sample,
         "json_extract": q_json_extract,

@@ -127,6 +127,56 @@ def test_hyperplane_identical_vectors_share_bucket(spark):
     assert sig[2] != sig[0]
 
 
+def test_banded_pairs_catch_hamming_one_pigeonhole(spark):
+    # identical vectors → Hamming 0; a vector scaled by a positive
+    # constant keeps every projection sign → still Hamming 0 and the
+    # pair MUST be found (2 bands guarantee recall at Hamming ≤ 1);
+    # the antipodal vector flips all bits → no shared band, excluded
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        hyperplane_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, -3.0, 0.5]),
+            (1, [2.0, 4.0, -6.0, 1.0]),  # same direction
+            (2, [-1.0, -2.0, 3.0, -0.5]),  # antipodal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hyperplane_near_dup_pairs(
+            df, n_planes=16, dim=4, band_bits=8, max_hamming=4
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_winsorize_clamps_only_tails(spark, tmp_path):
+    # 1..20 with p05/p95 interpolated bounds: the mean of clamped
+    # values moves toward the center, extremes count as clamped
+    rows = [("A", float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/lineitem.parquet")
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        q_stat5_winsorize,
+    )
+
+    out = q_stat5_winsorize(spark, sf).collect()[0]
+    import pytest as _pt
+
+    # linear interpolation at fractional positions 0.95 / 18.05
+    # (cross-engine bit-equality is the selfcheck's job; here pin value)
+    assert out["p05"] == _pt.approx(1.95, abs=1e-9)
+    assert out["p95"] == _pt.approx(19.05, abs=1e-9)
+    assert out["n_low"] == 1 and out["n_high"] == 1
+    # sum = 1.95 + sum(2..19) + 19.05 = 210.0 - 1 - 20 + 1.95 + 19.05
+    assert out["winsorized_mean"] == 210.0 / 20
+
+
 def test_constraint_audit_counts_injected_violations(spark, tmp_path):
     # build a tiny lake with one violation of each class
     orders = spark.createDataFrame(
