@@ -343,3 +343,54 @@ def test_q15_reuses_revenue_exchange(spark):
     df.collect()  # AQE finalizes reuse at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_changelog_and_lsh_family_plan_shapes(spark):
+    """Scale invariants for the changelog/sequence/LSH family:
+    single-shuffle folds stay single-shuffle, band joins never
+    degrade to cartesian, and the one-row audit aggregates are the
+    only single-partition exchanges."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    def shape(name):
+        qe = qs[name](spark, sf)._jdf.queryExecution()
+        return qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    import re
+
+    # CDC fold: exactly one exchange (hash by key), no join, and the
+    # max_by must pre-aggregate map-side (partial_max_by before it)
+    p = shape("cdc1_upsert_merge")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1500]
+    assert "partial_max_by" in p
+    assert "Join" not in p
+
+    # interval coalescing: both windows + island agg share ONE hash
+    # partitioning by key
+    p = shape("ts3_interval_merge")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1500]
+
+    # hyperplane signatures: map-only except the bucket-size count
+    p = shape("ss4_hyperplane_lsh")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:1500]
+    assert "Join" not in p
+
+    # banded pairs / basket pairs: equi-joins only — a cartesian or
+    # nested loop here is the n² failure the banding exists to avoid
+    for name in ("ss5_lsh_near_dup", "seq2_cooccurrence"):
+        p = shape(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    # audit: single-partition exchanges only for the 1-row check
+    # totals; every lineitem/orders scan pushes its filter
+    p = shape("dq1_constraint_audit")
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) <= 1
+    assert len(re.findall(r"PushedFilters: \[[^\]]", p)) >= 4
