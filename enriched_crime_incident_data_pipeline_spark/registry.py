@@ -2827,6 +2827,97 @@ def q_stat5_winsorize(spark, sf_dir):
     )
 
 
+def q_attr1_last_touch(spark, sf_dir):
+    # last-touch attribution: each purchase credits the user's most
+    # recent STRICTLY-preceding click — a per-key as-of lookup as one
+    # ignorenulls window (single hash shuffle by user; latency in
+    # exact integer microseconds)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros("ts")
+    )
+    attributed = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("_us"),
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_us, ignorenulls=True).over(w).alias("_click_us"),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "click_id",
+        (F.col("_us") - F.col("_click_us")).alias("latency_us"),
+    )
+
+
+def q_dq2_profile(spark, sf_dir):
+    # single-pass column profiling (null + exact distinct counts per
+    # column): the multi-distinct aggregate plans as ONE expand +
+    # aggregate — one shuffle for the whole profile, not one per column
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn{i}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd{i}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn{i}, nd{i}" for i, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (column_name, n_nulls, n_distinct)"
+    )
+
+
+def q_hist2_equidepth(spark, sf_dir):
+    # equi-depth (decile) histogram WITHOUT a global sort: exact
+    # percentile boundaries (1 row) broadcast back; bucket assignment
+    # is a map-only fold over the boundary array
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")
+    )
+    joined = li.select("l_extendedprice").crossJoin(F.broadcast(bounds))
+    bucket = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(F.col("l_extendedprice") > x, 1).otherwise(0),
+    )
+    return (
+        joined.select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — generated alongside, same constants
 # ---------------------------------------------------------------------------
@@ -3274,6 +3365,60 @@ def oracle_queries() -> dict[str, str]:
               ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.vec_id < b.vec_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        """,
+        "attr1_last_touch": """
+            WITH marked AS (
+              SELECT user_id, event_id, event_type,
+                     epoch_us(ts) AS us,
+                     last_value(CASE WHEN event_type = 'click'
+                                THEN event_id END IGNORE NULLS) OVER w
+                       AS click_id,
+                     last_value(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END IGNORE NULLS) OVER w
+                       AS click_us
+              FROM events
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+            )
+            SELECT user_id, event_id AS purchase_id, click_id,
+                   us - click_us AS latency_us
+            FROM marked WHERE event_type = 'purchase'
+        """,
+        "dq2_profile": """
+            SELECT 'o_orderkey' AS column_name,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority) FROM orders
+        """,
+        "hist2_equidepth": """
+            WITH bounds AS (
+              SELECT quantile_cont(l_extendedprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+              FROM lineitem
+            )
+            SELECT len(list_filter(bs, x -> l_extendedprice > x))
+                     AS bucket,
+                   count(*) AS n,
+                   min(l_extendedprice) AS lo,
+                   max(l_extendedprice) AS hi
+            FROM lineitem CROSS JOIN bounds
+            GROUP BY 1
         """,
         "stat5_winsorize": """
             WITH bounds AS (
@@ -4839,6 +4984,9 @@ def spark_queries() -> dict[str, QueryFn]:
         "ss4_hyperplane_lsh": q_ss4_hyperplane_lsh,
         "ss5_lsh_near_dup": q_ss5_lsh_near_dup,
         "stat5_winsorize": q_stat5_winsorize,
+        "attr1_last_touch": q_attr1_last_touch,
+        "dq2_profile": q_dq2_profile,
+        "hist2_equidepth": q_hist2_equidepth,
         "st3_stream_static_join": q_st3_stream_static_join,
         "mm3_frame_sample": q_mm3_frame_sample,
         "json_extract": q_json_extract,

@@ -217,3 +217,82 @@ def test_constraint_audit_counts_injected_violations(spark, tmp_path):
         "li_orphan": 1,
         "li_ship_before_order": 1,
     }
+
+
+def test_last_touch_attribution_strictly_preceding(spark, tmp_path):
+    ns = 1_000_000_000
+    rows = [
+        # user 1: click@10s, view@20s, purchase@30s → credits click 100
+        (1, 100, "click", 10 * ns),
+        (1, 101, "view", 20 * ns),
+        (1, 102, "purchase", 30 * ns),
+        # purchase@40s still credits click 100 (no newer click)
+        (1, 103, "purchase", 40 * ns),
+        # user 2: purchase BEFORE any click → NULL attribution
+        (2, 200, "purchase", 10 * ns),
+        (2, 201, "click", 20 * ns),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        q_attr1_last_touch,
+    )
+
+    out = {
+        r["purchase_id"]: (r["click_id"], r["latency_us"])
+        for r in q_attr1_last_touch(spark, sf).collect()
+    }
+    assert out[102] == (100, 20_000_000)
+    assert out[103] == (100, 30_000_000)
+    assert out[200] == (None, None)
+
+
+def test_profile_counts_nulls_and_distincts(spark, tmp_path):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, None, "O", 5.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (3, 11, "F", None, dt.datetime(2024, 1, 2), "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = str(tmp_path)
+    orders.write.parquet(f"{sf}/orders.parquet")
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        q_dq2_profile,
+    )
+
+    out = {
+        r["column_name"]: (r["n_nulls"], r["n_distinct"])
+        for r in q_dq2_profile(spark, sf).collect()
+    }
+    assert out["o_orderkey"] == (0, 3)
+    assert out["o_custkey"] == (1, 2)
+    assert out["o_totalprice"] == (1, 1)
+    assert out["o_orderpriority"] == (0, 2)
+
+
+def test_equidepth_histogram_uniform_buckets(spark, tmp_path):
+    li = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "l_extendedprice double"
+    )
+    sf = str(tmp_path)
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        q_hist2_equidepth,
+    )
+
+    rows = {
+        r["bucket"]: (r["n"], r["lo"], r["hi"])
+        for r in q_hist2_equidepth(spark, sf).collect()
+    }
+    assert len(rows) == 10
+    assert all(n == 10 for n, _, _ in rows.values())
+    assert rows[0] == (10, 1.0, 10.0)
+    assert rows[9] == (10, 91.0, 100.0)
