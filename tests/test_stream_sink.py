@@ -73,3 +73,95 @@ def test_foreachbatch_upsert_exactly_once(spark, tmp_path):
 
     run_no_ckpt()
     assert spark.read.parquet(gold).count() == n_expected
+
+
+def test_cdc_state_sink_converges_to_batch_fold(spark, tmp_path):
+    """CDC state maintenance: three changelog waves streamed one file
+    per micro-batch must converge to the same state as one batch fold
+    of the whole changelog; tombstones persist across batches."""
+    from enriched_crime_incident_data_pipeline_spark.operators.cdc import (
+        latest_state,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming.cdc_sink import (
+        cdc_state_batch,
+        read_state,
+    )
+
+    src = tmp_path / "changelog"
+    waves = [
+        # (key, version, op, value)
+        [(1, 1, "upsert", 10.0), (2, 1, "upsert", 20.0)],
+        [(1, 2, "delete", 0.0), (3, 1, "upsert", 30.0)],
+        # late OLD upsert for deleted key 1 must NOT resurrect it;
+        # key 2 updated
+        [(1, 0, "upsert", 99.0), (2, 2, "upsert", 25.0)],
+    ]
+    schema = "k long, v long, op string, value double"
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(src / f"wave{i}.parquet")
+        )
+        # the file stream lists files, not subdirs: flatten each wave
+        # dir's part file up into the source dir
+        import glob
+        import shutil
+
+        part = glob.glob(str(src / f"wave{i}.parquet" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"wave{i}.pq"))
+        shutil.rmtree(str(src / f"wave{i}.parquet"))
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    args = dict(
+        key_cols=["k"],
+        version_cols=["v"],
+        payload_cols=["op", "value"],
+        is_delete=F.col("op") == "delete",
+    )
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(cdc_state_batch(state_dir, **args))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt")
+    got = {
+        r["k"]: (r["op"], r["value"], r["n_changes"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [r for wave in waves for r in wave], schema
+    )
+    want = {
+        r["k"]: (r["op"], r["value"], r["n_changes"])
+        for r in latest_state(all_rows, ["k"], ["v"], ["op", "value"],
+                              F.col("op") == "delete").collect()
+    }
+    assert got == want
+    assert 1 not in got  # tombstone survived the late older upsert
+    assert got[2] == ("upsert", 25.0, 2)
+
+    # same checkpoint → replay is a no-op (exactly-once counters)
+    run("ckpt")
+    again = {
+        r["k"]: (r["op"], r["value"], r["n_changes"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert again == want
+
+    # fresh checkpoint re-reads everything: payload converges by
+    # value (same winners); only the depth counter double-counts —
+    # the documented at-least-once caveat for counters
+    run("ckpt2")
+    replay = {
+        r["k"]: (r["op"], r["value"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert replay == {k: (op, val) for k, (op, val, _) in want.items()}
