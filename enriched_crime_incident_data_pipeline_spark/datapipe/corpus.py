@@ -146,6 +146,58 @@ def weighted_sample(
     return docs.filter(bucket < weight_bp)
 
 
+def mixture_sample(
+    docs: DataFrame,
+    targets_bp: dict[str, int],
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Exact-count corpus-mixture sampling: draw the LARGEST sample
+    whose per-source composition matches ``targets_bp`` (basis points
+    of the output, Σ ≤ 10000), limited by each source's availability.
+
+    All sizing is integer math inside the engine: per-source caps
+    ``(n_s·10⁴) div t_s`` bound the feasible total ``T = min(caps)``;
+    quotas are ``(T·t_s) div 10⁴``; each source keeps its ``m_s``
+    lowest-md5-hash documents (deterministic — a pure function of the
+    doc ids, independent of partitioning). Sources not in the target
+    map are excluded.
+
+    Scale: the per-source ``row_number`` parallelizes across sources;
+    with FEW huge sources prefer the rate-based cousin
+    :func:`stratified_sample` (hash-threshold, no per-stratum rank) —
+    same determinism, approximate counts.
+    """
+    t_bp = None
+    for k, v in sorted(targets_bp.items()):
+        lit = F.lit(v)
+        t_bp = lit if t_bp is None else t_bp
+        t_bp = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(t_bp)
+    in_target = F.col(stratum_col).isin(*targets_bp.keys())
+    scoped = docs.filter(in_target)
+    counts = scoped.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).withColumn("_t_bp", t_bp)
+    caps = counts.withColumn(
+        "_cap", F.expr("(_n * 10000) DIV _t_bp")
+    )
+    total = caps.agg(F.min("_cap").alias("_T"))
+    quota = caps.crossJoin(F.broadcast(total)).select(
+        F.col(stratum_col),
+        F.expr("(_T * _t_bp) DIV 10000").alias("_m"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash32(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    ranked = scoped.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), stratum_col)
+        .filter(F.col("_rk") <= F.col("_m"))
+        .select(id_col, stratum_col)
+    )
+
+
 def prune_boilerplate(
     docs: DataFrame,
     df_pct_threshold: int = 79,

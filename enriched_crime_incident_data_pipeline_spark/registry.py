@@ -82,6 +82,7 @@ from enriched_crime_incident_data_pipeline_spark.functions.text import (
     repetition_features,
     scrub_pii,
     token_count,
+    tokens,
     word_shingles,
 )
 from enriched_crime_incident_data_pipeline_spark.operators.dedup import (
@@ -2918,6 +2919,58 @@ def q_hist2_equidepth(spark, sf_dir):
     )
 
 
+MIXTURE_TARGETS_BP = {"src0": 6000, "src1": 3000, "src2": 1000}
+
+
+def q_tp9_mixture_sample(spark, sf_dir):
+    # training-data mixture: the largest sample matching a target
+    # source composition (60/30/10), sized by integer math in-engine;
+    # per-source keepers are the lowest-md5 docs — deterministic
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, MIXTURE_TARGETS_BP)
+
+
+def q_ta10_oov_rate(spark, sf_dir):
+    # out-of-vocabulary rate per document against the corpus' own
+    # top-1000-document-frequency vocabulary — the tokenizer-coverage
+    # signal; vocab is a broadcast anti-join, rate is integer bp
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dfreq = (
+        tok.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = dfreq.orderBy(F.desc("df"), "tok").limit(1000).select("tok")
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nt"))
+    oov = (
+        tok.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_noov"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_nt", F.lit(0)).alias("n_tokens"),
+            F.when(F.coalesce("_nt", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(coalesce(_noov, 0) * 10000) DIV _nt")
+            )
+            .alias("oov_bp"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — generated alongside, same constants
 # ---------------------------------------------------------------------------
@@ -3365,6 +3418,67 @@ def oracle_queries() -> dict[str, str]:
               ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.vec_id < b.vec_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        """,
+        "tp9_mixture_sample": f"""
+            WITH t(src, t_bp) AS (VALUES {", ".join(
+                f"('{k}', {v})" for k, v in sorted(MIXTURE_TARGETS_BP.items())
+            )}),
+            counts AS (
+              SELECT source AS src, count(*) AS n
+              FROM documents WHERE source IN (SELECT src FROM t)
+              GROUP BY source
+            ),
+            caps AS (
+              SELECT src, t_bp, (n * 10000) // t_bp AS cap
+              FROM counts JOIN t USING (src)
+            ),
+            tot AS (SELECT min(cap) AS T FROM caps),
+            quota AS (
+              SELECT src, (T * t_bp) // 10000 AS m
+              FROM caps CROSS JOIN tot
+            ),
+            ranked AS (
+              SELECT doc_id, source AS src,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_HASH32.format(
+                           x="'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id
+                     ) AS rk
+              FROM documents WHERE source IN (SELECT src FROM t)
+            )
+            SELECT doc_id, src AS source
+            FROM ranked JOIN quota USING (src) WHERE rk <= m
+        """,
+        "ta10_oov_rate": f"""
+            WITH tok AS (
+              SELECT doc_id, t.tok
+              FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) d,
+              LATERAL (SELECT unnest(toks) AS tok) t
+              WHERE t.tok <> ''
+            ),
+            dfreq AS (
+              SELECT tok, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY tok
+            ),
+            vocab AS (
+              SELECT tok FROM dfreq ORDER BY df DESC, tok LIMIT 1000
+            ),
+            cnt AS (
+              SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id
+            ),
+            oov AS (
+              SELECT doc_id, count(*) AS noov FROM tok
+              WHERE tok NOT IN (SELECT tok FROM vocab)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN coalesce(nt, 0) = 0 THEN 0
+                        ELSE (coalesce(noov, 0) * 10000) // nt
+                   END AS BIGINT) AS oov_bp
+            FROM documents d
+            LEFT JOIN cnt USING (doc_id)
+            LEFT JOIN oov USING (doc_id)
         """,
         "attr1_last_touch": """
             WITH marked AS (
@@ -4987,6 +5101,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "attr1_last_touch": q_attr1_last_touch,
         "dq2_profile": q_dq2_profile,
         "hist2_equidepth": q_hist2_equidepth,
+        "tp9_mixture_sample": q_tp9_mixture_sample,
+        "ta10_oov_rate": q_ta10_oov_rate,
         "st3_stream_static_join": q_st3_stream_static_join,
         "mm3_frame_sample": q_mm3_frame_sample,
         "json_extract": q_json_extract,

@@ -163,3 +163,29 @@ def test_group_sample_k_per_group_deterministic(spark):
     assert per == {f"g{i}": 3 for i in range(5)}
     again = sorted(map(tuple, group_sample(docs.repartition(11), k=3).collect()))
     assert again == out
+
+
+def test_mixture_sample_exact_composition(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "A" if i < 10 else "B") for i in range(20)]
+        + [(99, "C")],  # not in the target map → excluded
+        "doc_id long, source string",
+    )
+    out = mixture_sample(docs, {"A": 7000, "B": 3000})
+    got = [
+        (r["source"], r["doc_id"]) for r in out.collect()
+    ]
+    by_src = {}
+    for s, d in got:
+        by_src.setdefault(s, set()).add(d)
+    # caps: A=(10·10⁴)//7000=14, B=33 → T=14 → quotas 9 and 4
+    assert len(by_src["A"]) == 9 and len(by_src["B"]) == 4
+    assert "C" not in by_src
+    # deterministic: a second run picks the same documents
+    got2 = {(r["source"], r["doc_id"]) for r in
+            mixture_sample(docs, {"A": 7000, "B": 3000}).collect()}
+    assert got2 == set(got)
