@@ -83,3 +83,52 @@ def test_managed_table_catalog_round_trip(spark, tmp_path):
     finally:
         spark.sql("DROP DATABASE IF EXISTS cat_t CASCADE")
 
+
+
+def test_analyze_table_stats_feed_the_optimizer(spark, tmp_path):
+    """Table/column statistics surface (the CBO input the reference
+    delegated to Postgres' planner): ANALYZE TABLE populates
+    size+rowCount and per-column NDV/min/max in the catalog, and the
+    optimizer's cardinality estimate for the analyzed scan equals the
+    true row count (i.e. stats are consumed, not just stored)."""
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS cat_s LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        spark.createDataFrame(
+            [(i, i % 7, f"n{i % 13}") for i in range(1000)],
+            "id long, grp long, name string",
+        ).write.saveAsTable("cat_s.facts")
+        spark.sql("ANALYZE TABLE cat_s.facts COMPUTE STATISTICS")
+        spark.sql(
+            "ANALYZE TABLE cat_s.facts COMPUTE STATISTICS"
+            " FOR COLUMNS id, grp"
+        )
+
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESC EXTENDED cat_s.facts").collect()
+        }
+        assert "Statistics" in detail
+        assert "1000 rows" in detail["Statistics"]
+
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESC EXTENDED cat_s.facts grp"
+            ).collect()
+        }
+        assert col["distinct_count"] == "7"
+        assert col["min"] == "0" and col["max"] == "6"
+
+        # the optimizer consumes the stats: with CBO on, the scan's
+        # estimated row count is exact
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            plan = spark.table("cat_s.facts")._jdf.queryExecution()
+            row_est = plan.optimizedPlan().stats().rowCount()
+            assert row_est.isDefined() and int(str(row_est.get())) == 1000
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cat_s CASCADE")
