@@ -28,22 +28,36 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark only reads
-# via the nanosAsLong legacy conf; converted back to (micro-precision)
-# timestamps on load. DuckDB applies the same ns→µs truncation, so the
-# oracle sees identical values.
-_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# Timestamp columns whose parquet physical type has varied across
+# testdata generations: TIMESTAMP(NANOS) (readable only via the
+# nanosAsLong legacy conf, then converted ns→µs — DuckDB applies the
+# same truncation) or plain TIMESTAMP(MICROS) with
+# isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Either way the
+# loaded column is normalized to micro-precision TimestampType so
+# every downstream operator and oracle sees identical values under
+# the UTC session timezone.
+_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (see TESTDATA.md)."""
-    nanos_cols = _NANOS_TS_COLS.get(name, [])
-    if nanos_cols:
+    ts_cols = _TS_COLS.get(name, [])
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in nanos_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for c in ts_cols:
+        df = df.withColumn(c, _as_micros_timestamp(df, c))
     return df
+
+
+def _as_micros_timestamp(df: DataFrame, c: str) -> F.Column:
+    """Normalize a stored-nanos long / NTZ timestamp column to
+    TimestampType (micros)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[c].dataType, LongType):
+        return F.expr(f"timestamp_micros({c} div 1000)")
+    return F.col(c).cast("timestamp")
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

@@ -2,9 +2,9 @@
 
 File-source streams need an explicit schema; we take it from a batch
 read of the same path so the stream sees exactly what the batch
-engine sees (including the TIMESTAMP(NANOS) → long legacy read for
-`events.ts`, converted back to micros here just like
-``sources.catalog.load_table``).
+engine sees (`events.ts` is normalized to micro-precision
+TimestampType exactly as in ``sources.catalog.load_table``,
+whichever physical parquet type the testdata generation used).
 
 Scale: a file-source stream with ``Trigger.AvailableNow`` +
 checkpointing is the exactly-once replacement for the reference's
@@ -50,7 +50,9 @@ def stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stage)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import _as_micros_timestamp
+
+    return df.withColumn("ts", _as_micros_timestamp(df, "ts"))
 
 
 def stream_incidents_raw(spark: SparkSession, bronze_dir: str) -> DataFrame:
