@@ -34,6 +34,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_DDL = "media_id long, kind string, n_bytes long, feature array<float>"
+HIST_DDL = "media_id long, kind string, n_bytes long, hist array<long>"
 
 
 def decode_image(content: bytes) -> "object":
@@ -41,14 +42,25 @@ def decode_image(content: bytes) -> "object":
     raise NotImplementedError("image decode requires PIL/opencv (not in container)")
 
 
+def byte_hist(content: bytes, dim: int = 8) -> list[int]:
+    """Exact integer byte-histogram: ``acc[i % dim] += byte``. The
+    unnormalized core of :func:`fake_feature`; pure integer math, so
+    it has a bit-equal SQL twin (the normalized float variant does
+    not — float32 storage + round-half-even makes cross-engine
+    equality fragile)."""
+    acc = [0] * dim
+    if content:
+        for i, byte in enumerate(content):
+            acc[i % dim] += byte
+    return acc
+
+
 def fake_feature(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature: byte-histogram moments. Lets
     the distributed plumbing be tested end-to-end without codecs."""
     if content is None or len(content) == 0:
         return [0.0] * dim
-    acc = [0] * dim
-    for i, byte in enumerate(content):
-        acc[i % dim] += byte
+    acc = byte_hist(content, dim)
     total = float(sum(acc)) or 1.0
     return [round(v / total, 6) for v in acc]
 
@@ -78,6 +90,30 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
             )
 
     return media.select("media_id", "kind", "content").mapInPandas(run, FEATURE_DDL)
+
+
+def extract_byte_histograms(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Same Arrow-batched ``mapInPandas`` plumbing as
+    :func:`extract_features`, but emitting the exact integer
+    ``byte_hist`` accumulators (``array<long>``) instead of the
+    normalized float feature — this is the driver-oracle-checked
+    face of the media-feature path (integer math is reproducible
+    bit-for-bit in ANSI SQL)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        0 if c is None else len(c) for c in pdf["content"]
+                    ],
+                    "hist": [byte_hist(c, dim) for c in pdf["content"]],
+                }
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(run, HIST_DDL)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

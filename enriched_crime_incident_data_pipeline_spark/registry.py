@@ -38,6 +38,7 @@ from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
     simhash_signatures,
 )
 from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+    extract_byte_histograms,
     extract_features,
 )
 from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
@@ -826,11 +827,19 @@ def _documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def q_mm1_media_features(spark, sf_dir):
-    # Arrow-batched mapInPandas feature extraction over binary media —
-    # genuinely non-SQL (rows-only driver check); fake_feature is
+    # Arrow-batched mapInPandas feature extraction over binary media.
+    # The driver-compared face is the exact integer byte-histogram
+    # projected to a JSON string (canonicalizable scalar; bit-equal
+    # SQL twin); the normalized float feature from extract_features is
     # unit-pinned in tests/test_multimodal_streaming.py
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(_documents_as_media(docs))
+    hist = extract_byte_histograms(_documents_as_media(docs))
+    return hist.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.to_json("hist").alias("feature_json"),
+    )
 
 
 def q_mm4_resize_plan(spark, sf_dir):
@@ -3925,6 +3934,34 @@ def oracle_queries() -> dict[str, str]:
               SELECT *, row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rn
               FROM scored
             ) WHERE rn <= 10
+        """,
+        "mm1_media_features": """
+            WITH pos AS (
+              SELECT doc_id, text, unnest(range(length(text))) AS i
+              FROM documents
+            ),
+            sums AS (
+              SELECT doc_id, i % 8 AS bucket,
+                     CAST(sum(unicode(substr(text, CAST(i AS INTEGER) + 1, 1)))
+                          AS BIGINT) AS s
+              FROM pos GROUP BY doc_id, i % 8
+            ),
+            grid AS (
+              SELECT d.doc_id, g.bucket
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(8)) AS bucket) g
+            ),
+            hist AS (
+              SELECT grid.doc_id, grid.bucket, COALESCE(sums.s, 0) AS s
+              FROM grid LEFT JOIN sums
+                ON grid.doc_id = sums.doc_id AND grid.bucket = sums.bucket
+            )
+            SELECT d.doc_id AS media_id, 'image' AS kind,
+                   CAST(length(d.text) AS BIGINT) AS n_bytes,
+                   '[' || string_agg(CAST(h.s AS VARCHAR), ',' ORDER BY h.bucket)
+                       || ']' AS feature_json
+            FROM documents d JOIN hist h ON d.doc_id = h.doc_id
+            GROUP BY d.doc_id, d.text
         """,
         "mm2_media_meta": """
             SELECT doc_id AS media_id, 'image' AS kind,
