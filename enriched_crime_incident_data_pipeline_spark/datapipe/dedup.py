@@ -7,7 +7,7 @@ Scale notes (100 TB design):
 - MinHash/LSH shuffles (doc, band_hash) pairs — bands × docs rows,
   tiny relative to the corpus — and candidate pairs come from a
   bucket self-join on band_hash, never an all-pairs product;
-- SimHash is a single explode + groupBy(doc) with 32 conditional sums
+- SimHash is a single explode + groupBy(doc) with 64 conditional sums
   (map-side partial agg);
 - n-gram Jaccard joins on shingle (explode + equi-join), so cost is
   proportional to shared-shingle pairs, not doc².
@@ -133,25 +133,46 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """32-bit SimHash over token occurrences: bit i is 1 iff the sum
+    """64-bit SimHash over token occurrences: bit i is 1 iff the sum
     over tokens of ±1 (by bit i of the token hash) is positive.
-    ``(id, simhash: bigint)``."""
+    ``(id, simhash: bigint)``.
+
+    64 bits (not 32) so the 4-band pigeonhole split gives 16-bit
+    bands — 65 536 bucket values per band. With 8-bit bands each
+    bucket holds ~n/1024 docs at corpus scale and the candidate join
+    trends quadratic; 16-bit bands keep buckets ~256× smaller. Token
+    bits come from the first two 32-bit words of the md5 (bit i<32
+    from word 1, else word 2), so any md5-equipped engine reproduces
+    the signature bit-for-bit. Bit 63 is set by adding the signed-long
+    minimum (two's complement), keeping the signature a plain
+    ``bigint`` whose xor/bit_count work unchanged in Spark and DuckDB.
+    """
     tok = fan_out(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).select(F.col(id_col), hash32(F.col("tok")).alias("h"))
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                F.when(
+                    F.col("h1" if i < 32 else "h2")
+                    .bitwiseAND(F.lit(1 << (i % 32)))
+                    != 0,
+                    1,
+                ).otherwise(-1)
             ).alias(f"s{i}")
             for i in range(bits)
         ]
     )
     sim = None
     for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        weight = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+        term = F.when(F.col(f"s{i}") > 0, weight).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
@@ -163,6 +184,7 @@ def ngram_jaccard_pairs(
     shingle_words: int = 3,
     min_jaccard: float = 0.0,
     top_k: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard similarity over distinct word shingles:
     ``(a, b, intersect_size, union_size, jaccard)`` for pairs sharing
@@ -175,11 +197,34 @@ def ngram_jaccard_pairs(
     makes the equi-join compare a word compare. Standard hashed-
     shingle approximation (cross-shingle hash collisions can merge
     shingles); the oracle hashes identically, so results stay
-    bit-equal."""
+    bit-equal.
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    *before* the self-join. A stop-word shingle shared by 10% of a
+    100 TB corpus is one hot join key with a quadratic pair fan-out —
+    pruning it bounds every bucket at ``max_df²`` candidate pairs
+    (the same vocabulary-pruning trick ``ta10_oov_rate`` /
+    ``tp3_boilerplate_prune`` use). Denominators (``n_shingles`` and
+    hence ``union_size``) still count *all* shingles, so surviving
+    pairs keep their exact Jaccard — pruning only removes pairs whose
+    sole shared shingles were corpus-frequent (near-zero Jaccard by
+    construction). With ``max_df=None`` semantics are exhaustive."""
     # the shingle-hash table feeds three consumers (sizes + both join
     # sides); persist so the regex/shingle/hash derivation runs once
     sh = _shingle_hashes(docs, id_col, text_col, shingle_words).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_df is not None:
+        # df per hashed shingle is a map-side-combinable count on the
+        # already-shuffled key; the anti-filter is a broadcast-able
+        # semi-join only when the hot set is small — express it as a
+        # join on x so Catalyst/AQE picks broadcast when it fits
+        rare = (
+            sh.groupBy("x")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("x")
+        )
+        sh = sh.join(rare, "x")
     inter = (
         sh.alias("l")
         .join(sh.alias("r"), "x")
@@ -268,26 +313,12 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
-def simhash_near_dup_pairs(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """SimHash near-duplicate pairs: ``(a, b, hamming)`` for pairs
-    whose 32-bit SimHash signatures differ in ≤ ``max_hamming`` bits.
-
-    Pair generation uses the pigeonhole band trick: split the 32-bit
-    signature into 4 byte-bands — any pair within Hamming distance 3
-    must agree exactly on ≥1 band — so candidates come from an
-    equi-join on (band_idx, band_value), never an all-pairs product.
-    The candidate join shuffles (id, band) longs; the exact Hamming
-    filter (``bit_count(xor)``) runs on the joined pairs only.
-    """
-    # the signature table feeds both sides of the band self-join —
-    # persist so the tokenize/hash/groupBy lineage runs once
-    sig = simhash_signatures(docs, id_col, text_col).persist()
-    bands = sig.select(
+def simhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Split each 64-bit signature into 4 16-bit pigeonhole bands:
+    ``(id, simhash, band_idx, band_val)``. Any pair within Hamming
+    distance 3 agrees exactly on ≥1 band, so an equi-join on
+    (band_idx, band_val) is a complete candidate generator."""
+    return sig.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
@@ -295,8 +326,8 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), 8 * b)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
                         .alias("band_val"),
                     )
                     for b in range(4)
@@ -304,6 +335,33 @@ def simhash_near_dup_pairs(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: ``(a, b, hamming)`` for pairs
+    whose 64-bit SimHash signatures differ in ≤ ``max_hamming`` bits.
+
+    Pair generation uses the pigeonhole band trick: split the 64-bit
+    signature into 4 16-bit bands — any pair within Hamming distance 3
+    must agree exactly on ≥1 band — so candidates come from an
+    equi-join on (band_idx, band_value), never an all-pairs product.
+    The candidate join shuffles (id, band) longs; the exact Hamming
+    filter (``bit_count(xor)``) runs on the joined pairs only. 16-bit
+    bands (65 536 values each) keep band buckets ~256× smaller than
+    the 8-bit alternative — the difference between bounded and
+    quadratic candidate counts at corpus scale. The ``& 65535`` mask
+    keeps only the shifted-in low bits, so arithmetic-vs-logical shift
+    on the (possibly negative) signature cannot diverge across engines.
+    """
+    # the signature table feeds both sides of the band self-join —
+    # persist so the tokenize/hash/groupBy lineage runs once
+    sig = simhash_signatures(docs, id_col, text_col).persist()
+    bands = simhash_bands(sig, id_col)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(

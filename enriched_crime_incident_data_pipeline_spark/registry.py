@@ -761,6 +761,15 @@ def q_dd5_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, top_k=20)
 
 
+def q_dd5b_ngram_capped(spark, sf_dir):
+    # df-capped variant: shingles with document frequency > 50 are
+    # pruned before the self-join — the 100 TB skew guard (a stop-word
+    # shingle is one hot key with quadratic fan-out). Denominators
+    # still count all shingles, so surviving pairs keep exact Jaccard.
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, top_k=20, max_df=50)
+
+
 def q_ta1_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
@@ -3065,12 +3074,18 @@ FROM sig, LATERAL (
 ) b
 """
 
+# 64-bit simhash: bit i<32 from the first md5 word (h1), else the
+# second (h2); bit 63 is the signed-long minimum (two's complement)
 _SIMHASH_SUM_TERMS = ",\n".join(
-    f"      sum(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS s{i}"
-    for i in range(32)
+    f"      sum(CASE WHEN ({'h1' if i < 32 else 'h2'} & {1 << (i % 32)}) <> 0"
+    f" THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(64)
 )
 _SIMHASH_BITS = " + ".join(
-    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    f"(CASE WHEN s{i} > 0 THEN "
+    + ("(-9223372036854775807 - 1)" if i == 63 else str(1 << i))
+    + " ELSE 0 END)"
+    for i in range(64)
 )
 
 _STOPWORD_SETS = {
@@ -4014,7 +4029,12 @@ def oracle_queries() -> dict[str, str]:
             WITH tok AS (
               SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
             ),
-            hx AS (SELECT doc_id, {_HASH32.format(x='tok')} AS h FROM tok),
+            hx AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+                     ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+              FROM tok
+            ),
             sums AS (
               SELECT doc_id,
 {_SIMHASH_SUM_TERMS}
@@ -4033,7 +4053,12 @@ def oracle_queries() -> dict[str, str]:
             WITH tok AS (
               SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
             ),
-            hx AS (SELECT doc_id, {_HASH32.format(x='tok')} AS h FROM tok),
+            hx AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+                     ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+              FROM tok
+            ),
             sums AS (
               SELECT doc_id,
 {_SIMHASH_SUM_TERMS}
@@ -4045,7 +4070,7 @@ def oracle_queries() -> dict[str, str]:
             ),
             bands AS (
               SELECT doc_id, simhash, b.band_idx,
-                     (simhash >> (8 * b.band_idx)) & 255 AS band_val
+                     (simhash >> (16 * b.band_idx)) & 65535 AS band_val
               FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
             ),
             cand AS (
@@ -4080,6 +4105,30 @@ def oracle_queries() -> dict[str, str]:
             WITH sh AS ({_SHINGLES3}),
             hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
             sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
+              FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, intersect_size,
+                   sa.n + sb.n - intersect_size AS union_size,
+                   CAST(intersect_size AS DOUBLE)
+                     / (sa.n + sb.n - intersect_size) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            ORDER BY jaccard DESC, a, b LIMIT 20
+        """,
+        "dd5b_ngram_capped": f"""
+            WITH sh AS ({_SHINGLES3}),
+            hx0 AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+            freq AS (SELECT x, count(*) AS df FROM hx0 GROUP BY x),
+            hx AS (
+              SELECT hx0.doc_id, hx0.x
+              FROM hx0 JOIN freq ON hx0.x = freq.x
+              WHERE freq.df <= 50
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM hx0 GROUP BY doc_id),
             inter AS (
               SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
               FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
@@ -5090,6 +5139,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd3_lsh_pairs": q_dd3_lsh_pairs,
         "dd4_simhash": q_dd4_simhash,
         "dd5_ngram_jaccard": q_dd5_ngram_jaccard,
+        "dd5b_ngram_capped": q_dd5b_ngram_capped,
         "ta1_token_count": q_ta1_token_count,
         "ta2_quality": q_ta2_quality,
         "ta3_lang_id": q_ta3_lang_id,

@@ -345,6 +345,106 @@ def test_q15_reuses_revenue_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+def test_simhash_band_join_cardinality_stays_bounded(spark):
+    """Hot-corpus guard for the 64-bit/16-bit-band SimHash: on 2000
+    unrelated docs the pigeonhole candidate join must stay near-linear.
+    With the old 8-bit bands (256 bucket values) the same corpus
+    yields ~n²/512 candidates (~31k here) — quadratic at corpus
+    scale; 16-bit bands keep it ~256× smaller. Also pins that the
+    candidate generator is an equi-join, never a cartesian."""
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        simhash_bands,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(5000)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(2000)],
+        "doc_id long, text string",
+    ).coalesce(8)
+
+    sig = simhash_signatures(docs).persist()
+    bands = simhash_bands(sig)
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select("l.doc_id", "r.doc_id")
+    )
+    n_cand = cand.count()
+    # uniform 16-bit bands ⇒ E[candidates] ≈ 4·n²/(2·65536) ≈ 122;
+    # 5×n is a loose ceiling that still rejects 8-bit banding by 15×
+    assert n_cand < 5 * 2000, n_cand
+
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # exact-verify face still correct on a corpus with one true dup
+    dup = spark.createDataFrame(
+        [(10_000, "alpha beta gamma delta"), (10_001, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dup_pairs(docs.union(dup), max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((10_000, 10_001)) == 0
+    sig.unpersist()
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingle(spark):
+    """Stop-shingle skew guard: every doc shares one boilerplate
+    shingle, so the uncapped self-join fans out n²/2 pairs from that
+    single hot key. With max_df the hot shingle is pruned before the
+    join — the pair count collapses to the genuinely-similar pairs,
+    and surviving pairs keep their exact (unpruned-denominator)
+    jaccard values."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    n = 200
+    # "common header text" is a shingle in every doc; each doc also has
+    # 5 unique words; docs 0/1 are true near-dups sharing rare content
+    rows = [
+        (i, f"common header text u{i}a u{i}b u{i}c u{i}d u{i}e")
+        for i in range(2, n)
+    ]
+    rows += [
+        (0, "common header text rare alpha beta gamma delta"),
+        (1, "common header text rare alpha beta gamma epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(4)
+
+    uncapped = ngram_jaccard_pairs(docs)
+    capped = ngram_jaccard_pairs(docs, max_df=10)
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    # hot shingle links every doc pair without the cap…
+    assert n_uncapped == n * (n - 1) // 2
+    # …and only content-sharing pairs with it (0,1 plus any pairs via
+    # the boundary shingles around the shared prefix)
+    assert n_capped < n
+    cap_rows = {(r["a"], r["b"]): r for r in capped.collect()}
+    unc_rows = {(r["a"], r["b"]): r for r in uncapped.collect()}
+    assert (0, 1) in cap_rows
+    for key, row in cap_rows.items():
+        ref = unc_rows[key]
+        # denominators are uncapped totals, so union_size matches the
+        # exhaustive run; intersect may only shrink by pruned shingles
+        assert row["union_size"] <= ref["union_size"] + (
+            ref["intersect_size"] - row["intersect_size"]
+        )
+        assert row["intersect_size"] <= ref["intersect_size"]
+
+
 def test_changelog_and_lsh_family_plan_shapes(spark):
     """Scale invariants for the changelog/sequence/LSH family:
     single-shuffle folds stay single-shuffle, band joins never
