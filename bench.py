@@ -57,6 +57,18 @@ HEADLINE = [
     "wa7_semi_join",
 ]
 
+# The measured 5 slowest non-headline registry queries (sf0.1): the
+# long tail where regressions would otherwise hide round-over-round.
+# Kept OUT of the headline total so `value` stays comparable to
+# earlier rounds; reported separately as `longtail`/`longtail_total`.
+LONGTAIL = [
+    "dd6_embed_cosine",  # deliberate exact all-pairs baseline
+    "st5_stream_stream_join",
+    "corpus_build",
+    "dd8_simhash_pairs",
+    "dd9_dup_clusters",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,18 +83,23 @@ def main() -> None:
     # cache), then one timed run. Per-query codegen compilation is a
     # constant that vanishes at scale; steady-state is the number
     # that extrapolates to a long-running cluster job.
-    for name in HEADLINE:
+    for name in HEADLINE + LONGTAIL:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # drop warmup-populated caches (flagship persists its silver
     # stage) so every timed run does its own full work
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+        return out
+
+    timings = timed(HEADLINE)
+    longtail = timed(LONGTAIL)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +109,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "longtail": longtail,
+                "longtail_total": round(sum(longtail.values()), 3),
                 "sf": sf,
             }
         )

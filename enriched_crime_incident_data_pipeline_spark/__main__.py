@@ -104,11 +104,13 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = parser.parse_args(argv)
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(name)s %(levelname)s %(message)s",
-        stream=sys.stderr,
+    # rotating-file + console setup, LOG_LEVEL/LOG_FILE-driven
+    # (reference src/logging_config.py analog)
+    from enriched_crime_incident_data_pipeline_spark.logging_setup import (
+        setup_logging,
     )
+
+    setup_logging()
 
     from enriched_crime_incident_data_pipeline_spark import get_spark
     from enriched_crime_incident_data_pipeline_spark.sinks.output import (

@@ -33,19 +33,33 @@ _WH_SCHEMA = (
 )
 
 
-def _http_fetch(url: str):  # pragma: no cover - network
+def with_retries(fetch_once, retries: int = RETRIES, backoff_s: float = BACKOFF_S, sleep=None):
+    """Wrap a single-attempt fetcher with the reference's retry policy
+    (src/enrich/weather.py:25: 5 retries, 0.2 s exponential backoff).
+    ``sleep`` is injectable so tests pin the backoff schedule without
+    waiting it out."""
+    import time as _time
+
+    do_sleep = sleep or _time.sleep
+
+    def fetch(url: str):
+        for attempt in range(retries + 1):
+            try:
+                return fetch_once(url)
+            except Exception:
+                if attempt == retries:
+                    raise
+                do_sleep(backoff_s * (2**attempt))
+
+    return fetch
+
+
+def _http_fetch_once(url: str):  # pragma: no cover - network
     import json as _json
-    import time
     import urllib.request
 
-    for attempt in range(RETRIES + 1):
-        try:
-            with urllib.request.urlopen(url, timeout=TIMEOUT_S) as resp:
-                return _json.loads(resp.read().decode("utf-8"))
-        except Exception:
-            if attempt == RETRIES:
-                raise
-            time.sleep(BACKOFF_S * (2**attempt))
+    with urllib.request.urlopen(url, timeout=TIMEOUT_S) as resp:
+        return _json.loads(resp.read().decode("utf-8"))
 
 
 def fetch_weather_hourly(
@@ -56,7 +70,7 @@ def fetch_weather_hourly(
     (lat, lon, date)."""
     import urllib.parse
 
-    fetch = fetcher or _http_fetch
+    fetch = fetcher or with_retries(_http_fetch_once)
     days = (
         worklist.selectExpr(
             "latitude", "longitude", "to_date(incident_ts) AS date"

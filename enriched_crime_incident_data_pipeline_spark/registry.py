@@ -770,6 +770,20 @@ def q_dd5b_ngram_capped(spark, sf_dir):
     return ngram_jaccard_pairs(docs, top_k=20, max_df=50)
 
 
+def q_s5_pdf_parse(spark, sf_dir):
+    # the reference's PDF text-block parse rules
+    # (parse_incidents.py:40-56) run engine-side on a deterministic
+    # text-blocks fixture — header/trailer drop, split +
+    # remove-first-empty, pad/merge, positional 5-field extraction
+    from enriched_crime_incident_data_pipeline_spark.sources.pdf import (
+        parse_report_blocks,
+        synthetic_report_blocks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_report_blocks(synthetic_report_blocks(docs))
+
+
 def q_ta1_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
@@ -4143,6 +4157,93 @@ def oracle_queries() -> dict[str, str]:
             JOIN sizes sb ON inter.b = sb.doc_id
             ORDER BY jaccard DESC, a, b LIMIT 20
         """,
+        "s5_pdf_parse": """
+            WITH fields AS (
+              SELECT doc_id,
+                     printf('%d/%d/2024 %d:%02d', doc_id % 12 + 1,
+                            doc_id % 28 + 1, doc_id % 24, doc_id % 60) AS dt,
+                     printf('2024-%05d', doc_id) AS inc,
+                     printf('BLK %d MAIN ST', doc_id % 50 * 100) AS loca,
+                     printf(' APT %d', doc_id % 20) AS locb,
+                     ['THEFT','FRAUD','EMS','ERROR','PATROL'][
+                       CAST(doc_id % 5 + 1 AS INTEGER)] AS nat,
+                     CASE WHEN doc_id % 5 = 2 THEN 'EMSSTAT'
+                          ELSE 'OK0109973' END AS ori
+              FROM documents
+            ),
+            data AS (
+              SELECT 'reports/daily.pdf' AS path,
+                     CAST(floor(doc_id / 10) AS BIGINT) AS page_number,
+                     CAST(doc_id % 10
+                          + CASE WHEN doc_id < 10 THEN 1 ELSE 0 END
+                          AS BIGINT) AS block_idx,
+                     (CASE WHEN doc_id % 7 = 3
+                           THEN concat_ws(chr(10), dt, inc, ori)
+                           WHEN doc_id % 7 = 5
+                           THEN concat_ws(chr(10), dt, inc, loca, locb, nat, ori)
+                           ELSE concat_ws(chr(10), dt, inc, loca, nat, ori)
+                      END) || chr(10) AS block_text
+              FROM fields
+            ),
+            mx AS (SELECT max(doc_id) AS max_id FROM documents),
+            extras AS (
+              SELECT 'reports/daily.pdf' AS path, CAST(0 AS BIGINT) AS page_number,
+                     CAST(0 AS BIGINT) AS block_idx,
+                     'NORMAN POLICE DEPARTMENT' || chr(10) ||
+                     'Daily Incident Summary (Public)' || chr(10) AS block_text
+              UNION ALL
+              SELECT 'reports/daily.pdf', 0, 11, 'Report Generated' || chr(10)
+              UNION ALL
+              SELECT 'reports/daily.pdf', 0, 12, 'Page 1' || chr(10)
+              UNION ALL
+              SELECT 'reports/daily.pdf', CAST(floor(max_id / 10) AS BIGINT),
+                     CAST(max_id % 10 + 1 AS BIGINT), 'End of Report' || chr(10)
+              FROM mx
+            ),
+            blocks AS (
+              SELECT * FROM data UNION ALL SELECT * FROM extras
+            ),
+            sized AS (
+              SELECT b.*,
+                     count(*) OVER (PARTITION BY path, page_number) AS nb,
+                     max(page_number) OVER (PARTITION BY path) AS lastp
+              FROM blocks b
+            ),
+            kept AS (
+              SELECT path, page_number, block_idx,
+                     string_split(block_text, chr(10)) AS ls
+              FROM sized
+              WHERE CASE
+                WHEN page_number = 0
+                  THEN block_idx >= 1 AND block_idx <= nb - 3
+                WHEN page_number = lastp THEN block_idx <= nb - 2
+                ELSE TRUE END
+            ),
+            removed AS (
+              SELECT path, page_number, block_idx,
+                     CASE WHEN COALESCE(list_position(ls, ''), 0) > 0
+                          THEN list_slice(ls, 1, list_position(ls, '') - 1)
+                               || list_slice(ls, list_position(ls, '') + 1,
+                                             len(ls))
+                          ELSE ls END AS t
+              FROM kept
+            ),
+            norm AS (
+              SELECT path, page_number, block_idx,
+                     CASE WHEN len(t) < 5
+                          THEN list_slice(t, 1, 2) || [' ', ' ']
+                               || list_slice(t, 3, len(t))
+                          WHEN len(t) > 5
+                          THEN list_slice(t, 1, 2) || [t[3] || t[4]]
+                               || list_slice(t, 5, len(t))
+                          ELSE t END AS v
+              FROM removed
+            )
+            SELECT path, page_number, block_idx,
+                   v[1] AS datetime_str, v[2] AS incident_num,
+                   v[3] AS location, v[4] AS nature, v[5] AS incident_ori
+            FROM norm
+        """,
         "ta1_token_count": f"SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents",
         "ta2_quality": f"""
             WITH base AS (
@@ -5140,6 +5241,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd4_simhash": q_dd4_simhash,
         "dd5_ngram_jaccard": q_dd5_ngram_jaccard,
         "dd5b_ngram_capped": q_dd5b_ngram_capped,
+        "s5_pdf_parse": q_s5_pdf_parse,
         "ta1_token_count": q_ta1_token_count,
         "ta2_quality": q_ta2_quality,
         "ta3_lang_id": q_ta3_lang_id,

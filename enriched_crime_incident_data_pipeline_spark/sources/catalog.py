@@ -43,16 +43,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (see TESTDATA.md)."""
     ts_cols = _TS_COLS.get(name, [])
     if ts_cols:
+        # the NTZ branch of as_micros_timestamp interprets wall-clock
+        # values in the session timezone at execution time; a session
+        # missing the UTC pin would silently diverge from the DuckDB
+        # oracles, so fail loudly here instead
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"load_table({name!r}) requires "
+                f"spark.sql.session.timeZone=UTC (got {tz!r}); "
+                "use get_spark() or pin the conf before loading"
+            )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in ts_cols:
-        df = df.withColumn(c, _as_micros_timestamp(df, c))
+        df = df.withColumn(c, as_micros_timestamp(df, c))
     return df
 
 
-def _as_micros_timestamp(df: DataFrame, c: str) -> F.Column:
+def as_micros_timestamp(df: DataFrame, c: str) -> F.Column:
     """Normalize a stored-nanos long / NTZ timestamp column to
-    TimestampType (micros)."""
+    TimestampType (micros). Public: the streaming source applies the
+    same normalization to its micro-batch frames."""
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema[c].dataType, LongType):

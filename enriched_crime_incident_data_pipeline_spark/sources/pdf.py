@@ -17,6 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 BRONZE_DDL = (
     "path string, datetime_str string, incident_num string, "
@@ -88,3 +89,186 @@ def pdf_to_bronze(binary_df: DataFrame, parser=None) -> DataFrame:
             )
 
     return binary_df.select("path", "content").mapInPandas(decode, BRONZE_DDL)
+
+
+def parse_report_blocks(blocks: DataFrame) -> DataFrame:
+    """Exact engine-side port of the reference's text-block parse rules
+    (/root/reference/src/pdf/parse_incidents.py:40-56), run on an
+    already-extracted text-blocks relation ``(path, page_number,
+    block_idx, block_text)`` — the PyMuPDF ``get_text("blocks")``
+    output shape. The decode itself stays stubbed (lib absent); these
+    are the parse *rules*, pinned independently of the decoder:
+
+    - page 0 drops its first block (header) and last two (trailers);
+      otherwise the last page drops its final block — faithful to the
+      reference's ``if page==0 / elif page==last`` (a single-page doc
+      only takes the page-0 branch);
+    - each block splits on newline and removes the FIRST empty string
+      (``list.remove('')`` parity, not remove-all);
+    - <5 lines → insert ``' '`` at positions 2 and 3 (blank location +
+      nature); >5 lines → concatenate lines 2 and 3 (multi-line
+      location), once; then the first five fields are taken
+      positionally.
+
+    Everything is column expressions — no Python in the row path. The
+    per-page block counts and per-file last-page numbers are tiny
+    aggregates (rows ∝ pages/files, ~10³× smaller than blocks)
+    broadcast back onto the block relation, so the block table itself
+    never shuffles: the parse is map-side over whatever partitioning
+    the binary scan produced. Every field expression is total (slice
+    lengths clamped ≥0, null-safe gets): Catalyst may push a join
+    predicate on a parsed field below the header/trailer filter and
+    evaluate it on rows the drop rules discard, so a partial
+    expression would crash under ANSI where the reference would never
+    even see the row. Sub-2-line blocks yield null-padded fields
+    (the reference IndexErrors on them instead).
+    """
+    page_sizes = blocks.groupBy("path", "page_number").agg(
+        F.count(F.lit(1)).alias("_n_blocks")
+    )
+    last_pages = blocks.groupBy("path").agg(
+        F.max("page_number").alias("_last_page")
+    )
+    df = blocks.join(F.broadcast(page_sizes), ["path", "page_number"]).join(
+        F.broadcast(last_pages), ["path"]
+    )
+    keep = (
+        F.when(
+            F.col("page_number") == 0,
+            (F.col("block_idx") >= 1)
+            & (F.col("block_idx") <= F.col("_n_blocks") - 3),
+        )
+        .when(
+            F.col("page_number") == F.col("_last_page"),
+            F.col("block_idx") <= F.col("_n_blocks") - 2,
+        )
+        .otherwise(F.lit(True))
+    )
+    lines = F.split(F.col("block_text"), "\n", -1)
+    df = df.filter(keep).withColumn("_pos", F.array_position(lines, ""))
+    t = F.when(
+        F.col("_pos") > 0,
+        F.concat(
+            F.slice(lines, F.lit(1), F.col("_pos") - 1),
+            F.slice(
+                lines, F.col("_pos") + 1, F.size(lines) - F.col("_pos")
+            ),
+        ),
+    ).otherwise(lines)
+    df = df.withColumn("_t", t)
+    t, n = F.col("_t"), F.size(F.col("_t"))
+    five = (
+        F.when(
+            n < 5,
+            F.concat(
+                F.slice(t, 1, 2),
+                F.array(F.lit(" "), F.lit(" ")),
+                F.slice(t, F.lit(3), F.greatest(n - 2, F.lit(0))),
+            ),
+        )
+        .when(
+            n > 5,
+            F.concat(
+                F.slice(t, 1, 2),
+                F.array(F.concat(F.element_at(t, 3), F.element_at(t, 4))),
+                F.slice(t, F.lit(5), F.greatest(n - 4, F.lit(0))),
+            ),
+        )
+        .otherwise(t)
+    )
+    df = df.withColumn("_v", five)
+    v = F.col("_v")
+    return df.select(
+        "path",
+        "page_number",
+        "block_idx",
+        F.get(v, 0).alias("datetime_str"),
+        F.get(v, 1).alias("incident_num"),
+        F.get(v, 2).alias("location"),
+        F.get(v, 3).alias("nature"),
+        F.get(v, 4).alias("incident_ori"),
+    )
+
+
+def synthetic_report_blocks(docs: DataFrame, page_size: int = 10) -> DataFrame:
+    """Deterministic text-blocks fixture shaped like PyMuPDF block
+    output for a Norman-PD-style daily report: ``page_size`` 5-line
+    incident blocks per page, with a header + two trailer blocks on
+    page 0 and one trailer on the last page. Every 7th doc (mod 3)
+    yields a 3-line block (blank location/nature) and every 7th
+    (mod 5) a 6-line block (multi-line location), exercising the
+    pad/merge rules. Derived purely from ``doc_id`` so any SQL engine
+    reproduces it bit-for-bit. Assumes dense 0-based doc_ids spanning
+    ≥2 pages (the driver testdata shape)."""
+    d = F.col("doc_id")
+    i32 = lambda c: c.cast("int")  # noqa: E731
+    dt = F.format_string(
+        "%d/%d/2024 %d:%02d",
+        i32(d % 12 + 1),
+        i32(d % 28 + 1),
+        i32(d % 24),
+        i32(d % 60),
+    )
+    inc = F.format_string("2024-%05d", i32(d))
+    loc_a = F.format_string("BLK %d MAIN ST", i32(d % 50 * 100))
+    loc_b = F.format_string(" APT %d", i32(d % 20))
+    nature = F.element_at(
+        F.array(
+            F.lit("THEFT"), F.lit("FRAUD"), F.lit("EMS"),
+            F.lit("ERROR"), F.lit("PATROL"),
+        ),
+        i32(d % 5 + 1),
+    )
+    ori = F.when(d % 5 == 2, F.lit("EMSSTAT")).otherwise(F.lit("OK0109973"))
+    body = (
+        F.when(d % 7 == 3, F.concat_ws("\n", dt, inc, ori))
+        .when(d % 7 == 5, F.concat_ws("\n", dt, inc, loc_a, loc_b, nature, ori))
+        .otherwise(F.concat_ws("\n", dt, inc, loc_a, nature, ori))
+    )
+    path = F.lit("reports/daily.pdf")
+    page = F.floor(d / page_size).cast("long")
+    data = docs.select(
+        path.alias("path"),
+        page.alias("page_number"),
+        (
+            d % page_size + F.when(page == 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("block_idx"),
+        F.concat(body, F.lit("\n")).alias("block_text"),
+    )
+    meta = docs.agg(F.max("doc_id").alias("max_id"))
+    mx = F.col("max_id")
+    extras = meta.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("page_number"),
+                    F.lit(0).cast("long").alias("block_idx"),
+                    F.lit(
+                        "NORMAN POLICE DEPARTMENT\n"
+                        "Daily Incident Summary (Public)\n"
+                    ).alias("block_text"),
+                ),
+                F.struct(
+                    F.lit(0).cast("long").alias("page_number"),
+                    F.lit(page_size + 1).cast("long").alias("block_idx"),
+                    F.lit("Report Generated\n").alias("block_text"),
+                ),
+                F.struct(
+                    F.lit(0).cast("long").alias("page_number"),
+                    F.lit(page_size + 2).cast("long").alias("block_idx"),
+                    F.lit("Page 1\n").alias("block_text"),
+                ),
+                F.struct(
+                    F.floor(mx / page_size).cast("long").alias("page_number"),
+                    (mx % page_size + 1).cast("long").alias("block_idx"),
+                    F.lit("End of Report\n").alias("block_text"),
+                ),
+            )
+        ).alias("b")
+    ).select(
+        path.alias("path"),
+        F.col("b.page_number"),
+        F.col("b.block_idx"),
+        F.col("b.block_text"),
+    )
+    return data.unionByName(extras)

@@ -50,9 +50,11 @@ def stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stage)
-    from enriched_crime_incident_data_pipeline_spark.sources.catalog import _as_micros_timestamp
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        as_micros_timestamp,
+    )
 
-    return df.withColumn("ts", _as_micros_timestamp(df, "ts"))
+    return df.withColumn("ts", as_micros_timestamp(df, "ts"))
 
 
 def stream_incidents_raw(spark: SparkSession, bronze_dir: str) -> DataFrame:
