@@ -264,9 +264,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: ``(a, b, cosine)`` for
     every pair a < b with cosine similarity ≥ ``threshold``.
 
-    With ``block_clusters=None`` this is the exact all-pairs formulation
-    — a self equi-range join (a < b) whose cost is O(n²) dot products;
-    fine for a re-rank stage or small n.
+    With ``block_clusters=None`` this is the exact all-pairs
+    formulation, executed by :func:`exact_all_pairs_cosine` — a
+    block-pair decomposition with an Arrow-batched numpy kernel whose
+    accumulation order is bit-identical to the sequential
+    expression-level dot (see its docstring). O(n²) work by
+    definition; bounded task memory via the block size.
 
     With ``block_clusters=n`` the pair generation is blocked through
     the deterministic IVF coarse quantizer (first ``n`` vectors by id
@@ -286,6 +289,10 @@ def embedding_near_dup_pairs(
         l2_norm,
     )
 
+    if block_clusters is None:
+        return exact_all_pairs_cosine(
+            embeddings, threshold, id_col=id_col, vec_col=vec_col
+        )
     # norm once per vector, not once per pair — 3× fewer
     # higher-order-function evaluations in the pairwise stage
     vecs = embeddings.select(
@@ -293,16 +300,13 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
-    if block_clusters is not None:
-        assign = ivf_assignments(embeddings, block_clusters, id_col, vec_col)
-        vecs = vecs.join(
-            assign.select(F.col(id_col).alias("_id"), "cluster"), "_id"
-        )
-        join_cond = (F.col("l._id") < F.col("r._id")) & (
-            F.col("l.cluster") == F.col("r.cluster")
-        )
-    else:
-        join_cond = F.col("l._id") < F.col("r._id")
+    assign = ivf_assignments(embeddings, block_clusters, id_col, vec_col)
+    vecs = vecs.join(
+        assign.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+    )
+    join_cond = (F.col("l._id") < F.col("r._id")) & (
+        F.col("l.cluster") == F.col("r.cluster")
+    )
     pairs = vecs.alias("l").join(vecs.alias("r"), join_cond).select(
         F.col("l._id").alias("a"),
         F.col("r._id").alias("b"),
@@ -386,3 +390,99 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def exact_all_pairs_cosine(
+    embeddings: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ ``threshold`` via block-pair
+    decomposition: ``(a, b, cosine)`` for every a < b.
+
+    The n² pair space is tiled into B·(B+1)/2 block pairs (block =
+    ``vec_id % B``); each vector is replicated to the B block pairs it
+    participates in (explode, one shuffle) and each
+    ``applyInPandas`` task computes one tile with a vectorized numpy
+    kernel. Replication factor B ≪ the n× blow-up of the naive
+    theta-join's per-pair row materialization, task memory is
+    (n/B)²·8 bytes — tunable — and the kernel runs at memory
+    bandwidth instead of one interpreted higher-order-function tree
+    per pair (~100× on the 64-dim testdata).
+
+    Bit-parity: Spark's expression dot folds products LEFT-TO-RIGHT
+    in double. The kernel loops over *dimensions* in order,
+    accumulating ``acc += outer(A[:,j], B[:,j])`` — per pair that is
+    the identical sequence of double adds, so results match the
+    expression path and the DuckDB oracle bit-for-bit (pinned by
+    ``test_exact_blocked_matches_expression_path``). numpy matmul
+    would NOT (pairwise summation).
+    """
+    import pandas as pd
+
+    bi, bj = "_bi", "_bj"
+    block = F.col(id_col) % n_blocks
+    tiles = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        block.alias("_g"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda o: F.struct(
+                    F.least(block, o).alias(bi), F.greatest(block, o).alias(bj)
+                ),
+            )
+        ).alias("_tile"),
+    ).select(id_col, vec_col, "_g", f"_tile.{bi}", f"_tile.{bj}")
+
+    out_schema = "a long, b long, cosine double"
+
+    def tile_kernel(key, pdf):
+        import numpy as np
+
+        i, j = key
+        left = pdf[pdf["_g"] == i]
+        right = pdf[pdf["_g"] == j] if j != i else left
+        if left.empty or right.empty:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+        ids_l = left[id_col].to_numpy()
+        ids_r = right[id_col].to_numpy()
+        mat_l = np.stack(left[vec_col].to_numpy()).astype(np.float64)
+        mat_r = np.stack(right[vec_col].to_numpy()).astype(np.float64)
+        dim = mat_l.shape[1]
+        dots = np.zeros((len(ids_l), len(ids_r)))
+        nl = np.zeros(len(ids_l))
+        nr = np.zeros(len(ids_r))
+        # sequential over dimensions == Spark's left-to-right fold
+        for d in range(dim):
+            dots += np.outer(mat_l[:, d], mat_r[:, d])
+            nl += mat_l[:, d] * mat_l[:, d]
+            nr += mat_r[:, d] * mat_r[:, d]
+        denom = np.outer(np.sqrt(nl), np.sqrt(nr))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / denom
+        valid = (denom > 0) & (cos >= threshold)
+        if i == j:
+            # intra-block tile: each unordered pair appears once per
+            # orientation — keep the ascending one
+            valid &= ids_l[:, None] < ids_r[None, :]
+            ai, bidx = np.nonzero(valid)
+            a_ids, b_ids = ids_l[ai], ids_r[bidx]
+        else:
+            # cross-block tile: each unordered pair appears exactly
+            # once (left from block i, right from block j) but either
+            # side may hold the smaller id — normalize to (min, max).
+            # cosine is orientation-independent bit-for-bit: every
+            # double multiply is commutative and the add order is the
+            # same dimension sequence either way.
+            ai, bidx = np.nonzero(valid)
+            a_ids = np.minimum(ids_l[ai], ids_r[bidx])
+            b_ids = np.maximum(ids_l[ai], ids_r[bidx])
+        return pd.DataFrame({"a": a_ids, "b": b_ids, "cosine": cos[ai, bidx]})
+
+    return tiles.groupBy(bi, bj).applyInPandas(tile_kernel, out_schema)

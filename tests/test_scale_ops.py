@@ -445,6 +445,64 @@ def test_ngram_jaccard_max_df_prunes_hot_shingle(spark):
         assert row["intersect_size"] <= ref["intersect_size"]
 
 
+def test_exact_blocked_matches_expression_path(spark):
+    """The Arrow-batched block-pair cosine kernel must be BIT-equal to
+    the expression-level sequential dot (zip_with + aggregate fold) —
+    same pairs, identical doubles — across block counts, including
+    blocks larger than the data and identical/zero vectors."""
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        exact_all_pairs_cosine,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(17)]) for i in range(150)
+    ]
+    rows.append((150, list(rows[3][1])))  # exact duplicate vector
+    rows.append((151, [0.0] * 17))  # zero vector → NULL cosine, dropped
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        l2_norm(F.col("embedding")).alias("_n"),
+    )
+    expr = (
+        vecs.alias("l")
+        .join(vecs.alias("r"), F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            cosine_from_norms(
+                F.col("l._v"), F.col("r._v"), F.col("l._n"), F.col("r._n")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
+    expected = {(r["a"], r["b"]): r["cosine"] for r in expr.collect()}
+    assert expected  # non-trivial case
+
+    for n_blocks in (1, 4, 25):
+        got = {
+            (r["a"], r["b"]): r["cosine"]
+            for r in exact_all_pairs_cosine(
+                emb, threshold=0.2, n_blocks=n_blocks
+            ).collect()
+        }
+        # bit-equality: dict equality on raw float64s, no tolerance
+        assert got == expected, f"n_blocks={n_blocks}"
+    # more blocks than vectors (empty tiles) + duplicate detection
+    tiny = emb.filter(F.col("vec_id").isin([1, 2, 3, 150, 151]))
+    dup = exact_all_pairs_cosine(tiny, threshold=0.999, n_blocks=16)
+    assert (3, 150) in {(r["a"], r["b"]) for r in dup.collect()}
+
+
 def test_changelog_and_lsh_family_plan_shapes(spark):
     """Scale invariants for the changelog/sequence/LSH family:
     single-shuffle folds stay single-shuffle, band joins never
