@@ -87,3 +87,36 @@ def dup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def dedup_drop_list(
+    members: DataFrame,
+    doc_sizes: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Keeper selection over duplicate clusters: per cluster keep the
+    LONGEST member (ties → lowest id) and emit the drop-list
+    ``(doc_id, cluster_id, keeper_id)`` — the rows a corpus clean
+    deletes. Keep-longest is the standard near-dup keeper heuristic
+    (the duplicate with the most content survives).
+
+    The keeper argmax is ``max_by`` on a (size, -id) struct — a
+    map-side-combinable aggregation, not a per-cluster sort window —
+    so one shuffle on the cluster id at any scale; the keeper table
+    (one row per cluster) broadcasts back onto the members."""
+    sized = members.join(doc_sizes, node_col)
+    keepers = sized.groupBy(cluster_col).agg(
+        F.max_by(
+            node_col,
+            F.struct(F.col(size_col), (-F.col(node_col)).alias("_neg")),
+        ).alias("keeper_id")
+    )
+    return (
+        sized.join(F.broadcast(keepers), cluster_col)
+        .filter(F.col(node_col) != F.col("keeper_id"))
+        .select(
+            F.col(node_col).alias("doc_id"), cluster_col, "keeper_id"
+        )
+    )

@@ -1,0 +1,82 @@
+"""Unigram language-model quality scoring (perplexity proxy).
+
+The classic corpus-quality signal (CCNet-style): train a unigram LM
+on the corpus itself, score each document by how "typical" its tokens
+are, and filter/bucket on the score. Real pipelines score in log
+space; log is a transcendental whose last ulp differs between the JVM
+and libm, so the cross-engine-exact score used here is the rational
+**mean inverse token probability** under add-one smoothing:
+
+    score(doc) = (1/n) · Σ_i (N + V) / (count(tok_i) + 1)
+
+— a monotone signal for the same failure mode (rare/garbage-token
+documents score high), built entirely from integer-derived divisions
+and a position-ordered sequential double fold, so Spark and any
+ordered-aggregate SQL engine agree bit-for-bit.
+
+Scale design: token counts are a groupBy on the token (map-side
+combinable, no skew pathology — hot tokens partial-aggregate);
+the count table is a broadcast dimension (cap it with the same
+document-frequency vocabulary pruning ``ta10_oov_rate`` uses when the
+open vocabulary outgrows broadcast range); the per-document fold is
+one shuffle on doc_id. The corpus never self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.functions.text import tokens
+
+
+def unigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, n_tokens, mean_inv_prob)`` per document with ≥1 token.
+
+    Per-token term (N+V)/(c+1) is a single exact-rounded double
+    division of integer-valued operands; the per-document sum folds
+    the terms in token-position order (collect → array_sort by pos →
+    sequential ``F.aggregate``), and the mean divides once at the end
+    — every double op has a fixed operand order, so the result is
+    reproducible bit-for-bit across engines and partitionings.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    term = (F.col("n_total") + F.col("v")).cast("double") / (
+        F.col("c") + F.lit(1)
+    ).cast("double")
+    per_tok = (
+        tok.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.col("pos"), term.alias("ip"))
+    )
+    folded = (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("ip")))
+            ).alias("arr")
+        )
+        .select(
+            F.col(id_col),
+            F.size("arr").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                "arr", F.lit(0.0), lambda acc, x: acc + x["ip"]
+            ).alias("_sum_ip"),
+        )
+    )
+    return folded.select(
+        id_col,
+        "n_tokens",
+        (F.col("_sum_ip") / F.col("n_tokens").cast("double")).alias(
+            "mean_inv_prob"
+        ),
+    )

@@ -36,3 +36,46 @@ def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> C
     ``cosine_similarity`` (same values, same operation order)."""
     denom = norm_a * norm_b
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def quantize_int8(vec: Column) -> dict[str, Column]:
+    """Per-vector int8 scalar quantization for embedding storage:
+    ``q_i = min(floor((x_i − min) / scale), 255)`` with
+    ``scale = (max − min) / 255`` — 4× smaller than float32 on disk,
+    the standard trick before ANN indexing at corpus scale.
+
+    Returns column exprs: ``scale``, ``zero_point`` (the min),
+    ``q`` (array<int>), and ``max_abs_err`` (reconstruction audit).
+    All ops are exact-rounded IEEE doubles with a fixed operand order
+    plus order-independent min/max — bit-reproducible across engines
+    (``floor``/``least`` everywhere, no half-even-vs-half-away
+    ``round`` hazard). A constant vector (max == min) quantizes to
+    all-zeros with scale 0 and exact reconstruction.
+    """
+    v = F.transform(vec, lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    q = F.when(
+        mx == mn,
+        F.transform(v, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.least(
+                F.floor((x - mn) / scale), F.lit(255)
+            ).cast("int"),
+        )
+    )
+    recon_err = F.when(mx == mn, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                v, q, lambda x, qi: F.abs(x - (mn + qi.cast("double") * scale))
+            )
+        )
+    )
+    return {
+        "scale": scale,
+        "zero_point": mn,
+        "q": q,
+        "max_abs_err": recon_err,
+    }

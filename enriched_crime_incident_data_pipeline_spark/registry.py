@@ -784,6 +784,19 @@ def q_s5_pdf_parse(spark, sf_dir):
     return parse_report_blocks(synthetic_report_blocks(docs))
 
 
+def q_ta11_lm_quality(spark, sf_dir):
+    # unigram-LM quality score (perplexity proxy): corpus-trained
+    # add-one-smoothed mean inverse token probability — rational
+    # per-token terms + position-ordered fold keep it bit-exact
+    # across engines (no transcendentals)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        unigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs)
+
+
 def q_ta1_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
@@ -1077,6 +1090,43 @@ def q_dd9_dup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(minhash_bands(docs))
     return dup_clusters(docs, pairs)
+
+
+def q_dd10_dedup_keeper(spark, sf_dir):
+    # corpus-clean drop-list: LSH pairs → connected components →
+    # keep-longest keeper per cluster, emit the rows to delete
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+        dedup_drop_list,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    members = connected_components(pairs).withColumnRenamed("node", "node")
+    sizes = docs.select(
+        F.col("doc_id").alias("node"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return dedup_drop_list(members, sizes)
+
+
+def q_ss6_quantize_int8(spark, sf_dir):
+    # int8 scalar quantization of the embedding column (4× storage
+    # cut before ANN indexing); q array projected to JSON for the
+    # driver compare, reconstruction error as the quality audit
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        cols["scale"].alias("scale"),
+        cols["zero_point"].alias("zero_point"),
+        F.to_json(cols["q"]).alias("q_json"),
+        cols["max_abs_err"].alias("max_abs_err"),
+    )
 
 
 def q_tp5_sliding_chunks(spark, sf_dir):
@@ -4244,6 +4294,32 @@ def oracle_queries() -> dict[str, str]:
                    v[3] AS location, v[4] AS nature, v[5] AS incident_ori
             FROM norm
         """,
+        "ta11_lm_quality": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(len(ts))) AS pos
+              FROM toks
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v
+              FROM counts
+            ),
+            per AS (
+              SELECT t.doc_id, t.pos,
+                     CAST(tot.n_total + tot.v AS DOUBLE)
+                       / CAST(co.c + 1 AS DOUBLE) AS ip
+              FROM tok t JOIN counts co ON t.tok = co.tok, tot
+            ),
+            agg AS (
+              SELECT doc_id, sum(ip ORDER BY pos) AS sum_ip,
+                     count(*) AS n FROM per GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   sum_ip / CAST(n AS DOUBLE) AS mean_inv_prob
+            FROM agg
+        """,
         "ta1_token_count": f"SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents",
         "ta2_quality": f"""
             WITH base AS (
@@ -4561,6 +4637,71 @@ def oracle_queries() -> dict[str, str]:
             FROM customer JOIN part
               ON c_acctbal >= p_retailprice
              AND c_acctbal < p_retailprice + p_size / 100.0
+        """,
+        "dd10_dedup_keeper": f"""
+            WITH RECURSIVE pairs AS (
+              WITH bands AS ({_MINHASH_BANDS_SQL})
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT DISTINCT a AS node, a AS label FROM edges
+              UNION
+              SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+            ),
+            cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            tc AS (SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents),
+            sized AS (
+              SELECT cc.node, cc.cluster_id, tc.n_tokens
+              FROM cc JOIN tc ON cc.node = tc.doc_id
+            ),
+            keep AS (
+              SELECT cluster_id, node AS keeper_id FROM (
+                SELECT cluster_id, node,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_tokens DESC, node) AS rn
+                FROM sized
+              ) WHERE rn = 1
+            )
+            SELECT s.node AS doc_id, s.cluster_id, k.keeper_id
+            FROM sized s JOIN keep k USING (cluster_id)
+            WHERE s.node <> k.keeper_id
+        """,
+        "ss6_quantize_int8": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            el AS (
+              SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS pos
+              FROM e
+            ),
+            mm AS (
+              SELECT vec_id, min(x) AS mn, max(x) AS mx,
+                     (max(x) - min(x)) / 255.0 AS scale
+              FROM el GROUP BY vec_id
+            ),
+            q AS (
+              SELECT el.vec_id, el.pos,
+                     CASE WHEN mm.mx = mm.mn THEN 0
+                          ELSE CAST(least(floor((el.x - mm.mn) / mm.scale),
+                                          255) AS INTEGER) END AS qi,
+                     el.x, mm.mn, mm.mx, mm.scale
+              FROM el JOIN mm USING (vec_id)
+            )
+            SELECT vec_id,
+                   any_value(scale) AS scale,
+                   any_value(mn) AS zero_point,
+                   '[' || string_agg(CAST(qi AS VARCHAR), ',' ORDER BY pos)
+                       || ']' AS q_json,
+                   CASE WHEN any_value(mx) = any_value(mn) THEN 0.0
+                        ELSE max(abs(x - (mn + CAST(qi AS DOUBLE) * scale)))
+                   END AS max_abs_err
+            FROM q GROUP BY vec_id
         """,
         "sk1_kmv_distinct": f"""
             WITH h AS (
@@ -5242,6 +5383,9 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd5_ngram_jaccard": q_dd5_ngram_jaccard,
         "dd5b_ngram_capped": q_dd5b_ngram_capped,
         "s5_pdf_parse": q_s5_pdf_parse,
+        "ta11_lm_quality": q_ta11_lm_quality,
+        "dd10_dedup_keeper": q_dd10_dedup_keeper,
+        "ss6_quantize_int8": q_ss6_quantize_int8,
         "ta1_token_count": q_ta1_token_count,
         "ta2_quality": q_ta2_quality,
         "ta3_lang_id": q_ta3_lang_id,

@@ -155,3 +155,69 @@ def test_tree_paths_log_rounds_on_deep_chain(spark):
     out = {r["node"]: r["depth"] for r in tree_paths(edges).collect()}
     assert out[0] == 0 and out[n - 1] == n - 1
     assert all(out[i] == i for i in (1, 50, 99))
+
+
+def test_dedup_drop_list_keeps_longest_with_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dedup_drop_list,
+    )
+
+    # cluster 1: sizes 5,9,9 → keeper 20 (longest, tie → lowest id);
+    # cluster 100: singleton-free pair, keeper by size
+    members = spark.createDataFrame(
+        [(10, 1), (20, 1), (30, 1), (100, 100), (200, 100)],
+        "node long, cluster_id long",
+    )
+    sizes = spark.createDataFrame(
+        [(10, 5), (20, 9), (30, 9), (100, 2), (200, 7)],
+        "node long, n_tokens int",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keeper_id"])
+        for r in dedup_drop_list(members, sizes).collect()
+    }
+    assert got == {10: (1, 20), 30: (1, 20), 100: (100, 200)}
+
+    plan = dedup_drop_list(members, sizes)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan  # aggregation argmax, not a sort window
+    assert "Window" not in plan
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        quantize_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.5, 0.25]),
+            (2, [-3.0, 3.0, 0.0, 2.9]),
+            (3, [7.0, 7.0, 7.0, 7.0]),  # constant vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cols = quantize_int8(F.col("embedding"))
+    rows = {
+        r["vec_id"]: r
+        for r in emb.select(
+            "vec_id",
+            cols["scale"].alias("scale"),
+            cols["zero_point"].alias("zp"),
+            cols["q"].alias("q"),
+            cols["max_abs_err"].alias("err"),
+        ).collect()
+    }
+    # all codes in [0, 255]; extremes map to 0 / 255
+    for r in rows.values():
+        assert all(0 <= qi <= 255 for qi in r["q"])
+    assert rows[1]["q"][0] == 0 and rows[1]["q"][1] == 255
+    # reconstruction error bounded by one quantization step
+    for vid in (1, 2):
+        assert rows[vid]["err"] <= rows[vid]["scale"] + 1e-12
+    # constant vector: scale 0, all zeros, exact reconstruction
+    assert rows[3]["scale"] == 0.0
+    assert rows[3]["q"] == [0, 0, 0, 0] and rows[3]["err"] == 0.0

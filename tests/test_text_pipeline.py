@@ -134,3 +134,44 @@ def test_tfidf_topk_and_ties_deterministic(spark):
     rows = tfidf_top_terms(docs, k=2).filter(F.col("doc_id") == 1).collect()
     # a and b tie on tf=2, df=1 → alphabetical tie-break
     assert [r["term"] for r in sorted(rows, key=lambda r: r["rnk"])] == ["a", "b"]
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    """3-doc corpus, hand-checked add-one-smoothed inverse
+    probabilities: N=6 instances, V=3 types → term = 9/(c+1)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        unigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "z")],
+        "doc_id long, text string",
+    )
+    # counts: a=3, b=2, z=1; N=6, V=3 → ip(a)=9/4, ip(b)=9/3, ip(z)=9/2
+    got = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["mean_inv_prob"] == (9 / 4 + 9 / 4 + 9 / 3) / 3
+    assert got[2]["mean_inv_prob"] == (9 / 4 + 9 / 3) / 2
+    assert got[3]["mean_inv_prob"] == 9 / 2
+    # rare-token doc scores strictly higher (the quality signal)
+    assert got[3]["mean_inv_prob"] > got[1]["mean_inv_prob"]
+
+
+def test_unigram_lm_scores_partitioning_invariant(spark):
+    """The position-ordered fold makes the score independent of data
+    partitioning — same bits at 1 and 13 shuffle partitions."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        unigram_lm_scores,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    one = {
+        r["doc_id"]: r["mean_inv_prob"]
+        for r in unigram_lm_scores(docs.coalesce(1)).collect()
+    }
+    many = {
+        r["doc_id"]: r["mean_inv_prob"]
+        for r in unigram_lm_scores(docs.repartition(13)).collect()
+    }
+    assert one == many  # bit-exact, no tolerance
