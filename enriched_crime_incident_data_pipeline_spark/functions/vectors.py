@@ -79,3 +79,60 @@ def quantize_int8(vec: Column) -> dict[str, Column]:
         "q": q,
         "max_abs_err": recon_err,
     }
+
+
+def quantize_embeddings(
+    df, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """DataFrame-level int8 quantization via an Arrow-batched numpy
+    kernel — the fast face of :func:`quantize_int8`.
+
+    The column-expression form re-evaluates ``array_min``/``array_max``
+    per element inside the (interpreted, codegen-less) higher-order
+    lambdas — O(dim²) work per vector; the kernel computes min/max
+    once per vector and quantizes at memory bandwidth (~20× at sf0.1).
+    Identical IEEE double ops in the same order (cast → sub → div →
+    floor → clamp; min/max/abs are order-independent), so the outputs
+    are bit-equal to the expression path and the SQL oracle — pinned
+    by ``test_quantize_kernel_matches_expression``.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, scale double, zero_point double, "
+        "q_json string, max_abs_err double"
+    )
+
+    def kern(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mn = mat.min(axis=1)
+            mx = mat.max(axis=1)
+            const = mx == mn
+            scale = (mx - mn) / 255.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = np.minimum(
+                    np.floor((mat - mn[:, None]) / scale[:, None]), 255.0
+                )
+            q[const] = 0.0
+            q = q.astype(np.int64)
+            recon = mn[:, None] + q * scale[:, None]
+            err = np.abs(mat - recon).max(axis=1)
+            err[const] = 0.0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "scale": scale,
+                    "zero_point": mn,
+                    "q_json": [
+                        "[" + ",".join(map(str, row)) + "]" for row in q
+                    ],
+                    "max_abs_err": err,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kern, schema)

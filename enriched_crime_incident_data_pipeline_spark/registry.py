@@ -1112,21 +1112,15 @@ def q_dd10_dedup_keeper(spark, sf_dir):
 
 def q_ss6_quantize_int8(spark, sf_dir):
     # int8 scalar quantization of the embedding column (4× storage
-    # cut before ANN indexing); q array projected to JSON for the
-    # driver compare, reconstruction error as the quality audit
+    # cut before ANN indexing) through the Arrow numpy kernel; q array
+    # projected to JSON for the driver compare, reconstruction error
+    # as the quality audit
     from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
-        quantize_int8,
+        quantize_embeddings,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cols = quantize_int8(F.col("embedding"))
-    return emb.select(
-        "vec_id",
-        cols["scale"].alias("scale"),
-        cols["zero_point"].alias("zero_point"),
-        F.to_json(cols["q"]).alias("q_json"),
-        cols["max_abs_err"].alias("max_abs_err"),
-    )
+    return quantize_embeddings(emb)
 
 
 def q_tp5_sliding_chunks(spark, sf_dir):
@@ -4015,14 +4009,18 @@ def oracle_queries() -> dict[str, str]:
             ) WHERE rn <= 10
         """,
         "mm1_media_features": """
-            WITH pos AS (
-              SELECT doc_id, text, unnest(range(length(text))) AS i
+            WITH hx AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS nb
               FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
             ),
             sums AS (
               SELECT doc_id, i % 8 AS bucket,
-                     CAST(sum(unicode(substr(text, CAST(i AS INTEGER) + 1, 1)))
-                          AS BIGINT) AS s
+                     CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                              ::INTEGER) AS BIGINT) AS s
               FROM pos GROUP BY doc_id, i % 8
             ),
             grid AS (
@@ -4036,7 +4034,7 @@ def oracle_queries() -> dict[str, str]:
                 ON grid.doc_id = sums.doc_id AND grid.bucket = sums.bucket
             )
             SELECT d.doc_id AS media_id, 'image' AS kind,
-                   CAST(length(d.text) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
                    '[' || string_agg(CAST(h.s AS VARCHAR), ',' ORDER BY h.bucket)
                        || ']' AS feature_json
             FROM documents d JOIN hist h ON d.doc_id = h.doc_id

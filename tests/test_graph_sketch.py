@@ -221,3 +221,46 @@ def test_quantize_int8_roundtrip_bounds(spark):
     # constant vector: scale 0, all zeros, exact reconstruction
     assert rows[3]["scale"] == 0.0
     assert rows[3]["q"] == [0, 0, 0, 0] and rows[3]["err"] == 0.0
+
+
+def test_quantize_kernel_matches_expression(spark):
+    """The Arrow numpy quantization kernel must be bit-equal to the
+    column-expression path (same IEEE ops, same order) on real data
+    including a constant vector."""
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        quantize_embeddings,
+        quantize_int8,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .union(
+            spark.createDataFrame(
+                [(999_999, [1.5] * 64)], "vec_id long, embedding array<float>"
+            )
+        )
+    )
+    cols = quantize_int8(F.col("embedding"))
+    expr = {
+        r["vec_id"]: (
+            r["scale"], r["zp"], r["qj"], r["err"]
+        )
+        for r in emb.select(
+            "vec_id",
+            cols["scale"].alias("scale"),
+            cols["zero_point"].alias("zp"),
+            F.to_json(cols["q"]).alias("qj"),
+            cols["max_abs_err"].alias("err"),
+        ).collect()
+    }
+    kern = {
+        r["vec_id"]: (
+            r["scale"], r["zero_point"], r["q_json"], r["max_abs_err"]
+        )
+        for r in quantize_embeddings(emb).collect()
+    }
+    assert kern == expr  # bit-equality, no tolerance
