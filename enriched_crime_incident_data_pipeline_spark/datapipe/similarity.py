@@ -332,3 +332,134 @@ def train_kmeans_centroids(
         [(c, v) for c, v in sorted(centroids.items())],
         "cluster int, centroid array<double>",
     )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``n_sub``
+    subvectors of ``sub_dim`` dims and assign each to its nearest
+    subspace centroid — ``(id, code_0..code_{n_sub-1})``, i.e. 1 byte
+    per subspace instead of ``sub_dim`` floats (a 32× storage cut at
+    the defaults). The codebook is the deterministic coarse scheme the
+    IVF path uses (``ivf_assignments``): the first ``n_centroids``
+    vectors by id donate their subvectors as subspace centroids.
+
+    Scale shape: one broadcast of the (tiny) codebook, one map-side
+    n×k scoring pass, one ``min_by`` argmin aggregation keyed by the
+    vector — no corpus shuffle beyond the groupBy(id), which AQE
+    coalesces. Subspace L2² folds (x−y)² left-to-right per dimension
+    (``zip_with`` + ``aggregate``), ties break to the lowest centroid
+    id — bit-reproducible in any ordered-aggregate SQL engine.
+    """
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    paired = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+
+    def sub_l2(s: int):
+        a = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+        b = F.slice(F.col("_cv"), s * sub_dim + 1, sub_dim)
+        diffs = F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+    aggs = [
+        F.min_by(
+            "_cid", F.struct(sub_l2(s).alias("_d"), F.col("_cid"))
+        ).alias(f"code_{s}")
+        for s in range(n_sub)
+    ]
+    return paired.groupBy(id_col).agg(*aggs)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    un-quantized; every stored vector's distance is approximated as
+    Σ_s LUT[s, code_s] where the lookup table holds the query-to-
+    centroid subspace L2² distances. This is the memory-bound ANN
+    read path at corpus scale: the scan touches 1 byte per subspace
+    per vector (the codes) plus one broadcast of an (n_sub ×
+    n_centroids)-row LUT — never the float vectors.
+
+    Determinism: the LUT distances fold per-dimension left-to-right;
+    the per-vector total folds the n_sub terms in subspace order
+    (collect → array_sort → sequential aggregate); ranking ties break
+    on the vector id. Returns ``(neighbor_id, rank, approx_dist)``.
+    """
+    codes = pq_codes(
+        embeddings, n_sub, sub_dim, n_centroids, id_col, vec_col
+    ).filter(F.col(id_col) != query_vec_id)
+    melted = codes.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"code_{s}") for s in range(n_sub)])
+        ).alias("_s", "_code"),
+    )
+
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+
+    def sub_l2(s: int):
+        a = F.slice(F.col("_qv"), s * sub_dim + 1, sub_dim)
+        b = F.slice(F.col("_cv"), s * sub_dim + 1, sub_dim)
+        diffs = F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+    lut = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("_cid"),
+            F.posexplode(
+                F.array(*[sub_l2(s) for s in range(n_sub)])
+            ).alias("_s", "_d"),
+        )
+    )
+    scored = (
+        melted.join(F.broadcast(lut), (F.col("_code") == F.col("_cid")) & (melted["_s"] == lut["_s"]))
+        .select(F.col(id_col), melted["_s"].alias("_ss"), F.col("_d"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_ss"), F.col("_d")))
+            ).alias("_arr")
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                "_arr", F.lit(0.0), lambda acc, x: acc + x["_d"]
+            ).alias("approx_dist"),
+        )
+    )
+    topk = scored.orderBy("approx_dist", "neighbor_id").limit(k)
+    w = Window.orderBy("approx_dist", "neighbor_id")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "neighbor_id", "rank", "approx_dist"
+    )

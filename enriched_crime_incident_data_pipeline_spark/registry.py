@@ -1123,6 +1123,29 @@ def q_ss6_quantize_int8(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+def q_ss7_pq_codes(spark, sf_dir):
+    # product-quantization codes: 8 subspaces × deterministic
+    # 16-centroid codebooks → 8 small ints per vector (32× smaller
+    # than float32); the other half of scale ANN alongside IVF
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb)
+
+
+def q_ss8_pq_adc_topk(spark, sf_dir):
+    # asymmetric-distance top-k over the PQ codes: scan touches only
+    # 1 byte/subspace/vector + a broadcast 8×16 lookup table
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, query_vec_id=0, k=10)
+
+
 def q_tp5_sliding_chunks(spark, sf_dir):
     # RAG/context-window chunking: overlapping token windows, map-only
     from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
@@ -4670,6 +4693,81 @@ def oracle_queries() -> dict[str, str]:
             FROM sized s JOIN keep k USING (cluster_id)
             WHERE s.node <> k.keeper_id
         """,
+        "ss7_pq_codes": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            comp AS (
+              SELECT e.vec_id, cent.cid, dd.d,
+                     CAST(dd.d // 8 AS INTEGER) AS s,
+                     e.v[CAST(dd.d + 1 AS INTEGER)]
+                       - cent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+              FROM e, cent, (SELECT unnest(range(64)) AS d) dd
+            ),
+            dist AS (
+              SELECT vec_id, cid, s, sum(df * df ORDER BY d) AS dist
+              FROM comp GROUP BY vec_id, cid, s
+            ),
+            best AS (
+              SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist, cid) AS rn
+                FROM dist
+              ) WHERE rn = 1
+            )
+            SELECT vec_id,
+                   {", ".join(f"max(CASE WHEN s = {s} THEN cid END) AS code_{s}" for s in range(8))}
+            FROM best GROUP BY vec_id
+        """,
+        "ss8_pq_adc_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            comp AS (
+              SELECT e.vec_id, cent.cid, dd.d,
+                     CAST(dd.d // 8 AS INTEGER) AS s,
+                     e.v[CAST(dd.d + 1 AS INTEGER)]
+                       - cent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+              FROM e, cent, (SELECT unnest(range(64)) AS d) dd
+            ),
+            dist AS (
+              SELECT vec_id, cid, s, sum(df * df ORDER BY d) AS dist
+              FROM comp GROUP BY vec_id, cid, s
+            ),
+            best AS (
+              SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist, cid) AS rn
+                FROM dist
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            lcomp AS (
+              SELECT cent.cid, dd.d, CAST(dd.d // 8 AS INTEGER) AS s,
+                     q.qv[CAST(dd.d + 1 AS INTEGER)]
+                       - cent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+              FROM q, cent, (SELECT unnest(range(64)) AS d) dd
+            ),
+            lut AS (
+              SELECT cid, s, sum(df * df ORDER BY d) AS dlut
+              FROM lcomp GROUP BY cid, s
+            ),
+            scored AS (
+              SELECT b.vec_id, sum(l.dlut ORDER BY b.s) AS approx_dist
+              FROM best b JOIN lut l ON l.cid = b.cid AND l.s = b.s
+              WHERE b.vec_id <> 0
+              GROUP BY b.vec_id
+            )
+            SELECT vec_id AS neighbor_id,
+                   CAST(row_number() OVER (ORDER BY approx_dist, vec_id)
+                        AS INTEGER) AS rank,
+                   approx_dist
+            FROM scored ORDER BY approx_dist, vec_id LIMIT 10
+        """,
         "ss6_quantize_int8": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -5384,6 +5482,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta11_lm_quality": q_ta11_lm_quality,
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
         "ss6_quantize_int8": q_ss6_quantize_int8,
+        "ss7_pq_codes": q_ss7_pq_codes,
+        "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
         "ta1_token_count": q_ta1_token_count,
         "ta2_quality": q_ta2_quality,
         "ta3_lang_id": q_ta3_lang_id,

@@ -264,3 +264,46 @@ def test_quantize_kernel_matches_expression(spark):
         for r in quantize_embeddings(emb).collect()
     }
     assert kern == expr  # bit-equality, no tolerance
+
+
+def test_pq_codes_centroids_self_assign(spark):
+    """Each codebook donor vector quantizes to its own id in every
+    subspace (self-distance 0; ties to lowest centroid id)."""
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        pq_codes,
+    )
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r["vec_id"]: r for r in pq_codes(emb).collect()}
+    for cid in range(16):
+        assert all(codes[cid][f"code_{s}"] == cid for s in range(8)), cid
+    # every code within codebook range
+    for r in codes.values():
+        assert all(0 <= r[f"code_{s}"] < 16 for s in range(8))
+
+
+def test_pq_adc_finds_query_duplicate(spark):
+    """A vector identical to the query shares its codes, so its ADC
+    distance is the minimum possible — it must rank first."""
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        pq_adc_topk,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    rows.append((77, list(rows[0][1])))  # exact duplicate of query 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = pq_adc_topk(emb, query_vec_id=0, k=5).collect()
+    assert top[0]["neighbor_id"] == 77 and top[0]["rank"] == 1
+    # ADC scan never touches the float vectors after code assignment:
+    # the joined relation is codes + a broadcast LUT
+    plan = pq_adc_topk(emb, 0, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -220,3 +220,64 @@ def test_scd2_containment_equals_asof(spark, dim, facts):
     got = sorted(map(tuple, contain.collect()))
     want = sorted(map(tuple, asof.collect()))
     assert got == want
+
+
+_LINE = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" /:-"
+    ),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip() != "")
+
+
+@given(
+    pages=st.lists(
+        st.lists(  # each page: blocks of 2-7 lines
+            st.lists(_LINE, min_size=2, max_size=7),
+            min_size=3,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(**SETTINGS)
+def test_pdf_parse_matches_reference_on_random_blocks(spark, pages):
+    """The engine block parser must agree with a verbatim replica of
+    the reference algorithm on ARBITRARY page/block/line shapes —
+    including 2-line blocks (pad underflow), >6-line blocks (partial
+    merge), and embedded empty-line removal order. Skips page shapes
+    where the reference itself would crash (block count too small for
+    its unconditional pops)."""
+    from tests.test_pdf_parse import _reference_extract, _to_blocks_df
+    from enriched_crime_incident_data_pipeline_spark.sources.pdf import (
+        parse_report_blocks,
+    )
+
+    # every block gets the trailing '' the splitter expects
+    pages_txt = [
+        ["\n".join(lines) + "\n" for lines in page] for page in pages
+    ]
+    # reference precondition: page 0 pops 3 blocks, last page pops 1
+    if len(pages_txt[0]) < 3 or len(pages_txt[-1]) < 1:
+        return
+    expected = sorted(_reference_extract(pages_txt))
+    got = sorted(
+        [
+            [
+                r["datetime_str"],
+                r["incident_num"],
+                r["location"],
+                r["nature"],
+                r["incident_ori"],
+            ]
+            for r in parse_report_blocks(
+                _to_blocks_df(spark, pages_txt)
+            ).collect()
+        ]
+    )
+    # reference pads sub-5 rows with None-less short lists; the engine
+    # yields nulls for the missing tail — normalize before comparing
+    expected = [row + [None] * (5 - len(row)) for row in expected]
+    assert got == expected
