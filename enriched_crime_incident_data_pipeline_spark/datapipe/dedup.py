@@ -486,3 +486,63 @@ def exact_all_pairs_cosine(
         return pd.DataFrame({"a": a_ids, "b": b_ids, "cosine": cos[ai, bidx]})
 
     return tiles.groupBy(bi, bj).applyInPandas(tile_kernel, out_schema)
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact SEGMENT dedup (the C4/FineWeb line-dedup
+    move, at sub-document granularity): split each document into
+    consecutive ``seg_tokens``-token segments, drop every later
+    occurrence of a segment seen anywhere in the corpus (first
+    occurrence = lowest (doc_id, seg_idx)), and rebuild each
+    document from its surviving segments in order. Returns
+    ``(id, n_kept, deduped_text)`` for documents retaining ≥1
+    segment.
+
+    One shuffle on the segment md5 (uniform 128-bit key, no skew) for
+    the keep-first window; the rebuild groups by document with an
+    order-pinned fold (collect → array_sort by seg_idx → join), so
+    output text is deterministic under any partitioning. Segment
+    boundaries are token-index-based, which makes the split — and the
+    whole operator — reproducible in plain SQL, unlike
+    semantic-boundary splitters.
+    """
+    ts = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(ts) / F.lit(float(seg_tokens))).cast("int")
+    segs = docs.filter(F.size(ts) > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ts, i * seg_tokens + 1, seg_tokens)
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy(id_col, "seg_idx")
+    kept = (
+        segs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.struct("seg_idx", "seg"))
+            ).alias("_arr"),
+        )
+        .select(
+            id_col,
+            "n_kept",
+            F.array_join(
+                F.transform("_arr", lambda x: x["seg"]), " "
+            ).alias("deduped_text"),
+        )
+    )

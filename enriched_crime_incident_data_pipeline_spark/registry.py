@@ -1123,6 +1123,18 @@ def q_ss6_quantize_int8(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+def q_dd11_segment_dedup(spark, sf_dir):
+    # corpus-wide exact segment dedup (C4-style line dedup at
+    # 10-token granularity): later occurrences of any segment drop,
+    # docs rebuilt from survivors in order
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        segment_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=10)
+
+
 def q_ss7_pq_codes(spark, sf_dir):
     # product-quantization codes: 8 subspaces × deterministic
     # 16-centroid codebooks → 8 small ints per vector (32× smaller
@@ -4693,6 +4705,32 @@ def oracle_queries() -> dict[str, str]:
             FROM sized s JOIN keep k USING (cluster_id)
             WHERE s.node <> k.keeper_id
         """,
+        "dd11_segment_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS ts FROM documents
+            ),
+            seg AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+                     array_to_string(
+                       list_slice(ts, CAST(g.i * 10 + 1 AS INTEGER),
+                                  CAST(g.i * 10 + 10 AS INTEGER)), ' ') AS seg
+              FROM toks, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS i
+              ) g
+              WHERE len(ts) > 0
+            ),
+            kept AS (
+              SELECT doc_id, seg_idx, seg FROM (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, seg_idx) AS rn
+                FROM seg
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
+            FROM kept GROUP BY doc_id
+        """,
         "ss7_pq_codes": f"""
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -5481,6 +5519,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "s5_pdf_parse": q_s5_pdf_parse,
         "ta11_lm_quality": q_ta11_lm_quality,
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
+        "dd11_segment_dedup": q_dd11_segment_dedup,
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,

@@ -175,3 +175,36 @@ def test_unigram_lm_scores_partitioning_invariant(spark):
         for r in unigram_lm_scores(docs.repartition(13)).collect()
     }
     assert one == many  # bit-exact, no tolerance
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        segment_dedup,
+    )
+
+    # 2-token segments; 'x y' appears in docs 1, 2 and twice in doc 3;
+    # only doc 1's copy (lowest doc_id, seg_idx) survives
+    docs = spark.createDataFrame(
+        [
+            (1, "x y a b"),
+            (2, "x y c d"),
+            (3, "e f x y x y"),
+            (4, "g h"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_kept"], r["deduped_text"])
+        for r in segment_dedup(docs, seg_tokens=2).collect()
+    }
+    assert got[1] == (2, "x y a b")
+    assert got[2] == (1, "c d")
+    assert got[3] == (1, "e f")
+    assert got[4] == (1, "g h")
+
+    # a doc that is ALL duplicate segments disappears entirely
+    docs2 = docs.union(
+        spark.createDataFrame([(5, "x y")], "doc_id long, text string")
+    )
+    got2 = {r["doc_id"] for r in segment_dedup(docs2, seg_tokens=2).collect()}
+    assert 5 not in got2 and got2 == {1, 2, 3, 4}
