@@ -552,3 +552,43 @@ def test_changelog_and_lsh_family_plan_shapes(spark):
     p = shape("dq1_constraint_audit")
     assert len(re.findall(r"Arguments: hashpartitioning", p)) <= 1
     assert len(re.findall(r"PushedFilters: \[[^\]]", p)) >= 4
+
+
+def test_round2_ops_plan_shapes(spark):
+    """Scale invariants for the round-2 operators: dimension tables
+    broadcast, corpora never sort-merge-join or nested-loop, and the
+    exchange counts stay fixed by query shape."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # LM scoring: token counts + totals broadcast back; the token
+    # relation never SMJs
+    p = qs["ta11_lm_quality"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # segment dedup: the only wide ops are the md5 window and the
+    # per-doc rebuild — equi-shuffles, no joins at all
+    p = qs["dd11_segment_dedup"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+    # PQ coding: codebook broadcast; ADC joins codes to a broadcast LUT
+    for name in ("ss7_pq_codes", "ss8_pq_adc_topk"):
+        p = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+    # blocked exact cosine: one shuffle on the tile key feeding the
+    # Arrow kernel — no pairwise join node at all
+    p = qs["dd6_embed_cosine"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+    # keeper drop-list: argmax is an aggregation (max_by), keeper dim
+    # broadcasts back
+    p = qs["dd10_dedup_keeper"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in p
+    assert "BroadcastHashJoin" in p
