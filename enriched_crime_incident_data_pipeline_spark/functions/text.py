@@ -230,3 +230,29 @@ def winnow_fingerprint(text: Column, n: int = 5) -> Column:
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
     )
     return F.array_min(hashed)
+
+
+# GPT-2-style pretokenizer pattern, restricted to constructs shared by
+# Java regex and RE2 (no lookahead — the original's `\s+(?!\S)` is
+# replaced by a plain `\s+` alternative, which only changes how
+# trailing whitespace runs are grouped). Alternation is
+# leftmost-first in both engines, so the split is reproducible.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """GPT-2-style pretokens of the RAW text (array<string>): leading-
+    space-attached word/number/punctuation runs plus split English
+    contractions — the segmentation BPE vocabularies are trained over.
+    Unlike :func:`tokens` this is case- and punctuation-preserving."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretoken count — the cheap LLM-token-budget estimator (actual
+    BPE merges only split pretokens further, so this lower-bounds the
+    real token count at roughly 0.75× for English text)."""
+    return F.size(bpe_pretokens(text))

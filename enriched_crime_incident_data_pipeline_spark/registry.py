@@ -797,6 +797,25 @@ def q_ta11_lm_quality(spark, sf_dir):
     return unigram_lm_scores(docs)
 
 
+def q_ta12_bpe_tokens(spark, sf_dir):
+    # GPT-2-style pretokenizer over RAW text: count + first/last
+    # pretokens as the segmentation witness (whole array stays
+    # non-scalar, so the compared face is scalar projections)
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        bpe_pretokens,
+        bpe_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = bpe_pretokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_pretokens"),
+        F.get(toks, 0).alias("first_tok"),
+        F.get(toks, F.size(toks) - 1).alias("last_tok"),
+    )
+
+
 def q_ta1_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
@@ -4353,6 +4372,18 @@ def oracle_queries() -> dict[str, str]:
                    sum_ip / CAST(n AS DOUBLE) AS mean_inv_prob
             FROM agg
         """,
+        "ta12_bpe_tokens": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')
+                       AS toks
+              FROM documents
+            )
+            SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_pretokens,
+                   toks[1] AS first_tok, toks[len(toks)] AS last_tok
+            FROM t
+        """,
         "ta1_token_count": f"SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents",
         "ta2_quality": f"""
             WITH base AS (
@@ -5518,6 +5549,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd5b_ngram_capped": q_dd5b_ngram_capped,
         "s5_pdf_parse": q_s5_pdf_parse,
         "ta11_lm_quality": q_ta11_lm_quality,
+        "ta12_bpe_tokens": q_ta12_bpe_tokens,
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "ss6_quantize_int8": q_ss6_quantize_int8,

@@ -208,3 +208,36 @@ def test_segment_dedup_keeps_first_occurrence(spark):
     )
     got2 = {r["doc_id"] for r in segment_dedup(docs2, seg_tokens=2).collect()}
     assert 5 not in got2 and got2 == {1, 2, 3, 4}
+
+
+def test_bpe_pretokens_segmentation(spark):
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        bpe_pretokens,
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Don't stop me now!"),
+            (2, "abc123  def"),
+            (3, "hello, World"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["toks"], r["n"])
+        for r in df.select(
+            "id",
+            bpe_pretokens(F.col("text")).alias("toks"),
+            bpe_token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    # contraction split, leading spaces attach to the next word,
+    # punctuation separate, case preserved
+    assert got[1][0] == ["Don", "'t", " stop", " me", " now", "!"]
+    # double space: the lookahead-free pattern groups the whole run as
+    # one whitespace token (GPT-2's (?!\S) would leave one space for
+    # 'def' — the documented RE2-compat difference)
+    assert got[2][0] == ["abc", "123", "  ", "def"]
+    assert got[3][0] == ["hello", ",", " World"]
+    assert all(n == len(t) for t, n in got.values())
