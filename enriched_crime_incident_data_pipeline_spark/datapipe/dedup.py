@@ -546,3 +546,33 @@ def segment_dedup(
             ).alias("deduped_text"),
         )
     )
+
+
+def incremental_lsh_pairs(
+    new_bands: DataFrame,
+    existing_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates for an INCREMENT: pairs between newly-added
+    docs and the standing corpus, plus pairs among the new docs —
+    without re-joining the existing corpus against itself.
+
+    This is how LSH dedup runs on a continuously-growing 100 TB
+    corpus: the band table is the persistent index (append-only,
+    partitionable by band hash); each ingest batch computes its own
+    bands, equi-joins them against the index, and appends. Work is
+    proportional to |new| × bucket-hit-rate, never |corpus|² — the
+    full-corpus pair set restricted to pairs touching a new doc is
+    reproduced exactly (pinned by
+    ``test_incremental_lsh_equals_full_restriction``).
+    """
+    l = new_bands.select(F.col(id_col).alias("a"), "band_id", "band_hash")
+    r = existing_bands.select(F.col(id_col).alias("b"), "band_id", "band_hash")
+    cross = (
+        l.join(r, ["band_id", "band_hash"])
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+    )
+    return cross.union(lsh_candidate_pairs(new_bands, id_col)).distinct()

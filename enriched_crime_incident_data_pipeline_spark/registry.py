@@ -1154,6 +1154,22 @@ def q_dd11_segment_dedup(spark, sf_dir):
     return segment_dedup(docs, seg_tokens=10)
 
 
+def q_dd12_incremental_lsh(spark, sf_dir):
+    # incremental index maintenance: new docs (doc_id % 5 == 0) probe
+    # the standing band index — work ∝ |new| × bucket hit rate, never
+    # |corpus|²; output = full-corpus pairs restricted to new docs
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    old_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_lsh_pairs(
+        minhash_bands(new_docs), minhash_bands(old_docs)
+    )
+
+
 def q_ss7_pq_codes(spark, sf_dir):
     # product-quantization codes: 8 subspaces × deterministic
     # 16-centroid codebooks → 8 small ints per vector (32× smaller
@@ -4736,6 +4752,28 @@ def oracle_queries() -> dict[str, str]:
             FROM sized s JOIN keep k USING (cluster_id)
             WHERE s.node <> k.keeper_id
         """,
+        "dd12_incremental_lsh": f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL}),
+            nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+            ob AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+            cross_pairs AS (
+              SELECT least(n.doc_id, o.doc_id) AS a,
+                     greatest(n.doc_id, o.doc_id) AS b
+              FROM nb n JOIN ob o
+                ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+              WHERE n.doc_id <> o.doc_id
+            ),
+            self_pairs AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM nb l JOIN nb r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            )
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM cross_pairs
+              UNION ALL SELECT a, b FROM self_pairs
+            )
+        """,
         "dd11_segment_dedup": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS} AS ts FROM documents
@@ -5552,6 +5590,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta12_bpe_tokens": q_ta12_bpe_tokens,
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
         "dd11_segment_dedup": q_dd11_segment_dedup,
+        "dd12_incremental_lsh": q_dd12_incremental_lsh,
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,

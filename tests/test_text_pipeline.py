@@ -241,3 +241,33 @@ def test_bpe_pretokens_segmentation(spark):
     assert got[2][0] == ["abc", "123", "  ", "def"]
     assert got[3][0] == ["hello", ",", " World"]
     assert all(n == len(t) for t, n in got.values())
+
+
+def test_incremental_lsh_equals_full_restriction(spark):
+    """Incremental probing of the standing band index reproduces
+    exactly the full-corpus candidate pairs that touch a new doc —
+    the invariant that lets a growing corpus dedup without ever
+    re-joining itself."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    old_docs = docs.filter(F.col("doc_id") % 5 != 0)
+
+    incr = {
+        (r["a"], r["b"])
+        for r in incremental_lsh_pairs(
+            minhash_bands(new_docs), minhash_bands(old_docs)
+        ).collect()
+    }
+    full = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(minhash_bands(docs)).collect()
+        if r["a"] % 5 == 0 or r["b"] % 5 == 0
+    }
+    assert incr == full and incr  # non-trivial on the fixture
