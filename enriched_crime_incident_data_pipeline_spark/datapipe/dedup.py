@@ -513,7 +513,7 @@ def segment_dedup(
     """
     ts = tokens(F.col(text_col))
     n_segs = F.ceil(F.size(ts) / F.lit(float(seg_tokens))).cast("int")
-    segs = docs.filter(F.size(ts) > 0).select(
+    segs = fan_out(docs).filter(F.size(ts) > 0).select(
         F.col(id_col),
         F.posexplode(
             F.transform(

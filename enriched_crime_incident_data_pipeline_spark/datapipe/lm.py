@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from enriched_crime_incident_data_pipeline_spark.functions.text import tokens
+from enriched_crime_incident_data_pipeline_spark.operators.parallelism import (
+    fan_out,
+)
 
 
 def unigram_lm_scores(
@@ -42,7 +45,7 @@ def unigram_lm_scores(
     — every double op has a fixed operand order, so the result is
     reproducible bit-for-bit across engines and partitionings.
     """
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
