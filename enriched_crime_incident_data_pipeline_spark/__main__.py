@@ -103,6 +103,24 @@ def main(argv: list[str] | None = None) -> int:
         help="coalesce to one CSV part (small exports only)",
     )
 
+    sub.add_parser("list", help="enumerate the registry queries")
+
+    p_run = sub.add_parser("run", help="run one registry query, print rows")
+    p_run.add_argument("query", help="registry query name (see `list`)")
+    p_run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_run.add_argument("--limit", type=int, default=20)
+
+    p_explain = sub.add_parser(
+        "explain", help="print one registry query's physical plan"
+    )
+    p_explain.add_argument("query", help="registry query name (see `list`)")
+    p_explain.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_explain.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+
     args = parser.parse_args(argv)
     # rotating-file + console setup, LOG_LEVEL/LOG_FILE-driven
     # (reference src/logging_config.py analog)
@@ -112,12 +130,30 @@ def main(argv: list[str] | None = None) -> int:
 
     setup_logging()
 
-    from enriched_crime_incident_data_pipeline_spark import get_spark
+    from enriched_crime_incident_data_pipeline_spark import get_spark, registry
     from enriched_crime_incident_data_pipeline_spark.sinks.output import (
         gold_projection,
         write_csv,
         write_tsv_stdout,
     )
+
+    if args.command == "list":
+        for name in sorted(registry.spark_queries()):
+            print(name)
+        return 0
+
+    if args.command in ("run", "explain"):
+        qs = registry.spark_queries()
+        if args.query not in qs:
+            log.error("unknown query %r — see the `list` subcommand", args.query)
+            return 2
+        spark = get_spark(app_name=f"pipeline-{args.command}")
+        df = qs[args.query](spark, args.sf_dir)
+        if args.command == "run":
+            df.show(args.limit, truncate=False)
+        else:
+            df.explain(mode=args.mode)
+        return 0
 
     spark = get_spark(app_name=f"pipeline-{args.command}")
     enriched = _build_enriched(spark, args.sf_dir)

@@ -139,3 +139,24 @@ def test_cli_report_and_export(spark, tmp_path, capsys):
     assert {"incident_num", "incident_ts", "weather", "side_of_town"} <= set(
         exported.columns
     )
+
+
+def test_cli_list_run_explain(spark, capsys):
+    """The exploration subcommands: `list` enumerates the registry,
+    `run` prints rows, `explain` prints the physical plan, unknown
+    names fail with a usable error."""
+    from enriched_crime_incident_data_pipeline_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    names = capsys.readouterr().out.strip().splitlines()
+    assert len(names) >= 160 and "tpch_q1" in names and names == sorted(names)
+
+    assert main(["run", "a1_groupby_count", "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out and "cnt" in out
+
+    assert main(["explain", "tpch_q6"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+    assert main(["run", "no_such_query"]) == 2
