@@ -511,9 +511,15 @@ def segment_dedup(
     whole operator — reproducible in plain SQL, unlike
     semantic-boundary splitters.
     """
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
     ts = tokens(F.col(text_col))
     n_segs = F.ceil(F.size(ts) / F.lit(float(seg_tokens))).cast("int")
-    segs = fan_out(docs).filter(F.size(ts) > 0).select(
+    # split('') yields [''] — guard on the normalized text, not the
+    # array size, so empty/punctuation-only docs emit no segments
+    segs = fan_out(docs).filter(normalize_text(F.col(text_col)) != "").select(
         F.col(id_col),
         F.posexplode(
             F.transform(

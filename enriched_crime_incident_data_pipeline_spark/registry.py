@@ -4777,6 +4777,7 @@ def oracle_queries() -> dict[str, str]:
         "dd11_segment_dedup": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS} AS ts FROM documents
+              WHERE {_NORM} <> ''
             ),
             seg AS (
               SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,

@@ -281,3 +281,47 @@ def test_pdf_parse_matches_reference_on_random_blocks(spark, pages):
     # yields nulls for the missing tail — normalize before comparing
     expected = [row + [None] * (5 - len(row)) for row in expected]
     assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=9).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_segment_dedup_matches_python_model(spark, texts):
+    """Corpus-wide keep-first segment dedup vs an independent Python
+    replay: same survivors, same rebuilt text, on arbitrary tiny
+    corpora with heavy cross-document token overlap."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        segment_dedup,
+    )
+
+    seg_tokens = 2
+    docs = [(i, t) for i, t in enumerate(texts)]
+    seen: set[str] = set()
+    expected: dict[int, tuple[int, str]] = {}
+    for doc_id, text in docs:  # ascending doc_id == keep-first order
+        toks = [t for t in text.split(" ") if t]
+        segs = [
+            " ".join(toks[i : i + seg_tokens])
+            for i in range(0, len(toks), seg_tokens)
+        ]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        if kept:
+            expected[doc_id] = (len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["deduped_text"])
+        for r in segment_dedup(df, seg_tokens=seg_tokens).collect()
+    }
+    assert got == expected
