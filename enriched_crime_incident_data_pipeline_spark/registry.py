@@ -1170,6 +1170,38 @@ def q_dd12_incremental_lsh(spark, sf_dir):
     )
 
 
+def q_corpus_build2(spark, sf_dir):
+    # the round-2 corpus build, composed end-to-end from the new
+    # operators: LM-quality filter (corpus-trained perplexity proxy)
+    # → doc-level near-dup removal via the keeper drop-list →
+    # corpus-wide segment dedup. One declared DAG.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+        dedup_drop_list,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        segment_dedup,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        unigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = unigram_lm_scores(docs)
+    keep_ids = lm.filter(
+        (F.col("n_tokens") >= 10) & (F.col("mean_inv_prob") <= 35.0)
+    ).select("doc_id")
+    fdocs = docs.join(keep_ids, "doc_id").select("doc_id", "text")
+    members = connected_components(lsh_candidate_pairs(minhash_bands(fdocs)))
+    sizes = fdocs.select(
+        F.col("doc_id").alias("node"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    drops = dedup_drop_list(members, sizes).select("doc_id")
+    clean = fdocs.join(drops, "doc_id", "left_anti")
+    return segment_dedup(clean, seg_tokens=10)
+
+
 def q_ss7_pq_codes(spark, sf_dir):
     # product-quantization codes: 8 subspaces × deterministic
     # 16-centroid codebooks → 8 small ints per vector (32× smaller
@@ -3234,6 +3266,33 @@ _LANG_CASE = (
     + " ELSE 'und' END"
 )
 
+_TA11_SQL = f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(len(ts))) AS pos
+              FROM toks
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v
+              FROM counts
+            ),
+            per AS (
+              SELECT t.doc_id, t.pos,
+                     CAST(tot.n_total + tot.v AS DOUBLE)
+                       / CAST(co.c + 1 AS DOUBLE) AS ip
+              FROM tok t JOIN counts co ON t.tok = co.tok, tot
+            ),
+            agg AS (
+              SELECT doc_id, sum(ip ORDER BY pos) AS sum_ip,
+                     count(*) AS n FROM per GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   sum_ip / CAST(n AS DOUBLE) AS mean_inv_prob
+            FROM agg
+"""
+
 _DOT = "list_dot_product(a.v, b.v)"
 _COS = f"{_DOT} / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
@@ -4362,32 +4421,7 @@ def oracle_queries() -> dict[str, str]:
                    v[3] AS location, v[4] AS nature, v[5] AS incident_ori
             FROM norm
         """,
-        "ta11_lm_quality": f"""
-            WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
-            tok AS (
-              SELECT doc_id, unnest(ts) AS tok,
-                     unnest(range(len(ts))) AS pos
-              FROM toks
-            ),
-            counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-            tot AS (
-              SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v
-              FROM counts
-            ),
-            per AS (
-              SELECT t.doc_id, t.pos,
-                     CAST(tot.n_total + tot.v AS DOUBLE)
-                       / CAST(co.c + 1 AS DOUBLE) AS ip
-              FROM tok t JOIN counts co ON t.tok = co.tok, tot
-            ),
-            agg AS (
-              SELECT doc_id, sum(ip ORDER BY pos) AS sum_ip,
-                     count(*) AS n FROM per GROUP BY doc_id
-            )
-            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-                   sum_ip / CAST(n AS DOUBLE) AS mean_inv_prob
-            FROM agg
-        """,
+        "ta11_lm_quality": _TA11_SQL,
         "ta12_bpe_tokens": """
             WITH t AS (
               SELECT doc_id,
@@ -4751,6 +4785,79 @@ def oracle_queries() -> dict[str, str]:
             SELECT s.node AS doc_id, s.cluster_id, k.keeper_id
             FROM sized s JOIN keep k USING (cluster_id)
             WHERE s.node <> k.keeper_id
+        """,
+        "corpus_build2": f"""
+            WITH RECURSIVE lmq AS ({_TA11_SQL}),
+            quality AS (
+              SELECT doc_id FROM lmq
+              WHERE n_tokens >= 10 AND mean_inv_prob <= 35.0
+            ),
+            fdocs AS (
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+            ),
+            bands AS ({_MINHASH_BANDS_SQL.replace("FROM documents", "FROM fdocs")}),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT DISTINCT a AS node, a AS label FROM edges
+              UNION
+              SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+            ),
+            cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            tc AS (SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM fdocs),
+            sized AS (
+              SELECT cc.node, cc.cluster_id, tc.n_tokens
+              FROM cc JOIN tc ON cc.node = tc.doc_id
+            ),
+            keep AS (
+              SELECT cluster_id, node AS keeper_id FROM (
+                SELECT cluster_id, node,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_tokens DESC, node) AS rn
+                FROM sized
+              ) WHERE rn = 1
+            ),
+            drops AS (
+              SELECT s.node AS doc_id
+              FROM sized s JOIN keep k USING (cluster_id)
+              WHERE s.node <> k.keeper_id
+            ),
+            clean AS (
+              SELECT * FROM fdocs
+              WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+            ),
+            stoks AS (
+              SELECT doc_id, {_TOKENS} AS ts FROM clean
+              WHERE {_NORM} <> ''
+            ),
+            sseg AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+                     array_to_string(
+                       list_slice(ts, CAST(g.i * 10 + 1 AS INTEGER),
+                                  CAST(g.i * 10 + 10 AS INTEGER)), ' ') AS seg
+              FROM stoks, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS i
+              ) g
+            ),
+            skept AS (
+              SELECT doc_id, seg_idx, seg FROM (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, seg_idx) AS rn
+                FROM sseg
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
+            FROM skept GROUP BY doc_id
         """,
         "dd12_incremental_lsh": f"""
             WITH bands AS ({_MINHASH_BANDS_SQL}),
@@ -5592,6 +5699,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
+        "corpus_build2": q_corpus_build2,
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
