@@ -71,6 +71,7 @@ LONGTAIL = [
     "dd9_dup_clusters",
     "dd10_dedup_keeper",
     "st2_stream_sessions",
+    "corpus_build2",  # composed round-2 curation DAG
 ]
 
 

@@ -76,28 +76,9 @@ def _shingle_hashes(
     return sh.select(F.col(id_col), hash32(F.col("shingle")).alias("x"))
 
 
-def minhash_bands(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_words: int = 3,
-    num_hashes: int = NUM_HASHES,
-    band_size: int = BAND_SIZE,
-) -> DataFrame:
-    """MinHash signature, banded for LSH: one row per (doc, band) with
-    the band's hash — ``(id, band_id, band_hash)``.
-
-    minhash_j(doc) = min over shingles of (a_j·hash32(shingle)+b_j) mod p;
-    band_hash = md5 of the '-'-joined minhashes in the band.
-    """
-    hashes = _shingle_hashes(docs, id_col, text_col, shingle_words)
-    aggs = [
-        F.min((F.lit(MINHASH_A[j]) * F.col("x") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
-            f"mh{j}"
-        )
-        for j in range(num_hashes)
-    ]
-    sigs = hashes.groupBy(id_col).agg(*aggs)
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
+    """(id, mh0..mh{n-1}) → one row per (doc, band):
+    band_hash = md5 of the '-'-joined minhashes in the band."""
     bands = []
     for b in range(num_hashes // band_size):
         cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
@@ -112,6 +93,74 @@ def minhash_bands(
     return sigs.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """MinHash signature, banded for LSH: one row per (doc, band) with
+    the band's hash — ``(id, band_id, band_hash)``.
+
+    minhash_j(doc) = min over shingles of (a_j·hash32(shingle)+b_j) mod p;
+    band_hash = md5 of the '-'-joined minhashes in the band.
+
+    Computed ROW-WISE: shingles are hashed once into an array, then
+    each of the ``num_hashes`` minima is an ``array_min`` over a
+    per-row ``transform`` — no explode, no groupBy, NO SHUFFLE. The
+    explode+groupBy formulation shuffles one row per (doc, shingle)
+    — at 100 TB that is the dominant shuffle of the whole LSH
+    pipeline; row-wise it's a map-only stage, and (being stateless)
+    it runs unchanged on a streaming DataFrame. Bit-identical to the
+    grouped formulation (same integer min over the same hashed set;
+    pinned by ``test_minhash_rowwise_matches_grouped``)."""
+    xs = F.transform(
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)),
+        lambda s: hash32(s),
+    )
+    hashed = fan_out(docs).select(F.col(id_col), xs.alias("_xs"))
+
+    def perm(j: int):
+        # factory closure: a `lambda x, j=j` would be arity-2 and
+        # PySpark would bind the (element, index) HOF form instead
+        return lambda x: (
+            F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])
+        ) % MINHASH_PRIME
+
+    sigs = hashed.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("_xs"), perm(j))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return _banded(sigs, id_col, num_hashes, band_size)
+
+
+def minhash_bands_grouped(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """The explode+groupBy formulation of :func:`minhash_bands` —
+    kept as the independent parity witness (and for inputs where the
+    shingle array of a single pathological row outgrows task memory)."""
+    hashes = _shingle_hashes(docs, id_col, text_col, shingle_words)
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("x") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
+            f"mh{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    sigs = hashes.groupBy(id_col).agg(*aggs)
+    return _banded(sigs, id_col, num_hashes, band_size)
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -271,3 +271,38 @@ def test_incremental_lsh_equals_full_restriction(spark):
         if r["a"] % 5 == 0 or r["b"] % 5 == 0
     }
     assert incr == full and incr  # non-trivial on the fixture
+
+
+def test_minhash_rowwise_matches_grouped(spark):
+    """The shuffle-free row-wise MinHash must be bit-identical to the
+    explode+groupBy formulation on real data plus edge shapes (short
+    docs, single-token docs)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        minhash_bands,
+        minhash_bands_grouped,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .union(
+            spark.createDataFrame(
+                [(90_001, "one two"), (90_002, "solo"), (90_003, "a b c d e")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    row = {
+        (r["doc_id"], r["band_id"]): r["band_hash"]
+        for r in minhash_bands(docs).collect()
+    }
+    grouped = {
+        (r["doc_id"], r["band_id"]): r["band_hash"]
+        for r in minhash_bands_grouped(docs).collect()
+    }
+    assert row == grouped and len(row) == 503 * 4
+
+    # the row-wise plan is map-only: zero exchanges before banding
+    plan = minhash_bands(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(doc_id" not in plan
