@@ -1170,6 +1170,40 @@ def q_dd12_incremental_lsh(spark, sf_dir):
     )
 
 
+def q_st6_stream_lsh_probe(spark, sf_dir):
+    # continuous dedup: a document stream computes row-wise MinHash
+    # bands (stateless map — possible only because signatures no
+    # longer groupBy) and probes the STATIC band index via a
+    # stream-static equi-join; dropDuplicates dedups multi-band hits.
+    # Bounded AvailableNow run ≡ the batch incremental probe.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = minhash_bands(docs.filter(F.col("doc_id") % 5 != 0)).select(
+        F.col("doc_id").alias("b"), "band_id", "band_hash"
+    )
+    new_stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    probes = minhash_bands(new_stream).select(
+        F.col("doc_id").alias("a"), "band_id", "band_hash"
+    )
+    hits = (
+        probes.join(index, ["band_id", "band_hash"])
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return run_available_now(hits, "st6_lsh_probe", "append")
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -4859,6 +4893,16 @@ def oracle_queries() -> dict[str, str]:
                    string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
             FROM skept GROUP BY doc_id
         """,
+        "st6_stream_lsh_probe": f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL}),
+            nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+            ob AS (SELECT * FROM bands WHERE doc_id % 5 <> 0)
+            SELECT DISTINCT least(n.doc_id, o.doc_id) AS a,
+                   greatest(n.doc_id, o.doc_id) AS b
+            FROM nb n JOIN ob o
+              ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+            WHERE n.doc_id <> o.doc_id
+        """,
         "dd12_incremental_lsh": f"""
             WITH bands AS ({_MINHASH_BANDS_SQL}),
             nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
@@ -5700,6 +5744,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
         "corpus_build2": q_corpus_build2,
+        "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,

@@ -13,6 +13,7 @@ late-data and custom-stateful cases a live incident feed would need.
 from enriched_crime_incident_data_pipeline_spark.streaming.source import (
     stream_events,
     stream_incidents_raw,
+    stream_table,
 )
 from enriched_crime_incident_data_pipeline_spark.streaming.windows import (
     run_available_now,
@@ -25,6 +26,7 @@ from enriched_crime_incident_data_pipeline_spark.streaming.sessions import (
 __all__ = [
     "stream_events",
     "stream_incidents_raw",
+    "stream_table",
     "tumbling_counts",
     "run_available_now",
     "session_counts_stateful",

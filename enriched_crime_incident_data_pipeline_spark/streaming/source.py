@@ -64,3 +64,29 @@ def stream_incidents_raw(spark: SparkSession, bronze_dir: str) -> DataFrame:
     from enriched_crime_incident_data_pipeline_spark.schemas import INCIDENTS_RAW_SCHEMA
 
     return spark.readStream.schema(INCIDENTS_RAW_SCHEMA).parquet(bronze_dir)
+
+
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Any testdata table as a streaming DataFrame via the same
+    staged-symlink file source ``stream_events`` uses (one parquet
+    file per "arriving" batch, checkpoint-tracked)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        sf_dir.strip(os.sep).replace(os.sep, "_") + f"_{name}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stage)
