@@ -328,42 +328,57 @@ def embedding_near_dup_pairs(
     its bucket — n²/k work and no broadcast of the full corpus; the
     trade is missing cross-cluster pairs (standard ANN-dedup recall
     trade-off). Cosine accumulates in double, sequentially, matching
-    the DuckDB oracle bit-for-bit.
+    the DuckDB oracle bit-for-bit: each cluster's pairs run through
+    the same dimension-ordered numpy kernel as the exact path (one
+    ``applyInPandas`` task per cluster, no per-pair expression tree).
     """
     from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
         ivf_assignments,
-    )
-    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
-        cosine_from_norms,
-        l2_norm,
     )
 
     if block_clusters is None:
         return exact_all_pairs_cosine(
             embeddings, threshold, id_col=id_col, vec_col=vec_col
         )
-    # norm once per vector, not once per pair — 3× fewer
-    # higher-order-function evaluations in the pairwise stage
-    vecs = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
-    )
+    import pandas as pd
+
     assign = ivf_assignments(embeddings, block_clusters, id_col, vec_col)
-    vecs = vecs.join(
-        assign.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+    tagged = embeddings.select(id_col, vec_col).join(
+        assign.select(id_col, "cluster"), id_col
     )
-    join_cond = (F.col("l._id") < F.col("r._id")) & (
-        F.col("l.cluster") == F.col("r.cluster")
+
+    def cluster_kernel(key, pdf):
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        dots = np.zeros((len(ids), len(ids)))
+        nrm = np.zeros(len(ids))
+        # sequential over dimensions == Spark's left-to-right fold
+        for d in range(mat.shape[1]):
+            dots += np.outer(mat[:, d], mat[:, d])
+            nrm += mat[:, d] * mat[:, d]
+        root = np.sqrt(nrm)
+        denom = np.outer(root, root)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / denom
+        mask = (
+            (ids[:, None] < ids[None, :])
+            & (denom > 0)
+            & (cos >= threshold)
+        )
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"a": ids[ai], "b": ids[bi], "cosine": cos[ai, bi]}
+        )
+
+    return tagged.groupBy("cluster").applyInPandas(
+        cluster_kernel, "a long, b long, cosine double"
     )
-    pairs = vecs.alias("l").join(vecs.alias("r"), join_cond).select(
-        F.col("l._id").alias("a"),
-        F.col("r._id").alias("b"),
-        cosine_from_norms(
-            F.col("l._v"), F.col("r._v"), F.col("l._n"), F.col("r._n")
-        ).alias("cosine"),
-    )
-    return pairs.filter(F.col("cosine") >= threshold)
 
 
 def simhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
