@@ -816,6 +816,31 @@ def q_ta12_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_ta13_lang_confusion(spark, sf_dir):
+    # lang-ID evaluation against the labeled lang column: the
+    # (labeled, guessed) confusion matrix with per-cell counts and
+    # the within-label share in basis points (exact integer math)
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = docs.select(
+        F.col("lang"), lang_id(F.col("text")).alias("lang_guess")
+    )
+    cells = guessed.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = guessed.groupBy("lang").agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            # integer DIV (not float-divide-then-cast: double→bigint
+            # casts truncate in Spark but round in DuckDB)
+            F.expr("CAST((n * 10000) DIV _tot AS BIGINT)").alias("share_bp"),
+        )
+    )
+
+
 def q_ta1_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
@@ -4720,6 +4745,24 @@ def oracle_queries() -> dict[str, str]:
             )
             SELECT doc_id, {_LANG_CASE} AS lang_guess FROM scores
         """,
+        "ta13_lang_confusion": f"""
+            WITH scores AS (
+              SELECT doc_id, lang,
+{_LANG_SCORES}
+              FROM documents
+            ),
+            guessed AS (
+              SELECT lang, {_LANG_CASE} AS lang_guess FROM scores
+            ),
+            cells AS (
+              SELECT lang, lang_guess, count(*) AS n
+              FROM guessed GROUP BY lang, lang_guess
+            ),
+            totals AS (SELECT lang, count(*) AS tot FROM guessed GROUP BY lang)
+            SELECT c.lang, c.lang_guess, c.n,
+                   CAST((c.n * 10000) // t.tot AS BIGINT) AS share_bp
+            FROM cells c JOIN totals t ON c.lang = t.lang
+        """,
         "ta4_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
         "tp5_sliding_chunks": f"""
             WITH t AS (
@@ -5740,6 +5783,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "s5_pdf_parse": q_s5_pdf_parse,
         "ta11_lm_quality": q_ta11_lm_quality,
         "ta12_bpe_tokens": q_ta12_bpe_tokens,
+        "ta13_lang_confusion": q_ta13_lang_confusion,
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
