@@ -1261,6 +1261,36 @@ def q_corpus_build2(spark, sf_dir):
     return segment_dedup(clean, seg_tokens=10)
 
 
+def q_ss9_cluster_purity(spark, sf_dir):
+    # unsupervised-clustering evaluation against the labeled column:
+    # per-IVF-cluster majority label and purity in basis points
+    # (integer DIV — no float-cast divergence)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(emb, n_centroids=8)
+    labeled = assign.join(emb.select("vec_id", "label"), "vec_id")
+    cells = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = cells.groupBy("cluster").agg(
+        F.max_by(
+            "label", F.struct(F.col("n"), F.col("label"))
+        ).alias("majority_label"),
+        F.max(F.struct(F.col("n"), F.col("label"))).getField("n").alias(
+            "majority_n"
+        ),
+        F.sum("n").alias("total"),
+    )
+    return top.select(
+        "cluster",
+        "majority_label",
+        "majority_n",
+        "total",
+        F.expr("CAST((majority_n * 10000) DIV total AS BIGINT)").alias(
+            "purity_bp"
+        ),
+    )
+
+
 def q_ss7_pq_codes(spark, sf_dir):
     # product-quantization codes: 8 subspaces × deterministic
     # 16-centroid codebooks → 8 small ints per vector (32× smaller
@@ -5209,6 +5239,43 @@ def oracle_queries() -> dict[str, str]:
               FROM scored
             ) WHERE rn = 1
         """,
+        "ss9_cluster_purity": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, cent.cid,
+                     list_dot_product(a.v, cent.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(cent.v, cent.v))) AS cos
+              FROM e a, cent
+            ),
+            assign AS (
+              SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ),
+            cells AS (
+              SELECT a.cluster, em.label, count(*) AS n
+              FROM assign a JOIN embeddings em ON a.vec_id = em.vec_id
+              GROUP BY a.cluster, em.label
+            ),
+            top AS (
+              SELECT cluster, label AS majority_label, n AS majority_n
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY cluster ORDER BY n DESC, label DESC) AS rn
+                FROM cells
+              ) WHERE rn = 1
+            ),
+            tot AS (SELECT cluster, sum(n) AS total FROM cells GROUP BY cluster)
+            SELECT t.cluster, t.majority_label, t.majority_n,
+                   CAST(tt.total AS BIGINT) AS total,
+                   CAST((t.majority_n * 10000) // tt.total AS BIGINT)
+                     AS purity_bp
+            FROM top t JOIN tot tt ON t.cluster = tt.cluster
+        """,
         "dc1_contamination": f"""
             WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             g AS (
@@ -5792,6 +5859,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
+        "ss9_cluster_purity": q_ss9_cluster_purity,
         "ta1_token_count": q_ta1_token_count,
         "ta2_quality": q_ta2_quality,
         "ta3_lang_id": q_ta3_lang_id,
