@@ -7,20 +7,34 @@ Pair-level dedup (MinHash/LSH, SimHash, embedding cosine —
 components of the candidate graph (A~B and B~C must collapse to one
 group even when A~C was never emitted as a pair).
 
-Implementation: iterative min-label propagation, the standard
-DataFrame-only formulation (GraphX/GraphFrames do the same under the
-hood). Each round is one join + one groupBy; labels are monotonically
-non-increasing, so the fixpoint is reached in O(graph diameter)
-rounds and detected by a scalar ``sum(label)`` comparison (one cheap
-action per round against the persisted iterate — no row-level diff).
+Implementation: iterative min-label propagation with POINTER-JUMPING
+compression, the standard DataFrame-only formulation (GraphX /
+GraphFrames' min-propagation plus the path-halving step of
+union-find). Each round is (a) propagate: every node takes the min
+label over itself and its neighbors — one join + one groupBy — and,
+once the round count exceeds ``jump_after`` (i.e. the graph's
+diameter is proven larger than typical near-dup components), (b)
+compress: ``label(v) ← label(label(v))`` — one self-join on the
+label table. Propagation alone needs O(diameter) rounds, which an
+adversarial duplicate *chain* (boilerplate series: doc₁~doc₂~…~docₙ)
+turns into O(n); compression doubles the distance a label has
+travelled every round, so the fixpoint arrives in O(log diameter)
+rounds on any graph (pinned by the long-chain test in
+``tests/test_graph_sketch.py``) while the typical pairs-and-triangles
+dedup graph never pays for the extra join. Labels are monotonically
+non-increasing,
+so the fixpoint is detected by a scalar ``sum(label)`` comparison
+(one cheap action per round against the persisted iterate — no
+row-level diff).
 
-Scale notes: near-dup graphs are overwhelmingly tiny components
-(pairs → triangles), so diameter — and the round count — is small.
-Each round shuffles |edges| + |nodes| rows, partitioned by key; the
-iterate is persisted and the previous one unpersisted so lineage
-stays one round deep. (The large-star/small-star variant halves round
-count on adversarial long chains; plain propagation is the right
-trade for dedup graphs.)
+Scale notes: each round shuffles |edges| + |nodes| rows, partitioned
+by key; the iterate is persisted and the previous one unpersisted, and
+every ``_CHECKPOINT_EVERY`` rounds the iterate is ``localCheckpoint``-ed
+so the logical plan cannot grow with round count (unbounded iterate
+lineage is the classic driver-OOM failure of DataFrame CC loops).
+Near-dup graphs are overwhelmingly tiny components (pairs →
+triangles) where 2-3 rounds suffice; the log-round guarantee is the
+insurance for the pathological shapes a 100 TB corpus will contain.
 """
 
 from __future__ import annotations
@@ -28,12 +42,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# localCheckpoint cadence: truncates iterate lineage so plan size is
+# bounded by the cadence, not the round count
+_CHECKPOINT_EVERY = 4
+
 
 def connected_components(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 50
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+    jump_after: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component label (the component's minimum node id) for every
     node that appears in ``edges``. Returns ``(node, cluster_id)``.
+
+    The first ``jump_after`` rounds are plain propagation (one join +
+    one groupBy — the cheapest round shape, and all that near-dup
+    graphs ever need); if the fixpoint hasn't arrived by then the
+    graph has diameter > ``jump_after`` and every later round adds the
+    pointer-jumping compression join, giving O(log diameter) total
+    rounds on adversarial chains without taxing the common case.
+
+    Pass ``stats={}`` to receive ``stats["rounds"]`` — the number of
+    rounds executed before the fixpoint.
     """
     sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
@@ -46,27 +79,52 @@ def connected_components(
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    rounds = 0
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["src"] == labels["node"])
             .groupBy("dst")
             .agg(F.min("label").alias("_nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("_nbr_min", "label")).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(
+            nbr_min, labels["node"] == nbr_min["dst"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("_nbr_min", "label")).alias("label"),
         )
+        if it >= jump_after:
+            # pointer jumping: label(v) ← label(label(v)). Every label
+            # value is itself a node id present in the table (labels
+            # start as node ids and min() only moves within that
+            # domain), so the lookup always hits; left+coalesce guards
+            # the invariant anyway. Doubles the distance a label has
+            # travelled per round — O(diameter) becomes O(log
+            # diameter) on the long-chain graphs that get here.
+            parent = new_labels.select(
+                F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
+            )
+            new_labels = new_labels.join(
+                parent, new_labels["label"] == parent["_pnode"], "left"
+            ).select(
+                "node",
+                F.coalesce("_plabel", "label").alias("label"),
+            )
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            # eager localCheckpoint: cuts the iterate's lineage so the
+            # logical plan cannot grow with round count
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
+        rounds = it + 1
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     sym.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -254,10 +254,15 @@ def ngram_jaccard_pairs(
     pruning it bounds every bucket at ``max_df²`` candidate pairs
     (the same vocabulary-pruning trick ``ta10_oov_rate`` /
     ``tp3_boilerplate_prune`` use). Denominators (``n_shingles`` and
-    hence ``union_size``) still count *all* shingles, so surviving
-    pairs keep their exact Jaccard — pruning only removes pairs whose
-    sole shared shingles were corpus-frequent (near-zero Jaccard by
-    construction). With ``max_df=None`` semantics are exhaustive."""
+    hence the ``na + nb`` part of ``union_size``) still count *all*
+    shingles, but the intersection counts only surviving (sub-max_df)
+    shingles — so a surviving pair that also shared corpus-frequent
+    shingles reports a *lower bound* on its true Jaccard, not the
+    exact value (``tests/test_scale_ops.py`` pins that
+    ``intersect_size`` can shrink under pruning). Pairs whose *only*
+    shared shingles were corpus-frequent disappear entirely
+    (near-zero Jaccard by construction). With ``max_df=None``
+    semantics are exhaustive and the Jaccard is exact."""
     # the shingle-hash table feeds three consumers (sizes + both join
     # sides); persist so the regex/shingle/hash derivation runs once
     sh = _shingle_hashes(docs, id_col, text_col, shingle_words).persist()
@@ -331,6 +336,10 @@ def embedding_near_dup_pairs(
     the DuckDB oracle bit-for-bit: each cluster's pairs run through
     the same dimension-ordered numpy kernel as the exact path (one
     ``applyInPandas`` task per cluster, no per-pair expression tree).
+    Skew guard: the kernel tiles its outer loop in 2048-row chunks,
+    so a skewed cluster (every vector nearest one centroid) costs
+    chunk·n task memory, not a dense n² matrix; truly pathological
+    assignments should also raise ``block_clusters``.
     """
     from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
         ivf_assignments,
@@ -356,24 +365,43 @@ def embedding_near_dup_pairs(
                 {"a": "int64", "b": "int64", "cosine": "float64"}
             )
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        dots = np.zeros((len(ids), len(ids)))
-        nrm = np.zeros(len(ids))
+        n = len(ids)
+        nrm = np.zeros(n)
         # sequential over dimensions == Spark's left-to-right fold
         for d in range(mat.shape[1]):
-            dots += np.outer(mat[:, d], mat[:, d])
             nrm += mat[:, d] * mat[:, d]
         root = np.sqrt(nrm)
-        denom = np.outer(root, root)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dots / denom
-        mask = (
-            (ids[:, None] < ids[None, :])
-            & (denom > 0)
-            & (cos >= threshold)
-        )
-        ai, bi = np.nonzero(mask)
+        # chunk the outer loop: a skewed cluster (all vectors nearest
+        # one centroid) must not allocate a dense n² double matrix in
+        # one task — peak tile memory is chunk·n, same bound the exact
+        # path gets from its block size. The per-pair dimension fold
+        # is unchanged (same sequence of double adds), so chunking is
+        # bit-invisible.
+        chunk = 2048
+        parts_a, parts_b, parts_c = [], [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            dots = np.zeros((e - s, n))
+            for d in range(mat.shape[1]):
+                dots += np.outer(mat[s:e, d], mat[:, d])
+            denom = np.outer(root[s:e], root)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / denom
+            mask = (
+                (ids[s:e, None] < ids[None, :])
+                & (denom > 0)
+                & (cos >= threshold)
+            )
+            ai, bi = np.nonzero(mask)
+            parts_a.append(ids[s:e][ai])
+            parts_b.append(ids[bi])
+            parts_c.append(cos[ai, bi])
         return pd.DataFrame(
-            {"a": ids[ai], "b": ids[bi], "cosine": cos[ai, bi]}
+            {
+                "a": np.concatenate(parts_a),
+                "b": np.concatenate(parts_b),
+                "cosine": np.concatenate(parts_c),
+            }
         )
 
     return tagged.groupBy("cluster").applyInPandas(
@@ -487,7 +515,11 @@ def exact_all_pairs_cosine(
     import pandas as pd
 
     bi, bj = "_bi", "_bj"
-    block = F.col(id_col) % n_blocks
+    # pmod, not %: Spark's % keeps the sign of the dividend, so a
+    # negative id would land in a negative block whose (neg, neg)
+    # tile is never generated by the 0..B-1 explode — silently
+    # dropping those pairs. pmod keeps every block in [0, B).
+    block = F.pmod(F.col(id_col), F.lit(n_blocks))
     tiles = embeddings.select(
         F.col(id_col),
         F.col(vec_col),

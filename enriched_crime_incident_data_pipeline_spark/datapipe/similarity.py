@@ -341,6 +341,7 @@ def pq_codes(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook_source: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codes: split each vector into ``n_sub``
     subvectors of ``sub_dim`` dims and assign each to its nearest
@@ -356,10 +357,14 @@ def pq_codes(
     coalesces. Subspace L2² folds (x−y)² left-to-right per dimension
     (``zip_with`` + ``aggregate``), ties break to the lowest centroid
     id — bit-reproducible in any ordered-aggregate SQL engine.
+
+    ``codebook_source`` lets a caller encode a *subset* of the corpus
+    (e.g. one IVF probe's candidates) against the full-corpus
+    codebook — pass the full table there; defaults to ``embeddings``.
     """
-    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
-    )
+    cents = (codebook_source if codebook_source is not None else embeddings).filter(
+        F.col(id_col) < n_centroids
+    ).select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
     paired = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cents))
 
     def sub_l2(s: int):
@@ -408,6 +413,33 @@ def pq_adc_topk(
     codes = pq_codes(
         embeddings, n_sub, sub_dim, n_centroids, id_col, vec_col
     ).filter(F.col(id_col) != query_vec_id)
+    scored = _adc_scores(
+        codes, embeddings, query_vec_id, n_sub, sub_dim, n_centroids,
+        id_col, vec_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "approx_dist")
+    topk = scored.orderBy("approx_dist", "neighbor_id").limit(k)
+    w = Window.orderBy("approx_dist", "neighbor_id")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "neighbor_id", "rank", "approx_dist"
+    )
+
+
+def _adc_scores(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_sub: int,
+    sub_dim: int,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC scoring core shared by :func:`pq_adc_topk` and
+    :func:`ivf_pq_search`: per coded vector, ``approx_dist = Σ_s
+    LUT[s, code_s]`` against the broadcast query-to-centroid subspace
+    LUT. Returns ``(id_col, approx_dist)``. The n_sub terms fold in
+    subspace order (collect → array_sort → sequential aggregate) so
+    the double sum is engine-reproducible."""
     melted = codes.select(
         F.col(id_col),
         F.posexplode(
@@ -442,8 +474,11 @@ def pq_adc_topk(
             ).alias("_s", "_d"),
         )
     )
-    scored = (
-        melted.join(F.broadcast(lut), (F.col("_code") == F.col("_cid")) & (melted["_s"] == lut["_s"]))
+    return (
+        melted.join(
+            F.broadcast(lut),
+            (F.col("_code") == F.col("_cid")) & (melted["_s"] == lut["_s"]),
+        )
         .select(F.col(id_col), melted["_s"].alias("_ss"), F.col("_d"))
         .groupBy(id_col)
         .agg(
@@ -452,14 +487,100 @@ def pq_adc_topk(
             ).alias("_arr")
         )
         .select(
-            F.col(id_col).alias("neighbor_id"),
+            F.col(id_col),
             F.aggregate(
                 "_arr", F.lit(0.0), lambda acc, x: acc + x["_d"]
             ).alias("approx_dist"),
         )
     )
-    topk = scored.orderBy("approx_dist", "neighbor_id").limit(k)
-    w = Window.orderBy("approx_dist", "neighbor_id")
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        "neighbor_id", "rank", "approx_dist"
+
+
+def ivf_pq_search(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    n_centroids_ivf: int = 8,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_centroids_pq: int = 16,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed production ANN read path — the shape that works at
+    1 B+ vectors: **IVF probe → PQ-ADC score → exact re-rank**.
+
+    1. *Probe*: the ``nprobe`` IVF clusters whose centroids are most
+       cosine-similar to the query (centroid table is tiny and
+       broadcast; with nprobe ≥ 1 the query's own cluster is always
+       probed, so this strictly generalizes ``ivf_topk_neighbors``).
+    2. *Candidate scan*: only vectors assigned to probed clusters are
+       touched — at scale the assignment is a partition key, so this
+       is partition pruning, reading ``nprobe/n_centroids`` of the
+       corpus.
+    3. *ADC*: candidates are scored through their PQ codes against a
+       broadcast (n_sub × n_centroids_pq) query LUT — 1 byte per
+       subspace per candidate, never the float vectors; the ADC
+       ``shortlist`` (ties → lowest id) caps what the exact stage
+       reads.
+    4. *Exact re-rank*: true cosine against the query for the
+       shortlist only (a broadcast semi-join back to the float
+       vectors), final top-``k`` with a dense rank.
+
+    Every stage is deterministic (same folds/tie-breaks as
+    ``ivf_assignments`` / ``pq_adc_topk``), so the full composition
+    has an exact DuckDB oracle. Returns ``(neighbor_id, rank,
+    cosine)``.
+    """
+    cent = embeddings.filter(F.col(id_col) < n_centroids_ivf).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn")
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            F.col("_cid"),
+            cosine_from_norms(
+                F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn")
+            ).alias("_qcos"),
+        )
+        .orderBy(F.desc("_qcos"), "_cid")
+        .limit(nprobe)
+        .select(F.col("_cid").cast("int").alias("cluster"))
+    )
+    assign = ivf_assignments(embeddings, n_centroids_ivf, id_col, vec_col)
+    cand_ids = (
+        assign.join(F.broadcast(probed), "cluster")
+        .filter(F.col(id_col) != query_vec_id)
+        .select(id_col)
+    )
+    candidates = embeddings.join(F.broadcast(cand_ids), id_col)
+    codes = pq_codes(
+        candidates, n_sub, sub_dim, n_centroids_pq, id_col, vec_col,
+        codebook_source=embeddings,
+    )
+    short = (
+        _adc_scores(
+            codes, embeddings, query_vec_id, n_sub, sub_dim,
+            n_centroids_pq, id_col, vec_col,
+        )
+        .orderBy("approx_dist", id_col)
+        .limit(shortlist)
+        .select(id_col)
+    )
+    rerank = (
+        embeddings.join(F.broadcast(short), id_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine_from_norms(
+                F.col(vec_col), F.col("_qvec"), l2_norm(F.col(vec_col)), F.col("_qn")
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(rerank, k)

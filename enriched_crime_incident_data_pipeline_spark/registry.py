@@ -765,7 +765,10 @@ def q_dd5b_ngram_capped(spark, sf_dir):
     # df-capped variant: shingles with document frequency > 50 are
     # pruned before the self-join — the 100 TB skew guard (a stop-word
     # shingle is one hot key with quadratic fan-out). Denominators
-    # still count all shingles, so surviving pairs keep exact Jaccard.
+    # still count all shingles, but the intersection counts only
+    # surviving shingles, so a surviving pair's jaccard is a lower
+    # bound on the unpruned value (exact only when the pair shared no
+    # pruned shingle).
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, top_k=20, max_df=50)
 
@@ -1312,6 +1315,20 @@ def q_ss8_pq_adc_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, query_vec_id=0, k=10)
+
+
+def q_ss10_ivf_pq_search(spark, sf_dir):
+    # the composed production ANN read path (the 1 B+-vector shape):
+    # IVF probe (top-2 clusters by query-centroid cosine, broadcast
+    # centroids) → PQ-ADC shortlist over candidate codes only (1
+    # byte/subspace scan + broadcast 8×16 LUT) → exact cosine re-rank
+    # of the 40-row shortlist. Never evaluates a full-corpus distance.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(emb, query_vec_id=0, k=10, nprobe=2, shortlist=64)
 
 
 def q_tp5_sliding_chunks(spark, sf_dir):
@@ -5100,6 +5117,90 @@ def oracle_queries() -> dict[str, str]:
                    approx_dist
             FROM scored ORDER BY approx_dist, vec_id LIMIT 10
         """,
+        "ss10_ivf_pq_search": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            icent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+            q AS (SELECT v FROM e WHERE vec_id = 0),
+            probed AS (
+              SELECT cid AS cluster FROM (
+                SELECT icent.cid,
+                  row_number() OVER (ORDER BY
+                    list_dot_product(q.v, icent.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(icent.v, icent.v))) DESC,
+                    icent.cid) AS rn
+                FROM q, icent
+              ) WHERE rn <= 2
+            ),
+            assign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT a.vec_id, icent.cid,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    list_dot_product(a.v, icent.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(icent.v, icent.v))) DESC,
+                    icent.cid) AS rn
+                FROM e a, icent
+              ) WHERE rn = 1
+            ),
+            cand AS (
+              SELECT e.vec_id, e.v FROM e
+              JOIN assign ON e.vec_id = assign.vec_id
+              JOIN probed ON assign.cluster = probed.cluster
+              WHERE e.vec_id <> 0
+            ),
+            pcent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            comp AS (
+              SELECT c.vec_id, pcent.cid, dd.d,
+                     CAST(dd.d // 8 AS INTEGER) AS s,
+                     c.v[CAST(dd.d + 1 AS INTEGER)]
+                       - pcent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+              FROM cand c, pcent, (SELECT unnest(range(64)) AS d) dd
+            ),
+            dist AS (
+              SELECT vec_id, cid, s, sum(df * df ORDER BY d) AS dist
+              FROM comp GROUP BY vec_id, cid, s
+            ),
+            best AS (
+              SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist, cid) AS rn
+                FROM dist
+              ) WHERE rn = 1
+            ),
+            lcomp AS (
+              SELECT pcent.cid, dd.d, CAST(dd.d // 8 AS INTEGER) AS s,
+                     q.v[CAST(dd.d + 1 AS INTEGER)]
+                       - pcent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+              FROM q, pcent, (SELECT unnest(range(64)) AS d) dd
+            ),
+            lut AS (
+              SELECT cid, s, sum(df * df ORDER BY d) AS dlut
+              FROM lcomp GROUP BY cid, s
+            ),
+            adc AS (
+              SELECT b.vec_id, sum(l.dlut ORDER BY b.s) AS approx_dist
+              FROM best b JOIN lut l ON l.cid = b.cid AND l.s = b.s
+              GROUP BY b.vec_id
+            ),
+            short AS (
+              SELECT vec_id FROM adc ORDER BY approx_dist, vec_id LIMIT 64
+            ),
+            rer AS (
+              SELECT a.vec_id AS neighbor_id, {_COS} AS cosine
+              FROM e a
+              JOIN short ON a.vec_id = short.vec_id
+              CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) b
+            )
+            SELECT neighbor_id, CAST(rn AS INTEGER) AS rank, cosine FROM (
+              SELECT *, row_number() OVER (ORDER BY cosine DESC,
+                                           neighbor_id) AS rn
+              FROM rer
+            ) WHERE rn <= 10
+        """,
         "ss6_quantize_int8": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -5859,6 +5960,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
+        "ss10_ivf_pq_search": q_ss10_ivf_pq_search,
         "ss9_cluster_purity": q_ss9_cluster_purity,
         "ta1_token_count": q_ta1_token_count,
         "ta2_quality": q_ta2_quality,

@@ -84,7 +84,14 @@ def stream_table(
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, f"{name}.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: exists() follows the symlink, so a stale
+    # link whose target was moved/recreated reads as "absent" and the
+    # re-create raises FileExistsError instead of repairing the stage
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(path):
+            os.unlink(link)
+            os.symlink(path, link)
+    else:
         os.symlink(path, link)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

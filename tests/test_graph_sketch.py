@@ -307,3 +307,21 @@ def test_pq_adc_finds_query_duplicate(spark):
     # the joined relation is codes + a broadcast LUT
     plan = pq_adc_topk(emb, 0, 5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Adversarial duplicate CHAIN (boilerplate series doc_i ~ doc_{i+1}):
+    plain min-label propagation needs O(n) rounds; the pointer-jumping
+    compression step must bring it to O(log n). 512-node chain →
+    well under 16 rounds (2^k distance growth), and labels exact."""
+    n = 512
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 16, stats

@@ -592,3 +592,63 @@ def test_round2_ops_plan_shapes(spark):
     p = qs["dd10_dedup_keeper"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "max_by" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_ss10_ivf_pq_plan_and_semantics(spark):
+    """Composed ANN (IVF probe → PQ-ADC shortlist → exact re-rank):
+    (a) plan never evaluates a full-corpus pairwise distance — every
+    join is broadcast (LUT, probed-cluster ids, shortlist, scalar
+    query), no SortMergeJoin/CartesianProduct; (b) the answer equals
+    exact-cosine top-k restricted to the probed clusters (the ADC
+    shortlist is a pruning step, not an answer-changing one, at the
+    test scale)."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_assignments,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    df = registry.spark_queries()["ss10_ivf_pq_search"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    got = {r["neighbor_id"] for r in df.collect()}
+
+    # independent reference: exact cosine top-10 within the 2 probed
+    # clusters (probe = top-2 centroids by query cosine, centroids =
+    # vec_id < 8, same tie-breaks)
+    emb = load_table(spark, sf, "embeddings")
+    q_vec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv")
+    )
+    cent_cos = (
+        emb.filter(F.col("vec_id") < 8)
+        .crossJoin(F.broadcast(q_vec))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("_qv")).alias("c"),
+        )
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(2)
+    )
+    probed = {r["vec_id"] for r in cent_cos.collect()}
+    assign = ivf_assignments(emb, 8)
+    exact = (
+        emb.join(assign, "vec_id")
+        .filter(F.col("cluster").isin(list(probed)) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q_vec))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("_qv")).alias("c"),
+        )
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+    )
+    want = {r["vec_id"] for r in exact.collect()}
+    assert got == want
