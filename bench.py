@@ -73,6 +73,8 @@ LONGTAIL = [
     "dd10_dedup_keeper",
     "st2_stream_sessions",
     "corpus_build2",  # composed round-2 curation DAG
+    "corpus_build3",  # full pretraining recipe capstone (round 3)
+    "st7_stream_corpus_ingest",  # streaming corpus ingest (round 3)
 ]
 
 

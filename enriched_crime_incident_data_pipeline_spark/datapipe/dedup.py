@@ -607,6 +607,27 @@ def segment_dedup(
     whole operator — reproducible in plain SQL, unlike
     semantic-boundary splitters.
     """
+    segs = doc_segments(docs, seg_tokens, id_col, text_col)
+    w = Window.partitionBy("seg_hash").orderBy(id_col, "seg_idx")
+    kept = (
+        segs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return rebuild_from_segments(kept, id_col)
+
+
+def doc_segments(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Consecutive ``seg_tokens``-token segments of every document:
+    ``(id, seg_idx, seg, seg_hash)``. The shared front half of
+    :func:`segment_dedup` and the streaming corpus-ingest path
+    (``streaming/corpus_ingest.py``), split out so both dedup against
+    the same segment identity (md5 of the joined token run)."""
     from enriched_crime_incident_data_pipeline_spark.functions.text import (
         normalize_text,
     )
@@ -615,23 +636,28 @@ def segment_dedup(
     n_segs = F.ceil(F.size(ts) / F.lit(float(seg_tokens))).cast("int")
     # split('') yields [''] — guard on the normalized text, not the
     # array size, so empty/punctuation-only docs emit no segments
-    segs = fan_out(docs).filter(normalize_text(F.col(text_col)) != "").select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_segs - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(ts, i * seg_tokens + 1, seg_tokens)
-                ),
-            )
-        ).alias("seg_idx", "seg"),
+    return (
+        fan_out(docs)
+        .filter(normalize_text(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(ts, i * seg_tokens + 1, seg_tokens)
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .withColumn("seg_hash", F.md5("seg"))
     )
-    w = Window.partitionBy(F.md5("seg")).orderBy(id_col, "seg_idx")
-    kept = (
-        segs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+
+
+def rebuild_from_segments(kept: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reassemble ``(id, n_kept, deduped_text)`` from surviving
+    segments, order-pinned (collect → array_sort by seg_idx → join)
+    so the text is deterministic under any partitioning."""
     return (
         kept.groupBy(id_col)
         .agg(

@@ -1264,6 +1264,140 @@ def q_corpus_build2(spark, sf_dir):
     return segment_dedup(clean, seg_tokens=10)
 
 
+def q_st7_stream_corpus_ingest(spark, sf_dir):
+    # continuous corpus ingest: the documents table arrives as THREE
+    # id-ordered micro-batches; each batch probes the persistent band
+    # index (incremental LSH — work ∝ |batch|, never |corpus|²),
+    # drops near-dups of anything earlier, segment-dedups against the
+    # seen-segment state, and idempotently appends. Keep-earliest
+    # makes the fold prefix-stable, so the final state equals the
+    # batch twin (and the plain-SQL oracle) for any id-ordered split.
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from enriched_crime_incident_data_pipeline_spark.streaming.corpus_ingest import (
+        run_corpus_ingest_stream,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(src).sort_by("doc_id")
+    n = t.num_rows
+    base = tempfile.mkdtemp(prefix="spark_graft_st7_")
+    docs_dir = os.path.join(base, "docs")
+    os.makedirs(docs_dir)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(docs_dir, f"batch{i}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        # file-stream source processes oldest-mtime first: pin the
+        # arrival order to the id order the keeper rule assumes
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    schema = spark.read.parquet(src).schema
+    state_dir = os.path.join(base, "state")
+    os.makedirs(state_dir)
+    return run_corpus_ingest_stream(spark, docs_dir, schema, state_dir)
+
+
+def q_corpus_build3(spark, sf_dir):
+    # the capstone: the FULL pretraining-data recipe as one declared
+    # DAG — lang-ID filter → LM-quality filter (LM trained on the
+    # surviving subset) → PII scrub → 8-gram decontamination against
+    # a held-out eval split → near-dup keeper drop (MinHash/LSH → CC
+    # → keep-longest) → corpus-wide segment dedup → mixture sample to
+    # the target source composition → concat-and-chunk packing →
+    # deterministic shard shuffle. Every model artifact (LM token
+    # counts, band index, eval-gram set, quotas) is computed on the
+    # stage's own input, broadcast where small; the corpus is never
+    # self-joined outside the banded LSH stage.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+        dedup_drop_list,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        mixture_sample,
+        pack_assignments,
+        shuffle_shards,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        segment_dedup,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        unigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 1. language filter: keep docs the stopword heuristic calls 'en'
+    endocs = docs.filter(lang_id(F.col("text")) == "en").select(
+        "doc_id", "source", "text"
+    )
+    # 2. LM quality, trained on the lang-filtered subset itself
+    lm = unigram_lm_scores(endocs)
+    quality_ids = lm.filter(
+        (F.col("n_tokens") >= 10) & (F.col("mean_inv_prob") <= 40.0)
+    ).select("doc_id")
+    qdocs = endocs.join(quality_ids, "doc_id")
+    # 3. PII scrub (JVM regex, whole-stage codegen)
+    sdocs = qdocs.select(
+        "doc_id", "source", scrub_pii(F.col("text")).alias("text")
+    )
+    # 4. decontamination: eval split = every 50th ORIGINAL doc;
+    #    eval-gram set broadcast, train side never self-joins
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = sdocs.filter(F.col("doc_id") % 50 != 0)
+    contam = ngram_contamination(train.select("doc_id", "text"), eval_docs, n=8)
+    clean_ids = contam.filter(F.col("contaminated") == 0).select("doc_id")
+    # stage boundary: the clean corpus is referenced by three
+    # downstream consumers (band index, size table, anti-join) —
+    # materialize it once so the plan tree stays linear in stage
+    # count, not exponential in reference count. At 100 TB this
+    # boundary is a parquet write between pipeline stages; in one
+    # process localCheckpoint is the same cut.
+    cdocs = train.join(clean_ids, "doc_id").localCheckpoint(eager=True)
+    # 5. near-dup keeper drop over the scrubbed survivors
+    members = connected_components(lsh_candidate_pairs(minhash_bands(cdocs)))
+    sizes = cdocs.select(
+        F.col("doc_id").alias("node"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    drops = dedup_drop_list(members, sizes).select("doc_id")
+    kdocs = cdocs.join(drops, "doc_id", "left_anti")
+    # 6. corpus-wide segment dedup (10-token segments, keep-first)
+    seg = segment_dedup(kdocs, seg_tokens=10)
+    # second stage boundary: the deduped corpus feeds the mixture
+    # quotas, the ranked sample, the pack token counts, and the final
+    # join-back — cut here too
+    surv = seg.join(kdocs.select("doc_id", "source"), "doc_id").localCheckpoint(
+        eager=True
+    )
+    # 7. mixture sample to the target composition over the survivors;
+    # the sample id-list feeds packing, sharding, and the final join —
+    # materialize it once (it is ids+source only) rather than
+    # recomputing the quota ranking per consumer
+    sampled = mixture_sample(surv, MIXTURE_TARGETS_BP).localCheckpoint(
+        eager=True
+    )
+    sdocs2 = sampled.join(surv.select("doc_id", "deduped_text"), "doc_id")
+    # 8. packing offsets over the sampled corpus (two-phase prefix sum)
+    packed = pack_assignments(sdocs2, text_col="deduped_text")
+    # 9. deterministic shard shuffle of the final examples
+    shards = shuffle_shards(sampled)
+    return (
+        sampled.join(packed, "doc_id")
+        .join(shards, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "start_offset",
+            "pack_id",
+            "shard",
+            "position",
+        )
+    )
+
+
 def q_ss9_cluster_purity(spark, sf_dir):
     # unsupervised-clustering evaluation against the labeled column:
     # per-IVF-cluster majority label and purity in basis points
@@ -4983,6 +5117,239 @@ def oracle_queries() -> dict[str, str]:
                    string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
             FROM skept GROUP BY doc_id
         """,
+        "corpus_build3": f"""
+            WITH RECURSIVE scores AS (
+              SELECT doc_id, source, text,
+{_LANG_SCORES}
+              FROM documents
+            ),
+            endocs AS MATERIALIZED (
+              SELECT doc_id, source, text FROM scores
+              WHERE {_LANG_CASE} = 'en'
+            ),
+            toks0 AS MATERIALIZED (SELECT doc_id, {_TOKENS} AS ts FROM endocs),
+            tok0 AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(len(ts))) AS pos
+              FROM toks0
+            ),
+            counts0 AS (SELECT tok, count(*) AS c FROM tok0 GROUP BY tok),
+            tot0 AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v
+              FROM counts0
+            ),
+            per0 AS (
+              SELECT t0.doc_id, t0.pos,
+                     CAST(tot0.n_total + tot0.v AS DOUBLE)
+                       / CAST(co.c + 1 AS DOUBLE) AS ip
+              FROM tok0 t0 JOIN counts0 co ON t0.tok = co.tok, tot0
+            ),
+            lmq AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(ip ORDER BY pos) / CAST(count(*) AS DOUBLE)
+                       AS mean_inv_prob
+              FROM per0 GROUP BY doc_id
+            ),
+            qdocs AS (
+              SELECT e.doc_id, e.source, e.text
+              FROM endocs e JOIN lmq ON e.doc_id = lmq.doc_id
+              WHERE lmq.n_tokens >= 10 AND lmq.mean_inv_prob <= 40.0
+            ),
+            sdocs AS MATERIALIZED (
+              SELECT doc_id, source,
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+                       '555-[0-9]{{4}}', '<PHONE>', 'g') AS text
+              FROM qdocs
+            ),
+            evt AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents
+              WHERE doc_id % 50 = 0
+            ),
+            evg AS (
+              SELECT DISTINCT
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM evt, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                        AS u(i)
+            ),
+            trw AS (SELECT doc_id, {_TOKENS} AS toks FROM sdocs
+                    WHERE doc_id % 50 <> 0),
+            trg AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM trw, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                        AS u(i)
+            ),
+            contam AS (SELECT DISTINCT g.doc_id FROM trg g JOIN evg USING (gram)),
+            cdocs AS MATERIALIZED (
+              SELECT * FROM sdocs
+              WHERE doc_id % 50 <> 0
+                AND doc_id NOT IN (SELECT doc_id FROM contam)
+            ),
+            bands AS MATERIALIZED ({_MINHASH_BANDS_SQL.replace("FROM documents", "FROM cdocs")}),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT DISTINCT a AS node, a AS label FROM edges
+              UNION
+              SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+            ),
+            cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            tc AS (SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM cdocs),
+            sized AS (
+              SELECT cc.node, cc.cluster_id, tc.n_tokens
+              FROM cc JOIN tc ON cc.node = tc.doc_id
+            ),
+            keep AS (
+              SELECT cluster_id, node AS keeper_id FROM (
+                SELECT cluster_id, node,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_tokens DESC, node) AS rn
+                FROM sized
+              ) WHERE rn = 1
+            ),
+            drops AS (
+              SELECT s.node AS doc_id
+              FROM sized s JOIN keep k USING (cluster_id)
+              WHERE s.node <> k.keeper_id
+            ),
+            kdocs AS MATERIALIZED (
+              SELECT * FROM cdocs
+              WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+            ),
+            stoks AS (
+              SELECT doc_id, {_TOKENS} AS ts FROM kdocs
+              WHERE {_NORM} <> ''
+            ),
+            sseg AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+                     array_to_string(
+                       list_slice(ts, CAST(g.i * 10 + 1 AS INTEGER),
+                                  CAST(g.i * 10 + 10 AS INTEGER)), ' ') AS seg
+              FROM stoks, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS i
+              ) g
+            ),
+            skept AS (
+              SELECT doc_id, seg_idx, seg FROM (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, seg_idx) AS rn
+                FROM sseg
+              ) WHERE rn = 1
+            ),
+            seg AS (
+              SELECT doc_id,
+                     string_agg(sk.seg, ' ' ORDER BY seg_idx) AS deduped_text
+              FROM skept sk GROUP BY doc_id
+            ),
+            surv AS MATERIALIZED (
+              SELECT s.doc_id, k.source, s.deduped_text
+              FROM seg s JOIN kdocs k USING (doc_id)
+            ),
+            mt(src, t_bp) AS (VALUES {", ".join(
+                f"('{k}', {v})" for k, v in sorted(MIXTURE_TARGETS_BP.items())
+            )}),
+            mcounts AS (
+              SELECT source AS src, count(*) AS n
+              FROM surv WHERE source IN (SELECT src FROM mt)
+              GROUP BY source
+            ),
+            caps AS (
+              SELECT src, t_bp, (n * 10000) // t_bp AS cap
+              FROM mcounts JOIN mt USING (src)
+            ),
+            mtot AS (SELECT min(cap) AS T FROM caps),
+            quota AS (
+              SELECT src, (T * t_bp) // 10000 AS m
+              FROM caps CROSS JOIN mtot
+            ),
+            ranked AS (
+              SELECT doc_id, source AS src,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_HASH32.format(
+                           x="'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id
+                     ) AS rk
+              FROM surv WHERE source IN (SELECT src FROM mt)
+            ),
+            sampled AS MATERIALIZED (
+              SELECT doc_id, src AS source
+              FROM ranked JOIN quota USING (src) WHERE rk <= m
+            ),
+            ptext AS (
+              SELECT sa.doc_id, sa.source, sv.deduped_text AS text
+              FROM sampled sa JOIN surv sv USING (doc_id)
+            ),
+            pt AS (
+              SELECT doc_id, source, CAST({_TOKEN_COUNT} AS BIGINT) AS n_tokens
+              FROM ptext
+            ),
+            po AS (
+              SELECT doc_id, source, n_tokens,
+                CAST(coalesce(sum(n_tokens) OVER (
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS start_offset
+              FROM pt
+            ),
+            shr AS (
+              SELECT doc_id,
+                     {_HASH32.format(
+                         x="'shuffle-v1:' || CAST(doc_id AS VARCHAR)")} AS hv
+              FROM sampled
+            )
+            SELECT po.doc_id, po.source, po.n_tokens, po.start_offset,
+                   CAST(floor(po.start_offset / 256.0) AS BIGINT) AS pack_id,
+                   CAST(hv % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (PARTITION BY hv % 8
+                        ORDER BY hv, po.doc_id) AS INTEGER) AS position
+            FROM po JOIN shr USING (doc_id)
+        """,
+        "st7_stream_corpus_ingest": f"""
+            WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            kept AS (
+              SELECT * FROM documents
+              WHERE doc_id NOT IN (SELECT b FROM pairs)
+            ),
+            stoks AS (
+              SELECT doc_id, {_TOKENS} AS ts FROM kept
+              WHERE {_NORM} <> ''
+            ),
+            sseg AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+                     array_to_string(
+                       list_slice(ts, CAST(g.i * 10 + 1 AS INTEGER),
+                                  CAST(g.i * 10 + 10 AS INTEGER)), ' ') AS seg
+              FROM stoks, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS i
+              ) g
+            ),
+            skept AS (
+              SELECT doc_id, seg_idx, seg FROM (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, seg_idx) AS rn
+                FROM sseg
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
+            FROM skept GROUP BY doc_id
+        """,
         "st6_stream_lsh_probe": f"""
             WITH bands AS ({_MINHASH_BANDS_SQL}),
             nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
@@ -5956,6 +6323,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
         "corpus_build2": q_corpus_build2,
+        "corpus_build3": q_corpus_build3,
+        "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
         "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,

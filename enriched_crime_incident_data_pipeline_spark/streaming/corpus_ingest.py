@@ -1,0 +1,153 @@
+"""Continuous corpus ingest: the streaming version of the batch
+corpus builds (``registry.q_corpus_build2/3``).
+
+Each micro-batch of arriving documents is deduplicated against the
+PERSISTENT state of everything ingested before it, then appended:
+
+1. **near-dup drop** — the batch's MinHash bands probe the standing
+   band index via :func:`datapipe.dedup.incremental_lsh_pairs`
+   (new-vs-corpus + new-vs-new equi-joins, never corpus²); a new doc
+   drops iff it collides with ANY earlier doc (smaller id, in the
+   index or in the batch). The band index is append-only and keeps
+   the bands of every SEEN doc — kept or dropped — so transitive
+   duplicate chains keep collapsing onto the earliest occurrence.
+2. **segment drop** — surviving docs split into 10-token segments
+   (:func:`datapipe.dedup.doc_segments`); segments whose hash is in
+   the seen-segment state (or occurs earlier within the batch) drop;
+   docs are rebuilt from the survivors.
+3. **idempotent append** — rebuilt docs append to the corpus state,
+   batch bands append to the index, surviving segment hashes append
+   to the segment state.
+
+Keep-EARLIEST is the streaming-correct keeper rule: the batch
+builds' keep-longest (``dedup_drop_list``) needs the whole cluster
+before choosing, so a later, longer duplicate would have to
+retroactively un-serve an already-appended keeper — impossible in an
+append-only stream. With keep-earliest every decision depends only
+on documents with smaller ids, which makes the fold PREFIX-STABLE:
+ingesting the corpus in any number of id-ordered micro-batches
+produces byte-identical state to one batch over everything (pinned
+by ``tests/test_multimodal_streaming.py``), and the registry's
+``st7_stream_corpus_ingest`` twin is plain batch SQL.
+
+Scale: per batch the only wide ops are the band equi-join against
+the index (partitioned by (band_id, band_hash) — the 65k-value
+bucket domain), the segment-hash anti-join (uniform 128-bit key),
+and one groupBy per rebuilt doc. State is parquet, append-only,
+partitionable; work per batch is ∝ |batch| × hit-rate, never
+∝ |corpus|.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+    doc_segments,
+    incremental_lsh_pairs,
+    lsh_candidate_pairs,
+    minhash_bands,
+    rebuild_from_segments,
+)
+
+_BANDS = "band_index"
+_SEGS = "seen_segments"
+_CORPUS = "corpus"
+
+
+def _p(state_dir: str, name: str) -> str:
+    return os.path.join(state_dir, name)
+
+
+def corpus_ingest_batch(
+    state_dir: str, seg_tokens: int = 10
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` function that folds one micro-batch
+    of documents (``doc_id``, ``text``, …) into the corpus state under
+    ``state_dir``."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        new_bands = minhash_bands(batch_df).localCheckpoint(eager=True)
+        bands_path = _p(state_dir, _BANDS)
+        if os.path.exists(bands_path):
+            pairs = incremental_lsh_pairs(
+                new_bands, spark.read.parquet(bands_path)
+            )
+        else:
+            pairs = lsh_candidate_pairs(new_bands)
+        # keep-earliest: a pair (a, b) with a < b drops b; with
+        # id-ordered arrival the greater side is always in this batch
+        dropped = pairs.select(F.col("b").alias("doc_id")).distinct()
+        kept_docs = batch_df.join(dropped, "doc_id", "left_anti")
+        segs = doc_segments(kept_docs, seg_tokens)
+        segs_path = _p(state_dir, _SEGS)
+        if os.path.exists(segs_path):
+            seen = spark.read.parquet(segs_path)
+            segs = segs.join(seen, "seg_hash", "left_anti")
+        w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+        kept_segs = (
+            segs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        rebuilt = rebuild_from_segments(kept_segs)
+        new_bands.write.mode("append").parquet(bands_path)
+        kept_segs.select("seg_hash").write.mode("append").parquet(segs_path)
+        rebuilt.write.mode("append").parquet(_p(state_dir, _CORPUS))
+
+    return fn
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    state_dir: str,
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Run an AvailableNow documents stream from ``docs_dir`` (one
+    micro-batch per file, in file-timestamp order) through
+    :func:`corpus_ingest_batch` and return the resulting corpus
+    state ``(doc_id, n_kept, deduped_text)``."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            corpus_ingest_batch(state_dir, seg_tokens)
+        )
+        .option(
+            "checkpointLocation", _p(state_dir, f"_ckpt_{uuid.uuid4().hex}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(_p(state_dir, _CORPUS))
+
+
+def batch_twin(docs: DataFrame, seg_tokens: int = 10) -> DataFrame:
+    """The batch-SQL-expressible equivalent of the streamed ingest:
+    drop every doc that is the GREATER side of any LSH candidate pair
+    (keep-earliest), then corpus-wide segment dedup. Prefix-stability
+    of the streaming fold means this equals the stream's final state
+    for any id-ordered batch split."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        segment_dedup,
+    )
+
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    dropped = pairs.select(F.col("b").alias("doc_id")).distinct()
+    return segment_dedup(
+        docs.join(dropped, "doc_id", "left_anti"), seg_tokens=seg_tokens
+    )

@@ -189,3 +189,60 @@ def test_mixture_sample_exact_composition(spark):
     got2 = {(r["source"], r["doc_id"]) for r in
             mixture_sample(docs, {"A": 7000, "B": 3000}).collect()}
     assert got2 == set(got)
+
+
+def test_corpus_build3_capstone_plan_and_invariants(spark):
+    """The full pretraining-recipe DAG: final plan stays hash/broadcast
+    joined (no cartesian/nested-loop anywhere downstream of the
+    checkpointed stage boundaries), the sampled output obeys the
+    60/30/10 mixture quota law, packing offsets are the exact prefix
+    sum in doc_id order, and shard positions are dense ranks."""
+    from collections import Counter
+
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    qs = registry.spark_queries()
+    df = qs["corpus_build3"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the broadcast SCALAR relations
+    # (mixture's 1-row feasible-total, packing's 1-row max-id bound) —
+    # every corpus-sized join stays a hash equi-join
+    import re
+
+    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert n_bnlj <= 2, n_bnlj
+
+    rows = df.collect()
+    assert rows, "capstone output must be non-empty at sf0.001"
+    # mixture law: one feasible total T explains every per-source count
+    # as (T * t_bp) DIV 10000
+    c = Counter(r.source for r in rows)
+    assert set(c) <= set(registry.MIXTURE_TARGETS_BP)
+    t_cands = range(
+        (c["src0"] * 10000) // 6000, (c["src0"] * 10000) // 6000 + 3
+    )
+    assert any(
+        all(
+            c.get(s, 0) == (T * bp) // 10000
+            for s, bp in registry.MIXTURE_TARGETS_BP.items()
+        )
+        for T in t_cands
+    ), c
+    # packing: offsets are the running sum of n_tokens in doc_id order
+    ordered = sorted(rows, key=lambda r: r.doc_id)
+    off = 0
+    for r in ordered:
+        assert r.start_offset == off, (r, off)
+        assert r.pack_id == off // 256
+        off += r.n_tokens
+    # shards: positions within each shard are 1..k
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), (s, ps)

@@ -196,3 +196,36 @@ def test_kmeans_centroids_separate_clusters(spark):
     # (1e-6: embeddings are stored float32)
     assert abs(cents[0][0] - (1.0 + 0.9 + 0.95) / 3) < 1e-6
     assert abs(cents[1][1] - (1.0 + 0.9 + 0.95) / 3) < 1e-6
+
+
+def test_stream_corpus_ingest_prefix_stable(spark, tmp_path):
+    """The streamed corpus ingest (3 id-ordered micro-batches through
+    foreachBatch state) must produce byte-identical corpus state to
+    the one-shot batch twin — the prefix-stability contract of the
+    keep-earliest keeper rule."""
+    import pyarrow.parquet as pq
+
+    from enriched_crime_incident_data_pipeline_spark.streaming.corpus_ingest import (
+        batch_twin,
+        run_corpus_ingest_stream,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src).sort_by("doc_id")
+    n = t.num_rows
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = os.path.join(docs_dir, f"b{i}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    schema = spark.read.parquet(src).schema
+    streamed = run_corpus_ingest_stream(spark, docs_dir, schema, state_dir)
+    batch = batch_twin(spark.read.parquet(src))
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert got, "ingest must keep documents at sf0.001"
