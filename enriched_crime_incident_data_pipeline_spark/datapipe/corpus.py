@@ -329,3 +329,54 @@ def shuffle_shards(
         .withColumn("position", F.row_number().over(w))
         .select(id_col, "shard", "position")
     )
+
+
+def budget_select(
+    scored: DataFrame,
+    budget: int,
+    quality_col: str = "mean_inv_prob",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budgeted subset selection: walk the corpus in BEST-first
+    quality order (ascending ``quality_col``, id tiebreak) and keep
+    the longest prefix whose cumulative token count fits ``budget`` —
+    the data-constrained-scaling recipe ("train on the best N tokens
+    you have"), cf. quality-pruning setups like DeepMind's
+    data-constrained scaling and FineWeb-Edu selection.
+
+    Returns ``(id, n_tokens, cum_tokens)`` for the selected docs,
+    where ``cum_tokens`` is the inclusive running total in quality
+    order.
+
+    Two-phase prefix sum, same shape as :func:`pack_assignments`: the
+    bucket id is value-derived (``floor(quality)`` — monotone in the
+    sort key, so bucket boundaries respect the global order), local
+    inclusive sums run per bucket, and the only global window runs
+    over the per-bucket totals (one row per distinct integer quality
+    — a tiny relation). No corpus-sized single-partition window.
+    """
+    b = scored.withColumn(
+        "_bucket", F.floor(F.col(quality_col)).cast("bigint")
+    )
+    local_w = (
+        Window.partitionBy("_bucket")
+        .orderBy(quality_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("_local_incl", F.sum(tokens_col).over(local_w))
+    totals = b.groupBy("_bucket").agg(F.sum(tokens_col).alias("_bt"))
+    prefix_w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.withColumn(
+        "_bp", F.coalesce(F.sum("_bt").over(prefix_w), F.lit(0))
+    ).select("_bucket", "_bp")
+    return (
+        local.join(F.broadcast(prefix), "_bucket")
+        .withColumn(
+            "cum_tokens", (F.col("_bp") + F.col("_local_incl")).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, tokens_col, "cum_tokens")
+    )

@@ -32,6 +32,7 @@ from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
     NUM_HASHES,
     embedding_near_dup_pairs,
     exact_duplicate_groups,
+    hash32,
     lsh_candidate_pairs,
     minhash_bands,
     ngram_jaccard_pairs,
@@ -1262,6 +1263,47 @@ def q_corpus_build2(spark, sf_dir):
     drops = dedup_drop_list(members, sizes).select("doc_id")
     clean = fdocs.join(drops, "doc_id", "left_anti")
     return segment_dedup(clean, seg_tokens=10)
+
+
+def q_tp10_budget_select(spark, sf_dir):
+    # data-constrained scaling: keep the best-quality docs (lowest
+    # LM mean inverse probability) whose cumulative tokens fit a
+    # 20k budget — two-phase prefix sum in quality order, no global
+    # single-partition window over the corpus
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        budget_select,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        unigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return budget_select(unigram_lm_scores(docs), budget=20000)
+
+
+def q_dc3_leakage_safe_split(spark, sf_dir):
+    # leakage-safe train/eval split: assign whole NEAR-DUP CLUSTERS
+    # (LSH pairs → connected components; singletons are their own
+    # cluster) to a split by cluster-id hash, so no near-duplicate
+    # pair ever straddles train/eval — the eval-contamination failure
+    # a doc-level random split cannot prevent
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = dup_clusters(docs, lsh_candidate_pairs(minhash_bands(docs)))
+    split = F.when(
+        F.pmod(
+            hash32(
+                F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+            ),
+            F.lit(10),
+        )
+        < 9,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return cl.select("doc_id", "cluster_id", split.alias("split"))
 
 
 def q_st7_stream_corpus_ingest(spark, sf_dir):
@@ -5313,6 +5355,47 @@ def oracle_queries() -> dict[str, str]:
                         ORDER BY hv, po.doc_id) AS INTEGER) AS position
             FROM po JOIN shr USING (doc_id)
         """,
+        "tp10_budget_select": f"""
+            WITH lmq AS ({_TA11_SQL}),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       ORDER BY mean_inv_prob, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cum_tokens
+              FROM lmq
+            )
+            SELECT doc_id, n_tokens, cum_tokens FROM o
+            WHERE cum_tokens <= 20000
+        """,
+        "dc3_leakage_safe_split": f"""
+            WITH RECURSIVE pairs AS (
+              WITH bands AS ({_MINHASH_BANDS_SQL})
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT DISTINCT a AS node, a AS label FROM edges
+              UNION
+              SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+            ),
+            cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            cl AS (
+              SELECT d.doc_id,
+                     coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN {_HASH32.format(
+                       x="'split:' || CAST(cluster_id AS VARCHAR)")} % 10 < 9
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM cl
+        """,
         "st7_stream_corpus_ingest": f"""
             WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
             pairs AS (
@@ -6325,6 +6408,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "corpus_build2": q_corpus_build2,
         "corpus_build3": q_corpus_build3,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
+        "tp10_budget_select": q_tp10_budget_select,
+        "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
         "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,

@@ -246,3 +246,61 @@ def test_corpus_build3_capstone_plan_and_invariants(spark):
         by_shard.setdefault(r.shard, []).append(r.position)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), (s, ps)
+
+
+def test_budget_select_prefix_and_partitioning_invariant(spark):
+    """budget_select must keep exactly the longest best-quality
+    prefix fitting the budget, and the two-phase prefix sum must be
+    independent of physical partitioning."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        budget_select,
+    )
+
+    rows = [(i, (i * 37) % 11 + 1, float((i * 53) % 17)) for i in range(40)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, mean_inv_prob double"
+    )
+    out = {
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in budget_select(scored, budget=60).collect()
+    }
+    # naive reference: sort by (quality, id), accumulate, cut
+    ordered = sorted(rows, key=lambda r: (r[2], r[0]))
+    want, cum = set(), 0
+    for d, n, _q in ordered:
+        cum += n
+        if cum > 60:
+            break
+        want.add((d, n, cum))
+    assert out == want and want
+    repart = {
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in budget_select(scored.repartition(7), budget=60).collect()
+    }
+    assert repart == out
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Every near-dup candidate pair must land entirely in one split."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    qs = registry.spark_queries()
+    df = qs["dc3_leakage_safe_split"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs)).collect()
+    assert pairs, "need candidate pairs at sf0.001 for the test to bite"
+    for p in pairs:
+        assert split_of[p.a] == split_of[p.b], p
+        assert cluster_of[p.a] == cluster_of[p.b], p
+    assert {"train", "eval"} >= set(split_of.values())
