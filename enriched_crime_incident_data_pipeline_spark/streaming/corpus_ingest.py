@@ -15,9 +15,15 @@ PERSISTENT state of everything ingested before it, then appended:
    (:func:`datapipe.dedup.doc_segments`); segments whose hash is in
    the seen-segment state (or occurs earlier within the batch) drop;
    docs are rebuilt from the survivors.
-3. **idempotent append** — rebuilt docs append to the corpus state,
-   batch bands append to the index, surviving segment hashes append
-   to the segment state.
+3. **idempotent append** — rebuilt docs, batch bands, and surviving
+   segment hashes each land in a per-batch state subdirectory
+   (``batch=N``) written with OVERWRITE: foreachBatch is
+   at-least-once, so a crashed batch replays — overwriting its own
+   directory (and excluding it from the state reads) makes the
+   replay a no-op instead of a duplicate, i.e. effective
+   exactly-once without a transactional table format. An id-order
+   watermark (one JSON line, driver-side) rejects genuinely
+   out-of-order batches loudly.
 
 Keep-EARLIEST is the streaming-correct keeper rule: the batch
 builds' keep-longest (``dedup_drop_list``) needs the whole cluster
@@ -40,6 +46,7 @@ partitionable; work per batch is ∝ |batch| × hit-rate, never
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from collections.abc import Callable
@@ -64,6 +71,15 @@ def _p(state_dir: str, name: str) -> str:
     return os.path.join(state_dir, name)
 
 
+def _batch_p(state_dir: str, name: str, batch_id: int) -> str:
+    # one subdirectory per micro-batch, OVERWRITTEN on replay: Spark's
+    # foreachBatch is at-least-once, so a crashed batch re-runs — an
+    # append sink would duplicate its rows in the state; overwriting
+    # the batch's own directory makes every state write idempotent
+    # (effective exactly-once without a transactional table format)
+    return os.path.join(state_dir, name, f"batch={batch_id}")
+
+
 def corpus_ingest_batch(
     state_dir: str, seg_tokens: int = 10
 ) -> Callable[[DataFrame, int], None]:
@@ -76,10 +92,36 @@ def corpus_ingest_batch(
         batch_df = batch_df.localCheckpoint(eager=True)
         new_bands = minhash_bands(batch_df).localCheckpoint(eager=True)
         bands_path = _p(state_dir, _BANDS)
+        # keep-earliest assumes id-ordered arrival (docs arrive
+        # chronologically, ids assigned monotonically). An
+        # out-of-order batch would need to retract an already-appended
+        # doc — fail loudly instead of silently producing a different
+        # corpus than the batch twin. The watermark is a one-line
+        # driver-side file, not a scan of the growing index.
+        bounds = batch_df.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        wm_path = _p(state_dir, "_id_watermark")
+        if bounds["lo"] is not None and os.path.exists(wm_path):
+            with open(wm_path) as fh:
+                wm = json.load(fh)
+            # a REPLAY of this same batch (crash after the watermark
+            # write, before the stream checkpoint committed) is legal
+            # — the per-batch overwrite below makes it idempotent;
+            # only a genuinely different, earlier-id batch is an error
+            if wm["batch_id"] != batch_id and bounds["lo"] <= wm["hi"]:
+                raise ValueError(
+                    f"out-of-order ingest: batch {batch_id} min doc_id "
+                    f"{bounds['lo']} <= already-indexed max {wm['hi']}; "
+                    "keep-earliest dedup requires id-ordered batches"
+                )
         if os.path.exists(bands_path):
-            pairs = incremental_lsh_pairs(
-                new_bands, spark.read.parquet(bands_path)
-            )
+            # the index excludes this batch's own (possibly partial)
+            # earlier attempt — state reads must not see replay debris
+            index = spark.read.parquet(bands_path).filter(
+                F.col("batch") != batch_id
+            ).drop("batch")
+            pairs = incremental_lsh_pairs(new_bands, index)
         else:
             pairs = lsh_candidate_pairs(new_bands)
         # keep-earliest: a pair (a, b) with a < b drops b; with
@@ -89,7 +131,9 @@ def corpus_ingest_batch(
         segs = doc_segments(kept_docs, seg_tokens)
         segs_path = _p(state_dir, _SEGS)
         if os.path.exists(segs_path):
-            seen = spark.read.parquet(segs_path)
+            seen = spark.read.parquet(segs_path).filter(
+                F.col("batch") != batch_id
+            ).drop("batch")
             segs = segs.join(seen, "seg_hash", "left_anti")
         w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
         kept_segs = (
@@ -99,9 +143,18 @@ def corpus_ingest_batch(
             .localCheckpoint(eager=True)
         )
         rebuilt = rebuild_from_segments(kept_segs)
-        new_bands.write.mode("append").parquet(bands_path)
-        kept_segs.select("seg_hash").write.mode("append").parquet(segs_path)
-        rebuilt.write.mode("append").parquet(_p(state_dir, _CORPUS))
+        new_bands.write.mode("overwrite").parquet(
+            _batch_p(state_dir, _BANDS, batch_id)
+        )
+        kept_segs.select("seg_hash").write.mode("overwrite").parquet(
+            _batch_p(state_dir, _SEGS, batch_id)
+        )
+        rebuilt.write.mode("overwrite").parquet(
+            _batch_p(state_dir, _CORPUS, batch_id)
+        )
+        if bounds["hi"] is not None:
+            with open(wm_path, "w") as fh:
+                json.dump({"batch_id": batch_id, "hi": bounds["hi"]}, fh)
 
     return fn
 
@@ -133,7 +186,7 @@ def run_corpus_ingest_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(_p(state_dir, _CORPUS))
+    return spark.read.parquet(_p(state_dir, _CORPUS)).drop("batch")
 
 
 def batch_twin(docs: DataFrame, seg_tokens: int = 10) -> DataFrame:

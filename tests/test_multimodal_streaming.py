@@ -229,3 +229,53 @@ def test_stream_corpus_ingest_prefix_stable(spark, tmp_path):
     want = {tuple(r) for r in batch.collect()}
     assert got == want
     assert got, "ingest must keep documents at sf0.001"
+
+
+def test_stream_corpus_ingest_rejects_out_of_order_batch(spark, tmp_path):
+    """keep-earliest dedup is only correct for id-ordered arrival;
+    an out-of-order batch must fail loudly, not silently diverge
+    from the batch twin."""
+    import pytest as _pytest
+
+    from enriched_crime_incident_data_pipeline_spark.streaming.corpus_ingest import (
+        corpus_ingest_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    fn = corpus_ingest_batch(state_dir)
+    fn(docs.filter(F.col("doc_id").between(100, 199)), 0)
+    with _pytest.raises(ValueError, match="out-of-order"):
+        fn(docs.filter(F.col("doc_id") < 100), 1)
+
+
+def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch (crash →
+    replay) must leave the state byte-identical, not duplicated."""
+    from enriched_crime_incident_data_pipeline_spark.streaming.corpus_ingest import (
+        corpus_ingest_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    fn = corpus_ingest_batch(state_dir)
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+    fn(b0, 0)
+    fn(b1, 1)
+    once = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(state_dir, "corpus"))
+        .drop("batch")
+        .collect()
+    )
+    fn(b1, 1)  # replay
+    twice = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(state_dir, "corpus"))
+        .drop("batch")
+        .collect()
+    )
+    assert twice == once
