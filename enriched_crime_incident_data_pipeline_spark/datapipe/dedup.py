@@ -704,3 +704,93 @@ def incremental_lsh_pairs(
         )
     )
     return cross.union(lsh_candidate_pairs(new_bands, id_col)).distinct()
+
+
+def repeated_spans(
+    docs: DataFrame,
+    win_tokens: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus duplicated-SUBSTRING detection (the
+    exact-substring dedup move of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", re-expressed
+    relationally): find, per document, the maximal token spans whose
+    every ``win_tokens``-token window occurs ≥ ``min_count`` times
+    anywhere in the corpus (including within the same document).
+
+    Pipeline: stride-1 sliding windows (one md5 per token offset) →
+    corpus-wide occurrence count (one shuffle keyed by the uniform
+    128-bit window hash) → per-document gaps-and-islands merge:
+    duplicated offsets whose gap is ≤ ``win_tokens`` (overlapping or
+    abutting windows) coalesce into one span. Returns
+    ``(doc_id, n_dup_spans, dup_tokens, longest_span)`` for documents
+    containing at least one duplicated window; span token counts are
+    inclusive (``max_off + win_tokens - min_off``).
+
+    Scale notes (100 TB): stride-1 windows emit ~1 row per corpus
+    token — ``win_tokens``× the rows of the disjoint-segment pass
+    (:func:`segment_dedup`) but the same plan shape: explode → one
+    uniform-key shuffle → per-doc window functions bounded by doc
+    length. At full scale, swap the O(win_tokens)-per-window
+    md5-of-slice for an O(1) polynomial rolling hash (identical plan;
+    md5 is kept here because the DuckDB oracle reproduces it
+    bit-for-bit) and/or winnow-sample offsets (``ta6_winnow``) to cut
+    the window table by the sampling factor. The occurrence count is
+    a window aggregate over the hash partition — map-side combining
+    applies, and hot windows (boilerplate) bound the partition at the
+    count, never a pair explosion: no self-join exists in this
+    operator.
+    """
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    ts = tokens(F.col(text_col))
+    n_wins = F.size(ts) - F.lit(win_tokens) + 1
+    wins = (
+        fan_out(docs)
+        .filter(normalize_text(F.col(text_col)) != "")
+        .filter(F.size(ts) >= win_tokens)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_wins - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(ts, i + 1, win_tokens))
+                    ),
+                )
+            ).alias("off", "win_hash"),
+        )
+    )
+    dup = (
+        wins.withColumn(
+            "_c", F.count(F.lit(1)).over(Window.partitionBy("win_hash"))
+        )
+        .filter(F.col("_c") >= min_count)
+        .select(id_col, "off")
+    )
+    wd = Window.partitionBy(id_col).orderBy("off")
+    isl = (
+        dup.withColumn("_prev", F.lag("off").over(wd))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("off") - F.col("_prev") > win_tokens),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("_new").over(wd))
+    )
+    spans = isl.groupBy(id_col, "island").agg(
+        F.min("off").alias("_s"),
+        (F.max("off") + win_tokens - 1).alias("_e"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("int").alias("dup_tokens"),
+        F.max(F.col("_e") - F.col("_s") + 1).cast("int").alias("longest_span"),
+    )

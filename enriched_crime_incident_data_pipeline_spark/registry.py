@@ -1199,6 +1199,19 @@ def q_dd12_incremental_lsh(spark, sf_dir):
     )
 
 
+def q_dd13_repeated_spans(spark, sf_dir):
+    # exact-substring dedup stats (Lee et al. 2022 move): stride-1
+    # 10-token windows → corpus-wide occurrence count (one uniform
+    # md5-key shuffle) → per-doc gaps-and-islands merge into maximal
+    # duplicated spans; no self-join anywhere
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        repeated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, win_tokens=10, min_count=2)
+
+
 def q_st6_stream_lsh_probe(spark, sf_dir):
     # continuous dedup: a document stream computes row-wise MinHash
     # bands (stateless map — possible only because signatures no
@@ -5465,6 +5478,48 @@ def oracle_queries() -> dict[str, str]:
               UNION ALL SELECT a, b FROM self_pairs
             )
         """,
+        "dd13_repeated_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS ts FROM documents
+              WHERE {_NORM} <> ''
+            ),
+            win AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS off,
+                     md5(array_to_string(
+                       list_slice(ts, CAST(g.i + 1 AS INTEGER),
+                                  CAST(g.i + 10 AS INTEGER)), ' ')) AS h
+              FROM toks, LATERAL (
+                SELECT unnest(range(CAST(len(ts) - 10 + 1 AS BIGINT))) AS i
+              ) g
+              WHERE len(ts) >= 10
+            ),
+            dup AS (
+              SELECT doc_id, off FROM (
+                SELECT doc_id, off, count(*) OVER (PARTITION BY h) AS c
+                FROM win
+              ) WHERE c >= 2
+            ),
+            isl AS (
+              SELECT doc_id, off,
+                     sum(CASE WHEN prev IS NULL OR off - prev > 10
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY off) AS island
+              FROM (
+                SELECT doc_id, off,
+                       lag(off) OVER (PARTITION BY doc_id
+                                      ORDER BY off) AS prev
+                FROM dup
+              )
+            ),
+            spans AS (
+              SELECT doc_id, island, min(off) AS s, max(off) + 9 AS e
+              FROM isl GROUP BY doc_id, island
+            )
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+                   CAST(sum(e - s + 1) AS INTEGER) AS dup_tokens,
+                   CAST(max(e - s + 1) AS INTEGER) AS longest_span
+            FROM spans GROUP BY doc_id
+        """,
         "dd11_segment_dedup": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS} AS ts FROM documents
@@ -6405,6 +6460,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
+        "dd13_repeated_spans": q_dd13_repeated_spans,
         "corpus_build2": q_corpus_build2,
         "corpus_build3": q_corpus_build3,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,

@@ -652,3 +652,37 @@ def test_ss10_ivf_pq_plan_and_semantics(spark):
     )
     want = {r["vec_id"] for r in exact.collect()}
     assert got == want
+
+
+def test_repeated_spans_semantics_and_plan(spark):
+    """dd13: two docs sharing a 14-token run → one maximal span each
+    covering exactly those 14 tokens; a doc with no repeated window is
+    absent; the plan has no pair self-join (window-count, not join)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        repeated_spans,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(14))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail words here alpha"),
+            (2, "lead in words " + shared),
+            (3, " ".join(f"solo{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_spans(docs, win_tokens=10, min_count=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    for did, start in [(1, 0), (2, 3)]:
+        r = rows[did]
+        assert r["n_dup_spans"] == 1
+        # offsets 0..4 relative to the run's start are duplicated
+        # (windows fully inside the shared 14 tokens): span covers
+        # min_off .. max_off + 10 - 1 = 14 tokens
+        assert r["dup_tokens"] == 14, (did, r)
+        assert r["longest_span"] == 14
+
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
