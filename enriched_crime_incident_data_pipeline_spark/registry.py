@@ -1355,6 +1355,38 @@ def q_st7_stream_corpus_ingest(spark, sf_dir):
     return run_corpus_ingest_stream(spark, docs_dir, schema, state_dir)
 
 
+def q_st8_stream_decontaminate(spark, sf_dir):
+    # continuous eval-contamination guard: the training-doc stream
+    # shingles 8-grams map-only and probes the BROADCAST static
+    # eval-gram set (eval benchmarks are MBs, the corpus is TBs — the
+    # stream never shuffles); dropDuplicates emits each contaminated
+    # doc id once. Bounded AvailableNow run ≡ the batch probe.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        doc_ngrams,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_grams = (
+        doc_ngrams(docs.filter(F.col("doc_id") % 7 == 0), 8)
+        .select("gram")
+        .distinct()
+    )
+    train_stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 != 0
+    )
+    hits = (
+        doc_ngrams(train_stream, 8)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    return run_available_now(hits, "st8_decontaminate", "append")
+
+
 def q_corpus_build3(spark, sf_dir):
     # the capstone: the FULL pretraining-data recipe as one declared
     # DAG — lang-ID filter → LM-quality filter (LM trained on the
@@ -5456,6 +5488,19 @@ def oracle_queries() -> dict[str, str]:
               ON n.band_id = o.band_id AND n.band_hash = o.band_hash
             WHERE n.doc_id <> o.doc_id
         """,
+        "st8_stream_decontaminate": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS t(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+            SELECT DISTINCT g.doc_id
+            FROM g JOIN ev USING (gram)
+            WHERE g.doc_id % 7 <> 0
+        """,
         "dd12_incremental_lsh": f"""
             WITH bands AS ({_MINHASH_BANDS_SQL}),
             nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
@@ -6467,6 +6512,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tp10_budget_select": q_tp10_budget_select,
         "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
         "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
+        "st8_stream_decontaminate": q_st8_stream_decontaminate,
         "ss6_quantize_int8": q_ss6_quantize_int8,
         "ss7_pq_codes": q_ss7_pq_codes,
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,

@@ -279,3 +279,35 @@ def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
         .collect()
     )
     assert twice == once
+
+
+def test_stream_decontaminate_equals_batch_probe(spark):
+    """st8: the AvailableNow streaming contamination guard emits
+    exactly the batch probe's contaminated-doc set."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        doc_ngrams,
+    )
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]
+        for r in spark_queries()["st8_stream_decontaminate"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = doc_ngrams(docs.filter(F.col("doc_id") % 7 == 0), 8).select(
+        "gram"
+    ).distinct()
+    want = {
+        r["doc_id"]
+        for r in doc_ngrams(docs.filter(F.col("doc_id") % 7 != 0), 8)
+        .join(F.broadcast(ev), "gram")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want and got
