@@ -37,7 +37,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import hash32
@@ -379,4 +379,54 @@ def budget_select(
         )
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, tokens_col, "cum_tokens")
+    )
+
+
+def global_order_index(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket: Column,
+    index_col: str = "global_pos",
+) -> DataFrame:
+    """Dense 1-based global row number over a TOTAL order — the
+    ``row_number() OVER (ORDER BY ...)`` that curriculum ordering,
+    total-order sharding, and deterministic external sampling need —
+    computed without a corpus-wide single-partition window.
+
+    Same two-phase shape as :func:`pack_assignments` /
+    :func:`budget_select`: ``bucket`` must be a DETERMINISTIC column
+    expression monotone non-decreasing in the order key (e.g.
+    ``floor(score * k)`` for a float score — pick ``k`` so one bucket
+    holds a bounded slice of the corpus). Local ``row_number`` runs
+    per bucket (parallel across buckets, each bounded by bucket
+    size); bucket counts (one row per distinct bucket value — tiny)
+    are prefix-summed and broadcast back, so
+    ``index = bucket_offset + local_rank`` is the exact global rank.
+
+    A value-derived bucket — not ``repartitionByRange`` +
+    ``spark_partition_id`` — keeps every branch of the plan
+    deterministic: range boundaries are SAMPLED per execution, so a
+    plan that reads the ranged exchange twice silently misnumbers
+    rows if exchange reuse ever fails; a value bucket re-executes to
+    the same answer by construction. ``order_cols`` must end with a
+    unique tiebreak column (ties rank nondeterministically
+    otherwise).
+    """
+    cols = [F.col(c) for c in order_cols]
+    b = df.withColumn("_bucket", bucket)
+    w = Window.partitionBy("_bucket").orderBy(*cols)
+    local = b.withColumn("_local_rn", F.row_number().over(w))
+    totals = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0))
+    ).select("_bucket", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            index_col, (F.col("_off") + F.col("_local_rn")).cast("bigint")
+        )
+        .drop("_bucket", "_local_rn", "_off")
     )

@@ -1294,6 +1294,29 @@ def q_tp10_budget_select(spark, sf_dir):
     return budget_select(unigram_lm_scores(docs), budget=20000)
 
 
+def q_tp11_curriculum_order(spark, sf_dir):
+    # curriculum schedule: dense global position in easy→hard order
+    # (ascending LM mean inverse probability, doc_id tiebreak),
+    # computed as a two-phase bucketed rank — floor(score) is the
+    # deterministic monotone bucket — never a corpus-wide
+    # single-partition window
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        global_order_index,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        unigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_lm_scores(docs)
+    return global_order_index(
+        scores,
+        ["mean_inv_prob", "doc_id"],
+        F.floor(F.col("mean_inv_prob")).cast("bigint"),
+        index_col="curriculum_pos",
+    ).select("doc_id", "curriculum_pos")
+
+
 def q_dc3_leakage_safe_split(spark, sf_dir):
     # leakage-safe train/eval split: assign whole NEAR-DUP CLUSTERS
     # (LSH pairs → connected components; singletons are their own
@@ -5400,6 +5423,13 @@ def oracle_queries() -> dict[str, str]:
                         ORDER BY hv, po.doc_id) AS INTEGER) AS position
             FROM po JOIN shr USING (doc_id)
         """,
+        "tp11_curriculum_order": f"""
+            WITH lmq AS ({_TA11_SQL})
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY mean_inv_prob, doc_id)
+                        AS BIGINT) AS curriculum_pos
+            FROM lmq
+        """,
         "tp10_budget_select": f"""
             WITH lmq AS ({_TA11_SQL}),
             o AS (
@@ -6510,6 +6540,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "corpus_build3": q_corpus_build3,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
         "tp10_budget_select": q_tp10_budget_select,
+        "tp11_curriculum_order": q_tp11_curriculum_order,
         "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
         "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
         "st8_stream_decontaminate": q_st8_stream_decontaminate,

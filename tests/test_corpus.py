@@ -304,3 +304,31 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
         assert split_of[p.a] == split_of[p.b], p
         assert cluster_of[p.a] == cluster_of[p.b], p
     assert {"train", "eval"} >= set(split_of.values())
+
+
+def test_global_order_index_matches_global_window(spark):
+    """global_order_index == row_number() over the global order, for
+    any monotone bucket granularity and any input partitioning."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        global_order_index,
+    )
+
+    rows = [(i, float((i * 37) % 11) + (i % 3) * 0.25) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    w = Window.orderBy("score", "id")
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    for bucket in [
+        F.floor(F.col("score")).cast("bigint"),
+        F.floor(F.col("score") * 2).cast("bigint"),
+        F.lit(0).cast("bigint"),  # degenerate: one bucket
+    ]:
+        got = {
+            (r["id"], r["global_pos"])
+            for r in global_order_index(
+                df.repartition(7), ["score", "id"], bucket
+            ).collect()
+        }
+        assert got == want
