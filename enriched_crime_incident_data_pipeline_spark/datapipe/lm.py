@@ -83,3 +83,65 @@ def unigram_lm_scores(
             "mean_inv_prob"
         ),
     )
+
+def seed_lm_scores(
+    seed_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-move quality scoring: the LM is trained on a
+    HIGH-QUALITY SEED corpus (CCNet scores CommonCrawl by perplexity
+    under a Wikipedia-trained model), then every candidate document
+    is scored by its mean inverse token probability under that seed
+    model — low = seed-like, high = out-of-domain/garbage. Tokens the
+    seed never saw take the add-one-smoothed maximum term
+    ``(N + V) / 1``.
+
+    Same bit-exactness contract as :func:`unigram_lm_scores`
+    (rational per-token terms, position-ordered fold); same scale
+    shape — seed counts are a broadcast dimension (seed corpora are
+    curated and small relative to the crawl), candidates shuffle once
+    on ``id_col``, nothing self-joins.
+    """
+    seed_tok = fan_out(seed_docs).select(
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    counts = seed_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    tok = fan_out(score_docs).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    term = (F.col("n_total") + F.col("v")).cast("double") / (
+        F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)
+    ).cast("double")
+    per_tok = (
+        tok.join(F.broadcast(counts), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.col("pos"), term.alias("ip"))
+    )
+    folded = (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("ip")))
+            ).alias("arr")
+        )
+        .select(
+            F.col(id_col),
+            F.size("arr").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                "arr", F.lit(0.0), lambda acc, x: acc + x["ip"]
+            ).alias("_sum_ip"),
+        )
+    )
+    return folded.select(
+        id_col,
+        "n_tokens",
+        (F.col("_sum_ip") / F.col("n_tokens").cast("double")).alias(
+            "seed_mean_inv_prob"
+        ),
+    )

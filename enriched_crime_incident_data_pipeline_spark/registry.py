@@ -801,6 +801,23 @@ def q_ta11_lm_quality(spark, sf_dir):
     return unigram_lm_scores(docs)
 
 
+
+def q_ta14_seed_lm_quality(spark, sf_dir):
+    # CCNet-style quality scoring: LM trained on a curated SEED split
+    # (doc_id % 10 < 2), every other doc scored by mean inverse token
+    # probability under the seed model — unseen tokens take the
+    # smoothed maximum term. Seed counts broadcast; no self-join.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        seed_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seed_lm_scores(
+        docs.filter(F.col("doc_id") % 10 < 2),
+        docs.filter(F.col("doc_id") % 10 >= 2),
+    )
+
+
 def q_ta12_bpe_tokens(spark, sf_dir):
     # GPT-2-style pretokenizer over RAW text: count + first/last
     # pretokens as the segmentation witness (whole array stays
@@ -4772,6 +4789,39 @@ def oracle_queries() -> dict[str, str]:
             FROM norm
         """,
         "ta11_lm_quality": _TA11_SQL,
+        "ta14_seed_lm_quality": f"""
+            WITH seed_tok AS (
+              SELECT unnest({_TOKENS}) AS tok FROM documents
+              WHERE doc_id % 10 < 2
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM seed_tok GROUP BY tok),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v
+              FROM counts
+            ),
+            toks AS (
+              SELECT doc_id, {_TOKENS} AS ts FROM documents
+              WHERE doc_id % 10 >= 2
+            ),
+            tok AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(len(ts))) AS pos
+              FROM toks
+            ),
+            per AS (
+              SELECT t.doc_id, t.pos,
+                     CAST(tot.n_total + tot.v AS DOUBLE)
+                       / CAST(coalesce(co.c, 0) + 1 AS DOUBLE) AS ip
+              FROM tok t LEFT JOIN counts co ON t.tok = co.tok, tot
+            ),
+            agg AS (
+              SELECT doc_id, sum(ip ORDER BY pos) AS sum_ip,
+                     count(*) AS n FROM per GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   sum_ip / CAST(n AS DOUBLE) AS seed_mean_inv_prob
+            FROM agg
+        """,
         "ta12_bpe_tokens": """
             WITH t AS (
               SELECT doc_id,
@@ -6530,6 +6580,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd5b_ngram_capped": q_dd5b_ngram_capped,
         "s5_pdf_parse": q_s5_pdf_parse,
         "ta11_lm_quality": q_ta11_lm_quality,
+        "ta14_seed_lm_quality": q_ta14_seed_lm_quality,
         "ta12_bpe_tokens": q_ta12_bpe_tokens,
         "ta13_lang_confusion": q_ta13_lang_confusion,
         "dd10_dedup_keeper": q_dd10_dedup_keeper,

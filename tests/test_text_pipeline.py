@@ -306,3 +306,27 @@ def test_minhash_rowwise_matches_grouped(spark):
     # the row-wise plan is map-only: zero exchanges before banding
     plan = minhash_bands(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_seed_lm_scores_out_of_domain_scores_higher(spark):
+    """ta14: docs made of tokens the seed never saw take the smoothed
+    maximum term (N+V)/1; seed-like docs score strictly lower."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        seed_lm_scores,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zxqv wjkp qqzz")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["seed_mean_inv_prob"]
+        for r in seed_lm_scores(seed, cand).collect()
+    }
+    # seed stats: N=12 tokens, V=7 distinct -> max term = 19.0
+    assert rows[11] == 19.0
+    assert rows[10] < rows[11]
