@@ -916,6 +916,31 @@ def q_dd7_embed_blocked(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.3, block_clusters=16)
 
 
+
+def q_dd14_semdedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): IVF-cluster the embedding space,
+    # take intra-cluster pairs with cosine >= 0.3 (the dd7 blocked
+    # pair generator — never a full-corpus product), connected-
+    # components the pair graph, keep the lowest-id representative
+    # per semantic-duplicate group, and emit the drop list
+    # (vec_id, rep_id) a corpus prune deletes.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, block_clusters=16)
+    cl = dup_clusters(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs.select("a", "b"),
+        id_col="doc_id",
+    )
+    return cl.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("rep_id"),
+    )
+
+
 def _documents_as_media(docs: DataFrame) -> DataFrame:
     # opaque-binary media table derived deterministically from the
     # documents fixture: payload = UTF-8 bytes of the text
@@ -4473,6 +4498,45 @@ def oracle_queries() -> dict[str, str]:
             JOIN e b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
             WHERE {_COS} >= 0.3
         """,
+        "dd14_semdedup": f"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 16),
+            assign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT a.vec_id, cent.cid,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    list_dot_product(a.v, cent.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(cent.v, cent.v))) DESC,
+                    cent.cid) AS rn
+                FROM e a, cent
+              ) WHERE rn = 1
+            ),
+            pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM e a
+              JOIN assign ca ON a.vec_id = ca.vec_id
+              JOIN assign cb ON cb.cluster = ca.cluster
+              JOIN e b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+              WHERE {_COS} >= 0.3
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT DISTINCT a AS node, a AS label FROM edges
+              UNION
+              SELECT e2.a AS node, r.label
+              FROM edges e2 JOIN reach r ON r.node = e2.b
+            ),
+            cc AS (
+              SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT node AS vec_id, cluster_id AS rep_id
+            FROM cc WHERE cluster_id <> node
+        """,
         "ss3_ivf_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
@@ -6609,6 +6673,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ss3_ivf_topk": q_ss3_ivf_topk,
         "dd6_embed_cosine": q_dd6_embed_cosine,
         "dd7_embed_blocked": q_dd7_embed_blocked,
+        "dd14_semdedup": q_dd14_semdedup,
         "mm1_media_features": q_mm1_media_features,
         "mm2_media_meta": q_mm2_media_meta,
         "st1_stream_tumbling": q_st1_stream_tumbling,

@@ -547,6 +547,20 @@ def test_changelog_and_lsh_family_plan_shapes(spark):
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
 
+    # semantic dedup: the only nested-loop joins are the sanctioned
+    # broadcast-centroid crossJoins (16-row build side); the pair
+    # generator itself must stay an intra-cluster equi-join
+    p = shape("dd14_semdedup")
+    assert "CartesianProduct" not in p
+    # formatted mode: each tree reference reads
+    # "BroadcastNestedLoopJoin Cross BuildRight (NN)" — every nested
+    # loop must be a broadcast-build crossJoin (the 16-row centroid
+    # relation), never a streamed fact-fact loop
+    tree_refs = re.findall(r"BroadcastNestedLoopJoin[^\n(]*\(\d+\)", p)
+    assert tree_refs, "expected the broadcast-centroid crossJoins"
+    for ref in tree_refs:
+        assert "Cross Build" in ref, ref
+
     # audit: single-partition exchanges only for the 1-row check
     # totals; every lineitem/orders scan pushes its filter
     p = shape("dq1_constraint_audit")
