@@ -75,6 +75,9 @@ LONGTAIL = [
     "corpus_build2",  # composed round-2 curation DAG
     "corpus_build3",  # full pretraining recipe capstone (round 3)
     "st7_stream_corpus_ingest",  # streaming corpus ingest (round 3)
+    "dd13_repeated_spans",  # substring-level dedup, ~1 row/token (r3)
+    "dd14_semdedup",  # embedding SemDeDup: blocked pairs + CC (r3)
+    "tp11_curriculum_order",  # LM-scored global order index (r3)
 ]
 
 

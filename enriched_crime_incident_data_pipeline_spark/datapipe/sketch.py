@@ -173,3 +173,71 @@ def cms_estimates(
         .groupBy(id_col)
         .agg(F.min("cnt").cast("int").alias("est"))
     )
+
+
+# HyperLogLog: m = 2^HLL_B registers over a 52-bit md5-derived hash
+# (13 hex digits — stays exact in any engine's 64-bit integer AND in
+# doubles). Top HLL_B bits pick the register; the remaining 42 bits
+# give rho via integer bit-length (no log2 — `bin()` string length,
+# which Spark and DuckDB compute identically). The harmonic
+# denominator needs NO fold-order pinning: every term 2^-rho is a
+# dyadic rational in [2^-43, 1] and the total stays < 2^10, so every
+# partial sum spans at most bits 2^9..2^-43 = 53 significand bits —
+# exactly representable in a double, no rounding in ANY addition
+# order, hence bit-reproducible across engines and partitionings.
+HLL_B = 10
+HLL_M = 1 << HLL_B
+_HLL_W_BITS = 52 - HLL_B
+# alpha_m for m >= 128 (Flajolet et al. 2007)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(df: DataFrame, col: Column) -> DataFrame:
+    """``(register, rho)``: max leading-zero rank per register.
+
+    One groupBy on the 52-bit hash's top bits — map-side combinable
+    max, no skew (uniform key). This IS the mergeable sketch state:
+    union of corpora = max of registers, the property that lets 1000
+    executors each keep 1 KiB of state for a corpus-wide distinct
+    count.
+    """
+    h = F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+    reg = F.shiftright(h, _HLL_W_BITS)
+    w = h - F.shiftleft(reg, _HLL_W_BITS)
+    # rho = run of leading zeros in the 42-bit suffix + 1
+    #     = 42 - bit_length(w) + 1; all-zero suffix -> 43
+    rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct_estimate(df: DataFrame, col: Column) -> DataFrame:
+    """One-row ``(m, observed, raw_estimate)`` HyperLogLog distinct
+    count of ``col`` (string column; hash the canonical string form).
+
+    ``raw_estimate`` is the uncorrected HLL estimator
+    ``alpha_m * m^2 / (sum(2^-rho) + (m - observed))`` — empty
+    registers contribute ``2^0 = 1``. The small/large-range
+    corrections of the paper need ``ln``, a transcendental whose last
+    ulp differs across engines; they are deliberately omitted so the
+    value is bit-reproducible (document the ±1.04/sqrt(m) ≈ 3.2%
+    standard error instead). The denominator is exact in any addition
+    order (see the module note), so no ordered fold is needed.
+    """
+    regs = hll_registers(df, col)
+    return regs.agg(
+        F.lit(HLL_M).alias("m"),
+        F.count(F.lit(1)).cast("int").alias("observed"),
+        (
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
+            )
+        ).alias("raw_estimate"),
+    )

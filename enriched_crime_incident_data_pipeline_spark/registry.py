@@ -1115,6 +1115,21 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+
+def q_sk4_hll_distinct(spark, sf_dir):
+    # deterministic HyperLogLog: 1024 registers over a 52-bit
+    # md5-derived hash, rho via integer bit-length (no log2), raw
+    # estimator only (range corrections need ln, a transcendental
+    # that breaks cross-engine bit-parity). The register table is the
+    # mergeable 1 KiB sketch state.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        hll_distinct_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct_estimate(li, F.col("l_partkey").cast("string"))
+
+
 def q_sk1_kmv_distinct(spark, sf_dir):
     # deterministic KMV distinct sketch: k smallest md5 hashes →
     # estimate, reproducible bit-for-bit in any engine with md5
@@ -5926,6 +5941,28 @@ def oracle_queries() -> dict[str, str]:
                    END AS max_abs_err
             FROM q GROUP BY vec_id
         """,
+        "sk4_hll_distinct": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
+              FROM lineitem
+            ),
+            parts AS (
+              SELECT h // 4398046511104 AS register,
+                     h % 4398046511104 AS w
+              FROM h
+            ),
+            rho AS (
+              SELECT register,
+                     max(CASE WHEN w = 0 THEN 43
+                              ELSE 43 - length(bin(w)) END) AS rho
+              FROM parts GROUP BY register
+            )
+            SELECT 1024 AS m, CAST(count(*) AS INTEGER) AS observed,
+                   (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                     / (sum(power(2.0, -rho))
+                        + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
+            FROM rho
+        """,
         "sk1_kmv_distinct": f"""
             WITH h AS (
               SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
@@ -6724,6 +6761,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "a10_count_distinct": q_a10_count_distinct,
         "asof_join": q_asof_join,
         "sk1_kmv_distinct": q_sk1_kmv_distinct,
+        "sk4_hll_distinct": q_sk4_hll_distinct,
         "range_join": q_range_join,
         "dd9_dup_clusters": q_dd9_dup_clusters,
         "scd2_intervals": q_scd2_intervals,

@@ -113,3 +113,39 @@ def test_cms_overestimate_property(spark):
     }
     for r in keys.collect():
         assert est[r["k"]] >= r["true_cnt"]
+
+
+def test_hll_estimate_accuracy_and_mergeability(spark):
+    """sk4: raw HLL within a few standard errors of the true distinct
+    count, and the register state is mergeable — registers of the
+    union == elementwise max of per-part registers (the property that
+    lets executors keep 1 KiB of state each)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        hll_distinct_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("x")
+    )
+    est = hll_distinct_estimate(df, F.col("x")).first()
+    assert est["m"] == 1024
+    # standard error 1.04/sqrt(1024) = 3.25%; allow 4 sigma
+    assert abs(est["raw_estimate"] - 20000) < 20000 * 0.13
+
+    half_a = df.filter(F.col("x") < "v1")  # lexical split
+    half_b = df.filter(F.col("x") >= "v1")
+    merged = (
+        hll_registers(half_a, F.col("x"))
+        .unionAll(hll_registers(half_b, F.col("x")))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(df, F.col("x"))
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+    # partitioning invariance: same bits under any layout
+    re_est = hll_distinct_estimate(df.repartition(13), F.col("x")).first()
+    assert re_est["raw_estimate"] == est["raw_estimate"]
