@@ -78,6 +78,7 @@ LONGTAIL = [
     "dd13_repeated_spans",  # substring-level dedup, ~1 row/token (r3)
     "dd14_semdedup",  # embedding SemDeDup: blocked pairs + CC (r3)
     "tp11_curriculum_order",  # LM-scored global order index (r3)
+    "corpus_build4",  # seed-LM -> budget -> curriculum capstone (r3)
 ]
 
 

@@ -1467,6 +1467,41 @@ def q_st8_stream_decontaminate(spark, sf_dir):
     return run_available_now(hits, "st8_decontaminate", "append")
 
 
+
+def q_corpus_build4(spark, sf_dir):
+    # the data-constrained-scaling recipe composed from the round-3
+    # operators: a curated seed split (doc_id % 10 < 2) trains the
+    # quality LM (ta14, CCNet move); candidates are scored under it,
+    # the best-scored prefix fitting a 20k-token budget is selected
+    # (tp10, two-phase prefix sum), and every selected doc gets its
+    # dense curriculum position easy->hard (tp11, value-bucketed
+    # global rank). Seed counts broadcast; no corpus self-join
+    # anywhere; no single-partition window over the corpus.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        budget_select,
+        global_order_index,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        seed_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = seed_lm_scores(
+        docs.filter(F.col("doc_id") % 10 < 2),
+        docs.filter(F.col("doc_id") % 10 >= 2),
+    )
+    picked = budget_select(
+        scored, budget=20000, quality_col="seed_mean_inv_prob"
+    )
+    ranked = global_order_index(
+        picked.join(scored.select("doc_id", "seed_mean_inv_prob"), "doc_id"),
+        ["seed_mean_inv_prob", "doc_id"],
+        F.floor(F.col("seed_mean_inv_prob")).cast("bigint"),
+        index_col="curriculum_pos",
+    )
+    return ranked.select("doc_id", "n_tokens", "cum_tokens", "curriculum_pos")
+
+
 def q_corpus_build3(spark, sf_dir):
     # the capstone: the FULL pretraining-data recipe as one declared
     # DAG — lang-ID filter → LM-quality filter (LM trained on the
@@ -5356,6 +5391,56 @@ def oracle_queries() -> dict[str, str]:
                    string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
             FROM skept GROUP BY doc_id
         """,
+        "corpus_build4": f"""
+            WITH seed_tok AS (
+              SELECT unnest({_TOKENS}) AS tok FROM documents
+              WHERE doc_id % 10 < 2
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM seed_tok GROUP BY tok),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v
+              FROM counts
+            ),
+            toks AS (
+              SELECT doc_id, {_TOKENS} AS ts FROM documents
+              WHERE doc_id % 10 >= 2
+            ),
+            tok AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(len(ts))) AS pos
+              FROM toks
+            ),
+            per AS (
+              SELECT t.doc_id, t.pos,
+                     CAST(tot.n_total + tot.v AS DOUBLE)
+                       / CAST(coalesce(co.c, 0) + 1 AS DOUBLE) AS ip
+              FROM tok t LEFT JOIN counts co ON t.tok = co.tok, tot
+            ),
+            agg AS (
+              SELECT doc_id, sum(ip ORDER BY pos) AS sum_ip,
+                     count(*) AS n FROM per GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                     sum_ip / CAST(n AS DOUBLE) AS q
+              FROM agg
+            ),
+            cum AS (
+              SELECT doc_id, n_tokens, q,
+                     CAST(sum(n_tokens) OVER (
+                       ORDER BY q, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cum_tokens
+              FROM scored
+            ),
+            picked AS (
+              SELECT * FROM cum WHERE cum_tokens <= 20000
+            )
+            SELECT doc_id, n_tokens, cum_tokens,
+                   CAST(row_number() OVER (ORDER BY q, doc_id)
+                        AS BIGINT) AS curriculum_pos
+            FROM picked
+        """,
         "corpus_build3": f"""
             WITH RECURSIVE scores AS (
               SELECT doc_id, source, text,
@@ -6690,6 +6775,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd13_repeated_spans": q_dd13_repeated_spans,
         "corpus_build2": q_corpus_build2,
         "corpus_build3": q_corpus_build3,
+        "corpus_build4": q_corpus_build4,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
         "tp10_budget_select": q_tp10_budget_select,
         "tp11_curriculum_order": q_tp11_curriculum_order,
