@@ -1468,6 +1468,31 @@ def q_st8_stream_decontaminate(spark, sf_dir):
 
 
 
+
+def q_st9_stream_hll(spark, sf_dir):
+    # continuous distinct-count: the HLL register table IS a streaming
+    # aggregation — max-per-register is order-insensitive and
+    # mergeable, exactly what makes HLL a streaming sketch; the
+    # bounded complete-mode AvailableNow run equals the batch register
+    # table bit-for-bit. State is 1024 rows forever, regardless of
+    # stream length.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        hll_registers,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    li = stream_table(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, F.col("l_partkey").cast("string"))
+    out = regs.select(
+        F.col("register").cast("bigint").alias("register"),
+        F.col("rho").cast("bigint").alias("rho"),
+    )
+    return run_available_now(out, "st9_hll", "complete")
+
+
 def q_corpus_build4(spark, sf_dir):
     # the data-constrained-scaling recipe composed from the round-3
     # operators: a curated seed split (doc_id % 10 < 2) trains the
@@ -6026,6 +6051,22 @@ def oracle_queries() -> dict[str, str]:
                    END AS max_abs_err
             FROM q GROUP BY vec_id
         """,
+        "st9_stream_hll": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
+              FROM lineitem
+            ),
+            parts AS (
+              SELECT h // 4398046511104 AS register,
+                     h % 4398046511104 AS w
+              FROM h
+            )
+            SELECT register,
+                   CAST(max(CASE WHEN w = 0 THEN 43
+                                 ELSE 43 - length(bin(w)) END) AS BIGINT)
+                     AS rho
+            FROM parts GROUP BY register
+        """,
         "sk4_hll_distinct": """
             WITH h AS (
               SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
@@ -6848,6 +6889,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "asof_join": q_asof_join,
         "sk1_kmv_distinct": q_sk1_kmv_distinct,
         "sk4_hll_distinct": q_sk4_hll_distinct,
+        "st9_stream_hll": q_st9_stream_hll,
         "range_join": q_range_join,
         "dd9_dup_clusters": q_dd9_dup_clusters,
         "scd2_intervals": q_scd2_intervals,
