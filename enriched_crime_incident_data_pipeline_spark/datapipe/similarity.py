@@ -584,3 +584,41 @@ def ivf_pq_search(
         )
     )
     return _ranked_topk(rerank, k)
+
+
+def stateless_ivf_assign(
+    df: DataFrame,
+    centroid_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment as a PURE ROW EXPRESSION — the streaming-safe
+    twin of :func:`ivf_assignments`, whose argmax is a groupBy and
+    therefore stateful on a stream.
+
+    ``centroid_rows`` are pre-collected ``(cid, vector)`` rows (the
+    sanctioned centroid-scale collect — same class as
+    ``ivf_topk_neighbors``); each centroid becomes a literal array in
+    the plan, its norm computed by the SAME ``l2_norm`` expression
+    fold as the batch path (constant-folded engine-side, so the bits
+    match the groupBy twin and the SQL oracle). The argmax is
+    ``array_max`` over (cosine, -cid) structs — highest cosine, lowest
+    cid on ties, identical to the batch ``max_by`` ordering. Stateless
+    map: usable in a streaming select with zero state, which is the
+    point — a continuous ingest assigns every arriving vector without
+    a shuffle.
+    """
+    vn = l2_norm(F.col(vec_col))
+    scored = []
+    for cid, cvec in centroid_rows:
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        scored.append(
+            F.struct(
+                cosine_from_norms(
+                    F.col(vec_col), lit_vec, vn, l2_norm(lit_vec)
+                ).alias("c"),
+                F.lit(-int(cid)).alias("n"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return df.withColumn("cluster", (-best["n"]).cast("int"))

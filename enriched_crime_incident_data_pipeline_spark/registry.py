@@ -1493,6 +1493,65 @@ def q_st9_stream_hll(spark, sf_dir):
     return run_available_now(out, "st9_hll", "complete")
 
 
+
+def q_st10_stream_embed_probe(spark, sf_dir):
+    # continuous SemDeDup ingest probe: arriving vectors (vec_id % 5
+    # == 0) assign to the corpus' IVF centroids via a STATELESS row
+    # expression (no groupBy state on the stream), then stream-static
+    # equi-join the corpus within their cluster and keep cosine >=
+    # 0.3 matches — the incremental twin of dd14's pair generator:
+    # work per vector ∝ its cluster's corpus size, never |corpus|.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_assignments,
+        stateless_ivf_assign,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    cent_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in corpus.filter(F.col("vec_id") < 16).collect()
+    ]
+    static = (
+        corpus.join(ivf_assignments(corpus, 16).select("vec_id", "cluster"), "vec_id")
+        .select(
+            F.col("vec_id").alias("match_id"),
+            F.col("embedding").alias("_bvec"),
+            l2_norm(F.col("embedding")).alias("_bn"),
+            "cluster",
+        )
+    )
+    stream = stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    probes = stateless_ivf_assign(stream, cent_rows).select(
+        "vec_id",
+        F.col("embedding").alias("_avec"),
+        l2_norm(F.col("embedding")).alias("_an"),
+        "cluster",
+    )
+    hits = (
+        probes.join(static, "cluster")
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("_avec"), F.col("_bvec"), F.col("_an"), F.col("_bn")
+            ),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .select("vec_id", "match_id", "cosine")
+    )
+    return run_available_now(hits, "st10_embed_probe", "append")
+
+
 def q_corpus_build4(spark, sf_dir):
     # the data-constrained-scaling recipe composed from the round-3
     # operators: a curated seed split (doc_id % 10 < 2) trains the
@@ -6051,6 +6110,43 @@ def oracle_queries() -> dict[str, str]:
                    END AS max_abs_err
             FROM q GROUP BY vec_id
         """,
+        "st10_stream_embed_probe": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            corpus AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+            newv AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM corpus
+                     WHERE vec_id < 16),
+            cassign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT c.vec_id, cent.cid,
+                  row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                    list_dot_product(c.v, cent.cv)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                    cent.cid) AS rn
+                FROM corpus c, cent
+              ) WHERE rn = 1
+            ),
+            nassign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT n.vec_id, cent.cid,
+                  row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                    list_dot_product(n.v, cent.cv)
+                      / (sqrt(list_dot_product(n.v, n.v))
+                         * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                    cent.cid) AS rn
+                FROM newv n, cent
+              ) WHERE rn = 1
+            )
+            SELECT a.vec_id, b.vec_id AS match_id, {_COS} AS cosine
+            FROM newv a
+            JOIN nassign na ON a.vec_id = na.vec_id
+            JOIN cassign ca ON ca.cluster = na.cluster
+            JOIN corpus b ON b.vec_id = ca.vec_id
+            WHERE {_COS} >= 0.3
+        """,
         "st9_stream_hll": """
             WITH h AS (
               SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
@@ -6890,6 +6986,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "sk1_kmv_distinct": q_sk1_kmv_distinct,
         "sk4_hll_distinct": q_sk4_hll_distinct,
         "st9_stream_hll": q_st9_stream_hll,
+        "st10_stream_embed_probe": q_st10_stream_embed_probe,
         "range_join": q_range_join,
         "dd9_dup_clusters": q_dd9_dup_clusters,
         "scd2_intervals": q_scd2_intervals,

@@ -311,3 +311,29 @@ def test_stream_decontaminate_equals_batch_probe(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_stateless_ivf_assign_equals_batch_argmax(spark):
+    """st10's streaming-safe row-expression assigner must reproduce
+    the batch groupBy max_by assignment bit-for-bit, ties included."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_assignments,
+        stateless_ivf_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    ]
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in ivf_assignments(emb, 16).collect()
+    }
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in stateless_ivf_assign(emb, cent_rows)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert got == want and got
