@@ -430,3 +430,43 @@ def global_order_index(
         )
         .drop("_bucket", "_local_rn", "_off")
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling at T=2 (the
+    multilingual/domain rebalancing move — sample sources
+    ∝ n_s^(1/T) so big sources stop drowning small ones): each
+    source keeps documents at rate ``sqrt(n_min / n_s)``, so the
+    expected output composition is ∝ sqrt(n_s) and the smallest
+    source keeps everything.
+
+    Rate-based like :func:`stratified_sample` — keep iff
+    ``hash32("temp:" + id) < floor(rate_s · 2^32)`` — so selection is
+    a pure function of the doc id (partitioning-independent, no RNG
+    state) and there is no per-stratum rank window. The rate is one
+    double sqrt of an integer ratio; IEEE sqrt and division are
+    correctly rounded, so the threshold integer — and therefore the
+    kept SET — is bit-identical in any engine (T=2 is fixed
+    precisely because general ``pow(x, 1/T)`` carries no such
+    guarantee). Scale: one count per source (map-side combinable),
+    thresholds broadcast back, keep-filter map-only.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        stratum_col,
+        F.floor(
+            F.sqrt(F.col("_nmin").cast("double") / F.col("_n").cast("double"))
+            * F.lit(4294967296.0)
+        ).alias("_thr"),
+    )
+    h = hash32(F.concat(F.lit("temp:"), F.col(id_col).cast("string")))
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .filter(h < F.col("_thr"))
+        .select(id_col, stratum_col)
+    )

@@ -3638,6 +3638,27 @@ def q_tp9_mixture_sample(spark, sf_dir):
     return mixture_sample(docs, MIXTURE_TARGETS_BP)
 
 
+
+def q_tp12_temperature_sample(spark, sf_dir):
+    # T=2 temperature mixture: per-stratum keep rate sqrt(n_min/n_s)
+    # via hash threshold — expected composition ∝ sqrt(n_s), smallest
+    # stratum kept whole; selection is a pure function of doc ids.
+    # The testdata's sources are uniform, so strata are derived
+    # 60/30/10 skewed (the realistic shape temperature sampling
+    # exists to flatten).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 10 < 6, "heavy")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("light"),
+    )
+    return temperature_sample(docs, stratum_col="stratum")
+
+
 def q_ta10_oov_rate(spark, sf_dir):
     # out-of-vocabulary rate per document against the corpus' own
     # top-1000-document-frequency vocabulary — the tokenizer-coverage
@@ -6163,6 +6184,29 @@ def oracle_queries() -> dict[str, str]:
                      AS rho
             FROM parts GROUP BY register
         """,
+        "tp12_temperature_sample": f"""
+            WITH strat AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 6 THEN 'heavy'
+                          WHEN doc_id % 10 < 9 THEN 'mid'
+                          ELSE 'light' END AS stratum
+              FROM documents
+            ),
+            counts AS (
+              SELECT stratum, count(*) AS n FROM strat GROUP BY stratum
+            ),
+            nmin AS (SELECT min(n) AS nmin FROM counts),
+            rates AS (
+              SELECT stratum,
+                     CAST(floor(sqrt(CAST(nmin AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                * 4294967296.0) AS BIGINT) AS thr
+              FROM counts, nmin
+            )
+            SELECT d.doc_id, d.stratum
+            FROM strat d JOIN rates r ON d.stratum = r.stratum
+            WHERE {_HASH32.format(x="'temp:' || CAST(d.doc_id AS VARCHAR)")} < r.thr
+        """,
         "sk4_hll_distinct": """
             WITH h AS (
               SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
@@ -6916,6 +6960,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
         "tp10_budget_select": q_tp10_budget_select,
         "tp11_curriculum_order": q_tp11_curriculum_order,
+        "tp12_temperature_sample": q_tp12_temperature_sample,
         "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
         "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
         "st8_stream_decontaminate": q_st8_stream_decontaminate,

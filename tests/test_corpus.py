@@ -332,3 +332,27 @@ def test_global_order_index_matches_global_window(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_temperature_sample_flattens_and_is_partitioning_invariant(spark):
+    """tp12: the smallest stratum is kept whole, larger strata keep
+    ~sqrt(n_min/n_s) of their docs, and the kept SET is a pure
+    function of ids (same under any partitioning)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+            for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(docs).groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in kept}
+    assert by.get("small") == 10  # rate 1: kept whole
+    # big: n=900, rate sqrt(10/900) = 0.105 -> ~95 expected
+    assert 55 <= by.get("big", 0) <= 140
+    # mid: n=90, rate sqrt(10/90) = 0.333 -> ~30 expected
+    assert 15 <= by.get("mid", 0) <= 48
+
+    a = {tuple(r) for r in temperature_sample(docs).collect()}
+    b = {tuple(r) for r in temperature_sample(docs.repartition(17)).collect()}
+    assert a == b
