@@ -119,3 +119,77 @@ def fuzzy_name_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+def grid_nearest_neighbor(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+) -> DataFrame:
+    """Bounded-radius nearest neighbor: for every point, the closest
+    OTHER point within Chebyshev radius ``radius`` (squared-euclidean
+    metric, lowest id on ties) — ``(id, nn_id, d2)``. Points with no
+    neighbor in range are absent (the bounded-radius contract is what
+    makes the problem blockable; unbounded NN degenerates to a global
+    join).
+
+    Same grid blocking as :func:`grid_proximity_join` (query side
+    explodes its 3×3 cell neighborhood, target side keeps its home
+    cell, equi-join on the cell) but DIRECTED, and the argmin is a
+    map-side-combinable ``min_by`` aggregation per query point —
+    never a per-point sort window. All distance math is integer →
+    exact.
+    """
+    cx = F.floor(F.col(x_col) / radius)
+    cy = F.floor(F.col(y_col) / radius)
+    neigh = F.expr("array(-1,0,1)")
+    left = points.select(
+        F.col(id_col).alias("qid"),
+        F.col(x_col).alias("xa"),
+        F.col(y_col).alias("ya"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    neigh,
+                    lambda dx: F.transform(
+                        F.expr("array(-1,0,1)"),
+                        lambda dy: F.struct(
+                            (cx + dx).alias("cx"), (cy + dy).alias("cy")
+                        ),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    ).select("qid", "xa", "ya", "cell.cx", "cell.cy")
+    right = points.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(x_col).alias("xb"),
+        F.col(y_col).alias("yb"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    cand = (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("qid") != F.col("nn_id"))
+        .filter(
+            (F.abs(F.col("xa") - F.col("xb")) <= radius)
+            & (F.abs(F.col("ya") - F.col("yb")) <= radius)
+        )
+        .select("qid", "nn_id", d2.cast("bigint").alias("d2"))
+    )
+    return cand.groupBy("qid").agg(
+        F.min_by(
+            F.struct(F.col("nn_id"), F.col("d2")),
+            F.struct(F.col("d2"), F.col("nn_id")),
+        ).alias("_nn")
+    ).select(
+        F.col("qid").alias(id_col),
+        F.col("_nn.nn_id").alias("nn_id"),
+        F.col("_nn.d2").alias("d2"),
+    )

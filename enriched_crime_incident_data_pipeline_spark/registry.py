@@ -3206,6 +3206,25 @@ def q_geo1_grid_join(spark, sf_dir):
     return grid_proximity_join(points, "pid", "px", "py", radius=1)
 
 
+
+def q_geo2_grid_knn(spark, sf_dir):
+    # bounded-radius nearest neighbor: grid-blocked directed
+    # candidates (3x3 neighborhood equi-join), integer-exact squared
+    # distance, min_by argmin per query point — no sort window, no
+    # cartesian
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        grid_nearest_neighbor,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    points = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_custkey") % 89).cast("int").alias("px"),
+        (F.col("c_custkey") % 97).cast("int").alias("py"),
+    )
+    return grid_nearest_neighbor(points, "pid", "px", "py", radius=2)
+
+
 def q_fuzzy1_name_pairs(spark, sf_dir):
     # fuzzy dedup of near-identical names: prefix blocking + exact
     # levenshtein residual (the dirty-address clustering shape from
@@ -6801,6 +6820,28 @@ def oracle_queries() -> dict[str, str]:
               ON i.user_id = f.user_id AND i.valid_from <= f.ts
                  AND (i.valid_to IS NULL OR f.ts < i.valid_to)
         """,
+        "geo2_grid_knn": """
+            WITH pts AS (
+              SELECT c_custkey AS pid,
+                     CAST(c_custkey % 89 AS INTEGER) AS px,
+                     CAST(c_custkey % 97 AS INTEGER) AS py
+              FROM customer
+            ),
+            cand AS (
+              SELECT a.pid, b.pid AS nn_id,
+                     CAST((a.px - b.px) * (a.px - b.px)
+                          + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS d2
+              FROM pts a JOIN pts b
+                ON abs(a.px - b.px) <= 2 AND abs(a.py - b.py) <= 2
+               AND a.pid <> b.pid
+            )
+            SELECT pid, nn_id, d2 FROM (
+              SELECT pid, nn_id, d2,
+                     row_number() OVER (PARTITION BY pid
+                                        ORDER BY d2, nn_id) AS rn
+              FROM cand
+            ) WHERE rn = 1
+        """,
         "geo1_grid_join": """
             WITH pts AS (
               SELECT c_custkey AS pid,
@@ -7073,6 +7114,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tpch_q8": q_tpch_q8,
         "tp8_weighted_sample": q_tp8_weighted_sample,
         "geo1_grid_join": q_geo1_grid_join,
+        "geo2_grid_knn": q_geo2_grid_knn,
         "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
         "scd3_temporal_lookup": q_scd3_temporal_lookup,
         "udf1_pandas_parity": q_udf1_pandas_parity,

@@ -72,3 +72,33 @@ def test_fuzzy_blocking_excludes_cross_block_pairs(spark):
         [(1, "XAB"), (2, "YAB")], "id int, name string"
     )
     assert fuzzy_name_pairs(names, "id", "name").count() == 0
+
+
+def test_grid_knn_exact_and_plan(spark):
+    """geo2: nearest-within-radius equals the brute-force answer and
+    the plan is a hash join on the cell key (no cartesian/BNLJ)."""
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        grid_nearest_neighbor,
+    )
+
+    pts = [(i, (i * 7) % 23, (i * 11) % 19) for i in range(120)]
+    df = spark.createDataFrame(pts, "pid long, px int, py int")
+    out = grid_nearest_neighbor(df, "pid", "px", "py", radius=2)
+    got = {(r["pid"], r["nn_id"], r["d2"]) for r in out.collect()}
+
+    want = {}
+    for i, xa, ya in pts:
+        best = None
+        for j, xb, yb in pts:
+            if i == j or abs(xa - xb) > 2 or abs(ya - yb) > 2:
+                continue
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if best is None or (d2, j) < best:
+                best = (d2, j)
+        if best is not None:
+            want[i] = (best[1], best[0])
+    assert got == {(i, nn, d2) for i, (nn, d2) in want.items()}
+
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
