@@ -50,3 +50,68 @@ def bucketed_range_join(
         .filter((F.col("_v") >= F.col("_lo")) & (F.col("_v") < F.col("_hi")))
         .drop("_bucket", "_lo", "_hi", "_v")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str,
+    l_lo: str,
+    l_hi: str,
+    r_id: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-OVERLAP join (interval × interval — the shape
+    `range_join`'s point-in-interval cannot express): all pairs whose
+    closed intervals intersect, i.e. ``l_lo ≤ r_hi AND r_lo ≤ l_hi``.
+
+    Each side explodes its interval over the fixed-width buckets it
+    covers and the join is an equi-join on the bucket (hash join,
+    never a nested loop). An overlapping pair shares EVERY bucket
+    covering its overlap, so instead of a dedup shuffle the pair is
+    attributed to exactly one bucket — the one containing the overlap
+    start, ``floor(greatest(l_lo, r_lo) / w)`` — a pure residual
+    predicate. Shuffle volume is Σ interval_len/w + |rows| per side;
+    pick ``bucket_width`` near the typical interval length so the
+    explode factor stays small. Returns both ids and
+    ``overlap_len = least(hi) - greatest(lo)``.
+
+    Bounds are integers (epoch seconds for time intervals — callers
+    convert), keeping bucket math and the residual exact.
+    """
+    def buckets(lo, hi):
+        return F.sequence(
+            F.floor(F.col(lo) / bucket_width),
+            F.floor(F.col(hi) / bucket_width),
+        )
+
+    l = left.select(
+        F.col(l_id).alias("_lid"),
+        F.col(l_lo).alias("_llo"),
+        F.col(l_hi).alias("_lhi"),
+        F.explode(buckets(l_lo, l_hi)).alias("_bucket"),
+    )
+    r = right.select(
+        F.col(r_id).alias("_rid"),
+        F.col(r_lo).alias("_rlo"),
+        F.col(r_hi).alias("_rhi"),
+        F.explode(buckets(r_lo, r_hi)).alias("_bucket"),
+    )
+    start = F.greatest(F.col("_llo"), F.col("_rlo"))
+    return (
+        l.join(r, "_bucket")
+        .filter(
+            (F.col("_llo") <= F.col("_rhi"))
+            & (F.col("_rlo") <= F.col("_lhi"))
+            & (F.col("_bucket") == F.floor(start / bucket_width))
+        )
+        .select(
+            F.col("_lid").alias(l_id),
+            F.col("_rid").alias(r_id),
+            (
+                F.least(F.col("_lhi"), F.col("_rhi")) - start
+            ).cast("bigint").alias("overlap_len"),
+        )
+    )

@@ -1185,6 +1185,37 @@ def q_range_join(spark, sf_dir):
     return out.select("c_custkey", "p_partkey", "c_acctbal", "p_retailprice")
 
 
+
+def q_j11_interval_overlap(spark, sf_dir):
+    # interval-overlap join (interval x interval): 2h maintenance
+    # windows vs 30min activity windows — bucket-exploded equi-join
+    # with start-bucket attribution (each pair found exactly once, no
+    # dedup shuffle), never a nested loop
+    from enriched_crime_incident_data_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", F.unix_timestamp("ts").cast("bigint").alias("_lo")
+    )
+    windows = base.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("win_id"),
+        F.col("_lo").alias("w_lo"),
+        (F.col("_lo") + 7200).alias("w_hi"),
+    )
+    activity = base.select(
+        F.col("event_id").alias("act_id"),
+        F.col("_lo").alias("a_lo"),
+        (F.col("_lo") + 1800).alias("a_hi"),
+    )
+    out = interval_overlap_join(
+        windows, activity, "win_id", "w_lo", "w_hi",
+        "act_id", "a_lo", "a_hi", bucket_width=3600,
+    )
+    return out.filter(F.col("win_id") != F.col("act_id"))
+
+
 def q_dd9_dup_clusters(spark, sf_dir):
     # the dedup endgame: LSH candidate pairs → connected components →
     # one canonical doc per cluster (iterative min-label propagation)
@@ -6820,6 +6851,26 @@ def oracle_queries() -> dict[str, str]:
               ON i.user_id = f.user_id AND i.valid_from <= f.ts
                  AND (i.valid_to IS NULL OR f.ts < i.valid_to)
         """,
+        "j11_interval_overlap": """
+            WITH base AS (
+              SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo
+              FROM events
+            ),
+            w AS (
+              SELECT event_id AS win_id, lo AS w_lo, lo + 7200 AS w_hi
+              FROM base WHERE event_id % 97 = 0
+            ),
+            a AS (
+              SELECT event_id AS act_id, lo AS a_lo, lo + 1800 AS a_hi
+              FROM base
+            )
+            SELECT w.win_id, a.act_id,
+                   CAST(least(w.w_hi, a.a_hi)
+                        - greatest(w.w_lo, a.a_lo) AS BIGINT) AS overlap_len
+            FROM w JOIN a
+              ON w.w_lo <= a.a_hi AND a.a_lo <= w.w_hi
+            WHERE w.win_id <> a.act_id
+        """,
         "geo2_grid_knn": """
             WITH pts AS (
               SELECT c_custkey AS pid,
@@ -7047,6 +7098,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "set_ops": q_set_ops,
         "set_ops_all": q_set_ops_all,
         "j9_nullsafe_join": q_j9_nullsafe_join,
+        "j11_interval_overlap": q_j11_interval_overlap,
         "cdc1_upsert_merge": q_cdc1_upsert_merge,
         "ts3_interval_merge": q_ts3_interval_merge,
         "ts4_cumulative_distinct": q_ts4_cumulative_distinct,

@@ -91,3 +91,33 @@ def test_asof_matches_theta_reference_and_partitioning(spark):
         )
         got = {r["event_id"]: (r["asof_event_id"], r["asof_value"]) for r in out.collect()}
         assert got == expected
+
+
+def test_interval_overlap_join_exact_once_and_plan(spark):
+    """j11: every overlapping pair appears exactly once (start-bucket
+    attribution replaces a dedup shuffle), matches brute force, and
+    the plan is a hash join on the bucket."""
+    from enriched_crime_incident_data_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = [(i, i * 50, i * 50 + 120) for i in range(40)]
+    right = [(100 + j, j * 35, j * 35 + 80) for j in range(60)]
+    l = spark.createDataFrame(left, "lid long, llo long, lhi long")
+    r = spark.createDataFrame(right, "rid long, rlo long, rhi long")
+    out = interval_overlap_join(
+        l, r, "lid", "llo", "lhi", "rid", "rlo", "rhi", bucket_width=64
+    )
+    rows = [(x["lid"], x["rid"], x["overlap_len"]) for x in out.collect()]
+    assert len(rows) == len(set(rows)), "pair emitted more than once"
+    want = {
+        (a, b, min(ahi, bhi) - max(alo, blo))
+        for a, alo, ahi in left
+        for b, blo, bhi in right
+        if alo <= bhi and blo <= ahi
+    }
+    assert set(rows) == want and want
+
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
