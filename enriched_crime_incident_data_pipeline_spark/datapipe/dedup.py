@@ -794,3 +794,58 @@ def repeated_spans(
         F.sum(F.col("_e") - F.col("_s") + 1).cast("int").alias("dup_tokens"),
         F.max(F.col("_e") - F.col("_s") + 1).cast("int").alias("longest_span"),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    ``|A ∩ B| / |A|`` — the quote/subset signal Jaccard misses. A
+    short document wholly quoted inside a long one has containment
+    1.0 but tiny Jaccard (the long doc's size dominates the union),
+    so symmetric dedup never catches it; containment is the standard
+    fix (C4/RealNews-style excerpt removal).
+
+    Same plan as :func:`ngram_jaccard_pairs` — one shingle-hash
+    equi-join, never an all-pairs product — with both directed ratios
+    emitted per unordered pair: ``(a, b, intersect_size,
+    containment_a, containment_b)`` where ``containment_a`` is the
+    fraction of a's shingles shared. Pairs kept when EITHER direction
+    reaches ``min_containment``. Ratios are exact-int divisions —
+    bit-stable cross-engine. ``max_df`` pruning composes the same way
+    as the Jaccard op if hot shingles need bounding.
+    """
+    sh = _shingle_hashes(docs, id_col, text_col, shingle_words).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "x")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersect_size"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "containment_a",
+            F.col("intersect_size").cast("double") / F.col("na").cast("double"),
+        )
+        .withColumn(
+            "containment_b",
+            F.col("intersect_size").cast("double") / F.col("nb").cast("double"),
+        )
+        .filter(
+            (F.col("containment_a") >= min_containment)
+            | (F.col("containment_b") >= min_containment)
+        )
+        .select("a", "b", "intersect_size", "containment_a", "containment_b")
+    )

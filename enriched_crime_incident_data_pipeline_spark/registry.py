@@ -1216,6 +1216,19 @@ def q_j11_interval_overlap(spark, sf_dir):
     return out.filter(F.col("win_id") != F.col("act_id"))
 
 
+
+def q_dd15_containment(spark, sf_dir):
+    # asymmetric near-dup: shingle containment |A∩B|/|A| — catches a
+    # short doc quoted inside a long one (containment 1.0, Jaccard
+    # tiny); same single shingle-hash equi-join plan as dd5
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, min_containment=0.5)
+
+
 def q_dd9_dup_clusters(spark, sf_dir):
     # the dedup endgame: LSH candidate pairs → connected components →
     # one canonical doc per cluster (iterative min-label propagation)
@@ -4928,6 +4941,26 @@ def oracle_queries() -> dict[str, str]:
                    min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS winnow
             FROM grams GROUP BY doc_id
         """,
+        "dd15_containment": f"""
+            WITH sh AS ({_SHINGLES3}),
+            hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
+              FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, intersect_size,
+                   CAST(intersect_size AS DOUBLE)
+                     / CAST(sa.n AS DOUBLE) AS containment_a,
+                   CAST(intersect_size AS DOUBLE)
+                     / CAST(sb.n AS DOUBLE) AS containment_b
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE CAST(intersect_size AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
+               OR CAST(intersect_size AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
+        """,
         "dd5_ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES3}),
             hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
@@ -7036,6 +7069,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd3_lsh_pairs": q_dd3_lsh_pairs,
         "dd4_simhash": q_dd4_simhash,
         "dd5_ngram_jaccard": q_dd5_ngram_jaccard,
+        "dd15_containment": q_dd15_containment,
         "dd5b_ngram_capped": q_dd5b_ngram_capped,
         "s5_pdf_parse": q_s5_pdf_parse,
         "ta11_lm_quality": q_ta11_lm_quality,

@@ -330,3 +330,25 @@ def test_seed_lm_scores_out_of_domain_scores_higher(spark):
     # seed stats: N=12 tokens, V=7 distinct -> max term = 19.0
     assert rows[11] == 19.0
     assert rows[10] < rows[11]
+
+
+def test_containment_catches_quoted_excerpt(spark):
+    """dd15: a short doc quoted verbatim inside a long one has
+    containment 1.0 even though its Jaccard is small."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"quote{i}" for i in range(8))
+    long = " ".join(f"body{i}" for i in range(80)) + " " + short
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    rows = ngram_containment_pairs(docs, min_containment=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["containment_a"] == 1.0
+    jac = ngram_jaccard_pairs(docs).collect()[0]["jaccard"]
+    assert jac < 0.1, "Jaccard must miss what containment catches"
