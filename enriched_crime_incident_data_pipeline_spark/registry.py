@@ -1513,6 +1513,38 @@ def q_st8_stream_decontaminate(spark, sf_dir):
 
 
 
+
+def q_dq3_volume_anomaly(spark, sf_dir):
+    # ingest-volume anomaly monitor: daily event counts vs the robust
+    # MAD band — flag days where |count - median| > 3·MAD (the
+    # data-quality tripwire a continuous pipeline runs after every
+    # load). Daily counts are a map-side-combinable groupBy; the
+    # median/MAD scalars broadcast back; all comparisons exact.
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    med = daily.agg(F.expr("percentile(n, 0.5)").alias("med"))
+    dev = daily.crossJoin(F.broadcast(med))
+    mad = dev.agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(n - med), 0.5)").alias("mad"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                F.abs(F.col("n").cast("double") - F.col("med"))
+                > F.lit(3.0) * F.col("mad")
+            )
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
+
+
 def q_st9_stream_hll(spark, sf_dir):
     # continuous distinct-count: the HLL register table IS a streaming
     # aggregation — max-per-register is order-insensitive and
@@ -6786,6 +6818,23 @@ def oracle_queries() -> dict[str, str]:
             FROM active WHERE week_n >= 0
             GROUP BY 1, 2
         """,
+        "dq3_volume_anomaly": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1
+            ),
+            med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+            mad AS (
+              SELECT any_value(m.med) AS med,
+                     quantile_cont(abs(d.n - m.med), 0.5) AS mad
+              FROM daily d, med m
+            )
+            SELECT d.day, CAST(d.n AS BIGINT) AS n,
+                   CAST(CASE WHEN abs(CAST(d.n AS DOUBLE) - m.med)
+                                  > 3.0 * m.mad
+                             THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+            FROM daily d, mad m
+        """,
         "stat2_mad": """
             WITH med AS (
               SELECT l_returnflag,
@@ -7144,6 +7193,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "stat5_winsorize": q_stat5_winsorize,
         "attr1_last_touch": q_attr1_last_touch,
         "dq2_profile": q_dq2_profile,
+        "dq3_volume_anomaly": q_dq3_volume_anomaly,
         "hist2_equidepth": q_hist2_equidepth,
         "tp9_mixture_sample": q_tp9_mixture_sample,
         "ta10_oov_rate": q_ta10_oov_rate,
