@@ -622,3 +622,80 @@ def stateless_ivf_assign(
         )
     best = F.array_max(F.array(*scored))
     return df.withColumn("cluster", (-best["n"]).cast("int"))
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index against exact search — the eval
+    every ANN deployment runs before trusting its index. Queries are
+    the sampled ids with ``id % query_mod == 0``; for each, the exact
+    cosine top-k over the whole corpus is compared with the IVF top-k
+    (candidates restricted to the query's cluster, the ``ss3`` read
+    path) and ``(qid, n_hit, recall)`` is emitted with
+    ``recall = |exact ∩ ivf| / k`` as an exact integer ratio.
+
+    Exact evaluation is inherently |queries| × corpus work — that is
+    why the query set is SAMPLED (the standard eval protocol); the
+    query relation broadcasts, so the corpus never shuffles for
+    scoring, and each per-query top-k is a window over that query's
+    scored rows (parallel across queries). Ties break on ascending
+    id, matching the SQL oracle exactly.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("cid_"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    queries = embeddings.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("cid_") != F.col("qid")
+    )
+    cos = cosine_from_norms(
+        F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.col("cid_"))
+    exact = (
+        scored.select("qid", "cid_", cos.alias("_cos"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("qid", F.col("cid_").alias("nn"))
+    )
+    assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    q_cluster = assign.select(
+        F.col(id_col).alias("qid"), F.col("cluster").alias("_qc")
+    )
+    ivf = (
+        scored.join(F.broadcast(q_cluster), "qid")
+        .join(
+            assign.select(F.col(id_col).alias("cid_"), "cluster"), "cid_"
+        )
+        .filter(F.col("cluster") == F.col("_qc"))
+        .select("qid", "cid_", cos.alias("_cos"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("qid", F.col("cid_").alias("nn"))
+    )
+    hits = exact.join(ivf, ["qid", "nn"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        queries.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

@@ -905,6 +905,20 @@ def q_ss3_ivf_topk(spark, sf_dir):
     return ivf_topk_neighbors(emb, query_vec_id=0, k=10, n_centroids=8)
 
 
+
+def q_ss11_recall_eval(spark, sf_dir):
+    # ANN index evaluation: recall@10 of the IVF read path vs exact
+    # search over a sampled query set (vec_id % 50 == 0) — queries
+    # broadcast, corpus never shuffles for scoring, per-query top-k
+    # windows parallel across queries; recall is an exact int ratio
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ann_recall_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_eval(emb, query_mod=50, k=10, n_centroids=8)
+
+
 def q_dd6_embed_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4)
@@ -4727,6 +4741,59 @@ def oracle_queries() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE {_COS} >= 0.4
         """,
+        "ss11_recall_eval": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e
+                  WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT q.qid, e.vec_id AS cid,
+                     list_dot_product(q.qv, e.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.v, e.v))) AS cos
+              FROM q, e WHERE e.vec_id <> q.qid
+            ),
+            exact AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid) AS rk
+                FROM scored
+              ) WHERE rk <= 10
+            ),
+            cent AS (SELECT vec_id AS ccid, v AS cv FROM e
+                     WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, ccid AS cluster FROM (
+                SELECT a.vec_id, cent.ccid,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    list_dot_product(a.v, cent.cv)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                    cent.ccid) AS rn
+                FROM e a, cent
+              ) WHERE rn = 1
+            ),
+            ivf AS (
+              SELECT qid, cid FROM (
+                SELECT s.qid, s.cid,
+                       row_number() OVER (PARTITION BY s.qid
+                                          ORDER BY s.cos DESC, s.cid) AS rk
+                FROM scored s
+                JOIN assign qa ON qa.vec_id = s.qid
+                JOIN assign ca ON ca.vec_id = s.cid
+                               AND ca.cluster = qa.cluster
+              ) WHERE rk <= 10
+            ),
+            hits AS (
+              SELECT qid, count(*) AS n_hit
+              FROM exact JOIN ivf USING (qid, cid) GROUP BY qid
+            )
+            SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+                   CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall
+            FROM q LEFT JOIN hits h USING (qid)
+        """,
         "dd7_embed_blocked": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 16),
@@ -7143,6 +7210,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ss7_pq_codes": q_ss7_pq_codes,
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
         "ss10_ivf_pq_search": q_ss10_ivf_pq_search,
+        "ss11_recall_eval": q_ss11_recall_eval,
         "ss9_cluster_purity": q_ss9_cluster_purity,
         "ta1_token_count": q_ta1_token_count,
         "ta2_quality": q_ta2_quality,
