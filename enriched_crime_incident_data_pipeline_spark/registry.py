@@ -1528,6 +1528,32 @@ def q_st8_stream_decontaminate(spark, sf_dir):
 
 
 
+
+def q_ts5_ohlc_downsample(spark, sf_dir):
+    # time-series downsampling to hourly OHLC bars: open/close via
+    # min_by/max_by on (ts, event_id) — map-side-combinable argmin/
+    # argmax, no per-bucket sort window; one shuffle on the bucket
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("double")
+    # DuckDB's min_by/max_by take scalar ordering keys only — a
+    # fixed-width zero-padded (epoch_us, event_id) string is totally
+    # ordered identically to the numeric tuple in both engines
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.min_by(val, key).alias("open"),
+            F.max(val).alias("high"),
+            F.min(val).alias("low"),
+            F.max_by(val, key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
 def q_dq3_volume_anomaly(spark, sf_dir):
     # ingest-volume anomaly monitor: daily event counts vs the robust
     # MAD band — flag days where |count - median| > 3·MAD (the
@@ -6885,6 +6911,21 @@ def oracle_queries() -> dict[str, str]:
             FROM active WHERE week_n >= 0
             GROUP BY 1, 2
         """,
+        "ts5_ohlc_downsample": """
+            SELECT date_trunc('hour', ts) AS bucket,
+                   min_by(CAST(value AS DOUBLE),
+                          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                     AS open,
+                   max(CAST(value AS DOUBLE)) AS high,
+                   min(CAST(value AS DOUBLE)) AS low,
+                   max_by(CAST(value AS DOUBLE),
+                          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                     AS close,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
         "dq3_volume_anomaly": """
             WITH daily AS (
               SELECT CAST(ts AS DATE) AS day, count(*) AS n
@@ -7262,6 +7303,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "attr1_last_touch": q_attr1_last_touch,
         "dq2_profile": q_dq2_profile,
         "dq3_volume_anomaly": q_dq3_volume_anomaly,
+        "ts5_ohlc_downsample": q_ts5_ohlc_downsample,
         "hist2_equidepth": q_hist2_equidepth,
         "tp9_mixture_sample": q_tp9_mixture_sample,
         "ta10_oov_rate": q_ta10_oov_rate,
