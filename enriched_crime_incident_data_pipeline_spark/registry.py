@@ -1702,6 +1702,41 @@ def q_corpus_build4(spark, sf_dir):
     return ranked.select("doc_id", "n_tokens", "cum_tokens", "curriculum_pos")
 
 
+
+def q_st11_stream_ohlc(spark, sf_dir):
+    # continuous OHLC bars: the ts5 aggregation as a complete-mode
+    # streaming window — min_by/max_by on the fixed-width
+    # (epoch_us, event_id) key are order-insensitive and mergeable
+    # across micro-batches, so the bounded AvailableNow run equals
+    # the batch bars exactly
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    val = F.col("value").cast("double")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by(val, key).alias("open"),
+            F.max(val).alias("high"),
+            F.min(val).alias("low"),
+            F.max_by(val, key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "open", "high", "low", "close", "n",
+        )
+    )
+    return run_available_now(bars, "st11_ohlc", "complete")
+
+
 def q_corpus_build3(spark, sf_dir):
     # the capstone: the FULL pretraining-data recipe as one declared
     # DAG — lang-ID filter → LM-quality filter (LM trained on the
@@ -6911,6 +6946,21 @@ def oracle_queries() -> dict[str, str]:
             FROM active WHERE week_n >= 0
             GROUP BY 1, 2
         """,
+        "st11_stream_ohlc": """
+            SELECT date_trunc('hour', ts) AS bucket,
+                   min_by(CAST(value AS DOUBLE),
+                          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                     AS open,
+                   max(CAST(value AS DOUBLE)) AS high,
+                   min(CAST(value AS DOUBLE)) AS low,
+                   max_by(CAST(value AS DOUBLE),
+                          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                     AS close,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
         "ts5_ohlc_downsample": """
             SELECT date_trunc('hour', ts) AS bucket,
                    min_by(CAST(value AS DOUBLE),
@@ -7319,6 +7369,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "sk4_hll_distinct": q_sk4_hll_distinct,
         "st9_stream_hll": q_st9_stream_hll,
         "st10_stream_embed_probe": q_st10_stream_embed_probe,
+        "st11_stream_ohlc": q_st11_stream_ohlc,
         "range_join": q_range_join,
         "dd9_dup_clusters": q_dd9_dup_clusters,
         "scd2_intervals": q_scd2_intervals,
