@@ -3829,6 +3829,20 @@ def q_tp12_temperature_sample(spark, sf_dir):
     return temperature_sample(docs, stratum_col="stratum")
 
 
+
+def q_ret1_bm25_topk(spark, sf_dir):
+    # retrieval baseline: rational-idf BM25 (log-free for cross-engine
+    # bit parity, same trade as ta11's rational perplexity) over the
+    # corpus' 3 most frequent tokens; df/dl are map-side groupBys,
+    # terms broadcast, per-doc fold order-pinned, top-k TakeOrdered
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, n_terms=3, k=20)
+
+
 def q_ta10_oov_rate(spark, sf_dir):
     # out-of-vocabulary rate per document against the corpus' own
     # top-1000-document-frequency vocabulary — the tokenizer-coverage
@@ -5249,6 +5263,46 @@ def oracle_queries() -> dict[str, str]:
                    v[1] AS datetime_str, v[2] AS incident_num,
                    v[3] AS location, v[4] AS nature, v[5] AS incident_ori
             FROM norm
+        """,
+        "ret1_bm25_topk": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl
+              FROM dl
+            ),
+            dft AS (
+              SELECT tok, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, tok FROM tok
+              ) GROUP BY tok
+            ),
+            terms AS (
+              SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 3
+            ),
+            tf AS (
+              SELECT t.doc_id, t.tok, any_value(te.df) AS df,
+                     count(*) AS tf
+              FROM tok t JOIN terms te ON t.tok = te.tok
+              GROUP BY t.doc_id, t.tok
+            ),
+            w AS (
+              SELECT tf.doc_id, tf.tok,
+                     ((CAST(s.n_docs AS DOUBLE) - CAST(tf.df AS DOUBLE)
+                       + 0.5) / (CAST(tf.df AS DOUBLE) + 0.5))
+                     * (CAST(tf.tf AS DOUBLE) * 2.2)
+                     / (CAST(tf.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                / s.avgdl))) AS w
+              FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+            )
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_hit,
+                   sum(w ORDER BY tok) AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         "ta11_lm_quality": _TA11_SQL,
         "ta14_seed_lm_quality": f"""
@@ -7396,6 +7450,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta8_repetition": q_ta8_repetition,
         "ta9_pii_scrub": q_ta9_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "ret1_bm25_topk": q_ret1_bm25_topk,
         "wa1_lead_lag": q_wa1_lead_lag,
         "wa2_rolling": q_wa2_rolling,
         "wa3_range_frame": q_wa3_range_frame,
