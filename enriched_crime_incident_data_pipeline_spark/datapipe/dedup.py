@@ -118,6 +118,21 @@ def minhash_bands(
     it runs unchanged on a streaming DataFrame. Bit-identical to the
     grouped formulation (same integer min over the same hashed set;
     pinned by ``test_minhash_rowwise_matches_grouped``)."""
+    sigs = minhash_sigs(docs, id_col, text_col, shingle_words, num_hashes)
+    return _banded(sigs, id_col, num_hashes, band_size)
+
+
+def minhash_sigs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """The raw row-wise MinHash signature ``(id, mh0..mh{n-1})`` —
+    the shared front half of :func:`minhash_bands`, public so
+    estimators (``dd16``) can read the un-banded minima. Map-only,
+    stateless (see the banding docstring)."""
     xs = F.transform(
         F.array_distinct(word_shingles(F.col(text_col), shingle_words)),
         lambda s: hash32(s),
@@ -131,14 +146,13 @@ def minhash_bands(
             F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])
         ) % MINHASH_PRIME
 
-    sigs = hashed.select(
+    return hashed.select(
         F.col(id_col),
         *[
             F.array_min(F.transform(F.col("_xs"), perm(j))).alias(f"mh{j}")
             for j in range(num_hashes)
         ],
     )
-    return _banded(sigs, id_col, num_hashes, band_size)
 
 
 def minhash_bands_grouped(

@@ -1243,6 +1243,43 @@ def q_dd15_containment(spark, sf_dir):
     return ngram_containment_pairs(docs, min_containment=0.5)
 
 
+
+def q_dd16_minhash_estimate(spark, sf_dir):
+    # the LSH report card: for every candidate pair, the MinHash
+    # Jaccard ESTIMATE (fraction of agreeing minima — exact int
+    # ratio) next to the true shingle Jaccard. Signatures map-only;
+    # the only joins are the band bucket join and two broadcast
+    # signature lookups.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        minhash_sigs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    sigs = minhash_sigs(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(16)],
+    )
+    n_match = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(16)
+    )
+    est = pairs.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b").select(
+        "a", "b",
+        n_match.alias("n_match"),
+        (n_match.cast("double") / F.lit(16.0)).alias("est_jaccard"),
+    )
+    true_j = ngram_jaccard_pairs(docs).select("a", "b", "jaccard")
+    return est.join(true_j, ["a", "b"], "left").select(
+        "a", "b", "n_match", "est_jaccard",
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+    )
+
+
 def q_dd9_dup_clusters(spark, sf_dir):
     # the dedup endgame: LSH candidate pairs → connected components →
     # one canonical doc per cluster (iterative min-label propagation)
@@ -5115,6 +5152,44 @@ def oracle_queries() -> dict[str, str]:
                    min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS winnow
             FROM grams GROUP BY doc_id
         """,
+        "dd16_minhash_estimate": f"""
+            WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            sh AS ({_SHINGLES3}),
+            hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+            sig AS (
+              SELECT doc_id,
+{_MINHASH_TERMS}
+              FROM hx GROUP BY doc_id
+            ),
+            est AS (
+              SELECT p.a, p.b,
+                     ({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(16))})
+                       AS n_match
+              FROM pairs p
+              JOIN sig sa ON sa.doc_id = p.a
+              JOIN sig sb ON sb.doc_id = p.b
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+              FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT e.a, e.b, CAST(e.n_match AS INTEGER) AS n_match,
+                   CAST(e.n_match AS DOUBLE) / 16.0 AS est_jaccard,
+                   coalesce(CAST(i.i AS DOUBLE)
+                            / (sa.n + sb.n - i.i), 0.0) AS jaccard
+            FROM est e
+            JOIN sizes sa ON e.a = sa.doc_id
+            JOIN sizes sb ON e.b = sb.doc_id
+            LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+        """,
         "dd15_containment": f"""
             WITH sh AS ({_SHINGLES3}),
             hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
@@ -7331,6 +7406,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd4_simhash": q_dd4_simhash,
         "dd5_ngram_jaccard": q_dd5_ngram_jaccard,
         "dd15_containment": q_dd15_containment,
+        "dd16_minhash_estimate": q_dd16_minhash_estimate,
         "dd5b_ngram_capped": q_dd5b_ngram_capped,
         "s5_pdf_parse": q_s5_pdf_parse,
         "ta11_lm_quality": q_ta11_lm_quality,
