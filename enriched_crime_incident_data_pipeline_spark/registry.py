@@ -1774,6 +1774,52 @@ def q_st11_stream_ohlc(spark, sf_dir):
     return run_available_now(bars, "st11_ohlc", "complete")
 
 
+
+def q_st12_stream_temperature_sample(spark, sf_dir):
+    # continuous corpus sampling at ingest: per-stratum keep
+    # thresholds derive from the STATIC corpus composition (one
+    # map-side count, broadcast); the document stream then filters
+    # with the pure hash predicate — stateless map, no stream
+    # shuffle. Bounded AvailableNow run ≡ the batch tp12 kept set.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        hash32,
+    )
+
+    stratum = (
+        F.when(F.col("doc_id") % 10 < 6, "heavy")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("light")
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "stratum", stratum
+    )
+    counts = docs.groupBy("stratum").agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "stratum",
+        F.floor(
+            F.sqrt(
+                F.col("_nmin").cast("double") / F.col("_n").cast("double")
+            )
+            * F.lit(4294967296.0)
+        ).alias("_thr"),
+    )
+    stream = stream_table(spark, sf_dir, "documents").withColumn(
+        "stratum", stratum
+    )
+    h = hash32(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    kept = (
+        stream.join(F.broadcast(rates), "stratum")
+        .filter(h < F.col("_thr"))
+        .select("doc_id", "stratum")
+    )
+    return run_available_now(kept, "st12_temp_sample", "append")
+
+
 def q_corpus_build3(spark, sf_dir):
     # the capstone: the FULL pretraining-data recipe as one declared
     # DAG — lang-ID filter → LM-quality filter (LM trained on the
@@ -6556,6 +6602,29 @@ def oracle_queries() -> dict[str, str]:
                      AS rho
             FROM parts GROUP BY register
         """,
+        "st12_stream_temperature_sample": f"""
+            WITH strat AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 6 THEN 'heavy'
+                          WHEN doc_id % 10 < 9 THEN 'mid'
+                          ELSE 'light' END AS stratum
+              FROM documents
+            ),
+            counts AS (
+              SELECT stratum, count(*) AS n FROM strat GROUP BY stratum
+            ),
+            nmin AS (SELECT min(n) AS nmin FROM counts),
+            rates AS (
+              SELECT stratum,
+                     CAST(floor(sqrt(CAST(nmin AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                * 4294967296.0) AS BIGINT) AS thr
+              FROM counts, nmin
+            )
+            SELECT d.doc_id, d.stratum
+            FROM strat d JOIN rates r ON d.stratum = r.stratum
+            WHERE {_HASH32.format(x="'temp:' || CAST(d.doc_id AS VARCHAR)")} < r.thr
+        """,
         "tp12_temperature_sample": f"""
             WITH strat AS (
               SELECT doc_id,
@@ -7500,6 +7569,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "st9_stream_hll": q_st9_stream_hll,
         "st10_stream_embed_probe": q_st10_stream_embed_probe,
         "st11_stream_ohlc": q_st11_stream_ohlc,
+        "st12_stream_temperature_sample": q_st12_stream_temperature_sample,
         "range_join": q_range_join,
         "dd9_dup_clusters": q_dd9_dup_clusters,
         "scd2_intervals": q_scd2_intervals,
