@@ -3926,6 +3926,38 @@ def q_ret1_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, n_terms=3, k=20)
 
 
+
+def q_tp13_epoch_reshuffle(spark, sf_dir):
+    # multi-epoch training order without materialization: every
+    # (epoch, doc) gets a stable (shard, position) from an
+    # epoch-salted hash — 3 independent permutations from one pass;
+    # the per-(epoch, shard) rank window parallelizes across
+    # epochs x shards
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        hash32,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(e) for e in range(3)])).alias("epoch")
+    )
+    h = hash32(
+        F.concat(
+            F.lit("epoch"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("_h", "doc_id")
+    return (
+        epochs.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(8)).cast("int"))
+        .withColumn("position", F.row_number().over(w))
+        .select("epoch", "doc_id", "shard", "position")
+    )
+
+
 def q_ta10_oov_rate(spark, sf_dir):
     # out-of-vocabulary rate per document against the corpus' own
     # top-1000-document-frequency vocabulary — the tokenizer-coverage
@@ -6625,6 +6657,24 @@ def oracle_queries() -> dict[str, str]:
             FROM strat d JOIN rates r ON d.stratum = r.stratum
             WHERE {_HASH32.format(x="'temp:' || CAST(d.doc_id AS VARCHAR)")} < r.thr
         """,
+        "tp13_epoch_reshuffle": f"""
+            WITH ep AS (
+              SELECT doc_id, e.epoch
+              FROM documents,
+                   (SELECT unnest(range(3)) AS epoch) e
+            ),
+            h AS (
+              SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+                     {_HASH32.format(x="'epoch' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS hh
+              FROM ep
+            )
+            SELECT epoch, doc_id,
+                   CAST(hh % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (PARTITION BY epoch, hh % 8
+                                           ORDER BY hh, doc_id)
+                        AS INTEGER) AS position
+            FROM h
+        """,
         "tp12_temperature_sample": f"""
             WITH strat AS (
               SELECT doc_id,
@@ -7493,6 +7543,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tp10_budget_select": q_tp10_budget_select,
         "tp11_curriculum_order": q_tp11_curriculum_order,
         "tp12_temperature_sample": q_tp12_temperature_sample,
+        "tp13_epoch_reshuffle": q_tp13_epoch_reshuffle,
         "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
         "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
         "st8_stream_decontaminate": q_st8_stream_decontaminate,
