@@ -45,6 +45,18 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer intermediate once, WITHOUT the
+    cache-leak of ``persist()``: an eager ``localCheckpoint`` stores
+    the rows in block storage but — unlike a CacheManager entry, which
+    lives until an explicit ``unpersist()`` — the blocks are reclaimed
+    by Spark's ContextCleaner as soon as the checkpointed RDD is no
+    longer referenced, so long-lived sessions running many queries
+    don't accumulate executor cache pressure (round-3 advice on
+    ``ngram_containment_pairs``)."""
+    return df.localCheckpoint(eager=True)
+
+
 def exact_duplicate_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -278,8 +290,8 @@ def ngram_jaccard_pairs(
     (near-zero Jaccard by construction). With ``max_df=None``
     semantics are exhaustive and the Jaccard is exact."""
     # the shingle-hash table feeds three consumers (sizes + both join
-    # sides); persist so the regex/shingle/hash derivation runs once
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_words).persist()
+    # sides); pin so the regex/shingle/hash derivation runs once
+    sh = _pin(_shingle_hashes(docs, id_col, text_col, shingle_words))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_df is not None:
         # df per hashed shingle is a map-side-combinable count on the
@@ -469,8 +481,8 @@ def simhash_near_dup_pairs(
     on the (possibly negative) signature cannot diverge across engines.
     """
     # the signature table feeds both sides of the band self-join —
-    # persist so the tokenize/hash/groupBy lineage runs once
-    sig = simhash_signatures(docs, id_col, text_col).persist()
+    # pin so the tokenize/hash/groupBy lineage runs once
+    sig = _pin(simhash_signatures(docs, id_col, text_col))
     bands = simhash_bands(sig, id_col)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
@@ -833,7 +845,7 @@ def ngram_containment_pairs(
     bit-stable cross-engine. ``max_df`` pruning composes the same way
     as the Jaccard op if hot shingles need bounding.
     """
-    sh = _shingle_hashes(docs, id_col, text_col, shingle_words).persist()
+    sh = _pin(_shingle_hashes(docs, id_col, text_col, shingle_words))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         sh.alias("l")

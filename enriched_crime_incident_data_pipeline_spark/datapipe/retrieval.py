@@ -10,6 +10,15 @@ and the DuckDB oracle agree bit-for-bit (the same trade
 ``datapipe/lm.py`` makes for perplexity). Classic BM25 constants
 k1=1.2, b=0.75.
 
+Caveat: monotonicity holds PER TERM only. The per-document score is a
+SUM of per-term weights, and a sum of rational idfs is not a monotone
+transform of the sum of ln-idfs, so for multi-term queries the top-k
+ORDER can diverge from classic ln-idf BM25 (two documents matching
+different term subsets may swap ranks). This is the deliberate trade
+for bit-exact cross-engine oracle parity; callers needing textbook
+BM25 ordering should apply ``ln`` to the idf ratio and accept
+last-ulp engine divergence.
+
 Scale shape: one token explode (map-only after ``fan_out``), df and
 doc-length aggregations are map-side-combinable groupBys, the query
 term list is tiny and broadcast, and the per-document term fold is

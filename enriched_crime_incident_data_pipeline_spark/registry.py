@@ -1503,6 +1503,7 @@ def q_st7_stream_corpus_ingest(spark, sf_dir):
     # makes the fold prefix-stable, so the final state equals the
     # batch twin (and the plain-SQL oracle) for any id-ordered split.
     import os
+    import shutil
     import tempfile
 
     import pyarrow.parquet as pq
@@ -1527,7 +1528,14 @@ def q_st7_stream_corpus_ingest(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     state_dir = os.path.join(base, "state")
     os.makedirs(state_dir)
-    return run_corpus_ingest_stream(spark, docs_dir, schema, state_dir)
+    out = run_corpus_ingest_stream(spark, docs_dir, schema, state_dir)
+    # detach the result from the on-disk state (localCheckpoint pins
+    # the rows in block storage), then remove the whole temp root —
+    # docs, state parquet, and the per-run streaming checkpoint — so
+    # repeated selfcheck/bench invocations don't leak under /tmp
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def q_st8_stream_decontaminate(spark, sf_dir):

@@ -153,8 +153,13 @@ def corpus_ingest_batch(
             _batch_p(state_dir, _CORPUS, batch_id)
         )
         if bounds["hi"] is not None:
-            with open(wm_path, "w") as fh:
+            # atomic: write-then-rename so a crash mid-write leaves the
+            # old complete watermark, never truncated JSON that would
+            # wedge the next batch's json.load
+            tmp_path = wm_path + ".tmp"
+            with open(tmp_path, "w") as fh:
                 json.dump({"batch_id": batch_id, "hi": bounds["hi"]}, fh)
+            os.replace(tmp_path, wm_path)
 
     return fn
 

@@ -313,7 +313,9 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     """Adversarial duplicate CHAIN (boilerplate series doc_i ~ doc_{i+1}):
     plain min-label propagation needs O(n) rounds; the pointer-jumping
     compression step must bring it to O(log n). 512-node chain →
-    well under 16 rounds (2^k distance growth), and labels exact."""
+    well under 16 rounds (2^k distance growth), and labels exact.
+    ``small_graph_edges=0`` forces the distributed loop — the default
+    would route a 511-edge graph to the single-task fast path."""
     n = 512
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
@@ -321,7 +323,44 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     stats: dict = {}
     got = {
         r["node"]: r["cluster_id"]
-        for r in connected_components(edges, stats=stats).collect()
+        for r in connected_components(
+            edges, stats=stats, small_graph_edges=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 16, stats
+    assert stats["mode"] == "distributed"
+
+
+def test_connected_components_single_task_equals_distributed(spark):
+    """The two physical strategies must emit the IDENTICAL labelling
+    (component minimum) — the oracle contract is strategy-independent.
+    Random graph with chains, triangles, singleton-free isolates and a
+    star; compare fast path (default) vs forced distributed loop."""
+    import random
+
+    rng = random.Random(4242)
+    nodes = list(range(0, 400, 3))  # non-contiguous ids
+    pairs = set()
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        pairs.add((min(a, b), max(a, b)))
+    edges = spark.createDataFrame(sorted(pairs), "a bigint, b bigint")
+    fast_stats: dict = {}
+    fast = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, stats=fast_stats).collect()
+    }
+    dist = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, small_graph_edges=0
+        ).collect()
+    }
+    assert fast_stats["mode"] == "single_task"
+    assert fast_stats["rounds"] == 1
+    assert fast == dist
+    # labels really are component minima: every label <= its node and
+    # every label is itself a node mapping to itself
+    assert all(lab <= n for n, lab in fast.items())
+    assert all(fast[lab] == lab for lab in set(fast.values()))
