@@ -788,6 +788,59 @@ def q_s5_pdf_parse(spark, sf_dir):
     return parse_report_blocks(synthetic_report_blocks(docs))
 
 
+def q_s5b_pdf_decode(spark, sf_dir):
+    # REAL-BYTES twin of s5: the same documents-derived report blocks
+    # are written as an actual Flate-compressed PDF (pure-Python
+    # writer), scanned back via binaryFile, decoded by the from-scratch
+    # pure-Python PDF text extractor (sources/pdf_decode.py — closes
+    # the U4 partial: no PyMuPDF anywhere), then parsed by the SAME
+    # engine-side rules as s5. The oracle is s5's oracle verbatim — so
+    # a driver-green row here proves the byte decode itself, not just
+    # the parse rules. Fixture construction (collect + write) is
+    # driver-side by design: it manufactures the input file.
+    import os
+    import shutil
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.sources.pdf import (
+        parse_report_blocks,
+        pdf_binary_to_blocks,
+        read_pdf_binary,
+        synthetic_report_blocks,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.pdf_decode import (
+        pdf_from_block_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = synthetic_report_blocks(docs).collect()
+    base = tempfile.mkdtemp(prefix="spark_graft_s5b_")
+    with open(os.path.join(base, "daily.pdf"), "wb") as fh:
+        fh.write(
+            pdf_from_block_rows(
+                [
+                    (r["page_number"], r["block_idx"], r["block_text"])
+                    for r in rows
+                ]
+            )
+        )
+    parsed = parse_report_blocks(
+        pdf_binary_to_blocks(read_pdf_binary(spark, base))
+    ).select(
+        F.lit("reports/daily.pdf").alias("path"),
+        "page_number",
+        "block_idx",
+        "datetime_str",
+        "incident_num",
+        "location",
+        "nature",
+        "incident_ori",
+    )
+    out = parsed.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_ta11_lm_quality(spark, sf_dir):
     # unigram-LM quality score (perplexity proxy): corpus-trained
     # add-one-smoothed mean inverse token probability — rational
@@ -4169,6 +4222,95 @@ _TUMBLING_SQL = """
 """
 
 
+_S5_PARSE_SQL = """
+            WITH fields AS (
+              SELECT doc_id,
+                     printf('%d/%d/2024 %d:%02d', doc_id % 12 + 1,
+                            doc_id % 28 + 1, doc_id % 24, doc_id % 60) AS dt,
+                     printf('2024-%05d', doc_id) AS inc,
+                     printf('BLK %d MAIN ST', doc_id % 50 * 100) AS loca,
+                     printf(' APT %d', doc_id % 20) AS locb,
+                     ['THEFT','FRAUD','EMS','ERROR','PATROL'][
+                       CAST(doc_id % 5 + 1 AS INTEGER)] AS nat,
+                     CASE WHEN doc_id % 5 = 2 THEN 'EMSSTAT'
+                          ELSE 'OK0109973' END AS ori
+              FROM documents
+            ),
+            data AS (
+              SELECT 'reports/daily.pdf' AS path,
+                     CAST(floor(doc_id / 10) AS BIGINT) AS page_number,
+                     CAST(doc_id % 10
+                          + CASE WHEN doc_id < 10 THEN 1 ELSE 0 END
+                          AS BIGINT) AS block_idx,
+                     (CASE WHEN doc_id % 7 = 3
+                           THEN concat_ws(chr(10), dt, inc, ori)
+                           WHEN doc_id % 7 = 5
+                           THEN concat_ws(chr(10), dt, inc, loca, locb, nat, ori)
+                           ELSE concat_ws(chr(10), dt, inc, loca, nat, ori)
+                      END) || chr(10) AS block_text
+              FROM fields
+            ),
+            mx AS (SELECT max(doc_id) AS max_id FROM documents),
+            extras AS (
+              SELECT 'reports/daily.pdf' AS path, CAST(0 AS BIGINT) AS page_number,
+                     CAST(0 AS BIGINT) AS block_idx,
+                     'NORMAN POLICE DEPARTMENT' || chr(10) ||
+                     'Daily Incident Summary (Public)' || chr(10) AS block_text
+              UNION ALL
+              SELECT 'reports/daily.pdf', 0, 11, 'Report Generated' || chr(10)
+              UNION ALL
+              SELECT 'reports/daily.pdf', 0, 12, 'Page 1' || chr(10)
+              UNION ALL
+              SELECT 'reports/daily.pdf', CAST(floor(max_id / 10) AS BIGINT),
+                     CAST(max_id % 10 + 1 AS BIGINT), 'End of Report' || chr(10)
+              FROM mx
+            ),
+            blocks AS (
+              SELECT * FROM data UNION ALL SELECT * FROM extras
+            ),
+            sized AS (
+              SELECT b.*,
+                     count(*) OVER (PARTITION BY path, page_number) AS nb,
+                     max(page_number) OVER (PARTITION BY path) AS lastp
+              FROM blocks b
+            ),
+            kept AS (
+              SELECT path, page_number, block_idx,
+                     string_split(block_text, chr(10)) AS ls
+              FROM sized
+              WHERE CASE
+                WHEN page_number = 0
+                  THEN block_idx >= 1 AND block_idx <= nb - 3
+                WHEN page_number = lastp THEN block_idx <= nb - 2
+                ELSE TRUE END
+            ),
+            removed AS (
+              SELECT path, page_number, block_idx,
+                     CASE WHEN COALESCE(list_position(ls, ''), 0) > 0
+                          THEN list_slice(ls, 1, list_position(ls, '') - 1)
+                               || list_slice(ls, list_position(ls, '') + 1,
+                                             len(ls))
+                          ELSE ls END AS t
+              FROM kept
+            ),
+            norm AS (
+              SELECT path, page_number, block_idx,
+                     CASE WHEN len(t) < 5
+                          THEN list_slice(t, 1, 2) || [' ', ' ']
+                               || list_slice(t, 3, len(t))
+                          WHEN len(t) > 5
+                          THEN list_slice(t, 1, 2) || [t[3] || t[4]]
+                               || list_slice(t, 5, len(t))
+                          ELSE t END AS v
+              FROM removed
+            )
+            SELECT path, page_number, block_idx,
+                   v[1] AS datetime_str, v[2] AS incident_num,
+                   v[3] AS location, v[4] AS nature, v[5] AS incident_ori
+            FROM norm
+        """
+
+
 def oracle_queries() -> dict[str, str]:
     return {
         "flagship_enriched_report": _FLAGSHIP_SQL,
@@ -5338,93 +5480,11 @@ def oracle_queries() -> dict[str, str]:
             JOIN sizes sb ON inter.b = sb.doc_id
             ORDER BY jaccard DESC, a, b LIMIT 20
         """,
-        "s5_pdf_parse": """
-            WITH fields AS (
-              SELECT doc_id,
-                     printf('%d/%d/2024 %d:%02d', doc_id % 12 + 1,
-                            doc_id % 28 + 1, doc_id % 24, doc_id % 60) AS dt,
-                     printf('2024-%05d', doc_id) AS inc,
-                     printf('BLK %d MAIN ST', doc_id % 50 * 100) AS loca,
-                     printf(' APT %d', doc_id % 20) AS locb,
-                     ['THEFT','FRAUD','EMS','ERROR','PATROL'][
-                       CAST(doc_id % 5 + 1 AS INTEGER)] AS nat,
-                     CASE WHEN doc_id % 5 = 2 THEN 'EMSSTAT'
-                          ELSE 'OK0109973' END AS ori
-              FROM documents
-            ),
-            data AS (
-              SELECT 'reports/daily.pdf' AS path,
-                     CAST(floor(doc_id / 10) AS BIGINT) AS page_number,
-                     CAST(doc_id % 10
-                          + CASE WHEN doc_id < 10 THEN 1 ELSE 0 END
-                          AS BIGINT) AS block_idx,
-                     (CASE WHEN doc_id % 7 = 3
-                           THEN concat_ws(chr(10), dt, inc, ori)
-                           WHEN doc_id % 7 = 5
-                           THEN concat_ws(chr(10), dt, inc, loca, locb, nat, ori)
-                           ELSE concat_ws(chr(10), dt, inc, loca, nat, ori)
-                      END) || chr(10) AS block_text
-              FROM fields
-            ),
-            mx AS (SELECT max(doc_id) AS max_id FROM documents),
-            extras AS (
-              SELECT 'reports/daily.pdf' AS path, CAST(0 AS BIGINT) AS page_number,
-                     CAST(0 AS BIGINT) AS block_idx,
-                     'NORMAN POLICE DEPARTMENT' || chr(10) ||
-                     'Daily Incident Summary (Public)' || chr(10) AS block_text
-              UNION ALL
-              SELECT 'reports/daily.pdf', 0, 11, 'Report Generated' || chr(10)
-              UNION ALL
-              SELECT 'reports/daily.pdf', 0, 12, 'Page 1' || chr(10)
-              UNION ALL
-              SELECT 'reports/daily.pdf', CAST(floor(max_id / 10) AS BIGINT),
-                     CAST(max_id % 10 + 1 AS BIGINT), 'End of Report' || chr(10)
-              FROM mx
-            ),
-            blocks AS (
-              SELECT * FROM data UNION ALL SELECT * FROM extras
-            ),
-            sized AS (
-              SELECT b.*,
-                     count(*) OVER (PARTITION BY path, page_number) AS nb,
-                     max(page_number) OVER (PARTITION BY path) AS lastp
-              FROM blocks b
-            ),
-            kept AS (
-              SELECT path, page_number, block_idx,
-                     string_split(block_text, chr(10)) AS ls
-              FROM sized
-              WHERE CASE
-                WHEN page_number = 0
-                  THEN block_idx >= 1 AND block_idx <= nb - 3
-                WHEN page_number = lastp THEN block_idx <= nb - 2
-                ELSE TRUE END
-            ),
-            removed AS (
-              SELECT path, page_number, block_idx,
-                     CASE WHEN COALESCE(list_position(ls, ''), 0) > 0
-                          THEN list_slice(ls, 1, list_position(ls, '') - 1)
-                               || list_slice(ls, list_position(ls, '') + 1,
-                                             len(ls))
-                          ELSE ls END AS t
-              FROM kept
-            ),
-            norm AS (
-              SELECT path, page_number, block_idx,
-                     CASE WHEN len(t) < 5
-                          THEN list_slice(t, 1, 2) || [' ', ' ']
-                               || list_slice(t, 3, len(t))
-                          WHEN len(t) > 5
-                          THEN list_slice(t, 1, 2) || [t[3] || t[4]]
-                               || list_slice(t, 5, len(t))
-                          ELSE t END AS v
-              FROM removed
-            )
-            SELECT path, page_number, block_idx,
-                   v[1] AS datetime_str, v[2] AS incident_num,
-                   v[3] AS location, v[4] AS nature, v[5] AS incident_ori
-            FROM norm
-        """,
+        "s5_pdf_parse": _S5_PARSE_SQL,
+        # REAL-BYTES twin: same expected output, but the Spark side
+        # produces it by writing an actual PDF and decoding the bytes
+        # (sources/pdf_decode.py) — a green row proves the decode
+        "s5b_pdf_decode": _S5_PARSE_SQL,
         "ret1_bm25_topk": f"""
             WITH tok AS (
               SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
@@ -7536,6 +7596,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd16_minhash_estimate": q_dd16_minhash_estimate,
         "dd5b_ngram_capped": q_dd5b_ngram_capped,
         "s5_pdf_parse": q_s5_pdf_parse,
+        "s5b_pdf_decode": q_s5b_pdf_decode,
         "ta11_lm_quality": q_ta11_lm_quality,
         "ta14_seed_lm_quality": q_ta14_seed_lm_quality,
         "ta12_bpe_tokens": q_ta12_bpe_tokens,
