@@ -1417,6 +1417,20 @@ def q_dd13_repeated_spans(spark, sf_dir):
     return repeated_spans(docs, win_tokens=10, min_count=2)
 
 
+def q_dd13b_repeated_spans_sampled(spark, sf_dir):
+    # winnowed variant of dd13 (round-4 scale item): only each
+    # 8-window argmin enters the corpus-wide count shuffle (~22% of
+    # the rows), deterministic coverage — every duplicated region
+    # >= 31 tokens is detected; argmin carries hash||offset in one
+    # 61-bit key so selection needs no join-back
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        repeated_spans_sampled,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans_sampled(docs, win_tokens=10, winnow_w=8)
+
+
 def q_st6_stream_lsh_probe(spark, sf_dir):
     # continuous dedup: a document stream computes row-wise MinHash
     # bands (stateless map — possible only because signatures no
@@ -6432,6 +6446,64 @@ def oracle_queries() -> dict[str, str]:
                    CAST(max(e - s + 1) AS INTEGER) AS longest_span
             FROM spans GROUP BY doc_id
         """,
+        "dd13b_repeated_spans_sampled": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS ts FROM documents
+              WHERE {_NORM} <> ''
+            ),
+            win AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS off,
+                     ('0x' || substr(md5(array_to_string(
+                       list_slice(ts, CAST(g.i + 1 AS INTEGER),
+                                  CAST(g.i + 10 AS INTEGER)), ' ')),
+                       1, 10))::BIGINT * 2097152 + CAST(g.i AS BIGINT)
+                       AS comb
+              FROM toks, LATERAL (
+                SELECT unnest(range(CAST(len(ts) - 10 + 1 AS BIGINT))) AS i
+              ) g
+              WHERE len(ts) >= 10 AND len(ts) < 2097152
+            ),
+            m AS (
+              SELECT doc_id,
+                     min(comb) OVER (PARTITION BY doc_id ORDER BY off
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND 7 FOLLOWING) AS m
+              FROM win
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id, m FROM m
+            ),
+            dec AS (
+              SELECT doc_id, m % 2097152 AS off, m // 2097152 AS h
+              FROM sel
+            ),
+            dup AS (
+              SELECT doc_id, off FROM (
+                SELECT doc_id, off, count(*) OVER (PARTITION BY h) AS c
+                FROM dec
+              ) WHERE c >= 2
+            ),
+            isl AS (
+              SELECT doc_id, off,
+                     sum(CASE WHEN prev IS NULL OR off - prev > 17
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY off) AS island
+              FROM (
+                SELECT doc_id, off,
+                       lag(off) OVER (PARTITION BY doc_id
+                                      ORDER BY off) AS prev
+                FROM dup
+              )
+            ),
+            spans AS (
+              SELECT doc_id, island, min(off) AS s, max(off) + 9 AS e
+              FROM isl GROUP BY doc_id, island
+            )
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+                   CAST(sum(e - s + 1) AS INTEGER) AS dup_tokens,
+                   CAST(max(e - s + 1) AS INTEGER) AS longest_span
+            FROM spans GROUP BY doc_id
+        """,
         "dd11_segment_dedup": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS} AS ts FROM documents
@@ -7605,6 +7677,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
         "dd13_repeated_spans": q_dd13_repeated_spans,
+        "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,
         "corpus_build2": q_corpus_build2,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,

@@ -547,10 +547,26 @@ def test_changelog_and_lsh_family_plan_shapes(spark):
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
 
-    # semantic dedup: the only nested-loop joins are the sanctioned
-    # broadcast-centroid crossJoins (16-row build side); the pair
-    # generator itself must stay an intra-cluster equi-join
-    p = shape("dd14_semdedup")
+    # semantic dedup, asserted on the PAIR-GENERATION plan (since
+    # round 4 the CC stage eagerly checkpoints, so dd14's final plan
+    # no longer exposes the upstream joins): the only nested-loop
+    # joins are the sanctioned broadcast-centroid crossJoins (16-row
+    # build side); the pair generator itself must stay an
+    # intra-cluster equi-join
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs_qe = embedding_near_dup_pairs(
+        emb, threshold=0.3, block_clusters=16
+    )._jdf.queryExecution()
+    p = pairs_qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     assert "CartesianProduct" not in p
     # formatted mode: each tree reference reads
     # "BroadcastNestedLoopJoin Cross BuildRight (NN)" — every nested
@@ -560,6 +576,9 @@ def test_changelog_and_lsh_family_plan_shapes(spark):
     assert tree_refs, "expected the broadcast-centroid crossJoins"
     for ref in tree_refs:
         assert "Cross Build" in ref, ref
+    # and the final dd14 plan stays loop/cartesian-free
+    p = shape("dd14_semdedup")
+    assert "CartesianProduct" not in p
 
     # audit: single-partition exchanges only for the 1-row check
     # totals; every lineitem/orders scan pushes its filter
@@ -696,6 +715,50 @@ def test_repeated_spans_semantics_and_plan(spark):
         # min_off .. max_off + 10 - 1 = 14 tokens
         assert r["dup_tokens"] == 14, (did, r)
         assert r["longest_span"] == 14
+
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_repeated_spans_sampled_coverage_guarantee(spark):
+    """dd13b: winnowed sampling must DETECT every duplicated region
+    >= 3*winnow_w - 2 + win_tokens - 1 tokens (31 at defaults) — the
+    deterministic coverage bound — and claim only real duplication.
+    A 60-token shared run across two docs is well past the bound; the
+    sampled spans must land inside the true duplicated extent and the
+    no-duplicate doc must stay absent. Also: selection shrinks the
+    count-shuffle input (the measured scale claim)."""
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        repeated_spans_sampled,
+    )
+
+    rng = random.Random(7)
+    shared = " ".join(f"dup{rng.randrange(10**6)}" for _ in range(60))
+    lead = " ".join(f"lead{i}" for i in range(17))
+    tail = " ".join(f"tail{i}" for i in range(23))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + tail),
+            (2, lead + " " + shared),
+            (3, " ".join(f"solo{i}" for i in range(80))),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_spans_sampled(docs, win_tokens=10, winnow_w=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # detection: both copies reported, clean doc absent
+    assert set(rows) == {1, 2}, rows
+    for did, start, end in [(1, 0, 59), (2, 17, 76)]:
+        r = rows[did]
+        assert r["n_dup_spans"] == 1, (did, r)
+        # sampled span is a lower bound nested inside the true extent
+        assert 1 <= r["dup_tokens"] <= 60
+        # it must cover a solid interior chunk: >= 60 - 2*(w-1) - ...
+        # conservative: at least half the run at these parameters
+        assert r["dup_tokens"] >= 30, (did, r)
 
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
