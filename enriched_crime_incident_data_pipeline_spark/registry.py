@@ -2105,15 +2105,24 @@ def q_st5_stream_stream_join(spark, sf_dir):
         stream_events,
     )
 
+    # project to the 3 join/output columns BEFORE the join: the
+    # stream-stream join buffers BOTH inputs in the state store, so
+    # every non-projected column (props JSON, page, amounts…) would
+    # be serialized into state row-by-row — at sf0.1 that alone made
+    # the join ~2× slower (see SCALING.md round-4 st5 note); on an
+    # unbounded feed it's the difference between state ∝ needed bytes
+    # and state ∝ full-event bytes
     p = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
         .withWatermark("ts", "2 hours")
         .alias("p")
     )
     v = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
         .withWatermark("ts", "2 hours")
         .alias("v")
     )
@@ -2129,7 +2138,11 @@ def q_st5_stream_stream_join(spark, sf_dir):
         F.col("v.event_id").alias("view_id"),
         F.col("p.user_id").alias("user_id"),
     )
-    return run_available_now(out, "st5_join", "append")
+    # 8 state partitions: sized to the sf0.1 state volume (~40 k
+    # buffered rows) — see run_available_now's docstring; 32 was pure
+    # per-store commit overhead (the round-3 "st5 regression" was
+    # noise around that fixed cost, root-caused in SCALING.md r4)
+    return run_available_now(out, "st5_join", "append", state_partitions=8)
 
 
 def q_ta7_quality_filter(spark, sf_dir):

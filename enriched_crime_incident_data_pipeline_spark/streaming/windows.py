@@ -42,22 +42,52 @@ def tumbling_counts(
 
 
 def run_available_now(
-    sdf: DataFrame, name: str, output_mode: str = "complete"
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over all currently
     available input (``Trigger.AvailableNow``) into an in-memory
     table and return it as a batch DataFrame.
 
+    ``state_partitions`` sizes the STATE partitioning of stateful
+    operators — a first-class deployment knob, not a bench trick:
+    Spark locks ``spark.sql.shuffle.partitions`` into the checkpoint
+    at the query's first batch, every state partition instantiates
+    its own store (a stream-stream join runs FOUR stores per side per
+    partition), and each store pays a fixed commit cost per
+    micro-batch regardless of rows. Over-partitioned state is
+    therefore pure overhead: the round-4 st5 audit measured the
+    sf0.1 interval join at 7.9 s with 32 state partitions vs 2.7 s
+    with 8, with state commit (not data) the dominant line in
+    ``stateOperators.commitTimeMs``. Size to state volume (rows ×
+    bytes per key), not to CPU count; on a 1000-executor deployment
+    the same reasoning picks a LARGER number than the input-scan
+    parallelism only when state actually needs it. ``None`` keeps
+    the session default. The session conf is restored after the
+    bounded run (the value stays pinned in the checkpoint, which is
+    per-run here).
+
     This is the test/backfill harness; production sinks swap
     ``format("memory")`` for parquet/Delta + checkpointLocation with
     the same trigger.
     """
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

@@ -29,7 +29,14 @@ Shapes:
   are cyclically rotated by k dims — same norms, same intra-replica
   geometry, no cross-replica exact dups.
 
-Usage: python tools/make_sf1.py [outdir]   (default /tmp/spark_graft_sf1)
+Usage: python tools/make_sf1.py [outdir] [replicas]
+       (defaults: /tmp/spark_graft_sf1, 10)
+
+Round 4: ``replicas`` is a parameter so the same derivation yields
+sf3 (30) / sf10 (100) — the genuinely data-dominated points for the
+heaviest document-family operators (dd5/dd13/tfidf/tp1), where sf1
+was still partly overhead-dominated. Key offsets are replica-safe up
+to 100 replicas (orderkey stride 10^7 -> max 10^9, doc stride 10^4).
 """
 
 from __future__ import annotations
@@ -45,6 +52,8 @@ REPLICAS = 10
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
+    assert replicas <= 100, "key strides are replica-safe up to 100"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -65,7 +74,7 @@ def main() -> None:
         " UNION ALL ".join(
             f"SELECT * REPLACE (o_orderkey + {k * 10**7} AS o_orderkey) "
             f"FROM {src('orders')}"
-            for k in range(REPLICAS)
+            for k in range(replicas)
         ),
     )
     write(
@@ -73,7 +82,7 @@ def main() -> None:
         " UNION ALL ".join(
             f"SELECT * REPLACE (l_orderkey + {k * 10**7} AS l_orderkey) "
             f"FROM {src('lineitem')}"
-            for k in range(REPLICAS)
+            for k in range(replicas)
         ),
     )
     write(
@@ -81,7 +90,7 @@ def main() -> None:
         " UNION ALL ".join(
             f"SELECT * REPLACE (event_id + {k * 10**6} AS event_id) "
             f"FROM {src('events')}"
-            for k in range(REPLICAS)
+            for k in range(replicas)
         ),
     )
     write(
@@ -92,7 +101,7 @@ def main() -> None:
             "array_to_string(list_transform(string_split(text, ' '), "
             f"t -> t || 'r{k}'), ' ') AS text, "
             f"lang, source, n_chars FROM {src('documents')}"
-            for k in range(1, REPLICAS)
+            for k in range(1, replicas)
         ),
     )
     write(
@@ -103,7 +112,7 @@ def main() -> None:
             f"list_slice(embedding, {k + 1}, len(embedding)) || "
             f"list_slice(embedding, 1, {k}) AS embedding, "
             f"label FROM {src('embeddings')}"
-            for k in range(1, REPLICAS)
+            for k in range(1, replicas)
         ),
     )
 
