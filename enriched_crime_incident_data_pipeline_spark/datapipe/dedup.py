@@ -852,62 +852,74 @@ def repeated_spans_sampled(
     The exact claimed output is oracle-pinned; the full-vs-sampled
     row-cost ratio is measured in SCALING.md.
 
-    Plan shape: the argmin needs NO join-back — each frame minimum is
+    Plan shape: selection is ENTIRELY map-side — each document's
+    window-hash sequence is built and winnowed inside array
+    expressions on the document's own row (``transform`` →
+    per-position ``array_min`` over the next ``winnow_w`` entries →
+    ``array_distinct``), and only the selected fingerprints are
+    exploded. No argmin join-back is needed because the minimum is
     taken over ``h40·2²¹ + off`` (40-bit window hash ‖ 21-bit
-    offset), so the winning row's hash AND offset decode from the
-    minimum itself; ``distinct`` on that single column is the entire
-    selection. One narrow window pass per doc (map-side after the
-    doc-key shuffle), then the corpus-wide count shuffles only
-    selected rows. 40-bit hash ⇒ 2⁻⁴⁰ pair-collision odds (vs the
-    md5-exact full variant); 21-bit offset ⇒ docs up to 2M tokens
-    (enforced by filter — longer docs would need a 2-level split).
-    Islands merge with gap ≤ ``win_tokens + winnow_w - 1`` because
-    consecutive selected offsets inside one duplicated run are up to
-    ``winnow_w - 1`` apart."""
+    offset): the winning window's hash AND offset decode from the
+    minimum itself. The corpus-wide count is then the ONLY shuffle,
+    over ≈ ``2/(winnow_w+1)`` of the stride-1 rows (the first version
+    of this operator winnowed with a doc-partitioned window frame,
+    which added a full-size doc-keyed shuffle+sort and made the
+    sampled variant SLOWER than the full one at sf10 — the array
+    formulation removed it). 40-bit hash ⇒ 2⁻⁴⁰ pair-collision odds
+    (vs the md5-exact full variant); 21-bit offset ⇒ docs up to 2M
+    tokens (enforced by filter — longer docs would need a 2-level
+    split). Islands merge with gap ≤ ``win_tokens + winnow_w - 1``
+    because consecutive selected offsets inside one duplicated run
+    are up to ``winnow_w - 1`` apart."""
     from enriched_crime_incident_data_pipeline_spark.functions.text import (
         normalize_text,
     )
 
     ts = tokens(F.col(text_col))
     n_wins = F.size(ts) - F.lit(win_tokens) + 1
-    # comb computed INSIDE transform so exploded rows are (id, off,
-    # comb) scalars — exploding first and slicing after would carry
-    # the whole token array on every row (O(tokens²) explode output)
-    wins = (
+    # comb computed INSIDE transform so no exploded row ever carries
+    # the token array; winnow argmins likewise taken in-array so the
+    # selection never shuffles
+    comb_arr = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(ts, i + 1, win_tokens))),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * F.lit(1 << 21)
+        + i,
+    )
+    sel = (
         fan_out(docs)
         .filter(normalize_text(F.col(text_col)) != "")
         .filter((F.size(ts) >= win_tokens) & (F.size(ts) < F.lit(1 << 21)))
+        .select(F.col(id_col), comb_arr.alias("_ca"))
         .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_wins - 1),
-                    lambda i: F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    " ", F.slice(ts, i + 1, win_tokens)
-                                )
-                            ),
-                            1,
-                            10,
+            id_col,
+            # sliding min as least() over winnow_w direct 0-based
+            # get() lookups (null past the end, which least() skips)
+            # — a per-position slice+array_min allocates a fresh
+            # array per window inside the interpreted HOF and
+            # measured ~15% slower than the FULL variant at sf10
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_ca") - 1),
+                        lambda s: F.least(
+                            *[
+                                F.get(F.col("_ca"), s + k)
+                                for k in range(winnow_w)
+                            ]
                         ),
-                        16,
-                        10,
-                    ).cast("long")
-                    * F.lit(1 << 21)
-                    + i,
+                    )
                 )
-            ).alias("off", "comb"),
+            ).alias("m"),
         )
-    )
-    frame = (
-        Window.partitionBy(id_col).orderBy("off").rowsBetween(0, winnow_w - 1)
-    )
-    sel = (
-        wins.withColumn("m", F.min("comb").over(frame))
-        .select(id_col, "m")
-        .distinct()
         .select(
             id_col,
             F.pmod(F.col("m"), F.lit(1 << 21)).alias("off"),

@@ -694,7 +694,9 @@ def q_st3_stream_static_join(spark, sf_dir):
             (F.col("count") * F.col("w")).cast("bigint").alias("weighted_n"),
         )
     )
-    return run_available_now(agg, "st3_static_join", "complete")
+    return run_available_now(
+        agg, "st3_static_join", "complete", state_partitions=8
+    )
 
 
 def q_sessionization(spark, sf_dir):
@@ -1462,7 +1464,9 @@ def q_st6_stream_lsh_probe(spark, sf_dir):
         )
         .dropDuplicates(["a", "b"])
     )
-    return run_available_now(hits, "st6_lsh_probe", "append")
+    return run_available_now(
+        hits, "st6_lsh_probe", "append", state_partitions=8
+    )
 
 
 def q_corpus_build2(spark, sf_dir):
@@ -1634,7 +1638,9 @@ def q_st8_stream_decontaminate(spark, sf_dir):
         .select("doc_id")
         .dropDuplicates(["doc_id"])
     )
-    return run_available_now(hits, "st8_decontaminate", "append")
+    return run_available_now(
+        hits, "st8_decontaminate", "append", state_partitions=8
+    )
 
 
 
@@ -1718,7 +1724,7 @@ def q_st9_stream_hll(spark, sf_dir):
         F.col("register").cast("bigint").alias("register"),
         F.col("rho").cast("bigint").alias("rho"),
     )
-    return run_available_now(out, "st9_hll", "complete")
+    return run_available_now(out, "st9_hll", "complete", state_partitions=8)
 
 
 
@@ -1777,7 +1783,9 @@ def q_st10_stream_embed_probe(spark, sf_dir):
         .filter(F.col("cosine") >= 0.3)
         .select("vec_id", "match_id", "cosine")
     )
-    return run_available_now(hits, "st10_embed_probe", "append")
+    return run_available_now(
+        hits, "st10_embed_probe", "append", state_partitions=8
+    )
 
 
 def q_corpus_build4(spark, sf_dir):
@@ -1846,7 +1854,7 @@ def q_st11_stream_ohlc(spark, sf_dir):
             "open", "high", "low", "close", "n",
         )
     )
-    return run_available_now(bars, "st11_ohlc", "complete")
+    return run_available_now(bars, "st11_ohlc", "complete", state_partitions=8)
 
 
 
@@ -1892,7 +1900,9 @@ def q_st12_stream_temperature_sample(spark, sf_dir):
         .filter(h < F.col("_thr"))
         .select("doc_id", "stratum")
     )
-    return run_available_now(kept, "st12_temp_sample", "append")
+    return run_available_now(
+        kept, "st12_temp_sample", "append", state_partitions=8
+    )
 
 
 def q_corpus_build3(spark, sf_dir):
@@ -2091,7 +2101,7 @@ def q_st4_stream_dedup(spark, sf_dir):
     s = stream_events(spark, sf_dir)
     dd = s.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    return run_available_now(agg, "st4_dedup", "complete")
+    return run_available_now(agg, "st4_dedup", "complete", state_partitions=8)
 
 
 def q_st5_stream_stream_join(spark, sf_dir):
@@ -2411,7 +2421,9 @@ def q_st1_stream_tumbling(spark, sf_dir):
     )
 
     s = stream_events(spark, sf_dir)
-    return run_available_now(tumbling_counts(s), "st1_tumbling", "complete")
+    return run_available_now(
+        tumbling_counts(s), "st1_tumbling", "complete", state_partitions=8
+    )
 
 
 def q_st2_stream_sessions(spark, sf_dir):
@@ -2423,7 +2435,8 @@ def q_st2_stream_sessions(spark, sf_dir):
 
     s = stream_events(spark, sf_dir)
     return run_available_now(
-        session_counts_stateful(s), "st2_sessions", "update"
+        session_counts_stateful(s), "st2_sessions", "update",
+        state_partitions=8,
     )
 
 
