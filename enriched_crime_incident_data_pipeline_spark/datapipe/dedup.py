@@ -625,22 +625,93 @@ def segment_dedup(
     ``(id, n_kept, deduped_text)`` for documents retaining ≥1
     segment.
 
-    One shuffle on the segment md5 (uniform 128-bit key, no skew) for
-    the keep-first window; the rebuild groups by document with an
-    order-pinned fold (collect → array_sort by seg_idx → join), so
-    output text is deterministic under any partitioning. Segment
-    boundaries are token-index-based, which makes the split — and the
-    whole operator — reproducible in plain SQL, unlike
+    SEGMENT TEXT NEVER CROSSES A SHUFFLE: the keeper aggregation
+    moves only ``(seg_hash, id·2²¹ + seg_idx)`` — a 128-bit key and
+    one long — through a pure HashAggregate (``min`` over the encoded
+    long is exactly lowest-(id, seg_idx); a ``min(struct(...))``
+    keeper would fall back to SortAggregate because struct buffers
+    are not hash-aggregatable, and the row_number-window alternative
+    both shuffles and sorts every row WITH its text). The rebuild
+    then collects each surviving document's winner seg_idx list (an
+    int array per doc) and joins it back to the docs relation, so
+    document text moves across the cluster at most once — in the
+    doc-keyed rebuild join — instead of twice (segs by hash + kept
+    segs by doc) as a text-carrying formulation pays. Encoding
+    bounds, as in :func:`repeated_spans_sampled`: seg_idx < 2²¹
+    (docs ≤ ~2M segments) and id < 2⁴², documented input contract.
+    Segment boundaries are token-index-based, which makes the split —
+    and the whole operator — reproducible in plain SQL, unlike
     semantic-boundary splitters.
     """
     segs = doc_segments(docs, seg_tokens, id_col, text_col)
-    w = Window.partitionBy("seg_hash").orderBy(id_col, "seg_idx")
-    kept = (
-        segs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    kept = keep_first_segment(segs, id_col)
+    return rebuild_winners(kept, docs, seg_tokens, id_col, text_col)
+
+
+def keep_first_segment(segs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """First corpus occurrence of every segment hash — lowest
+    (id, seg_idx) — as ``min(id·2²¹ + seg_idx)`` per hash: a plain
+    long-typed hash aggregate (map-side partial combine collapses
+    repeated segments before the shuffle; no sort anywhere), decoded
+    back to ``(id, seg_idx, seg_hash)``. Equivalent to ``row_number()
+    over (partition by seg_hash order by id, seg_idx) = 1`` for
+    seg_idx < 2²¹ and id < 2⁴² (the encoding contract). Shared by
+    :func:`segment_dedup` and the streaming ingest's within-batch
+    dedup so both apply the identical keeper rule; the input only
+    needs ``(id, seg_idx, seg_hash)`` — project segment text away
+    before calling so it never enters the shuffle."""
+    comb = F.col(id_col) * F.lit(1 << 21) + F.col("seg_idx")
+    return (
+        segs.select("seg_hash", comb.alias("_comb"))
+        .groupBy("seg_hash")
+        .agg(F.min("_comb").alias("_w"))
+        .select(
+            F.shiftright(F.col("_w"), 21).alias(id_col),
+            F.col("_w").bitwiseAND(F.lit((1 << 21) - 1))
+            .cast("int")
+            .alias("seg_idx"),
+            "seg_hash",
+        )
     )
-    return rebuild_from_segments(kept, id_col)
+
+
+def rebuild_winners(
+    kept: DataFrame,
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reassemble ``(id, n_kept, deduped_text)`` from winner
+    ``(id, seg_idx)`` rows by re-slicing the original documents:
+    collect each doc's surviving seg_idx list (ints — tiny), join it
+    back to ``docs``, and cut the kept segments out of the token
+    array in index order. Re-tokenizing costs CPU once more but the
+    only data that moves is the int lists and one pass of the docs
+    relation — segment text itself is never shuffled."""
+    per_doc = kept.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("seg_idx")).alias("_idxs")
+    )
+    ts = tokens(F.col(text_col))
+    return (
+        docs.join(per_doc, id_col)
+        .select(
+            id_col,
+            F.size("_idxs").cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    "_idxs",
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            ts, i * F.lit(seg_tokens) + 1, F.lit(seg_tokens)
+                        ),
+                    ),
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+    )
 
 
 def doc_segments(
@@ -677,28 +748,6 @@ def doc_segments(
             ).alias("seg_idx", "seg"),
         )
         .withColumn("seg_hash", F.md5("seg"))
-    )
-
-
-def rebuild_from_segments(kept: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Reassemble ``(id, n_kept, deduped_text)`` from surviving
-    segments, order-pinned (collect → array_sort by seg_idx → join)
-    so the text is deterministic under any partitioning."""
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_kept"),
-            F.array_sort(
-                F.collect_list(F.struct("seg_idx", "seg"))
-            ).alias("_arr"),
-        )
-        .select(
-            id_col,
-            "n_kept",
-            F.array_join(
-                F.transform("_arr", lambda x: x["seg"]), " "
-            ).alias("deduped_text"),
-        )
     )
 
 

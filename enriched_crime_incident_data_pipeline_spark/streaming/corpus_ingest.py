@@ -51,15 +51,16 @@ import os
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
     doc_segments,
     incremental_lsh_pairs,
+    keep_first_segment,
     lsh_candidate_pairs,
     minhash_bands,
-    rebuild_from_segments,
+    rebuild_winners,
 )
 
 _BANDS = "band_index"
@@ -127,22 +128,25 @@ def corpus_ingest_batch(
         # keep-earliest: a pair (a, b) with a < b drops b; with
         # id-ordered arrival the greater side is always in this batch
         dropped = pairs.select(F.col("b").alias("doc_id")).distinct()
-        kept_docs = batch_df.join(dropped, "doc_id", "left_anti")
-        segs = doc_segments(kept_docs, seg_tokens)
+        kept_docs = batch_df.join(
+            dropped, "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        # segment text is projected away right after the map-side md5:
+        # the seen-state anti-join and the keeper aggregate move only
+        # (seg_hash, encoded id·2²¹+idx) — text re-enters via the
+        # doc-keyed rebuild join, the same never-shuffle-text shape
+        # as the batch twin's segment_dedup
+        segs = doc_segments(kept_docs, seg_tokens).select(
+            "doc_id", "seg_idx", "seg_hash"
+        )
         segs_path = _p(state_dir, _SEGS)
         if os.path.exists(segs_path):
             seen = spark.read.parquet(segs_path).filter(
                 F.col("batch") != batch_id
             ).drop("batch")
             segs = segs.join(seen, "seg_hash", "left_anti")
-        w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
-        kept_segs = (
-            segs.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .localCheckpoint(eager=True)
-        )
-        rebuilt = rebuild_from_segments(kept_segs)
+        kept_segs = keep_first_segment(segs).localCheckpoint(eager=True)
+        rebuilt = rebuild_winners(kept_segs, kept_docs, seg_tokens)
         new_bands.write.mode("overwrite").parquet(
             _batch_p(state_dir, _BANDS, batch_id)
         )

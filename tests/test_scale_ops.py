@@ -602,11 +602,13 @@ def test_round2_ops_plan_shapes(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
-    # segment dedup: the only wide ops are the md5 window and the
-    # per-doc rebuild — equi-shuffles, no joins at all
+    # segment dedup: keeper is a pure long-typed HashAggregate (the
+    # min(struct) form would fall back to SortAggregate; a window
+    # would shuffle+sort text) and the text re-enters only via the
+    # doc-keyed rebuild join — no sort-based operator anywhere
     p = qs["dd11_segment_dedup"](spark, sf)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in p
-    assert "CartesianProduct" not in p
+    assert "SortAggregate" not in p and "WindowExec" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
     # PQ coding: codebook broadcast; ADC joins codes to a broadcast LUT
     for name in ("ss7_pq_codes", "ss8_pq_adc_topk"):
