@@ -83,6 +83,46 @@ def ngram_contamination(
     )
 
 
+def ngram_overlap_fraction(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Fractional contamination score per training document — the
+    GPT-3/PaLM-style report metric: of a doc's distinct ``n``-grams,
+    what fraction appears anywhere in the eval set. Returns
+    ``(doc_id, n_grams, n_shared, overlap_frac)``; unlike
+    :func:`ngram_contamination`'s 0/1 flag, the fraction supports
+    graduated policies (drop > 50%, down-weight > 10%, audit > 0).
+
+    Same scale shape as the boolean variant: eval grams broadcast
+    (benchmarks are MBs, the corpus TBs), train side shingled
+    map-only, one shuffle on doc_id. ``overlap_frac`` is a single
+    int/int IEEE division, so the oracle reproduces it bit-for-bit.
+    """
+    eval_grams = doc_ngrams(eval_docs, n).select("gram").distinct()
+    tg = doc_ngrams(train, n)
+    hit = tg.join(
+        F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 def cross_snapshot_new_docs(
     new_docs: DataFrame, old_docs: DataFrame, key_col: str = "fingerprint"
 ) -> DataFrame:

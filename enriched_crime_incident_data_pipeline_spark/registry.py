@@ -3089,6 +3089,20 @@ def q_dc1_contamination(spark, sf_dir):
     return ngram_contamination(train, eval_docs, n=8)
 
 
+def q_dc4_overlap_fraction(spark, sf_dir):
+    # fractional contamination (GPT-3/PaLM-style): share of each
+    # training doc's distinct 8-grams found in the eval set — the
+    # graduated-policy companion to dc1's boolean flag
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        ngram_overlap_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_overlap_fraction(train, eval_docs, n=8)
+
+
 def q_dc2_cross_snapshot(spark, sf_dir):
     # incremental-corpus dedup: new snapshot (doc_id >= 250) anti-joined
     # against the previous snapshot's content fingerprints
@@ -7153,6 +7167,24 @@ def oracle_queries() -> dict[str, str]:
             FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
             WHERE d.doc_id % 50 <> 0
         """,
+        "dc4_overlap_fraction": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS t(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+            SELECT g.doc_id,
+                   CAST(count(*) AS INTEGER) AS n_grams,
+                   CAST(count(ev.gram) AS INTEGER) AS n_shared,
+                   CAST(count(ev.gram) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS overlap_frac
+            FROM g LEFT JOIN ev USING (gram)
+            WHERE g.doc_id % 50 <> 0
+            GROUP BY g.doc_id
+        """,
         "dc2_cross_snapshot": f"""
             WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint
                         FROM documents)
@@ -7950,6 +7982,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "stat1_corr": q_stat1_corr,
         "dc1_contamination": q_dc1_contamination,
         "dc2_cross_snapshot": q_dc2_cross_snapshot,
+        "dc4_overlap_fraction": q_dc4_overlap_fraction,
         "ta8_repetition": q_ta8_repetition,
         "ta9_pii_scrub": q_ta9_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,

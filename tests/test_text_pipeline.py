@@ -41,6 +41,26 @@ def test_contamination_flags_only_overlapping_docs(spark):
     assert out[2] == (0, 0)
 
 
+def test_overlap_fraction_bounds_and_exact_values(spark):
+    # doc 1: every 2-gram of "a b c" ({"a b","b c"}) is in eval -> 1.0;
+    # doc 2: one of its two 2-grams hits -> 0.5; doc 3: disjoint -> 0.0
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        ngram_overlap_fraction,
+    )
+
+    eval_docs = _docs(spark, [(100, "a b c")])
+    train = _docs(
+        spark, [(1, "a b c"), (2, "b c x"), (3, "p q r")]
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["overlap_frac"])
+        for r in ngram_overlap_fraction(train, eval_docs, n=2).collect()
+    }
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
+
+
 def test_contamination_short_doc_clamp(spark):
     # a 2-token eval doc still contributes its full text as one gram
     eval_docs = _docs(spark, [(100, "tiny doc")])
