@@ -79,6 +79,10 @@ LONGTAIL = [
     "dd14_semdedup",  # embedding SemDeDup: blocked pairs + CC (r3)
     "tp11_curriculum_order",  # LM-scored global order index (r3)
     "corpus_build4",  # seed-LM -> budget -> curriculum capstone (r3)
+    "dd11_segment_dedup",  # never-shuffle-text segment dedup (r4)
+    "dc4_overlap_fraction",  # fractional contamination score (r4)
+    "sj1_salted_hot_agg",  # two-phase salted agg over 90%-hot key (r4)
+    "zo1_zorder_tiles",  # Morton-tile layout stats (r4)
 ]
 
 

@@ -765,3 +765,35 @@ def test_repeated_spans_sampled_coverage_guarantee(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Scale invariants for the round-4 operators: the salted agg
+    really two-phases (two aggregate exchanges, no single hot
+    reducer key), the salted join replicates the small side instead
+    of nested-looping, and the z-order tiling is pure hash
+    aggregation over deterministic prefix buckets."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # sj1: phase-1 groupBy (key, salt) then phase-2 groupBy key —
+    # two Exchange+HashAggregate pairs, no sort-based aggregate
+    p = qs["sj1_salted_hot_agg"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("HashAggregate") >= 4  # partial+final per phase
+    assert "SortAggregate" not in p and "CartesianProduct" not in p
+
+    # sj2: joins on (k, salt); never a nested loop over the big side
+    p = qs["sj2_salted_join"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+    # zo1: no join at all — one hash aggregation over the z-prefix
+    p = qs["zo1_zorder_tiles"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p and "SortAggregate" not in p
+
+    # dc4: eval grams broadcast; train side never sort-merge-joins
+    p = qs["dc4_overlap_fraction"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
