@@ -643,9 +643,14 @@ def segment_dedup(
     and the whole operator — reproducible in plain SQL, unlike
     semantic-boundary splitters.
     """
-    segs = doc_segments(docs, seg_tokens, id_col, text_col)
+    # the docs relation feeds both the segment pass and the rebuild
+    # join — pin the (id, text) projection so an expensive upstream
+    # lineage (quality filters, LSH dedup in the corpus builds)
+    # executes once, not twice
+    base = _pin(docs.select(id_col, text_col))
+    segs = doc_segments(base, seg_tokens, id_col, text_col)
     kept = keep_first_segment(segs, id_col)
-    return rebuild_winners(kept, docs, seg_tokens, id_col, text_col)
+    return rebuild_winners(kept, base, seg_tokens, id_col, text_col)
 
 
 def keep_first_segment(segs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -721,7 +726,12 @@ def doc_segments(
     text_col: str = "text",
 ) -> DataFrame:
     """Consecutive ``seg_tokens``-token segments of every document:
-    ``(id, seg_idx, seg, seg_hash)``. The shared front half of
+    ``(id, seg_idx, seg, seg_hash)``. ``seg_hash`` is the md5 as
+    16-byte BINARY (``unhex``), not the 32-char hex string: the hash
+    is internal (never part of an oracle-compared output), it
+    dominates the keeper shuffle now that segment text no longer
+    crosses it, and random hex bytes don't compress — binary halves
+    the dominant shuffle term for free. The shared front half of
     :func:`segment_dedup` and the streaming corpus-ingest path
     (``streaming/corpus_ingest.py``), split out so both dedup against
     the same segment identity (md5 of the joined token run)."""
@@ -747,7 +757,7 @@ def doc_segments(
                 )
             ).alias("seg_idx", "seg"),
         )
-        .withColumn("seg_hash", F.md5("seg"))
+        .withColumn("seg_hash", F.unhex(F.md5("seg")))
     )
 
 
