@@ -90,16 +90,25 @@ def _shingle_hashes(
 
 def _banded(sigs: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
     """(id, mh0..mh{n-1}) → one row per (doc, band):
-    band_hash = md5 of the '-'-joined minhashes in the band."""
+    band_hash = md5 of the '-'-joined minhashes in the band, carried
+    as 16-byte BINARY (``unhex``) — the band table is the join key of
+    every LSH shuffle (candidate self-join, incremental index probe,
+    streaming state), and random hex chars don't compress, so binary
+    halves the dominant per-row term. Hex↔binary is a bijection:
+    bucket equality, and therefore every candidate pair, is
+    unchanged. Queries that EXPOSE band_hash re-encode with
+    ``lower(hex(...))`` at the output boundary (``q_dd2``)."""
     bands = []
     for b in range(num_hashes // band_size):
         cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
         bands.append(
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols])).alias(
-                    "band_hash"
-                ),
+                F.unhex(
+                    F.md5(
+                        F.concat_ws("-", *[c.cast("string") for c in cols])
+                    )
+                ).alias("band_hash"),
             )
         )
     return sigs.select(

@@ -746,7 +746,11 @@ def q_dd1_exact_dedup(spark, sf_dir):
 
 def q_dd2_minhash_bands(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_bands(docs)
+    # internal band_hash is 16-byte binary (shuffle-lean); re-encode
+    # as the md5 hex string at the output boundary for the oracle
+    return minhash_bands(docs).withColumn(
+        "band_hash", F.lower(F.hex(F.col("band_hash")))
+    )
 
 
 def q_dd3_lsh_pairs(spark, sf_dir):
