@@ -1059,6 +1059,19 @@ def q_mm4_resize_plan(spark, sf_dir):
     return resize_thumbnails(media, max_side=224)
 
 
+def q_mm5_phash_neardup(spark, sf_dir):
+    # perceptual (dHash) image near-dup pairs over binary media:
+    # Arrow-kernel signatures, 4x16-bit pigeonhole band candidate
+    # join (complete for Hamming<=3), exact bit_count(xor) verify —
+    # the image-side twin of dd8's text SimHash dedup
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phash_near_dup_pairs(_documents_as_media(docs), max_hamming=3)
+
+
 def q_a10_count_distinct(spark, sf_dir):
     # distinct-aggregate: planned as a two-phase expand + aggregate
     li = load_table(spark, sf_dir, "lineitem")
@@ -5420,6 +5433,63 @@ def oracle_queries() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
+        "mm5_phash_neardup": """
+            WITH hx AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS nb
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
+            ),
+            cellsum AS (
+              SELECT doc_id, CAST(i % 72 AS INTEGER) AS k,
+                     CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                              ::INTEGER) AS BIGINT) AS s
+              FROM pos GROUP BY doc_id, i % 72
+            ),
+            grid AS (
+              SELECT d.doc_id, CAST(g.k AS INTEGER) AS k
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(72)) AS k) g
+            ),
+            cells AS (
+              SELECT grid.doc_id, grid.k, COALESCE(cellsum.s, 0) AS s
+              FROM grid LEFT JOIN cellsum
+                ON grid.doc_id = cellsum.doc_id AND grid.k = cellsum.k
+            ),
+            bits AS (
+              -- dHash bit j = r*8 + c: grid cell (r*9+c) > (r*9+c+1)
+              SELECT a.doc_id,
+                     CAST((a.k // 9) * 8 + (a.k % 9) AS INTEGER) AS j,
+                     CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+              FROM cells a JOIN cells b
+                ON a.doc_id = b.doc_id AND b.k = a.k + 1
+              WHERE a.k % 9 <> 8
+            ),
+            bands AS (
+              SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
+                     CAST(sum(CAST(bit AS BIGINT)
+                              * (1::BIGINT << (j % 16))) AS BIGINT) AS band_val
+              FROM bits GROUP BY doc_id, j // 16
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS media_a, r.doc_id AS media_b
+              FROM bands l JOIN bands r
+                ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+               AND l.doc_id < r.doc_id
+            ),
+            ham AS (
+              SELECT c.media_a, c.media_b,
+                     CAST(sum(CASE WHEN ba.bit <> bb.bit
+                              THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+              FROM cand c
+              JOIN bits ba ON ba.doc_id = c.media_a
+              JOIN bits bb ON bb.doc_id = c.media_b AND bb.j = ba.j
+              GROUP BY c.media_a, c.media_b
+            )
+            SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 3
+        """,
         "mm3_frame_sample": """
             SELECT doc_id AS media_id,
                    CAST(g.i AS INTEGER) AS frame_idx,
@@ -8015,6 +8085,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "udf1_pandas_parity": q_udf1_pandas_parity,
         "udtf2_word_offsets": q_udtf2_word_offsets,
         "mm4_resize_plan": q_mm4_resize_plan,
+        "mm5_phash_neardup": q_mm5_phash_neardup,
         "stat2_mad": q_stat2_mad,
         "stat3_mode": q_stat3_mode,
         "stat4_gini": q_stat4_gini,

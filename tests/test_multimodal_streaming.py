@@ -337,3 +337,72 @@ def test_stateless_ivf_assign_equals_batch_argmax(spark):
         .collect()
     }
     assert got == want and got
+
+
+def _dhash_model(content: bytes) -> int:
+    """Pure-Python reference model of the dHash kernel."""
+    if not content:
+        return 0
+    cells = [0] * 72
+    for i, byte in enumerate(content):
+        cells[i % 72] += byte
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            if cells[r * 9 + c] > cells[r * 9 + c + 1]:
+                h |= 1 << (r * 8 + c)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def test_dhash_kernel_matches_python_model(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        dhash_signatures,
+    )
+
+    payloads = [
+        (1, b"the quick brown fox jumps over the lazy dog" * 8),
+        (2, b"the quick brown fox jumps over the lazy dog" * 8),  # exact dup
+        (3, bytes(range(256)) * 3),
+        (4, b"x"),  # shorter than one grid pass
+        (5, b""),
+        (6, None),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p) if p is not None else None) for i, p in payloads],
+        schema="media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_signatures(media).collect()
+    }
+    for i, p in payloads:
+        assert got[i] == _dhash_model(p or b""), f"media {i}"
+    assert got[1] == got[2]
+
+
+def test_phash_near_dup_finds_dups_and_stays_banded(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = b"incident report: armed robbery at 123 main street, suspect fled north " * 6
+    # flip a couple of bytes -> near-identical byte fold -> small hamming
+    near = bytearray(base)
+    near[10] ^= 1
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(base)),          # exact dup: hamming 0
+            (3, bytearray(bytes(near))),   # near dup
+            (4, bytes(range(256)) * 2),    # unrelated
+        ],
+        schema="media_id long, content binary",
+    )
+    pairs = phash_near_dup_pairs(media, max_hamming=3)
+    got = {(r["media_a"], r["media_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+    # candidate generation is a band equi-join, never a cartesian
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
