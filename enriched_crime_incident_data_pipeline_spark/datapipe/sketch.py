@@ -241,3 +241,60 @@ def hll_distinct_estimate(df: DataFrame, col: Column) -> DataFrame:
             )
         ).alias("raw_estimate"),
     )
+
+
+def hll_grouped_registers(
+    df: DataFrame, group_cols: list[str], col: Column
+) -> DataFrame:
+    """Per-group HLL register tables: ``(*group_cols, register, rho)``.
+
+    This is the distributed sketch-state shape for count-distinct
+    ROLLUPS: each group's 1024-row register table is a complete,
+    mergeable sketch — union of groups = ``max`` of registers — so a
+    100 TB pipeline computes the leaf level once (one map-side-
+    combinable groupBy) and derives every coarser level by merging
+    tiny register tables instead of rescanning the fact data.
+    """
+    h = F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+    reg = F.shiftright(h, _HLL_W_BITS)
+    w = h - F.shiftleft(reg, _HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge register tables up a hierarchy: the coarser level's
+    sketch is ``max(rho)`` per register — associative/commutative/
+    idempotent, so merged state equals the sketch computed directly
+    from the union'd raw data (the property the oracle checks)."""
+    keys = [*group_cols, "register"]
+    return regs.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimates_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Raw HLL estimate per group from register state:
+    ``(*group_cols, m, observed, raw_estimate)``. Same estimator (and
+    the same exact-in-any-order dyadic denominator) as
+    :func:`hll_distinct_estimate`."""
+    grouped = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
+    return grouped.agg(
+        F.lit(HLL_M).alias("m"),
+        F.count(F.lit(1)).cast("int").alias("observed"),
+        (
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
+            )
+        ).alias("raw_estimate"),
+    )

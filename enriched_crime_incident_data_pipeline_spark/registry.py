@@ -1216,6 +1216,59 @@ def q_sk4_hll_distinct(spark, sf_dir):
     return hll_distinct_estimate(li, F.col("l_partkey").cast("string"))
 
 
+def q_sk5_hll_rollup(spark, sf_dir):
+    # mergeable-sketch rollup: distinct active customers per nation /
+    # region / global as HLL register tables. The leaf (nation) level
+    # is the ONLY pass over the fact data; region and global sketches
+    # are derived by MERGING register tables (max per register) — the
+    # associativity the oracle verifies by computing each level
+    # directly from the raw rows. This is the 100 TB count-distinct
+    # rollup shape: 1 KiB of state per group, no re-scan per level.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        hll_estimates_from_registers,
+        hll_grouped_registers,
+        hll_merge_registers,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rel = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_name", "r_name", F.col("o_custkey").cast("string").alias("cust"))
+    )
+    nat_regs = hll_grouped_registers(rel, ["n_name", "r_name"], F.col("cust"))
+    reg_regs = hll_merge_registers(nat_regs, ["r_name"])
+    glob_regs = hll_merge_registers(reg_regs, [])
+    est = lambda regs, cols, level, key: (  # noqa: E731
+        hll_estimates_from_registers(regs, cols).select(
+            F.lit(level).alias("level"),
+            key.alias("key"),
+            "m",
+            "observed",
+            "raw_estimate",
+        )
+    )
+    return (
+        est(nat_regs, ["n_name", "r_name"], "nation", F.col("n_name"))
+        .unionByName(est(reg_regs, ["r_name"], "region", F.col("r_name")))
+        .unionByName(est(glob_regs, [], "global", F.lit("ALL")))
+    )
+
+
 def q_sk1_kmv_distinct(spark, sf_dir):
     # deterministic KMV distinct sketch: k smallest md5 hashes →
     # estimate, reproducible bit-for-bit in any engine with md5
@@ -7074,6 +7127,64 @@ def oracle_queries() -> dict[str, str]:
                         + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
             FROM rho
         """,
+        "sk5_hll_rollup": """
+            -- each level computed DIRECTLY from the raw rows; equality
+            -- with the engine's merged-register path IS the sketch
+            -- mergeability property under oracle check
+            WITH rel AS (
+              SELECT n.n_name, r.r_name, CAST(o.o_custkey AS VARCHAR) AS cust
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+            ),
+            parts AS (
+              SELECT n_name, r_name,
+                     (('0x' || substr(md5(cust), 1, 13))::BIGINT)
+                       // 4398046511104 AS register,
+                     (('0x' || substr(md5(cust), 1, 13))::BIGINT)
+                       % 4398046511104 AS w
+              FROM rel
+            ),
+            rho_nation AS (
+              SELECT n_name, register,
+                     max(CASE WHEN w = 0 THEN 43
+                              ELSE 43 - length(bin(w)) END) AS rho
+              FROM parts GROUP BY n_name, register
+            ),
+            rho_region AS (
+              SELECT r_name, register,
+                     max(CASE WHEN w = 0 THEN 43
+                              ELSE 43 - length(bin(w)) END) AS rho
+              FROM parts GROUP BY r_name, register
+            ),
+            rho_global AS (
+              SELECT register,
+                     max(CASE WHEN w = 0 THEN 43
+                              ELSE 43 - length(bin(w)) END) AS rho
+              FROM parts GROUP BY register
+            )
+            SELECT 'nation' AS level, n_name AS key, 1024 AS m,
+                   CAST(count(*) AS INTEGER) AS observed,
+                   (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                     / (sum(power(2.0, -rho))
+                        + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
+            FROM rho_nation GROUP BY n_name
+            UNION ALL
+            SELECT 'region' AS level, r_name AS key, 1024 AS m,
+                   CAST(count(*) AS INTEGER) AS observed,
+                   (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                     / (sum(power(2.0, -rho))
+                        + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
+            FROM rho_region GROUP BY r_name
+            UNION ALL
+            SELECT 'global' AS level, 'ALL' AS key, 1024 AS m,
+                   CAST(count(*) AS INTEGER) AS observed,
+                   (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                     / (sum(power(2.0, -rho))
+                        + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
+            FROM rho_global
+        """,
         "sk1_kmv_distinct": f"""
             WITH h AS (
               SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
@@ -8029,6 +8140,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "asof_join": q_asof_join,
         "sk1_kmv_distinct": q_sk1_kmv_distinct,
         "sk4_hll_distinct": q_sk4_hll_distinct,
+        "sk5_hll_rollup": q_sk5_hll_rollup,
         "st9_stream_hll": q_st9_stream_hll,
         "st10_stream_embed_probe": q_st10_stream_embed_probe,
         "st11_stream_ohlc": q_st11_stream_ohlc,

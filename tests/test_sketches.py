@@ -149,3 +149,36 @@ def test_hll_estimate_accuracy_and_mergeability(spark):
     # partitioning invariance: same bits under any layout
     re_est = hll_distinct_estimate(df.repartition(13), F.col("x")).first()
     assert re_est["raw_estimate"] == est["raw_estimate"]
+
+
+def test_hll_grouped_rollup_merge_equals_direct(spark):
+    """sk5: merging leaf-group register tables up a hierarchy (max per
+    register) yields EXACTLY the sketch computed directly from the
+    coarser group's raw rows — so a rollup never rescans fact data."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        hll_estimates_from_registers,
+        hll_grouped_registers,
+        hll_merge_registers,
+    )
+
+    df = spark.range(40000).select(
+        (F.col("id") % 4).alias("leaf"),
+        (F.col("id") % 2).alias("parent"),
+        F.concat(F.lit("v"), F.col("id")).alias("x"),
+    )
+    leaf_regs = hll_grouped_registers(df, ["leaf", "parent"], F.col("x"))
+    merged_parent = hll_merge_registers(leaf_regs, ["parent"])
+    direct_parent = hll_grouped_registers(df, ["parent"], F.col("x"))
+    assert (
+        merged_parent.exceptAll(direct_parent).count() == 0
+        and direct_parent.exceptAll(merged_parent).count() == 0
+    )
+    est = {
+        r["parent"]: r["raw_estimate"]
+        for r in hll_estimates_from_registers(
+            merged_parent, ["parent"]
+        ).collect()
+    }
+    # each parent sees 20000 distinct values (x = v<id>, ids split 2-way)
+    for p in (0, 1):
+        assert abs(est[p] - 20000) < 20000 * 0.13
