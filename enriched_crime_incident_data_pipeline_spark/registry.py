@@ -4112,6 +4112,56 @@ def q_ret1_bm25_topk(spark, sf_dir):
 
 
 
+def q_ret2_hybrid_rrf(spark, sf_dir):
+    # hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    # top-20 (ret1) and the dense ANN top-20 (ss1) for the same item
+    # space — the standard sparse+dense fusion. RRF works on RANKS
+    # (1/(60+rank): one correctly-rounded IEEE divide per list, sum
+    # in fixed text+vec order), so the two scoring scales never mix
+    # and the fusion is bit-reproducible cross-engine. Both input
+    # rank windows run over <= 20 survivor rows; fusion is a full
+    # outer join of two tiny relations; final top-10 is TakeOrdered.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        bm25_topk,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        brute_force_neighbors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text = bm25_topk(docs, n_terms=3, k=20)
+    text_r = text.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("text_rank"),
+    )
+    vec_r = brute_force_neighbors(emb, query_vec_id=0, k=20).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = (
+        text_r.join(vec_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("text_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+    return fused
+
+
 def q_tp13_epoch_reshuffle(spark, sf_dir):
     # multi-epoch training order without materialization: every
     # (epoch, doc) gets a stable (shard, position) from an
@@ -5805,6 +5855,79 @@ def oracle_queries() -> dict[str, str]:
                    sum(w ORDER BY tok) AS score
             FROM w GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "ret2_hybrid_rrf": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl
+              FROM dl
+            ),
+            dft AS (
+              SELECT tok, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, tok FROM tok
+              ) GROUP BY tok
+            ),
+            terms AS (
+              SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 3
+            ),
+            tf AS (
+              SELECT t.doc_id, t.tok, any_value(te.df) AS df,
+                     count(*) AS tf
+              FROM tok t JOIN terms te ON t.tok = te.tok
+              GROUP BY t.doc_id, t.tok
+            ),
+            w AS (
+              SELECT tf.doc_id, tf.tok,
+                     ((CAST(s.n_docs AS DOUBLE) - CAST(tf.df AS DOUBLE)
+                       + 0.5) / (CAST(tf.df AS DOUBLE) + 0.5))
+                     * (CAST(tf.tf AS DOUBLE) * 2.2)
+                     / (CAST(tf.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                / s.avgdl))) AS w
+              FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+            ),
+            bm AS (
+              SELECT doc_id, sum(w ORDER BY tok) AS score
+              FROM w GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 20
+            ),
+            tr AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS INTEGER) AS text_rank
+              FROM bm
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            a AS (SELECT * FROM e WHERE vec_id <> 0),
+            b AS (SELECT v FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT a.vec_id AS neighbor_id, {_COS} AS cosine FROM a, b
+            ),
+            vr AS (
+              SELECT neighbor_id AS doc_id, CAST(rn AS INTEGER) AS vec_rank
+              FROM (
+                SELECT *, row_number() OVER (
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM scored
+              ) WHERE rn <= 20
+            ),
+            fused AS (
+              SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+                     tr.text_rank, vr.vec_rank,
+                     COALESCE(CAST(1 AS DOUBLE)
+                              / CAST(60 + tr.text_rank AS DOUBLE), 0.0)
+                       + COALESCE(CAST(1 AS DOUBLE)
+                                  / CAST(60 + vr.vec_rank AS DOUBLE), 0.0)
+                       AS rrf_score
+              FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
+            )
+            SELECT doc_id, text_rank, vec_rank, rrf_score
+            FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
         """,
         "ta11_lm_quality": _TA11_SQL,
         "ta14_seed_lm_quality": f"""
@@ -8173,6 +8296,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta9_pii_scrub": q_ta9_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
         "ret1_bm25_topk": q_ret1_bm25_topk,
+        "ret2_hybrid_rrf": q_ret2_hybrid_rrf,
         "wa1_lead_lag": q_wa1_lead_lag,
         "wa2_rolling": q_wa2_rolling,
         "wa3_range_frame": q_wa3_range_frame,
