@@ -2496,6 +2496,23 @@ def q_st1_stream_tumbling(spark, sf_dir):
     )
 
 
+def q_st13_stream_sliding(spark, sf_dir):
+    # overlapping sliding windows (10 min every 5 min) as a
+    # watermarked streaming aggregation; the bounded AvailableNow run
+    # must equal the batch expansion (each event in exactly 2
+    # windows), which is what the oracle computes
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        sliding_counts,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    return run_available_now(
+        sliding_counts(s), "st13_sliding", "complete", state_partitions=8
+    )
+
+
 def q_st2_stream_sessions(spark, sf_dir):
     from enriched_crime_incident_data_pipeline_spark.streaming import (
         run_available_now,
@@ -5079,6 +5096,18 @@ def oracle_queries() -> dict[str, str]:
         "window_tumbling": _TUMBLING_SQL,
         # streaming twins: a bounded AvailableNow run must equal batch
         "st1_stream_tumbling": _TUMBLING_SQL,
+        "st13_stream_sliding": """
+            WITH expanded AS (
+              SELECT time_bucket(INTERVAL '5 minutes', ts)
+                       - j.jn * INTERVAL '5 minutes' AS window_start,
+                     event_type, value
+              FROM events, (SELECT unnest(range(2)) AS jn) j
+            )
+            SELECT window_start, event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+            FROM expanded GROUP BY 1, 2
+        """,
         "st2_stream_sessions": _SESSIONIZATION_SQL,
         "tpch_q3": """
             SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
@@ -8212,6 +8241,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "mm1_media_features": q_mm1_media_features,
         "mm2_media_meta": q_mm2_media_meta,
         "st1_stream_tumbling": q_st1_stream_tumbling,
+        "st13_stream_sliding": q_st13_stream_sliding,
         "st2_stream_sessions": q_st2_stream_sessions,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,

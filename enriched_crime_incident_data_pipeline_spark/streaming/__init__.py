@@ -17,6 +17,7 @@ from enriched_crime_incident_data_pipeline_spark.streaming.source import (
 )
 from enriched_crime_incident_data_pipeline_spark.streaming.windows import (
     run_available_now,
+    sliding_counts,
     tumbling_counts,
 )
 from enriched_crime_incident_data_pipeline_spark.streaming.sessions import (
@@ -28,6 +29,7 @@ __all__ = [
     "stream_incidents_raw",
     "stream_table",
     "tumbling_counts",
+    "sliding_counts",
     "run_available_now",
     "session_counts_stateful",
 ]

@@ -41,6 +41,38 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(window_start, event_type, n, total_value) per SLIDING window:
+    overlapping ``window``-long windows every ``slide``. Each event
+    contributes to ``window/slide`` windows — Spark expands that
+    membership BEFORE the shuffle, so state size is (windows × keys),
+    bounded by the watermark exactly like the tumbling case; the
+    overlap factor multiplies shuffle rows by window/slide (2× here),
+    which is the price of continuous-refresh dashboards over
+    tumbling's once-per-window finality."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     name: str,

@@ -406,3 +406,37 @@ def test_phash_near_dup_finds_dups_and_stays_banded(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_sliding_equals_batch(spark):
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        sliding_counts,
+        stream_events,
+    )
+
+    streamed = run_available_now(
+        sliding_counts(stream_events(spark, SF_DIR)),
+        "t_stream_sliding",
+        "complete",
+    )
+    e = load_table(spark, SF_DIR, "events")
+    batch = (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+    # every event lands in exactly window/slide = 2 windows
+    n_events = e.count()
+    assert sum(r[2] for r in srows) == 2 * n_events
