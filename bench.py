@@ -83,6 +83,7 @@ LONGTAIL = [
     "dc4_overlap_fraction",  # fractional contamination score (r4)
     "sj1_salted_hot_agg",  # two-phase salted agg over 90%-hot key (r4)
     "zo1_zorder_tiles",  # Morton-tile layout stats (r4)
+    "mm5_phash_neardup",  # perceptual dHash image near-dup (r4)
 ]
 
 

@@ -136,3 +136,56 @@ def cross_snapshot_new_docs(
     """
     old_keys = old_docs.select(key_col).distinct()
     return new_docs.join(old_keys, key_col, "left_anti")
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    eval_mod: int = 50,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: training vectors whose cosine
+    to ANY held-out eval vector reaches ``threshold`` —
+    ``(vec_id, n_eval_hits, max_cos)``.
+
+    The semantic complement of :func:`ngram_contamination` (n-gram
+    decon misses paraphrases; embedding decon catches them — the
+    protocol of GPT-4-era data cards). Same broadcast shape: the eval
+    set is sampled/small (here ``id % eval_mod == 0``, the corpus
+    eval-set convention shared with ``ss11``), so it broadcasts and
+    the training side never shuffles — per-row work is |eval| cosine
+    folds, map-only, then one groupBy on the (already filtered, tiny)
+    hit relation. Norms are precomputed per side before the join
+    (PLANS.md #12); the cosine fold order matches the oracle's
+    sequential dot product, so the threshold comparison is
+    bit-reproducible.
+    """
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+
+    train = embeddings.filter(F.col(id_col) % eval_mod != 0).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_tv"),
+        l2_norm(F.col(vec_col)).alias("_tn"),
+    )
+    ev = embeddings.filter(F.col(id_col) % eval_mod == 0).select(
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).alias("_ev"),
+        l2_norm(F.col(vec_col)).alias("_en"),
+    )
+    cos = cosine_from_norms(
+        F.col("_tv"), F.col("_ev"), F.col("_tn"), F.col("_en")
+    )
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .select(id_col, cos.alias("_cos"))
+        .filter(F.col("_cos") >= F.lit(threshold))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_eval_hits"),
+            F.max("_cos").alias("max_cos"),
+        )
+    )

@@ -699,3 +699,75 @@ def ann_recall_eval(
             ).alias("recall"),
         )
     )
+
+
+def truncated_dim_recall(
+    embeddings: DataFrame,
+    trunc_dim: int = 16,
+    query_mod: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of searching on only the first ``trunc_dim``
+    dimensions (Matryoshka-style truncation) against full-dimension
+    exact search: ``(qid, n_hit, recall)`` per sampled query.
+
+    The eval an embedding pipeline runs before committing to stored
+    truncated vectors (4× less memory/IO at trunc 16/64 here): score
+    the sampled query set twice — full vectors and ``slice(vec, 1,
+    trunc_dim)`` — and measure top-k overlap as an exact integer
+    ratio. Same scale shape as :func:`ann_recall_eval`: queries
+    broadcast, corpus never shuffles for scoring, per-query top-k
+    windows parallel across queries, ties on ascending id.
+    """
+    tv = F.slice(F.col(vec_col), 1, trunc_dim)
+    corpus = embeddings.select(
+        F.col(id_col).alias("cid_"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+        tv.alias("ctvec"),
+        l2_norm(tv).alias("ctn"),
+    )
+    queries = embeddings.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        tv.alias("qtvec"),
+        l2_norm(tv).alias("qtn"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("cid_") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.col("cid_"))
+
+    def topk(cos_col):
+        return (
+            scored.select("qid", "cid_", cos_col.alias("_cos"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("qid", F.col("cid_").alias("nn"))
+        )
+
+    full = topk(
+        cosine_from_norms(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn"))
+    )
+    trunc = topk(
+        cosine_from_norms(
+            F.col("qtvec"), F.col("ctvec"), F.col("qtn"), F.col("ctn")
+        )
+    )
+    hits = full.join(trunc, ["qid", "nn"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        queries.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("_n", F.lit(0)).cast("int").alias("n_hit"),
+            (
+                F.coalesce("_n", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

@@ -965,6 +965,30 @@ def q_ss3_ivf_topk(spark, sf_dir):
 
 
 
+def q_ss12_truncated_recall(spark, sf_dir):
+    # Matryoshka truncation eval: recall@10 of 16-of-64-dim search vs
+    # full-dim exact — the measurement that licenses 4x cheaper
+    # vector storage/IO; queries broadcast, corpus never shuffles
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        truncated_dim_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncated_dim_recall(emb, trunc_dim=16, query_mod=50, k=10)
+
+
+def q_dc5_semantic_decontaminate(spark, sf_dir):
+    # embedding-space decontamination: the paraphrase-robust
+    # complement of dc1's n-gram probe — eval vectors broadcast,
+    # train side scores map-only, threshold shared with dd6
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(emb, eval_mod=50, threshold=0.4)
+
+
 def q_ss11_recall_eval(spark, sf_dir):
     # ANN index evaluation: recall@10 of the IVF read path vs exact
     # search over a sampled query set (vec_id % 50 == 0) — queries
@@ -3673,6 +3697,42 @@ def q_fuzzy1_name_pairs(spark, sf_dir):
     return fuzzy_name_pairs(cust, "c_custkey", "c_name", max_distance=1)
 
 
+def q_er1_entity_clusters(spark, sf_dir):
+    # entity resolution end-to-end: fuzzy-blocked name pairs (fuzzy1)
+    # -> connected components -> one canonical entity per component
+    # (root = min member id, its name is the canonical form) with a
+    # member count. Blocking bounds the pair fan-out, CC edges scale
+    # with the fuzzy-dup count (not the table), the canonical join is
+    # a plain equi-join on the entity root.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+    )
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        fuzzy_name_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_name_pairs(cust, "c_custkey", "c_name", max_distance=1)
+    cc = connected_components(pairs, "id_a", "id_b")
+    members = (
+        cust.select("c_custkey")
+        .join(cc, cust["c_custkey"] == cc["node"], "left")
+        .select(
+            F.coalesce("cluster_id", F.col("c_custkey")).alias("entity_id"),
+        )
+    )
+    canon = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return (
+        members.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_members"))
+        .join(canon, "entity_id")
+        .select("entity_id", "n_members", "canonical_name")
+    )
+
+
 def q_tp8_weighted_sample(spark, sf_dir):
     # quality-proportional sampling: keep probability = clamped
     # integer weight per row (longer docs likelier kept), hash-based
@@ -5383,6 +5443,66 @@ def oracle_queries() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE {_COS} >= 0.4
+        """,
+        "ss12_truncated_recall": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     (embedding::DOUBLE[])[1:16] AS tv
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv, tv AS qtv FROM e
+                  WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT q.qid, e.vec_id AS cid,
+                     list_dot_product(q.qv, e.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.v, e.v))) AS cosf,
+                     list_dot_product(q.qtv, e.tv)
+                       / (sqrt(list_dot_product(q.qtv, q.qtv))
+                          * sqrt(list_dot_product(e.tv, e.tv))) AS cost
+              FROM q, e WHERE e.vec_id <> q.qid
+            ),
+            fullk AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cosf DESC, cid) AS rk
+                FROM scored
+              ) WHERE rk <= 10
+            ),
+            trunck AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cost DESC, cid) AS rk
+                FROM scored
+              ) WHERE rk <= 10
+            ),
+            hits AS (
+              SELECT qid, count(*) AS n
+              FROM fullk JOIN trunck USING (qid, cid) GROUP BY qid
+            )
+            SELECT q.qid, CAST(coalesce(h.n, 0) AS INTEGER) AS n_hit,
+                   CAST(coalesce(h.n, 0) AS DOUBLE) / 10.0 AS recall
+            FROM q LEFT JOIN hits h USING (qid)
+        """,
+        "dc5_semantic_decontaminate": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            t AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+            ev AS (SELECT vec_id AS eid, v AS evv FROM e
+                   WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT t.vec_id,
+                     list_dot_product(t.v, ev.evv)
+                       / (sqrt(list_dot_product(t.v, t.v))
+                          * sqrt(list_dot_product(ev.evv, ev.evv))) AS cos
+              FROM t, ev
+            )
+            SELECT vec_id, CAST(count(*) AS INTEGER) AS n_eval_hits,
+                   max(cos) AS max_cos
+            FROM scored WHERE cos >= 0.4 GROUP BY vec_id
         """,
         "ss11_recall_eval": """
             WITH e AS (
@@ -8079,6 +8199,39 @@ def oracle_queries() -> dict[str, str]:
             FROM blocked a JOIN blocked b USING (block)
             WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
         """,
+        "er1_entity_clusters": """
+            WITH RECURSIVE blocked AS (
+              SELECT c_custkey AS id, c_name AS name,
+                     substring(c_name, 1, length(c_name) - 1)
+                       || '#' || CAST(length(c_name) AS VARCHAR) AS block
+              FROM customer
+            ),
+            pairs AS (
+              SELECT a.id AS a, b.id AS b
+              FROM blocked a JOIN blocked b USING (block)
+              WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT DISTINCT a AS node, a AS label FROM edges
+              UNION
+              SELECT e.a AS node, r.label
+              FROM edges e JOIN reach r ON r.node = e.b
+            ),
+            cc AS (
+              SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+            ),
+            members AS (
+              SELECT coalesce(cc.cluster_id, c.c_custkey) AS entity_id
+              FROM customer c LEFT JOIN cc ON c.c_custkey = cc.node
+            )
+            SELECT m.entity_id, CAST(count(*) AS INTEGER) AS n_members,
+                   any_value(k.c_name) AS canonical_name
+            FROM members m JOIN customer k ON k.c_custkey = m.entity_id
+            GROUP BY m.entity_id
+        """,
         "tp8_weighted_sample": f"""
             WITH w AS (
               SELECT doc_id,
@@ -8227,6 +8380,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
         "ss10_ivf_pq_search": q_ss10_ivf_pq_search,
         "ss11_recall_eval": q_ss11_recall_eval,
+        "ss12_truncated_recall": q_ss12_truncated_recall,
+        "dc5_semantic_decontaminate": q_dc5_semantic_decontaminate,
         "ss9_cluster_purity": q_ss9_cluster_purity,
         "ta1_token_count": q_ta1_token_count,
         "ta2_quality": q_ta2_quality,
@@ -8347,6 +8502,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "zo1_zorder_tiles": q_zo1_zorder_tiles,
         "geo2_grid_knn": q_geo2_grid_knn,
         "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
+        "er1_entity_clusters": q_er1_entity_clusters,
         "scd3_temporal_lookup": q_scd3_temporal_lookup,
         "udf1_pandas_parity": q_udf1_pandas_parity,
         "udtf2_word_offsets": q_udtf2_word_offsets,

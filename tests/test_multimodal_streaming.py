@@ -440,3 +440,44 @@ def test_stream_sliding_equals_batch(spark):
     # every event lands in exactly window/slide = 2 windows
     n_events = e.count()
     assert sum(r[2] for r in srows) == 2 * n_events
+
+
+def test_truncated_dim_recall_full_dim_is_perfect(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        truncated_dim_recall,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.first()["embedding"])
+    # truncating to the full dimension must reproduce exact search
+    full = truncated_dim_recall(emb, trunc_dim=dim, query_mod=100, k=5)
+    assert all(r["recall"] == 1.0 for r in full.collect())
+    # a real truncation stays a valid ratio in [0, 1]
+    part = truncated_dim_recall(emb, trunc_dim=8, query_mod=100, k=5)
+    rows = part.collect()
+    assert rows and all(0.0 <= r["recall"] <= 1.0 for r in rows)
+
+
+def test_semantic_decontaminate_flags_planted_dup(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    # eval vector is id 0 (0 % 2 == 0); id 1 duplicates it, id 3 is
+    # orthogonal — only the duplicate may be flagged
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),   # same direction as eval 0
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            emb, eval_mod=2, threshold=0.9
+        ).collect()
+    }
+    assert set(got) == {1}
+    assert got[1]["n_eval_hits"] == 1
+    assert got[1]["max_cos"] == pytest.approx(1.0)
