@@ -4218,25 +4218,37 @@ def q_ret2_hybrid_rrf(spark, sf_dir):
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("vec_rank"),
     )
-    fused = (
-        text_r.join(vec_r, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            "text_rank",
-            "vec_rank",
-            (
-                F.coalesce(
-                    F.lit(1.0) / (F.lit(60) + F.col("text_rank")), F.lit(0.0)
-                )
-                + F.coalesce(
-                    F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
-                )
-            ).alias("rrf_score"),
+    # fusion as AGGREGATION, not a join: each list emits (doc,
+    # contribution) rows, union, one groupBy. A full-outer join would
+    # force a SortMergeJoin (Spark can't broadcast full-outer); the
+    # union+agg shape is join-free, map-side combinable, and extends
+    # to N lists unchanged. Bit-parity note: a doc has <= 2
+    # contribution rows and IEEE addition is COMMUTATIVE (only
+    # associativity fails), so the aggregated sum equals the oracle's
+    # fixed text+vec order exactly.
+    t_contrib = text_r.select(
+        "doc_id",
+        F.col("text_rank"),
+        F.lit(None).cast("int").alias("vec_rank"),
+        (F.lit(1.0) / (F.lit(60) + F.col("text_rank"))).alias("_c"),
+    )
+    v_contrib = vec_r.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("text_rank"),
+        F.col("vec_rank"),
+        (F.lit(1.0) / (F.lit(60) + F.col("vec_rank"))).alias("_c"),
+    )
+    return (
+        t_contrib.unionByName(v_contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.max("text_rank").alias("text_rank"),
+            F.max("vec_rank").alias("vec_rank"),
+            F.sum("_c").alias("rrf_score"),
         )
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(10)
     )
-    return fused
 
 
 def q_tp13_epoch_reshuffle(spark, sf_dir):

@@ -797,3 +797,37 @@ def test_round4_ops_plan_shapes(spark):
     p = qs["dc4_overlap_fraction"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_round4_addition_plans_stay_scale_shaped(spark):
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # sk5 rollup: fact side joins its dims broadcast; register merges
+    # are plain hash aggregates — no sort-merge join anywhere
+    sk5 = qs["sk5_hll_rollup"](spark, sf)
+    plan = sk5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # dc5: eval vector set broadcasts; corpus never shuffles to score
+    dc5 = qs["dc5_semantic_decontaminate"](spark, sf)
+    plan = dc5._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # ret2: the only nested-loop is the sanctioned 1-row query-vector
+    # broadcast of the ANN leg; no sort-merge join, final is top-k
+    ret2 = qs["ret2_hybrid_rrf"](spark, sf)
+    plan = ret2._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    # er1: fuzzy blocking is an equi-join on the block key — never a
+    # cartesian levenshtein sweep
+    er1 = qs["er1_entity_clusters"](spark, sf)
+    plan = er1._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
