@@ -325,3 +325,40 @@ def test_segment_dedup_matches_python_model(spark, texts):
         for r in segment_dedup(df, seg_tokens=seg_tokens).collect()
     }
     assert got == expected
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=300), min_size=1, max_size=8
+    )
+)
+@settings(**SETTINGS)
+def test_dhash_kernel_matches_bit_model(spark, payloads):
+    """mm5: the Arrow dHash kernel equals an independent pure-Python
+    bit model on arbitrary byte payloads (empty, short, unaligned)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        dhash_signatures,
+    )
+
+    def model(content: bytes) -> int:
+        if not content:
+            return 0
+        cells = [0] * 72
+        for i, byte in enumerate(content):
+            cells[i % 72] += byte
+        h = 0
+        for r in range(8):
+            for c in range(8):
+                if cells[r * 9 + c] > cells[r * 9 + c + 1]:
+                    h |= 1 << (r * 8 + c)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        schema="media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: r["dhash"] for r in dhash_signatures(media).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == model(p)
