@@ -174,27 +174,45 @@ def run_corpus_ingest_stream(
     schema,
     state_dir: str,
     seg_tokens: int = 10,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run an AvailableNow documents stream from ``docs_dir`` (one
     micro-batch per file, in file-timestamp order) through
     :func:`corpus_ingest_batch` and return the resulting corpus
-    state ``(doc_id, n_kept, deduped_text)``."""
+    state ``(doc_id, n_kept, deduped_text)``.
+
+    ``state_partitions`` sizes ``spark.sql.shuffle.partitions`` for
+    the per-batch fold — the same deployment knob as
+    ``run_available_now``: every wide op inside the fold (band probe,
+    seen-segment anti-join, keeper aggregate, rebuild groupBy) runs
+    over BATCH-sized relations, so task count should track batch
+    volume, not CPU count; it also bounds the file count of each
+    per-batch state write, which the next batch pays to re-read. The
+    session conf is restored after the bounded run."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            corpus_ingest_batch(state_dir, seg_tokens)
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                corpus_ingest_batch(state_dir, seg_tokens)
+            )
+            .option(
+                "checkpointLocation", _p(state_dir, f"_ckpt_{uuid.uuid4().hex}")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .option(
-            "checkpointLocation", _p(state_dir, f"_ckpt_{uuid.uuid4().hex}")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(_p(state_dir, _CORPUS)).drop("batch")
 
 
