@@ -1563,6 +1563,72 @@ def q_st6_stream_lsh_probe(spark, sf_dir):
     )
 
 
+def q_st14_stream_phash_probe(spark, sf_dir):
+    # continuous IMAGE dedup at ingest: arriving media compute their
+    # dHash row-wise (the Arrow kernel is a stateless map, legal on a
+    # stream) and probe the STATIC signature band index via a
+    # stream-static equi-join; multi-band hits dedup, then the exact
+    # bit_count(xor) Hamming verify runs on candidates only — the
+    # multimodal twin of st6's text LSH probe.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        simhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        dhash_signatures,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    static_sig = dhash_signatures(
+        _documents_as_media(docs.filter(F.col("doc_id") % 5 != 0))
+    ).withColumnRenamed("dhash", "simhash")
+    index = simhash_bands(static_sig, "media_id").select(
+        F.col("media_id").alias("_ib"),
+        "band_idx",
+        "band_val",
+        F.col("simhash").alias("_sb"),
+    )
+    stream_media = (
+        stream_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    probe_sig = dhash_signatures(stream_media).withColumnRenamed(
+        "dhash", "simhash"
+    )
+    probes = simhash_bands(probe_sig, "media_id").select(
+        F.col("media_id").alias("_ia"),
+        "band_idx",
+        "band_val",
+        F.col("simhash").alias("_sa"),
+    )
+    hits = (
+        probes.join(index, ["band_idx", "band_val"])
+        .select(
+            F.least("_ia", "_ib").alias("a"),
+            F.greatest("_ia", "_ib").alias("b"),
+            F.col("_sa"),
+            F.col("_sb"),
+        )
+        .dropDuplicates(["a", "b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+    )
+    return run_available_now(
+        hits, "st14_phash_probe", "append", state_partitions=8
+    )
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -5697,6 +5763,63 @@ def oracle_queries() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
+        "st14_stream_phash_probe": """
+            WITH hx AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS nb
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
+            ),
+            cellsum AS (
+              SELECT doc_id, CAST(i % 72 AS INTEGER) AS k,
+                     CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                              ::INTEGER) AS BIGINT) AS s
+              FROM pos GROUP BY doc_id, i % 72
+            ),
+            grid AS (
+              SELECT d.doc_id, CAST(g.k AS INTEGER) AS k
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(72)) AS k) g
+            ),
+            cells AS (
+              SELECT grid.doc_id, grid.k, COALESCE(cellsum.s, 0) AS s
+              FROM grid LEFT JOIN cellsum
+                ON grid.doc_id = cellsum.doc_id AND grid.k = cellsum.k
+            ),
+            bits AS (
+              SELECT a.doc_id,
+                     CAST((a.k // 9) * 8 + (a.k % 9) AS INTEGER) AS j,
+                     CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+              FROM cells a JOIN cells b
+                ON a.doc_id = b.doc_id AND b.k = a.k + 1
+              WHERE a.k % 9 <> 8
+            ),
+            bands AS (
+              SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
+                     CAST(sum(CAST(bit AS BIGINT)
+                              * (1::BIGINT << (j % 16))) AS BIGINT) AS band_val
+              FROM bits GROUP BY doc_id, j // 16
+            ),
+            cand AS (
+              SELECT DISTINCT least(p.doc_id, x.doc_id) AS a,
+                              greatest(p.doc_id, x.doc_id) AS b
+              FROM bands p JOIN bands x
+                ON p.band_idx = x.band_idx AND p.band_val = x.band_val
+              WHERE p.doc_id % 5 = 0 AND x.doc_id % 5 <> 0
+            ),
+            ham AS (
+              SELECT c.a, c.b,
+                     CAST(sum(CASE WHEN ba.bit <> bb.bit
+                              THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+              FROM cand c
+              JOIN bits ba ON ba.doc_id = c.a
+              JOIN bits bb ON bb.doc_id = c.b AND bb.j = ba.j
+              GROUP BY c.a, c.b
+            )
+            SELECT a, b, hamming FROM ham WHERE hamming <= 3
+        """,
         "mm5_phash_neardup": """
             WITH hx AS (
               SELECT doc_id, hex(encode(text)) AS h,
@@ -8409,6 +8532,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "mm2_media_meta": q_mm2_media_meta,
         "st1_stream_tumbling": q_st1_stream_tumbling,
         "st13_stream_sliding": q_st13_stream_sliding,
+        "st14_stream_phash_probe": q_st14_stream_phash_probe,
         "st2_stream_sessions": q_st2_stream_sessions,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
