@@ -298,3 +298,58 @@ def hll_estimates_from_registers(
             )
         ).alias("raw_estimate"),
     )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: Column,
+    col_b: Column,
+    k: int = KMV_K,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA over two value sets: one row
+    ``(k_used, kth_hash, n_both, union_est, inter_est, jaccard_est)``.
+
+    The property that makes KMV more than a distinct counter: the k
+    minimum hashes of A ∪ B are a UNIFORM SAMPLE of the union, so the
+    fraction of them present in both sides estimates the Jaccard
+    similarity, and |A∩B| ≈ ρ·|A∪B| — set intersection sizes from two
+    1-KiB sketches, no re-scan of either side (Beyer et al., SIGMOD
+    2007). Each side's sketch is its distinct-hash min-set; merging =
+    take the k smallest of the union of sketches (TakeOrdered, never
+    a global sort). All estimator arithmetic is integer counts + one
+    correctly-rounded divide/multiply chain, bit-reproducible
+    cross-engine (the same md5-hash determinism as the other
+    sketches).
+    """
+    ha = df_a.select(hash32(col_a).alias("h")).distinct()
+    hb = df_b.select(hash32(col_b).alias("h")).distinct()
+    tagged = ha.select(
+        "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionAll(hb.select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    merged = tagged.groupBy("h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    kmin = merged.orderBy("h").limit(k)
+    base = kmin.agg(
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("int").alias("n_both"),
+    )
+    return (
+        base.withColumn(
+            "union_est",
+            (F.col("k_used") - 1).cast("double")
+            * F.lit(4294967296.0)
+            / F.col("kth_hash"),
+        )
+        .withColumn(
+            "inter_est",
+            (F.col("n_both").cast("double") * F.col("union_est"))
+            / F.col("k_used").cast("double"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.col("n_both").cast("double") / F.col("k_used").cast("double"),
+        )
+    )

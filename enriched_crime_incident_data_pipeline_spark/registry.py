@@ -1293,6 +1293,74 @@ def q_sk5_hll_rollup(spark, sf_dir):
     )
 
 
+def q_sk6_kmv_set_ops(spark, sf_dir):
+    # sketch set algebra: union/intersection/Jaccard of the part sets
+    # shipped before vs from 1997, from two 256-hash KMV sketches —
+    # no re-scan, no join of the underlying sets; the k-min merge is
+    # TakeOrdered, estimator arithmetic integer-exact + one divide
+    # chain (bit-reproducible)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        kmv_set_estimates,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < "1997-01-01")
+    b = li.filter(F.col("l_shipdate") >= "1997-01-01")
+    return kmv_set_estimates(
+        a,
+        b,
+        F.col("l_partkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+    )
+
+
+def q_st15_stream_temporal_enrich(spark, sf_dir):
+    # stream-static temporal (SCD2 as-of) enrichment: arriving fact
+    # events join the static dimension-history table on key +
+    # interval containment — STATELESS on the stream side (each
+    # micro-batch joins the static relation; no watermark state),
+    # the streaming twin of scd3. AvailableNow run ≡ the batch
+    # lookup, same oracle SQL.
+    from enriched_crime_incident_data_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+            F.col("event_id").alias("dim_event_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("dim_value"),
+        ),
+        ["user_id"],
+        "ts",
+        "dim_event_id",
+    )
+    facts = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+        "left",
+    ).select(
+        facts["event_id"], facts["user_id"], facts["ts"],
+        "dim_event_id", "dim_value",
+    )
+    return run_available_now(
+        joined, "st15_temporal_enrich", "append", state_partitions=8
+    )
+
+
 def q_sk1_kmv_distinct(spark, sf_dir):
     # deterministic KMV distinct sketch: k smallest md5 hashes →
     # estimate, reproducible bit-for-bit in any engine with md5
@@ -7592,6 +7660,41 @@ def oracle_queries() -> dict[str, str]:
                         + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
             FROM rho_global
         """,
+        "sk6_kmv_set_ops": f"""
+            WITH a AS (
+              SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
+              FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+            ),
+            b AS (
+              SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
+              FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+            ),
+            tagged AS (
+              SELECT h, 1 AS in_a, 0 AS in_b FROM a
+              UNION ALL
+              SELECT h, 0 AS in_a, 1 AS in_b FROM b
+            ),
+            merged AS (
+              SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+              FROM tagged GROUP BY h
+            ),
+            kmin AS (SELECT * FROM merged ORDER BY h LIMIT 256),
+            base AS (
+              SELECT CAST(count(*) AS INTEGER) AS k_used,
+                     max(h) AS kth_hash,
+                     CAST(sum(in_a * in_b) AS INTEGER) AS n_both
+              FROM kmin
+            )
+            SELECT k_used, kth_hash, n_both,
+                   CAST(k_used - 1 AS DOUBLE) * 4294967296.0 / kth_hash
+                     AS union_est,
+                   (CAST(n_both AS DOUBLE)
+                    * (CAST(k_used - 1 AS DOUBLE) * 4294967296.0 / kth_hash))
+                     / CAST(k_used AS DOUBLE) AS inter_est,
+                   CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)
+                     AS jaccard_est
+            FROM base
+        """,
         "sk1_kmv_distinct": f"""
             WITH h AS (
               SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
@@ -8206,6 +8309,29 @@ def oracle_queries() -> dict[str, str]:
                    ), 0) AS INT) AS char_offset
             FROM ex
         """,
+        "st15_stream_temporal_enrich": """
+            WITH dim AS (
+              SELECT event_id AS dim_event_id, user_id, ts,
+                     value AS dim_value
+              FROM events WHERE event_type IN ('signup', 'purchase')
+            ),
+            iv AS (
+              SELECT dim_event_id, user_id, dim_value,
+                     ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, dim_event_id) AS valid_to
+              FROM dim
+            ),
+            facts AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error'
+            )
+            SELECT f.event_id, f.user_id, f.ts,
+                   i.dim_event_id, i.dim_value
+            FROM facts f LEFT JOIN iv i
+              ON i.user_id = f.user_id AND i.valid_from <= f.ts
+                 AND (i.valid_to IS NULL OR f.ts < i.valid_to)
+        """,
         "scd3_temporal_lookup": """
             WITH dim AS (
               SELECT event_id AS dim_event_id, user_id, ts,
@@ -8533,6 +8659,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "st1_stream_tumbling": q_st1_stream_tumbling,
         "st13_stream_sliding": q_st13_stream_sliding,
         "st14_stream_phash_probe": q_st14_stream_phash_probe,
+        "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
+        "sk6_kmv_set_ops": q_sk6_kmv_set_ops,
         "st2_stream_sessions": q_st2_stream_sessions,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
