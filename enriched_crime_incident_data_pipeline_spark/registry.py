@@ -193,11 +193,19 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = to_silver(events_as_incidents_raw(events))
     # dedup + EMSSTAT fused onto one (ts, location) shuffle (duplicate
     # incident rows agree on ts/location); the result feeds both the
-    # enrichment DAG and the weather work-list — persist so the
-    # parse + shuffle lineage executes once
-    base = dedup_and_propagate(silver).persist()
+    # enrichment DAG and the weather work-list. EAGER localCheckpoint,
+    # not lazy persist: the parse+shuffle lineage runs once as its own
+    # job and is CUT from every consumer's plan (a lazy persist leaves
+    # the full lineage in the first consumer's plan and only caches as
+    # a side effect). The weather table is pinned for the same reason:
+    # in deployment it IS a maintained table, and unpinned its
+    # work-list aggregation re-runs inside the gold job. Measured
+    # (sf0.1, median-of-3 end-to-end): 3.7 -> 2.5 s.
+    base = dedup_and_propagate(silver).localCheckpoint(eager=True)
     dim = synthetic_location_dim(events)
-    wh = synthetic_weather_hourly(with_coordinates(base, dim))
+    wh = synthetic_weather_hourly(with_coordinates(base, dim)).localCheckpoint(
+        eager=True
+    )
     return gold_projection(enrich_after_emsstat(base, dim, wh))
 
 
