@@ -84,6 +84,7 @@ LONGTAIL = [
     "sj1_salted_hot_agg",  # two-phase salted agg over 90%-hot key (r4)
     "zo1_zorder_tiles",  # Morton-tile layout stats (r4)
     "mm5_phash_neardup",  # perceptual dHash image near-dup (r4)
+    "ret2_hybrid_rrf",  # BM25 + ANN reciprocal-rank fusion (r4)
 ]
 
 
