@@ -1722,6 +1722,101 @@ def q_st14_stream_phash_probe(spark, sf_dir):
     )
 
 
+def q_corpus_report1(spark, sf_dir):
+    # the DATASET CARD: one small (section, key, value) report a
+    # curation pipeline publishes with a corpus — size/token totals,
+    # language and source composition, near-dup exposure, eval
+    # contamination. Every section is a tiny aggregate over operators
+    # the engine already runs at scale; the report relation itself is
+    # dozens of rows, so the unions are free.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        _pin,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("nt"),
+        lang_id(F.col("text")).alias("lang"),
+    )
+    c = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nt").alias("t")
+    )
+    corpus_rows = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("corpus").alias("section"),
+                    F.lit("n_docs").alias("key"),
+                    F.col("n").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("corpus").alias("section"),
+                    F.lit("total_tokens").alias("key"),
+                    F.col("t").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("corpus").alias("section"),
+                    F.lit("mean_doc_tokens").alias("key"),
+                    (F.col("t").cast("double") / F.col("n").cast("double")).alias(
+                        "value"
+                    ),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    lang_rows = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).select(
+        F.lit("lang").alias("section"),
+        F.col("lang").alias("key"),
+        F.col("c").cast("double").alias("value"),
+    )
+    source_rows = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("c")
+    ).select(
+        F.lit("source").alias("section"),
+        F.col("source").alias("key"),
+        F.col("c").cast("double").alias("value"),
+    )
+    pairs = _pin(lsh_candidate_pairs(minhash_bands(docs)))
+    dup_pair_rows = pairs.agg(F.count(F.lit(1)).alias("c")).select(
+        F.lit("dedup").alias("section"),
+        F.lit("near_dup_pairs").alias("key"),
+        F.col("c").cast("double").alias("value"),
+    )
+    dup_doc_rows = (
+        pairs.select(F.col("a").alias("d"))
+        .unionAll(pairs.select(F.col("b").alias("d")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.lit("dedup").alias("section"),
+            F.lit("docs_in_dup_pairs").alias("key"),
+            F.col("c").cast("double").alias("value"),
+        )
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    contam_rows = (
+        ngram_contamination(train, eval_docs, n=8)
+        .agg(F.sum("contaminated").alias("c"))
+        .select(
+            F.lit("decontamination").alias("section"),
+            F.lit("contaminated_docs").alias("key"),
+            F.col("c").cast("double").alias("value"),
+        )
+    )
+    return (
+        corpus_rows.unionByName(lang_rows)
+        .unionByName(source_rows)
+        .unionByName(dup_pair_rows)
+        .unionByName(dup_doc_rows)
+        .unionByName(contam_rows)
+    )
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -7865,6 +7960,58 @@ def oracle_queries() -> dict[str, str]:
                      AS purity_bp
             FROM top t JOIN tot tt ON t.cluster = tt.cluster
         """,
+        "corpus_report1": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_TOKEN_COUNT} AS nt FROM documents
+            ),
+            scores AS (
+              SELECT doc_id,
+{_LANG_SCORES}
+              FROM documents
+            ),
+            langs AS (SELECT doc_id, {_LANG_CASE} AS lang FROM scores),
+            c AS (
+              SELECT count(*) AS n, CAST(sum(nt) AS BIGINT) AS tt FROM t
+            ),
+            bands AS ({_MINHASH_BANDS_SQL}),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS s(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+            SELECT 'corpus' AS section, 'n_docs' AS key,
+                   CAST(n AS DOUBLE) AS value FROM c
+            UNION ALL
+            SELECT 'corpus', 'total_tokens', CAST(tt AS DOUBLE) FROM c
+            UNION ALL
+            SELECT 'corpus', 'mean_doc_tokens',
+                   CAST(tt AS DOUBLE) / CAST(n AS DOUBLE) FROM c
+            UNION ALL
+            SELECT 'lang', lang, CAST(count(*) AS DOUBLE)
+            FROM langs GROUP BY lang
+            UNION ALL
+            SELECT 'source', source, CAST(count(*) AS DOUBLE)
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'dedup', 'near_dup_pairs', CAST(count(*) AS DOUBLE)
+            FROM pairs
+            UNION ALL
+            SELECT 'dedup', 'docs_in_dup_pairs', CAST(count(*) AS DOUBLE)
+            FROM (SELECT a AS d FROM pairs UNION SELECT b AS d FROM pairs)
+            UNION ALL
+            SELECT 'decontamination', 'contaminated_docs',
+                   CAST(count(DISTINCT g.doc_id) AS DOUBLE)
+            FROM g JOIN ev USING (gram) WHERE g.doc_id % 50 <> 0
+        """,
         "dc1_contamination": f"""
             WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             g AS (
@@ -8651,6 +8798,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd13_repeated_spans": q_dd13_repeated_spans,
         "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,
         "corpus_build2": q_corpus_build2,
+        "corpus_report1": q_corpus_report1,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
