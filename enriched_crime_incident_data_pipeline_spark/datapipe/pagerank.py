@@ -1,0 +1,104 @@
+"""PageRank-style link authority over a distributed edge relation.
+
+Corpus curation pipelines weight web documents by link authority
+(Common Crawl publishes harmonic/PageRank centrality per host and
+crawl-frontier schedulers prioritize by it), and the reference's
+scrape layer is exactly a link graph: report pages -> PDF links
+(``/root/reference/src/scrape/normanpd.py`` discovers edges, the URL
+table dedups nodes). This module is the general primitive: given an
+``(src, dst)`` edge DataFrame, compute the damped power-iteration
+rank of every node.
+
+Semantics follow the public GraphX ``staticPageRank`` formulation
+(unnormalized, no dangling-mass redistribution)::
+
+    rank_0(v)   = 1.0
+    rank_k+1(v) = alpha + (1 - alpha) * sum_{(u,v) in E} rank_k(u) / outdeg(u)
+
+with ``alpha = 0.15``. Each iteration is one id-keyed join (ranks
+onto edges) plus one groupBy on ``dst`` — cost per round is
+O(|E| + |V|) shuffle rows with NO growth across rounds, and the
+iteration count is a fixed small constant, so the operator has the
+same bounded-rounds scale shape as ``clusters.connected_components``.
+The weighted edge relation (edges + out-degrees) is computed once and
+pinned with an eager ``localCheckpoint`` so the per-round plan never
+re-derives it and lineage stays flat.
+
+Two summation modes:
+
+- ``ordered=False`` (production default): plain ``F.sum`` — map-side
+  combinable, skew-tolerant (a node with 10^8 in-links partial-
+  aggregates), but float addition order is partition-dependent, so
+  results are reproducible only to ~1 ulp per add.
+- ``ordered=True`` (reproducible mode, what the oracle-twinned
+  registry query uses): per-node contributions are collected, sorted
+  by source id, and folded sequentially, giving bit-identical
+  doubles across engines and partitionings — the same
+  position-ordered-fold contract as ``datapipe.lm``. The collect
+  bounds per-node memory by in-degree, so this mode is for graphs
+  whose max in-degree is task-sized (dedup graphs, curated citation
+  sets); at web scale use the default and accept ulp jitter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.15
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 5,
+    alpha: float = ALPHA,
+    ordered: bool = False,
+) -> DataFrame:
+    """``(id, rank)`` for every node after ``iters`` damped rounds.
+
+    ``edges`` must have columns ``src``/``dst`` (duplicate edges
+    count twice, matching multigraph semantics); ``nodes`` one
+    column ``id`` covering at least every endpoint. Nodes with no
+    in-links converge to ``alpha``; dangling nodes (no out-links)
+    contribute nothing, per the GraphX-style unnormalized variant.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    weighted = _pin(
+        edges.join(deg, "src").select(
+            "src", "dst", F.col("outdeg").cast("double").alias("outdeg")
+        )
+    )
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contribs = weighted.join(
+            ranks, weighted["src"] == ranks["id"]
+        ).select(
+            "dst", "src", (F.col("rank") / F.col("outdeg")).alias("c")
+        )
+        if ordered:
+            summed = contribs.groupBy("dst").agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("src"), F.col("c")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("s")
+            )
+        else:
+            summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = _pin(
+            nodes.join(summed, nodes["id"] == summed["dst"], "left").select(
+                "id",
+                (
+                    F.lit(alpha)
+                    + F.lit(1.0 - alpha) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

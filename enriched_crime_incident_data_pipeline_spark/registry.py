@@ -1817,6 +1817,31 @@ def q_corpus_report1(spark, sf_dir):
     )
 
 
+def q_gr1_pagerank(spark, sf_dir):
+    # link-authority weighting for corpus curation (Common Crawl
+    # publishes per-host centrality; crawl schedulers prioritize by
+    # it): damped PageRank, 5 rounds, over the near-dup "citation"
+    # graph — each LSH pair is an edge from the newer doc to the
+    # older one it duplicates. Reproducible ordered-fold mode so the
+    # doubles are bit-exact vs the oracle's unrolled iteration; the
+    # production default is the map-side-combinable unordered sum
+    # (see datapipe/pagerank.py docstring).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    edges = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pr = pagerank(edges, nodes, iters=5, ordered=True)
+    return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -4716,6 +4741,48 @@ _TA11_SQL = f"""
                    sum_ip / CAST(n AS DOUBLE) AS mean_inv_prob
             FROM agg
 """
+
+# gr1: 5 unrolled damped PageRank rounds over the near-dup citation
+# graph (edges newer -> older doc). Every double op mirrors the Spark
+# operator's ordered-fold mode: od is an exact integer-valued double,
+# contributions fold in src order, the damping literals parse to the
+# same binary64 on both engines.
+_GR1_ITER = """,
+            s{k} AS (
+              SELECT e.dst, sum(r.pr / d.od ORDER BY e.src) AS s
+              FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN r{p} r ON e.src = r.id
+              GROUP BY e.dst
+            ),
+            r{k} AS (
+              SELECT n.id,
+                     CAST(0.15 AS DOUBLE)
+                       + CAST(0.85 AS DOUBLE)
+                         * coalesce(s.s, CAST(0.0 AS DOUBLE)) AS pr
+              FROM nodes n LEFT JOIN s{k} s ON n.id = s.dst
+            )"""
+
+_GR1_PAGERANK_SQL = (
+    f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL}),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (SELECT b AS src, a AS dst FROM pairs),
+            deg AS (
+              SELECT src, CAST(count(*) AS DOUBLE) AS od
+              FROM edges GROUP BY src
+            ),
+            nodes AS (SELECT doc_id AS id FROM documents),
+            r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes)"""
+    + "".join(_GR1_ITER.format(k=k, p=k - 1) for k in range(1, 6))
+    + """
+            SELECT id AS doc_id, pr FROM r5
+"""
+)
 
 _DOT = "list_dot_product(a.v, b.v)"
 _COS = f"{_DOT} / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -7960,6 +8027,7 @@ def oracle_queries() -> dict[str, str]:
                      AS purity_bp
             FROM top t JOIN tot tt ON t.cluster = tt.cluster
         """,
+        "gr1_pagerank": _GR1_PAGERANK_SQL,
         "corpus_report1": f"""
             WITH t AS (
               SELECT doc_id, source, {_TOKEN_COUNT} AS nt FROM documents
@@ -8799,6 +8867,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,
         "corpus_build2": q_corpus_build2,
         "corpus_report1": q_corpus_report1,
+        "gr1_pagerank": q_gr1_pagerank,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,

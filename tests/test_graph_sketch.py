@@ -395,3 +395,37 @@ def test_connected_components_single_task_equals_distributed(spark):
     # every label is itself a node mapping to itself
     assert all(lab <= n for n, lab in fast.items())
     assert all(fast[lab] == lab for lab in set(fast.values()))
+
+
+def test_pagerank_hand_graph_and_mode_agreement(spark):
+    # star 1->{2,3}, chain 2->3, sink 3 (dangling), isolated 9.
+    # Hand-rolled iteration 1: pr(2) = .15 + .85*(1/2) = 0.575,
+    # pr(3) = .15 + .85*(1/2 + 1/1) = 1.425, pr(1) = pr(9) = .15.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id bigint")
+    one = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, nodes, iters=1, ordered=True).collect()
+    }
+    assert one[1] == 0.15 and one[9] == 0.15
+    assert abs(one[2] - (0.15 + 0.85 * 0.5)) < 1e-12
+    assert abs(one[3] - (0.15 + 0.85 * 1.5)) < 1e-12
+    # production unordered sum must agree with the reproducible
+    # ordered fold to float-roundoff on a multi-round run
+    o = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, nodes, iters=5, ordered=True).collect()
+    }
+    u = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, nodes, iters=5, ordered=False).collect()
+    }
+    assert o.keys() == u.keys()
+    for k in o:
+        assert abs(o[k] - u[k]) <= 1e-9 * max(1.0, abs(o[k]))
