@@ -1842,6 +1842,19 @@ def q_gr1_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
 
 
+def q_tok1_bpe_merges(spark, sf_dir):
+    # tokenizer training: learn the first 3 BPE merge rules from the
+    # corpus. Each round is one corpus-wide adjacent-pair groupBy
+    # (map-side combinable) + a broadcast 1-row winner applied via
+    # the ordered greedy-merge fold; see datapipe/bpe.py.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, iters=3)
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -4781,6 +4794,51 @@ _GR1_PAGERANK_SQL = (
     + "".join(_GR1_ITER.format(k=k, p=k - 1) for k in range(1, 6))
     + """
             SELECT id AS doc_id, pr FROM r5
+"""
+)
+
+# tok1: BPE merge learning, 3 unrolled training rounds. The greedy
+# left-to-right re-segmentation is the same sequential string fold as
+# datapipe/bpe.py (list_reduce == Spark aggregate, element order
+# pinned by the list itself); the winning pair per round is the
+# deterministic (count desc, pair asc) argmin over the pair-count
+# relation, so both engines learn the identical merge table.
+_TOK1_PAIRS = """
+              SELECT arr[i] AS a, arr[i + 1] AS b, count(*) AS c
+              FROM {src}, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+              GROUP BY 1, 2
+"""
+_TOK1_APPLY = """string_split(list_reduce(list_prepend('', arr),
+                (acc, v) -> CASE
+                  WHEN acc = '' THEN v
+                  WHEN v = mb AND acc = ma
+                    THEN ma || chr(31) || mb
+                  WHEN v = mb AND right(acc, length(ma) + 1) = ' ' || ma
+                    THEN substr(acc, 1, length(acc) - length(ma))
+                         || ma || chr(31) || mb
+                  ELSE acc || ' ' || v END), ' ')"""
+
+_TOK1_BPE_SQL = (
+    f"""
+            WITH t1 AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+            pc1 AS ({_TOK1_PAIRS.format(src='t1')}),
+            m1 AS (SELECT a AS ma, b AS mb, c FROM pc1
+                   ORDER BY c DESC, a, b LIMIT 1)"""
+    + "".join(
+        f""",
+            t{k} AS (SELECT doc_id, {_TOK1_APPLY} AS arr
+                     FROM t{k - 1}, m{k - 1}),
+            pc{k} AS ({_TOK1_PAIRS.format(src=f't{k}')}),
+            m{k} AS (SELECT a AS ma, b AS mb, c FROM pc{k}
+                     ORDER BY c DESC, a, b LIMIT 1)"""
+        for k in range(2, 4)
+    )
+    + """
+            SELECT it, ma AS a, mb AS b, CAST(c AS BIGINT) AS cnt FROM (
+              SELECT 1 AS it, ma, mb, c FROM m1
+              UNION ALL SELECT 2, ma, mb, c FROM m2
+              UNION ALL SELECT 3, ma, mb, c FROM m3
+            )
 """
 )
 
@@ -8028,6 +8086,7 @@ def oracle_queries() -> dict[str, str]:
             FROM top t JOIN tot tt ON t.cluster = tt.cluster
         """,
         "gr1_pagerank": _GR1_PAGERANK_SQL,
+        "tok1_bpe_merges": _TOK1_BPE_SQL,
         "corpus_report1": f"""
             WITH t AS (
               SELECT doc_id, source, {_TOKEN_COUNT} AS nt FROM documents
@@ -8868,6 +8927,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "corpus_build2": q_corpus_build2,
         "corpus_report1": q_corpus_report1,
         "gr1_pagerank": q_gr1_pagerank,
+        "tok1_bpe_merges": q_tok1_bpe_merges,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,

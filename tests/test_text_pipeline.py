@@ -372,3 +372,30 @@ def test_containment_catches_quoted_excerpt(spark):
     assert r["containment_a"] == 1.0
     jac = ngram_jaccard_pairs(docs).collect()[0]["jaccard"]
     assert jac < 0.1, "Jaccard must miss what containment catches"
+
+
+def test_bpe_merge_learning_hand_corpus(spark):
+    """tok1: merge 1 is the modal adjacent pair; the greedy pass over
+    a run 'a a a' fuses only the first two (textbook BPE); round-2
+    counts are taken over the re-segmented corpus."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        SEP,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate the cat food"),
+            (3, "a a a the cat"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["it"]: r for r in learn_bpe_merges(docs, iters=3).collect()}
+    assert (rows[1]["a"], rows[1]["b"], rows[1]["cnt"]) == ("the", "cat", 4)
+    # 'a a a' counts the overlapping pair twice pre-merge...
+    assert (rows[2]["a"], rows[2]["b"], rows[2]["cnt"]) == ("a", "a", 2)
+    # ...and round 3 sees the re-segmented [a·a, a, the·cat]: the
+    # lexicographically-least count-1 pair is (a, the·cat)
+    assert (rows[3]["a"], rows[3]["b"]) == ("a", f"the{SEP}cat")
+    assert rows[3]["cnt"] == 1
