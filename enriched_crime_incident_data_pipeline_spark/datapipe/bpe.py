@@ -70,18 +70,18 @@ def adjacent_pair_counts(sym: DataFrame) -> DataFrame:
     )
 
 
-def learn_bpe_merges(
+def _train(
     docs: DataFrame,
-    iters: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """``(it, a, b, cnt)`` — the first ``iters`` learned merge rules
-    in training order. ``a``/``b`` may themselves be fused symbols
-    from earlier rounds (joined with the US byte)."""
-    sym = docs.select(
+    iters: int,
+    id_col: str,
+    text_col: str,
+    apply_last: bool,
+):
+    """Shared training loop → (raw symbols, final symbols, merges)."""
+    sym0 = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
     ).localCheckpoint(eager=True)
+    sym = sym0
     merges = None
     for it in range(1, iters + 1):
         top = (
@@ -97,12 +97,42 @@ def learn_bpe_merges(
             .localCheckpoint(eager=True)
         )
         merges = top if merges is None else merges.unionByName(top)
-        if it < iters:
+        if it < iters or apply_last:
             sym = (
                 sym.crossJoin(F.broadcast(top.select("ma", "mb")))
                 .select("doc_id", F.expr(_APPLY).alias("arr"))
                 .localCheckpoint(eager=True)
             )
+    return sym0, sym, merges
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    iters: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(it, a, b, cnt)`` — the first ``iters`` learned merge rules
+    in training order. ``a``/``b`` may themselves be fused symbols
+    from earlier rounds (joined with the US byte)."""
+    _, _, merges = _train(docs, iters, id_col, text_col, apply_last=False)
     return merges.select(
         "it", F.col("ma").alias("a"), F.col("mb").alias("b"), "cnt"
     )
+
+
+def bpe_encode_lengths(
+    docs: DataFrame,
+    iters: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer read path: train ``iters`` merges, encode the corpus
+    with them, and report ``(doc_id, n_raw, n_bpe)`` sequence lengths
+    — the compression audit a tokenizer-training run publishes. The
+    encode is the same broadcast-rule greedy fold as training, so
+    cost per rule is one map-only pass over the corpus."""
+    sym0, sym, _ = _train(docs, iters, id_col, text_col, apply_last=True)
+    raw = sym0.select("doc_id", F.size("arr").cast("bigint").alias("n_raw"))
+    enc = sym.select("doc_id", F.size("arr").cast("bigint").alias("n_bpe"))
+    return raw.join(enc, "doc_id")

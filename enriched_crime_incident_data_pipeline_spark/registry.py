@@ -1855,6 +1855,18 @@ def q_tok1_bpe_merges(spark, sf_dir):
     return learn_bpe_merges(docs, iters=3)
 
 
+def q_tok2_bpe_encode(spark, sf_dir):
+    # tokenizer read path: encode the corpus with the 3 learned
+    # merges; per-doc sequence length before/after — the compression
+    # audit published with a tokenizer-training run.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        bpe_encode_lengths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_lengths(docs, iters=3)
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -4818,9 +4830,8 @@ _TOK1_APPLY = """string_split(list_reduce(list_prepend('', arr),
                          || ma || chr(31) || mb
                   ELSE acc || ' ' || v END), ' ')"""
 
-_TOK1_BPE_SQL = (
-    f"""
-            WITH t1 AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+_TOK_CHAIN_SQL = (
+    f"""t1 AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
             pc1 AS ({_TOK1_PAIRS.format(src='t1')}),
             m1 AS (SELECT a AS ma, b AS mb, c FROM pc1
                    ORDER BY c DESC, a, b LIMIT 1)"""
@@ -4833,12 +4844,28 @@ _TOK1_BPE_SQL = (
                      ORDER BY c DESC, a, b LIMIT 1)"""
         for k in range(2, 4)
     )
+)
+
+_TOK1_BPE_SQL = (
+    "\n            WITH "
+    + _TOK_CHAIN_SQL
     + """
             SELECT it, ma AS a, mb AS b, CAST(c AS BIGINT) AS cnt FROM (
               SELECT 1 AS it, ma, mb, c FROM m1
               UNION ALL SELECT 2, ma, mb, c FROM m2
               UNION ALL SELECT 3, ma, mb, c FROM m3
             )
+"""
+)
+
+_TOK2_BPE_SQL = (
+    "\n            WITH "
+    + _TOK_CHAIN_SQL
+    + f""",
+            t4 AS (SELECT doc_id, {_TOK1_APPLY} AS arr FROM t3, m3)
+            SELECT t1.doc_id, CAST(len(t1.arr) AS BIGINT) AS n_raw,
+                   CAST(len(t4.arr) AS BIGINT) AS n_bpe
+            FROM t1 JOIN t4 ON t1.doc_id = t4.doc_id
 """
 )
 
@@ -8087,6 +8114,7 @@ def oracle_queries() -> dict[str, str]:
         """,
         "gr1_pagerank": _GR1_PAGERANK_SQL,
         "tok1_bpe_merges": _TOK1_BPE_SQL,
+        "tok2_bpe_encode": _TOK2_BPE_SQL,
         "corpus_report1": f"""
             WITH t AS (
               SELECT doc_id, source, {_TOKEN_COUNT} AS nt FROM documents
@@ -8928,6 +8956,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "corpus_report1": q_corpus_report1,
         "gr1_pagerank": q_gr1_pagerank,
         "tok1_bpe_merges": q_tok1_bpe_merges,
+        "tok2_bpe_encode": q_tok2_bpe_encode,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
