@@ -85,6 +85,8 @@ LONGTAIL = [
     "zo1_zorder_tiles",  # Morton-tile layout stats (r4)
     "mm5_phash_neardup",  # perceptual dHash image near-dup (r4)
     "ret2_hybrid_rrf",  # BM25 + ANN reciprocal-rank fusion (r4)
+    "gr1_pagerank",  # 5 damped rounds over the near-dup graph (r4)
+    "tok1_bpe_merges",  # 3 BPE training rounds over the corpus (r4)
 ]
 
 
