@@ -87,6 +87,8 @@ LONGTAIL = [
     "ret2_hybrid_rrf",  # BM25 + ANN reciprocal-rank fusion (r4)
     "gr1_pagerank",  # 5 damped rounds over the near-dup graph (r4)
     "tok1_bpe_merges",  # 3 BPE training rounds over the corpus (r4)
+    "sk7_quantile_sketch",  # mergeable histogram quantile sketch (r4)
+    "tok3_wordpiece_encode",  # greedy longest-match piece encode (r4)
 ]
 
 

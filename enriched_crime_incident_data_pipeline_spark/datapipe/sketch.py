@@ -353,3 +353,92 @@ def kmv_set_estimates(
             F.col("n_both").cast("double") / F.col("k_used").cast("double"),
         )
     )
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    col: Column,
+    width: float,
+    qs: tuple = ((1, 2), (19, 20), (99, 100)),
+) -> DataFrame:
+    """Mergeable fixed-width-histogram quantile sketch: one row per
+    requested quantile ``(q_num, q_den, k, n_total, bucket, est)``.
+
+    The sketch state is the bucket→count table (``floor(x/width)``
+    keyed), whose size is bounded by the VALUE DOMAIN, not the data:
+    merging two sketches is summing counts per bucket — exactly what
+    Spark's partial aggregation already does map-side, so one
+    ``groupBy`` pass over the fact data builds the merged sketch and
+    the shuffle carries ~#buckets rows per partition regardless of
+    input size. The quantile read-out (cumulative counts + containing
+    bucket + linear interpolation) runs over that tiny bucket relation
+    only — the global window is over hundreds of rows, never the fact
+    table. Estimate error is bounded by construction: the true k-th
+    smallest value lies inside the chosen bucket, so |est − true| <
+    width (pinned in ``test_graph_sketch.py``).
+
+    Everything is integer arithmetic (counts, ceil via integer div)
+    plus one float divide/multiply chain in a fixed evaluation order —
+    bit-reproducible cross-engine, same determinism contract as the
+    other sketches. Quantiles are passed as exact rationals
+    ``(q_num, q_den)`` so ``k = ceil(q·N)`` never touches floats.
+    """
+    return histogram_quantile_readout(
+        histogram_buckets(df, col, width), width, qs
+    )
+
+
+def histogram_buckets(df: DataFrame, col: Column, width: float) -> DataFrame:
+    """The sketch STATE: ``(bucket, cnt)`` with ``bucket =
+    floor(col/width)``. A plain count groupBy, so it is equally a
+    complete-mode streaming aggregation — counts are mergeable, which
+    is what makes the histogram a streaming sketch (st16)."""
+    return (
+        df.select(F.floor(col / F.lit(float(width))).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile_readout(
+    buckets: DataFrame, width: float, qs: tuple
+) -> DataFrame:
+    """Quantile read-out over a (bucket, cnt) sketch table — runs
+    only over the tiny bucket relation, never the fact data."""
+    from pyspark.sql.window import Window
+
+    spark = buckets.sparkSession
+    cum_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(cum_w))
+    total = buckets.agg(F.sum("cnt").alias("n_total"))
+    qrows = spark.createDataFrame(
+        [(int(qn), int(qd)) for qn, qd in qs], "q_num int, q_den int"
+    )
+    ks = qrows.crossJoin(F.broadcast(total)).withColumn(
+        "k",
+        F.expr(
+            "(n_total * CAST(q_num AS BIGINT) + CAST(q_den AS BIGINT) - 1)"
+            " div CAST(q_den AS BIGINT)"
+        ),
+    )
+    hit = ks.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("k"))
+        & ((F.col("cum") - F.col("cnt")) < F.col("k")),
+    )
+    w = F.lit(float(width))
+    return hit.select(
+        "q_num",
+        "q_den",
+        "k",
+        "n_total",
+        "bucket",
+        (
+            F.col("bucket").cast("double") * w
+            + w
+            * (
+                (F.col("k") - (F.col("cum") - F.col("cnt"))).cast("double")
+                / F.col("cnt").cast("double")
+            )
+        ).alias("est"),
+    )

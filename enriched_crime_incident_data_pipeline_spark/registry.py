@@ -1322,6 +1322,24 @@ def q_sk6_kmv_set_ops(spark, sf_dir):
     )
 
 
+def q_sk7_quantile_sketch(spark, sf_dir):
+    # mergeable histogram quantile sketch: p50/p95/p99 of
+    # l_extendedprice from a fixed-width bucket→count table. One
+    # groupBy pass over the fact data (map-side combine bounds the
+    # shuffle at ~#buckets rows per partition); the read-out window
+    # runs over the tiny bucket relation only. |est − true| < width
+    # by construction (pinned in test_graph_sketch.py).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        histogram_quantile_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantile_sketch(
+        li, F.col("l_extendedprice"), 1000.0,
+        qs=((1, 2), (19, 20), (99, 100)),
+    )
+
+
 def q_st15_stream_temporal_enrich(spark, sf_dir):
     # stream-static temporal (SCD2 as-of) enrichment: arriving fact
     # events join the static dimension-history table on key +
@@ -1867,6 +1885,19 @@ def q_tok2_bpe_encode(spark, sf_dir):
     return bpe_encode_lengths(docs, iters=3)
 
 
+def q_tok3_wordpiece_encode(spark, sf_dir):
+    # WordPiece-style read path: induce a vocab (all corpus chars +
+    # top-40 length-2/3 substrings, deterministic tiebreak), then
+    # greedy longest-match encode every word as a map-only sequential
+    # fold. The fp column pins the EXACT segmentation cross-engine.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.wordpiece import (
+        wordpiece_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_encode(docs, top_k=40)
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -2124,6 +2155,34 @@ def q_st9_stream_hll(spark, sf_dir):
     )
     return run_available_now(out, "st9_hll", "complete", state_partitions=8)
 
+
+
+def q_st16_stream_quantile(spark, sf_dir):
+    # continuous quantiles: the histogram bucket→count table IS a
+    # streaming aggregation (counts merge across micro-batches), the
+    # same property that makes it a distributed sketch (sk7). State
+    # is ~#buckets rows forever, bounded by the VALUE DOMAIN, not the
+    # stream length. The quantile read-out runs as a batch query over
+    # the maintained sketch — query-time work independent of how much
+    # data has streamed past. AvailableNow run ≡ the batch sketch,
+    # same oracle SQL as the batch formulation.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        histogram_buckets,
+        histogram_quantile_readout,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    buckets = histogram_buckets(ev, F.col("value"), 5.0)
+    state = run_available_now(
+        buckets, "st16_quantile", "complete", state_partitions=8
+    )
+    return histogram_quantile_readout(
+        state, 5.0, qs=((1, 4), (1, 2), (19, 20), (99, 100))
+    )
 
 
 def q_st10_stream_embed_probe(spark, sf_dir):
@@ -4857,6 +4916,79 @@ _TOK1_BPE_SQL = (
             )
 """
 )
+
+# tok3: WordPiece greedy longest-match, same semantics as
+# datapipe/wordpiece.py but a deliberately different fold shape:
+# DuckDB 1.0.0's list_reduce mis-binds values across rows when the
+# accumulator is a STRUCT and rows' lists have different lengths
+# (verified by minimal repro — row 2's fold reads row 1's elements),
+# while VARCHAR-accumulator folds (the tok1 shape) are correct. The
+# greedy choice at a position doesn't depend on the accumulator, so
+# the pick per position precomputes in list_transform (safe), and
+# the fold only walks the skip counts: acc = '<skip>|<fp>'.
+_TOK3_PICKS = """list_transform(generate_series(1, length(w)),
+      p -> CASE
+        WHEN length(substr(w, CAST(p AS INT), 3)) = 3
+             AND list_contains(vocab, substr(w, CAST(p AS INT), 3))
+          THEN substr(w, CAST(p AS INT), 3)
+        WHEN length(substr(w, CAST(p AS INT), 2)) = 2
+             AND list_contains(vocab, substr(w, CAST(p AS INT), 2))
+          THEN substr(w, CAST(p AS INT), 2)
+        ELSE substr(w, CAST(p AS INT), 1) END)"""
+
+_TOK3_FOLD = """split_part(list_reduce(
+  list_prepend('0|', picks),
+  (acc, x) -> CASE
+    WHEN CAST(split_part(acc, '|', 1) AS BIGINT) > 0
+      THEN CAST(CAST(split_part(acc, '|', 1) AS BIGINT) - 1 AS VARCHAR)
+           || '|' || split_part(acc, '|', 2)
+    ELSE CAST(length(x) - 1 AS VARCHAR) || '|'
+         || split_part(acc, '|', 2) || ' ' || x
+  END), '|', 2)"""
+
+_TOK3_WORDPIECE_SQL = f"""
+            WITH t1 AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+            words AS (
+              SELECT doc_id, pos, arr[pos] AS w
+              FROM t1, unnest(generate_series(1, len(arr))) AS s(pos)
+              WHERE length(arr[pos]) >= 1
+            ),
+            singles AS (
+              SELECT DISTINCT substr(w, CAST(p AS INT), 1) AS piece
+              FROM words, unnest(generate_series(1, length(w))) AS q(p)
+            ),
+            multi AS (
+              SELECT piece FROM (
+                SELECT piece, count(*) AS c FROM (
+                  SELECT substr(w, CAST(p AS INT), 2) AS piece
+                  FROM words, unnest(generate_series(1, length(w))) AS q(p)
+                  WHERE length(substr(w, CAST(p AS INT), 2)) = 2
+                  UNION ALL
+                  SELECT substr(w, CAST(p AS INT), 3)
+                  FROM words, unnest(generate_series(1, length(w))) AS q(p)
+                  WHERE length(substr(w, CAST(p AS INT), 3)) = 3
+                ) GROUP BY piece
+              ) ORDER BY c DESC, piece LIMIT 40
+            ),
+            v AS (
+              SELECT list_sort(list(piece)) AS vocab FROM (
+                SELECT piece FROM singles UNION SELECT piece FROM multi
+              )
+            ),
+            pkd AS (
+              SELECT doc_id, pos, {_TOK3_PICKS} AS picks
+              FROM words, v
+            ),
+            enc AS (
+              SELECT doc_id, pos, {_TOK3_FOLD} AS fp
+              FROM pkd
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(string_split(fp, ' ')) - 1) AS BIGINT)
+                     AS n_pieces,
+                   md5(string_agg(fp, '|' ORDER BY pos)) AS fp
+            FROM enc GROUP BY doc_id
+"""
 
 _TOK2_BPE_SQL = (
     "\n            WITH "
@@ -7967,6 +8099,60 @@ def oracle_queries() -> dict[str, str]:
                      AS jaccard_est
             FROM base
         """,
+        "sk7_quantile_sketch": """
+            WITH b AS (
+              SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY 1
+            ),
+            c AS (
+              SELECT bucket, cnt,
+                     CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+              FROM b
+            ),
+            n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM b),
+            qs (q_num, q_den) AS (VALUES (1, 2), (19, 20), (99, 100)),
+            ks AS (
+              SELECT q_num, q_den,
+                     (n_total * CAST(q_num AS BIGINT)
+                      + CAST(q_den AS BIGINT) - 1) // CAST(q_den AS BIGINT)
+                       AS k,
+                     n_total
+              FROM qs, n
+            )
+            SELECT q_num, q_den, k, n_total, c.bucket,
+                   CAST(c.bucket AS DOUBLE) * 1000.0
+                     + 1000.0 * (CAST(ks.k - (c.cum - c.cnt) AS DOUBLE)
+                                 / CAST(c.cnt AS DOUBLE)) AS est
+            FROM ks JOIN c ON c.cum >= ks.k AND (c.cum - c.cnt) < ks.k
+        """,
+        "st16_stream_quantile": """
+            WITH b AS (
+              SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+                     count(*) AS cnt
+              FROM events GROUP BY 1
+            ),
+            c AS (
+              SELECT bucket, cnt,
+                     CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+              FROM b
+            ),
+            n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM b),
+            qs (q_num, q_den) AS (VALUES (1, 4), (1, 2), (19, 20), (99, 100)),
+            ks AS (
+              SELECT q_num, q_den,
+                     (n_total * CAST(q_num AS BIGINT)
+                      + CAST(q_den AS BIGINT) - 1) // CAST(q_den AS BIGINT)
+                       AS k,
+                     n_total
+              FROM qs, n
+            )
+            SELECT q_num, q_den, k, n_total, c.bucket,
+                   CAST(c.bucket AS DOUBLE) * 5.0
+                     + 5.0 * (CAST(ks.k - (c.cum - c.cnt) AS DOUBLE)
+                              / CAST(c.cnt AS DOUBLE)) AS est
+            FROM ks JOIN c ON c.cum >= ks.k AND (c.cum - c.cnt) < ks.k
+        """,
         "sk1_kmv_distinct": f"""
             WITH h AS (
               SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
@@ -8115,6 +8301,7 @@ def oracle_queries() -> dict[str, str]:
         "gr1_pagerank": _GR1_PAGERANK_SQL,
         "tok1_bpe_merges": _TOK1_BPE_SQL,
         "tok2_bpe_encode": _TOK2_BPE_SQL,
+        "tok3_wordpiece_encode": _TOK3_WORDPIECE_SQL,
         "corpus_report1": f"""
             WITH t AS (
               SELECT doc_id, source, {_TOKEN_COUNT} AS nt FROM documents
@@ -8957,6 +9144,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "gr1_pagerank": q_gr1_pagerank,
         "tok1_bpe_merges": q_tok1_bpe_merges,
         "tok2_bpe_encode": q_tok2_bpe_encode,
+        "tok3_wordpiece_encode": q_tok3_wordpiece_encode,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
@@ -8991,7 +9179,9 @@ def spark_queries() -> dict[str, QueryFn]:
         "st13_stream_sliding": q_st13_stream_sliding,
         "st14_stream_phash_probe": q_st14_stream_phash_probe,
         "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
+        "st16_stream_quantile": q_st16_stream_quantile,
         "sk6_kmv_set_ops": q_sk6_kmv_set_ops,
+        "sk7_quantile_sketch": q_sk7_quantile_sketch,
         "st2_stream_sessions": q_st2_stream_sessions,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,

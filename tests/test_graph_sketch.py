@@ -429,3 +429,42 @@ def test_pagerank_hand_graph_and_mode_agreement(spark):
     assert o.keys() == u.keys()
     for k in o:
         assert abs(o[k] - u[k]) <= 1e-9 * max(1.0, abs(o[k]))
+
+
+def test_histogram_quantile_sketch_error_bound_and_merge(spark):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        histogram_quantile_sketch,
+    )
+
+    # deterministic skewed values: squares spread over [0, 9e4)
+    vals = [((i * 137) % 300) ** 2 / 3.0 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    width = 500.0
+    rows = {
+        (r["q_num"], r["q_den"]): r
+        for r in histogram_quantile_sketch(
+            df, F.col("x"), width, qs=((1, 2), (19, 20), (99, 100))
+        ).collect()
+    }
+    svals = sorted(vals)
+    n = len(svals)
+    for (qn, qd), r in rows.items():
+        k = -(-n * qn // qd)  # ceil without floats
+        true = svals[k - 1]
+        assert r["k"] == k and r["n_total"] == n
+        # the true k-th smallest lies inside the chosen bucket, so the
+        # interpolated estimate is off by strictly less than one width
+        assert abs(r["est"] - true) < width
+    # mergeability: the sketch over the whole == combining the halves
+    # is what groupBy's partial aggregation already does; pin that a
+    # physically re-partitioned input yields the identical read-out
+    again = {
+        (r["q_num"], r["q_den"]): r
+        for r in histogram_quantile_sketch(
+            df.repartition(13), F.col("x"), width,
+            qs=((1, 2), (19, 20), (99, 100)),
+        ).collect()
+    }
+    for key, r in rows.items():
+        assert again[key]["bucket"] == r["bucket"]
+        assert again[key]["est"] == r["est"]

@@ -831,3 +831,74 @@ def test_round4_addition_plans_stay_scale_shaped(spark):
     plan = er1._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime (bloom) filter injection: a shuffle join whose build
+    side carries a selective filter must plant a
+    ``bloom_filter_might_contain`` probe on the fact side, so at
+    100 TB the fact shuffle carries only rows whose key MIGHT match
+    the filtered dim — rows that can't join are dropped at the scan,
+    before the exchange, without any literal predicate on the fact."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, SF_DIR, "part").select("p_partkey", "p_size")
+    fact_path = str(tmp_path / "bloom_fact")
+    dim_path = str(tmp_path / "bloom_dim")
+    li.write.mode("overwrite").parquet(fact_path)
+    part.write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("p_size") <= 5)
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # force a shuffle join (broadcast would make the runtime
+        # filter pointless) and drop the application-side size floor
+        # (10 GiB by default — sized for real clusters, not testdata)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        joined = fact.join(
+            dim, fact["l_partkey"] == dim["p_partkey"]
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("double").alias("qty"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # creation side: bloom built from the filtered dim keys;
+        # probe side: might_contain() guard planted on the fact scan
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        got = joined.first()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    want = (
+        li.join(part.filter(F.col("p_size") <= 5),
+                li["l_partkey"] == part["p_partkey"])
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("l_quantity").cast("double").alias("qty"))
+        .first()
+    )
+    assert got["n"] == want["n"] and got["n"] > 0
+    assert got["qty"] == want["qty"]

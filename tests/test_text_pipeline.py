@@ -399,3 +399,66 @@ def test_bpe_merge_learning_hand_corpus(spark):
     # lexicographically-least count-1 pair is (a, the·cat)
     assert (rows[3]["a"], rows[3]["b"]) == ("a", f"the{SEP}cat")
     assert rows[3]["cnt"] == 1
+
+
+def test_wordpiece_encode_matches_python_model(spark):
+    """tok3: vocab induction + greedy longest-match, pinned against
+    an independent pure-Python model of the same spec (every corpus
+    char + top-k 2/3-grams by (count desc, piece asc); longest match
+    at each position, 3 > 2 > 1)."""
+    import hashlib
+    from collections import Counter
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.wordpiece import (
+        wordpiece_encode,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ate the cat food",
+        3: "catalog the theme theory",
+        4: "a ca cat cata catal catalo catalog",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    top_k = 6
+
+    # independent model
+    words = {i: t.split() for i, t in texts.items()}
+    counts = Counter()
+    singles = set()
+    for ws in words.values():
+        for w in ws:
+            singles.update(w)
+            for n in (2, 3):
+                for p in range(len(w) - n + 1):
+                    counts[w[p : p + n]] += 1
+    multi = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    vocab = singles | {p for p, _ in multi}
+
+    def encode(w):
+        out, p = [], 0
+        while p < len(w):
+            for n in (3, 2, 1):
+                if w[p : p + n] in vocab and len(w[p : p + n]) == n:
+                    out.append(w[p : p + n])
+                    p += n
+                    break
+        return out
+
+    expected = {}
+    for i, ws in words.items():
+        encs = [encode(w) for w in ws]
+        fp = "|".join(" " + " ".join(e) for e in encs)
+        expected[i] = (
+            len(ws),
+            sum(len(e) for e in encs),
+            hashlib.md5(fp.encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["fp"])
+        for r in wordpiece_encode(docs, top_k=top_k).collect()
+    }
+    assert got == expected
