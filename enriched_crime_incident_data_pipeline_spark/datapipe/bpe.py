@@ -8,35 +8,67 @@ wide — and it is exactly a map-side-combinable groupBy, so each
 training round is one explode+groupBy shuffle over O(total tokens)
 rows plus a broadcast of the single winning pair. Nothing about the
 loop needs a driver-side corpus: the winner is a 1-row relation
-cross-joined (broadcast) into the re-segmentation step, and round
-lineage is cut with an eager ``localCheckpoint`` per iteration, so
-the plan stays flat at any corpus size and any merge count.
+(pulled as two scalars for the kernel path, or broadcast into the
+expression path), and round lineage is cut with an eager
+``localCheckpoint`` per iteration, so the plan stays flat at any
+corpus size and any merge count.
 
 Re-segmentation semantics are the standard greedy left-to-right
-non-overlapping pass, expressed as a sequential fold over each
-document's symbol sequence (the same position-ordered-fold contract
-as :mod:`datapipe.lm`, so any ordered-aggregate SQL engine
-reproduces it bit-for-bit): the accumulator is the space-joined
-output sequence; a symbol that completes the winning pair fuses with
-the just-emitted left symbol into ``a + US + b`` (US = unit
-separator, a byte the tokenizer alphabet never contains), otherwise
-it appends. Because the fused symbol is a *new* string, runs like
-``a a a`` under merge ``(a, a)`` greedily produce ``[a·a, a]`` — the
-textbook BPE pass — with no special-casing.
+non-overlapping pass. Two interchangeable implementations, pinned
+equal by ``tests/test_text_pipeline.py``:
+
+- **Arrow kernel (default)** — ``mapInPandas`` over ``(doc_id, arr)``
+  applying the merge with a Python list walk: O(d) character work per
+  d-token document, map-only, embarrassingly parallel. This is the
+  100 TB read path: a growing-string fold costs O(d²) copies on a
+  100 k-token web document; the kernel is linear.
+- **Column-expression fold** (``use_kernel=False``) — a sequential
+  ``aggregate`` fold with the space-joined output string as the
+  accumulator (the same position-ordered-fold contract as
+  :mod:`datapipe.lm`, reproducible bit-for-bit by any ordered-
+  aggregate SQL engine, e.g. DuckDB ``list_reduce``). Kept as the
+  oracle-shaped twin and for engines where Python workers are
+  unavailable; quadratic in document length, so use the kernel for
+  real corpora.
+
+In both, a symbol completing the winning pair fuses with the
+just-emitted left symbol into ``a + US + b`` (US = unit separator, a
+byte the tokenizer alphabet never contains), otherwise it appends.
+Because the fused symbol is a *new* string, runs like ``a a a`` under
+merge ``(a, a)`` greedily produce ``[a·a, a]`` — the textbook BPE
+pass — with no special-casing.
 
 Ties on pair frequency break deterministically (count desc, then
 pair lexicographic asc), so the learned merge table is reproducible
 across engines and partitionings.
+
+**Scaling note — merges × passes.** Training does one corpus pass
+per merge rule; at a production vocab (50 k merges) that is 50 k
+shuffled passes, which no engine should pay. The production norm is
+:func:`learn_bpe_merges_sampled`: train the merge table on a
+deterministic hash-sample of documents (pair frequencies concentrate
+fast — a few % of a web corpus pins the same top pairs), then encode
+the FULL corpus once per rule with the learned table (map-only, no
+counting shuffle). ``sample == full`` on unambiguous-frequency
+corpora is pinned by test; the tok4 oracle twin checks it end-to-end.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import hash32
 from enriched_crime_incident_data_pipeline_spark.functions.text import tokens
 
 SEP = "\x1f"
+
+_SYM_SCHEMA = "doc_id bigint, arr array<string>"
 
 _PAIRS = (
     "transform(slice(arr, 1, greatest(size(arr) - 1, 0)),"
@@ -45,7 +77,9 @@ _PAIRS = (
 
 # greedy left-to-right merge of the (ma, mb) pair as a sequential
 # string fold; `right()` checks that the accumulator's LAST emitted
-# symbol is exactly ma (symbols never contain spaces)
+# symbol is exactly ma (symbols never contain spaces). Quadratic in
+# document length (accumulator copy per step) — oracle twin only;
+# the kernel below is the linear production path.
 _APPLY = f"""
 split(aggregate(arr, '', (acc, v) -> CASE
   WHEN acc = '' THEN v
@@ -56,6 +90,167 @@ split(aggregate(arr, '', (acc, v) -> CASE
                 ma, '{SEP}', mb)
   ELSE concat(acc, ' ', v) END), ' ')
 """
+
+
+def merge_pair(arr: list, ma: str, mb: str) -> list:
+    """Greedy left-to-right non-overlapping merge of (ma, mb) over a
+    symbol list — the Python reference model of ``_APPLY``,
+    O(len(arr)). The kernels below are its vectorized twin (pinned
+    equal by test_text_pipeline)."""
+    out: list = []
+    fused = ma + SEP + mb
+    for v in arr:
+        if out and v == mb and out[-1] == ma:
+            out[-1] = fused
+        else:
+            out.append(v)
+    return out
+
+
+# ---------------------------------------------------------------
+# Vectorized batch state: documents are flattened to one int-code
+# array (dictionary-encoded symbols) + per-doc lengths. Every rule
+# application and pair count is then numpy on int64 — no per-token
+# Python objects in the hot loop, which is what makes the kernel's
+# per-byte constant competitive with a JVM expression at any doc
+# length (the growing-string fold it replaces was O(d²) per doc).
+# ---------------------------------------------------------------
+
+
+def _flatten_batch(arrs) -> tuple:
+    """list-of-token-arrays → (codes int64, doclen int64, uniq list,
+    uniq_map dict)."""
+    seqs = [np.asarray(a, dtype=object) for a in arrs]
+    doclen = np.fromiter(
+        (s.size for s in seqs), dtype=np.int64, count=len(seqs)
+    )
+    flat = (
+        np.concatenate(seqs)
+        if seqs and doclen.sum() > 0
+        else np.empty(0, dtype=object)
+    )
+    codes, uniq = pd.factorize(flat)
+    uniq_list = list(uniq)
+    uniq_map = {s: i for i, s in enumerate(uniq_list)}
+    return codes.astype(np.int64), doclen, uniq_list, uniq_map
+
+
+def _doc_break_positions(doclen: np.ndarray, n: int) -> np.ndarray:
+    """Pair positions (i, i+1) that straddle a document boundary:
+    i where i+1 is some document's first token."""
+    if doclen.size <= 1 or n < 2:
+        return np.empty(0, dtype=np.int64)
+    starts = np.cumsum(doclen)[:-1]
+    return starts[(starts > 0) & (starts < n)] - 1
+
+
+def _apply_rules_np(codes, doclen, uniq_list, uniq_map, rules):
+    """Replay ``rules`` (string pairs) over the flattened batch.
+    Greedy non-overlap is resolved vectorized: matches on the
+    ORIGINAL sequence, with alternate-position selection inside
+    consecutive-match runs (runs only occur when ma == mb — a fused
+    symbol can never re-match as the left of its own rule within the
+    pass, exactly the single-pass semantics of merge_pair)."""
+    for ma, mb in rules:
+        ca = uniq_map.get(ma)
+        cb = uniq_map.get(mb)
+        n = codes.size
+        if ca is None or cb is None or n < 2:
+            continue
+        match = (codes[:-1] == ca) & (codes[1:] == cb)
+        match[_doc_break_positions(doclen, n)] = False
+        p = np.flatnonzero(match)
+        if p.size == 0:
+            continue
+        if ca == cb and p.size > 1:
+            idx = np.arange(p.size)
+            run_start = np.concatenate(([True], np.diff(p) != 1))
+            gs = np.maximum.accumulate(np.where(run_start, idx, 0))
+            p = p[((idx - gs) % 2) == 0]
+        fused = ma + SEP + mb
+        fc = uniq_map.get(fused)
+        if fc is None:
+            fc = len(uniq_list)
+            uniq_list.append(fused)
+            uniq_map[fused] = fc
+        codes[p] = fc
+        codes = np.delete(codes, p + 1)
+        doc_of = np.searchsorted(np.cumsum(doclen), p, side="right")
+        doclen = doclen - np.bincount(doc_of, minlength=doclen.size)
+    return codes, doclen
+
+
+def _pair_counts_np(codes, doclen, uniq_list):
+    """(a, b, c) distinct adjacent-pair counts of the flattened
+    batch — the map-side combine, done vectorized before anything
+    leaves the worker."""
+    n = codes.size
+    if n < 2:
+        return pd.DataFrame({"a": [], "b": [], "c": []})
+    valid = np.ones(n - 1, dtype=bool)
+    valid[_doc_break_positions(doclen, n)] = False
+    k = len(uniq_list)
+    keys = codes[:-1] * k + codes[1:]
+    u, c = np.unique(keys[valid], return_counts=True)
+    return pd.DataFrame(
+        {
+            "a": [uniq_list[x] for x in u // k],
+            "b": [uniq_list[x] for x in u % k],
+            "c": c.astype(np.int64),
+        }
+    )
+
+
+def _apply_rules_kernel(sym: DataFrame, rules: list) -> DataFrame:
+    """Map-only merge pass over ``(doc_id, arr)`` applying a whole
+    rule list in ONE Arrow kernel hop: linear per-document cost per
+    rule (the expression fold is quadratic — see module docstring),
+    and a single Python worker round-trip no matter how many rules
+    ride along (the fixed cost that dominates short-corpus rounds)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            codes, doclen, uniq_list, uniq_map = _flatten_batch(pdf["arr"])
+            codes, doclen = _apply_rules_np(
+                codes, doclen, uniq_list, uniq_map, rules
+            )
+            su = np.array(uniq_list + [""], dtype=object)
+            out = np.split(su[codes], np.cumsum(doclen)[:-1])
+            pdf = pdf.copy()
+            pdf["arr"] = [list(x) for x in out]
+            yield pdf
+
+    return sym.mapInPandas(gen, _SYM_SCHEMA)
+
+
+def _count_pairs_kernel(sym: DataFrame, rules: list) -> DataFrame:
+    """Adjacent-pair counts with the rule replay fused in: one Arrow
+    hop replays ``rules`` over each document AND pre-aggregates pair
+    counts per batch (a Counter), so the shuffle carries one row per
+    DISTINCT pair per batch instead of one row per token occurrence —
+    the map-side-combine a JVM hash-agg would do, done before the
+    data ever leaves the Python worker. Finished by a tiny
+    ``groupBy(a, b).sum``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"a": [], "b": [], "c": []})
+                continue
+            codes, doclen, uniq_list, uniq_map = _flatten_batch(pdf["arr"])
+            codes, doclen = _apply_rules_np(
+                codes, doclen, uniq_list, uniq_map, rules
+            )
+            yield _pair_counts_np(codes, doclen, uniq_list)
+
+    return (
+        sym.mapInPandas(gen, "a string, b string, c bigint")
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("c"))
+    )
 
 
 def adjacent_pair_counts(sym: DataFrame) -> DataFrame:
@@ -76,34 +271,99 @@ def _train(
     id_col: str,
     text_col: str,
     apply_last: bool,
+    use_kernel: bool = True,
+    checkpoint_every: int = 8,
 ):
-    """Shared training loop → (raw symbols, final symbols, merges)."""
+    """Shared training loop → (raw symbols, final symbols, merges).
+
+    Kernel path (default): one job per training round — the round-k
+    pair count reads ``base`` (the last checkpointed symbol state)
+    through a single Arrow hop that replays the ≤ ``checkpoint_every``
+    rules learned since, and ``base`` is re-materialized only every
+    ``checkpoint_every`` rounds. Per-round cost stays
+    O(tokens · checkpoint_every) with O(iters / checkpoint_every)
+    materializations — flat lineage at any merge count, without the
+    per-round checkpoint+collect job overhead that dominates wall
+    time on short corpora.
+    """
+    spark = docs.sparkSession
     sym0 = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
     ).localCheckpoint(eager=True)
-    sym = sym0
-    merges = None
-    for it in range(1, iters + 1):
-        top = (
-            adjacent_pair_counts(sym)
-            .orderBy(F.desc("c"), "a", "b")
-            .limit(1)
-            .select(
-                F.lit(it).alias("it"),
-                F.col("a").alias("ma"),
-                F.col("b").alias("mb"),
-                F.col("c").alias("cnt"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        merges = top if merges is None else merges.unionByName(top)
-        if it < iters or apply_last:
-            sym = (
-                sym.crossJoin(F.broadcast(top.select("ma", "mb")))
-                .select("doc_id", F.expr(_APPLY).alias("arr"))
+    if not use_kernel:
+        sym = sym0
+        merges = None
+        for it in range(1, iters + 1):
+            top = (
+                adjacent_pair_counts(sym)
+                .orderBy(F.desc("c"), "a", "b")
+                .limit(1)
+                .select(
+                    F.lit(it).alias("it"),
+                    F.col("a").alias("ma"),
+                    F.col("b").alias("mb"),
+                    F.col("c").alias("cnt"),
+                )
                 .localCheckpoint(eager=True)
             )
+            merges = top if merges is None else merges.unionByName(top)
+            if it < iters or apply_last:
+                sym = (
+                    sym.crossJoin(F.broadcast(top.select("ma", "mb")))
+                    .select("doc_id", F.expr(_APPLY).alias("arr"))
+                    .localCheckpoint(eager=True)
+                )
+        return sym0, sym, merges
+
+    base = sym0
+    pending: list = []  # rules learned since `base` was materialized
+    rows: list = []
+    for it in range(1, iters + 1):
+        top = (
+            _count_pairs_kernel(base, pending)
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # degenerate corpus: no adjacent pairs left
+            break
+        r = top[0]
+        rows.append((it, r["a"], r["b"], r["c"]))
+        if it < iters or apply_last:
+            pending.append((r["a"], r["b"]))
+            if len(pending) >= checkpoint_every:
+                base = _apply_rules_kernel(base, pending).localCheckpoint(
+                    eager=True
+                )
+                pending = []
+    sym = _apply_rules_kernel(base, pending) if pending else base
+    merges = spark.createDataFrame(
+        rows, "it int, ma string, mb string, cnt bigint"
+    )
     return sym0, sym, merges
+
+
+def apply_merges(
+    sym: DataFrame, merge_rows: list, use_kernel: bool = True
+) -> DataFrame:
+    """Encode a ``(doc_id, arr)`` symbol relation with an already-
+    learned merge table (rows with ``ma``/``mb`` in training order):
+    one map-only pass per rule, no counting shuffle. This is the
+    full-corpus read path after sampled training."""
+    if use_kernel:
+        return _apply_rules_kernel(
+            sym, [(r["ma"], r["mb"]) for r in merge_rows]
+        )
+    for r in merge_rows:
+        pair = F.broadcast(
+            sym.sparkSession.createDataFrame(
+                [(r["ma"], r["mb"])], "ma string, mb string"
+            )
+        )
+        sym = sym.crossJoin(pair).select(
+            "doc_id", F.expr(_APPLY).alias("arr")
+        )
+    return sym
 
 
 def learn_bpe_merges(
@@ -111,11 +371,14 @@ def learn_bpe_merges(
     iters: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_kernel: bool = True,
 ) -> DataFrame:
     """``(it, a, b, cnt)`` — the first ``iters`` learned merge rules
     in training order. ``a``/``b`` may themselves be fused symbols
     from earlier rounds (joined with the US byte)."""
-    _, _, merges = _train(docs, iters, id_col, text_col, apply_last=False)
+    _, _, merges = _train(
+        docs, iters, id_col, text_col, apply_last=False, use_kernel=use_kernel
+    )
     return merges.select(
         "it", F.col("ma").alias("a"), F.col("mb").alias("b"), "cnt"
     )
@@ -126,13 +389,65 @@ def bpe_encode_lengths(
     iters: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Tokenizer read path: train ``iters`` merges, encode the corpus
     with them, and report ``(doc_id, n_raw, n_bpe)`` sequence lengths
     — the compression audit a tokenizer-training run publishes. The
-    encode is the same broadcast-rule greedy fold as training, so
-    cost per rule is one map-only pass over the corpus."""
-    sym0, sym, _ = _train(docs, iters, id_col, text_col, apply_last=True)
+    encode is the same greedy merge as training (linear Arrow kernel
+    by default), so cost per rule is one map-only pass."""
+    sym0, sym, _ = _train(
+        docs, iters, id_col, text_col, apply_last=True, use_kernel=use_kernel
+    )
     raw = sym0.select("doc_id", F.size("arr").cast("bigint").alias("n_raw"))
     enc = sym.select("doc_id", F.size("arr").cast("bigint").alias("n_bpe"))
     return raw.join(enc, "doc_id")
+
+
+def learn_bpe_merges_sampled(
+    docs: DataFrame,
+    iters: int = 3,
+    sample_bp: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge table trained on a deterministic md5-hash document sample
+    (``sample_bp`` basis points of the corpus, engine-reproducible —
+    the same ``hash32``/``% 10000`` split as stratified sampling).
+    The production answer to merges×passes: training cost scales with
+    the SAMPLE, the full corpus is only touched by the one-pass
+    encode (:func:`apply_merges` / :func:`bpe_encode_sampled`)."""
+    sampled = docs.filter(
+        hash32(F.concat(F.lit("bpe:"), F.col(id_col).cast("string")))
+        % 10000
+        < sample_bp
+    )
+    return learn_bpe_merges(sampled, iters, id_col, text_col)
+
+
+def bpe_encode_sampled(
+    docs: DataFrame,
+    iters: int = 3,
+    sample_bp: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sampled-training read path: learn ``iters`` merges on the hash
+    sample, then encode the FULL corpus once with the learned table —
+    ``(doc_id, n_raw, n_bpe)`` for every document. Training shuffles
+    only sample-sized pair counts; the full-corpus work is map-only."""
+    merge_rows = [
+        {"ma": r["a"], "mb": r["b"]}
+        for r in learn_bpe_merges_sampled(
+            docs, iters, sample_bp, id_col, text_col
+        ).orderBy("it").collect()
+    ]
+    sym0 = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
+    ).localCheckpoint(eager=True)
+    enc = apply_merges(sym0, merge_rows)
+    raw = sym0.select("doc_id", F.size("arr").cast("bigint").alias("n_raw"))
+    return raw.join(
+        enc.select("doc_id", F.size("arr").cast("bigint").alias("n_bpe")),
+        "doc_id",
+    )

@@ -647,7 +647,9 @@ def segment_dedup(
     doc-keyed rebuild join — instead of twice (segs by hash + kept
     segs by doc) as a text-carrying formulation pays. Encoding
     bounds, as in :func:`repeated_spans_sampled`: seg_idx < 2²¹
-    (docs ≤ ~2M segments) and id < 2⁴², documented input contract.
+    (docs ≤ ~2M segments) and 0 ≤ id < 2⁴² — ENFORCED with a per-row
+    fail-fast in :func:`keep_first_segment` (r5; out-of-range ids
+    previously overflowed silently into a wrong keeper).
     Segment boundaries are token-index-based, which makes the split —
     and the whole operator — reproducible in plain SQL, unlike
     semantic-boundary splitters.
@@ -674,7 +676,32 @@ def keep_first_segment(segs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     dedup so both apply the identical keeper rule; the input only
     needs ``(id, seg_idx, seg_hash)`` — project segment text away
     before calling so it never enters the shuffle."""
-    comb = F.col(id_col) * F.lit(1 << 21) + F.col("seg_idx")
+    # the encoding contract is ENFORCED, not just documented: ids
+    # outside [0, 2^42) (e.g. snowflake-style 64-bit ids) or seg_idx
+    # outside [0, 2^21) would silently overflow the packed long and
+    # elect a wrong keeper — fail fast instead. The check is a
+    # per-row branch in the same map stage (no extra job/aggregate).
+    bad = (
+        (F.col(id_col) < 0)
+        | (F.col(id_col) >= F.lit(1 << 42))
+        | (F.col("seg_idx") < 0)
+        | (F.col("seg_idx") >= F.lit(1 << 21))
+    )
+    comb = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "keep_first_segment: id/seg_idx outside the packed-"
+                    "long contract (0 <= id < 2^42, 0 <= seg_idx < "
+                    "2^21); got id="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" seg_idx="),
+                F.col("seg_idx").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col) * F.lit(1 << 21) + F.col("seg_idx"))
     return (
         segs.select("seg_hash", comb.alias("_comb"))
         .groupBy("seg_hash")

@@ -336,21 +336,38 @@ def kmv_set_estimates(
         F.max("h").alias("kth_hash"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("int").alias("n_both"),
     )
+    # degenerate-input guard (r5, ADVICE): empty inputs give
+    # k_used = 0 / kth_hash NULL, and a lone value hashing to exactly
+    # 0 gives kth_hash = 0 — the estimator row would be a silent
+    # divide-by-zero/NULL-propagation artifact. Emit explicit NULL
+    # estimates for those states instead of a meaningless number.
+    degenerate = (
+        (F.col("k_used") == 0)
+        | F.col("kth_hash").isNull()
+        | (F.col("kth_hash") == 0)
+    )
     return (
         base.withColumn(
             "union_est",
-            (F.col("k_used") - 1).cast("double")
-            * F.lit(4294967296.0)
-            / F.col("kth_hash"),
+            F.when(degenerate, F.lit(None).cast("double")).otherwise(
+                (F.col("k_used") - 1).cast("double")
+                * F.lit(4294967296.0)
+                / F.col("kth_hash")
+            ),
         )
         .withColumn(
             "inter_est",
-            (F.col("n_both").cast("double") * F.col("union_est"))
-            / F.col("k_used").cast("double"),
+            F.when(degenerate, F.lit(None).cast("double")).otherwise(
+                (F.col("n_both").cast("double") * F.col("union_est"))
+                / F.col("k_used").cast("double")
+            ),
         )
         .withColumn(
             "jaccard_est",
-            F.col("n_both").cast("double") / F.col("k_used").cast("double"),
+            F.when(degenerate, F.lit(None).cast("double")).otherwise(
+                F.col("n_both").cast("double")
+                / F.col("k_used").cast("double")
+            ),
         )
     )
 

@@ -15,25 +15,35 @@ a fixed vocabulary with greedy longest-prefix matching per word
   learned vocabulary is reproducible across engines and
   partitionings.
 
-- **Encoding** (:func:`wordpiece_encode`): greedy longest-match is a
-  sequential per-word decision process, expressed as a position-
-  ordered fold (Spark ``aggregate`` over ``sequence(1, len)``): the
-  accumulator carries the next unconsumed position, the piece count,
-  and the piece-sequence string; each step consumes the longest
-  vocabulary piece (3, then 2, then the always-present single char)
-  starting at that position. The fold is a row-local column
-  expression — the encode stage is map-only, no shuffle, work
-  O(chars·max_piece_len) per row — and bit-reproducible in any
-  engine with ordered folds (DuckDB ``list_reduce`` over a struct
-  list), which is what lets the tok3 oracle pin the exact
-  segmentation, not just counts.
+- **Encoding** (:func:`wordpiece_encode`): greedy longest-match per
+  word. Two interchangeable implementations, pinned equal by
+  ``tests/test_text_pipeline.py``:
 
-At 100 TB the vocabulary relation is tiny (|alphabet| + k rows) and
-rides along as one broadcast array column; the corpus never shuffles
-for encoding.
+  * **Arrow kernel (default)** — the tiny vocabulary (|alphabet| + k
+    pieces) is pulled once and closed over by a ``mapInPandas``
+    kernel that walks each document's token array in Python: O(chars)
+    per document, one map-only stage, NO shuffle at all (the
+    expression path explodes words and re-groups by doc — a corpus-
+    wide shuffle the kernel simply deletes). This is the 100 TB read
+    path.
+  * **Column-expression fold** (``use_kernel=False``) — a position-
+    ordered ``aggregate`` fold whose accumulator carries the next
+    unconsumed position, the piece count, and the piece-sequence
+    string. Bit-reproducible in any engine with ordered folds (DuckDB
+    ``list_reduce``), which is what lets the tok3 oracle pin the
+    exact segmentation, not just counts. Quadratic in word length
+    (string-accumulator copies) — oracle twin, not the hot path.
+
+At 100 TB the vocabulary relation is tiny and rides along as one
+closure/broadcast; the corpus never shuffles for encoding.
 """
 
 from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,7 +61,9 @@ _SUBSTR_N = (
 
 # greedy longest-match fold: acc = (next position, pieces emitted,
 # piece-sequence string). Single characters are always in the vocab,
-# so the ELSE branch guarantees progress.
+# so the ELSE branch guarantees progress. Quadratic in word length
+# (accumulator string copy per step) — kept as the oracle-shaped
+# twin; the Arrow kernel is the linear production path.
 _ENCODE = """
 aggregate(
   sequence(1, length(w)),
@@ -68,6 +80,24 @@ aggregate(
                       'fp', concat(acc.fp, ' ', substr(w, p, 1)))
   END)
 """
+
+
+def encode_word(w: str, vocab: frozenset) -> list:
+    """Greedy longest-match pieces of one word — the Python model of
+    ``_ENCODE``, O(len(w)) with an output list (no string fold)."""
+    out: list = []
+    p, n = 0, len(w)
+    while p < n:
+        if w[p : p + 3] in vocab and p + 3 <= n:
+            out.append(w[p : p + 3])
+            p += 3
+        elif w[p : p + 2] in vocab and p + 2 <= n:
+            out.append(w[p : p + 2])
+            p += 2
+        else:
+            out.append(w[p])
+            p += 1
+    return out
 
 
 def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -121,11 +151,48 @@ def learn_wordpiece_vocab(
     )
 
 
+def _encode_kernel(sym: DataFrame, vocab: frozenset) -> DataFrame:
+    """Map-only whole-document encode over ``(doc_id, arr)``: per-word
+    greedy longest-match, doc-level piece count and segmentation
+    fingerprint computed in the same pass. No shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nw, np_, fps = [], [], [], []
+            for doc_id, arr in zip(pdf["doc_id"], pdf["arr"]):
+                n_words = 0
+                n_pieces = 0
+                word_fps = []
+                for w in arr:
+                    if len(w) < 1:
+                        continue
+                    n_words += 1
+                    pieces = encode_word(w, vocab)
+                    n_pieces += len(pieces)
+                    word_fps.append("".join(" " + p for p in pieces))
+                if n_words == 0:
+                    continue  # groupBy twin emits no row for wordless docs
+                ids.append(doc_id)
+                nw.append(n_words)
+                np_.append(n_pieces)
+                fps.append(
+                    hashlib.md5("|".join(word_fps).encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_words": nw, "n_pieces": np_, "fp": fps}
+            )
+
+    return sym.mapInPandas(
+        gen, "doc_id bigint, n_words bigint, n_pieces bigint, fp string"
+    )
+
+
 def wordpiece_encode(
     docs: DataFrame,
     top_k: int = 40,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Per-document encode audit ``(doc_id, n_words, n_pieces, fp)``:
     word count, total greedy-longest-match piece count under the
@@ -133,6 +200,14 @@ def wordpiece_encode(
     sequence in document order (pinning the exact segmentation, not
     just its length)."""
     vocab = learn_wordpiece_vocab(docs, top_k, id_col, text_col)
+    if use_kernel:
+        # k-row vocab pull (tiny, deterministic) → closure; the
+        # corpus-side plan is a single map-only stage.
+        vset = frozenset(vocab.collect()[0]["vocab"])
+        sym = docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
+        )
+        return _encode_kernel(sym, vset)
     per_word = (
         _words(docs, id_col, text_col)
         .crossJoin(F.broadcast(vocab))

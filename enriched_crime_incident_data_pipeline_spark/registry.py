@@ -1898,6 +1898,20 @@ def q_tok3_wordpiece_encode(spark, sf_dir):
     return wordpiece_encode(docs, top_k=40)
 
 
+def q_tok4_bpe_sampled(spark, sf_dir):
+    # production BPE training shape: learn the merge table on a
+    # deterministic md5-hash HALF of the corpus (training cost scales
+    # with the sample), then encode the FULL corpus once per rule
+    # with the learned table — map-only, no counting shuffle over the
+    # full data. Resolves the merges×passes cost note (PLANS.md).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        bpe_encode_sampled,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_sampled(docs, iters=3, sample_bp=5000)
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -4998,6 +5012,38 @@ _TOK2_BPE_SQL = (
             SELECT t1.doc_id, CAST(len(t1.arr) AS BIGINT) AS n_raw,
                    CAST(len(t4.arr) AS BIGINT) AS n_bpe
             FROM t1 JOIN t4 ON t1.doc_id = t4.doc_id
+"""
+)
+
+# tok4: sampled-corpus BPE training — merges m1..m3 learned from the
+# deterministic md5-hash half (the same _HASH32 split as tp2), then
+# the FULL corpus encoded once with the learned table. Same greedy
+# fold as tok1/tok2; only the training relation changes.
+_TOK4_SAMPLED_SQL = (
+    f"""
+            WITH s1 AS (SELECT doc_id, {_TOKENS} AS arr FROM documents
+                        WHERE ({_HASH32.format(x="'bpe:' || doc_id")}
+                               % 10000) < 5000),
+            pc1 AS ({_TOK1_PAIRS.format(src='s1')}),
+            m1 AS (SELECT a AS ma, b AS mb, c FROM pc1
+                   ORDER BY c DESC, a, b LIMIT 1)"""
+    + "".join(
+        f""",
+            s{k} AS (SELECT doc_id, {_TOK1_APPLY} AS arr
+                     FROM s{k - 1}, m{k - 1}),
+            pc{k} AS ({_TOK1_PAIRS.format(src=f's{k}')}),
+            m{k} AS (SELECT a AS ma, b AS mb, c FROM pc{k}
+                     ORDER BY c DESC, a, b LIMIT 1)"""
+        for k in range(2, 4)
+    )
+    + f""",
+            t1 AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+            f1 AS (SELECT doc_id, {_TOK1_APPLY} AS arr FROM t1, m1),
+            f2 AS (SELECT doc_id, {_TOK1_APPLY} AS arr FROM f1, m2),
+            f3 AS (SELECT doc_id, {_TOK1_APPLY} AS arr FROM f2, m3)
+            SELECT t1.doc_id, CAST(len(t1.arr) AS BIGINT) AS n_raw,
+                   CAST(len(f3.arr) AS BIGINT) AS n_bpe
+            FROM t1 JOIN f3 ON t1.doc_id = f3.doc_id
 """
 )
 
@@ -8302,6 +8348,7 @@ def oracle_queries() -> dict[str, str]:
         "tok1_bpe_merges": _TOK1_BPE_SQL,
         "tok2_bpe_encode": _TOK2_BPE_SQL,
         "tok3_wordpiece_encode": _TOK3_WORDPIECE_SQL,
+        "tok4_bpe_sampled": _TOK4_SAMPLED_SQL,
         "corpus_report1": f"""
             WITH t AS (
               SELECT doc_id, source, {_TOKEN_COUNT} AS nt FROM documents
@@ -9145,6 +9192,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tok1_bpe_merges": q_tok1_bpe_merges,
         "tok2_bpe_encode": q_tok2_bpe_encode,
         "tok3_wordpiece_encode": q_tok3_wordpiece_encode,
+        "tok4_bpe_sampled": q_tok4_bpe_sampled,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,

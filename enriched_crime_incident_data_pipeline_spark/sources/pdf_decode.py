@@ -184,7 +184,10 @@ def _parse_value(data: bytes, i: int):
     if m:
         # "N G R" indirect reference lookahead
         rest = _skip_ws(data, m.end())
-        m2 = re.compile(rb"(\d+)\s+R").match(data, rest) if data[
+        # token boundary after R required (r5, ADVICE): without it a
+        # content-stream operator sequence like "1 0 0 RG" would
+        # tokenize as a _Ref plus a stray "G"
+        m2 = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])").match(data, rest) if data[
             rest : rest + 1
         ].isdigit() else None
         if m2 is not None and b"." not in m.group(0):
@@ -202,9 +205,20 @@ def _scan_objects(data: bytes) -> dict[int, object]:
     robust to both classic xref tables and cross-reference streams,
     neither of which needs parsing when every ``obj`` is scanned)."""
     objs: dict[int, object] = {}
+    # compressed stream bodies can contain byte runs that look like
+    # "N G obj" (r5, ADVICE): track each stream's extent and skip
+    # matches that start inside one, and skip (rather than abort on)
+    # candidates whose following bytes don't parse as a PDF value —
+    # a real object header is always followed by one.
+    skip_until = 0
     for m in _OBJ_RE.finditer(data):
+        if m.start() < skip_until:
+            continue
         num = int(m.group(1))
-        v, i = _parse_value(data, m.end())
+        try:
+            v, i = _parse_value(data, m.end())
+        except (ValueError, IndexError):
+            continue
         i = _skip_ws(data, i)
         if data[i : i + 6] == b"stream":
             i += 6
@@ -215,11 +229,13 @@ def _scan_objects(data: bytes) -> dict[int, object]:
             length = v.get("Length") if isinstance(v, dict) else None
             if isinstance(length, int):
                 raw = data[i : i + length]
+                skip_until = i + length
             else:
                 # indirect /Length (resolved later) or damaged dict:
                 # fall back to scanning for endstream
                 end = data.index(b"endstream", i)
                 raw = data[i:end].rstrip(b"\r\n")
+                skip_until = end
             v = _Stream(v, raw)
         objs[num] = v
     return objs

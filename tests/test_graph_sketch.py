@@ -468,3 +468,19 @@ def test_histogram_quantile_sketch_error_bound_and_merge(spark):
     for key, r in rows.items():
         assert again[key]["bucket"] == r["bucket"]
         assert again[key]["est"] == r["est"]
+
+
+def test_kmv_set_estimates_degenerate_inputs_null(spark):
+    """r5 ADVICE fix: empty inputs (k_used=0, kth_hash NULL) must
+    yield explicit NULL estimates, not a silent divide-by-zero row."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        kmv_set_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "v string")
+    r = kmv_set_estimates(empty, empty, F.col("v"), F.col("v")).collect()[0]
+    assert r["k_used"] == 0
+    assert r["union_est"] is None
+    assert r["inter_est"] is None
+    assert r["jaccard_est"] is None

@@ -155,3 +155,41 @@ def test_pdf_to_bronze_default_parser_is_real(spark, tmp_path):
         f"2024-{i:05d}" for i in range(12)
     }
     assert all(r["path"].endswith("daily.pdf") for r in got)
+
+
+def test_scan_skips_obj_lookalikes_inside_streams():
+    """r5 ADVICE fix: Flate bodies can contain byte runs that look
+    like 'N G obj'. The object scanner must skip matches inside
+    stream extents and skip unparseable candidates instead of
+    aborting the whole decode or clobbering a real object."""
+    import zlib
+
+    from enriched_crime_incident_data_pipeline_spark.sources.pdf_decode import (
+        _scan_objects,
+    )
+
+    # craft a PDF-ish byte string: object 1 is a stream whose BODY
+    # contains b"2 0 obj" followed by garbage; object 2 is real.
+    body = b"junk 2 0 obj <<garbage" + b"\x00\xff" * 4 + b" endobj tail"
+    data = (
+        b"1 0 obj\n<< /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Type /Real >>\nendobj\n"
+    )
+    objs = _scan_objects(data)
+    assert objs[2] == {"Type": "/Real"}, objs.get(2)
+
+
+def test_ref_lookahead_requires_token_boundary():
+    """r5 ADVICE fix: '1 0 R' is an indirect reference; '1 0 RG'
+    (a color operator sequence) is NOT — the R lookahead needs a
+    token boundary."""
+    from enriched_crime_incident_data_pipeline_spark.sources.pdf_decode import (
+        _Ref,
+        _parse_value,
+    )
+
+    v, _ = _parse_value(b"1 0 R ", 0)
+    assert isinstance(v, _Ref) and v.num == 1
+    v2, i2 = _parse_value(b"1 0 RG ", 0)
+    assert v2 == 1 and not isinstance(v2, _Ref)

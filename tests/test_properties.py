@@ -362,3 +362,33 @@ def test_dhash_kernel_matches_bit_model(spark, payloads):
     }
     for i, p in enumerate(payloads):
         assert got[i] == model(p)
+
+
+def test_keeper_encoding_contract_enforced(spark):
+    """r5 ADVICE fix: keep_first_segment packs (id, seg_idx) into one
+    long; ids outside [0, 2^42) previously overflowed silently into a
+    WRONG keeper. Now the contract fails fast per-row."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        keep_first_segment,
+    )
+
+    ok = spark.createDataFrame(
+        [(5, 0, b"h1"), (6, 1, b"h1")],
+        "doc_id bigint, seg_idx int, seg_hash binary",
+    )
+    rows = keep_first_segment(ok).collect()
+    assert [(r["doc_id"], r["seg_idx"]) for r in rows] == [(5, 0)]
+
+    bad = spark.createDataFrame(
+        [(1 << 42, 0, b"h1")], "doc_id bigint, seg_idx int, seg_hash binary"
+    )
+    with pytest.raises(Exception, match="packed-long contract"):
+        keep_first_segment(bad).collect()
+    neg = spark.createDataFrame(
+        [(-1, 0, b"h1")], "doc_id bigint, seg_idx int, seg_hash binary"
+    )
+    with pytest.raises(Exception, match="packed-long contract"):
+        keep_first_segment(neg).collect()
