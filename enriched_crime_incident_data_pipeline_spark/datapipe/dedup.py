@@ -624,6 +624,7 @@ def segment_dedup(
     seg_tokens: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pinned: bool = False,
 ) -> DataFrame:
     """Corpus-wide exact SEGMENT dedup (the C4/FineWeb line-dedup
     move, at sub-document granularity): split each document into
@@ -657,8 +658,13 @@ def segment_dedup(
     # the docs relation feeds both the segment pass and the rebuild
     # join — pin the (id, text) projection so an expensive upstream
     # lineage (quality filters, LSH dedup in the corpus builds)
-    # executes once, not twice
-    base = _pin(docs.select(id_col, text_col))
+    # executes once, not twice. Callers that already materialized
+    # their input (a checkpoint or staged table) pass pinned=True to
+    # skip the redundant cut (r5 — corpus_build3 pins kdocs once for
+    # both this and its own source join-back).
+    base = docs.select(id_col, text_col)
+    if not pinned:
+        base = _pin(base)
     segs = doc_segments(base, seg_tokens, id_col, text_col)
     kept = keep_first_segment(segs, id_col)
     return rebuild_winners(kept, base, seg_tokens, id_col, text_col)

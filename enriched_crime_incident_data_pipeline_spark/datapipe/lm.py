@@ -40,43 +40,50 @@ def unigram_lm_scores(
 
     Per-token term (N+V)/(c+1) is a single exact-rounded double
     division of integer-valued operands; the per-document sum folds
-    the terms in token-position order (collect → array_sort by pos →
-    sequential ``F.aggregate``), and the mean divides once at the end
-    — every double op has a fixed operand order, so the result is
-    reproducible bit-for-bit across engines and partitionings.
+    the terms in token-position order (a sequential ``F.aggregate``
+    over the document's own token array), and the mean divides once
+    at the end — every double op has a fixed operand order, so the
+    result is reproducible bit-for-bit across engines and
+    partitionings.
+
+    r5 shape: the count table rides as ONE broadcast map column and
+    the fold runs over each document's own token array in place —
+    the document relation never shuffles for scoring at all (the r4
+    formulation exploded to per-token rows, broadcast-joined counts,
+    then re-grouped with collect_list + array_sort to restore
+    position order; same bits, one corpus-wide shuffle more). The
+    broadcast size is the same vocabulary table either way — cap it
+    with document-frequency pruning when the open vocabulary
+    outgrows broadcast range.
     """
     tok = fan_out(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    counts = (
+        tok.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("tok"), F.col("c")))
+        ).alias("_cmap"),
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    nv = (F.col("n_total") + F.col("v")).cast("double")
+    scored = tok.crossJoin(F.broadcast(model)).select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "_toks",
+            F.lit(0.0),
+            lambda acc, t: acc
+            + nv
+            / (F.element_at(F.col("_cmap"), t) + F.lit(1)).cast("double"),
+        ).alias("_sum_ip"),
     )
-    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.agg(
-        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
-    )
-    term = (F.col("n_total") + F.col("v")).cast("double") / (
-        F.col("c") + F.lit(1)
-    ).cast("double")
-    per_tok = (
-        tok.join(F.broadcast(counts), "tok")
-        .crossJoin(F.broadcast(totals))
-        .select(F.col(id_col), F.col("pos"), term.alias("ip"))
-    )
-    folded = (
-        per_tok.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("ip")))
-            ).alias("arr")
-        )
-        .select(
-            F.col(id_col),
-            F.size("arr").cast("bigint").alias("n_tokens"),
-            F.aggregate(
-                "arr", F.lit(0.0), lambda acc, x: acc + x["ip"]
-            ).alias("_sum_ip"),
-        )
-    )
-    return folded.select(
+    return scored.select(
         id_col,
         "n_tokens",
         (F.col("_sum_ip") / F.col("n_tokens").cast("double")).alias(
@@ -105,40 +112,41 @@ def seed_lm_scores(
     on ``id_col``, nothing self-joins.
     """
     seed_tok = fan_out(seed_docs).select(
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+        F.explode(tokens(F.col(text_col))).alias("tok")
     )
     counts = seed_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.agg(
-        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    model = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("tok"), F.col("c")))
+        ).alias("_cmap"),
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("v"),
     )
     tok = fan_out(score_docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    nv = (F.col("n_total") + F.col("v")).cast("double")
+    # r5 shape (same as unigram_lm_scores): broadcast count-map, fold
+    # in place over each candidate's token array — candidates never
+    # shuffle; unseen-by-seed tokens coalesce to count 0 (the add-one
+    # maximum term), exactly the old left-join semantics.
+    scored = tok.crossJoin(F.broadcast(model)).select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "_toks",
+            F.lit(0.0),
+            lambda acc, t: acc
+            + nv
+            / (
+                F.coalesce(
+                    F.element_at(F.col("_cmap"), t), F.lit(0)
+                )
+                + F.lit(1)
+            ).cast("double"),
+        ).alias("_sum_ip"),
     )
-    term = (F.col("n_total") + F.col("v")).cast("double") / (
-        F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)
-    ).cast("double")
-    per_tok = (
-        tok.join(F.broadcast(counts), "tok", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(F.col(id_col), F.col("pos"), term.alias("ip"))
-    )
-    folded = (
-        per_tok.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("ip")))
-            ).alias("arr")
-        )
-        .select(
-            F.col(id_col),
-            F.size("arr").cast("bigint").alias("n_tokens"),
-            F.aggregate(
-                "arr", F.lit(0.0), lambda acc, x: acc + x["ip"]
-            ).alias("_sum_ip"),
-        )
-    )
-    return folded.select(
+    return scored.select(
         id_col,
         "n_tokens",
         (F.col("_sum_ip") / F.col("n_tokens").cast("double")).alias(

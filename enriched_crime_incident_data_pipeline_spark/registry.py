@@ -2402,9 +2402,12 @@ def q_corpus_build3(spark, sf_dir):
     from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
         unigram_lm_scores,
     )
-
     docs = load_table(spark, sf_dir, "documents")
     # 1. language filter: keep docs the stopword heuristic calls 'en'
+    #    (measured r5: fanning the 1-partition local read out to 32
+    #    here costs more in task scheduling than the regex stages save
+    #    — at this corpus size the chain is job-overhead-bound; on a
+    #    cluster the input arrives already split)
     endocs = docs.filter(lang_id(F.col("text")) == "en").select(
         "doc_id", "source", "text"
     )
@@ -2419,17 +2422,24 @@ def q_corpus_build3(spark, sf_dir):
         "doc_id", "source", scrub_pii(F.col("text")).alias("text")
     )
     # 4. decontamination: eval split = every 50th ORIGINAL doc;
-    #    eval-gram set broadcast, train side never self-joins
+    #    eval-gram set broadcast, train side never self-joins.
+    #    Stage boundary FIRST (r5): `train` is referenced by both the
+    #    contamination check and the clean-corpus join — without a cut
+    #    here the lang→LM→PII lineage executes TWICE inside the cdocs
+    #    job (Spark does no cross-join-input CSE; measured ~1.2 s of
+    #    the r4 8.5 s wall). At 100 TB this is the bronze→silver
+    #    table write between pipeline stages.
     eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
-    train = sdocs.filter(F.col("doc_id") % 50 != 0)
+    train = (
+        sdocs.filter(F.col("doc_id") % 50 != 0).localCheckpoint(eager=True)
+    )
     contam = ngram_contamination(train.select("doc_id", "text"), eval_docs, n=8)
     clean_ids = contam.filter(F.col("contaminated") == 0).select("doc_id")
-    # stage boundary: the clean corpus is referenced by three
+    # second boundary: the clean corpus is referenced by three
     # downstream consumers (band index, size table, anti-join) —
     # materialize it once so the plan tree stays linear in stage
-    # count, not exponential in reference count. At 100 TB this
-    # boundary is a parquet write between pipeline stages; in one
-    # process localCheckpoint is the same cut.
+    # count, not exponential in reference count. Reads the train
+    # checkpoint, so this cut costs only the contamination pass.
     cdocs = train.join(clean_ids, "doc_id").localCheckpoint(eager=True)
     # 5. near-dup keeper drop over the scrubbed survivors
     members = connected_components(lsh_candidate_pairs(minhash_bands(cdocs)))
@@ -2438,9 +2448,15 @@ def q_corpus_build3(spark, sf_dir):
         token_count(F.col("text")).alias("n_tokens"),
     )
     drops = dedup_drop_list(members, sizes).select("doc_id")
-    kdocs = cdocs.join(drops, "doc_id", "left_anti")
+    # stage boundary (r5): kdocs feeds BOTH the segment pass/rebuild
+    # and the source join-back below — one cut here replaces
+    # segment_dedup's internal pin AND stops the drop-list anti-join
+    # from executing twice (once per consumer)
+    kdocs = cdocs.join(drops, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     # 6. corpus-wide segment dedup (10-token segments, keep-first)
-    seg = segment_dedup(kdocs, seg_tokens=10)
+    seg = segment_dedup(kdocs, seg_tokens=10, pinned=True)
     # second stage boundary: the deduped corpus feeds the mixture
     # quotas, the ranked sample, the pack token counts, and the final
     # join-back — cut here too
