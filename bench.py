@@ -89,6 +89,8 @@ LONGTAIL = [
     "tok1_bpe_merges",  # 3 BPE training rounds over the corpus (r4)
     "sk7_quantile_sketch",  # mergeable histogram quantile sketch (r4)
     "tok3_wordpiece_encode",  # greedy longest-match piece encode (r4)
+    "tok4_bpe_sampled",  # sample-trained merges, one-pass full encode (r5)
+    "gr2_pagerank_converged",  # DAG pagerank w/ tol=0 early exit (r5)
 ]
 
 
@@ -134,23 +136,34 @@ def main() -> None:
     longtail, longtail_min = timed(LONGTAIL)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "reps": reps,
-                "stat": "median",
-                "queries": timings,
-                "queries_min": timings_min,
-                "longtail": longtail,
-                "longtail_min": longtail_min,
-                "longtail_total": round(sum(longtail.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "reps": reps,
+        "stat": "median",
+        "queries": timings,
+        "queries_min": timings_min,
+        "longtail": longtail,
+        "longtail_min": longtail_min,
+        "longtail_total": round(sum(longtail.values()), 3),
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # the driver's BENCH_r{N}.json keeps only a 2 kB tail of stdout,
+    # which truncates the headline numbers out of the round record —
+    # persist the complete result next to the repo so every per-query
+    # number is recoverable from the repo alone (committed per round)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # bench output itself is the primary channel
 
 
 if __name__ == "__main__":

@@ -58,14 +58,38 @@ def pagerank(
     iters: int = 5,
     alpha: float = ALPHA,
     ordered: bool = False,
+    tol: float | None = None,
+    dangling: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(id, rank)`` for every node after ``iters`` damped rounds.
 
     ``edges`` must have columns ``src``/``dst`` (duplicate edges
     count twice, matching multigraph semantics); ``nodes`` one
     column ``id`` covering at least every endpoint. Nodes with no
-    in-links converge to ``alpha``; dangling nodes (no out-links)
-    contribute nothing, per the GraphX-style unnormalized variant.
+    in-links converge to ``alpha``.
+
+    ``tol`` (r5): convergence early exit — after each round, one
+    scalar action computes ``max |rank_k+1 − rank_k|`` over the two
+    pinned iterates (a |V|-row id join, the same cheap-scalar shape
+    as CC's ``sum(label)`` probe) and the loop stops once it is
+    ≤ ``tol``. ``tol=0.0`` exits only at a bit-exact fixpoint, so the
+    result is IDENTICAL to running all ``iters`` rounds — the safe
+    setting under an unrolled-SQL oracle. DAGs reach that fixpoint in
+    depth+1 rounds (rank mass only flows downward), which is where
+    the early exit actually fires; cyclic graphs converge
+    geometrically and should use a small positive ``tol`` when ulp
+    drift is acceptable. Pass ``stats={}`` to read back
+    ``stats["rounds"]``.
+
+    ``dangling`` (r5): redistribute dangling mass — nodes with no
+    out-links leak their rank in the GraphX-style unnormalized
+    variant (the default here, matching the gr1 oracle); with
+    ``dangling=True`` each round adds ``Σ_dangling rank(u) / N`` to
+    every node's incoming sum (the classic random-surfer teleport
+    from dangling nodes). The dangling rank sum is one scalar
+    aggregate per round over the pinned iterate restricted to the
+    (pinned once) dangling id set — never a join of the full graph.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     weighted = _pin(
@@ -73,8 +97,19 @@ def pagerank(
             "src", "dst", F.col("outdeg").cast("double").alias("outdeg")
         )
     )
+    if dangling:
+        dang = _pin(
+            nodes.join(
+                weighted.select("src").distinct(),
+                nodes["id"] == F.col("src"),
+                "left_anti",
+            ).select("id")
+        )
+        n_nodes = float(nodes.count())
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    rounds = 0
     for _ in range(iters):
+        prev = ranks
         contribs = weighted.join(
             ranks, weighted["src"] == ranks["id"]
         ).select(
@@ -92,13 +127,33 @@ def pagerank(
             )
         else:
             summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        incoming = F.coalesce(F.col("s"), F.lit(0.0))
+        if dangling:
+            dmass = (
+                ranks.join(dang, "id").agg(F.sum("rank")).first()[0] or 0.0
+            )
+            incoming = incoming + F.lit(dmass / n_nodes)
         ranks = _pin(
             nodes.join(summed, nodes["id"] == summed["dst"], "left").select(
                 "id",
-                (
-                    F.lit(alpha)
-                    + F.lit(1.0 - alpha) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
+                (F.lit(alpha) + F.lit(1.0 - alpha) * incoming).alias("rank"),
             )
         )
+        rounds += 1
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select(
+                        F.col("id").alias("_pid"),
+                        F.col("rank").alias("_prev"),
+                    ),
+                    ranks["id"] == F.col("_pid"),
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))))
+                .first()[0]
+            )
+            if delta is not None and delta <= tol:
+                break
+    if stats is not None:
+        stats["rounds"] = rounds
     return ranks

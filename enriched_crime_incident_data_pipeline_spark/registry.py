@@ -1860,6 +1860,29 @@ def q_gr1_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
 
 
+def q_gr2_pagerank_converged(spark, sf_dir):
+    # PageRank with the r5 convergence early exit doing real work:
+    # the link graph is a DAG (every doc points to doc_id DIV 16 —
+    # a 16-ary ancestry tree), where rank mass only flows downward,
+    # so the iterate reaches a BIT-EXACT fixpoint after depth+1
+    # rounds and tol=0.0 stops there (~round 5-6 of the 8 budgeted;
+    # the oracle's 8 unrolled rounds give the identical fixpoint, so
+    # exactness is preserved by construction). Cyclic graphs (gr1)
+    # converge only geometrically and run their full budget.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("src"),
+        F.expr("doc_id DIV 16").alias("dst"),
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pr = pagerank(edges, nodes, iters=8, ordered=True, tol=0.0)
+    return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
+
+
 def q_tok1_bpe_merges(spark, sf_dir):
     # tokenizer training: learn the first 3 BPE merge rules from the
     # corpus. Each round is one corpus-wide adjacent-pair groupBy
@@ -4895,6 +4918,28 @@ _GR1_PAGERANK_SQL = (
     + "".join(_GR1_ITER.format(k=k, p=k - 1) for k in range(1, 6))
     + """
             SELECT id AS doc_id, pr FROM r5
+"""
+)
+
+# gr2: PageRank over the DIV-16 ancestry DAG, 8 unrolled rounds.
+# The Spark side exits at the bit-exact fixpoint (depth+1 rounds);
+# on a DAG the remaining unrolled rounds are identity, so r8 == the
+# early-exited iterate bit-for-bit.
+_GR2_SQL = (
+    """
+            WITH edges AS (
+              SELECT doc_id AS src, doc_id // 16 AS dst
+              FROM documents WHERE doc_id >= 1
+            ),
+            deg AS (
+              SELECT src, CAST(count(*) AS DOUBLE) AS od
+              FROM edges GROUP BY src
+            ),
+            nodes AS (SELECT doc_id AS id FROM documents),
+            r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes)"""
+    + "".join(_GR1_ITER.format(k=k, p=k - 1) for k in range(1, 9))
+    + """
+            SELECT id AS doc_id, pr FROM r8
 """
 )
 
@@ -8361,6 +8406,7 @@ def oracle_queries() -> dict[str, str]:
             FROM top t JOIN tot tt ON t.cluster = tt.cluster
         """,
         "gr1_pagerank": _GR1_PAGERANK_SQL,
+        "gr2_pagerank_converged": _GR2_SQL,
         "tok1_bpe_merges": _TOK1_BPE_SQL,
         "tok2_bpe_encode": _TOK2_BPE_SQL,
         "tok3_wordpiece_encode": _TOK3_WORDPIECE_SQL,
@@ -9205,6 +9251,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "corpus_build2": q_corpus_build2,
         "corpus_report1": q_corpus_report1,
         "gr1_pagerank": q_gr1_pagerank,
+        "gr2_pagerank_converged": q_gr2_pagerank_converged,
         "tok1_bpe_merges": q_tok1_bpe_merges,
         "tok2_bpe_encode": q_tok2_bpe_encode,
         "tok3_wordpiece_encode": q_tok3_wordpiece_encode,

@@ -71,3 +71,23 @@ class ReportPageReader(DataSourceReader):
 def register_report_pages(spark) -> None:
     """Idempotent registration of the custom source."""
     spark.dataSource.register(ReportPageDataSource)
+
+
+def fetch_snapshot(url: str, dest_path: str, timeout_s: float = 10.0) -> str:
+    """The driver-side live-fetch step this module's docstring draws
+    the boundary at: GET ``url`` (stdlib urllib, reference
+    normanpd.py:12-30 / parse_incidents.py fetch) and write the raw
+    bytes to ``dest_path`` — HTML page snapshots for this source,
+    PDF bytes for the binaryFile scan alike. Engine correctness
+    stays independent of HTTP; this is the only place page/report
+    bytes enter from the network. Returns ``dest_path``."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, headers={"User-Agent": "spark-crime-enrich/1.0"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        data = resp.read()
+    with open(dest_path, "wb") as fh:
+        fh.write(data)
+    return dest_path

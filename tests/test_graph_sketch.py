@@ -484,3 +484,61 @@ def test_kmv_set_estimates_degenerate_inputs_null(spark):
     assert r["union_est"] is None
     assert r["inter_est"] is None
     assert r["jaccard_est"] is None
+
+
+def test_pagerank_early_exit_matches_fixed_iters(spark):
+    """r5: tol=0.0 exits only at a bit-exact fixpoint, so the result
+    must equal the full fixed-iteration run — and on a DAG the exit
+    actually fires before the budget."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 4)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(6)], "id bigint"
+    )
+    fixed = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, nodes, iters=10, ordered=True).collect()
+    }
+    stats = {}
+    early = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges, nodes, iters=10, ordered=True, tol=0.0, stats=stats
+        ).collect()
+    }
+    assert early == fixed  # bit-exact, not approximate
+    assert stats["rounds"] < 10  # the exit fired (DAG depth+2 <= 4)
+
+
+def test_pagerank_dangling_redistribution_matches_model(spark):
+    """r5: dangling=True adds sum(dangling ranks)/N to every node's
+    incoming mass each round; pinned against an exact Python model
+    replicating the operation order."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    # 1 -> 2; nodes 2 and 3 are dangling (no out-links)
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id bigint")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges, nodes, iters=2, ordered=True, dangling=True
+        ).collect()
+    }
+
+    alpha, n = 0.15, 3.0
+    ranks = {1: 1.0, 2: 1.0, 3: 1.0}
+    for _ in range(2):
+        dmass = ranks[2] + ranks[3]
+        inc = {1: 0.0, 2: ranks[1] / 1.0, 3: 0.0}
+        ranks = {
+            v: alpha + (1.0 - alpha) * (inc[v] + dmass / n) for v in ranks
+        }
+    assert got == ranks

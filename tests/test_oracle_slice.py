@@ -56,12 +56,10 @@ def duck():
     con.close()
 
 
-@pytest.mark.oracle_slice
-@pytest.mark.parametrize("name", _slice_names())
-def test_oracle_slice(spark, duck, name):
+def _check_one(spark, con, name: str, sf_dir: str) -> None:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    sdf = qs[name](spark, SF_DIR)
+    sdf = qs[name](spark, sf_dir)
     scols, srows = selfcheck.frame_rows(
         sdf.columns, [tuple(r) for r in sdf.collect()]
     )
@@ -69,10 +67,54 @@ def test_oracle_slice(spark, duck, name):
         # rows-only check for non-SQL-expressible ops, like the driver
         assert srows is not None
         return
-    cur = duck.execute(oracles[name])
+    cur = con.execute(oracles[name])
     ocols, orows = selfcheck.frame_rows(
         [d[0] for d in cur.description], cur.fetchall()
     )
     assert scols == ocols, f"{name}: columns {scols} vs {ocols}"
     ok, note = selfcheck.values_match(srows, orows)
     assert ok, f"{name}: {note}"
+
+
+@pytest.mark.oracle_slice
+@pytest.mark.parametrize("name", _slice_names())
+def test_oracle_slice(spark, duck, name):
+    _check_one(spark, duck, name, SF_DIR)
+
+
+# ---- sf0.1 heavy-query slice (round-5 verdict item 8) ----
+# Scale-dependent divergence (integer overflow, float accumulation
+# drift, skew-path differences) only shows where data is biggest, so
+# a rotating 10-query slice of the HEAVY (bench longtail) queries
+# also runs against the sf0.1 oracle each round.
+
+SLICE_SF01 = 10
+SF01_DIR = "/root/testdata/sf0.1"
+
+
+def _heavy_slice_names() -> list[str]:
+    import bench  # repo-root module; LONGTAIL = the measured heavy set
+
+    names = sorted(n for n in bench.LONGTAIL if n in entry_mod.queries())
+    k = (_round_index() * SLICE_SF01) % len(names)
+    rotated = names[k:] + names[:k]
+    return rotated[:SLICE_SF01]
+
+
+@pytest.fixture(scope="module")
+def duck_sf01():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in selfcheck.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.oracle_slice
+@pytest.mark.parametrize("name", _heavy_slice_names())
+def test_oracle_slice_sf01(spark, duck_sf01, name):
+    _check_one(spark, duck_sf01, name, SF01_DIR)
