@@ -91,6 +91,51 @@ def unigram_lm_scores(
         ),
     )
 
+def with_unigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All input columns + ``(n_tokens, mean_inv_prob)`` appended —
+    the quality-FILTER shape (r5). Because scoring is now a column
+    expression over each row's own token array (broadcast count-map),
+    a consumer that only wants to filter on quality needs NO join
+    back to the id table: the score rides the document row through
+    the filter, one exchange fewer than scores→filter→join. Same
+    bits as :func:`unigram_lm_scores`."""
+    toks = tokens(F.col(text_col))
+    counts = (
+        fan_out(docs)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("tok"), F.col("c")))
+        ).alias("_cmap"),
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    nv = (F.col("n_total") + F.col("v")).cast("double")
+    return (
+        docs.crossJoin(F.broadcast(model))
+        .withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn(
+            "mean_inv_prob",
+            F.aggregate(
+                toks,
+                F.lit(0.0),
+                lambda acc, t: acc
+                + nv
+                / (
+                    F.element_at(F.col("_cmap"), t) + F.lit(1)
+                ).cast("double"),
+            )
+            / F.col("n_tokens").cast("double"),
+        )
+        .drop("_cmap", "n_total", "v")
+    )
+
+
 def seed_lm_scores(
     seed_docs: DataFrame,
     score_docs: DataFrame,

@@ -157,6 +157,20 @@ def _encode_kernel(sym: DataFrame, vocab: frozenset) -> DataFrame:
     fingerprint computed in the same pass. No shuffle."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # encode is a pure function of the word — memoize per batch so
+        # the greedy walk runs once per DISTINCT word, not per
+        # occurrence (Zipf: a 100k-token document has far fewer
+        # distinct words than tokens)
+        memo: dict = {}
+
+        def enc(w: str) -> tuple:
+            hit = memo.get(w)
+            if hit is None:
+                pieces = encode_word(w, vocab)
+                hit = (len(pieces), "".join(" " + p for p in pieces))
+                memo[w] = hit
+            return hit
+
         for pdf in batches:
             ids, nw, np_, fps = [], [], [], []
             for doc_id, arr in zip(pdf["doc_id"], pdf["arr"]):
@@ -167,9 +181,9 @@ def _encode_kernel(sym: DataFrame, vocab: frozenset) -> DataFrame:
                     if len(w) < 1:
                         continue
                     n_words += 1
-                    pieces = encode_word(w, vocab)
-                    n_pieces += len(pieces)
-                    word_fps.append("".join(" " + p for p in pieces))
+                    n_p, frag = enc(w)
+                    n_pieces += n_p
+                    word_fps.append(frag)
                 if n_words == 0:
                     continue  # groupBy twin emits no row for wordless docs
                 ids.append(doc_id)

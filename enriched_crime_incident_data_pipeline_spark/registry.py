@@ -1948,15 +1948,19 @@ def q_corpus_build2(spark, sf_dir):
         segment_dedup,
     )
     from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
-        unigram_lm_scores,
+        with_unigram_lm_scores,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    lm = unigram_lm_scores(docs)
-    keep_ids = lm.filter(
-        (F.col("n_tokens") >= 10) & (F.col("mean_inv_prob") <= 35.0)
-    ).select("doc_id")
-    fdocs = docs.join(keep_ids, "doc_id").select("doc_id", "text")
+    # r5: in-row quality score — filter without the ids join-back;
+    # stage boundary after the filter (fdocs feeds the band index,
+    # the size table, and the anti-join — 3 consumers, one cut)
+    fdocs = (
+        with_unigram_lm_scores(docs)
+        .filter((F.col("n_tokens") >= 10) & (F.col("mean_inv_prob") <= 35.0))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     members = connected_components(lsh_candidate_pairs(minhash_bands(fdocs)))
     sizes = fdocs.select(
         F.col("doc_id").alias("node"),
@@ -2423,7 +2427,7 @@ def q_corpus_build3(spark, sf_dir):
         segment_dedup,
     )
     from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
-        unigram_lm_scores,
+        with_unigram_lm_scores,
     )
     docs = load_table(spark, sf_dir, "documents")
     # 1. language filter: keep docs the stopword heuristic calls 'en'
@@ -2434,12 +2438,14 @@ def q_corpus_build3(spark, sf_dir):
     endocs = docs.filter(lang_id(F.col("text")) == "en").select(
         "doc_id", "source", "text"
     )
-    # 2. LM quality, trained on the lang-filtered subset itself
-    lm = unigram_lm_scores(endocs)
-    quality_ids = lm.filter(
-        (F.col("n_tokens") >= 10) & (F.col("mean_inv_prob") <= 40.0)
-    ).select("doc_id")
-    qdocs = endocs.join(quality_ids, "doc_id")
+    # 2. LM quality, trained on the lang-filtered subset itself.
+    #    r5: the score is a column on the doc row (broadcast count-
+    #    map fold), so the filter needs no ids→docs join-back.
+    qdocs = (
+        with_unigram_lm_scores(endocs)
+        .filter((F.col("n_tokens") >= 10) & (F.col("mean_inv_prob") <= 40.0))
+        .select("doc_id", "source", "text")
+    )
     # 3. PII scrub (JVM regex, whole-stage codegen)
     sdocs = qdocs.select(
         "doc_id", "source", scrub_pii(F.col("text")).alias("text")
