@@ -71,6 +71,19 @@ _CHECKPOINT_EVERY = 4
 # graph (they are overwhelmingly tiny: pairs and triangles).
 SMALL_GRAPH_EDGES = 1_000_000
 
+# Tighter ceiling for the zero-extra-job DRIVER tier (r5): below this
+# many undirected edges the edge list is pulled with ONE ``take`` —
+# the same single pass the old ``count`` cost, but the rows are now
+# already at the driver, so union-find runs there and the label table
+# comes back as a plan-embedded LOCAL relation. That removes the
+# separate single-task kernel job AND its localCheckpoint, and makes
+# every downstream join against the labels broadcast-eligible for
+# free (a local relation has known, tiny size). 50k edges ≈ ~2 MB in
+# the plan — comfortably below task-serialization pain. Between this
+# and SMALL_GRAPH_EDGES the executor-side single-task kernel keeps
+# the data off the driver; above, the distributed loop.
+DRIVER_GRAPH_EDGES = 50_000
+
 
 def _single_task_components(sym: DataFrame) -> DataFrame:
     """Exact connected components of a SMALL symmetric edge list in
@@ -149,9 +162,55 @@ def connected_components(
     sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    # driver tier: one incremental ``take`` both DECIDES the strategy
+    # and, when the graph is tiny (the overwhelming near-dup case),
+    # DELIVERS the edges — union-find runs at the driver and the
+    # labels return as a local relation (no kernel job, no checkpoint
+    # job, broadcast-eligible downstream). For big graphs the take
+    # stops at the cap (limit is evaluated partition-incrementally),
+    # so the wasted work is bounded at ~2·cap rows.
+    cap = min(small_graph_edges, DRIVER_GRAPH_EDGES)
+    if cap > 0:
+        head = sym.take(2 * cap + 1)
+        if len(head) <= 2 * cap:
+            if stats is not None:
+                stats["rounds"] = 1
+                stats["mode"] = "single_task"
+                stats["tier"] = "driver"
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                a, b = r[0], r[1]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # union-by-min: root stays min id
+            node_t = sym.schema["src"].dataType
+            out_schema = StructType(
+                [
+                    StructField("node", node_t),
+                    StructField("cluster_id", node_t),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(
+                [(n, find(n)) for n in sorted(parent)], out_schema
+            )
     sym = sym.persist()
     # one cheap action against the persisted edge list decides the
-    # physical strategy; every later consumer reuses the cached rows
+    # remaining strategy; every later consumer reuses the cached rows
     n_sym = sym.count()
     if n_sym <= 2 * small_graph_edges:
         labels = _single_task_components(sym).localCheckpoint(eager=True)
@@ -159,6 +218,7 @@ def connected_components(
         if stats is not None:
             stats["rounds"] = 1
             stats["mode"] = "single_task"
+            stats["tier"] = "executor"
         return labels.select("node", F.col("label").alias("cluster_id"))
     if stats is not None:
         stats["mode"] = "distributed"

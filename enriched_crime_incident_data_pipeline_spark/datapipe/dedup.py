@@ -625,6 +625,7 @@ def segment_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     pinned: bool = False,
+    carry_cols: list | None = None,
 ) -> DataFrame:
     """Corpus-wide exact SEGMENT dedup (the C4/FineWeb line-dedup
     move, at sub-document granularity): split each document into
@@ -662,12 +663,21 @@ def segment_dedup(
     # their input (a checkpoint or staged table) pass pinned=True to
     # skip the redundant cut (r5 — corpus_build3 pins kdocs once for
     # both this and its own source join-back).
-    base = docs.select(id_col, text_col)
+    # carry_cols (r5): doc-level attribute columns (e.g. ``source``)
+    # ride the rebuild join's docs side and come out on the result
+    # row — a consumer that needs (deduped_text, source) then needs
+    # NO join-back to the input relation (corpus_build3's surv join
+    # was exactly this recomputation).
+    base = docs.select(id_col, text_col, *(carry_cols or []))
     if not pinned:
         base = _pin(base)
-    segs = doc_segments(base, seg_tokens, id_col, text_col)
+    segs = doc_segments(
+        base.select(id_col, text_col), seg_tokens, id_col, text_col
+    )
     kept = keep_first_segment(segs, id_col)
-    return rebuild_winners(kept, base, seg_tokens, id_col, text_col)
+    return rebuild_winners(
+        kept, base, seg_tokens, id_col, text_col, carry_cols
+    )
 
 
 def keep_first_segment(segs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -728,6 +738,7 @@ def rebuild_winners(
     seg_tokens: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list | None = None,
 ) -> DataFrame:
     """Reassemble ``(id, n_kept, deduped_text)`` from winner
     ``(id, seg_idx)`` rows by re-slicing the original documents:
@@ -757,6 +768,7 @@ def rebuild_winners(
                 ),
                 " ",
             ).alias("deduped_text"),
+            *(carry_cols or []),
         )
     )
 

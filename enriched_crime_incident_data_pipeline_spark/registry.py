@@ -2426,23 +2426,63 @@ def q_corpus_build3(spark, sf_dir):
     from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
         segment_dedup,
     )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        doc_ngrams,
+        with_contamination_flag,
+    )
     from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
         with_unigram_lm_scores,
     )
-    docs = load_table(spark, sf_dir, "documents")
+    from enriched_crime_incident_data_pipeline_spark.operators.parallelism import (
+        fan_out,
+    )
+    # 0. width correction at the SCAN (r5, measured A/B at sf0.1:
+    #    8.4 vs 9.1 s): the local test file is one parquet split, so
+    #    without this the whole lang→LM→scrub→decontaminate chain
+    #    runs single-threaded. One round-robin exchange of the raw
+    #    bytes up front parallelizes every downstream stage; the cut
+    #    makes the wide form the one the three artifact consumers
+    #    below re-read. On a cluster the scan already arrives split
+    #    and fan_out is conf-disabled.
+    docs = fan_out(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
     # 1. language filter: keep docs the stopword heuristic calls 'en'
-    #    (measured r5: fanning the 1-partition local read out to 32
-    #    here costs more in task scheduling than the regex stages save
-    #    — at this corpus size the chain is job-overhead-bound; on a
-    #    cluster the input arrives already split)
     endocs = docs.filter(lang_id(F.col("text")) == "en").select(
         "doc_id", "source", "text"
     )
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    # model artifacts in ONE driver job (r5): the LM unigram counts
+    # (trained on the lang-filtered subset) and the eval-split 8-gram
+    # set are both tiny broadcast dimensions; collecting them
+    # separately costs a full job barrier each, so they ride one
+    # tagged union. Same bits as the per-function collects.
+    art = (
+        fan_out(endocs)
+        .select(F.explode(tokens(F.col("text"))).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("tok").alias("kind"), "k", "c")
+        .unionByName(
+            doc_ngrams(eval_docs, 8)
+            .select("gram")
+            .distinct()
+            .select(
+                F.lit("gram").alias("kind"),
+                F.col("gram").alias("k"),
+                F.lit(0).cast("bigint").alias("c"),
+            )
+        )
+        .collect()
+    )
+    cmap = {r["k"]: r["c"] for r in art if r["kind"] == "tok"}
+    lm_model = (cmap, float(sum(cmap.values()) + len(cmap)))
+    egrams = frozenset(r["k"] for r in art if r["kind"] == "gram")
     # 2. LM quality, trained on the lang-filtered subset itself.
-    #    r5: the score is a column on the doc row (broadcast count-
-    #    map fold), so the filter needs no ids→docs join-back.
+    #    r5: the score is appended in-row by the Arrow fold kernel,
+    #    so the filter needs no ids→docs join-back.
     qdocs = (
-        with_unigram_lm_scores(endocs)
+        with_unigram_lm_scores(endocs, model=lm_model)
         .filter((F.col("n_tokens") >= 10) & (F.col("mean_inv_prob") <= 40.0))
         .select("doc_id", "source", "text")
     )
@@ -2450,26 +2490,29 @@ def q_corpus_build3(spark, sf_dir):
     sdocs = qdocs.select(
         "doc_id", "source", scrub_pii(F.col("text")).alias("text")
     )
-    # 4. decontamination: eval split = every 50th ORIGINAL doc;
-    #    eval-gram set broadcast, train side never self-joins.
-    #    Stage boundary FIRST (r5): `train` is referenced by both the
-    #    contamination check and the clean-corpus join — without a cut
-    #    here the lang→LM→PII lineage executes TWICE inside the cdocs
-    #    job (Spark does no cross-join-input CSE; measured ~1.2 s of
-    #    the r4 8.5 s wall). At 100 TB this is the bronze→silver
-    #    table write between pipeline stages.
-    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
-    train = (
-        sdocs.filter(F.col("doc_id") % 50 != 0).localCheckpoint(eager=True)
+    # 4. decontamination: eval split = every 50th ORIGINAL doc.
+    #    r5 fusion: the contamination flag is computed IN-ROW (Arrow
+    #    kernel probing the broadcast eval-gram frozenset over the
+    #    row's own grams), so stages 1-4 are ONE linear map stage
+    #    with a single cut at the end: the r4 shape needed a `train`
+    #    checkpoint (the report relation join-back would otherwise
+    #    double-execute the lang→LM→PII lineage) plus a per-gram
+    #    explode + groupBy shuffle + two joins, all gone. At 100 TB
+    #    this whole chain is the single bronze→silver pass.
+    # cdocs is referenced by three downstream consumers (band index,
+    # size table, anti-join) — materialize it once so the plan tree
+    # stays linear in stage count, not exponential in reference count.
+    cdocs = (
+        with_contamination_flag(
+            sdocs.filter(F.col("doc_id") % 50 != 0),
+            eval_docs,
+            n=8,
+            eval_grams=egrams,
+        )
+        .filter(F.col("contaminated") == 0)
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)
     )
-    contam = ngram_contamination(train.select("doc_id", "text"), eval_docs, n=8)
-    clean_ids = contam.filter(F.col("contaminated") == 0).select("doc_id")
-    # second boundary: the clean corpus is referenced by three
-    # downstream consumers (band index, size table, anti-join) —
-    # materialize it once so the plan tree stays linear in stage
-    # count, not exponential in reference count. Reads the train
-    # checkpoint, so this cut costs only the contamination pass.
-    cdocs = train.join(clean_ids, "doc_id").localCheckpoint(eager=True)
     # 5. near-dup keeper drop over the scrubbed survivors
     members = connected_components(lsh_candidate_pairs(minhash_bands(cdocs)))
     sizes = cdocs.select(
@@ -2484,18 +2527,20 @@ def q_corpus_build3(spark, sf_dir):
     kdocs = cdocs.join(drops, "doc_id", "left_anti").localCheckpoint(
         eager=True
     )
-    # 6. corpus-wide segment dedup (10-token segments, keep-first)
-    seg = segment_dedup(kdocs, seg_tokens=10, pinned=True)
-    # second stage boundary: the deduped corpus feeds the mixture
-    # quotas, the ranked sample, the pack token counts, and the final
-    # join-back — cut here too
-    surv = seg.join(kdocs.select("doc_id", "source"), "doc_id").localCheckpoint(
-        eager=True
-    )
+    # 6. corpus-wide segment dedup (10-token segments, keep-first);
+    # `source` rides the rebuild join via carry_cols (r5) so the old
+    # surv = seg ⋈ kdocs join-back is gone. Cut here: the deduped
+    # corpus feeds the mixture quotas, the ranked sample, the pack
+    # token counts, and the final join-back.
+    surv = segment_dedup(
+        kdocs, seg_tokens=10, pinned=True, carry_cols=["source"]
+    ).localCheckpoint(eager=True)
     # 7. mixture sample to the target composition over the survivors;
     # the sample id-list feeds packing, sharding, and the final join —
-    # materialize it once (it is ids+source only) rather than
-    # recomputing the quota ranking per consumer
+    # materialize it once (it is ids+source only): without the cut the
+    # quota-ranking subplan (and its 1-row scalar BNLJs) replicates
+    # into every consumer, and the r5 A/B showed no wall-clock win to
+    # offset the plan blow-up.
     sampled = mixture_sample(surv, MIXTURE_TARGETS_BP).localCheckpoint(
         eager=True
     )
