@@ -3667,6 +3667,27 @@ def q_dc1_contamination(spark, sf_dir):
     return ngram_contamination(train, eval_docs, n=8)
 
 
+def q_dc6_flag_in_row(spark, sf_dir):
+    # in-row decontamination flag (r5): the corpus-build FILTER shape —
+    # the eval 8-gram set rides as a broadcast frozenset probed by an
+    # Arrow kernel over each row's own grams (O(1) per gram,
+    # early-exit per row); no per-gram explode, no groupBy shuffle, no
+    # report join-back, so a build's scrub→decontaminate chain stays
+    # one linear map stage. Truth value ≡ dc1's `contaminated`.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        with_contamination_flag,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source", "text"
+    )
+    return with_contamination_flag(train, eval_docs, n=8).select(
+        "doc_id", "source", "contaminated"
+    )
+
+
 def q_dc4_overlap_fraction(spark, sf_dir):
     # fractional contamination (GPT-3/PaLM-style): share of each
     # training doc's distinct 8-grams found in the eval set — the
@@ -8536,6 +8557,26 @@ def oracle_queries() -> dict[str, str]:
             FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
             WHERE d.doc_id % 50 <> 0
         """,
+        "dc6_flag_in_row": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS t(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            hit AS (
+              SELECT DISTINCT g.doc_id
+              FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 50 <> 0
+            )
+            SELECT d.doc_id, d.source,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN hit h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        """,
         "dc4_overlap_fraction": f"""
             WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             g AS (
@@ -9422,6 +9463,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "hist1_totalprice": q_hist1_totalprice,
         "stat1_corr": q_stat1_corr,
         "dc1_contamination": q_dc1_contamination,
+        "dc6_flag_in_row": q_dc6_flag_in_row,
         "dc2_cross_snapshot": q_dc2_cross_snapshot,
         "dc4_overlap_fraction": q_dc4_overlap_fraction,
         "ta8_repetition": q_ta8_repetition,
