@@ -1883,6 +1883,29 @@ def q_gr2_pagerank_converged(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
 
 
+def q_gr3_hits(spark, sf_dir):
+    # HITS hub/authority over the near-dup citation graph (gr1's
+    # edges: newer doc → older doc it duplicates). Integer power
+    # iteration — no per-round normalization, so every score is an
+    # exact BIGINT and the production unordered map-side-combinable
+    # sum IS the bit-exact cross-engine aggregation (associativity;
+    # see datapipe/hits.py for the overflow bound).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.hits import (
+        hits_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    edges = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    out = hits_scores(edges, nodes, iters=4)
+    return out.select(F.col("id").alias("doc_id"), "authority", "hub")
+
+
 def q_tok1_bpe_merges(spark, sf_dir):
     # tokenizer training: learn the first 3 BPE merge rules from the
     # corpus. Each round is one corpus-wide adjacent-pair groupBy
@@ -5012,6 +5035,43 @@ _GR2_SQL = (
     + "".join(_GR1_ITER.format(k=k, p=k - 1) for k in range(1, 9))
     + """
             SELECT id AS doc_id, pr FROM r8
+"""
+)
+
+# gr3: HITS, 4 unrolled integer rounds over the LSH citation graph.
+# No normalization → every score is an exact integer sum, so plain
+# unordered SUM matches Spark bit-for-bit by associativity. DuckDB
+# sums BIGINT into HUGEINT — cast back at each step.
+_GR3_HALF = """,
+            a{k} AS (
+              SELECT e.dst AS id, CAST(sum(h.s) AS BIGINT) AS s
+              FROM edges e JOIN h{p} h ON e.src = h.id GROUP BY e.dst
+            ),
+            h{k} AS (
+              SELECT e.src AS id, CAST(sum(a.s) AS BIGINT) AS s
+              FROM edges e JOIN a{k} a ON e.dst = a.id GROUP BY e.src
+            )"""
+
+_GR3_HITS_SQL = (
+    f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL}),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (SELECT b AS src, a AS dst FROM pairs),
+            nodes AS (SELECT doc_id AS id FROM documents),
+            h0 AS (SELECT id, CAST(1 AS BIGINT) AS s FROM nodes)"""
+    + "".join(_GR3_HALF.format(k=k, p=k - 1) for k in range(1, 5))
+    + """
+            SELECT n.id AS doc_id,
+                   CAST(coalesce(a4.s, 0) AS BIGINT) AS authority,
+                   CAST(coalesce(h4.s, 0) AS BIGINT) AS hub
+            FROM nodes n
+            LEFT JOIN a4 ON n.id = a4.id
+            LEFT JOIN h4 ON n.id = h4.id
 """
 )
 
@@ -8478,6 +8538,7 @@ def oracle_queries() -> dict[str, str]:
             FROM top t JOIN tot tt ON t.cluster = tt.cluster
         """,
         "gr1_pagerank": _GR1_PAGERANK_SQL,
+        "gr3_hits": _GR3_HITS_SQL,
         "gr2_pagerank_converged": _GR2_SQL,
         "tok1_bpe_merges": _TOK1_BPE_SQL,
         "tok2_bpe_encode": _TOK2_BPE_SQL,
@@ -9343,6 +9404,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "corpus_build2": q_corpus_build2,
         "corpus_report1": q_corpus_report1,
         "gr1_pagerank": q_gr1_pagerank,
+        "gr3_hits": q_gr3_hits,
         "gr2_pagerank_converged": q_gr2_pagerank_converged,
         "tok1_bpe_merges": q_tok1_bpe_merges,
         "tok2_bpe_encode": q_tok2_bpe_encode,

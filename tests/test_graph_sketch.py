@@ -397,6 +397,35 @@ def test_connected_components_single_task_equals_distributed(spark):
     assert all(fast[lab] == lab for lab in set(fast.values()))
 
 
+def test_hits_hand_graph_integer_exact(spark):
+    """HITS integer power iteration against a hand computation.
+    Graph 1→2, 1→3, 2→3 with isolated nodes 4, 5; h0 ≡ 1.
+    Round 1: a(2)=1, a(3)=2; h(1)=3, h(2)=2.
+    Round 2: a(2)=3, a(3)=5; h(1)=8, h(2)=5.
+    Everything else 0. Also pins partitioning invariance — integer
+    sums are associative, so any shuffle layout gives the same bits."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.hits import (
+        hits_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id bigint")
+    got = {
+        r["id"]: (r["authority"], r["hub"])
+        for r in hits_scores(edges, nodes, iters=2).collect()
+    }
+    assert got == {1: (0, 8), 2: (3, 5), 3: (5, 0), 4: (0, 0), 5: (0, 0)}
+    rep = {
+        r["id"]: (r["authority"], r["hub"])
+        for r in hits_scores(
+            edges.repartition(7), nodes.repartition(3), iters=2
+        ).collect()
+    }
+    assert rep == got
+
+
 def test_pagerank_hand_graph_and_mode_agreement(spark):
     # star 1->{2,3}, chain 2->3, sink 3 (dangling), isolated 9.
     # Hand-rolled iteration 1: pr(2) = .15 + .85*(1/2) = 0.575,
