@@ -93,6 +93,7 @@ LONGTAIL = [
     "gr2_pagerank_converged",  # DAG pagerank w/ tol=0 early exit (r5)
     "gr3_hits",  # integer HITS hub/authority, 4 unrolled rounds (r5)
     "dc6_flag_in_row",  # frozenset-kernel in-row decontamination (r5)
+    "dc7_bloom_decontaminate",  # packed-bitset bloom blocklist probe (r5)
 ]
 
 

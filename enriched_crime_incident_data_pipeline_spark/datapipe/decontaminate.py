@@ -162,6 +162,99 @@ def with_contamination_flag(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    k: int | None = None,
+    m: int | None = None,
+) -> DataFrame:
+    """Per-doc contamination flag through a BLOOM FILTER of the eval
+    grams — the production decontamination structure when the
+    blocklist side outgrows an exact broadcast set (e.g. filtering a
+    crawl against EVERY known benchmark + prior-training corpus):
+    memory is ``m`` bits however many grams go in. No false
+    negatives; false positives are md5-deterministic, so even they
+    are oracle-checkable bit-for-bit. Returns
+    ``(doc_id, contaminated)`` over the train docs.
+
+    Probe shape — the packed-bitset answer to the map-column trap
+    (SCALING.md r5): the ≤``m``-bit filter rides as ONE broadcast
+    ``array<long>`` of ``m/64`` words, and a probe is
+    ``element_at(words, pos >> 6) & (1 << (pos & 63))`` — array
+    ``element_at`` is O(1) positional access (unlike map columns,
+    which linear-scan), so the whole corpus side is a map-only JVM
+    projection: no Python worker, no per-gram explode, no shuffle.
+    The k md5s per gram are the probe cost, exactly as in
+    :mod:`datapipe.sketch`'s engine-reproducible Bloom."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_build,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        hash32,
+    )
+
+    k = BLOOM_K if k is None else k
+    m = BLOOM_M if m is None else m
+    nwords = (m + 63) // 64
+    bits = bloom_build(
+        doc_ngrams(eval_docs, n).select("gram").distinct(),
+        F.col("gram"),
+        k,
+        m,
+    )
+    # pack the set bits into a dense word array: bit_or the masks per
+    # 64-bit word, then densify through a ONE-ROW map lookup (the
+    # linear map scan is fine here — it runs nwords·|words| times
+    # total during construction, not per corpus row)
+    packed = (
+        bits.select(
+            F.shiftright(F.col("bit"), 6).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias(
+                "v"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(v)").alias("v"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("w"), F.col("v")))
+            ).alias("_wm")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nwords - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_wm"), i.cast("int")),
+                    F.lit(0).cast("bigint"),
+                ),
+            ).alias("_bloom_words")
+        )
+    )
+    # one SQL expression over (_toks, _bloom_words): grams by
+    # position, k md5 positions per gram (md5 computed ONCE per j),
+    # forall-bit-test against the packed words
+    prefixes = ", ".join(f"'bloom{j}:'" for j in range(k))
+    probe_sql = f"""CAST(exists(
+      transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),
+                i -> concat_ws(' ', slice(_toks, i, {n}))),
+      g -> forall(
+        transform(array({prefixes}),
+                  p -> CAST(conv(substring(md5(concat(p, g)), 1, 8),
+                                 16, 10) AS BIGINT) % {m}),
+        q -> (element_at(_bloom_words,
+                         CAST(shiftright(q, 6) AS INT) + 1)
+              & shiftleft(CAST(1 AS BIGINT), CAST(q % 64 AS INT))) != 0)
+    ) AS INT)"""
+    return (
+        train.crossJoin(F.broadcast(packed))
+        .withColumn("_toks", tokens(F.col("text")))
+        .select("doc_id", F.expr(probe_sql).alias("contaminated"))
+    )
+
+
 def ngram_overlap_fraction(
     train: DataFrame, eval_docs: DataFrame, n: int = 8
 ) -> DataFrame:

@@ -3711,6 +3711,25 @@ def q_dc6_flag_in_row(spark, sf_dir):
     )
 
 
+def q_dc7_bloom_decontaminate(spark, sf_dir):
+    # Bloom-filter decontamination (r5): the production structure for
+    # blocklists too large to broadcast exactly — m bits regardless of
+    # eval size. The filter rides as ONE packed array<long> bitset
+    # (array element_at is O(1) positional access, the JVM answer to
+    # the map-column linear-scan trap); probes are map-only k-md5
+    # column expressions, no Python, no explode, no shuffle. md5
+    # basis ⇒ even the false positives are engine-deterministic and
+    # oracle-checked.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        bloom_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    return bloom_decontaminate(train, eval_docs, n=8)
+
+
 def q_dc4_overlap_fraction(spark, sf_dir):
     # fractional contamination (GPT-3/PaLM-style): share of each
     # training doc's distinct 8-grams found in the eval set — the
@@ -4868,6 +4887,19 @@ _HASH32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 # bloom/cms coordinate generators (mirror datapipe/sketch.py)
 _BLOOM_POS = "\n              UNION ALL ".join(
     f"SELECT doc_id, ('0x' || substr(md5('bloom{j}:' || f), 1, 8))::BIGINT"
+    f" % {BLOOM_M} AS bit FROM {{src}}"
+    for j in range(BLOOM_K)
+)
+# dc7: Bloom positions keyed by gram (build side) and by (doc_id,
+# gram) (probe side) — same md5 basis as _BLOOM_POS.
+_BLOOM_GPOS = "\n              UNION ALL ".join(
+    f"SELECT ('0x' || substr(md5('bloom{j}:' || gram), 1, 8))::BIGINT"
+    f" % {BLOOM_M} AS bit FROM {{src}}"
+    for j in range(BLOOM_K)
+)
+_BLOOM_GPOS_DOC = "\n              UNION ALL ".join(
+    f"SELECT doc_id, gram,"
+    f" ('0x' || substr(md5('bloom{j}:' || gram), 1, 8))::BIGINT"
     f" % {BLOOM_M} AS bit FROM {{src}}"
     for j in range(BLOOM_K)
 )
@@ -8638,6 +8670,32 @@ def oracle_queries() -> dict[str, str]:
             FROM documents d LEFT JOIN hit h USING (doc_id)
             WHERE d.doc_id % 50 <> 0
         """,
+        "dc7_bloom_decontaminate": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS t(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            bits AS (
+              SELECT DISTINCT bit FROM ({_BLOOM_GPOS.format(src="ev")})
+            ),
+            gp AS ({_BLOOM_GPOS_DOC.format(src="g WHERE doc_id % 50 <> 0")}),
+            ghit AS (
+              SELECT gp.doc_id, gp.gram
+              FROM gp LEFT JOIN bits b ON gp.bit = b.bit
+              GROUP BY gp.doc_id, gp.gram
+              HAVING sum(CASE WHEN b.bit IS NULL THEN 1 ELSE 0 END) = 0
+            ),
+            hit AS (SELECT DISTINCT doc_id FROM ghit)
+            SELECT d.doc_id,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN hit h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        """,
         "dc4_overlap_fraction": f"""
             WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             g AS (
@@ -9526,6 +9584,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "stat1_corr": q_stat1_corr,
         "dc1_contamination": q_dc1_contamination,
         "dc6_flag_in_row": q_dc6_flag_in_row,
+        "dc7_bloom_decontaminate": q_dc7_bloom_decontaminate,
         "dc2_cross_snapshot": q_dc2_cross_snapshot,
         "dc4_overlap_fraction": q_dc4_overlap_fraction,
         "ta8_repetition": q_ta8_repetition,

@@ -156,6 +156,35 @@ def test_tfidf_topk_and_ties_deterministic(spark):
     assert [r["term"] for r in sorted(rows, key=lambda r: r["rnk"])] == ["a", "b"]
 
 
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The Bloom flag must be a SUPERSET of the exact flag (a Bloom
+    filter has no false negatives; false positives are allowed and
+    md5-deterministic). Checked on real testdata against the exact
+    broadcast-set contamination report."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        bloom_decontaminate,
+        ngram_contamination,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_contamination(train, eval_docs, n=8).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["contaminated"]
+        for r in bloom_decontaminate(train, eval_docs, n=8).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert all(v in (0, 1) for v in bloom.values())
+    missed = [d for d, v in exact.items() if v == 1 and bloom[d] != 1]
+    assert missed == []
+
+
 def test_unigram_lm_scores_hand_computed(spark):
     """3-doc corpus, hand-checked add-one-smoothed inverse
     probabilities: N=6 instances, V=3 types → term = 9/(c+1)."""
