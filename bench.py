@@ -94,6 +94,7 @@ LONGTAIL = [
     "gr3_hits",  # integer HITS hub/authority, 4 unrolled rounds (r5)
     "dc6_flag_in_row",  # frozenset-kernel in-row decontamination (r5)
     "dc7_bloom_decontaminate",  # packed-bitset bloom blocklist probe (r5)
+    "dd17_cdc_segments",  # shift-robust content-defined segment dedup (r5)
 ]
 
 

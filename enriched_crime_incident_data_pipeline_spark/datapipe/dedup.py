@@ -1124,3 +1124,116 @@ def ngram_containment_pairs(
         )
         .select("a", "b", "intersect_size", "containment_a", "containment_b")
     )
+
+
+def cdc_segment_dedup(
+    docs: DataFrame,
+    window: int = 8,
+    divisor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact segment dedup with CONTENT-DEFINED boundaries
+    (the CDC move from storage dedup — FastCDC/LBFS — applied at token
+    granularity): a segment boundary falls after token ``i`` whenever
+    the rolling hash of the ``window`` tokens ending at ``i`` is
+    ≡ 0 mod ``divisor``, giving ~``divisor``-token expected segments.
+
+    Why this exists next to :func:`segment_dedup` (fixed 10-token
+    windows): fixed windows are OFFSET-addressed, so one token
+    inserted near the head of a near-duplicate shifts every later
+    window and nothing downstream dedups. CDC boundaries depend only
+    on the local window content — after any edit the boundary stream
+    re-synchronizes within ~``window`` tokens and the shared tail
+    dedups segment-for-segment (pinned by
+    ``test_dedup_watermark.py::test_cdc_segments_shift_robust``).
+
+    Scale shape (same contract as segment_dedup's r4 rework): segment
+    TEXT never shuffles — the keeper aggregation sees only
+    ``(md5(segment), doc_id, seg_idx)`` rows and takes the min
+    ``struct(doc_id, seg_idx)`` per hash (map-side combinable, no
+    window, no packed-long range contract); the rebuild re-slices the
+    winners from the pinned originals. Returns
+    ``(doc_id, n_segs, n_kept, deduped_text)`` for every input doc
+    (``n_kept`` 0 and empty text when every segment lost its race).
+    """
+    w, d = window, divisor
+    base = _pin(docs.select(id_col, text_col))
+    toked = base.select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).withColumn(
+        "_bpos",
+        F.when(F.size("_toks") <= w, F.array().cast("array<int>")).otherwise(
+            F.filter(
+                F.sequence(F.lit(w), F.size("_toks") - 1),
+                lambda i: hash32(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i - w + 1, w))
+                )
+                % d
+                == 0,
+            ).cast("array<int>")
+        ),
+    ).withColumn(
+        "_starts",
+        F.concat(
+            F.array(F.lit(1)), F.transform("_bpos", lambda b: b + 1)
+        ),
+    ).withColumn(
+        "_ends", F.concat(F.col("_bpos"), F.array(F.size("_toks")))
+    )
+    segs = toked.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("_starts"))).alias("k"),
+        F.col("_toks"),
+        F.col("_starts"),
+        F.col("_ends"),
+    ).select(
+        id_col,
+        "k",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    F.element_at("_starts", F.col("k")),
+                    F.element_at("_ends", F.col("k"))
+                    - F.element_at("_starts", F.col("k"))
+                    + 1,
+                ),
+            )
+        ).alias("h"),
+    )
+    winners = (
+        segs.groupBy("h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("k"))).alias("keep"))
+        .select(
+            F.col("keep")[id_col].alias(id_col), F.col("keep.k").alias("k")
+        )
+    )
+    kept = winners.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("k")).alias("_ks")
+    )
+    return (
+        toked.join(kept, id_col, "left")
+        .withColumn("_ks", F.coalesce("_ks", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.size("_starts").cast("int").alias("n_segs"),
+            F.size("_ks").cast("int").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        "_ks",
+                        lambda k: F.slice(
+                            F.col("_toks"),
+                            F.element_at("_starts", k),
+                            F.element_at("_ends", k)
+                            - F.element_at("_starts", k)
+                            + 1,
+                        ),
+                    )
+                ),
+            ).alias("deduped_text"),
+        )
+    )

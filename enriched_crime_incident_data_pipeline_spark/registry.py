@@ -1595,6 +1595,22 @@ def q_dd11_segment_dedup(spark, sf_dir):
     return segment_dedup(docs, seg_tokens=10)
 
 
+def q_dd17_cdc_segments(spark, sf_dir):
+    # content-defined segment dedup (r5): boundaries fall where the
+    # rolling 8-token window hash ≡ 0 mod 16 (FastCDC/LBFS applied at
+    # token granularity), so an edit near a doc's head re-synchronizes
+    # within ~8 tokens and the shared tail still dedups — the
+    # shift-robust companion to dd11's fixed windows. Segment text
+    # never shuffles (hash-only keeper, min-struct agg, re-slice
+    # rebuild).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        cdc_segment_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_segment_dedup(docs, window=8, divisor=16)
+
+
 def q_dd12_incremental_lsh(spark, sf_dir):
     # incremental index maintenance: new docs (doc_id % 5 == 0) probe
     # the standing band index — work ∝ |new| × bucket hit rate, never
@@ -7921,6 +7937,49 @@ def oracle_queries() -> dict[str, str]:
                    CAST(max(e - s + 1) AS INTEGER) AS longest_span
             FROM spans GROUP BY doc_id
         """,
+        "dd17_cdc_segments": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            b AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 8 THEN []::BIGINT[] ELSE
+                       list_filter(generate_series(8, len(toks) - 1),
+                         i -> ('0x' || substr(md5(array_to_string(
+                                 list_slice(toks, i - 7, i), ' ')), 1, 8)
+                              )::BIGINT % 16 = 0)
+                     END AS bpos
+              FROM w
+            ),
+            sp AS (
+              SELECT doc_id, toks,
+                     list_prepend(1, list_transform(bpos, x -> x + 1))
+                       AS starts,
+                     list_append(bpos, len(toks)) AS ends
+              FROM b
+            ),
+            segrows AS (
+              SELECT doc_id, k,
+                     array_to_string(
+                       list_slice(toks, starts[k], ends[k]), ' ') AS seg
+              FROM sp, unnest(generate_series(1, len(starts))) AS s(k)
+            ),
+            keep AS (
+              SELECT doc_id, k, seg FROM (
+                SELECT doc_id, k, seg,
+                       row_number() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, k) AS rn
+                FROM segrows) WHERE rn = 1
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY k) AS deduped_text
+              FROM keep GROUP BY doc_id
+            )
+            SELECT sp.doc_id,
+                   CAST(len(sp.starts) AS INTEGER) AS n_segs,
+                   CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+                   coalesce(a.deduped_text, '') AS deduped_text
+            FROM sp LEFT JOIN agg a USING (doc_id)
+        """,
         "dd11_segment_dedup": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS} AS ts FROM documents
@@ -9456,6 +9515,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta13_lang_confusion": q_ta13_lang_confusion,
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
         "dd11_segment_dedup": q_dd11_segment_dedup,
+        "dd17_cdc_segments": q_dd17_cdc_segments,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
         "dd13_repeated_spans": q_dd13_repeated_spans,
         "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,

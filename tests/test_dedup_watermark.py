@@ -65,3 +65,35 @@ def test_max_date_watermark(spark):
     assert max_date_watermark(df) == dt.date(2024, 4, 3)
     empty = spark.createDataFrame([], "incident_ts timestamp")
     assert max_date_watermark(empty) is None
+
+
+def test_cdc_segments_shift_robust(spark):
+    """The reason content-defined boundaries exist: insert ONE token
+    at the head of a near-duplicate and (a) fixed 10-token windows
+    all shift — nothing dedups — while (b) CDC boundaries
+    re-synchronize within ~a window and the shared tail dedups
+    segment-for-segment. Deterministic (md5 boundaries, fixed text)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        cdc_segment_dedup,
+        segment_dedup,
+    )
+
+    base = " ".join(f"w{i % 97}x{(i * 7) % 13}q{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "zzz " + base)], "doc_id bigint, text string"
+    )
+    cdc = {r["doc_id"]: r for r in cdc_segment_dedup(docs).collect()}
+    # doc 1 wins every race (lower id): fully kept
+    assert cdc[1]["n_kept"] == cdc[1]["n_segs"]
+    # doc 2: the head segment differs but the re-synchronized tail
+    # dedups — strictly fewer kept than total, and the doc has
+    # multiple segments (the boundary stream fired)
+    assert cdc[2]["n_segs"] > 3
+    assert cdc[2]["n_kept"] < cdc[2]["n_segs"]
+    # fixed-offset windows: the one-token shift misaligns every
+    # segment, so NOTHING dedups for doc 2
+    fixed = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=10).collect()}
+    assert fixed[2]["n_kept"] * 10 >= 200  # all of doc 2 survives
+    # and the CDC rebuild preserves kept-segment order/content: doc 1
+    # round-trips to its own tokenized text
+    assert cdc[1]["deduped_text"].split(" ") == base.split(" ")
