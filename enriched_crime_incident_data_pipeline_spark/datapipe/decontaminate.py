@@ -192,9 +192,6 @@ def bloom_decontaminate(
         BLOOM_M,
         bloom_build,
     )
-    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
-        hash32,
-    )
 
     k = BLOOM_K if k is None else k
     m = BLOOM_M if m is None else m
@@ -361,3 +358,88 @@ def semantic_decontaminate(
             F.max("_cos").alias("max_cos"),
         )
     )
+
+
+def scrub_contaminated_spans(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    eval_grams: frozenset | None = None,
+) -> DataFrame:
+    """SURGICAL decontamination: rather than dropping a contaminated
+    document wholesale (:func:`ngram_contamination` + filter — and a
+    long document with one quoted benchmark item loses all its clean
+    text), remove ONLY the tokens covered by an eval-colliding
+    ``n``-gram and keep the rest. The graduated policy real curation
+    runs use for high-value long documents.
+
+    Returns ``(doc_id, n_tokens, n_masked, scrubbed_text)``:
+    original token count, tokens removed, and the surviving tokens
+    re-joined in order (empty string when everything was covered).
+
+    Same kernel shape as :func:`with_contamination_flag` (eval grams
+    are a broadcast frozenset, probes O(1) amortized), but the kernel
+    walks every gram position to build the coverage mask instead of
+    early-exiting — still O(d) per d-token document, map-only, no
+    shuffle, no join-back."""
+    egrams = (
+        eval_grams
+        if eval_grams is not None
+        else frozenset(
+            r[0]
+            for r in doc_ngrams(eval_docs, n)
+            .select("gram")
+            .distinct()
+            .collect()
+        )
+    )
+    bset = train.sparkSession.sparkContext.broadcast(egrams)
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rel = train.select(
+        F.col("doc_id"), tokens(F.col("text")).alias("_toks")
+    )
+    id_t = rel.schema["doc_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("doc_id", id_t),
+            StructField("n_tokens", IntegerType()),
+            StructField("n_masked", IntegerType()),
+            StructField("scrubbed_text", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        s = bset.value
+        for pdf in batches:
+            ids, n_tok, n_msk, texts = [], [], [], []
+            for i, toks in zip(pdf["doc_id"], pdf["_toks"]):
+                t = [] if toks is None else list(toks)
+                d = len(t)
+                covered = [False] * d
+                for p in range(max(d - (n - 1), 1)):
+                    if " ".join(t[p : p + n]) in s:
+                        for q in range(p, min(p + n, d)):
+                            covered[q] = True
+                ids.append(i)
+                n_tok.append(d)
+                n_msk.append(sum(covered))
+                texts.append(
+                    " ".join(tk for tk, c in zip(t, covered) if not c)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tokens": pd.Series(n_tok, dtype="int32"),
+                    "n_masked": pd.Series(n_msk, dtype="int32"),
+                    "scrubbed_text": texts,
+                }
+            )
+
+    return rel.mapInPandas(gen, out_schema)

@@ -1237,3 +1237,75 @@ def cdc_segment_dedup(
             ).alias("deduped_text"),
         )
     )
+
+
+def intradoc_segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document segment dedup (the C4 move that strips
+    boilerplate repeated inside one page — nav blocks, repeated
+    footers — before any corpus-wide pass): split each doc into
+    consecutive ``seg_tokens``-token segments, keep the FIRST
+    occurrence of each distinct segment, rebuild in order. Returns
+    ``(doc_id, n_segs, n_kept, deduped_text)``.
+
+    Scale shape: there is no corpus-wide state at all — first-
+    occurrence-within-row is per-row work, so this is a pure map
+    stage (one Arrow hop, O(d) per d-token doc via a Python seen-set;
+    a JVM fold would need a map-accumulator whose probe is the
+    linear-scan trap documented in SCALING.md r5). Embarrassingly
+    parallel at any corpus size; composes BEFORE the corpus-wide
+    passes so their shuffles see already-shrunk text."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rel = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    id_t = rel.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_t),
+            StructField("n_segs", IntegerType()),
+            StructField("n_kept", IntegerType()),
+            StructField("deduped_text", StringType()),
+        ]
+    )
+    w = seg_tokens
+
+    def gen(batches):
+        for pdf in batches:
+            ids, n_segs, n_kept, texts = [], [], [], []
+            for i, toks in zip(pdf[id_col], pdf["_toks"]):
+                t = [] if toks is None else list(toks)
+                segs = [
+                    " ".join(t[p : p + w]) for p in range(0, max(len(t), 1), w)
+                ]
+                seen: set = set()
+                kept = []
+                for s in segs:
+                    if s not in seen:
+                        seen.add(s)
+                        kept.append(s)
+                ids.append(i)
+                n_segs.append(len(segs))
+                n_kept.append(len(kept))
+                texts.append(" ".join(kept))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_segs": pd.Series(n_segs, dtype="int32"),
+                    "n_kept": pd.Series(n_kept, dtype="int32"),
+                    "deduped_text": texts,
+                }
+            )
+
+    return rel.mapInPandas(gen, out_schema)

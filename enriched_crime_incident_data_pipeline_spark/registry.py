@@ -1595,6 +1595,19 @@ def q_dd11_segment_dedup(spark, sf_dir):
     return segment_dedup(docs, seg_tokens=10)
 
 
+def q_dd18_intradoc_dedup(spark, sf_dir):
+    # WITHIN-doc segment dedup (C4's boilerplate strip): first
+    # occurrence of each 10-token segment inside its own document —
+    # no corpus-wide state at all, one Arrow map hop, runs BEFORE the
+    # corpus passes so their shuffles see already-shrunk text.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        intradoc_segment_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return intradoc_segment_dedup(docs, seg_tokens=10)
+
+
 def q_dd17_cdc_segments(spark, sf_dir):
     # content-defined segment dedup (r5): boundaries fall where the
     # rolling 8-token window hash ≡ 0 mod 16 (FastCDC/LBFS applied at
@@ -3725,6 +3738,22 @@ def q_dc6_flag_in_row(spark, sf_dir):
     return with_contamination_flag(train, eval_docs, n=8).select(
         "doc_id", "source", "contaminated"
     )
+
+
+def q_dc8_scrub_spans(spark, sf_dir):
+    # surgical decontamination (r5): remove ONLY the tokens covered by
+    # an eval-colliding 8-gram and keep the rest of the document — the
+    # graduated policy for high-value long docs (vs dc1+filter, which
+    # drops the whole doc for one quoted benchmark item). Map-only
+    # frozenset kernel building a coverage mask, O(d) per doc.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        scrub_contaminated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    return scrub_contaminated_spans(train, eval_docs, n=8)
 
 
 def q_dc7_bloom_decontaminate(spark, sf_dir):
@@ -7937,6 +7966,32 @@ def oracle_queries() -> dict[str, str]:
                    CAST(max(e - s + 1) AS INTEGER) AS longest_span
             FROM spans GROUP BY doc_id
         """,
+        "dd18_intradoc_dedup": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+            seg AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+                     array_to_string(
+                       list_slice(ts, CAST(g.i * 10 + 1 AS INTEGER),
+                                  CAST(g.i * 10 + 10 AS INTEGER)), ' ') AS seg
+              FROM toks, LATERAL (
+                SELECT unnest(range(CAST(ceil(greatest(len(ts), 1) / 10.0)
+                                         AS BIGINT))) AS i
+              ) g
+            ),
+            flagged AS (
+              SELECT doc_id, seg_idx, seg,
+                     row_number() OVER (PARTITION BY doc_id, md5(seg)
+                                        ORDER BY seg_idx) AS rn
+              FROM seg
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_segs,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER)
+                     AS n_kept,
+                   string_agg(seg, ' ' ORDER BY seg_idx)
+                     FILTER (WHERE rn = 1) AS deduped_text
+            FROM flagged GROUP BY doc_id
+        """,
         "dd17_cdc_segments": f"""
             WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             b AS (
@@ -8729,6 +8784,40 @@ def oracle_queries() -> dict[str, str]:
             FROM documents d LEFT JOIN hit h USING (doc_id)
             WHERE d.doc_id % 50 <> 0
         """,
+        "dc8_scrub_spans": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            gp AS (
+              SELECT doc_id, i,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS t(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM gp WHERE doc_id % 50 = 0),
+            hitpos AS (
+              SELECT gp.doc_id, gp.i FROM gp JOIN ev USING (gram)
+              WHERE gp.doc_id % 50 <> 0
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, c.j
+              FROM hitpos, LATERAL (
+                SELECT unnest(generate_series(i, i + 7)) AS j
+              ) c
+            ),
+            tok_rows AS (
+              SELECT doc_id, t.j, toks[t.j] AS tok
+              FROM w, unnest(generate_series(1, len(toks))) AS t(j)
+              WHERE doc_id % 50 <> 0
+            )
+            SELECT tr.doc_id,
+                   CAST(count(*) AS INTEGER) AS n_tokens,
+                   CAST(sum(CASE WHEN c.j IS NULL THEN 0 ELSE 1 END)
+                        AS INTEGER) AS n_masked,
+                   coalesce(string_agg(tok, ' ' ORDER BY tr.j)
+                            FILTER (WHERE c.j IS NULL), '') AS scrubbed_text
+            FROM tok_rows tr
+            LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.j = c.j
+            GROUP BY tr.doc_id
+        """,
         "dc7_bloom_decontaminate": f"""
             WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             g AS (
@@ -9516,6 +9605,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd10_dedup_keeper": q_dd10_dedup_keeper,
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "dd17_cdc_segments": q_dd17_cdc_segments,
+        "dd18_intradoc_dedup": q_dd18_intradoc_dedup,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
         "dd13_repeated_spans": q_dd13_repeated_spans,
         "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,
@@ -9645,6 +9735,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dc1_contamination": q_dc1_contamination,
         "dc6_flag_in_row": q_dc6_flag_in_row,
         "dc7_bloom_decontaminate": q_dc7_bloom_decontaminate,
+        "dc8_scrub_spans": q_dc8_scrub_spans,
         "dc2_cross_snapshot": q_dc2_cross_snapshot,
         "dc4_overlap_fraction": q_dc4_overlap_fraction,
         "ta8_repetition": q_ta8_repetition,

@@ -627,3 +627,36 @@ def test_bpe_vectorized_merge_matches_reference_model():
             list(x) for x in np.split(su[codes], np.cumsum(doclen)[:-1])
         ]
         assert got == expected, (trial, docs, rules)
+
+
+def test_scrub_contaminated_spans_hand_mask(spark):
+    """Surgical decontamination against a hand-built case: exactly the
+    8 tokens covered by the colliding gram disappear, everything else
+    survives in order; clean docs pass through untouched."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        scrub_contaminated_spans,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e f g h y1 y2"),
+            (2, "p q r s t u v w x y z"),
+            (3, "a b c d e f g h"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in scrub_contaminated_spans(train, ev, n=8).collect()
+    }
+    assert got[1]["n_tokens"] == 12
+    assert got[1]["n_masked"] == 8
+    assert got[1]["scrubbed_text"] == "x1 x2 y1 y2"
+    assert got[2]["n_masked"] == 0
+    assert got[2]["scrubbed_text"] == "p q r s t u v w x y z"
+    # fully-covered doc: everything masked, empty survivor
+    assert got[3]["n_masked"] == 8
+    assert got[3]["scrubbed_text"] == ""
