@@ -1703,6 +1703,32 @@ def q_st6_stream_lsh_probe(spark, sf_dir):
     )
 
 
+def q_st17_stream_bloom_probe(spark, sf_dir):
+    # continuous decontamination at ingest (r5): arriving docs probe
+    # the STATIC packed-bitset Bloom of the eval grams — the whole
+    # probe is a stateless map (broadcast 1-row bitset crossJoin +
+    # column exprs, see dc7), so it is legal on a stream unchanged
+    # and batch ≡ stream bit-for-bit; the oracle is dc7's SQL
+    # restricted to the streamed split.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        bloom_decontaminate,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    stream_train = (
+        stream_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "text")
+    )
+    out = bloom_decontaminate(stream_train, eval_docs, n=8)
+    return run_available_now(out, "st17_bloom_probe", "append")
+
+
 def q_st14_stream_phash_probe(spark, sf_dir):
     # continuous IMAGE dedup at ingest: arriving media compute their
     # dHash row-wise (the Arrow kernel is a stateless map, legal on a
@@ -4926,6 +4952,7 @@ _HYPERPLANE_SIGS_CTE = """comp AS (
 
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _TOKENS = f"string_split_regex({_NORM}, ' +')"
+
 _TOKEN_COUNT = f"CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKENS}) END"
 _HASH32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
@@ -4948,6 +4975,35 @@ _BLOOM_GPOS_DOC = "\n              UNION ALL ".join(
     f" % {BLOOM_M} AS bit FROM {{src}}"
     for j in range(BLOOM_K)
 )
+# dc7 / st17 share one oracle: the streaming probe is the identical
+# stateless computation over the identical split (batch ≡ stream)
+_DC7_BLOOM_SQL = f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS t(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            bits AS (
+              SELECT DISTINCT bit FROM ({_BLOOM_GPOS.format(src="ev")})
+            ),
+            gp AS ({_BLOOM_GPOS_DOC.format(src="g WHERE doc_id % 50 <> 0")}),
+            ghit AS (
+              SELECT gp.doc_id, gp.gram
+              FROM gp LEFT JOIN bits b ON gp.bit = b.bit
+              GROUP BY gp.doc_id, gp.gram
+              HAVING sum(CASE WHEN b.bit IS NULL THEN 1 ELSE 0 END) = 0
+            ),
+            hit AS (SELECT DISTINCT doc_id FROM ghit)
+            SELECT d.doc_id,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN hit h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        """
+
 _CMS_POS = "\n              UNION ALL ".join(
     f"SELECT l_partkey, {j} AS j,"
     f" ('0x' || substr(md5('cms{j}:' || {{keyexpr}}), 1, 8))::BIGINT"
@@ -8818,32 +8874,10 @@ def oracle_queries() -> dict[str, str]:
             LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.j = c.j
             GROUP BY tr.doc_id
         """,
-        "dc7_bloom_decontaminate": f"""
-            WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
-            g AS (
-              SELECT DISTINCT doc_id,
-                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
-              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
-                       AS t(i)
-            ),
-            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
-            bits AS (
-              SELECT DISTINCT bit FROM ({_BLOOM_GPOS.format(src="ev")})
-            ),
-            gp AS ({_BLOOM_GPOS_DOC.format(src="g WHERE doc_id % 50 <> 0")}),
-            ghit AS (
-              SELECT gp.doc_id, gp.gram
-              FROM gp LEFT JOIN bits b ON gp.bit = b.bit
-              GROUP BY gp.doc_id, gp.gram
-              HAVING sum(CASE WHEN b.bit IS NULL THEN 1 ELSE 0 END) = 0
-            ),
-            hit AS (SELECT DISTINCT doc_id FROM ghit)
-            SELECT d.doc_id,
-                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
-                        AS INTEGER) AS contaminated
-            FROM documents d LEFT JOIN hit h USING (doc_id)
-            WHERE d.doc_id % 50 <> 0
-        """,
+        "dc7_bloom_decontaminate": _DC7_BLOOM_SQL,
+        # the streaming probe is the identical stateless computation
+        # over the identical split — batch ≡ stream, one oracle
+        "st17_stream_bloom_probe": _DC7_BLOOM_SQL,
         "dc4_overlap_fraction": f"""
             WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
             g AS (
@@ -9651,6 +9685,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "st1_stream_tumbling": q_st1_stream_tumbling,
         "st13_stream_sliding": q_st13_stream_sliding,
         "st14_stream_phash_probe": q_st14_stream_phash_probe,
+        "st17_stream_bloom_probe": q_st17_stream_bloom_probe,
         "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
         "st16_stream_quantile": q_st16_stream_quantile,
         "sk6_kmv_set_ops": q_sk6_kmv_set_ops,
