@@ -596,11 +596,15 @@ def test_round2_ops_plan_shapes(spark):
     sf = "/root/testdata/sf0.001"
     qs = registry.spark_queries()
 
-    # LM scoring: token counts + totals broadcast back; the token
-    # relation never SMJs
+    # LM scoring (r5 kernel shape): the count model is a broadcast
+    # Python dict and the fold rides each row through ONE Arrow hop —
+    # the scoring side has NO join node and NO shuffle of any kind
+    # (the r4 shape broadcast-joined counts back per token; the r5
+    # plan is strictly smaller: MapInPandas directly over the scan)
     p = qs["ta11_lm_quality"](spark, sf)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "MapInPandas" in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Exchange hashpartitioning" not in p
 
     # segment dedup: keeper is a pure long-typed HashAggregate (the
     # min(struct) form would fall back to SortAggregate; a window
