@@ -771,3 +771,50 @@ def truncated_dim_recall(
             ).alias("recall"),
         )
     )
+
+
+def filtered_topk_neighbors(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    label: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k (the vector-DB "filtered search"
+    pattern — 'nearest neighbors WHERE label = X'): rank only among
+    vectors that pass the predicate.
+
+    The correctness subtlety this encodes: PRE-filter, never
+    post-filter. Taking the unfiltered top-k and then applying the
+    predicate under-returns (as few as 0 of k survive when the
+    predicate is selective) and, worse, silently changes the result
+    set; filtering before ranking returns exactly k whenever ≥k rows
+    match (pinned by ``test_filtered_ann_pre_vs_post``).
+
+    Scale shape: the predicate is a plain column filter, so it lands
+    in the parquet scan as a pushed filter (row-group skipping +
+    column pruning — at 100 TB the scan reads only matching stripes);
+    the query vector broadcasts; scoring stays map-only; the top-k is
+    TakeOrderedAndProject (per-partition k, driver merge), never a
+    corpus sort."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn")
+    )
+    scored = (
+        embeddings.filter(
+            (F.col(label_col) == label) & (F.col(id_col) != query_vec_id)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine_from_norms(
+                F.col(vec_col),
+                F.col("_qvec"),
+                l2_norm(F.col(vec_col)),
+                F.col("_qn"),
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -973,6 +973,20 @@ def q_ss3_ivf_topk(spark, sf_dir):
 
 
 
+def q_ss13_filtered_ann(spark, sf_dir):
+    # metadata-filtered vector search (r5): exact top-10 cosine
+    # neighbors of vec 0 among label=4 vectors only. PRE-filter (rank
+    # among matches), never post-filter (which under-returns); the
+    # label predicate is a pushed parquet filter, the query vector
+    # broadcasts, top-k is TakeOrdered — see datapipe/similarity.py.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        filtered_topk_neighbors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return filtered_topk_neighbors(emb, query_vec_id=0, label=4, k=10)
+
+
 def q_ss12_truncated_recall(spark, sf_dir):
     # Matryoshka truncation eval: recall@10 of 16-of-64-dim search vs
     # full-dim exact — the measurement that licenses 4x cheaper
@@ -8686,6 +8700,19 @@ def oracle_queries() -> dict[str, str]:
               FROM scored
             ) WHERE rn <= 10
         """,
+        "ss13_filtered_ann": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            a AS (SELECT * FROM e WHERE vec_id <> 0 AND label = 4),
+            b AS (SELECT v FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT a.vec_id AS neighbor_id, {_COS} AS cosine FROM a, b
+            )
+            SELECT neighbor_id, CAST(rn AS INTEGER) AS rank, cosine FROM (
+              SELECT *, row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
+        """,
         "ss2_ivf_assign": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
@@ -9668,6 +9695,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ss10_ivf_pq_search": q_ss10_ivf_pq_search,
         "ss11_recall_eval": q_ss11_recall_eval,
         "ss12_truncated_recall": q_ss12_truncated_recall,
+        "ss13_filtered_ann": q_ss13_filtered_ann,
         "dc5_semantic_decontaminate": q_dc5_semantic_decontaminate,
         "ss9_cluster_purity": q_ss9_cluster_purity,
         "ta1_token_count": q_ta1_token_count,

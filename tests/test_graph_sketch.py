@@ -571,3 +571,34 @@ def test_pagerank_dangling_redistribution_matches_model(spark):
             v: alpha + (1.0 - alpha) * (inc[v] + dmass / n) for v in ranks
         }
     assert got == ranks
+
+
+def test_filtered_ann_pre_vs_post(spark):
+    """Filtered vector search must PRE-filter: ranking the unfiltered
+    top-k and then applying the predicate under-returns. Built so the
+    globally-nearest vectors all FAIL the predicate — post-filtering
+    top-3 yields zero rows, pre-filtering returns exactly 3."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        brute_force_neighbors,
+        filtered_topk_neighbors,
+    )
+
+    # query = [1,0]; label-9 vectors are nearly parallel to it (the
+    # global top), label-4 vectors are further but still positive
+    rows = [(0, [1.0, 0.0], 0)]
+    rows += [(10 + i, [1.0, 0.001 * (i + 1)], 9) for i in range(5)]
+    rows += [(20 + i, [1.0, 0.5 + 0.01 * i], 4) for i in range(5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    pre = filtered_topk_neighbors(emb, query_vec_id=0, label=4, k=3).collect()
+    assert len(pre) == 3
+    assert all(20 <= r["neighbor_id"] < 25 for r in pre)
+    assert [r["rank"] for r in pre] == [1, 2, 3]
+    # post-filter: global top-3 are all label 9 → filter leaves nothing
+    post = [
+        r
+        for r in brute_force_neighbors(emb, query_vec_id=0, k=3).collect()
+        if 20 <= r["neighbor_id"] < 25
+    ]
+    assert post == []
