@@ -136,6 +136,7 @@ def connected_components(
     jump_after: int = 0,
     stats: dict | None = None,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    driver_graph_edges: int | None = None,
 ) -> DataFrame:
     """Component label (the component's minimum node id) for every
     node that appears in ``edges``. Returns ``(node, cluster_id)``.
@@ -169,7 +170,10 @@ def connected_components(
     # job, broadcast-eligible downstream). For big graphs the take
     # stops at the cap (limit is evaluated partition-incrementally),
     # so the wasted work is bounded at ~2·cap rows.
-    cap = min(small_graph_edges, DRIVER_GRAPH_EDGES)
+    cap = min(
+        small_graph_edges,
+        DRIVER_GRAPH_EDGES if driver_graph_edges is None else driver_graph_edges,
+    )
     if cap > 0:
         head = sym.take(2 * cap + 1)
         if len(head) <= 2 * cap:

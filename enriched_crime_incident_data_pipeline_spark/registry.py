@@ -1609,6 +1609,86 @@ def q_dd11_segment_dedup(spark, sf_dir):
     return segment_dedup(docs, seg_tokens=10)
 
 
+def q_corpus_refresh1(spark, sf_dir):
+    # INCREMENTAL corpus refresh (r5 capstone): the verdict a daily
+    # snapshot ingest issues for every ARRIVING doc (old corpus =
+    # doc_id < 250, arriving batch = rest), with cost ∝ the
+    # increment, never the standing corpus:
+    #   1. exact cross-snapshot dedup — fingerprint probe against the
+    #      standing fingerprint table (dc2's mechanism);
+    #   2. near-dup vs the STANDING band index — incremental LSH
+    #      (dd12's mechanism: index append-only, batch bands probe
+    #      it, |new|×hit-rate work, corpus never self-joins);
+    #      new-vs-new pairs use the one-shot pairwise keep-lowest-id
+    #      policy (the cluster-level keeper variant is dd9/dd10);
+    #   3. 8-gram decontamination — broadcast eval grams, in-row
+    #      kernel flag (dc6's mechanism).
+    # Verdict precedence: exact_dup > near_dup_old > near_dup_new >
+    # contaminated > kept. Output: one row per arriving doc.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        incremental_lsh_pairs,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        with_contamination_flag,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "text", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    new = fp.filter(F.col("doc_id") >= 250)
+    old_fps = (
+        fp.filter(F.col("doc_id") < 250).select("fingerprint").distinct()
+    )
+    exact_ids = (
+        new.join(old_fps, "fingerprint", "left_semi")
+        .select("doc_id")
+        .withColumn("_e", F.lit(1))
+    )
+    bands = minhash_bands(docs)
+    pairs = incremental_lsh_pairs(
+        bands.filter(F.col("doc_id") >= 250),
+        bands.filter(F.col("doc_id") < 250),
+    )
+    # pairs are (least, greatest); old ids < 250 <= new ids, so a
+    # cross pair always has the old doc on the a side
+    near_old = (
+        pairs.filter((F.col("a") < 250) & (F.col("b") >= 250))
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("_no", F.lit(1))
+    )
+    near_new = (
+        pairs.filter(F.col("a") >= 250)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nn", F.lit(1))
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    contam = (
+        with_contamination_flag(new.select("doc_id", "text"), eval_docs, n=8)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+        .withColumn("_c", F.lit(1))
+    )
+    return (
+        new.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_old, "doc_id", "left")
+        .join(near_new, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e") == 1, F.lit("exact_dup"))
+            .when(F.col("_no") == 1, F.lit("near_dup_old"))
+            .when(F.col("_nn") == 1, F.lit("near_dup_new"))
+            .when(F.col("_c") == 1, F.lit("contaminated"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
 def q_dd18_intradoc_dedup(spark, sf_dir):
     # WITHIN-doc segment dedup (C4's boilerplate strip): first
     # occurrence of each 10-token segment inside its own document —
@@ -8036,6 +8116,61 @@ def oracle_queries() -> dict[str, str]:
                    CAST(max(e - s + 1) AS INTEGER) AS longest_span
             FROM spans GROUP BY doc_id
         """,
+        "corpus_refresh1": f"""
+            WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint
+                        FROM documents),
+            newd AS (SELECT * FROM fp WHERE doc_id >= 250),
+            oldfp AS (SELECT DISTINCT fingerprint FROM fp
+                      WHERE doc_id < 250),
+            exact AS (
+              SELECT DISTINCT n.doc_id FROM newd n
+              JOIN oldfp USING (fingerprint)
+            ),
+            bands AS ({_MINHASH_BANDS_SQL}),
+            nb AS (SELECT * FROM bands WHERE doc_id >= 250),
+            ob AS (SELECT * FROM bands WHERE doc_id < 250),
+            pairs AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT least(n.doc_id, o.doc_id) AS a,
+                       greatest(n.doc_id, o.doc_id) AS b
+                FROM nb n JOIN ob o
+                  ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+                WHERE n.doc_id <> o.doc_id
+                UNION ALL
+                SELECT l.doc_id AS a, r.doc_id AS b
+                FROM nb l JOIN nb r
+                  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                WHERE l.doc_id < r.doc_id
+              )
+            ),
+            near_old AS (SELECT DISTINCT b AS doc_id FROM pairs
+                         WHERE a < 250 AND b >= 250),
+            near_new AS (SELECT DISTINCT b AS doc_id FROM pairs
+                         WHERE a >= 250),
+            w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                       AS t(i)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            contam AS (
+              SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+              WHERE g.doc_id >= 250
+            )
+            SELECT n.doc_id,
+                   CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                        WHEN no_.doc_id IS NOT NULL THEN 'near_dup_old'
+                        WHEN nn.doc_id IS NOT NULL THEN 'near_dup_new'
+                        WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                        ELSE 'kept' END AS verdict
+            FROM newd n
+            LEFT JOIN exact e ON n.doc_id = e.doc_id
+            LEFT JOIN near_old no_ ON n.doc_id = no_.doc_id
+            LEFT JOIN near_new nn ON n.doc_id = nn.doc_id
+            LEFT JOIN contam c ON n.doc_id = c.doc_id
+        """,
         "dd18_intradoc_dedup": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
             seg AS (
@@ -9681,6 +9816,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tok4_bpe_sampled": q_tok4_bpe_sampled,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
+        "corpus_refresh1": q_corpus_refresh1,
         "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
         "tp10_budget_select": q_tp10_budget_select,
         "tp11_curriculum_order": q_tp11_curriculum_order,

@@ -602,3 +602,36 @@ def test_filtered_ann_pre_vs_post(spark):
         if 20 <= r["neighbor_id"] < 25
     ]
     assert post == []
+
+
+def test_cc_driver_tier_and_tier_transitions(spark):
+    """The r5 driver tier: tiny graphs resolve from the sizing take()
+    itself (tier=driver, one job, labels come back as a local
+    relation); capping DRIVER_GRAPH_EDGES via small_graph_edges still
+    routes mid-size graphs to the executor kernel (tier=executor);
+    labels identical across tiers."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+    st_drv: dict = {}
+    drv = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, stats=st_drv).collect()
+    }
+    assert st_drv["mode"] == "single_task" and st_drv["tier"] == "driver"
+    # force the executor kernel by shrinking the driver cap to zero
+    # edges while keeping the kernel cap: small_graph_edges governs
+    # BOTH, so pick a value between the edge count and the driver cap
+    st_ex: dict = {}
+    ex = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, stats=st_ex, small_graph_edges=3, driver_graph_edges=0
+        ).collect()
+    }
+    assert st_ex["mode"] == "single_task" and st_ex["tier"] == "executor"
+    assert drv == ex == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
