@@ -95,6 +95,8 @@ LONGTAIL = [
     "dc6_flag_in_row",  # frozenset-kernel in-row decontamination (r5)
     "dc7_bloom_decontaminate",  # packed-bitset bloom blocklist probe (r5)
     "dd17_cdc_segments",  # shift-robust content-defined segment dedup (r5)
+    "st17_stream_bloom_probe",  # stateless stream twin of dc7 (r5)
+    "corpus_refresh1",  # incremental snapshot-ingest verdict capstone (r5)
 ]
 
 
