@@ -1132,6 +1132,7 @@ def cdc_segment_dedup(
     divisor: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    boundary_hash: str = "md5",
 ) -> DataFrame:
     """Corpus-wide exact segment dedup with CONTENT-DEFINED boundaries
     (the CDC move from storage dedup — FastCDC/LBFS — applied at token
@@ -1156,8 +1157,28 @@ def cdc_segment_dedup(
     winners from the pinned originals. Returns
     ``(doc_id, n_segs, n_kept, deduped_text)`` for every input doc
     (``n_kept`` 0 and empty text when every segment lost its race).
-    """
+
+    ``boundary_hash``: ``"md5"`` (default) is the oracle-reproducible
+    basis every hash in this repo uses; ``"xxhash64"`` is the CLUSTER
+    fast path — the boundary decision is engine-internal (nothing
+    downstream depends on WHICH positions become boundaries, only
+    that both sides of a comparison use the same ones), so on a real
+    deployment the ~20×-cheaper non-cryptographic hash is the right
+    choice. Measured sf1 (steady-state): 14.0 → 10.1 s end-to-end
+    (~1.4×; the remaining wall is the per-SEGMENT md5 the keeper
+    keys on plus tokenize/rebuild — the boundary term itself, one
+    hash per token position, roughly halves). Reconstruction and
+    dedup-correctness are hash-independent (property-pinned:
+    duplicate-free corpora round-trip exactly under both)."""
     w, d = window, divisor
+    if boundary_hash == "md5":
+        def bhash(c):
+            return hash32(c)
+    elif boundary_hash == "xxhash64":
+        def bhash(c):
+            return F.abs(F.xxhash64(c))
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown boundary_hash: {boundary_hash}")
     base = _pin(docs.select(id_col, text_col))
     toked = base.select(
         id_col, tokens(F.col(text_col)).alias("_toks")
@@ -1166,7 +1187,7 @@ def cdc_segment_dedup(
         F.when(F.size("_toks") <= w, F.array().cast("array<int>")).otherwise(
             F.filter(
                 F.sequence(F.lit(w), F.size("_toks") - 1),
-                lambda i: hash32(
+                lambda i: bhash(
                     F.concat_ws(" ", F.slice(F.col("_toks"), i - w + 1, w))
                 )
                 % d

@@ -97,3 +97,37 @@ def test_cdc_segments_shift_robust(spark):
     # and the CDC rebuild preserves kept-segment order/content: doc 1
     # round-trips to its own tokenized text
     assert cdc[1]["deduped_text"].split(" ") == base.split(" ")
+
+
+def test_cdc_segments_hash_independent_roundtrip(spark):
+    """The boundary hash only decides WHERE segments split, never
+    correctness: on a duplicate-free corpus both the md5 (oracle
+    basis) and xxhash64 (cluster fast path) variants keep every
+    segment and reconstruct each document's tokenized text exactly;
+    the shift-robust dedup behavior holds under both."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        cdc_segment_dedup,
+    )
+
+    base = " ".join(f"u{i}v{(i * 11) % 23}" for i in range(150))
+    other = " ".join(f"m{i}n{(i * 5) % 17}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string"
+    )
+    for bh in ("md5", "xxhash64"):
+        got = {
+            r["doc_id"]: r
+            for r in cdc_segment_dedup(docs, boundary_hash=bh).collect()
+        }
+        for doc_id, text in ((1, base), (2, other)):
+            assert got[doc_id]["n_kept"] == got[doc_id]["n_segs"], bh
+            assert got[doc_id]["deduped_text"].split(" ") == text.split(" "), bh
+    # shift-robust dedup also holds under the fast hash
+    pair = spark.createDataFrame(
+        [(1, base), (2, "zzz " + base)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cdc_segment_dedup(pair, boundary_hash="xxhash64").collect()
+    }
+    assert got[2]["n_kept"] < got[2]["n_segs"]
