@@ -392,3 +392,79 @@ def test_keeper_encoding_contract_enforced(spark):
     )
     with pytest.raises(Exception, match="packed-long contract"):
         keep_first_segment(neg).collect()
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_contamination_kernel_matches_join_report(spark, docs):
+    """The r5 in-row frozenset-kernel flag must equal the broadcast-
+    join report's flag on ANY corpus (randomized short-token docs,
+    every-other doc as the eval split, n=3 so collisions actually
+    happen at this size)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        ngram_contamination,
+        with_contamination_flag,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = df.filter(F.col("doc_id") % 2 == 0)
+    train = df.filter(F.col("doc_id") % 2 == 1)
+    report = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_contamination(train, ev, n=3).collect()
+    }
+    kernel = {
+        r["doc_id"]: r["contaminated"]
+        for r in with_contamination_flag(train, ev, n=3).collect()
+    }
+    assert kernel == report
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=25),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_intradoc_dedup_matches_python_model(spark, docs):
+    """dd18's kernel vs a naive per-doc Python model: segment at
+    fixed 3-token offsets, keep first occurrences, rejoin."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        intradoc_segment_dedup,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        tokens,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # model over the ENGINE's own tokenization (the normalize/split
+    # contract is pinned elsewhere)
+    toks = {
+        r["doc_id"]: list(r["t"])
+        for r in df.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in intradoc_segment_dedup(df, seg_tokens=3).collect()
+    }
+    for i in toks:
+        t = toks[i]
+        segs = [" ".join(t[p : p + 3]) for p in range(0, max(len(t), 1), 3)]
+        seen, kept = set(), []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        assert got[i]["n_segs"] == len(segs)
+        assert got[i]["n_kept"] == len(kept)
+        assert got[i]["deduped_text"] == " ".join(kept)
