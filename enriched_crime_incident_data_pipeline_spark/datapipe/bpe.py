@@ -291,16 +291,19 @@ def _train(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
     )
     if use_kernel:
-        # LAZY persist, not an eager checkpoint (r5): round 1's pair
-        # count materializes the cache inside its own job, so the
-        # separate tokenize-and-materialize job barrier disappears;
-        # rounds 2..k read the cache. The lineage behind sym0 is one
-        # scan+projection, so there is nothing for a checkpoint to
-        # truncate anyway. (Widening here was A/B-measured and LOSES
-        # — 2.9 vs 1.7 s at sf0.1: 32 tasks of scheduling per round ×
-        # 4 rounds swamps a sub-millisecond numpy count. On a cluster
-        # the scan arrives split and the rounds parallelize anyway.)
-        sym0 = sym0.persist()
+        # LAZY localCheckpoint, not an eager one (r5): round 1's pair
+        # count materializes it inside its own job, so the separate
+        # tokenize-and-materialize job barrier disappears; rounds
+        # 2..k read the checkpointed blocks, and — unlike persist(),
+        # whose CacheManager entry leaks until an explicit
+        # unpersist() that no caller of the returned sym0 can safely
+        # issue — the blocks are ContextCleaner-reclaimed when the
+        # RDD drops (the _pin rationale). (Widening here was
+        # A/B-measured and LOSES — 2.9 vs 1.7 s at sf0.1: 32 tasks of
+        # scheduling per round × 4 rounds swamps a sub-millisecond
+        # numpy count. On a cluster the scan arrives split and the
+        # rounds parallelize anyway.)
+        sym0 = sym0.localCheckpoint(eager=False)
     else:
         sym0 = sym0.localCheckpoint(eager=True)
     if not use_kernel:
