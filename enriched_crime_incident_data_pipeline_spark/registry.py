@@ -2143,6 +2143,66 @@ def q_corpus_build2(spark, sf_dir):
     return segment_dedup(clean, seg_tokens=10)
 
 
+def q_ts6_ewma(spark, sf_dir):
+    # exponentially-weighted moving average per user (the classic
+    # streaming smoother; α = 1/4 keeps every step a single
+    # exact-rounded double op). Bit-exact cross-engine by the lm.py
+    # ordered-fold contract: events fold in (ts, event_id) order,
+    # acc ← acc + (x − acc)/4, seeded by the first value — one
+    # groupBy(user) shuffle, per-task memory bounded by a user's
+    # event count (events-per-entity, not corpus-sized).
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("_a"))
+        .select(
+            "user_id",
+            F.size("_a").cast("int").alias("n_events"),
+            F.aggregate(
+                F.slice(F.col("_a"), 2, F.greatest(F.size("_a") - 1, F.lit(0))),
+                F.element_at(F.col("_a"), 1)["value"],
+                lambda acc, s: acc + (s["value"] - acc) / F.lit(4.0),
+            ).alias("ewma"),
+        )
+    )
+
+
+def q_gr4_triangles(spark, sf_dir):
+    # triangle counting over the near-dup citation graph — the local
+    # clustering signal a dedup-graph audit publishes (triangles ⇒
+    # transitive duplicate families; pure pairs ⇒ chain/boilerplate
+    # structure). Exact and integer: two self-equi-joins of the
+    # canonicalized a<b edge list (wedge a<b<c closed by (a,c)) —
+    # never an all-pairs product; each triangle counted once, then
+    # exploded to its three corners for per-node counts.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        lsh_candidate_pairs(minhash_bands(docs))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("doc_id")
+    )
+    return (
+        corners.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
 def q_tp10_budget_select(spark, sf_dir):
     # data-constrained scaling: keep the best-quality docs (lowest
     # LM mean inverse probability) whose cumulative tokens fit a
@@ -8903,6 +8963,31 @@ def oracle_queries() -> dict[str, str]:
         """,
         "gr1_pagerank": _GR1_PAGERANK_SQL,
         "gr3_hits": _GR3_HITS_SQL,
+        "gr4_triangles": f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL}),
+            e AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY doc_id
+        """,
+        "ts6_ewma": """
+            SELECT user_id,
+                   CAST(count(*) AS INTEGER) AS n_events,
+                   list_reduce(list(value ORDER BY ts, event_id),
+                               (acc, x) -> acc + (x - acc) / 4.0) AS ewma
+            FROM events GROUP BY user_id
+        """,
         "gr2_pagerank_converged": _GR2_SQL,
         "tok1_bpe_merges": _TOK1_BPE_SQL,
         "tok2_bpe_encode": _TOK2_BPE_SQL,
@@ -9809,6 +9894,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "corpus_report1": q_corpus_report1,
         "gr1_pagerank": q_gr1_pagerank,
         "gr3_hits": q_gr3_hits,
+        "gr4_triangles": q_gr4_triangles,
+        "ts6_ewma": q_ts6_ewma,
         "gr2_pagerank_converged": q_gr2_pagerank_converged,
         "tok1_bpe_merges": q_tok1_bpe_merges,
         "tok2_bpe_encode": q_tok2_bpe_encode,
