@@ -2676,8 +2676,15 @@ def q_corpus_build3(spark, sf_dir):
     #    makes the wide form the one the three artifact consumers
     #    below re-read. On a cluster the scan already arrives split
     #    and fan_out is conf-disabled.
+    # LAZY cut (r5 barrier trim): the first consumer is the `art`
+    # union collect below, which scans every partition of both
+    # branches — Spark's post-job doCheckpoint then owns the blocks,
+    # so the dedicated materialization job disappears while the
+    # multi-consumer dedup (endocs/eval_docs/cdocs all re-read the
+    # blocks) is unchanged. Plans stay truncated either way: lazy
+    # Dataset.localCheckpoint still swaps in the LogicalRDD node.
     docs = fan_out(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=True
+        eager=False
     )
     # 1. language filter: keep docs the stopword heuristic calls 'en'
     endocs = docs.filter(lang_id(F.col("text")) == "en").select(
@@ -2756,17 +2763,22 @@ def q_corpus_build3(spark, sf_dir):
     # and the source join-back below — one cut here replaces
     # segment_dedup's internal pin AND stops the drop-list anti-join
     # from executing twice (once per consumer)
+    # lazy: segment_dedup's first pass scans kdocs in full, so the
+    # blocks materialize inside that job (one barrier saved)
     kdocs = cdocs.join(drops, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+        eager=False
     )
     # 6. corpus-wide segment dedup (10-token segments, keep-first);
     # `source` rides the rebuild join via carry_cols (r5) so the old
     # surv = seg ⋈ kdocs join-back is gone. Cut here: the deduped
     # corpus feeds the mixture quotas, the ranked sample, the pack
     # token counts, and the final join-back.
+    # lazy: mixture_sample's quota broadcast-build aggregates every
+    # surv partition before the rank stage runs, so the first job
+    # through `sampled` materializes these blocks too
     surv = segment_dedup(
         kdocs, seg_tokens=10, pinned=True, carry_cols=["source"]
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # 7. mixture sample to the target composition over the survivors;
     # the sample id-list feeds packing, sharding, and the final join —
     # materialize it once (it is ids+source only): without the cut the
