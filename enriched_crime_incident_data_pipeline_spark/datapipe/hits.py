@@ -41,6 +41,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+    DRIVER_GRAPH_EDGES,
+)
+
+
+def _hits_local(head, iters: int) -> list:
+    """Exact integer HITS over a driver-resident edge list — the same
+    recurrence as the distributed path (h_0 ≡ 1; integer sums are
+    associative, so any summation order is THE answer). Python ints
+    (arbitrary precision) mean overflow is impossible here; the
+    distributed/oracle BIGINT bound still governs the contract."""
+    edges = [(r[0], r[1]) for r in head]
+    h = {u: 1 for u, _ in edges}
+    a: dict = {}
+    for _ in range(iters):
+        a = {}
+        for u, v in edges:
+            a[v] = a.get(v, 0) + h.get(u, 0)
+        h = {}
+        for u, v in edges:
+            h[u] = h.get(u, 0) + a.get(v, 0)
+    keys = set(a) | set(h)
+    return [(k, a.get(k, 0), h.get(k, 0)) for k in sorted(keys)]
+
 
 def hits_scores(
     edges: DataFrame,
@@ -49,6 +73,7 @@ def hits_scores(
     src_col: str = "src",
     dst_col: str = "dst",
     id_col: str = "id",
+    driver_graph_edges: int = DRIVER_GRAPH_EDGES,
 ) -> DataFrame:
     """``(id, authority, hub)`` after ``iters`` un-normalized HITS
     rounds over directed ``edges``; every node in ``nodes`` appears
@@ -57,14 +82,55 @@ def hits_scores(
     Round k:  a_k(v) = Σ_{(u,v)∈E} h_{k-1}(u)   (authority ← hubs in)
               h_k(v) = Σ_{(v,u)∈E} a_k(u)       (hub ← authorities out)
     with h_0 ≡ 1. All sums are BIGINT — see module docstring for the
-    exactness and overflow arguments."""
+    exactness and overflow arguments.
+
+    Driver tier (r5, the ``connected_components`` move): near-dup
+    citation graphs are tiny even on a 100 TB corpus (edges ∝
+    duplicates, not docs), so one partition-incremental ``take``
+    both decides the strategy and delivers the edge list; the
+    iteration then runs at the driver (integer sums — exactly the
+    distributed recurrence) and the scores return as a broadcast
+    local relation, replacing 2·iters join+agg stages with one map
+    join. Graphs past the cap keep the distributed plan; the take's
+    wasted work is bounded at ~cap rows. Set
+    ``driver_graph_edges=0`` to force the distributed path."""
+    e_proj = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    out_ids = nodes.select(F.col(id_col).alias("id"))
+    if driver_graph_edges > 0:
+        head = e_proj.take(driver_graph_edges + 1)
+        if len(head) <= driver_graph_edges:
+            rows = _hits_local(head, iters)
+            spark = edges.sparkSession
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            node_t = out_ids.schema["id"].dataType
+            local = spark.createDataFrame(
+                rows,
+                StructType(
+                    [
+                        StructField("id", node_t),
+                        StructField("authority", LongType()),
+                        StructField("hub", LongType()),
+                    ]
+                ),
+            )
+            return (
+                out_ids.join(F.broadcast(local), "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("authority", F.lit(0))
+                    .cast("bigint")
+                    .alias("authority"),
+                    F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
+                )
+            )
     # pin the edge relation once (the pagerank.py move): it is joined
     # 2×iters times, and without the cut its upstream lineage (LSH
     # banding on real call sites) re-executes per half-round —
     # measured 3.4 → 2.3 s on gr3 @ sf0.1
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    e = e_proj.localCheckpoint(eager=True)
     h = nodes.select(
         F.col(id_col).alias("id"), F.lit(1).cast("bigint").alias("s")
     )

@@ -45,11 +45,84 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+    DRIVER_GRAPH_EDGES,
+)
+
 ALPHA = 0.15
 
 
 def _pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
+
+
+def _pagerank_local(
+    head,
+    iters: int,
+    alpha: float,
+    tol: float | None,
+    dangling: bool,
+    n_nodes: int | None,
+    stats: dict | None,
+):
+    """Driver-resident power iteration — float-for-float the ordered
+    distributed recurrence: per-dst contributions fold in ascending
+    src order (the ``ordered=True`` contract), and the update is the
+    identical ``alpha + (1-alpha) * incoming`` double expression.
+    Nodes outside the edge set share one trajectory (``bg``): 1.0,
+    then ``alpha`` (+ the dangling teleport when enabled) — tracked
+    as a scalar, never enumerated, so the driver holds O(|E|) state
+    no matter how many nodes the graph has. Returns
+    ``(endpoint_ranks: dict, bg: float, rounds: int)``."""
+    edges = [(r[0], r[1]) for r in head]
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    endpoints = sorted({u for u, _ in edges} | {v for _, v in edges})
+    in_lists: dict = {}
+    for u, v in edges:
+        in_lists.setdefault(v, []).append(u)
+    for v in in_lists:
+        in_lists[v].sort()
+    dang_ep = [k for k in endpoints if k not in outdeg]
+    n_bg = (n_nodes - len(endpoints)) if n_nodes is not None else 0
+    ranks = {k: 1.0 for k in endpoints}
+    bg = 1.0
+    rounds = 0
+    for _ in range(iters):
+        prev, prev_bg = ranks, bg
+        add = 0.0
+        if dangling:
+            dmass = 0.0
+            for k in dang_ep:
+                dmass += prev[k]
+            dmass += n_bg * prev_bg
+            add = dmass / n_nodes
+        new = {}
+        for k in endpoints:
+            s = 0.0
+            for u in in_lists.get(k, ()):
+                s += prev[u] / float(outdeg[u])
+            new[k] = alpha + (1.0 - alpha) * (s + add)
+        bg = alpha + (1.0 - alpha) * add
+        ranks = new
+        rounds += 1
+        if tol is not None:
+            delta = 0.0
+            for k in endpoints:
+                d = abs(ranks[k] - prev[k])
+                if d > delta:
+                    delta = d
+            if n_bg > 0:
+                d = abs(bg - prev_bg)
+                if d > delta:
+                    delta = d
+            if delta <= tol:
+                break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["tier"] = "driver"
+    return ranks, bg, rounds
 
 
 def pagerank(
@@ -61,6 +134,7 @@ def pagerank(
     tol: float | None = None,
     dangling: bool = False,
     stats: dict | None = None,
+    driver_graph_edges: int = DRIVER_GRAPH_EDGES,
 ) -> DataFrame:
     """``(id, rank)`` for every node after ``iters`` damped rounds.
 
@@ -91,6 +165,43 @@ def pagerank(
     aggregate per round over the pinned iterate restricted to the
     (pinned once) dangling id set — never a join of the full graph.
     """
+    # driver tier (r5, the connected_components move): link graphs
+    # after near-dup banding are tiny even on a 100 TB corpus, so one
+    # partition-incremental take both decides the strategy and
+    # delivers the edges; the iteration runs at the driver with the
+    # ORDERED fold semantics (sorted-src sequential double adds — a
+    # strict subset of both modes' contracts) and O(|E|) driver
+    # state, replacing per-round join+agg+checkpoint jobs with one
+    # broadcast map join. Graphs past the cap keep the distributed
+    # plan. driver_graph_edges=0 forces the distributed path.
+    if driver_graph_edges > 0:
+        head = edges.select("src", "dst").take(driver_graph_edges + 1)
+        if len(head) <= driver_graph_edges:
+            n_nodes_i = (
+                nodes.count() if (dangling or tol is not None) else None
+            )
+            ranks_d, bg, _ = _pagerank_local(
+                head, iters, alpha, tol, dangling, n_nodes_i, stats
+            )
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            node_t = nodes.schema[0].dataType
+            local = edges.sparkSession.createDataFrame(
+                sorted(ranks_d.items()),
+                StructType(
+                    [
+                        StructField("id", node_t),
+                        StructField("_r", DoubleType()),
+                    ]
+                ),
+            )
+            return (
+                nodes.select("id")
+                .join(F.broadcast(local), "id", "left")
+                .select(
+                    "id", F.coalesce("_r", F.lit(bg)).alias("rank")
+                )
+            )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     weighted = _pin(
         edges.join(deg, "src").select(

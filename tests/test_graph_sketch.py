@@ -635,3 +635,78 @@ def test_cc_driver_tier_and_tier_transitions(spark):
     }
     assert st_ex["mode"] == "single_task" and st_ex["tier"] == "executor"
     assert drv == ex == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_hits_driver_tier_matches_distributed(spark):
+    """r5 driver tier for HITS: the take-delivered local iterate must
+    return the same BIGINTs as the distributed join+agg plan (integer
+    sums are associative, so equality is exact, not approximate)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.hits import (
+        hits_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 2), (1, 2)],
+        "src bigint, dst bigint",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id bigint")
+    drv = {
+        r["id"]: (r["authority"], r["hub"])
+        for r in hits_scores(edges, nodes, iters=3).collect()
+    }
+    dist = {
+        r["id"]: (r["authority"], r["hub"])
+        for r in hits_scores(
+            edges, nodes, iters=3, driver_graph_edges=0
+        ).collect()
+    }
+    assert drv == dist
+    # duplicate edge (1,2) must count twice in both tiers
+    assert drv[2][0] > 0
+
+
+def test_pagerank_driver_tier_matches_distributed_all_modes(spark):
+    """r5 driver tier for PageRank: bit-equality with the distributed
+    ORDERED mode (the driver fold replays the same sorted-src double
+    adds), including tol=0.0 early exit (same fixpoint round) and the
+    background-node trajectory for nodes outside the edge set."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (1, 2)],
+        "src bigint, dst bigint",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id bigint")
+
+    for kw in (
+        {"iters": 4, "ordered": True},
+        {"iters": 12, "ordered": True, "tol": 0.0},
+        {"iters": 4, "ordered": True, "dangling": True},
+    ):
+        st_d: dict = {}
+        st_x: dict = {}
+        drv = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, nodes, stats=st_d, **kw).collect()
+        }
+        dist = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                edges, nodes, stats=st_x, driver_graph_edges=0, **kw
+            ).collect()
+        }
+        assert st_d.get("tier") == "driver"
+        if kw.get("dangling"):
+            # the distributed dangling-mass sum is an unordered float
+            # agg — parity here is to ~1 ulp per add, not bit-exact
+            assert drv.keys() == dist.keys()
+            for k in drv:
+                assert abs(drv[k] - dist[k]) < 1e-12, (k, drv[k], dist[k])
+        else:
+            assert drv == dist
+        if "tol" in kw:
+            assert st_d.get("rounds") == st_x.get("rounds")
+        # isolated nodes 5..7 share the background trajectory
+        assert drv[5] == drv[6] == drv[7]
