@@ -90,6 +90,8 @@ LONGTAIL = [
     "sk7_quantile_sketch",  # mergeable histogram quantile sketch (r4)
     "tok3_wordpiece_encode",  # greedy longest-match piece encode (r4)
     "tok4_bpe_sampled",  # sample-trained merges, one-pass full encode (r5)
+    "tok5_bpe_char_merges",  # char-BPE on the word histogram (r5)
+    "tok6_bpe_char_encode",  # word-join encode, text walked once (r5)
     "gr2_pagerank_converged",  # DAG pagerank w/ tol=0 early exit (r5)
     "gr3_hits",  # integer HITS hub/authority, 4 unrolled rounds (r5)
     "dc6_flag_in_row",  # frozenset-kernel in-row decontamination (r5)

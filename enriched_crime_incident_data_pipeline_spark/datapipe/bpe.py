@@ -420,6 +420,197 @@ def bpe_encode_lengths(
     return raw.join(enc, "doc_id")
 
 
+_WORD_SYM_SCHEMA = "w string, freq bigint, arr array<string>"
+
+_CHARS = "transform(sequence(1, length(w)), p -> substr(w, p, 1))"
+
+
+def _word_hist_syms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(w, freq, arr)`` — the corpus word histogram with each word
+    exploded to its character-symbol array. THE classic BPE training
+    reduction (Sennrich et al. 2016; every production trainer): pair
+    frequencies over the corpus equal pair frequencies over DISTINCT
+    words weighted by word frequency, because merges never cross word
+    boundaries. The corpus is scanned/shuffled ONCE (a map-side-
+    combinable groupBy); every training round after that runs over
+    the Zipf-small distinct-word relation."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("w", "freq", F.expr(_CHARS).alias("arr"))
+    )
+
+
+def _pair_counts_weighted_np(codes, doclen, uniq_list, freq):
+    """Adjacent-pair counts weighted per row (the word's corpus
+    frequency) — exact int64 accumulation via ``np.add.at`` (float
+    bincount weights would round above 2^53)."""
+    n = codes.size
+    if n < 2:
+        return pd.DataFrame({"a": [], "b": [], "c": []})
+    valid = np.ones(n - 1, dtype=bool)
+    valid[_doc_break_positions(doclen, n)] = False
+    wpos = np.repeat(freq.astype(np.int64), doclen)[: n - 1]
+    k = len(uniq_list)
+    keys = codes[:-1] * k + codes[1:]
+    u, inv = np.unique(keys[valid], return_inverse=True)
+    c = np.zeros(u.size, dtype=np.int64)
+    np.add.at(c, inv, wpos[valid])
+    return pd.DataFrame(
+        {
+            "a": [uniq_list[x] for x in u // k],
+            "b": [uniq_list[x] for x in u % k],
+            "c": c,
+        }
+    )
+
+
+def _count_pairs_weighted_kernel(sym: DataFrame, rules: list) -> DataFrame:
+    """Frequency-weighted twin of :func:`_count_pairs_kernel` over the
+    ``(w, freq, arr)`` word-symbol relation: one Arrow hop replays
+    ``rules`` and pre-aggregates weighted pair counts per batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"a": [], "b": [], "c": []})
+                continue
+            codes, doclen, uniq_list, uniq_map = _flatten_batch(pdf["arr"])
+            codes, doclen = _apply_rules_np(
+                codes, doclen, uniq_list, uniq_map, rules
+            )
+            yield _pair_counts_weighted_np(
+                codes, doclen, uniq_list, pdf["freq"].to_numpy()
+            )
+
+    return (
+        sym.mapInPandas(gen, "a string, b string, c bigint")
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def _apply_rules_word_kernel(sym: DataFrame, rules: list) -> DataFrame:
+    """Map-only rule replay over ``(w, freq, arr)`` (same numpy walk
+    as :func:`_apply_rules_kernel`, word-keyed schema)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            codes, doclen, uniq_list, uniq_map = _flatten_batch(pdf["arr"])
+            codes, doclen = _apply_rules_np(
+                codes, doclen, uniq_list, uniq_map, rules
+            )
+            su = np.array(uniq_list + [""], dtype=object)
+            out = np.split(su[codes], np.cumsum(doclen)[:-1])
+            pdf = pdf.copy()
+            pdf["arr"] = [list(x) for x in out]
+            yield pdf
+
+    return sym.mapInPandas(gen, _WORD_SYM_SCHEMA)
+
+
+def _train_chars(
+    docs: DataFrame,
+    iters: int,
+    id_col: str,
+    text_col: str,
+    apply_last: bool,
+    checkpoint_every: int = 8,
+):
+    """Character-level training loop over the word histogram →
+    (word symbols after all applied rules, merge rows). Round
+    structure mirrors :func:`_train`'s kernel path; the relation the
+    rounds scan is distinct words, not the corpus."""
+    sym0 = _word_hist_syms(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    base = sym0
+    pending: list = []
+    rows: list = []
+    for it in range(1, iters + 1):
+        top = (
+            _count_pairs_weighted_kernel(base, pending)
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        rows.append((it, r["a"], r["b"], r["c"]))
+        if it < iters or apply_last:
+            pending.append((r["a"], r["b"]))
+            if len(pending) >= checkpoint_every:
+                base = _apply_rules_word_kernel(base, pending).localCheckpoint(
+                    eager=True
+                )
+                pending = []
+    sym = _apply_rules_word_kernel(base, pending) if pending else base
+    return sym, rows
+
+
+def learn_bpe_merges_chars(
+    docs: DataFrame,
+    iters: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(it, a, b, cnt)`` — classic CHARACTER-level BPE merge rules
+    (word-bounded, like GPT-2/SentencePiece), trained on the word
+    histogram: the corpus shuffles once into ``(word, freq)``; each
+    round's pair count is a frequency-weighted aggregation over
+    distinct words only. At 100 TB the histogram is ~10⁵–10⁸ rows
+    regardless of corpus size, so a full 50 k-merge vocabulary is
+    50 k rounds over a tiny relation — the exact-train answer to the
+    merges×passes note (the hash-sampled path stays as the
+    approximate alternative). Ties break (count desc, pair asc) as in
+    :func:`learn_bpe_merges`."""
+    spark = docs.sparkSession
+    _, rows = _train_chars(docs, iters, id_col, text_col, apply_last=False)
+    return spark.createDataFrame(
+        rows, "it int, a string, b string, cnt bigint"
+    )
+
+
+def bpe_encode_chars(
+    docs: DataFrame,
+    iters: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-BPE read path: train ``iters`` merges on the word
+    histogram, then size every document under the learned vocabulary
+    WITHOUT re-walking any text — each distinct word's piece count is
+    known from the final word-symbol relation, so the corpus-side
+    cost is one word-explode + one equi-join + one groupBy. Returns
+    ``(doc_id, n_words, n_chars, n_bpe)``."""
+    sym, _ = _train_chars(docs, iters, id_col, text_col, apply_last=True)
+    word_pieces = sym.select(
+        "w", F.size("arr").cast("bigint").alias("_np")
+    )
+    per_word = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+    )
+    return (
+        per_word.join(word_pieces, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("_np").cast("bigint").alias("n_bpe"),
+        )
+    )
+
+
 def learn_bpe_merges_sampled(
     docs: DataFrame,
     iters: int = 3,
@@ -458,9 +649,13 @@ def bpe_encode_sampled(
             docs, iters, sample_bp, id_col, text_col
         ).orderBy("it").collect()
     ]
+    # lazy cut (r5): both consumers (the encode kernel and the raw
+    # length projection) scan every partition inside the final job,
+    # so the blocks materialize there — the dedicated tokenize job
+    # disappears
     sym0 = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("arr")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     enc = apply_merges(sym0, merge_rows)
     raw = sym0.select("doc_id", F.size("arr").cast("bigint").alias("n_raw"))
     return raw.join(

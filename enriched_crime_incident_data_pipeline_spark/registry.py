@@ -2107,6 +2107,35 @@ def q_tok4_bpe_sampled(spark, sf_dir):
     return bpe_encode_sampled(docs, iters=3, sample_bp=5000)
 
 
+def q_tok5_bpe_char_merges(spark, sf_dir):
+    # classic character-level BPE (word-bounded, GPT-2/SentencePiece
+    # shape), trained on the WORD HISTOGRAM: the corpus shuffles once
+    # into (word, freq); every round's pair count is a frequency-
+    # weighted aggregation over distinct words only — the exact-train
+    # answer to merges×passes (a 50k-merge vocab is 50k rounds over a
+    # Zipf-small relation, not 50k corpus passes).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        learn_bpe_merges_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges_chars(docs, iters=3)
+
+
+def q_tok6_bpe_char_encode(spark, sf_dir):
+    # character-BPE read path: per-document token budget under the
+    # learned vocab WITHOUT re-walking any document text — each
+    # distinct word's piece count is known from the trained word-
+    # symbol relation, so the corpus side is explode + equi-join +
+    # groupBy (text never enters the tokenizer twice).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        bpe_encode_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_chars(docs, iters=3)
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -5536,6 +5565,76 @@ _TOK4_SAMPLED_SQL = (
             SELECT t1.doc_id, CAST(len(t1.arr) AS BIGINT) AS n_raw,
                    CAST(len(f3.arr) AS BIGINT) AS n_bpe
             FROM t1 JOIN f3 ON t1.doc_id = f3.doc_id
+"""
+)
+
+# tok5/tok6: classic CHARACTER-level BPE trained on the word
+# histogram (frequency-weighted pair counts over distinct words —
+# the Sennrich reduction; datapipe/bpe.py `learn_bpe_merges_chars`).
+# Same greedy _TOK1_APPLY fold, but symbols are characters and every
+# pc{k} weights by the word's corpus frequency.
+_TOK5_CHARS = (
+    "list_transform(generate_series(1, length(w)),"
+    " p -> substr(w, CAST(p AS INT), 1))"
+)
+_TOK5_PAIRS = """
+              SELECT arr[i] AS a, arr[i + 1] AS b, SUM(freq) AS c
+              FROM {src}, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+              GROUP BY 1, 2
+"""
+_TOK5_CHAIN = (
+    f"""wh AS (
+              SELECT arr[i] AS w, count(*) AS freq
+              FROM (SELECT {_TOKENS} AS arr FROM documents),
+                   unnest(generate_series(1, len(arr))) AS s(i)
+              WHERE length(arr[i]) >= 1
+              GROUP BY 1
+            ),
+            c1 AS (SELECT w, freq, {_TOK5_CHARS} AS arr FROM wh),
+            wc1 AS ({_TOK5_PAIRS.format(src='c1')}),
+            wm1 AS (SELECT a AS ma, b AS mb, c FROM wc1
+                    ORDER BY c DESC, a, b LIMIT 1)"""
+    + "".join(
+        f""",
+            c{k} AS (SELECT w, freq, {_TOK1_APPLY} AS arr
+                     FROM c{k - 1}, wm{k - 1}),
+            wc{k} AS ({_TOK5_PAIRS.format(src=f'c{k}')}),
+            wm{k} AS (SELECT a AS ma, b AS mb, c FROM wc{k}
+                      ORDER BY c DESC, a, b LIMIT 1)"""
+        for k in range(2, 4)
+    )
+)
+
+_TOK5_CHAR_MERGES_SQL = (
+    "\n            WITH "
+    + _TOK5_CHAIN
+    + """
+            SELECT it, ma AS a, mb AS b, CAST(c AS BIGINT) AS cnt FROM (
+              SELECT 1 AS it, ma, mb, c FROM wm1
+              UNION ALL SELECT 2, ma, mb, c FROM wm2
+              UNION ALL SELECT 3, ma, mb, c FROM wm3
+            )
+"""
+)
+
+_TOK6_CHAR_ENCODE_SQL = (
+    "\n            WITH "
+    + _TOK5_CHAIN
+    + f""",
+            c4 AS (SELECT w, freq, {_TOK1_APPLY} AS arr FROM c3, wm3),
+            wp AS (SELECT w, len(arr) AS np FROM c4),
+            dw AS (
+              SELECT doc_id, arr[i] AS w
+              FROM (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+                   unnest(generate_series(1, len(arr))) AS s(i)
+              WHERE length(arr[i]) >= 1
+            )
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+                   CAST(SUM(np) AS BIGINT) AS n_bpe
+            FROM dw JOIN wp USING (w)
+            GROUP BY doc_id
 """
 )
 
@@ -9005,6 +9104,8 @@ def oracle_queries() -> dict[str, str]:
         "tok2_bpe_encode": _TOK2_BPE_SQL,
         "tok3_wordpiece_encode": _TOK3_WORDPIECE_SQL,
         "tok4_bpe_sampled": _TOK4_SAMPLED_SQL,
+        "tok5_bpe_char_merges": _TOK5_CHAR_MERGES_SQL,
+        "tok6_bpe_char_encode": _TOK6_CHAR_ENCODE_SQL,
         "corpus_report1": f"""
             WITH t AS (
               SELECT doc_id, source, {_TOKEN_COUNT} AS nt FROM documents
@@ -9913,6 +10014,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "tok2_bpe_encode": q_tok2_bpe_encode,
         "tok3_wordpiece_encode": q_tok3_wordpiece_encode,
         "tok4_bpe_sampled": q_tok4_bpe_sampled,
+        "tok5_bpe_char_merges": q_tok5_bpe_char_merges,
+        "tok6_bpe_char_encode": q_tok6_bpe_char_encode,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
         "corpus_refresh1": q_corpus_refresh1,

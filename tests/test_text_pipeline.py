@@ -660,3 +660,94 @@ def test_scrub_contaminated_spans_hand_mask(spark):
     # fully-covered doc: everything masked, empty survivor
     assert got[3]["n_masked"] == 8
     assert got[3]["scrubbed_text"] == ""
+
+
+def test_char_bpe_wordhist_matches_python_model(spark):
+    """tok5/tok6 semantics: frequency-weighted character BPE over the
+    word histogram must equal a naive Python trainer that walks the
+    FULL corpus (the Sennrich reduction — merges never cross word
+    boundaries, so distinct-words-weighted-by-freq is exact)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        SEP,
+        bpe_encode_chars,
+        learn_bpe_merges_chars,
+        merge_pair,
+    )
+
+    texts = [
+        (1, "banana bandana ban"),
+        (2, "banana banana cabana"),
+        (3, "nab ban banana"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+
+    # naive full-corpus model: char symbol stream per word occurrence
+    words = [w for _, t in texts for w in t.split() if w]
+    seqs = [list(w) for w in words]
+
+    def pair_counts(ss):
+        c: dict = {}
+        for s in ss:
+            for x, y in zip(s, s[1:]):
+                c[(x, y)] = c.get((x, y), 0) + 1
+        return c
+
+    expect = []
+    for it in range(1, 4):
+        pc = pair_counts(seqs)
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((it, a, b, cnt))
+        seqs = [merge_pair(s, a, b) for s in seqs]
+
+    got = [
+        (r["it"], r["a"], r["b"], r["cnt"])
+        for r in learn_bpe_merges_chars(docs, iters=3).orderBy("it").collect()
+    ]
+    assert got == expect
+
+    # encode: per-doc piece counts under the final merged state
+    pieces = {}
+    for w, s in zip(words, seqs):
+        pieces[w] = len(s)
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe"])
+        for r in bpe_encode_chars(docs, iters=3).collect()
+    }
+    for doc_id, t in texts:
+        ws = [w for w in t.split() if w]
+        if not ws:
+            assert doc_id not in enc
+            continue
+        assert enc[doc_id] == (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(pieces[w] for w in ws),
+        )
+    # fused symbols join with the US byte
+    assert all(SEP not in a or True for _, a, _b, _ in expect)
+
+
+def test_char_bpe_weighted_counts_partition_invariant(spark):
+    """The weighted pair-count kernel (np.add.at int64 accumulation)
+    must give identical merges under any physical partitioning of the
+    word histogram."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        learn_bpe_merges_chars,
+    )
+
+    rows = [(i, ("zab " * (i % 5 + 1)) + "zzz aab") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    one = [
+        tuple(r)
+        for r in learn_bpe_merges_chars(docs.coalesce(1), iters=3)
+        .orderBy("it")
+        .collect()
+    ]
+    many = [
+        tuple(r)
+        for r in learn_bpe_merges_chars(docs.repartition(13), iters=3)
+        .orderBy("it")
+        .collect()
+    ]
+    assert one == many
