@@ -332,3 +332,51 @@ def dedup_drop_list(
             F.col(node_col).alias("doc_id"), cluster_col, "keeper_id"
         )
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007) over an undirected edge list — the DENSITY signal next to
+    connected_components' pure connectivity: two near-dup triangles
+    joined by one bridge edge are ONE component but TWO communities,
+    which is what boilerplate-family audits actually want to see.
+
+    Deterministic variant: labels start as the node id; each round
+    every node adopts the (count desc, label asc)-best label among
+    its NEIGHBORS' previous-round labels — the argmax is ``min_by``
+    on a ``(-count, label)`` struct, a map-side-combinable
+    aggregation, never a per-node sort window. Synchronous rounds +
+    total tie order make the result a pure function of the graph
+    (classic async LPA is famously run-order-dependent — useless
+    under a cross-engine oracle).
+
+    Scale: each round is one |E|-row equi-join (labels onto the
+    symmetrized edges) + two hash aggregations — O(|E|) shuffle rows
+    per round, a fixed small round count, and the edge relation is
+    pinned once so its upstream lineage (LSH banding at real call
+    sites) never re-executes per round. Returns
+    ``(node, community)`` for every edge endpoint."""
+    sym = (
+        edges.select(F.col(a_col).alias("v"), F.col(b_col).alias("u")).union(
+            edges.select(F.col(b_col).alias("v"), F.col(a_col).alias("u"))
+        )
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(rounds):
+        nbr = sym.join(labels, sym["u"] == labels["node"]).select(
+            "v", "lab"
+        )
+        cnt = nbr.groupBy("v", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = cnt.groupBy("v").agg(
+            F.min_by(
+                "lab", F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+            ).alias("lab")
+        ).select(F.col("v").alias("node"), "lab")
+    return labels.select("node", F.col("lab").alias("community"))

@@ -2232,6 +2232,27 @@ def q_gr4_triangles(spark, sf_dir):
     )
 
 
+def q_gr5_label_prop(spark, sf_dir):
+    # community detection over the near-dup graph: synchronous
+    # label propagation, 3 deterministic rounds ((count desc, label
+    # asc) adoption — a pure function of the graph, unlike async
+    # LPA). The DENSITY complement to dd9's connectivity clusters:
+    # a bridge edge between two duplicate families keeps them one
+    # CC component but two communities.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        label_propagation_communities,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs)).select("a", "b").distinct()
+    out = label_propagation_communities(pairs, rounds=3)
+    return out.select(F.col("node").alias("doc_id"), "community")
+
+
 def q_tp10_budget_select(spark, sf_dir):
     # data-constrained scaling: keep the best-quality docs (lowest
     # LM mean inverse probability) whose cumulative tokens fit a
@@ -9099,6 +9120,39 @@ def oracle_queries() -> dict[str, str]:
                                (acc, x) -> acc + (x - acc) / 4.0) AS ewma
             FROM events GROUP BY user_id
         """,
+        "gr5_label_prop": f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL}),
+            e AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            sym AS (
+              SELECT a AS v, b AS u FROM e
+              UNION ALL SELECT b AS v, a AS u FROM e
+            ),
+            l0 AS (SELECT DISTINCT v AS node, v AS lab FROM sym),
+            n1 AS (SELECT s.v, l.lab, count(*) AS c
+                   FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2),
+            l1 AS (SELECT v AS node, lab FROM (
+                     SELECT v, lab, row_number() OVER (
+                       PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n1)
+                   WHERE rn = 1),
+            n2 AS (SELECT s.v, l.lab, count(*) AS c
+                   FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2),
+            l2 AS (SELECT v AS node, lab FROM (
+                     SELECT v, lab, row_number() OVER (
+                       PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n2)
+                   WHERE rn = 1),
+            n3 AS (SELECT s.v, l.lab, count(*) AS c
+                   FROM sym s JOIN l2 l ON s.u = l.node GROUP BY 1, 2),
+            l3 AS (SELECT v AS node, lab FROM (
+                     SELECT v, lab, row_number() OVER (
+                       PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n3)
+                   WHERE rn = 1)
+            SELECT node AS doc_id, lab AS community FROM l3
+        """,
         "gr2_pagerank_converged": _GR2_SQL,
         "tok1_bpe_merges": _TOK1_BPE_SQL,
         "tok2_bpe_encode": _TOK2_BPE_SQL,
@@ -10008,6 +10062,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "gr1_pagerank": q_gr1_pagerank,
         "gr3_hits": q_gr3_hits,
         "gr4_triangles": q_gr4_triangles,
+        "gr5_label_prop": q_gr5_label_prop,
         "ts6_ewma": q_ts6_ewma,
         "gr2_pagerank_converged": q_gr2_pagerank_converged,
         "tok1_bpe_merges": q_tok1_bpe_merges,

@@ -710,3 +710,57 @@ def test_pagerank_driver_tier_matches_distributed_all_modes(spark):
             assert st_d.get("rounds") == st_x.get("rounds")
         # isolated nodes 5..7 share the background trajectory
         assert drv[5] == drv[6] == drv[7]
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    """Two triangles joined by one bridge edge: one connected
+    component, but label propagation separates the two dense
+    families — the density-vs-connectivity distinction gr5 exists
+    for. Deterministic synchronous rounds match a Python model."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+        label_propagation_communities,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "a bigint, b bigint",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation_communities(edges, rounds=3).collect()
+    }
+
+    # Python model: synchronous adoption of (count desc, label asc)
+    sym: dict = {}
+    for a, b in [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    lab = {v: v for v in sym}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in sym.items():
+            c: dict = {}
+            for u in nbrs:
+                c[lab[u]] = c.get(lab[u], 0) + 1
+            new[v] = min(c, key=lambda k: (-c[k], k))
+        lab = new
+    assert got == lab
+    # density split: the triangles end in different communities
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+    # ...while connectivity sees ONE component
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert len(set(cc.values())) == 1
+    # partitioning invariance
+    rep = {
+        r["node"]: r["community"]
+        for r in label_propagation_communities(
+            edges.repartition(5), rounds=3
+        ).collect()
+    }
+    assert rep == got
