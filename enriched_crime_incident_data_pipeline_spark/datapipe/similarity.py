@@ -818,3 +818,106 @@ def filtered_topk_neighbors(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select ``k`` results, each maximizing
+    ``lam·cos(q, c) − mu·max_{s∈selected} cos(c, s)`` — the standard
+    redundancy-penalized re-rank for RAG/retrieval (plain top-k of a
+    near-dup corpus returns k copies of one document; MMR returns
+    the k distinct ones). ``lam``/``mu`` are INDEPENDENT literals,
+    not ``1−lam`` (0.3 ≠ 1−0.7 in binary64 — keeping both explicit
+    makes the arithmetic engine-reproducible).
+
+    Scale split: the corpus-side work is the exact top-``shortlist``
+    cosine scan (broadcast query, map-only scoring, TakeOrdered) —
+    swap in the IVF probe upstream for web scale; the greedy is
+    inherently sequential but runs over the BOUNDED shortlist, so
+    pairwise sims are a shortlist² broadcast self-join (JVM column
+    math, bit-identical to the corpus scoring path) and the
+    selection loop folds over collected doubles at the driver —
+    comparisons and one ``lam·c − mu·m`` per candidate, exact bits
+    preserved through Arrow. Ties break (mmr desc, id asc).
+
+    Returns ``(neighbor_id, rank, cosine, mmr)``."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+            cosine_from_norms(
+                F.col(vec_col),
+                F.col("_qvec"),
+                l2_norm(F.col(vec_col)),
+                F.col("_qn"),
+            ).alias("cosine"),
+        )
+    )
+    short = (
+        scored.orderBy(F.desc("cosine"), "neighbor_id")
+        .limit(shortlist)
+        .localCheckpoint(eager=False)
+    )
+    a = short.select(
+        F.col("neighbor_id").alias("_i"),
+        F.col("_v").alias("_va"),
+        l2_norm(F.col("_v")).alias("_na"),
+    )
+    b = short.select(
+        F.col("neighbor_id").alias("_j"),
+        F.col("_v").alias("_vb"),
+        l2_norm(F.col("_v")).alias("_nb"),
+    )
+    pair_rows = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("_i") != F.col("_j"))
+        .select(
+            "_i",
+            "_j",
+            cosine_from_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("_c"),
+        )
+        .collect()
+    )
+    sim = {(r["_i"], r["_j"]): r["_c"] for r in pair_rows}
+    cand = {
+        r["neighbor_id"]: r["cosine"]
+        for r in short.select("neighbor_id", "cosine").collect()
+    }
+    selected: list = []
+    out_rows: list = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for cid, cos_q in cand.items():
+            if cid in (s for s, _ in selected):
+                continue
+            if selected:
+                # TRUE max over selected (a negative max is a
+                # diversity BONUS, as in the paper), not max(0, ·)
+                m = max(sim[(cid, sid)] for sid, _ in selected)
+                mmr = lam * cos_q - mu * m
+            else:
+                mmr = lam * cos_q
+            key = (-mmr, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, cos_q, mmr)
+        selected.append((best[1], best[3]))
+        out_rows.append((best[1], rank, best[2], best[3]))
+    return embeddings.sparkSession.createDataFrame(
+        out_rows, "neighbor_id bigint, rank int, cosine double, mmr double"
+    )

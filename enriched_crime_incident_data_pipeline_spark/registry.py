@@ -987,6 +987,21 @@ def q_ss13_filtered_ann(spark, sf_dir):
     return filtered_topk_neighbors(emb, query_vec_id=0, label=4, k=10)
 
 
+def q_ss14_mmr_topk(spark, sf_dir):
+    # MMR-diversified retrieval (r5): greedy redundancy-penalized
+    # top-5 of vec 0 (λ=0.7, μ=0.3) over an exact top-20 shortlist —
+    # the standard RAG re-rank (plain top-k of a near-dup corpus
+    # returns k copies of one doc). Corpus side = one broadcast-query
+    # scan + TakeOrdered; the sequential greedy runs over the BOUNDED
+    # shortlist with JVM-computed pairwise sims.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        mmr_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, query_vec_id=0, k=5, shortlist=20)
+
+
 def q_ss12_truncated_recall(spark, sf_dir):
     # Matryoshka truncation eval: recall@10 of 16-of-64-dim search vs
     # full-dim exact — the measurement that licenses 4x cheaper
@@ -9027,6 +9042,69 @@ def oracle_queries() -> dict[str, str]:
               FROM scored
             ) WHERE rn <= 10
         """,
+        "ss14_mmr_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (SELECT v FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT a.vec_id AS neighbor_id, a.v, {_COS} AS cosine
+              FROM (SELECT * FROM e WHERE vec_id <> 0) a, b
+            ),
+            short AS (SELECT * FROM scored
+                      ORDER BY cosine DESC, neighbor_id LIMIT 20),
+            pair AS (
+              SELECT a.neighbor_id AS i, b.neighbor_id AS j, {_COS} AS c
+              FROM short a, short b WHERE a.neighbor_id <> b.neighbor_id
+            ),
+            s1 AS (SELECT neighbor_id, cosine, 0.7 * cosine AS mmr
+                   FROM short ORDER BY mmr DESC, neighbor_id LIMIT 1),
+            sel1 AS (SELECT neighbor_id FROM s1),
+            s2 AS (SELECT sh.neighbor_id, sh.cosine,
+                          0.7 * sh.cosine - 0.3 * (
+                            SELECT max(p.c) FROM pair p, sel1 s
+                            WHERE p.i = sh.neighbor_id
+                              AND p.j = s.neighbor_id) AS mmr
+                   FROM short sh
+                   WHERE sh.neighbor_id NOT IN (SELECT * FROM sel1)
+                   ORDER BY mmr DESC, sh.neighbor_id LIMIT 1),
+            sel2 AS (SELECT * FROM sel1 UNION ALL
+                     SELECT neighbor_id FROM s2),
+            s3 AS (SELECT sh.neighbor_id, sh.cosine,
+                          0.7 * sh.cosine - 0.3 * (
+                            SELECT max(p.c) FROM pair p, sel2 s
+                            WHERE p.i = sh.neighbor_id
+                              AND p.j = s.neighbor_id) AS mmr
+                   FROM short sh
+                   WHERE sh.neighbor_id NOT IN (SELECT * FROM sel2)
+                   ORDER BY mmr DESC, sh.neighbor_id LIMIT 1),
+            sel3 AS (SELECT * FROM sel2 UNION ALL
+                     SELECT neighbor_id FROM s3),
+            s4 AS (SELECT sh.neighbor_id, sh.cosine,
+                          0.7 * sh.cosine - 0.3 * (
+                            SELECT max(p.c) FROM pair p, sel3 s
+                            WHERE p.i = sh.neighbor_id
+                              AND p.j = s.neighbor_id) AS mmr
+                   FROM short sh
+                   WHERE sh.neighbor_id NOT IN (SELECT * FROM sel3)
+                   ORDER BY mmr DESC, sh.neighbor_id LIMIT 1),
+            sel4 AS (SELECT * FROM sel3 UNION ALL
+                     SELECT neighbor_id FROM s4),
+            s5 AS (SELECT sh.neighbor_id, sh.cosine,
+                          0.7 * sh.cosine - 0.3 * (
+                            SELECT max(p.c) FROM pair p, sel4 s
+                            WHERE p.i = sh.neighbor_id
+                              AND p.j = s.neighbor_id) AS mmr
+                   FROM short sh
+                   WHERE sh.neighbor_id NOT IN (SELECT * FROM sel4)
+                   ORDER BY mmr DESC, sh.neighbor_id LIMIT 1)
+            SELECT neighbor_id, CAST(rank AS INTEGER) AS rank, cosine, mmr
+            FROM (
+              SELECT 1 AS rank, * FROM s1
+              UNION ALL SELECT 2, * FROM s2
+              UNION ALL SELECT 3, * FROM s3
+              UNION ALL SELECT 4, * FROM s4
+              UNION ALL SELECT 5, * FROM s5
+            )
+        """,
         "ss13_filtered_ann": f"""
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings),
@@ -10089,6 +10167,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "ss11_recall_eval": q_ss11_recall_eval,
         "ss12_truncated_recall": q_ss12_truncated_recall,
         "ss13_filtered_ann": q_ss13_filtered_ann,
+        "ss14_mmr_topk": q_ss14_mmr_topk,
         "dc5_semantic_decontaminate": q_dc5_semantic_decontaminate,
         "ss9_cluster_purity": q_ss9_cluster_purity,
         "ta1_token_count": q_ta1_token_count,

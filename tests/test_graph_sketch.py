@@ -764,3 +764,72 @@ def test_label_propagation_splits_bridged_triangles(spark):
         ).collect()
     }
     assert rep == got
+
+
+def test_mmr_topk_diversifies_near_dup_results(spark):
+    """MMR re-rank: with a cluster of 3 near-identical high-relevance
+    vectors and one distinct mid-relevance vector, plain top-3 returns
+    the clones; MMR's redundancy penalty pulls the distinct vector in
+    by rank 2. Greedy semantics pinned against a Python model."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        mmr_topk,
+    )
+
+    # exact-duplicate family (pairwise sim 1.0, relevance .9901) vs a
+    # close-relevance distinct vector (.9806, sim to the family .943):
+    # plain top-2 returns two clones; MMR rank 2 = the distinct one
+    # (0.7·.9806 − 0.3·.943 = .403 > 0.7·.9901 − 0.3·1 = .393)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),           # query
+        (1, [1.0, 0.142, 0.0, 0.0]),         # clone family
+        (2, [1.0, 0.142, 0.0, 0.0]),
+        (3, [1.0, 0.142, 0.0, 0.0]),
+        (4, [1.0, -0.2, 0.0, 0.0]),          # distinct direction
+        (5, [0.1, 0.0, 0.0, 0.99]),          # mostly irrelevant
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = [
+        (r["rank"], r["neighbor_id"])
+        for r in mmr_topk(emb, query_vec_id=0, k=3, shortlist=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    ids = [n for _, n in got]
+    # rank 1 is the most relevant clone; rank 2 must escape the
+    # clone family (the diversification MMR exists for)
+    assert ids[0] in (1, 2, 3)
+    assert ids[1] == 4, got
+
+    # Python model over the same floats
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    vecs = dict(rows)
+    cand = {i: cos(vecs[i], vecs[0]) for i in vecs if i != 0}
+    short = sorted(cand, key=lambda i: (-cand[i], i))[:5]
+    selected: list = []
+    expect = []
+    for rank in range(1, 4):
+        best = None
+        for c in short:
+            if c in selected:
+                continue
+            if selected:
+                m = max(cos(vecs[c], vecs[s]) for s in selected)
+                mmr = 0.7 * cand[c] - 0.3 * m
+            else:
+                mmr = 0.7 * cand[c]
+            key = (-mmr, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        selected.append(best[1])
+        expect.append((rank, best[1]))
+    assert got == expect
