@@ -470,3 +470,54 @@ def temperature_sample(
         .filter(h < F.col("_thr"))
         .select(id_col, stratum_col)
     )
+
+
+def domain_upsample(
+    docs: DataFrame,
+    repeat_bp: dict[str, int],
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    salt: str = "up",
+) -> DataFrame:
+    """Deterministic UPSAMPLING with replacement — the mixture move
+    :func:`mixture_sample` can't express: repeat high-value sources
+    fractionally (e.g. 25 000 bp = every doc 2.5× in expectation —
+    2 copies always, a 3rd iff its salted hash falls under the
+    fraction). The multi-epoch counterpart of stratified DOWNsampling
+    used by every LLM mixture recipe that repeats small curated
+    sources against a large web crawl.
+
+    Copies materialize as a narrow ``explode(sequence(...))`` — one
+    map-only stage, no shuffle, no RNG: multiplicity is a pure
+    function of (id, rate), so the sample is reproducible across
+    engines/partitionings, and ``copy_idx`` gives each clone a
+    stable identity for downstream shard shuffling. Sources not in
+    ``repeat_bp`` pass through at 1×."""
+    rate = F.lit(10000)
+    for k, v in sorted(repeat_bp.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    frac_hit = (
+        F.pmod(
+            hash32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            F.lit(10000),
+        )
+        < F.pmod(rate, F.lit(10000))
+    )
+    # integer floor via subtract-the-remainder (a float divide could
+    # land on the wrong side of a boundary only within ~1 ulp, but an
+    # exact-multiple divide is always exact — and DuckDB's // agrees)
+    whole = (rate - F.pmod(rate, F.lit(10000))) / F.lit(10000)
+    n_copies = whole.cast("bigint") + frac_hit.cast("bigint")
+    return (
+        docs.select(
+            F.col(id_col), F.col(stratum_col), n_copies.alias("_n")
+        )
+        .filter(F.col("_n") >= 1)
+        .select(
+            id_col,
+            stratum_col,
+            F.explode(F.sequence(F.lit(0), (F.col("_n") - 1).cast("int"))).alias(
+                "copy_idx"
+            ),
+        )
+    )

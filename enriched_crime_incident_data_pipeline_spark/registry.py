@@ -5083,6 +5083,21 @@ def q_ret2_hybrid_rrf(spark, sf_dir):
     )
 
 
+def q_tp14_domain_upsample(spark, sf_dir):
+    # deterministic upsampling WITH replacement — the mixture move
+    # downsampling can't express: src0 repeats 2.5× in expectation
+    # (2 copies + a 3rd iff the salted hash falls under the 5000 bp
+    # fraction), src1 1.2×, src2 passes at 1×. Map-only
+    # explode(sequence), no RNG, no shuffle; copy_idx is the clone's
+    # stable identity for downstream shard shuffling.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        domain_upsample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_upsample(docs, {"src0": 25000, "src1": 12000})
+
+
 def q_tp13_epoch_reshuffle(spark, sf_dir):
     # multi-epoch training order without materialization: every
     # (epoch, doc) gets a stable (shard, position) from an
@@ -8740,6 +8755,25 @@ def oracle_queries() -> dict[str, str]:
             FROM strat d JOIN rates r ON d.stratum = r.stratum
             WHERE {_HASH32.format(x="'temp:' || CAST(d.doc_id AS VARCHAR)")} < r.thr
         """,
+        "tp14_domain_upsample": f"""
+            WITH rated AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 25000
+                                 WHEN 'src1' THEN 12000
+                                 ELSE 10000 END AS rate,
+                     ({_HASH32.format(x="'up:' || doc_id")} % 10000) AS h
+              FROM documents
+            ),
+            counted AS (
+              SELECT doc_id, source,
+                     rate // 10000
+                     + CASE WHEN h < rate % 10000 THEN 1 ELSE 0 END AS n
+              FROM rated
+            )
+            SELECT doc_id, source, CAST(i AS INTEGER) AS copy_idx
+            FROM counted, unnest(generate_series(0, n - 1)) AS s(i)
+            WHERE n >= 1
+        """,
         "tp13_epoch_reshuffle": f"""
             WITH ep AS (
               SELECT doc_id, e.epoch
@@ -10157,6 +10191,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tp11_curriculum_order": q_tp11_curriculum_order,
         "tp12_temperature_sample": q_tp12_temperature_sample,
         "tp13_epoch_reshuffle": q_tp13_epoch_reshuffle,
+        "tp14_domain_upsample": q_tp14_domain_upsample,
         "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
         "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
         "st8_stream_decontaminate": q_st8_stream_decontaminate,

@@ -356,3 +356,33 @@ def test_temperature_sample_flattens_and_is_partitioning_invariant(spark):
     a = {tuple(r) for r in temperature_sample(docs).collect()}
     b = {tuple(r) for r in temperature_sample(docs.repartition(17)).collect()}
     assert a == b
+
+
+def test_domain_upsample_multiplicity_law(spark):
+    """tp14: per-doc multiplicity is floor(rate/10⁴) plus one iff the
+    salted hash falls under the fraction — checked row-by-row against
+    the hash; unlisted sources pass at exactly 1×; partitioning-
+    invariant."""
+    import hashlib
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        domain_upsample,
+    )
+
+    rows = [(i, "A" if i % 3 == 0 else ("B" if i % 3 == 1 else "C"))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    rates = {"A": 25000, "B": 10500}
+    out = domain_upsample(docs, rates).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for doc_id, src in rows:
+        rate = rates.get(src, 10000)
+        h = int(hashlib.md5(f"up:{doc_id}".encode()).hexdigest()[:8], 16)
+        expect = rate // 10000 + (1 if h % 10000 < rate % 10000 else 0)
+        assert sorted(got.get(doc_id, [])) == list(range(expect)), (
+            doc_id, src, expect)
+    rep = {(r["doc_id"], r["copy_idx"])
+           for r in domain_upsample(docs.repartition(7), rates).collect()}
+    assert rep == {(r["doc_id"], r["copy_idx"]) for r in out}
