@@ -2495,6 +2495,33 @@ def q_st9_stream_hll(spark, sf_dir):
 
 
 
+def q_st18_stream_word_hist(spark, sf_dir):
+    # continuous word-histogram maintenance — the tok5 tokenizer-
+    # training feeder as a stream: (word, freq) IS a streaming
+    # aggregation (counts merge across micro-batches, order-
+    # insensitive), so arriving documents keep the histogram current
+    # and character-BPE training can re-run over the maintained state
+    # at any time WITHOUT rescanning the corpus. State is bounded by
+    # the vocabulary (Zipf-small), not the stream length; the
+    # AvailableNow complete-mode run equals the batch histogram
+    # exactly (same oracle as tok5's wh stage).
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return run_available_now(
+        hist, "st18_word_hist", "complete", state_partitions=8
+    )
+
+
 def q_st16_stream_quantile(spark, sf_dir):
     # continuous quantiles: the histogram bucket→count table IS a
     # streaming aggregation (counts merge across micro-batches), the
@@ -8716,6 +8743,13 @@ def oracle_queries() -> dict[str, str]:
             JOIN corpus b ON b.vec_id = ca.vec_id
             WHERE {_COS} >= 0.3
         """,
+        "st18_stream_word_hist": f"""
+            SELECT arr[i] AS w, count(*) AS freq
+            FROM (SELECT {_TOKENS} AS arr FROM documents),
+                 unnest(generate_series(1, len(arr))) AS s(i)
+            WHERE length(arr[i]) >= 1
+            GROUP BY 1
+        """,
         "st9_stream_hll": """
             WITH h AS (
               SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
@@ -10221,6 +10255,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "st13_stream_sliding": q_st13_stream_sliding,
         "st14_stream_phash_probe": q_st14_stream_phash_probe,
         "st17_stream_bloom_probe": q_st17_stream_bloom_probe,
+        "st18_stream_word_hist": q_st18_stream_word_hist,
         "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
         "st16_stream_quantile": q_st16_stream_quantile,
         "sk6_kmv_set_ops": q_sk6_kmv_set_ops,
