@@ -99,6 +99,8 @@ LONGTAIL = [
     "dd17_cdc_segments",  # shift-robust content-defined segment dedup (r5)
     "st17_stream_bloom_probe",  # stateless stream twin of dc7 (r5)
     "corpus_refresh1",  # incremental snapshot-ingest verdict capstone (r5)
+    "gr5_label_prop",  # 3-round deterministic LPA communities (r5)
+    "st18_stream_word_hist",  # streaming char-BPE training feeder (r5)
 ]
 
 
