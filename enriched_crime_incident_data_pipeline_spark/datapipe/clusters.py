@@ -334,11 +334,34 @@ def dedup_drop_list(
     )
 
 
+def _lpa_local(head, rounds: int) -> dict:
+    """Driver-resident synchronous LPA — the same (count desc, label
+    asc) adoption as the distributed rounds; comparisons only, so
+    driver==distributed exactly."""
+    sym: dict = {}
+    for r in head:
+        a, b = r[0], r[1]
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    lab = {v: v for v in sym}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in sym.items():
+            c: dict = {}
+            for u in nbrs:
+                lu = lab[u]
+                c[lu] = c.get(lu, 0) + 1
+            new[v] = min(c, key=lambda k: (-c[k], k))
+        lab = new
+    return lab
+
+
 def label_propagation_communities(
     edges: DataFrame,
     rounds: int = 3,
     a_col: str = "a",
     b_col: str = "b",
+    driver_graph_edges: int | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al.
     2007) over an undirected edge list — the DENSITY signal next to
@@ -360,9 +383,36 @@ def label_propagation_communities(
     per round, a fixed small round count, and the edge relation is
     pinned once so its upstream lineage (LSH banding at real call
     sites) never re-executes per round. Returns
-    ``(node, community)`` for every edge endpoint."""
+    ``(node, community)`` for every edge endpoint.
+
+    Driver tier (the connected_components/HITS/PageRank move): edge
+    lists under ``driver_graph_edges`` (default ``DRIVER_GRAPH_EDGES``)
+    resolve from the sizing take itself — the synchronous rounds are
+    pure integer comparisons, so driver == distributed exactly;
+    bigger graphs keep the distributed rounds. Pass 0 to force the
+    distributed path."""
+    cap = (
+        DRIVER_GRAPH_EDGES
+        if driver_graph_edges is None
+        else driver_graph_edges
+    )
+    e_proj = edges.select(F.col(a_col).alias("v"), F.col(b_col).alias("u"))
+    if cap > 0:
+        head = e_proj.take(cap + 1)
+        if len(head) <= cap:
+            lab = _lpa_local(head, rounds)
+            node_t = e_proj.schema["v"].dataType
+            return edges.sparkSession.createDataFrame(
+                sorted(lab.items()),
+                StructType(
+                    [
+                        StructField("node", node_t),
+                        StructField("community", node_t),
+                    ]
+                ),
+            )
     sym = (
-        edges.select(F.col(a_col).alias("v"), F.col(b_col).alias("u")).union(
+        e_proj.union(
             edges.select(F.col(b_col).alias("v"), F.col(a_col).alias("u"))
         )
     ).localCheckpoint(eager=True)

@@ -756,7 +756,7 @@ def test_label_propagation_splits_bridged_triangles(spark):
         for r in connected_components(edges).collect()
     }
     assert len(set(cc.values())) == 1
-    # partitioning invariance
+    # partitioning invariance + tier equality (forced distributed)
     rep = {
         r["node"]: r["community"]
         for r in label_propagation_communities(
@@ -764,6 +764,13 @@ def test_label_propagation_splits_bridged_triangles(spark):
         ).collect()
     }
     assert rep == got
+    dist = {
+        r["node"]: r["community"]
+        for r in label_propagation_communities(
+            edges, rounds=3, driver_graph_edges=0
+        ).collect()
+    }
+    assert dist == got
 
 
 def test_mmr_topk_diversifies_near_dup_results(spark):
