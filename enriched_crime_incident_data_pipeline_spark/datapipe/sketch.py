@@ -459,3 +459,47 @@ def histogram_quantile_readout(
             )
         ).alias("est"),
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: Column,
+    threshold: int,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """EXACT frequent items via a two-pass sketch-then-verify plan —
+    the 100 TB answer to "which keys appear ≥ T times" when the key
+    domain is enormous (URLs, shingles) but the heavy set is tiny:
+
+    1. one mergeable CMS build (d·w counters, distinct keys weighted
+       by count — never a per-row explosion of the raw stream);
+    2. the counter matrix (d·w ≤ 4096 ints) collects once and rides
+       the row filter as a LITERAL array — each row's estimate is
+       ``array_min`` over its d coordinates, pure JVM column math,
+       no join, no distinct pass;
+    3. rows whose estimate clears T (CMS never underestimates ⇒ no
+       false negatives) proceed to the exact groupBy + HAVING — the
+       expensive exact aggregation shuffles ONLY the sketch
+       survivors, and collisions (false positives) die there.
+
+    The output is therefore EXACT (= plain GROUP BY HAVING) for any
+    sketch size; d/w tune only how much the verify pass shuffles.
+    Returns ``(key, n)`` with n ≥ threshold."""
+    counters = cms_counters(df, col, d, w).collect()
+    flat = [0] * (d * w)
+    for r in counters:
+        flat[r["j"] * w + r["bucket"]] = r["cnt"]
+    lit_flat = F.array(*[F.lit(int(x)) for x in flat])
+    est = F.array_min(
+        F.transform(
+            cms_entries(col, d, w),
+            lambda e: F.element_at(lit_flat, e["j"] * w + e["bucket"] + 1),
+        )
+    )
+    return (
+        df.filter(est >= F.lit(threshold))
+        .groupBy(col.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+    )

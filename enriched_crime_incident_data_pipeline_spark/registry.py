@@ -2495,6 +2495,24 @@ def q_st9_stream_hll(spark, sf_dir):
 
 
 
+def q_sk8_heavy_hitters(spark, sf_dir):
+    # exact frequent items, sketch-then-verify: CMS counters (one
+    # mergeable agg) ride the row filter as a literal array —
+    # array_min over d coordinates per row, no join, no distinct
+    # pass; only sketch survivors reach the exact groupBy + HAVING
+    # (CMS never underestimates ⇒ no false negatives, collisions die
+    # in the verify). Output == plain GROUP BY HAVING, by
+    # construction, at any sketch size.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        heavy_hitters_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(
+        ev, F.col("user_id").cast("string"), threshold=80
+    )
+
+
 def q_st18_stream_word_hist(spark, sf_dir):
     # continuous word-histogram maintenance — the tok5 tokenizer-
     # training feeder as a stream: (word, freq) IS a streaming
@@ -8743,6 +8761,11 @@ def oracle_queries() -> dict[str, str]:
             JOIN corpus b ON b.vec_id = ca.vec_id
             WHERE {_COS} >= 0.3
         """,
+        "sk8_heavy_hitters": """
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   count(*) AS n
+            FROM events GROUP BY 1 HAVING count(*) >= 80
+        """,
         "st18_stream_word_hist": f"""
             SELECT arr[i] AS w, count(*) AS freq
             FROM (SELECT {_TOKENS} AS arr FROM documents),
@@ -10256,6 +10279,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "st14_stream_phash_probe": q_st14_stream_phash_probe,
         "st17_stream_bloom_probe": q_st17_stream_bloom_probe,
         "st18_stream_word_hist": q_st18_stream_word_hist,
+        "sk8_heavy_hitters": q_sk8_heavy_hitters,
         "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
         "st16_stream_quantile": q_st16_stream_quantile,
         "sk6_kmv_set_ops": q_sk6_kmv_set_ops,

@@ -182,3 +182,30 @@ def test_hll_grouped_rollup_merge_equals_direct(spark):
     # each parent sees 20000 distinct values (x = v<id>, ids split 2-way)
     for p in (0, 1):
         assert abs(est[p] - 20000) < 20000 * 0.13
+
+
+def test_heavy_hitters_exact_even_with_colliding_sketch(spark):
+    """sk8's exactness claim: the CMS pass only SHORTLISTS — with a
+    deliberately tiny sketch (w=8, d=1, collisions guaranteed) the
+    verify pass must still return exactly GROUP BY HAVING, because
+    overestimates can only add false candidates, never drop true
+    ones."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        heavy_hitters_exact,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("hot",)] * 50
+        + [("warm",)] * 10
+        + [(f"cold{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    for d, w in [(1, 8), (2, 16), (4, 1024)]:
+        got = {
+            (r["key"], r["n"])
+            for r in heavy_hitters_exact(
+                df, F.col("k"), threshold=10, d=d, w=w
+            ).collect()
+        }
+        assert got == {("hot", 50), ("warm", 10)}, (d, w, got)
