@@ -468,3 +468,68 @@ def test_intradoc_dedup_matches_python_model(spark, docs):
         assert got[i]["n_segs"] == len(segs)
         assert got[i]["n_kept"] == len(kept)
         assert got[i]["deduped_text"] == " ".join(kept)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=18,
+    ).map(lambda es: [(a, b) for a, b in es if a != b]),
+)
+@settings(**SETTINGS)
+def test_graph_driver_tiers_match_distributed(spark, edges):
+    """r5 driver tiers on random multigraphs: HITS (integer-exact) and
+    ordered PageRank (bit-exact) and LPA (comparisons-only) must
+    return the same rows from the take-delivered driver iterate as
+    from the forced-distributed plan."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        label_propagation_communities,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.hits import (
+        hits_scores,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    if not edges:
+        return
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(10)], "id bigint"
+    )
+    h_drv = {
+        tuple(r)
+        for r in hits_scores(e, nodes, iters=2).collect()
+    }
+    h_dst = {
+        tuple(r)
+        for r in hits_scores(
+            e, nodes, iters=2, driver_graph_edges=0
+        ).collect()
+    }
+    assert h_drv == h_dst
+    p_drv = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, nodes, iters=3, ordered=True).collect()
+    }
+    p_dst = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            e, nodes, iters=3, ordered=True, driver_graph_edges=0
+        ).collect()
+    }
+    assert p_drv == p_dst
+    und = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    l_drv = {
+        tuple(r)
+        for r in label_propagation_communities(und, rounds=2).collect()
+    }
+    l_dst = {
+        tuple(r)
+        for r in label_propagation_communities(
+            und, rounds=2, driver_graph_edges=0
+        ).collect()
+    }
+    assert l_drv == l_dst
