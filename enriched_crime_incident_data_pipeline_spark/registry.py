@@ -2895,8 +2895,15 @@ def q_corpus_build3(spark, sf_dir):
     # quota-ranking subplan (and its 1-row scalar BNLJs) replicates
     # into every consumer, and the r5 A/B showed no wall-clock win to
     # offset the plan blow-up.
+    # lazy (r5 session-2): the LogicalRDD truncation — which is what
+    # kept the quota subplan's scalar BNLJs out of every consumer —
+    # happens at call time regardless of eagerness; the final job's
+    # first full scan materializes the blocks, deleting the last
+    # dedicated barrier. (DROPPING the cut was measured and reverted
+    # in the r5 trail above — plan replication; lazy keeps the plans
+    # bit-identical to eager.)
     sampled = mixture_sample(surv, MIXTURE_TARGETS_BP).localCheckpoint(
-        eager=True
+        eager=False
     )
     sdocs2 = sampled.join(surv.select("doc_id", "deduped_text"), "doc_id")
     # 8. packing offsets over the sampled corpus (two-phase prefix sum)
