@@ -201,7 +201,16 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in deployment it IS a maintained table, and unpinned its
     # work-list aggregation re-runs inside the gold job. Measured
     # (sf0.1, median-of-3 end-to-end): 3.7 -> 2.5 s.
-    base = dedup_and_propagate(silver).localCheckpoint(eager=True)
+    # r5 session-2: base goes LAZY — Dataset.localCheckpoint truncates
+    # the logical plan at call time either way (the 3.7→2.5 s note
+    # above contrasted eager checkpoint vs lazy PERSIST, which doesn't
+    # truncate); the weather cut below is base's first consumer and
+    # scans every partition, so its (still eager) job materializes
+    # base's blocks and the dedicated base job disappears. wh stays
+    # EAGER: the gold job references base through two subtrees (its
+    # own joins + wh's lineage), and sequencing the wh job first is
+    # what guarantees base materializes exactly once.
+    base = dedup_and_propagate(silver).localCheckpoint(eager=False)
     dim = synthetic_location_dim(events)
     wh = synthetic_weather_hourly(with_coordinates(base, dim)).localCheckpoint(
         eager=True
