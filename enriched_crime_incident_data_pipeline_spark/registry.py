@@ -2549,6 +2549,31 @@ def q_st18_stream_word_hist(spark, sf_dir):
     )
 
 
+def q_st19_stream_heavy_hitters(spark, sf_dir):
+    # continuous frequent-items: the per-key count table IS a
+    # streaming aggregation (counts merge per micro-batch); the ≥ T
+    # read-out filters the maintained state, so "which keys are heavy
+    # RIGHT NOW" is query-time work over state bounded by the key
+    # domain, not the stream length. Batch twin: sk8 (whose CMS pass
+    # is the work-gate for enormous domains; the state table here is
+    # the exact verify layer kept continuously current).
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.col("user_id").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(
+        counts, "st19_heavy", "complete", state_partitions=8
+    )
+    return out.filter(F.col("n") >= 80)
+
+
 def q_st16_stream_quantile(spark, sf_dir):
     # continuous quantiles: the histogram bucket→count table IS a
     # streaming aggregation (counts merge across micro-batches), the
@@ -8782,6 +8807,11 @@ def oracle_queries() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1 HAVING count(*) >= 80
         """,
+        "st19_stream_heavy_hitters": """
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   count(*) AS n
+            FROM events GROUP BY 1 HAVING count(*) >= 80
+        """,
         "st18_stream_word_hist": f"""
             SELECT arr[i] AS w, count(*) AS freq
             FROM (SELECT {_TOKENS} AS arr FROM documents),
@@ -10296,6 +10326,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "st17_stream_bloom_probe": q_st17_stream_bloom_probe,
         "st18_stream_word_hist": q_st18_stream_word_hist,
         "sk8_heavy_hitters": q_sk8_heavy_hitters,
+        "st19_stream_heavy_hitters": q_st19_stream_heavy_hitters,
         "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
         "st16_stream_quantile": q_st16_stream_quantile,
         "sk6_kmv_set_ops": q_sk6_kmv_set_ops,
