@@ -906,3 +906,48 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
     )
     assert got["n"] == want["n"] and got["n"] > 0
     assert got["qty"] == want["qty"]
+
+
+def test_r5_session2_op_plans_stay_scale_shaped(spark):
+    """Plan-shape regression guards for the r5 session-2 operators:
+    shuffles stay bounded, small sides broadcast, nothing falls back
+    to a sort-merge join of a corpus against a model artifact."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # tp14: map-only — zero exchanges of any kind
+    tp14 = qs["tp14_domain_upsample"](spark, sf)
+    plan = tp14._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+    # sk8: the counter array broadcasts (nested-loop of ONE row is the
+    # intended shape); the exact verify is the only hash shuffle
+    sk8 = qs["sk8_heavy_hitters"](spark, sf)
+    plan = sk8._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # 3 hash exchanges total: 2 inside the broadcast-built CMS
+    # (key-reduce + coordinate-reduce, both over tiny relations) and
+    # ONE for the exact verify groupBy — the corpus-sized relation
+    # shuffles exactly once
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    # tok6: the per-word piece table joins the corpus word explode —
+    # must never sort-merge (histogram side is Zipf-small, broadcast)
+    tok6 = qs["tok6_bpe_char_encode"](spark, sf)
+    plan = tok6._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+    # gr5/gr1/gr3 resolve via the driver tier at fixture scale: the
+    # output plan is a local-relation scan (optionally joined back) —
+    # no iterative join chain survives into the final plan
+    gr5 = qs["gr5_label_prop"](spark, sf)
+    plan = gr5._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    gr1 = qs["gr1_pagerank"](spark, sf)
+    plan = gr1._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # local ranks join node ids
