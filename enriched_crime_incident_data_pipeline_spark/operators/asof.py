@@ -39,16 +39,30 @@ def asof_join(
     ts_col: str,
     tiebreak_col: str,
     asof_prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``asof_<col>`` columns
-    from the most recent right row with ``right.ts <= left.ts`` and
-    equal keys (NULLs when no such row exists).
+    from the matched right row (NULLs when none exists), where the
+    match is per ``direction`` (the pandas ``merge_asof`` surface):
+
+    - ``backward`` (default): most recent right with
+      ``right.ts <= left.ts`` — exact-ts ties to the GREATEST
+      tiebreak;
+    - ``forward``: earliest right with ``right.ts >= left.ts`` —
+      ties to the LEAST tiebreak;
+    - ``nearest``: whichever of the two is closer in ``ts``;
+      equidistant resolves BACKWARD (pandas semantics). One shuffle
+      still — the union carries the right rows twice (once per scan
+      direction), and both windows share the key partitioning, so
+      the cost is two in-partition sorts, never a second exchange.
 
     ``tiebreak_col`` must exist in both inputs and make
     ``(ts, tiebreak)`` unique per key on the right side — it pins
     which right row wins an exact-ts tie, keeping results engine- and
     partitioning-independent.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     keys = list(key_cols)
     l2 = left.select(
         *[F.col(k) for k in keys],
@@ -57,22 +71,63 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
     )
-    r2 = right.select(
-        *[F.col(k) for k in keys],
-        F.col(ts_col).alias("_ts"),
-        F.col(tiebreak_col).alias("_tb"),
-        F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in right.columns]).alias("_r"),
-    )
-    u = l2.unionByName(r2, allowMissingColumns=True)
-    w = (
+
+    def right_tagged(side: int, payload: str) -> DataFrame:
+        return right.select(
+            *[F.col(k) for k in keys],
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+            F.lit(side).alias("_side"),
+            F.struct(*[F.col(c) for c in right.columns]).alias(payload),
+        )
+
+    # side ordering makes the inclusive bound exact at equal ts:
+    # backward rights (side 0) sort BEFORE left rows (side 1), so the
+    # trailing frame sees them; forward rights (side 2) sort AFTER,
+    # so the leading frame sees them.
+    parts = []
+    if direction in ("backward", "nearest"):
+        parts.append(right_tagged(0, "_r0"))
+    parts.append(l2)
+    if direction in ("forward", "nearest"):
+        parts.append(right_tagged(2, "_r2"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p, allowMissingColumns=True)
+
+    wb = (
         Window.partitionBy(*keys)
         .orderBy("_ts", "_side", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u.withColumn(
-        "_asof", F.last("_r", ignorenulls=True).over(w)
-    ).filter(F.col("_side") == 1)
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        matched = u.withColumn(
+            "_asof", F.last("_r0", ignorenulls=True).over(wb)
+        )
+    elif direction == "forward":
+        matched = u.withColumn(
+            "_asof", F.first("_r2", ignorenulls=True).over(wf)
+        )
+    else:
+        bw = F.last("_r0", ignorenulls=True).over(wb)
+        fw = F.first("_r2", ignorenulls=True).over(wf)
+        matched = u.withColumn("_bw", bw).withColumn("_fw", fw).withColumn(
+            "_asof",
+            F.when(F.col("_bw").isNull(), F.col("_fw"))
+            .when(F.col("_fw").isNull(), F.col("_bw"))
+            .when(
+                (F.col("_ts") - F.col("_bw")[ts_col])
+                <= (F.col("_fw")[ts_col] - F.col("_ts")),
+                F.col("_bw"),
+            )
+            .otherwise(F.col("_fw")),
+        )
+    matched = matched.filter(F.col("_side") == 1)
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols += [
         F.col(f"_asof.{c}").alias(f"{asof_prefix}{c}")

@@ -1272,6 +1272,62 @@ def q_asof_join(spark, sf_dir):
 
 
 
+def q_asof2_forward(spark, sf_dir):
+    # forward as-of: each purchase picks the EARLIEST at-or-after
+    # view of the same user (the "next observation" join — lead-time
+    # features, next-touch attribution). Same union-tag single
+    # shuffle; the frame flips to [current, ∞) with right rows
+    # sorted after left at equal ts.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, ["user_id"], "ts", "event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+def q_asof3_nearest(spark, sf_dir):
+    # nearest as-of (pandas merge_asof direction='nearest'):
+    # whichever same-user view is closer in time, equidistant
+    # resolving backward. Still ONE key shuffle — the union carries
+    # right rows once per scan direction and both windows share the
+    # partitioning.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, ["user_id"], "ts", "event_id",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
 def q_sk4_hll_distinct(spark, sf_dir):
     # deterministic HyperLogLog: 1024 registers over a 52-bit
     # md5-derived hash, rho via integer bit-length (no log2), raw
@@ -9116,6 +9172,31 @@ def oracle_queries() -> dict[str, str]:
               ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
             ) v ON true
         """,
+        "asof2_forward": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   v.event_id AS view_event_id, v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN LATERAL (
+              SELECT event_id, value FROM events v
+              WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                AND v.ts >= p.ts
+              ORDER BY v.ts ASC, v.event_id ASC LIMIT 1
+            ) v ON true
+        """,
+        "asof3_nearest": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   v.event_id AS view_event_id, v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN LATERAL (
+              SELECT event_id, value FROM events v
+              WHERE v.user_id = p.user_id AND v.event_type = 'view'
+              ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC,
+                       (v.ts > p.ts) ASC,
+                       CASE WHEN v.ts <= p.ts THEN -v.event_id
+                            ELSE v.event_id END ASC
+              LIMIT 1
+            ) v ON true
+        """,
         "tp1_pack": f"""
             WITH t AS (SELECT doc_id, {_TOKEN_COUNT}::BIGINT AS n_tokens FROM documents),
             o AS (
@@ -10380,6 +10461,8 @@ def spark_queries() -> dict[str, QueryFn]:
         "ta6_winnow": q_ta6_winnow,
         "a10_count_distinct": q_a10_count_distinct,
         "asof_join": q_asof_join,
+        "asof2_forward": q_asof2_forward,
+        "asof3_nearest": q_asof3_nearest,
         "sk1_kmv_distinct": q_sk1_kmv_distinct,
         "sk4_hll_distinct": q_sk4_hll_distinct,
         "sk5_hll_rollup": q_sk5_hll_rollup,

@@ -533,3 +533,68 @@ def test_graph_driver_tiers_match_distributed(spark, edges):
         ).collect()
     }
     assert l_drv == l_dst
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.floats(0, 10)),
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_directions_match_python_model(spark, lefts, rights):
+    """forward/nearest as-of against the naive model: forward =
+    least (ts, id) at-or-after; nearest = closer side, equidistant
+    resolving backward (pandas semantics)."""
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, _T0 + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(lefts)],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100 + j, k, _T0 + dt.timedelta(minutes=m), v)
+            for j, (k, m, v) in enumerate(rights)
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    fwd = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "event_id", direction="forward"
+        ).collect()
+    }
+    near = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "event_id", direction="nearest"
+        ).collect()
+    }
+    for i, (k, m) in enumerate(lefts):
+        after = [
+            (mm, 100 + j)
+            for j, (kk, mm, _) in enumerate(rights)
+            if kk == k and mm >= m
+        ]
+        before = [
+            (mm, 100 + j)
+            for j, (kk, mm, _) in enumerate(rights)
+            if kk == k and mm <= m
+        ]
+        exp_f = min(after)[1] if after else None
+        assert fwd[i] == exp_f, ("forward", i, k, m)
+        bw = max(before) if before else None
+        fw = min(after) if after else None
+        if bw is None:
+            exp_n = fw[1] if fw else None
+        elif fw is None:
+            exp_n = bw[1]
+        elif (m - bw[0]) <= (fw[0] - m):
+            exp_n = bw[1]
+        else:
+            exp_n = fw[1]
+        assert near[i] == exp_n, ("nearest", i, k, m)
