@@ -40,6 +40,7 @@ def asof_join(
     tiebreak_col: str,
     asof_prefix: str = "asof_",
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``asof_<col>`` columns
     from the matched right row (NULLs when none exists), where the
@@ -55,6 +56,16 @@ def asof_join(
       still — the union carries the right rows twice (once per scan
       direction), and both windows share the key partitioning, so
       the cost is two in-partition sorts, never a second exchange.
+
+    ``tolerance`` (optional): a Column expression (e.g.
+    ``F.expr("INTERVAL 30 MINUTES")`` for timestamps, a numeric
+    literal for numeric ts) — matches farther than ``tolerance``
+    from the left row null out AFTER the match resolves, exactly
+    pandas' semantics (the match is not "re-routed" to a closer
+    in-tolerance row that lost the as-of rule; for backward/forward
+    no such row can exist, and for nearest the loser is farther by
+    definition). Applied as a residual null-out predicate, so the
+    plan shape is unchanged.
 
     ``tiebreak_col`` must exist in both inputs and make
     ``(ts, tiebreak)`` unique per key on the right side — it pins
@@ -128,6 +139,15 @@ def asof_join(
             .otherwise(F.col("_fw")),
         )
     matched = matched.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        dist = F.when(
+            F.col("_asof")[ts_col] <= F.col("_ts"),
+            F.col("_ts") - F.col("_asof")[ts_col],
+        ).otherwise(F.col("_asof")[ts_col] - F.col("_ts"))
+        matched = matched.withColumn(
+            "_asof",
+            F.when(dist <= tolerance, F.col("_asof")),
+        )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols += [
         F.col(f"_asof.{c}").alias(f"{asof_prefix}{c}")

@@ -1328,6 +1328,33 @@ def q_asof3_nearest(spark, sf_dir):
     )
 
 
+def q_asof4_tolerance(spark, sf_dir):
+    # bounded-staleness as-of (merge_asof tolerance): the matched
+    # view nulls out if it is staler than 30 minutes — a residual
+    # null-out predicate after the match resolves, so the plan is
+    # byte-identical to asof_join's single-shuffle shape.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, ["user_id"], "ts", "event_id",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
 def q_sk4_hll_distinct(spark, sf_dir):
     # deterministic HyperLogLog: 1024 registers over a 52-bit
     # md5-derived hash, rho via integer bit-length (no log2), raw
@@ -9172,6 +9199,18 @@ def oracle_queries() -> dict[str, str]:
               ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
             ) v ON true
         """,
+        "asof4_tolerance": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   v.event_id AS view_event_id, v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN LATERAL (
+              SELECT event_id, value FROM events v
+              WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                AND v.ts <= p.ts
+                AND v.ts >= p.ts - INTERVAL 30 MINUTE
+              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) v ON true
+        """,
         "asof2_forward": """
             SELECT p.event_id, p.user_id, p.ts,
                    v.event_id AS view_event_id, v.value AS view_value
@@ -10463,6 +10502,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "asof_join": q_asof_join,
         "asof2_forward": q_asof2_forward,
         "asof3_nearest": q_asof3_nearest,
+        "asof4_tolerance": q_asof4_tolerance,
         "sk1_kmv_distinct": q_sk1_kmv_distinct,
         "sk4_hll_distinct": q_sk4_hll_distinct,
         "sk5_hll_rollup": q_sk5_hll_rollup,
