@@ -797,6 +797,41 @@ def q_dd5b_ngram_capped(spark, sf_dir):
     return ngram_jaccard_pairs(docs, top_k=20, max_df=50)
 
 
+def q_dd19_lsh_verified(spark, sf_dir):
+    # the canonical MinHash pipeline ENDING: banded LSH proposes
+    # candidate pairs (recall set, never all-pairs), exact shingle
+    # Jaccard verifies ONLY those — the shingle self-join is
+    # restricted to docs appearing in some candidate pair (left-semi
+    # prune), and the pair relation filters to the candidate list
+    # (broadcast inner join), so the expensive exact intersection
+    # touches candidates ∪ their docs, not the corpus².
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        lsh_candidate_pairs(minhash_bands(docs))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(ids, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(pruned)
+    return (
+        pairs.join(F.broadcast(cand), ["a", "b"])
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "intersect_size", "union_size", "jaccard")
+    )
+
+
 def q_s5_pdf_parse(spark, sf_dir):
     # the reference's PDF text-block parse rules
     # (parse_incidents.py:40-56) run engine-side on a deterministic
@@ -7382,6 +7417,38 @@ def oracle_queries() -> dict[str, str]:
             WHERE CAST(intersect_size AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
                OR CAST(intersect_size AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
         """,
+        "dd19_lsh_verified": f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL}),
+            e AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            ids AS (SELECT a AS doc_id FROM e
+                    UNION SELECT b AS doc_id FROM e),
+            sh AS ({_SHINGLES3}),
+            hx AS (
+              SELECT sh.doc_id, {_HASH32.format(x='shingle')} AS x
+              FROM sh JOIN ids USING (doc_id)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
+              FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.a, i.b, i.intersect_size,
+                   sa.n + sb.n - i.intersect_size AS union_size,
+                   CAST(i.intersect_size AS DOUBLE)
+                     / (sa.n + sb.n - i.intersect_size) AS jaccard
+            FROM inter i
+            JOIN e ON e.a = i.a AND e.b = i.b
+            JOIN sizes sa ON i.a = sa.doc_id
+            JOIN sizes sb ON i.b = sb.doc_id
+            WHERE CAST(i.intersect_size AS DOUBLE)
+                    / (sa.n + sb.n - i.intersect_size) >= 0.5
+        """,
         "dd5_ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES3}),
             hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
@@ -10389,6 +10456,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "dd11_segment_dedup": q_dd11_segment_dedup,
         "dd17_cdc_segments": q_dd17_cdc_segments,
         "dd18_intradoc_dedup": q_dd18_intradoc_dedup,
+        "dd19_lsh_verified": q_dd19_lsh_verified,
         "dd12_incremental_lsh": q_dd12_incremental_lsh,
         "dd13_repeated_spans": q_dd13_repeated_spans,
         "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,
