@@ -492,9 +492,25 @@ def heavy_hitters_exact(
     a 4096-literal expression tree costs seconds of analysis/codegen
     per plan (measured: the literal formulation was 3.2 s at sf0.1,
     ~2.5 s of it plan compilation), and the broadcast form also
-    drops the driver collect barrier."""
+    drops the driver collect barrier.
+
+    Build note: this deliberately does NOT use :func:`cms_counters`'s
+    key-reduce-first build — reducing per key first IS the exact
+    domain-wide groupBy this operator exists to avoid. The raw-
+    coordinate build explodes each ROW into its d coordinates and
+    groupBys (j, bucket): d× row amplification, but the map-side
+    combine caps every partition's shuffle contribution at d·w rows,
+    so the build shuffles O(partitions · d · w) whatever the key
+    domain. (cms_counters keeps key-reduce-first — right for Zipf
+    streams where distinct ≪ rows; both builds produce the same
+    matrix.)"""
+    raw = (
+        df.select(F.explode(cms_entries(col, d, w)).alias("e"))
+        .groupBy(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     flat = (
-        cms_counters(df, col, d, w)
+        raw
         .select(
             (F.col("j") * w + F.col("bucket")).cast("int").alias("p"),
             F.col("cnt"),
