@@ -101,6 +101,8 @@ LONGTAIL = [
     "corpus_refresh1",  # incremental snapshot-ingest verdict capstone (r5)
     "gr5_label_prop",  # 3-round deterministic LPA communities (r5)
     "st18_stream_word_hist",  # streaming char-BPE training feeder (r5)
+    "sk8_heavy_hitters",  # CMS shortlist -> exact verify (r5)
+    "dd19_lsh_verified",  # LSH candidates -> exact-Jaccard verify (r5)
 ]
 
 
