@@ -2278,6 +2278,38 @@ def q_tok6_bpe_char_encode(spark, sf_dir):
     return bpe_encode_chars(docs, iters=3)
 
 
+def q_tok7_fertility_audit(spark, sf_dir):
+    # the standard tokenizer-eval report: FERTILITY (pieces per word)
+    # by source domain under the char-BPE vocab — the number that
+    # decides whether a tokenizer under-serves a domain (high
+    # fertility = more compute per word). Integer-exact: fertility in
+    # basis points via integer DIV, no float ratio to drift.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        bpe_encode_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_chars(docs, iters=3)
+    per_doc = enc.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr("CAST((n_pieces * 10000) DIV n_words AS BIGINT)").alias(
+                "fertility_bp"
+            ),
+        )
+    )
+
+
 def q_corpus_build2(spark, sf_dir):
     # the round-2 corpus build, composed end-to-end from the new
     # operators: LM-quality filter (corpus-trained perplexity proxy)
@@ -9561,6 +9593,32 @@ def oracle_queries() -> dict[str, str]:
         "tok3_wordpiece_encode": _TOK3_WORDPIECE_SQL,
         "tok4_bpe_sampled": _TOK4_SAMPLED_SQL,
         "tok5_bpe_char_merges": _TOK5_CHAR_MERGES_SQL,
+        "tok7_fertility_audit": (
+            "\n            WITH "
+            + _TOK5_CHAIN
+            + f""",
+            c4 AS (SELECT w, freq, {_TOK1_APPLY} AS arr FROM c3, wm3),
+            wp AS (SELECT w, len(arr) AS np FROM c4),
+            dw AS (
+              SELECT doc_id, arr[i] AS w
+              FROM (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+                   unnest(generate_series(1, len(arr))) AS s(i)
+              WHERE length(arr[i]) >= 1
+            ),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_words,
+                     CAST(SUM(np) AS BIGINT) AS n_bpe
+              FROM dw JOIN wp USING (w) GROUP BY doc_id
+            )
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(p.n_bpe) AS BIGINT) AS n_pieces,
+                   CAST((SUM(p.n_bpe) * 10000) // SUM(p.n_words) AS BIGINT)
+                     AS fertility_bp
+            FROM per_doc p JOIN documents d USING (doc_id)
+            GROUP BY d.source
+"""
+        ),
         "tok6_bpe_char_encode": _TOK6_CHAR_ENCODE_SQL,
         "corpus_report1": f"""
             WITH t AS (
@@ -10474,6 +10532,7 @@ def spark_queries() -> dict[str, QueryFn]:
         "tok4_bpe_sampled": q_tok4_bpe_sampled,
         "tok5_bpe_char_merges": q_tok5_bpe_char_merges,
         "tok6_bpe_char_encode": q_tok6_bpe_char_encode,
+        "tok7_fertility_audit": q_tok7_fertility_audit,
         "corpus_build3": q_corpus_build3,
         "corpus_build4": q_corpus_build4,
         "corpus_refresh1": q_corpus_refresh1,
