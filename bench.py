@@ -106,10 +106,20 @@ LONGTAIL = [
 ]
 
 
+# Re-timed every DRIFT_EVERY queries as a host-load canary: a cheap,
+# stable scan+agg whose wall only moves with machine conditions.  The
+# resulting series lets a later reader attribute cross-round deltas to
+# load (canary moved too) vs regression (canary flat, query moved).
+DRIFT_QUERY = "tpch_q6"
+DRIFT_EVERY = 5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    t_bench0 = time.time()
+    load_start = list(os.getloadavg())
 
     spark = get_spark(app_name="bench")
     qs = registry.spark_queries()
@@ -128,20 +138,28 @@ def main() -> None:
     # stage) so every timed run does its own full work
     spark.catalog.clearCache()
 
+    drift: list[float] = []
+    _query_counter = [0]
+
+    def _run_once(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        return dt
+
     def timed(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         med: dict[str, float] = {}
         mins: dict[str, float] = {}
         for name in names:
             samples: list[float] = []
             for _ in range(reps):
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                samples.append(time.time() - t0)
-                spark.catalog.clearCache()
+                samples.append(_run_once(name))
             med[name] = round(statistics.median(samples), 3)
             mins[name] = round(min(samples), 3)
+            _query_counter[0] += 1
+            if _query_counter[0] % DRIFT_EVERY == 0:
+                drift.append(round(_run_once(DRIFT_QUERY), 3))
         return med, mins
 
     timings, timings_min = timed(HEADLINE)
@@ -160,6 +178,15 @@ def main() -> None:
         "longtail_min": longtail_min,
         "longtail_total": round(sum(longtail.values()), 3),
         "sf": sf,
+        "host": {
+            "cpus": os.cpu_count(),
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "bench_wall_sec": round(time.time() - t_bench0, 1),
+            "drift_query": DRIFT_QUERY,
+            # re-timed every DRIFT_EVERY queries; spread == noise floor
+            "drift_series": drift,
+        },
     }
     line = json.dumps(payload)
     print(line)

@@ -425,7 +425,7 @@ _WORD_SYM_SCHEMA = "w string, freq bigint, arr array<string>"
 _CHARS = "transform(sequence(1, length(w)), p -> substr(w, p, 1))"
 
 
-def _word_hist_syms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _word_hist_syms(docs: DataFrame, text_col: str) -> DataFrame:
     """``(w, freq, arr)`` — the corpus word histogram with each word
     exploded to its character-symbol array. THE classic BPE training
     reduction (Sennrich et al. 2016; every production trainer): pair
@@ -517,7 +517,6 @@ def _apply_rules_word_kernel(sym: DataFrame, rules: list) -> DataFrame:
 def _train_chars(
     docs: DataFrame,
     iters: int,
-    id_col: str,
     text_col: str,
     apply_last: bool,
     checkpoint_every: int = 8,
@@ -526,9 +525,7 @@ def _train_chars(
     (word symbols after all applied rules, merge rows). Round
     structure mirrors :func:`_train`'s kernel path; the relation the
     rounds scan is distinct words, not the corpus."""
-    sym0 = _word_hist_syms(docs, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    sym0 = _word_hist_syms(docs, text_col).localCheckpoint(eager=False)
     base = sym0
     pending: list = []
     rows: list = []
@@ -571,7 +568,7 @@ def learn_bpe_merges_chars(
     approximate alternative). Ties break (count desc, pair asc) as in
     :func:`learn_bpe_merges`."""
     spark = docs.sparkSession
-    _, rows = _train_chars(docs, iters, id_col, text_col, apply_last=False)
+    _, rows = _train_chars(docs, iters, text_col, apply_last=False)
     return spark.createDataFrame(
         rows, "it int, a string, b string, cnt bigint"
     )
@@ -589,7 +586,7 @@ def bpe_encode_chars(
     known from the final word-symbol relation, so the corpus-side
     cost is one word-explode + one equi-join + one groupBy. Returns
     ``(doc_id, n_words, n_chars, n_bpe)``."""
-    sym, _ = _train_chars(docs, iters, id_col, text_col, apply_last=True)
+    sym, _ = _train_chars(docs, iters, text_col, apply_last=True)
     word_pieces = sym.select(
         "w", F.size("arr").cast("bigint").alias("_np")
     )

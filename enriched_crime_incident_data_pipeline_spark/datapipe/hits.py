@@ -46,14 +46,17 @@ from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
 )
 
 
-def _hits_local(head, iters: int) -> list:
+def _hits_local(head, iters: int, members: set) -> list:
     """Exact integer HITS over a driver-resident edge list — the same
-    recurrence as the distributed path (h_0 ≡ 1; integer sums are
-    associative, so any summation order is THE answer). Python ints
-    (arbitrary precision) mean overflow is impossible here; the
+    recurrence as the distributed path (h_0 ≡ 1 on ``nodes`` only:
+    the distributed round-1 join e⋈h drops contributions from srcs
+    outside the node set, so the seed here is restricted to
+    ``members`` — srcs verified present in ``nodes``; integer sums
+    are associative, so any summation order is THE answer). Python
+    ints (arbitrary precision) mean overflow is impossible here; the
     distributed/oracle BIGINT bound still governs the contract."""
     edges = [(r[0], r[1]) for r in head]
-    h = {u: 1 for u, _ in edges}
+    h = {u: 1 for u, _ in edges if u in members}
     a: dict = {}
     for _ in range(iters):
         a = {}
@@ -101,11 +104,29 @@ def hits_scores(
     if driver_graph_edges > 0:
         head = e_proj.take(driver_graph_edges + 1)
         if len(head) <= driver_graph_edges:
-            rows = _hits_local(head, iters)
             spark = edges.sparkSession
             from pyspark.sql.types import LongType, StructField, StructType
 
             node_t = out_ids.schema["id"].dataType
+            # h_0 is seeded from `nodes`, so the driver iterate needs
+            # src ∈ nodes membership to match the distributed round-1
+            # join exactly (r6, ADVICE): one column-pruned scan of
+            # nodes semi-joined against the ≤cap distinct srcs; the
+            # collect is bounded by the src count, never |nodes|.
+            srcs = sorted({r[0] for r in head})
+            members: set = set()
+            if srcs:
+                src_df = spark.createDataFrame(
+                    [(s,) for s in srcs],
+                    StructType([StructField("id", node_t)]),
+                )
+                members = {
+                    r[0]
+                    for r in out_ids.join(
+                        F.broadcast(src_df), "id", "leftsemi"
+                    ).collect()
+                }
+            rows = _hits_local(head, iters, members)
             local = spark.createDataFrame(
                 rows,
                 StructType(

@@ -64,24 +64,35 @@ def _pagerank_local(
     dangling: bool,
     n_nodes: int | None,
     stats: dict | None,
+    members: set,
 ):
     """Driver-resident power iteration — float-for-float the ordered
     distributed recurrence: per-dst contributions fold in ascending
     src order (the ``ordered=True`` contract), and the update is the
     identical ``alpha + (1-alpha) * incoming`` double expression.
-    Nodes outside the edge set share one trajectory (``bg``): 1.0,
-    then ``alpha`` (+ the dangling teleport when enabled) — tracked
-    as a scalar, never enumerated, so the driver holds O(|E|) state
-    no matter how many nodes the graph has. Returns
-    ``(endpoint_ranks: dict, bg: float, rounds: int)``."""
+    The distributed iterate keys rank state on ``nodes`` every round
+    (the left join rebuilds it), so endpoints OUTSIDE the node set
+    never hold rank and never contribute — ``members`` (endpoints
+    verified present in ``nodes``) restricts the driver state the
+    same way (r6, ADVICE). Nodes outside the edge set share one
+    trajectory (``bg``): 1.0, then ``alpha`` (+ the dangling teleport
+    when enabled) — tracked as a scalar, never enumerated, so the
+    driver holds O(|E|) state no matter how many nodes the graph
+    has. Returns ``(endpoint_ranks: dict, bg: float, rounds: int)``."""
     edges = [(r[0], r[1]) for r in head]
     outdeg: dict = {}
     for u, _ in edges:
+        # out-degree counts EVERY edge (matching the distributed
+        # groupBy over the raw edge relation), including edges whose
+        # dst is outside the node set
         outdeg[u] = outdeg.get(u, 0) + 1
-    endpoints = sorted({u for u, _ in edges} | {v for _, v in edges})
+    endpoints = sorted(
+        ({u for u, _ in edges} | {v for _, v in edges}) & members
+    )
     in_lists: dict = {}
     for u, v in edges:
-        in_lists.setdefault(v, []).append(u)
+        if u in members and v in members:
+            in_lists.setdefault(v, []).append(u)
     for v in in_lists:
         in_lists[v].sort()
     dang_ep = [k for k in endpoints if k not in outdeg]
@@ -180,12 +191,30 @@ def pagerank(
             n_nodes_i = (
                 nodes.count() if (dangling or tol is not None) else None
             )
-            ranks_d, bg, _ = _pagerank_local(
-                head, iters, alpha, tol, dangling, n_nodes_i, stats
-            )
             from pyspark.sql.types import DoubleType, StructField, StructType
 
             node_t = nodes.schema[0].dataType
+            # rank state lives on `nodes` in the distributed iterate,
+            # so the driver tier needs endpoint ∈ nodes membership to
+            # match it exactly (r6, ADVICE): one column-pruned scan of
+            # nodes semi-joined against the ≤2·cap distinct endpoints;
+            # the collect is bounded by the endpoint count.
+            eps = sorted({r[0] for r in head} | {r[1] for r in head})
+            members: set = set()
+            if eps:
+                ep_df = edges.sparkSession.createDataFrame(
+                    [(x,) for x in eps],
+                    StructType([StructField("id", node_t)]),
+                )
+                members = {
+                    r[0]
+                    for r in nodes.select("id")
+                    .join(F.broadcast(ep_df), "id", "leftsemi")
+                    .collect()
+                }
+            ranks_d, bg, _ = _pagerank_local(
+                head, iters, alpha, tol, dangling, n_nodes_i, stats, members
+            )
             local = edges.sparkSession.createDataFrame(
                 sorted(ranks_d.items()),
                 StructType(

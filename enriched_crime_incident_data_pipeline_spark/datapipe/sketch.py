@@ -472,8 +472,11 @@ def heavy_hitters_exact(
     the 100 TB answer to "which keys appear ≥ T times" when the key
     domain is enormous (URLs, shingles) but the heavy set is tiny:
 
-    1. one mergeable CMS build (d·w counters, distinct keys weighted
-       by count — never a per-row explosion of the raw stream);
+    1. one mergeable CMS build (d·w counters) straight off the RAW
+       stream — each row explodes into its d coordinates and
+       map-side combine caps the shuffle at d·w rows per partition
+       (see the build note below for why key-reduce-first is wrong
+       here);
     2. the counter matrix (d·w ≤ 4096 ints) collects once and rides
        the row filter as a LITERAL array — each row's estimate is
        ``array_min`` over its d coordinates, pure JVM column math,

@@ -472,7 +472,7 @@ def test_intradoc_dedup_matches_python_model(spark, docs):
 
 @given(
     edges=st.lists(
-        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
         min_size=1,
         max_size=18,
     ).map(lambda es: [(a, b) for a, b in es if a != b]),
@@ -482,7 +482,10 @@ def test_graph_driver_tiers_match_distributed(spark, edges):
     """r5 driver tiers on random multigraphs: HITS (integer-exact) and
     ordered PageRank (bit-exact) and LPA (comparisons-only) must
     return the same rows from the take-delivered driver iterate as
-    from the forced-distributed plan."""
+    from the forced-distributed plan. Edge endpoints range over
+    0..12 while the node set is 0..9, so some srcs/dsts fall OUTSIDE
+    `nodes` — pinning the r6 membership semantics (out-of-node srcs
+    never seed or hold rank/hub state) across the tier boundary."""
     from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
         label_propagation_communities,
     )
@@ -521,6 +524,30 @@ def test_graph_driver_tiers_match_distributed(spark, edges):
         ).collect()
     }
     assert p_drv == p_dst
+    pd_drv = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            e, nodes, iters=3, ordered=True, dangling=True, tol=0.0
+        ).collect()
+    }
+    pd_dst = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            e,
+            nodes,
+            iters=3,
+            ordered=True,
+            dangling=True,
+            tol=0.0,
+            driver_graph_edges=0,
+        ).collect()
+    }
+    # dangling parity is ~1 ulp, not bit-exact: the distributed
+    # dangling-mass term is an unordered float sum (same contract as
+    # test_graph_sketch's tier test)
+    assert pd_drv.keys() == pd_dst.keys()
+    for k in pd_drv:
+        assert abs(pd_drv[k] - pd_dst[k]) < 1e-12, (k, pd_drv[k], pd_dst[k])
     und = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     l_drv = {
         tuple(r)
@@ -533,6 +560,21 @@ def test_graph_driver_tiers_match_distributed(spark, edges):
         ).collect()
     }
     assert l_drv == l_dst
+    # connected components: driver union-find vs forced-distributed
+    # min-label propagation (r6, closing the four-tier equivalence
+    # suite — cc/pagerank/hits/lpa now share this one harness)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+    )
+
+    c_drv = {tuple(r) for r in connected_components(und).collect()}
+    c_dst = {
+        tuple(r)
+        for r in connected_components(
+            und, small_graph_edges=0, driver_graph_edges=0
+        ).collect()
+    }
+    assert c_drv == c_dst
 
 
 @given(

@@ -724,8 +724,11 @@ def test_char_bpe_wordhist_matches_python_model(spark):
             sum(len(w) for w in ws),
             sum(pieces[w] for w in ws),
         )
-    # fused symbols join with the US byte
-    assert all(SEP not in a or True for _, a, _b, _ in expect)
+    # fused symbols join with the US byte: every multi-char symbol in
+    # the merge table is a SEP-joined fusion, and later rounds do
+    # produce at least one such fused operand on this corpus
+    fused = [s for _, a, b, _ in expect for s in (a, b) if len(s) > 1]
+    assert fused and all(SEP in s for s in fused)
 
 
 def test_char_bpe_weighted_counts_partition_invariant(spark):
