@@ -121,25 +121,42 @@ def learn_wordpiece_vocab(
 ) -> DataFrame:
     """One-row DataFrame ``(vocab)`` — a sorted array of vocabulary
     pieces: every single character in the corpus plus the ``top_k``
-    most frequent length-2/3 substrings (count desc, piece asc)."""
-    words = _words(docs, id_col, text_col)
+    most frequent length-2/3 substrings (count desc, piece asc).
+
+    Counted via the word histogram (r6, the Sennrich reduction the
+    BPE trainer already uses): substring counts over the corpus equal
+    substring counts over DISTINCT words weighted by word frequency,
+    because substrings never cross word boundaries. The corpus is
+    scanned/shuffled once (a map-side-combinable word groupBy); the
+    substring explode then runs over the Zipf-small distinct-word
+    relation instead of per occurrence — at 100 TB the per-occurrence
+    substring explode (≈5 rows/char) was the dominant shuffle of
+    vocab induction, and it is gone. Counts are integers, so the
+    learned vocabulary is bit-identical to the per-occurrence count
+    (pinned by the tok3 oracle and the expression-twin test)."""
+    whist = (
+        _words(docs, id_col, text_col)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
     singles = (
-        words.select(
+        whist.select(
             F.explode(F.expr(_SUBSTR_N.format(n=1))).alias("piece")
         )
         .distinct()
     )
     multi = (
-        words.select(
+        whist.select(
+            "freq",
             F.explode(
                 F.concat(
                     F.expr(_SUBSTR_N.format(n=2)),
                     F.expr(_SUBSTR_N.format(n=3)),
                 )
-            ).alias("piece")
+            ).alias("piece"),
         )
         .groupBy("piece")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("freq").alias("c"))
         .orderBy(F.desc("c"), "piece")
         .limit(top_k)
         .select("piece")
@@ -154,46 +171,95 @@ def learn_wordpiece_vocab(
 def _encode_kernel(sym: DataFrame, vocab: frozenset) -> DataFrame:
     """Map-only whole-document encode over ``(doc_id, arr)``: per-word
     greedy longest-match, doc-level piece count and segmentation
-    fingerprint computed in the same pass. No shuffle."""
+    fingerprint computed in the same pass. No shuffle.
+
+    Vectorized (r6, the bpe factorize playbook): the batch flattens
+    to ONE object array, ``pd.factorize`` dictionary-encodes word
+    occurrences, and the greedy walk runs once per DISTINCT word
+    (cross-batch memo; Zipf keeps the distinct set small). All
+    per-OCCURRENCE work — piece-count sums, fragment gathers, word
+    counts — is numpy (``bincount``/fancy indexing), which removes
+    the per-token Python loop that was the last visible linear
+    Python term in the tokenizer family (200 k-token docs: 2.07 →
+    ~1.2 s in tools/longdoc_bench.py). Per-doc piece sums ride
+    ``bincount`` weights: float64 adds of integers, exact below 2^53
+    (a 2^53-piece document does not exist)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # encode is a pure function of the word — memoize per batch so
-        # the greedy walk runs once per DISTINCT word, not per
-        # occurrence (Zipf: a 100k-token document has far fewer
-        # distinct words than tokens)
+        import numpy as np
+
         memo: dict = {}
-
-        def enc(w: str) -> tuple:
-            hit = memo.get(w)
-            if hit is None:
-                pieces = encode_word(w, vocab)
-                hit = (len(pieces), "".join(" " + p for p in pieces))
-                memo[w] = hit
-            return hit
-
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_words": pd.Series(dtype="int64"),
+                "n_pieces": pd.Series(dtype="int64"),
+                "fp": pd.Series(dtype="object"),
+            }
+        )
         for pdf in batches:
-            ids, nw, np_, fps = [], [], [], []
-            for doc_id, arr in zip(pdf["doc_id"], pdf["arr"]):
-                n_words = 0
-                n_pieces = 0
-                word_fps = []
-                for w in arr:
-                    if len(w) < 1:
-                        continue
-                    n_words += 1
-                    n_p, frag = enc(w)
-                    n_pieces += n_p
-                    word_fps.append(frag)
-                if n_words == 0:
-                    continue  # groupBy twin emits no row for wordless docs
-                ids.append(doc_id)
-                nw.append(n_words)
-                np_.append(n_pieces)
-                fps.append(
-                    hashlib.md5("|".join(word_fps).encode("utf-8")).hexdigest()
+            ndocs = len(pdf)
+            if ndocs == 0:
+                yield empty
+                continue
+            seqs = [np.asarray(a, dtype=object) for a in pdf["arr"]]
+            doclen = np.fromiter(
+                (s.size for s in seqs), dtype=np.int64, count=ndocs
+            )
+            flat = (
+                np.concatenate(seqs)
+                if doclen.sum() > 0
+                else np.empty(0, dtype=object)
+            )
+            doc_of = np.repeat(np.arange(ndocs), doclen)
+            if flat.size:
+                # drop empty words (tokens() of an all-separator text)
+                lens = np.fromiter(
+                    (len(w) for w in flat), dtype=np.int64, count=flat.size
                 )
+                keep = lens > 0
+                if not keep.all():
+                    flat = flat[keep]
+                    doc_of = doc_of[keep]
+            codes, uniq = pd.factorize(flat)
+            n_p = np.empty(len(uniq), dtype=np.int64)
+            frags = np.empty(len(uniq), dtype=object)
+            for i, w in enumerate(uniq):
+                hit = memo.get(w)
+                if hit is None:
+                    pieces = encode_word(w, vocab)
+                    hit = (len(pieces), "".join(" " + p for p in pieces))
+                    memo[w] = hit
+                n_p[i], frags[i] = hit
+            n_words = np.bincount(doc_of, minlength=ndocs)
+            if codes.size:
+                n_pieces = np.bincount(
+                    doc_of,
+                    weights=n_p[codes].astype(np.float64),
+                    minlength=ndocs,
+                ).astype(np.int64)
+                word_fps = frags[codes]
+            else:
+                n_pieces = np.zeros(ndocs, dtype=np.int64)
+                word_fps = np.empty(0, dtype=object)
+            offs = np.concatenate(([0], np.cumsum(n_words)))
+            sel = np.flatnonzero(n_words > 0)
+            if sel.size == 0:
+                yield empty  # groupBy twin emits no row for wordless docs
+                continue
+            fps = [
+                hashlib.md5(
+                    "|".join(word_fps[offs[d] : offs[d + 1]]).encode("utf-8")
+                ).hexdigest()
+                for d in sel
+            ]
             yield pd.DataFrame(
-                {"doc_id": ids, "n_words": nw, "n_pieces": np_, "fp": fps}
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[sel],
+                    "n_words": n_words[sel],
+                    "n_pieces": n_pieces[sel],
+                    "fp": fps,
+                }
             )
 
     return sym.mapInPandas(
