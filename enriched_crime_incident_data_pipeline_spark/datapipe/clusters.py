@@ -317,7 +317,11 @@ def dedup_drop_list(
     The keeper argmax is ``max_by`` on a (size, -id) struct — a
     map-side-combinable aggregation, not a per-cluster sort window —
     so one shuffle on the cluster id at any scale; the keeper table
-    (one row per cluster) broadcasts back onto the members."""
+    (one row per cluster) broadcasts back onto the MEMBERS relation
+    (r6: onto ``members``, not the sized join — sizes are only needed
+    for the argmax, and joining back onto ``sized`` re-executed the
+    ``doc_sizes`` scan a second time; corpus_build3's kdocs cut paid
+    a full extra corpus-blocks pass for columns it never read)."""
     sized = members.join(doc_sizes, node_col)
     keepers = sized.groupBy(cluster_col).agg(
         F.max_by(
@@ -326,7 +330,7 @@ def dedup_drop_list(
         ).alias("keeper_id")
     )
     return (
-        sized.join(F.broadcast(keepers), cluster_col)
+        members.join(F.broadcast(keepers), cluster_col)
         .filter(F.col(node_col) != F.col("keeper_id"))
         .select(
             F.col(node_col).alias("doc_id"), cluster_col, "keeper_id"

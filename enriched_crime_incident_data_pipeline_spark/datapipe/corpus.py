@@ -57,6 +57,7 @@ def pack_assignments(
     n_buckets: int = PACK_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    size_col: str | None = None,
 ) -> DataFrame:
     """Assign each document its global token ``start_offset`` and
     ``pack_id`` under concat-and-chunk packing in ``id_col`` order.
@@ -71,10 +72,19 @@ def pack_assignments(
     (``floor(id·n_buckets/(max_id+1))``, not physical partition ids),
     so the result is independent of physical partitioning and
     deterministic across runs and engines.
+
+    ``size_col`` (r6): a caller that already carries per-document
+    token counts (a corpus materialization with an ``n_tokens``
+    column, or segment-dedup arithmetic) names the column here and
+    the packing never touches — or even requires — the text column,
+    so document text needn't flow into the prefix-sum plan at all.
     """
-    t = docs.select(
-        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    sz = (
+        F.col(size_col).cast("bigint")
+        if size_col is not None
+        else token_count(F.col(text_col)).cast("bigint")
     )
+    t = docs.select(F.col(id_col), sz.alias("n_tokens"))
     bounds = t.agg(F.max(id_col).alias("_max_id"))
     b = t.crossJoin(F.broadcast(bounds)).withColumn(
         "_bucket",

@@ -176,6 +176,88 @@ def minhash_sigs(
     )
 
 
+def with_minhash_cols(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """APPEND ``mh0..mh{n-1}`` minhash-signature columns to ``docs``,
+    preserving every existing column — the fusion primitive for
+    pipeline materializations that want signatures computed in the
+    same pass as other per-row artifacts (corpus_build3's silver cut
+    computes sigs + token count + segment hashes in ONE scan instead
+    of three). Same bits as :func:`minhash_sigs`: the shingle-hash
+    array is staged in its own projection so the 16 ``array_min``s
+    share one computation of it, not sixteen."""
+    xs = F.transform(
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)),
+        lambda s: hash32(s),
+    )
+    staged = docs.select("*", xs.alias("_xs"))
+
+    def perm(j: int):
+        return lambda x: (
+            F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])
+        ) % MINHASH_PRIME
+
+    return staged.select(
+        *[c for c in docs.columns],
+        *[
+            F.array_min(F.transform(F.col("_xs"), perm(j))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ],
+    )
+
+
+def bands_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """The banding half of :func:`minhash_bands`, public for relations
+    that already carry ``mh0..mh{n-1}`` columns (a materialized
+    signature table, or :func:`with_minhash_cols` output)."""
+    return _banded(sigs, id_col, num_hashes, band_size)
+
+
+def with_segment_hash_array(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    out_col: str = "seg_hashes",
+) -> DataFrame:
+    """APPEND a ``array<binary>`` column of the document's consecutive
+    ``seg_tokens``-token segment hashes (md5 as 16-byte binary, index
+    = position), preserving every existing column. Element ``i``
+    equals :func:`doc_segments`' ``seg_hash`` at ``seg_idx = i``;
+    empty/punctuation-only docs (which doc_segments drops) get an
+    EMPTY array, so ``posexplode(out_col)`` reproduces doc_segments'
+    ``(id, seg_idx, seg_hash)`` rows exactly. Fusion primitive: a
+    pipeline that materializes its corpus once can carry segment
+    identity as a column and skip doc_segments' re-tokenize+hash
+    pass downstream."""
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    ts = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(ts) / F.lit(float(seg_tokens))).cast("int")
+    arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.unhex(
+            F.md5(F.concat_ws(" ", F.slice(ts, i * seg_tokens + 1, seg_tokens)))
+        ),
+    )
+    return docs.select(
+        "*",
+        F.when(normalize_text(F.col(text_col)) != "", arr)
+        .otherwise(F.array().cast("array<binary>"))
+        .alias(out_col),
+    )
+
+
 def minhash_bands_grouped(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3035,44 +3035,115 @@ def q_corpus_build3(spark, sf_dir):
     # cdocs is referenced by three downstream consumers (band index,
     # size table, anti-join) — materialize it once so the plan tree
     # stays linear in stage count, not exponential in reference count.
+    # r6 fusion (the r5 verdict's top item): the SAME materialization
+    # pass also computes every per-row artifact the dedup stages need
+    # — the 16-hash minhash signature (mh0..mh15), the token count,
+    # and the 10-token segment-hash array — so the band index, the
+    # keeper size table, and the segment pass all read COLUMNS of the
+    # checkpointed relation instead of re-tokenizing/re-hashing the
+    # text in three separate scans. At 100 TB those were three full
+    # corpus re-reads; now the text is tokenized once for artifacts
+    # (here) and once more only in the rebuild slice.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        bands_from_sigs,
+        keep_first_segment,
+        with_minhash_cols,
+        with_segment_hash_array,
+    )
+
     cdocs = (
-        with_contamination_flag(
-            sdocs.filter(F.col("doc_id") % 50 != 0),
-            eval_docs,
-            n=8,
-            eval_grams=egrams,
+        with_segment_hash_array(
+            with_minhash_cols(
+                with_contamination_flag(
+                    sdocs.filter(F.col("doc_id") % 50 != 0),
+                    eval_docs,
+                    n=8,
+                    eval_grams=egrams,
+                )
+                .filter(F.col("contaminated") == 0)
+                .select(
+                    "doc_id",
+                    "source",
+                    "text",
+                    token_count(F.col("text")).alias("n_tokens"),
+                )
+            ),
+            seg_tokens=10,
         )
-        .filter(F.col("contaminated") == 0)
-        .select("doc_id", "source", "text")
         .localCheckpoint(eager=True)
     )
-    # 5. near-dup keeper drop over the scrubbed survivors
-    members = connected_components(lsh_candidate_pairs(minhash_bands(cdocs)))
-    sizes = cdocs.select(
-        F.col("doc_id").alias("node"),
-        token_count(F.col("text")).alias("n_tokens"),
+    # 5. near-dup keeper drop over the scrubbed survivors — banding
+    # reads the precomputed signature columns (no shingle hashing in
+    # the candidate join's lineage, which also makes the CC driver
+    # tier's sizing take cheap to re-enter)
+    members = connected_components(
+        lsh_candidate_pairs(bands_from_sigs(cdocs))
     )
+    sizes = cdocs.select(F.col("doc_id").alias("node"), "n_tokens")
     drops = dedup_drop_list(members, sizes).select("doc_id")
     # stage boundary (r5): kdocs feeds BOTH the segment pass/rebuild
     # and the source join-back below — one cut here replaces
     # segment_dedup's internal pin AND stops the drop-list anti-join
     # from executing twice (once per consumer)
-    # lazy: segment_dedup's first pass scans kdocs in full, so the
-    # blocks materialize inside that job (one barrier saved)
+    # lazy: the segment pass's keeper aggregation scans kdocs in
+    # full, so the blocks materialize inside that job (one barrier
+    # saved)
     kdocs = cdocs.join(drops, "doc_id", "left_anti").localCheckpoint(
         eager=False
     )
-    # 6. corpus-wide segment dedup (10-token segments, keep-first);
-    # `source` rides the rebuild join via carry_cols (r5) so the old
-    # surv = seg ⋈ kdocs join-back is gone. Cut here: the deduped
-    # corpus feeds the mixture quotas, the ranked sample, the pack
-    # token counts, and the final join-back.
+    # 6. corpus-wide segment dedup (10-token segments, keep-first),
+    # composed from segment_dedup's own halves: the segment relation
+    # is a posexplode of the PRECOMPUTED hash array (bit-identical to
+    # doc_segments — empty docs carry an empty array and emit no
+    # rows) and the keeper rule is the shared keep_first_segment.
+    # NO TEXT REBUILD (r6): nothing downstream reads deduped text —
+    # mixture_sample consumes (doc_id, source) and packing consumes
+    # token counts — so rebuilding, materializing, and re-tokenizing
+    # the deduped corpus existed only to COUNT its tokens. That count
+    # is exact arithmetic over the kept indices: every segment is 10
+    # tokens except the last (n_tokens − 10·(n_segs−1)), so per doc
+    # it's 10·(kept full segs) + (last length if the max kept index
+    # is the last — indices are distinct, so only the max can be it).
+    # Manual column pruning through the rebuild: the query output is
+    # bit-identical (pinned by the unchanged oracle), and at 100 TB
+    # the silver→gold pass stops carrying document text entirely. A
+    # consumer that needs the text itself uses segment_dedup's
+    # rebuild_winners (still the dd11 operator).
+    # Cut at surv: tiny (id, source, two ints) rows feed the mixture
+    # quotas, the ranked sample, the pack sizes, and the final join.
     # lazy: mixture_sample's quota broadcast-build aggregates every
     # surv partition before the rank stage runs, so the first job
     # through `sampled` materializes these blocks too
-    surv = segment_dedup(
-        kdocs, seg_tokens=10, pinned=True, carry_cols=["source"]
-    ).localCheckpoint(eager=False)
+    segs = kdocs.select(
+        "doc_id", F.posexplode("seg_hashes").alias("seg_idx", "seg_hash")
+    )
+    stats = (
+        keep_first_segment(segs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.max("seg_idx").alias("_mx"),
+        )
+    )
+    n_segs = F.floor((F.col("n_tokens") + F.lit(9)) / F.lit(10)).cast("int")
+    has_last = (F.col("_mx") == n_segs - F.lit(1)).cast("bigint")
+    last_len = (
+        F.col("n_tokens").cast("bigint")
+        - F.lit(10) * (n_segs - F.lit(1)).cast("bigint")
+    )
+    surv = (
+        stats.join(kdocs.select("doc_id", "source", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_kept",
+            (
+                F.lit(10) * (F.col("n_kept").cast("bigint") - has_last)
+                + has_last * last_len
+            ).alias("kept_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
     # 7. mixture sample to the target composition over the survivors;
     # the sample id-list feeds packing, sharding, and the final join —
     # materialize it once (it is ids+source only): without the cut the
@@ -3089,9 +3160,10 @@ def q_corpus_build3(spark, sf_dir):
     sampled = mixture_sample(surv, MIXTURE_TARGETS_BP).localCheckpoint(
         eager=False
     )
-    sdocs2 = sampled.join(surv.select("doc_id", "deduped_text"), "doc_id")
-    # 8. packing offsets over the sampled corpus (two-phase prefix sum)
-    packed = pack_assignments(sdocs2, text_col="deduped_text")
+    sdocs2 = sampled.join(surv.select("doc_id", "kept_tokens"), "doc_id")
+    # 8. packing offsets over the sampled corpus (two-phase prefix
+    # sum over the precomputed kept-token sizes — no text column)
+    packed = pack_assignments(sdocs2, size_col="kept_tokens")
     # 9. deterministic shard shuffle of the final examples
     shards = shuffle_shards(sampled)
     return (
