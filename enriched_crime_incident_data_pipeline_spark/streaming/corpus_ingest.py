@@ -90,32 +90,39 @@ def corpus_ingest_batch(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)
-        new_bands = minhash_bands(batch_df).localCheckpoint(eager=True)
+        # ALL per-batch cuts are LAZY (r6, the r5 lazy-cut rule): each
+        # relation's FIRST consumer scans it in full, so its blocks
+        # materialize inside an action the batch pays anyway, and the
+        # 4 dedicated checkpoint barriers per micro-batch disappear —
+        # the batch runs 4 jobs (bounds probe + 3 state writes), not
+        # 8. Block-ownership order: the bounds .first() materializes
+        # batch_df; the band-state write materializes new_bands (so
+        # the pairs union's TWO reads of it hit blocks, not lineage);
+        # the segment-state write runs the whole pairs→anti-join→
+        # keeper chain and owns kept_docs + kept_segs; the corpus
+        # write then reads all three as blocks.
+        # the id-bounds ride the batch's FIRST job as observe()
+        # metrics (r6) instead of a dedicated min/max aggregation job
+        # — one fewer barrier per micro-batch; the out-of-order check
+        # moves to right after the band-state write (the first
+        # action), which un-writes its own state before raising, so
+        # the corpus/segment state a failed batch leaves behind is
+        # unchanged and consumers never see the bad batch.
+        from pyspark.sql import Observation
+
+        batch_df = batch_df.localCheckpoint(eager=False)
+        new_bands = minhash_bands(batch_df).localCheckpoint(eager=False)
+        # the observation attaches DOWNSTREAM of the lazy checkpoint,
+        # on the relation the band-state write scans (a lazy
+        # localCheckpoint call emits an empty metrics event, so
+        # observing upstream of it yields None bounds — measured).
+        # Every doc emits one band row per band, so min/max doc_id
+        # over the band table equals min/max over the batch.
+        obs = Observation(f"corpus_ingest_bounds_{batch_id}")
+        bands_out = new_bands.observe(
+            obs, F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        )
         bands_path = _p(state_dir, _BANDS)
-        # keep-earliest assumes id-ordered arrival (docs arrive
-        # chronologically, ids assigned monotonically). An
-        # out-of-order batch would need to retract an already-appended
-        # doc — fail loudly instead of silently producing a different
-        # corpus than the batch twin. The watermark is a one-line
-        # driver-side file, not a scan of the growing index.
-        bounds = batch_df.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).first()
-        wm_path = _p(state_dir, "_id_watermark")
-        if bounds["lo"] is not None and os.path.exists(wm_path):
-            with open(wm_path) as fh:
-                wm = json.load(fh)
-            # a REPLAY of this same batch (crash after the watermark
-            # write, before the stream checkpoint committed) is legal
-            # — the per-batch overwrite below makes it idempotent;
-            # only a genuinely different, earlier-id batch is an error
-            if wm["batch_id"] != batch_id and bounds["lo"] <= wm["hi"]:
-                raise ValueError(
-                    f"out-of-order ingest: batch {batch_id} min doc_id "
-                    f"{bounds['lo']} <= already-indexed max {wm['hi']}; "
-                    "keep-earliest dedup requires id-ordered batches"
-                )
         if os.path.exists(bands_path):
             # the index excludes this batch's own (possibly partial)
             # earlier attempt — state reads must not see replay debris
@@ -130,7 +137,7 @@ def corpus_ingest_batch(
         dropped = pairs.select(F.col("b").alias("doc_id")).distinct()
         kept_docs = batch_df.join(
             dropped, "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # segment text is projected away right after the map-side md5:
         # the seen-state anti-join and the keeper aggregate move only
         # (seg_hash, encoded id·2²¹+idx) — text re-enters via the
@@ -145,11 +152,43 @@ def corpus_ingest_batch(
                 F.col("batch") != batch_id
             ).drop("batch")
             segs = segs.join(seen, "seg_hash", "left_anti")
-        kept_segs = keep_first_segment(segs).localCheckpoint(eager=True)
+        kept_segs = keep_first_segment(segs).localCheckpoint(eager=False)
         rebuilt = rebuild_winners(kept_segs, kept_docs, seg_tokens)
-        new_bands.write.mode("overwrite").parquet(
+        bands_out.write.mode("overwrite").parquet(
             _batch_p(state_dir, _BANDS, batch_id)
         )
+        # keep-earliest assumes id-ordered arrival (docs arrive
+        # chronologically, ids assigned monotonically). An
+        # out-of-order batch would need to retract an already-appended
+        # doc — fail loudly instead of silently producing a different
+        # corpus than the batch twin. The watermark is a one-line
+        # driver-side file, not a scan of the growing index; the
+        # bounds come from the observe() metrics of the band write
+        # (the batch's first job), so the check costs no job.
+        bounds = obs.get
+        wm_path = _p(state_dir, "_id_watermark")
+        if bounds["lo"] is not None and os.path.exists(wm_path):
+            with open(wm_path) as fh:
+                wm = json.load(fh)
+            # a REPLAY of this same batch (crash after the watermark
+            # write, before the stream checkpoint committed) is legal
+            # — the per-batch overwrite makes it idempotent; only a
+            # genuinely different, earlier-id batch is an error
+            if wm["batch_id"] != batch_id and bounds["lo"] <= wm["hi"]:
+                # un-write this batch's band state before failing so
+                # the rejected batch leaves NO trace (segment/corpus
+                # state was never written — the raise precedes them)
+                import shutil
+
+                shutil.rmtree(
+                    _batch_p(state_dir, _BANDS, batch_id),
+                    ignore_errors=True,
+                )
+                raise ValueError(
+                    f"out-of-order ingest: batch {batch_id} min doc_id "
+                    f"{bounds['lo']} <= already-indexed max {wm['hi']}; "
+                    "keep-earliest dedup requires id-ordered batches"
+                )
         kept_segs.select("seg_hash").write.mode("overwrite").parquet(
             _batch_p(state_dir, _SEGS, batch_id)
         )
@@ -174,7 +213,7 @@ def run_corpus_ingest_stream(
     schema,
     state_dir: str,
     seg_tokens: int = 10,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Run an AvailableNow documents stream from ``docs_dir`` (one
     micro-batch per file, in file-timestamp order) through
