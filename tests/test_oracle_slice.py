@@ -118,3 +118,69 @@ def duck_sf01():
 @pytest.mark.parametrize("name", _heavy_slice_names())
 def test_oracle_slice_sf01(spark, duck_sf01, name):
     _check_one(spark, duck_sf01, name, SF01_DIR)
+
+
+# ---- sf1 heavy-NUMERIC slice (round-6, r5 verdict item 6) ----
+# Overflow and float-accumulation divergence shows up with scale that
+# even sf0.1 doesn't reach. A rotating 6-query slice of the heaviest
+# NUMERIC operators (sketches, tokenizers, graph counts, EWMA,
+# prefix-sum packing) runs against a DuckDB oracle at sf1 — the
+# derived 10×-sf0.1 dataset (tools/make_sf1.py, deterministic, no
+# RNG), generated once into /tmp and reused across runs. Runtime is
+# bounded: 6 queries ≈ 1.5–2.5 min including the one-time derivation.
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SLICE_SF1 = 6
+SF1_POOL = [
+    "sk8_heavy_hitters",
+    "dd17_cdc_segments",
+    "tok5_bpe_char_merges",
+    "gr4_triangles",
+    "ts6_ewma",
+    "tp14_domain_upsample",
+    "sk7_quantile_sketch",
+    "tok7_fertility_audit",
+    "dd1_exact_dedup",
+    "tp1_pack",
+]
+# deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
+# unrolled-HITS DuckDB oracle over the sf1 banding is itself the
+# cost) and wa3_range_frame (43 s oracle window) — their sf1 behavior
+# is covered by SCALING.md sweeps; this slice stays ≤ ~2 min.
+
+
+def _sf1_slice_names() -> list[str]:
+    names = [n for n in SF1_POOL if n in entry_mod.queries()]
+    k = (_round_index() * SLICE_SF1) % len(names)
+    rotated = names[k:] + names[:k]
+    return rotated[:SLICE_SF1]
+
+
+@pytest.fixture(scope="module")
+def duck_sf1():
+    import duckdb
+
+    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+        # one-time derivation (~30 s); reused by later runs and by
+        # tools/scaling_sweep.py
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(_REPO, "tools", "make_sf1.py"),
+             SF1_DIR],
+            check=True,
+            capture_output=True,
+        )
+    con = duckdb.connect()
+    for t in selfcheck.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.oracle_slice
+@pytest.mark.parametrize("name", _sf1_slice_names())
+def test_oracle_slice_sf1(spark, duck_sf1, name):
+    _check_one(spark, duck_sf1, name, SF1_DIR)
