@@ -1,0 +1,774 @@
+"""General SQL analytics: sorts/limits, pivot/rollup/cube, set ops, window analytics (wa*), stats, histograms, JSON/map/array ops.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.functions.text import STOPWORDS
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _SQL1,
+    _STOPWORD_SETS,
+    _TOKEN_COUNT,
+    _dec,
+)
+
+
+
+
+# ---------------------------------------------------------------------------
+# engine capabilities beyond the reference's operator set (OLAP core)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_sort_limit(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_pivot(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "error", "purchase", "signup"]
+    out = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def q_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    # exact linear-interpolation percentiles (global sort per group is
+    # confined to each group's values; both engines interpolate on the
+    # exact sorted doubles, so results are bit-equal)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    # EXCEPT / INTERSECT / UNION ALL over key sets
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey"))
+    without = building.subtract(buyers).withColumn(
+        "status", F.lit("no_orders")
+    )
+    with_orders = building.intersect(buyers).withColumn(
+        "status", F.lit("has_orders")
+    )
+    return without.unionByName(with_orders)
+
+
+def q_set_ops_all(spark, sf_dir):
+    # multiset set-algebra (bag semantics): EXCEPT ALL keeps surplus
+    # multiplicities, INTERSECT ALL keeps min(multiplicity) — the
+    # variant `set_ops`' distinct forms can't express.  Spark plans
+    # both as counted aggregates + generate, never a row-pair join.
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderpriority")
+    y97 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderpriority")
+    surplus = y96.exceptAll(y97).withColumn("bag", F.lit("surplus_96"))
+    common = y96.intersectAll(y97).withColumn("bag", F.lit("common"))
+    return surplus.unionByName(common)
+
+
+def q_json_extract(spark, sf_dir):
+    # JSON path extraction from the events props column
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("_k").alias("n_k"),
+            F.sum("_k").cast("bigint").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+def q_inc_agg_merge(spark, sf_dir):
+    # incremental aggregation: three disjoint arrival batches folded
+    # through algebraic state == full-history recompute (exactly)
+    from enriched_crime_incident_data_pipeline_spark.operators.incremental import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    states = [
+        agg_state(li.filter(F.col("l_orderkey") % 3 == i), "l_returnflag", "l_quantity")
+        for i in range(3)
+    ]
+    return finalize_agg(merge_agg_states(states, "l_returnflag"))
+
+
+def q_ol1_zscore_outliers(spark, sf_dir):
+    # per-group z-score outliers from decimal-exact moments — one agg
+    # pass, broadcast the tiny per-group stats back onto the rows
+    from enriched_crime_incident_data_pipeline_spark.functions.stats import (
+        dec2,
+        mean_from_moments,
+        moments,
+        var_from_moments,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    m = moments(F.col("value"))
+    stats = ev.groupBy("event_type").agg(
+        m["n"].alias("_n"), m["s"].alias("_s"), m["ss"].alias("_ss")
+    )
+    stats = stats.select(
+        "event_type",
+        mean_from_moments(F.col("_n"), F.col("_s")).alias("_mean"),
+        F.sqrt(var_from_moments(F.col("_n"), F.col("_s"), F.col("_ss"))).alias("_sd"),
+    )
+    z = (dec2(F.col("value")).cast("double") - F.col("_mean")) / F.col("_sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("_sd") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+def q_hist1_totalprice(spark, sf_dir):
+    # fixed-width histogram binning: pure map + one groupBy
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(20000.0)).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_sql1_sql_api(spark, sf_dir):
+    # the engine's SQL surface: temp views + spark.sql — the same
+    # ANSI text runs unchanged on the oracle engine
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SQL1)
+
+
+def q_wa1_lead_lag(spark, sf_dir):
+    # day-over-day revenue delta; the lag window partitions by year so
+    # no stage orders more than one year of daily aggregates on a
+    # single partition (the daily rollup is already
+    # bounded-cardinality)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev_dec"))
+    w = Window.partitionBy("yr").orderBy("day")
+    prev = F.lag("rev_dec").over(w)
+    return daily.select(
+        "yr",
+        "day",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        (F.col("rev_dec") - prev).cast("double").alias("delta"),
+    )
+
+
+def q_wa2_rolling(spark, sf_dir):
+    # 7-row trailing frame over per-day order counts (ROWS BETWEEN);
+    # the explicit sum/count division keeps the mean an exact
+    # int-ratio on both engines
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("yr").orderBy("day").rowsBetween(-6, 0)
+    roll_sum = F.sum("n_orders").over(w)
+    roll_cnt = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "yr",
+        "day",
+        F.col("n_orders").cast("int").alias("n_orders"),
+        roll_sum.cast("int").alias("roll7_orders"),
+        (roll_sum.cast("double") / roll_cnt.cast("double")).alias("roll7_avg"),
+    )
+
+
+def q_wa3_range_frame(spark, sf_dir):
+    # per-customer trailing-90-day spend: RANGE frame over an integer
+    # day number — value-based frames include all peers, so ties on
+    # the order date are handled identically in both engines
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("dayn"),
+        _dec("o_totalprice").alias("price_dec"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dayn").rangeBetween(-90, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_90d"),
+        F.sum("price_dec").over(w).cast("double").alias("spend_90d"),
+    )
+
+
+def q_wa8_dist_functions(spark, sf_dir):
+    # distribution analytics: percent_rank / cume_dist over the
+    # per-segment balance order — both are exact ratios of integer
+    # rank counts ((r-1)/(n-1), n_le/n), bit-identical cross-engine.
+    # Partitioned by segment: no global single-partition window.
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def q_wa4_ntile(spark, sf_dir):
+    # account-balance quartiles per market segment; deterministic
+    # tie-break by custkey
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+def q_wa5_grouping_sets(spark, sf_dir):
+    # explicit GROUPING SETS (finer than cube/rollup) with grouping()
+    # markers distinguishing NULL-as-subtotal from NULL data
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+def q_wa6_unpivot(spark, sf_dir):
+    # wide→long melt of part measures (Spark `unpivot`); values cast
+    # to a common double type as unpivot requires
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+def q_agg1_ordered_listagg(spark, sf_dir):
+    # ordered string aggregation: collect → sort → join makes the
+    # result order-deterministic regardless of partitioning (raw
+    # collect_list order is partition-dependent and never exposed)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.year("o_orderdate").cast("int"))),
+            ",",
+        ).alias("active_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_arr1_token_sets(spark, sf_dir):
+    # array set algebra over token arrays: distinct size, stopword
+    # intersection, union with a literal vocabulary
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_distinct"),
+        F.size(F.array_intersect(toks, sw)).alias("n_stop"),
+        F.size(F.array_union(toks, sw)).alias("n_union"),
+        F.size(F.array_except(toks, sw)).alias("n_content"),
+    )
+
+
+def q_udf1_pandas_parity(spark, sf_dir):
+    # the UDF-safety contract: an Arrow-batched Pandas UDF whose
+    # result is bit-identical to the JVM expression twin (and to the
+    # DuckDB oracle) — proves Python stages can swap in without a
+    # correctness diff
+    from enriched_crime_incident_data_pipeline_spark.functions.udfs import (
+        token_count_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_udf(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_udtf2_word_offsets(spark, sf_dir):
+    # the table-function extensibility surface (Spark 4 Python UDTF):
+    # one doc row → one row per word with running char offset; output
+    # pinned equal to the relational twin (explode + running-sum
+    # window) — UDTFs are the escape hatch, built-ins the hot path
+    from enriched_crime_incident_data_pipeline_spark.functions.tablefns import (
+        register_word_offsets,
+    )
+
+    register_word_offsets(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 100).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.idx, s.word, s.char_offset
+        FROM _udtf_docs, LATERAL word_offsets(text) s
+        """
+    )
+
+
+def q_map1_props_map(spark, sf_dir):
+    # JSON props as a typed map column: from_json → explode entries →
+    # per-(key, value) aggregation
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    pairs = ev.select(F.explode(m).alias("key", "value"))
+    return pairs.groupBy("key", "value").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )
+
+
+def q_wa7_semi_join(spark, sf_dir):
+    # left-semi: orders with at least one returned lineitem — the
+    # EXISTS shape; semi-join never duplicates the left side
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return orders.join(
+        returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+
+
+def q_hist2_equidepth(spark, sf_dir):
+    # equi-depth (decile) histogram WITHOUT a global sort: exact
+    # percentile boundaries (1 row) broadcast back; bucket assignment
+    # is a map-only fold over the boundary array
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")
+    )
+    joined = li.select("l_extendedprice").crossJoin(F.broadcast(bounds))
+    bucket = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(F.col("l_extendedprice") > x, 1).otherwise(0),
+    )
+    return (
+        joined.select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+QUERIES = {
+    "topk_per_group": q_topk_per_group,
+    "sort_limit": q_sort_limit,
+    "pivot": q_pivot,
+    "rollup": q_rollup,
+    "cube": q_cube,
+    "percentiles": q_percentiles,
+    "set_ops": q_set_ops,
+    "set_ops_all": q_set_ops_all,
+    "hist2_equidepth": q_hist2_equidepth,
+    "json_extract": q_json_extract,
+    "inc_agg_merge": q_inc_agg_merge,
+    "sql1_sql_api": q_sql1_sql_api,
+    "ol1_zscore_outliers": q_ol1_zscore_outliers,
+    "hist1_totalprice": q_hist1_totalprice,
+    "wa1_lead_lag": q_wa1_lead_lag,
+    "wa2_rolling": q_wa2_rolling,
+    "wa3_range_frame": q_wa3_range_frame,
+    "wa4_ntile": q_wa4_ntile,
+    "wa8_dist_functions": q_wa8_dist_functions,
+    "wa5_grouping_sets": q_wa5_grouping_sets,
+    "wa6_unpivot": q_wa6_unpivot,
+    "wa7_semi_join": q_wa7_semi_join,
+    "udf1_pandas_parity": q_udf1_pandas_parity,
+    "udtf2_word_offsets": q_udtf2_word_offsets,
+    "agg1_ordered_listagg": q_agg1_ordered_listagg,
+    "arr1_token_sets": q_arr1_token_sets,
+    "map1_props_map": q_map1_props_map,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "topk_per_group": """
+                    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+                    FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                      FROM orders
+                    ) WHERE rn <= 3
+                """,
+        "sort_limit": """
+                    SELECT o_orderkey, o_totalprice FROM orders
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+                """,
+        "pivot": """
+                    SELECT CAST(ts AS DATE) AS day,
+                           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
+                    FROM events GROUP BY 1
+                """,
+        "rollup": """
+                    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+                    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+                """,
+        "cube": """
+                    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                             AS sum_qty
+                    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+                """,
+        "percentiles": """
+                    SELECT l_returnflag,
+                           quantile_cont(l_extendedprice, 0.5) AS p50,
+                           quantile_cont(l_extendedprice, 0.95) AS p95
+                    FROM lineitem GROUP BY l_returnflag
+                """,
+        "set_ops": """
+                    SELECT c_custkey, 'no_orders' AS status FROM (
+                      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                      EXCEPT SELECT o_custkey FROM orders
+                    )
+                    UNION ALL
+                    SELECT c_custkey, 'has_orders' AS status FROM (
+                      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                      INTERSECT SELECT o_custkey FROM orders
+                    )
+                """,
+        "hist2_equidepth": """
+                    WITH bounds AS (
+                      SELECT quantile_cont(l_extendedprice,
+                               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                      FROM lineitem
+                    )
+                    SELECT len(list_filter(bs, x -> l_extendedprice > x))
+                             AS bucket,
+                           count(*) AS n,
+                           min(l_extendedprice) AS lo,
+                           max(l_extendedprice) AS hi
+                    FROM lineitem CROSS JOIN bounds
+                    GROUP BY 1
+                """,
+        "set_ops_all": """
+                    WITH y96 AS (
+                      SELECT o_orderpriority FROM orders
+                      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                        AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+                    ),
+                    y97 AS (
+                      SELECT o_orderpriority FROM orders
+                      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+                        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                    )
+                    SELECT o_orderpriority, 'surplus_96' AS bag
+                    FROM (SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97)
+                    UNION ALL
+                    SELECT o_orderpriority, 'common' AS bag
+                    FROM (SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97)
+                """,
+        "json_extract": """
+                    SELECT event_type,
+                           count(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                             AS n_k,
+                           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                                AS BIGINT) AS sum_k,
+                           max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                             AS max_k
+                    FROM events GROUP BY event_type
+                """,
+        "sql1_sql_api": _SQL1,
+        "ol1_zscore_outliers": """
+                    WITH stats AS (
+                      SELECT event_type,
+                             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                               AS mean,
+                             sqrt(greatest(
+                               CAST(sum(CAST(value AS DECIMAL(18,2))
+                                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                 / count(*)
+                               - (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                  / count(*))
+                                 * (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                    / count(*)),
+                               0.0)) AS sd
+                      FROM events GROUP BY event_type
+                    )
+                    SELECT event_id, e.event_type, value,
+                           (CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sd AS z
+                    FROM events e JOIN stats s ON e.event_type = s.event_type
+                    WHERE sd > 0
+                      AND abs((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sd)
+                          > 2.5
+                """,
+        "hist1_totalprice": """
+                    SELECT CAST(floor(o_totalprice / 20000.0) AS INTEGER) AS bucket,
+                           count(*) AS n
+                    FROM orders GROUP BY 1
+                """,
+        "inc_agg_merge": """
+                    SELECT l_returnflag, count(*) AS n,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                             AS sum_value,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                             / count(*) AS avg_value,
+                           min(l_quantity) AS min_value, max(l_quantity) AS max_value
+                    FROM lineitem GROUP BY l_returnflag
+                """,
+        "wa1_lead_lag": """
+                    WITH daily AS (
+                      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                             CAST(o_orderdate AS DATE) AS day,
+                             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                      FROM orders GROUP BY 1, 2
+                    )
+                    SELECT yr, day, CAST(rev AS DOUBLE) AS revenue,
+                           CAST(lag(rev) OVER w AS DOUBLE) AS prev_revenue,
+                           CAST(rev - lag(rev) OVER w AS DOUBLE) AS delta
+                    FROM daily WINDOW w AS (PARTITION BY yr ORDER BY day)
+                """,
+        "wa2_rolling": """
+                    WITH daily AS (
+                      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                             CAST(o_orderdate AS DATE) AS day,
+                             count(*) AS n_orders
+                      FROM orders GROUP BY 1, 2
+                    )
+                    SELECT yr, day, CAST(n_orders AS INTEGER) AS n_orders,
+                           CAST(sum(n_orders) OVER w AS INTEGER) AS roll7_orders,
+                           CAST(sum(n_orders) OVER w AS DOUBLE)
+                             / CAST(count(*) OVER w AS DOUBLE) AS roll7_avg
+                    FROM daily
+                    WINDOW w AS (PARTITION BY yr ORDER BY day
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                """,
+        "wa3_range_frame": """
+                    WITH o AS (
+                      SELECT o_orderkey, o_custkey,
+                             CAST(o_orderdate AS DATE) AS day,
+                             date_diff('day', DATE '1992-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dayn,
+                             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+                      FROM orders
+                    )
+                    SELECT o_orderkey, o_custkey, day,
+                           CAST(count(*) OVER w AS INTEGER) AS n_90d,
+                           CAST(sum(price) OVER w AS DOUBLE) AS spend_90d
+                    FROM o
+                    WINDOW w AS (PARTITION BY o_custkey ORDER BY dayn
+                                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+                """,
+        "wa4_ntile": """
+                    SELECT c_custkey, c_mktsegment,
+                           CAST(c_acctbal AS DOUBLE) AS acctbal,
+                           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                               ORDER BY c_acctbal DESC, c_custkey)
+                                AS INTEGER) AS quartile
+                    FROM customer
+                """,
+        "wa8_dist_functions": """
+                    SELECT c_custkey, c_mktsegment,
+                           percent_rank() OVER (PARTITION BY c_mktsegment
+                                                ORDER BY c_acctbal DESC, c_custkey)
+                             AS pct_rank,
+                           cume_dist() OVER (PARTITION BY c_mktsegment
+                                             ORDER BY c_acctbal DESC, c_custkey)
+                             AS cume
+                    FROM customer
+                """,
+        "wa5_grouping_sets": """
+                    SELECT l_returnflag, l_linestatus,
+                           CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+                           CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                             AS sum_qty,
+                           count(*) AS n_rows
+                    FROM lineitem
+                    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                            (l_returnflag), ())
+                """,
+        "wa6_unpivot": """
+                    SELECT p_partkey, 'p_retailprice' AS measure,
+                           CAST(p_retailprice AS DOUBLE) AS value FROM part
+                    UNION ALL
+                    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+                """,
+        "wa7_semi_join": """
+                    SELECT o_orderkey, o_orderpriority,
+                           CAST(o_totalprice AS DOUBLE) AS totalprice
+                    FROM orders o
+                    WHERE EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey
+                                    AND l.l_returnflag = 'R')
+                """,
+        "agg1_ordered_listagg": """
+                    WITH y AS (
+                      SELECT DISTINCT o_orderpriority,
+                             CAST(year(o_orderdate) AS INTEGER) AS yr
+                      FROM orders
+                    ),
+                    n AS (SELECT o_orderpriority, count(*) AS n_orders
+                          FROM orders GROUP BY 1)
+                    SELECT y.o_orderpriority,
+                           string_agg(CAST(yr AS VARCHAR), ',' ORDER BY yr)
+                             AS active_years,
+                           any_value(n.n_orders) AS n_orders
+                    FROM y JOIN n ON y.o_orderpriority = n.o_orderpriority
+                    GROUP BY y.o_orderpriority
+                """,
+        "arr1_token_sets": f"""
+                    WITH t AS (
+                      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents
+                    )
+                    SELECT doc_id,
+                           CAST(len(toks) AS INTEGER) AS n_distinct,
+                           CAST(len(list_filter(toks,
+                                x -> list_contains({_STOPWORD_SETS['en']}, x)))
+                             AS INTEGER) AS n_stop,
+                           CAST(len(list_distinct(list_concat(toks,
+                                {_STOPWORD_SETS['en']}))) AS INTEGER) AS n_union,
+                           CAST(len(list_filter(toks,
+                                x -> NOT list_contains({_STOPWORD_SETS['en']}, x)))
+                             AS INTEGER) AS n_content
+                    FROM t
+                """,
+        "udf1_pandas_parity": f"""
+                    SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents
+                """,
+        "udtf2_word_offsets": """
+                    WITH ex AS (
+                      SELECT doc_id,
+                             generate_subscripts(parts, 1) - 1 AS idx,
+                             unnest(parts) AS word
+                      FROM (
+                        SELECT doc_id, string_split(text, ' ') AS parts
+                        FROM documents WHERE doc_id < 100
+                      )
+                    )
+                    SELECT doc_id, CAST(idx AS INT) AS idx, word,
+                           CAST(coalesce(sum(length(word) + 1) OVER (
+                             PARTITION BY doc_id ORDER BY idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                           ), 0) AS INT) AS char_offset
+                    FROM ex
+                """,
+        "map1_props_map": """
+                    WITH pairs AS (
+                      SELECT unnest(json_keys(props)) AS key, props FROM events
+                    ),
+                    kv AS (
+                      SELECT key,
+                             CAST(json_extract_string(props, '$.' || key) AS INTEGER)
+                               AS value
+                      FROM pairs
+                    )
+                    SELECT key, value, CAST(count(*) AS INTEGER) AS n
+                    FROM kv GROUP BY key, value
+                """,
+    }

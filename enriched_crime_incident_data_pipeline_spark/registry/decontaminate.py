@@ -1,0 +1,315 @@
+"""Decontamination family (dc*): n-gram/semantic/cross-snapshot/Bloom, in-row flags, span scrubs.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import hash32, lsh_candidate_pairs, minhash_bands
+from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import cross_snapshot_new_docs, ngram_contamination
+from enriched_crime_incident_data_pipeline_spark.functions.text import doc_fingerprint, tokens
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _DC7_BLOOM_SQL,
+    _HASH32,
+    _MINHASH_BANDS_SQL,
+    _NORM,
+    _TOKENS,
+)
+
+
+
+
+def q_dc5_semantic_decontaminate(spark, sf_dir):
+    # embedding-space decontamination: the paraphrase-robust
+    # complement of dc1's n-gram probe — eval vectors broadcast,
+    # train side scores map-only, threshold shared with dd6
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(emb, eval_mod=50, threshold=0.4)
+
+
+def q_dc3_leakage_safe_split(spark, sf_dir):
+    # leakage-safe train/eval split: assign whole NEAR-DUP CLUSTERS
+    # (LSH pairs → connected components; singletons are their own
+    # cluster) to a split by cluster-id hash, so no near-duplicate
+    # pair ever straddles train/eval — the eval-contamination failure
+    # a doc-level random split cannot prevent
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = dup_clusters(docs, lsh_candidate_pairs(minhash_bands(docs)))
+    split = F.when(
+        F.pmod(
+            hash32(
+                F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+            ),
+            F.lit(10),
+        )
+        < 9,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return cl.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def q_dc1_contamination(spark, sf_dir):
+    # train/eval 8-gram decontamination: eval set = every 50th doc;
+    # eval-gram set broadcast, corpus never self-joins
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(train, eval_docs, n=8)
+
+
+def q_dc6_flag_in_row(spark, sf_dir):
+    # in-row decontamination flag (r5): the corpus-build FILTER shape —
+    # the eval 8-gram set rides as a broadcast frozenset probed by an
+    # Arrow kernel over each row's own grams (O(1) per gram,
+    # early-exit per row); no per-gram explode, no groupBy shuffle, no
+    # report join-back, so a build's scrub→decontaminate chain stays
+    # one linear map stage. Truth value ≡ dc1's `contaminated`.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        with_contamination_flag,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source", "text"
+    )
+    return with_contamination_flag(train, eval_docs, n=8).select(
+        "doc_id", "source", "contaminated"
+    )
+
+
+def q_dc8_scrub_spans(spark, sf_dir):
+    # surgical decontamination (r5): remove ONLY the tokens covered by
+    # an eval-colliding 8-gram and keep the rest of the document — the
+    # graduated policy for high-value long docs (vs dc1+filter, which
+    # drops the whole doc for one quoted benchmark item). Map-only
+    # frozenset kernel building a coverage mask, O(d) per doc.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        scrub_contaminated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    return scrub_contaminated_spans(train, eval_docs, n=8)
+
+
+def q_dc7_bloom_decontaminate(spark, sf_dir):
+    # Bloom-filter decontamination (r5): the production structure for
+    # blocklists too large to broadcast exactly — m bits regardless of
+    # eval size. The filter rides as ONE packed array<long> bitset
+    # (array element_at is O(1) positional access, the JVM answer to
+    # the map-column linear-scan trap); probes are map-only k-md5
+    # column expressions, no Python, no explode, no shuffle. md5
+    # basis ⇒ even the false positives are engine-deterministic and
+    # oracle-checked.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        bloom_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    return bloom_decontaminate(train, eval_docs, n=8)
+
+
+def q_dc4_overlap_fraction(spark, sf_dir):
+    # fractional contamination (GPT-3/PaLM-style): share of each
+    # training doc's distinct 8-grams found in the eval set — the
+    # graduated-policy companion to dc1's boolean flag
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        ngram_overlap_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_overlap_fraction(train, eval_docs, n=8)
+
+
+def q_dc2_cross_snapshot(spark, sf_dir):
+    # incremental-corpus dedup: new snapshot (doc_id >= 250) anti-joined
+    # against the previous snapshot's content fingerprints
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.withColumn("fingerprint", doc_fingerprint(F.col("text")))
+    old = with_fp.filter(F.col("doc_id") < 250)
+    new = with_fp.filter(F.col("doc_id") >= 250)
+    kept = cross_snapshot_new_docs(new, old, "fingerprint")
+    return kept.select("doc_id", "fingerprint")
+
+QUERIES = {
+    "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
+    "dc5_semantic_decontaminate": q_dc5_semantic_decontaminate,
+    "dc1_contamination": q_dc1_contamination,
+    "dc6_flag_in_row": q_dc6_flag_in_row,
+    "dc7_bloom_decontaminate": q_dc7_bloom_decontaminate,
+    "dc8_scrub_spans": q_dc8_scrub_spans,
+    "dc2_cross_snapshot": q_dc2_cross_snapshot,
+    "dc4_overlap_fraction": q_dc4_overlap_fraction,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "dc5_semantic_decontaminate": """
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    t AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+                    ev AS (SELECT vec_id AS eid, v AS evv FROM e
+                           WHERE vec_id % 50 = 0),
+                    scored AS (
+                      SELECT t.vec_id,
+                             list_dot_product(t.v, ev.evv)
+                               / (sqrt(list_dot_product(t.v, t.v))
+                                  * sqrt(list_dot_product(ev.evv, ev.evv))) AS cos
+                      FROM t, ev
+                    )
+                    SELECT vec_id, CAST(count(*) AS INTEGER) AS n_eval_hits,
+                           max(cos) AS max_cos
+                    FROM scored WHERE cos >= 0.4 GROUP BY vec_id
+                """,
+        "dc3_leakage_safe_split": f"""
+                    WITH RECURSIVE pairs AS (
+                      WITH bands AS ({_MINHASH_BANDS_SQL})
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+                    ),
+                    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+                    cl AS (
+                      SELECT d.doc_id,
+                             coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+                      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+                    )
+                    SELECT doc_id, cluster_id,
+                           CASE WHEN {_HASH32.format(
+                               x="'split:' || CAST(cluster_id AS VARCHAR)")} % 10 < 9
+                                THEN 'train' ELSE 'eval' END AS split
+                    FROM cl
+                """,
+        "dc1_contamination": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    g AS (
+                      SELECT DISTINCT doc_id,
+                             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+                      FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                               AS t(i)
+                    ),
+                    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+                    shared AS (
+                      SELECT g.doc_id, count(*) AS n_shared
+                      FROM g JOIN ev USING (gram)
+                      WHERE g.doc_id % 50 <> 0
+                      GROUP BY g.doc_id
+                    )
+                    SELECT d.doc_id,
+                           CAST(coalesce(s.n_shared, 0) AS INTEGER) AS n_shared,
+                           CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END
+                                AS INTEGER) AS contaminated
+                    FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+                    WHERE d.doc_id % 50 <> 0
+                """,
+        "dc6_flag_in_row": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    g AS (
+                      SELECT DISTINCT doc_id,
+                             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+                      FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                               AS t(i)
+                    ),
+                    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+                    hit AS (
+                      SELECT DISTINCT g.doc_id
+                      FROM g JOIN ev USING (gram)
+                      WHERE g.doc_id % 50 <> 0
+                    )
+                    SELECT d.doc_id, d.source,
+                           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                                AS INTEGER) AS contaminated
+                    FROM documents d LEFT JOIN hit h USING (doc_id)
+                    WHERE d.doc_id % 50 <> 0
+                """,
+        "dc8_scrub_spans": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    gp AS (
+                      SELECT doc_id, i,
+                             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+                      FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                               AS t(i)
+                    ),
+                    ev AS (SELECT DISTINCT gram FROM gp WHERE doc_id % 50 = 0),
+                    hitpos AS (
+                      SELECT gp.doc_id, gp.i FROM gp JOIN ev USING (gram)
+                      WHERE gp.doc_id % 50 <> 0
+                    ),
+                    covered AS (
+                      SELECT DISTINCT doc_id, c.j
+                      FROM hitpos, LATERAL (
+                        SELECT unnest(generate_series(i, i + 7)) AS j
+                      ) c
+                    ),
+                    tok_rows AS (
+                      SELECT doc_id, t.j, toks[t.j] AS tok
+                      FROM w, unnest(generate_series(1, len(toks))) AS t(j)
+                      WHERE doc_id % 50 <> 0
+                    )
+                    SELECT tr.doc_id,
+                           CAST(count(*) AS INTEGER) AS n_tokens,
+                           CAST(sum(CASE WHEN c.j IS NULL THEN 0 ELSE 1 END)
+                                AS INTEGER) AS n_masked,
+                           coalesce(string_agg(tok, ' ' ORDER BY tr.j)
+                                    FILTER (WHERE c.j IS NULL), '') AS scrubbed_text
+                    FROM tok_rows tr
+                    LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.j = c.j
+                    GROUP BY tr.doc_id
+                """,
+        "dc7_bloom_decontaminate": _DC7_BLOOM_SQL,
+        "dc4_overlap_fraction": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    g AS (
+                      SELECT DISTINCT doc_id,
+                             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+                      FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                               AS t(i)
+                    ),
+                    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+                    SELECT g.doc_id,
+                           CAST(count(*) AS INTEGER) AS n_grams,
+                           CAST(count(ev.gram) AS INTEGER) AS n_shared,
+                           CAST(count(ev.gram) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE) AS overlap_frac
+                    FROM g LEFT JOIN ev USING (gram)
+                    WHERE g.doc_id % 50 <> 0
+                    GROUP BY g.doc_id
+                """,
+        "dc2_cross_snapshot": f"""
+                    WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint
+                                FROM documents)
+                    SELECT doc_id, fingerprint FROM fp
+                    WHERE doc_id >= 250
+                      AND fingerprint NOT IN
+                          (SELECT fingerprint FROM fp WHERE doc_id < 250)
+                """,
+    }

@@ -1,0 +1,882 @@
+"""Deduplication family (dd*): exact, MinHash/LSH, SimHash, n-gram Jaccard, embedding near-dup, segment/CDC/intra-doc dedup.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (embedding_near_dup_pairs, exact_duplicate_groups, lsh_candidate_pairs, minhash_bands, ngram_jaccard_pairs, simhash_signatures)
+from enriched_crime_incident_data_pipeline_spark.functions.text import token_count, tokens
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _COS,
+    _HASH32,
+    _MINHASH_BANDS_SQL,
+    _MINHASH_TERMS,
+    _NORM,
+    _SHINGLES3,
+    _SIMHASH_BITS,
+    _SIMHASH_SUM_TERMS,
+    _TOKENS,
+    _TOKEN_COUNT,
+)
+
+
+
+
+# ---------------------------------------------------------------------------
+# datapipe: dedup / text analysis / similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_dd1_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs)
+
+
+def q_dd2_minhash_bands(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # internal band_hash is 16-byte binary (shuffle-lean); re-encode
+    # as the md5 hex string at the output boundary for the oracle
+    return minhash_bands(docs).withColumn(
+        "band_hash", F.lower(F.hex(F.col("band_hash")))
+    )
+
+
+def q_dd3_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_bands(docs))
+
+
+def q_dd4_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+def q_dd5_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, top_k=20)
+
+
+def q_dd5b_ngram_capped(spark, sf_dir):
+    # df-capped variant: shingles with document frequency > 50 are
+    # pruned before the self-join — the 100 TB skew guard (a stop-word
+    # shingle is one hot key with quadratic fan-out). Denominators
+    # still count all shingles, but the intersection counts only
+    # surviving shingles, so a surviving pair's jaccard is a lower
+    # bound on the unpruned value (exact only when the pair shared no
+    # pruned shingle).
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, top_k=20, max_df=50)
+
+
+def q_dd19_lsh_verified(spark, sf_dir):
+    # the canonical MinHash pipeline ENDING: banded LSH proposes
+    # candidate pairs (recall set, never all-pairs), exact shingle
+    # Jaccard verifies ONLY those — the shingle self-join is
+    # restricted to docs appearing in some candidate pair (left-semi
+    # prune), and the pair relation filters to the candidate list
+    # (broadcast inner join), so the expensive exact intersection
+    # touches candidates ∪ their docs, not the corpus².
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        lsh_candidate_pairs(minhash_bands(docs))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(ids, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(pruned)
+    return (
+        pairs.join(F.broadcast(cand), ["a", "b"])
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "intersect_size", "union_size", "jaccard")
+    )
+
+
+def q_dd6_embed_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def q_dd7_embed_blocked(spark, sf_dir):
+    # IVF-blocked variant: intra-cluster pairs only (the 100 TB path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3, block_clusters=16)
+
+
+
+def q_dd14_semdedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): IVF-cluster the embedding space,
+    # take intra-cluster pairs with cosine >= 0.3 (the dd7 blocked
+    # pair generator — never a full-corpus product), connected-
+    # components the pair graph, keep the lowest-id representative
+    # per semantic-duplicate group, and emit the drop list
+    # (vec_id, rep_id) a corpus prune deletes.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, block_clusters=16)
+    cl = dup_clusters(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs.select("a", "b"),
+        id_col="doc_id",
+    )
+    return cl.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("rep_id"),
+    )
+
+
+def q_dd8_simhash_pairs(spark, sf_dir):
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+
+def q_dd15_containment(spark, sf_dir):
+    # asymmetric near-dup: shingle containment |A∩B|/|A| — catches a
+    # short doc quoted inside a long one (containment 1.0, Jaccard
+    # tiny); same single shingle-hash equi-join plan as dd5
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, min_containment=0.5)
+
+
+
+def q_dd16_minhash_estimate(spark, sf_dir):
+    # the LSH report card: for every candidate pair, the MinHash
+    # Jaccard ESTIMATE (fraction of agreeing minima — exact int
+    # ratio) next to the true shingle Jaccard. Signatures map-only;
+    # the only joins are the band bucket join and two broadcast
+    # signature lookups.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        minhash_sigs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    sigs = minhash_sigs(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(16)],
+    )
+    n_match = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(16)
+    )
+    est = pairs.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b").select(
+        "a", "b",
+        n_match.alias("n_match"),
+        (n_match.cast("double") / F.lit(16.0)).alias("est_jaccard"),
+    )
+    true_j = ngram_jaccard_pairs(docs).select("a", "b", "jaccard")
+    return est.join(true_j, ["a", "b"], "left").select(
+        "a", "b", "n_match", "est_jaccard",
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def q_dd9_dup_clusters(spark, sf_dir):
+    # the dedup endgame: LSH candidate pairs → connected components →
+    # one canonical doc per cluster (iterative min-label propagation)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    return dup_clusters(docs, pairs)
+
+
+def q_dd10_dedup_keeper(spark, sf_dir):
+    # corpus-clean drop-list: LSH pairs → connected components →
+    # keep-longest keeper per cluster, emit the rows to delete
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+        dedup_drop_list,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    members = connected_components(pairs).withColumnRenamed("node", "node")
+    sizes = docs.select(
+        F.col("doc_id").alias("node"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return dedup_drop_list(members, sizes)
+
+
+def q_dd11_segment_dedup(spark, sf_dir):
+    # corpus-wide exact segment dedup (C4-style line dedup at
+    # 10-token granularity): later occurrences of any segment drop,
+    # docs rebuilt from survivors in order
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        segment_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=10)
+
+
+def q_dd18_intradoc_dedup(spark, sf_dir):
+    # WITHIN-doc segment dedup (C4's boilerplate strip): first
+    # occurrence of each 10-token segment inside its own document —
+    # no corpus-wide state at all, one Arrow map hop, runs BEFORE the
+    # corpus passes so their shuffles see already-shrunk text.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        intradoc_segment_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return intradoc_segment_dedup(docs, seg_tokens=10)
+
+
+def q_dd17_cdc_segments(spark, sf_dir):
+    # content-defined segment dedup (r5): boundaries fall where the
+    # rolling 8-token window hash ≡ 0 mod 16 (FastCDC/LBFS applied at
+    # token granularity), so an edit near a doc's head re-synchronizes
+    # within ~8 tokens and the shared tail still dedups — the
+    # shift-robust companion to dd11's fixed windows. Segment text
+    # never shuffles (hash-only keeper, min-struct agg, re-slice
+    # rebuild).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        cdc_segment_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_segment_dedup(docs, window=8, divisor=16)
+
+
+def q_dd12_incremental_lsh(spark, sf_dir):
+    # incremental index maintenance: new docs (doc_id % 5 == 0) probe
+    # the standing band index — work ∝ |new| × bucket hit rate, never
+    # |corpus|²; output = full-corpus pairs restricted to new docs
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    old_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_lsh_pairs(
+        minhash_bands(new_docs), minhash_bands(old_docs)
+    )
+
+
+def q_dd13_repeated_spans(spark, sf_dir):
+    # exact-substring dedup stats (Lee et al. 2022 move): stride-1
+    # 10-token windows → corpus-wide occurrence count (one uniform
+    # md5-key shuffle) → per-doc gaps-and-islands merge into maximal
+    # duplicated spans; no self-join anywhere
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        repeated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, win_tokens=10, min_count=2)
+
+
+def q_dd13b_repeated_spans_sampled(spark, sf_dir):
+    # winnowed variant of dd13 (round-4 scale item): only each
+    # 8-window argmin enters the corpus-wide count shuffle (~22% of
+    # the rows), deterministic coverage — every duplicated region
+    # >= 31 tokens is detected; argmin carries hash||offset in one
+    # 61-bit key so selection needs no join-back
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        repeated_spans_sampled,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans_sampled(docs, win_tokens=10, winnow_w=8)
+
+QUERIES = {
+    "dd1_exact_dedup": q_dd1_exact_dedup,
+    "dd2_minhash_bands": q_dd2_minhash_bands,
+    "dd3_lsh_pairs": q_dd3_lsh_pairs,
+    "dd4_simhash": q_dd4_simhash,
+    "dd5_ngram_jaccard": q_dd5_ngram_jaccard,
+    "dd15_containment": q_dd15_containment,
+    "dd16_minhash_estimate": q_dd16_minhash_estimate,
+    "dd5b_ngram_capped": q_dd5b_ngram_capped,
+    "dd10_dedup_keeper": q_dd10_dedup_keeper,
+    "dd11_segment_dedup": q_dd11_segment_dedup,
+    "dd17_cdc_segments": q_dd17_cdc_segments,
+    "dd18_intradoc_dedup": q_dd18_intradoc_dedup,
+    "dd19_lsh_verified": q_dd19_lsh_verified,
+    "dd12_incremental_lsh": q_dd12_incremental_lsh,
+    "dd13_repeated_spans": q_dd13_repeated_spans,
+    "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,
+    "dd6_embed_cosine": q_dd6_embed_cosine,
+    "dd7_embed_blocked": q_dd7_embed_blocked,
+    "dd14_semdedup": q_dd14_semdedup,
+    "dd8_simhash_pairs": q_dd8_simhash_pairs,
+    "dd9_dup_clusters": q_dd9_dup_clusters,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "dd6_embed_cosine": f"""
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+                    SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id
+                    WHERE {_COS} >= 0.4
+                """,
+        "dd7_embed_blocked": f"""
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 16),
+                    assign AS (
+                      SELECT vec_id, cid AS cluster FROM (
+                        SELECT a.vec_id, cent.cid,
+                          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                            list_dot_product(a.v, cent.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(cent.v, cent.v))) DESC,
+                            cent.cid) AS rn
+                        FROM e a, cent
+                      ) WHERE rn = 1
+                    )
+                    SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine
+                    FROM e a
+                    JOIN assign ca ON a.vec_id = ca.vec_id
+                    JOIN assign cb ON cb.cluster = ca.cluster
+                    JOIN e b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+                    WHERE {_COS} >= 0.3
+                """,
+        "dd14_semdedup": f"""
+                    WITH RECURSIVE e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 16),
+                    assign AS (
+                      SELECT vec_id, cid AS cluster FROM (
+                        SELECT a.vec_id, cent.cid,
+                          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                            list_dot_product(a.v, cent.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(cent.v, cent.v))) DESC,
+                            cent.cid) AS rn
+                        FROM e a, cent
+                      ) WHERE rn = 1
+                    ),
+                    pairs AS (
+                      SELECT a.vec_id AS a, b.vec_id AS b
+                      FROM e a
+                      JOIN assign ca ON a.vec_id = ca.vec_id
+                      JOIN assign cb ON cb.cluster = ca.cluster
+                      JOIN e b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+                      WHERE {_COS} >= 0.3
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e2.a AS node, r.label
+                      FROM edges e2 JOIN reach r ON r.node = e2.b
+                    ),
+                    cc AS (
+                      SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+                    )
+                    SELECT node AS vec_id, cluster_id AS rep_id
+                    FROM cc WHERE cluster_id <> node
+                """,
+        "dd1_exact_dedup": f"""
+                    SELECT md5({_NORM}) AS fingerprint,
+                           min(doc_id) AS keep_id, count(*) AS group_size
+                    FROM documents GROUP BY 1
+                """,
+        "dd2_minhash_bands": _MINHASH_BANDS_SQL,
+        "dd3_lsh_pairs": f"""
+                    WITH bands AS ({_MINHASH_BANDS_SQL})
+                    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                    FROM bands l JOIN bands r
+                      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                    WHERE l.doc_id < r.doc_id
+                """,
+        "dd4_simhash": f"""
+                    WITH tok AS (
+                      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+                    ),
+                    hx AS (
+                      SELECT doc_id,
+                             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+                             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+                      FROM tok
+                    ),
+                    sums AS (
+                      SELECT doc_id,
+        {_SIMHASH_SUM_TERMS}
+                      FROM hx GROUP BY doc_id
+                    )
+                    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM sums
+                """,
+        "dd8_simhash_pairs": f"""
+                    WITH tok AS (
+                      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+                    ),
+                    hx AS (
+                      SELECT doc_id,
+                             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+                             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+                      FROM tok
+                    ),
+                    sums AS (
+                      SELECT doc_id,
+        {_SIMHASH_SUM_TERMS}
+                      FROM hx GROUP BY doc_id
+                    ),
+                    sig AS (
+                      SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+                      FROM sums
+                    ),
+                    bands AS (
+                      SELECT doc_id, simhash, b.band_idx,
+                             (simhash >> (16 * b.band_idx)) & 65535 AS band_val
+                      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+                    ),
+                    cand AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                             l.simhash AS sa, r.simhash AS sb
+                      FROM bands l JOIN bands r
+                        ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+                      WHERE l.doc_id < r.doc_id
+                    )
+                    SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+                    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+                """,
+        "dd16_minhash_estimate": f"""
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    pairs AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    sh AS ({_SHINGLES3}),
+                    hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+                    sig AS (
+                      SELECT doc_id,
+        {_MINHASH_TERMS}
+                      FROM hx GROUP BY doc_id
+                    ),
+                    est AS (
+                      SELECT p.a, p.b,
+                             ({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(16))})
+                               AS n_match
+                      FROM pairs p
+                      JOIN sig sa ON sa.doc_id = p.a
+                      JOIN sig sb ON sb.doc_id = p.b
+                    ),
+                    sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+                    inter AS (
+                      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+                      FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+                      GROUP BY 1, 2
+                    )
+                    SELECT e.a, e.b, CAST(e.n_match AS INTEGER) AS n_match,
+                           CAST(e.n_match AS DOUBLE) / 16.0 AS est_jaccard,
+                           coalesce(CAST(i.i AS DOUBLE)
+                                    / (sa.n + sb.n - i.i), 0.0) AS jaccard
+                    FROM est e
+                    JOIN sizes sa ON e.a = sa.doc_id
+                    JOIN sizes sb ON e.b = sb.doc_id
+                    LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+                """,
+        "dd15_containment": f"""
+                    WITH sh AS ({_SHINGLES3}),
+                    hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+                    sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+                    inter AS (
+                      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
+                      FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+                      GROUP BY 1, 2
+                    )
+                    SELECT a, b, intersect_size,
+                           CAST(intersect_size AS DOUBLE)
+                             / CAST(sa.n AS DOUBLE) AS containment_a,
+                           CAST(intersect_size AS DOUBLE)
+                             / CAST(sb.n AS DOUBLE) AS containment_b
+                    FROM inter
+                    JOIN sizes sa ON inter.a = sa.doc_id
+                    JOIN sizes sb ON inter.b = sb.doc_id
+                    WHERE CAST(intersect_size AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
+                       OR CAST(intersect_size AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
+                """,
+        "dd19_lsh_verified": f"""
+                    WITH bands AS ({_MINHASH_BANDS_SQL}),
+                    e AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    ids AS (SELECT a AS doc_id FROM e
+                            UNION SELECT b AS doc_id FROM e),
+                    sh AS ({_SHINGLES3}),
+                    hx AS (
+                      SELECT sh.doc_id, {_HASH32.format(x='shingle')} AS x
+                      FROM sh JOIN ids USING (doc_id)
+                    ),
+                    sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+                    inter AS (
+                      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
+                      FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+                      GROUP BY 1, 2
+                    )
+                    SELECT i.a, i.b, i.intersect_size,
+                           sa.n + sb.n - i.intersect_size AS union_size,
+                           CAST(i.intersect_size AS DOUBLE)
+                             / (sa.n + sb.n - i.intersect_size) AS jaccard
+                    FROM inter i
+                    JOIN e ON e.a = i.a AND e.b = i.b
+                    JOIN sizes sa ON i.a = sa.doc_id
+                    JOIN sizes sb ON i.b = sb.doc_id
+                    WHERE CAST(i.intersect_size AS DOUBLE)
+                            / (sa.n + sb.n - i.intersect_size) >= 0.5
+                """,
+        "dd5_ngram_jaccard": f"""
+                    WITH sh AS ({_SHINGLES3}),
+                    hx AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+                    sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+                    inter AS (
+                      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
+                      FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+                      GROUP BY 1, 2
+                    )
+                    SELECT a, b, intersect_size,
+                           sa.n + sb.n - intersect_size AS union_size,
+                           CAST(intersect_size AS DOUBLE)
+                             / (sa.n + sb.n - intersect_size) AS jaccard
+                    FROM inter
+                    JOIN sizes sa ON inter.a = sa.doc_id
+                    JOIN sizes sb ON inter.b = sb.doc_id
+                    ORDER BY jaccard DESC, a, b LIMIT 20
+                """,
+        "dd5b_ngram_capped": f"""
+                    WITH sh AS ({_SHINGLES3}),
+                    hx0 AS (SELECT doc_id, {_HASH32.format(x='shingle')} AS x FROM sh),
+                    freq AS (SELECT x, count(*) AS df FROM hx0 GROUP BY x),
+                    hx AS (
+                      SELECT hx0.doc_id, hx0.x
+                      FROM hx0 JOIN freq ON hx0.x = freq.x
+                      WHERE freq.df <= 50
+                    ),
+                    sizes AS (SELECT doc_id, count(*) AS n FROM hx0 GROUP BY doc_id),
+                    inter AS (
+                      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS intersect_size
+                      FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+                      GROUP BY 1, 2
+                    )
+                    SELECT a, b, intersect_size,
+                           sa.n + sb.n - intersect_size AS union_size,
+                           CAST(intersect_size AS DOUBLE)
+                             / (sa.n + sb.n - intersect_size) AS jaccard
+                    FROM inter
+                    JOIN sizes sa ON inter.a = sa.doc_id
+                    JOIN sizes sb ON inter.b = sb.doc_id
+                    ORDER BY jaccard DESC, a, b LIMIT 20
+                """,
+        "dd9_dup_clusters": f"""
+                    WITH RECURSIVE pairs AS (
+                      WITH bands AS ({_MINHASH_BANDS_SQL})
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+                    ),
+                    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+                    SELECT d.doc_id,
+                           coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                           coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+                    FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+                """,
+        "dd10_dedup_keeper": f"""
+                    WITH RECURSIVE pairs AS (
+                      WITH bands AS ({_MINHASH_BANDS_SQL})
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+                    ),
+                    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+                    tc AS (SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents),
+                    sized AS (
+                      SELECT cc.node, cc.cluster_id, tc.n_tokens
+                      FROM cc JOIN tc ON cc.node = tc.doc_id
+                    ),
+                    keep AS (
+                      SELECT cluster_id, node AS keeper_id FROM (
+                        SELECT cluster_id, node,
+                               row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_tokens DESC, node) AS rn
+                        FROM sized
+                      ) WHERE rn = 1
+                    )
+                    SELECT s.node AS doc_id, s.cluster_id, k.keeper_id
+                    FROM sized s JOIN keep k USING (cluster_id)
+                    WHERE s.node <> k.keeper_id
+                """,
+        "dd12_incremental_lsh": f"""
+                    WITH bands AS ({_MINHASH_BANDS_SQL}),
+                    nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+                    ob AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+                    cross_pairs AS (
+                      SELECT least(n.doc_id, o.doc_id) AS a,
+                             greatest(n.doc_id, o.doc_id) AS b
+                      FROM nb n JOIN ob o
+                        ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+                      WHERE n.doc_id <> o.doc_id
+                    ),
+                    self_pairs AS (
+                      SELECT l.doc_id AS a, r.doc_id AS b
+                      FROM nb l JOIN nb r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    )
+                    SELECT DISTINCT a, b FROM (
+                      SELECT a, b FROM cross_pairs
+                      UNION ALL SELECT a, b FROM self_pairs
+                    )
+                """,
+        "dd13_repeated_spans": f"""
+                    WITH toks AS (
+                      SELECT doc_id, {_TOKENS} AS ts FROM documents
+                      WHERE {_NORM} <> ''
+                    ),
+                    win AS (
+                      SELECT doc_id, CAST(g.i AS BIGINT) AS off,
+                             md5(array_to_string(
+                               list_slice(ts, CAST(g.i + 1 AS INTEGER),
+                                          CAST(g.i + 10 AS INTEGER)), ' ')) AS h
+                      FROM toks, LATERAL (
+                        SELECT unnest(range(CAST(len(ts) - 10 + 1 AS BIGINT))) AS i
+                      ) g
+                      WHERE len(ts) >= 10
+                    ),
+                    dup AS (
+                      SELECT doc_id, off FROM (
+                        SELECT doc_id, off, count(*) OVER (PARTITION BY h) AS c
+                        FROM win
+                      ) WHERE c >= 2
+                    ),
+                    isl AS (
+                      SELECT doc_id, off,
+                             sum(CASE WHEN prev IS NULL OR off - prev > 10
+                                      THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY off) AS island
+                      FROM (
+                        SELECT doc_id, off,
+                               lag(off) OVER (PARTITION BY doc_id
+                                              ORDER BY off) AS prev
+                        FROM dup
+                      )
+                    ),
+                    spans AS (
+                      SELECT doc_id, island, min(off) AS s, max(off) + 9 AS e
+                      FROM isl GROUP BY doc_id, island
+                    )
+                    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+                           CAST(sum(e - s + 1) AS INTEGER) AS dup_tokens,
+                           CAST(max(e - s + 1) AS INTEGER) AS longest_span
+                    FROM spans GROUP BY doc_id
+                """,
+        "dd13b_repeated_spans_sampled": f"""
+                    WITH toks AS (
+                      SELECT doc_id, {_TOKENS} AS ts FROM documents
+                      WHERE {_NORM} <> ''
+                    ),
+                    win AS (
+                      SELECT doc_id, CAST(g.i AS BIGINT) AS off,
+                             ('0x' || substr(md5(array_to_string(
+                               list_slice(ts, CAST(g.i + 1 AS INTEGER),
+                                          CAST(g.i + 10 AS INTEGER)), ' ')),
+                               1, 10))::BIGINT * 2097152 + CAST(g.i AS BIGINT)
+                               AS comb
+                      FROM toks, LATERAL (
+                        SELECT unnest(range(CAST(len(ts) - 10 + 1 AS BIGINT))) AS i
+                      ) g
+                      WHERE len(ts) >= 10 AND len(ts) < 2097152
+                    ),
+                    m AS (
+                      SELECT doc_id,
+                             min(comb) OVER (PARTITION BY doc_id ORDER BY off
+                                             ROWS BETWEEN CURRENT ROW
+                                             AND 7 FOLLOWING) AS m
+                      FROM win
+                    ),
+                    sel AS (
+                      SELECT DISTINCT doc_id, m FROM m
+                    ),
+                    dec AS (
+                      SELECT doc_id, m % 2097152 AS off, m // 2097152 AS h
+                      FROM sel
+                    ),
+                    dup AS (
+                      SELECT doc_id, off FROM (
+                        SELECT doc_id, off, count(*) OVER (PARTITION BY h) AS c
+                        FROM dec
+                      ) WHERE c >= 2
+                    ),
+                    isl AS (
+                      SELECT doc_id, off,
+                             sum(CASE WHEN prev IS NULL OR off - prev > 17
+                                      THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY off) AS island
+                      FROM (
+                        SELECT doc_id, off,
+                               lag(off) OVER (PARTITION BY doc_id
+                                              ORDER BY off) AS prev
+                        FROM dup
+                      )
+                    ),
+                    spans AS (
+                      SELECT doc_id, island, min(off) AS s, max(off) + 9 AS e
+                      FROM isl GROUP BY doc_id, island
+                    )
+                    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+                           CAST(sum(e - s + 1) AS INTEGER) AS dup_tokens,
+                           CAST(max(e - s + 1) AS INTEGER) AS longest_span
+                    FROM spans GROUP BY doc_id
+                """,
+        "dd18_intradoc_dedup": f"""
+                    WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+                    seg AS (
+                      SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+                             array_to_string(
+                               list_slice(ts, CAST(g.i * 10 + 1 AS INTEGER),
+                                          CAST(g.i * 10 + 10 AS INTEGER)), ' ') AS seg
+                      FROM toks, LATERAL (
+                        SELECT unnest(range(CAST(ceil(greatest(len(ts), 1) / 10.0)
+                                                 AS BIGINT))) AS i
+                      ) g
+                    ),
+                    flagged AS (
+                      SELECT doc_id, seg_idx, seg,
+                             row_number() OVER (PARTITION BY doc_id, md5(seg)
+                                                ORDER BY seg_idx) AS rn
+                      FROM seg
+                    )
+                    SELECT doc_id,
+                           CAST(count(*) AS INTEGER) AS n_segs,
+                           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER)
+                             AS n_kept,
+                           string_agg(seg, ' ' ORDER BY seg_idx)
+                             FILTER (WHERE rn = 1) AS deduped_text
+                    FROM flagged GROUP BY doc_id
+                """,
+        "dd17_cdc_segments": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    b AS (
+                      SELECT doc_id, toks,
+                             CASE WHEN len(toks) <= 8 THEN []::BIGINT[] ELSE
+                               list_filter(generate_series(8, len(toks) - 1),
+                                 i -> ('0x' || substr(md5(array_to_string(
+                                         list_slice(toks, i - 7, i), ' ')), 1, 8)
+                                      )::BIGINT % 16 = 0)
+                             END AS bpos
+                      FROM w
+                    ),
+                    sp AS (
+                      SELECT doc_id, toks,
+                             list_prepend(1, list_transform(bpos, x -> x + 1))
+                               AS starts,
+                             list_append(bpos, len(toks)) AS ends
+                      FROM b
+                    ),
+                    segrows AS (
+                      SELECT doc_id, k,
+                             array_to_string(
+                               list_slice(toks, starts[k], ends[k]), ' ') AS seg
+                      FROM sp, unnest(generate_series(1, len(starts))) AS s(k)
+                    ),
+                    keep AS (
+                      SELECT doc_id, k, seg FROM (
+                        SELECT doc_id, k, seg,
+                               row_number() OVER (PARTITION BY md5(seg)
+                                                  ORDER BY doc_id, k) AS rn
+                        FROM segrows) WHERE rn = 1
+                    ),
+                    agg AS (
+                      SELECT doc_id, count(*) AS n_kept,
+                             string_agg(seg, ' ' ORDER BY k) AS deduped_text
+                      FROM keep GROUP BY doc_id
+                    )
+                    SELECT sp.doc_id,
+                           CAST(len(sp.starts) AS INTEGER) AS n_segs,
+                           CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+                           coalesce(a.deduped_text, '') AS deduped_text
+                    FROM sp LEFT JOIN agg a USING (doc_id)
+                """,
+        "dd11_segment_dedup": f"""
+                    WITH toks AS (
+                      SELECT doc_id, {_TOKENS} AS ts FROM documents
+                      WHERE {_NORM} <> ''
+                    ),
+                    seg AS (
+                      SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+                             array_to_string(
+                               list_slice(ts, CAST(g.i * 10 + 1 AS INTEGER),
+                                          CAST(g.i * 10 + 10 AS INTEGER)), ' ') AS seg
+                      FROM toks, LATERAL (
+                        SELECT unnest(range(CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS i
+                      ) g
+                      WHERE len(ts) > 0
+                    ),
+                    kept AS (
+                      SELECT doc_id, seg_idx, seg FROM (
+                        SELECT doc_id, seg_idx, seg,
+                               row_number() OVER (PARTITION BY md5(seg)
+                                                  ORDER BY doc_id, seg_idx) AS rn
+                        FROM seg
+                      ) WHERE rn = 1
+                    )
+                    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                           string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
+                    FROM kept GROUP BY doc_id
+                """,
+    }

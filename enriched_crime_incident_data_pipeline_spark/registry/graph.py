@@ -1,0 +1,243 @@
+"""Graph family (gr*): PageRank, HITS, triangles, label propagation over near-dup graphs.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import lsh_candidate_pairs, minhash_bands
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _GR1_PAGERANK_SQL,
+    _GR2_SQL,
+    _GR3_HITS_SQL,
+    _MINHASH_BANDS_SQL,
+)
+
+
+
+
+def q_gr1_pagerank(spark, sf_dir):
+    # link-authority weighting for corpus curation (Common Crawl
+    # publishes per-host centrality; crawl schedulers prioritize by
+    # it): damped PageRank, 5 rounds, over the near-dup "citation"
+    # graph — each LSH pair is an edge from the newer doc to the
+    # older one it duplicates. Reproducible ordered-fold mode so the
+    # doubles are bit-exact vs the oracle's unrolled iteration; the
+    # production default is the map-side-combinable unordered sum
+    # (see datapipe/pagerank.py docstring).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    edges = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pr = pagerank(edges, nodes, iters=5, ordered=True)
+    return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
+
+
+def q_gr2_pagerank_converged(spark, sf_dir):
+    # PageRank with the r5 convergence early exit doing real work:
+    # the link graph is a DAG (every doc points to doc_id DIV 16 —
+    # a 16-ary ancestry tree), where rank mass only flows downward,
+    # so the iterate reaches a BIT-EXACT fixpoint after depth+1
+    # rounds and tol=0.0 stops there (~round 5-6 of the 8 budgeted;
+    # the oracle's 8 unrolled rounds give the identical fixpoint, so
+    # exactness is preserved by construction). Cyclic graphs (gr1)
+    # converge only geometrically and run their full budget.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("src"),
+        F.expr("doc_id DIV 16").alias("dst"),
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pr = pagerank(edges, nodes, iters=8, ordered=True, tol=0.0)
+    return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
+
+
+def q_gr3_hits(spark, sf_dir):
+    # HITS hub/authority over the near-dup citation graph (gr1's
+    # edges: newer doc → older doc it duplicates). Integer power
+    # iteration — no per-round normalization, so every score is an
+    # exact BIGINT and the production unordered map-side-combinable
+    # sum IS the bit-exact cross-engine aggregation (associativity;
+    # see datapipe/hits.py for the overflow bound).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.hits import (
+        hits_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    edges = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    out = hits_scores(edges, nodes, iters=4)
+    return out.select(F.col("id").alias("doc_id"), "authority", "hub")
+
+
+def q_gr4_triangles(spark, sf_dir):
+    # triangle counting over the near-dup citation graph — the local
+    # clustering signal a dedup-graph audit publishes (triangles ⇒
+    # transitive duplicate families; pure pairs ⇒ chain/boilerplate
+    # structure). Exact and integer: two self-equi-joins of the
+    # canonicalized a<b edge list (wedge a<b<c closed by (a,c)) —
+    # never an all-pairs product; each triangle counted once, then
+    # exploded to its three corners for per-node counts.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        lsh_candidate_pairs(minhash_bands(docs))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("doc_id")
+    )
+    return (
+        corners.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+def q_gr5_label_prop(spark, sf_dir):
+    # community detection over the near-dup graph: synchronous
+    # label propagation, 3 deterministic rounds ((count desc, label
+    # asc) adoption — a pure function of the graph, unlike async
+    # LPA). The DENSITY complement to dd9's connectivity clusters:
+    # a bridge edge between two duplicate families keeps them one
+    # CC component but two communities.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        label_propagation_communities,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs)).select("a", "b").distinct()
+    out = label_propagation_communities(pairs, rounds=3)
+    return out.select(F.col("node").alias("doc_id"), "community")
+
+
+def q_graph1_tree_paths(spark, sf_dir):
+    # recursive-CTE workload without a recursive CTE: decimal-digit
+    # parent tree over custkeys (parent = key/10, root 0), resolved by
+    # pointer doubling in ⌈log₂ depth⌉ joins; oracle is a true
+    # DuckDB WITH RECURSIVE
+    from enriched_crime_incident_data_pipeline_spark.operators.hierarchy import (
+        tree_paths,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    return tree_paths(edges)
+
+QUERIES = {
+    "gr1_pagerank": q_gr1_pagerank,
+    "gr3_hits": q_gr3_hits,
+    "gr4_triangles": q_gr4_triangles,
+    "gr5_label_prop": q_gr5_label_prop,
+    "gr2_pagerank_converged": q_gr2_pagerank_converged,
+    "graph1_tree_paths": q_graph1_tree_paths,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "gr1_pagerank": _GR1_PAGERANK_SQL,
+        "gr3_hits": _GR3_HITS_SQL,
+        "gr4_triangles": f"""
+                    WITH bands AS ({_MINHASH_BANDS_SQL}),
+                    e AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    tri AS (
+                      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1
+                      JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+                    ),
+                    corners AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+                    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+                    FROM corners GROUP BY doc_id
+                """,
+        "gr5_label_prop": f"""
+                    WITH bands AS ({_MINHASH_BANDS_SQL}),
+                    e AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    sym AS (
+                      SELECT a AS v, b AS u FROM e
+                      UNION ALL SELECT b AS v, a AS u FROM e
+                    ),
+                    l0 AS (SELECT DISTINCT v AS node, v AS lab FROM sym),
+                    n1 AS (SELECT s.v, l.lab, count(*) AS c
+                           FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2),
+                    l1 AS (SELECT v AS node, lab FROM (
+                             SELECT v, lab, row_number() OVER (
+                               PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n1)
+                           WHERE rn = 1),
+                    n2 AS (SELECT s.v, l.lab, count(*) AS c
+                           FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2),
+                    l2 AS (SELECT v AS node, lab FROM (
+                             SELECT v, lab, row_number() OVER (
+                               PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n2)
+                           WHERE rn = 1),
+                    n3 AS (SELECT s.v, l.lab, count(*) AS c
+                           FROM sym s JOIN l2 l ON s.u = l.node GROUP BY 1, 2),
+                    l3 AS (SELECT v AS node, lab FROM (
+                             SELECT v, lab, row_number() OVER (
+                               PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n3)
+                           WHERE rn = 1)
+                    SELECT node AS doc_id, lab AS community FROM l3
+                """,
+        "gr2_pagerank_converged": _GR2_SQL,
+        "graph1_tree_paths": """
+                    WITH RECURSIVE walk AS (
+                      SELECT c_custkey AS node, c_custkey AS cur,
+                             CAST(0 AS INTEGER) AS d
+                      FROM customer
+                      UNION ALL
+                      SELECT node, cur // 10 AS cur, d + 1 FROM walk
+                      WHERE cur <> 0
+                    )
+                    SELECT node, CAST(0 AS BIGINT) AS root,
+                           CAST(max(d) AS INTEGER) AS depth
+                    FROM walk GROUP BY node
+                """,
+    }

@@ -1,0 +1,224 @@
+"""Multimodal binary-column family (mm*): media features, metadata, frame sampling, resize plans, perceptual near-dup.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import extract_byte_histograms, extract_features
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _documents_as_media,
+)
+
+
+
+
+def q_mm1_media_features(spark, sf_dir):
+    # Arrow-batched mapInPandas feature extraction over binary media.
+    # The driver-compared face is the exact integer byte-histogram
+    # projected to a JSON string (canonicalizable scalar; bit-equal
+    # SQL twin); the normalized float feature from extract_features is
+    # unit-pinned in tests/test_multimodal_streaming.py
+    docs = load_table(spark, sf_dir, "documents")
+    hist = extract_byte_histograms(_documents_as_media(docs))
+    return hist.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.to_json("hist").alias("feature_json"),
+    )
+
+
+def q_mm4_resize_plan(spark, sf_dir):
+    # thumbnail-fit dimensions through the Arrow mapInPandas path —
+    # integer math gives the UDF stage an exact SQL twin
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        resize_thumbnails,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = _documents_as_media(docs).select(
+        "media_id",
+        "kind",
+        "content",
+        (320 + (F.col("media_id") % 7) * 160).cast("int").alias("width"),
+        (240 + (F.col("media_id") % 5) * 120).cast("int").alias("height"),
+    )
+    return resize_thumbnails(media, max_side=224)
+
+
+def q_mm5_phash_neardup(spark, sf_dir):
+    # perceptual (dHash) image near-dup pairs over binary media:
+    # Arrow-kernel signatures, 4x16-bit pigeonhole band candidate
+    # join (complete for Hamming<=3), exact bit_count(xor) verify —
+    # the image-side twin of dd8's text SimHash dedup
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phash_near_dup_pairs(_documents_as_media(docs), max_hamming=3)
+
+
+def q_mm3_frame_sample(spark, sf_dir):
+    # frame-sampling fan-out over video metadata (decode stays a stub;
+    # the offset explosion is pure relational work)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        sample_frame_offsets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return sample_frame_offsets(media, step_ms=1000)
+
+
+def q_mm2_media_meta(spark, sf_dir):
+    # binary-column metadata path (byte length) — SQL-expressible twin
+    docs = load_table(spark, sf_dir, "documents")
+    media = _documents_as_media(docs)
+    return media.select(
+        "media_id", "kind", F.length("content").cast("bigint").alias("n_bytes")
+    )
+
+QUERIES = {
+    "mm1_media_features": q_mm1_media_features,
+    "mm2_media_meta": q_mm2_media_meta,
+    "mm3_frame_sample": q_mm3_frame_sample,
+    "mm4_resize_plan": q_mm4_resize_plan,
+    "mm5_phash_neardup": q_mm5_phash_neardup,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "mm1_media_features": """
+                    WITH hx AS (
+                      SELECT doc_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                    ),
+                    pos AS (
+                      SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
+                    ),
+                    sums AS (
+                      SELECT doc_id, i % 8 AS bucket,
+                             CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                                      ::INTEGER) AS BIGINT) AS s
+                      FROM pos GROUP BY doc_id, i % 8
+                    ),
+                    grid AS (
+                      SELECT d.doc_id, g.bucket
+                      FROM documents d
+                      CROSS JOIN (SELECT unnest(range(8)) AS bucket) g
+                    ),
+                    hist AS (
+                      SELECT grid.doc_id, grid.bucket, COALESCE(sums.s, 0) AS s
+                      FROM grid LEFT JOIN sums
+                        ON grid.doc_id = sums.doc_id AND grid.bucket = sums.bucket
+                    )
+                    SELECT d.doc_id AS media_id, 'image' AS kind,
+                           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                           '[' || string_agg(CAST(h.s AS VARCHAR), ',' ORDER BY h.bucket)
+                               || ']' AS feature_json
+                    FROM documents d JOIN hist h ON d.doc_id = h.doc_id
+                    GROUP BY d.doc_id, d.text
+                """,
+        "mm2_media_meta": """
+                    SELECT doc_id AS media_id, 'image' AS kind,
+                           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                    FROM documents
+                """,
+        "mm5_phash_neardup": """
+                    WITH hx AS (
+                      SELECT doc_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                    ),
+                    pos AS (
+                      SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
+                    ),
+                    cellsum AS (
+                      SELECT doc_id, CAST(i % 72 AS INTEGER) AS k,
+                             CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                                      ::INTEGER) AS BIGINT) AS s
+                      FROM pos GROUP BY doc_id, i % 72
+                    ),
+                    grid AS (
+                      SELECT d.doc_id, CAST(g.k AS INTEGER) AS k
+                      FROM documents d
+                      CROSS JOIN (SELECT unnest(range(72)) AS k) g
+                    ),
+                    cells AS (
+                      SELECT grid.doc_id, grid.k, COALESCE(cellsum.s, 0) AS s
+                      FROM grid LEFT JOIN cellsum
+                        ON grid.doc_id = cellsum.doc_id AND grid.k = cellsum.k
+                    ),
+                    bits AS (
+                      -- dHash bit j = r*8 + c: grid cell (r*9+c) > (r*9+c+1)
+                      SELECT a.doc_id,
+                             CAST((a.k // 9) * 8 + (a.k % 9) AS INTEGER) AS j,
+                             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+                      FROM cells a JOIN cells b
+                        ON a.doc_id = b.doc_id AND b.k = a.k + 1
+                      WHERE a.k % 9 <> 8
+                    ),
+                    bands AS (
+                      SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
+                             CAST(sum(CAST(bit AS BIGINT)
+                                      * (1::BIGINT << (j % 16))) AS BIGINT) AS band_val
+                      FROM bits GROUP BY doc_id, j // 16
+                    ),
+                    cand AS (
+                      SELECT DISTINCT l.doc_id AS media_a, r.doc_id AS media_b
+                      FROM bands l JOIN bands r
+                        ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+                       AND l.doc_id < r.doc_id
+                    ),
+                    ham AS (
+                      SELECT c.media_a, c.media_b,
+                             CAST(sum(CASE WHEN ba.bit <> bb.bit
+                                      THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+                      FROM cand c
+                      JOIN bits ba ON ba.doc_id = c.media_a
+                      JOIN bits bb ON bb.doc_id = c.media_b AND bb.j = ba.j
+                      GROUP BY c.media_a, c.media_b
+                    )
+                    SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 3
+                """,
+        "mm3_frame_sample": """
+                    SELECT doc_id AS media_id,
+                           CAST(g.i AS INTEGER) AS frame_idx,
+                           CAST(g.i * 1000 AS INTEGER) AS offset_ms
+                    FROM documents,
+                    LATERAL (
+                      SELECT unnest(generate_series(
+                        0, CAST(ceil(CAST(n_chars * 10 AS DOUBLE) / 1000) AS BIGINT) - 1
+                      )) AS i
+                    ) g
+                    WHERE n_chars * 10 > 0
+                """,
+        "mm4_resize_plan": """
+                    WITH m AS (
+                      SELECT doc_id AS media_id,
+                             CAST(320 + (doc_id % 7) * 160 AS BIGINT) AS w,
+                             CAST(240 + (doc_id % 5) * 120 AS BIGINT) AS h,
+                             encode(text) AS content
+                      FROM documents
+                    )
+                    SELECT media_id,
+                           CAST(w AS INTEGER) AS width,
+                           CAST(h AS INTEGER) AS height,
+                           CAST((w * 224) // greatest(w, h) AS INTEGER) AS new_width,
+                           CAST((h * 224) // greatest(w, h) AS INTEGER) AS new_height,
+                           CAST(octet_length(content) AS BIGINT) AS n_bytes
+                    FROM m
+                """,
+    }

@@ -1,0 +1,373 @@
+"""Data-quality and entity ops: constraint audits (dq*), entity resolution, fuzzy matching, geo grids, tree paths.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+
+
+
+def q_dq3_volume_anomaly(spark, sf_dir):
+    # ingest-volume anomaly monitor: daily event counts vs the robust
+    # MAD band — flag days where |count - median| > 3·MAD (the
+    # data-quality tripwire a continuous pipeline runs after every
+    # load). Daily counts are a map-side-combinable groupBy; the
+    # median/MAD scalars broadcast back; all comparisons exact.
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    med = daily.agg(F.expr("percentile(n, 0.5)").alias("med"))
+    dev = daily.crossJoin(F.broadcast(med))
+    mad = dev.agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(n - med), 0.5)").alias("mad"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                F.abs(F.col("n").cast("double") - F.col("med"))
+                > F.lit(3.0) * F.col("mad")
+            )
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+def q_geo1_grid_join(spark, sf_dir):
+    # 2-D proximity self-join via grid blocking: cell equi-join +
+    # exact Chebyshev residual, never a cartesian (plan-asserted)
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        grid_proximity_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    points = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_custkey") % 89).cast("int").alias("px"),
+        (F.col("c_custkey") % 97).cast("int").alias("py"),
+    )
+    return grid_proximity_join(points, "pid", "px", "py", radius=1)
+
+
+
+def q_geo2_grid_knn(spark, sf_dir):
+    # bounded-radius nearest neighbor: grid-blocked directed
+    # candidates (3x3 neighborhood equi-join), integer-exact squared
+    # distance, min_by argmin per query point — no sort window, no
+    # cartesian
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        grid_nearest_neighbor,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    points = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_custkey") % 89).cast("int").alias("px"),
+        (F.col("c_custkey") % 97).cast("int").alias("py"),
+    )
+    return grid_nearest_neighbor(points, "pid", "px", "py", radius=2)
+
+
+def q_fuzzy1_name_pairs(spark, sf_dir):
+    # fuzzy dedup of near-identical names: prefix blocking + exact
+    # levenshtein residual (the dirty-address clustering shape from
+    # the reference's location strings)
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        fuzzy_name_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_name_pairs(cust, "c_custkey", "c_name", max_distance=1)
+
+
+def q_er1_entity_clusters(spark, sf_dir):
+    # entity resolution end-to-end: fuzzy-blocked name pairs (fuzzy1)
+    # -> connected components -> one canonical entity per component
+    # (root = min member id, its name is the canonical form) with a
+    # member count. Blocking bounds the pair fan-out, CC edges scale
+    # with the fuzzy-dup count (not the table), the canonical join is
+    # a plain equi-join on the entity root.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+    )
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        fuzzy_name_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_name_pairs(cust, "c_custkey", "c_name", max_distance=1)
+    cc = connected_components(pairs, "id_a", "id_b")
+    members = (
+        cust.select("c_custkey")
+        .join(cc, cust["c_custkey"] == cc["node"], "left")
+        .select(
+            F.coalesce("cluster_id", F.col("c_custkey")).alias("entity_id"),
+        )
+    )
+    canon = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return (
+        members.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_members"))
+        .join(canon, "entity_id")
+        .select("entity_id", "n_members", "canonical_name")
+    )
+
+
+def q_dq1_constraint_audit(spark, sf_dir):
+    # data-quality audit: the constraint surface a schemaless lake
+    # loses vs the reference's Postgres DDL (PK uniqueness, NOT NULL,
+    # FK integrity, CHECK ranges — src/db/schema.py:10-26) recast as
+    # violation-count queries.  Each check is a pruned single-purpose
+    # scan (pushdown filter + column pruning); the FK checks are hash
+    # joins on the key
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def named(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    pk_dup = named(
+        "orders_pk_dup",
+        orders.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                "violations"
+            )
+        ),
+    )
+    null_cust = named(
+        "orders_null_cust",
+        orders.filter(F.col("o_custkey").isNull()).agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+    )
+    qty_range = named(
+        "li_qty_range",
+        li.filter(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    disc_range = named(
+        "li_discount_range",
+        li.filter(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    orphan = named(
+        "li_orphan",
+        li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    ship_before = named(
+        "li_ship_before_order",
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.to_date("l_shipdate") < F.to_date("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("violations")),
+    )
+    return (
+        pk_dup.unionByName(null_cust)
+        .unionByName(qty_range)
+        .unionByName(disc_range)
+        .unionByName(orphan)
+        .unionByName(ship_before)
+    )
+
+
+def q_dq2_profile(spark, sf_dir):
+    # single-pass column profiling (null + exact distinct counts per
+    # column): the multi-distinct aggregate plans as ONE expand +
+    # aggregate — one shuffle for the whole profile, not one per column
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn{i}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd{i}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn{i}, nd{i}" for i, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (column_name, n_nulls, n_distinct)"
+    )
+
+QUERIES = {
+    "dq1_constraint_audit": q_dq1_constraint_audit,
+    "dq2_profile": q_dq2_profile,
+    "dq3_volume_anomaly": q_dq3_volume_anomaly,
+    "geo1_grid_join": q_geo1_grid_join,
+    "geo2_grid_knn": q_geo2_grid_knn,
+    "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
+    "er1_entity_clusters": q_er1_entity_clusters,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "dq1_constraint_audit": """
+                    SELECT 'orders_pk_dup' AS check_name,
+                           count(*) - count(DISTINCT o_orderkey) AS violations
+                    FROM orders
+                    UNION ALL
+                    SELECT 'orders_null_cust', count(*) FROM orders
+                    WHERE o_custkey IS NULL
+                    UNION ALL
+                    SELECT 'li_qty_range', count(*) FROM lineitem
+                    WHERE l_quantity < 1 OR l_quantity > 50
+                    UNION ALL
+                    SELECT 'li_discount_range', count(*) FROM lineitem
+                    WHERE l_discount < 0 OR l_discount > 1
+                    UNION ALL
+                    SELECT 'li_orphan', count(*) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+                    UNION ALL
+                    SELECT 'li_ship_before_order', count(*)
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)
+                """,
+        "dq2_profile": """
+                    SELECT 'o_orderkey' AS column_name,
+                           count(*) - count(o_orderkey) AS n_nulls,
+                           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+                    UNION ALL
+                    SELECT 'o_custkey', count(*) - count(o_custkey),
+                           count(DISTINCT o_custkey) FROM orders
+                    UNION ALL
+                    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+                           count(DISTINCT o_orderstatus) FROM orders
+                    UNION ALL
+                    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+                           count(DISTINCT o_totalprice) FROM orders
+                    UNION ALL
+                    SELECT 'o_orderdate', count(*) - count(o_orderdate),
+                           count(DISTINCT o_orderdate) FROM orders
+                    UNION ALL
+                    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                           count(DISTINCT o_orderpriority) FROM orders
+                """,
+        "dq3_volume_anomaly": """
+                    WITH daily AS (
+                      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                      FROM events GROUP BY 1
+                    ),
+                    med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+                    mad AS (
+                      SELECT any_value(m.med) AS med,
+                             quantile_cont(abs(d.n - m.med), 0.5) AS mad
+                      FROM daily d, med m
+                    )
+                    SELECT d.day, CAST(d.n AS BIGINT) AS n,
+                           CAST(CASE WHEN abs(CAST(d.n AS DOUBLE) - m.med)
+                                          > 3.0 * m.mad
+                                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+                    FROM daily d, mad m
+                """,
+        "geo2_grid_knn": """
+                    WITH pts AS (
+                      SELECT c_custkey AS pid,
+                             CAST(c_custkey % 89 AS INTEGER) AS px,
+                             CAST(c_custkey % 97 AS INTEGER) AS py
+                      FROM customer
+                    ),
+                    cand AS (
+                      SELECT a.pid, b.pid AS nn_id,
+                             CAST((a.px - b.px) * (a.px - b.px)
+                                  + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS d2
+                      FROM pts a JOIN pts b
+                        ON abs(a.px - b.px) <= 2 AND abs(a.py - b.py) <= 2
+                       AND a.pid <> b.pid
+                    )
+                    SELECT pid, nn_id, d2 FROM (
+                      SELECT pid, nn_id, d2,
+                             row_number() OVER (PARTITION BY pid
+                                                ORDER BY d2, nn_id) AS rn
+                      FROM cand
+                    ) WHERE rn = 1
+                """,
+        "geo1_grid_join": """
+                    WITH pts AS (
+                      SELECT c_custkey AS pid,
+                             CAST(c_custkey % 89 AS INTEGER) AS px,
+                             CAST(c_custkey % 97 AS INTEGER) AS py
+                      FROM customer
+                    )
+                    SELECT a.pid AS id_a, b.pid AS id_b,
+                           b.px - a.px AS dx, b.py - a.py AS dy
+                    FROM pts a, pts b
+                    WHERE a.pid < b.pid
+                      AND abs(a.px - b.px) <= 1 AND abs(a.py - b.py) <= 1
+                """,
+        "fuzzy1_name_pairs": """
+                    WITH blocked AS (
+                      SELECT c_custkey AS id, c_name AS name,
+                             substring(c_name, 1, length(c_name) - 1)
+                               || '#' || CAST(length(c_name) AS VARCHAR) AS block
+                      FROM customer
+                    )
+                    SELECT a.id AS id_a, b.id AS id_b,
+                           CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+                    FROM blocked a JOIN blocked b USING (block)
+                    WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+                """,
+        "er1_entity_clusters": """
+                    WITH RECURSIVE blocked AS (
+                      SELECT c_custkey AS id, c_name AS name,
+                             substring(c_name, 1, length(c_name) - 1)
+                               || '#' || CAST(length(c_name) AS VARCHAR) AS block
+                      FROM customer
+                    ),
+                    pairs AS (
+                      SELECT a.id AS a, b.id AS b
+                      FROM blocked a JOIN blocked b USING (block)
+                      WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e.a AS node, r.label
+                      FROM edges e JOIN reach r ON r.node = e.b
+                    ),
+                    cc AS (
+                      SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+                    ),
+                    members AS (
+                      SELECT coalesce(cc.cluster_id, c.c_custkey) AS entity_id
+                      FROM customer c LEFT JOIN cc ON c.c_custkey = cc.node
+                    )
+                    SELECT m.entity_id, CAST(count(*) AS INTEGER) AS n_members,
+                           any_value(k.c_name) AS canonical_name
+                    FROM members m JOIN customer k ON k.c_custkey = m.entity_id
+                    GROUP BY m.entity_id
+                """,
+    }

@@ -1,0 +1,156 @@
+"""Skew/layout tools: salted aggregates/joins (sj*), Z-order tiles (zo*).
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _MORTON7_SQL,
+)
+
+
+
+
+def q_sj1_salted_hot_agg(spark, sf_dir):
+    # skew-resistant two-phase aggregation as a user-visible query:
+    # 90% of events collapse onto one synthetic hot key (the
+    # power-law shape AQE does NOT rebalance for aggregation state);
+    # salted_agg splits the hot key across (key, salt) partials so no
+    # reducer holds more than ~1/n_salts of it, then combines — both
+    # shuffles move only partial rows. Aggregates are count/min/max
+    # (algebraic, order-insensitive), so the result is bit-equal to
+    # the direct groupBy the oracle runs.
+    from enriched_crime_incident_data_pipeline_spark.operators.skew import (
+        salted_agg,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "k",
+        F.when(F.col("event_id") % 100 < 90, F.lit("hot")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return salted_agg(
+        e,
+        "k",
+        {
+            "_c": F.count(F.lit(1)),
+            "_mn": F.min("event_id"),
+            "_mx": F.max("event_id"),
+        },
+        {
+            "cnt": F.sum("_c").cast("bigint"),
+            "min_id": F.min("_mn").cast("bigint"),
+            "max_id": F.max("_mx").cast("bigint"),
+        },
+        n_salts=16,
+    )
+
+
+def q_sj2_salted_join(spark, sf_dir):
+    # skew-resistant shuffle join as a user-visible query: the big
+    # side's synthetic hot key (90% of rows) would pile onto one
+    # reducer in a plain shuffle join; salted_join spreads it over
+    # n_salts reducers by salting the big side and replicating the
+    # small side once per salt — the exact join result, pinned here
+    # against the oracle's plain join.
+    from enriched_crime_incident_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 100 < 90, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+    )
+    dim = e.select("k").distinct().select(
+        "k", F.length("k").cast("int").alias("w")
+    )
+    return salted_join(e, dim, "k", n_salts=8).select("event_id", "k", "w")
+
+
+def q_zo1_zorder_tiles(spark, sf_dir):
+    # z-order (Morton) clustering as a user-visible query: interleave
+    # the bits of two independent point coordinates into one sort
+    # key, bucket contiguous z-ranges into tiles, and report each
+    # tile's min/max per axis — the parquet-footer bounding boxes a
+    # z-ordered layout gives a reader. Tight tiles (max-min ≈ 7 on
+    # both axes for an 8×8 tile) are exactly why a range predicate on
+    # EITHER axis can skip most files. Tiles are fixed z-prefix
+    # buckets (code >> 6), not sampled range boundaries, so the
+    # assignment is deterministic and the oracle reproduces it with
+    # the same bit math.
+    from enriched_crime_incident_data_pipeline_spark.sinks.zorder import (
+        morton_code,
+    )
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 89).cast("long").alias("px"),
+        (F.col("c_custkey") % 97).cast("long").alias("py"),
+    )
+    return (
+        pts.withColumn("z", morton_code(F.col("px"), F.col("py"), bits=7))
+        .groupBy(F.shiftright(F.col("z"), 6).cast("bigint").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("px").cast("bigint").alias("min_px"),
+            F.max("px").cast("bigint").alias("max_px"),
+            F.min("py").cast("bigint").alias("min_py"),
+            F.max("py").cast("bigint").alias("max_py"),
+        )
+    )
+
+QUERIES = {
+    "sj1_salted_hot_agg": q_sj1_salted_hot_agg,
+    "sj2_salted_join": q_sj2_salted_join,
+    "zo1_zorder_tiles": q_zo1_zorder_tiles,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "sj1_salted_hot_agg": """
+                    SELECT CASE WHEN event_id % 100 < 90 THEN 'hot'
+                                ELSE event_type END AS k,
+                           CAST(count(*) AS BIGINT) AS cnt,
+                           CAST(min(event_id) AS BIGINT) AS min_id,
+                           CAST(max(event_id) AS BIGINT) AS max_id
+                    FROM events GROUP BY 1
+                """,
+        "sj2_salted_join": """
+                    WITH e AS (
+                      SELECT event_id,
+                             CASE WHEN event_id % 100 < 90 THEN 'hot'
+                                  ELSE event_type END AS k
+                      FROM events
+                    ),
+                    dim AS (
+                      SELECT k, CAST(length(k) AS INTEGER) AS w
+                      FROM (SELECT DISTINCT k FROM e)
+                    )
+                    SELECT e.event_id, e.k, dim.w FROM e JOIN dim USING (k)
+                """,
+        "zo1_zorder_tiles": f"""
+                    WITH pts AS (
+                      SELECT CAST(c_custkey % 89 AS BIGINT) AS px,
+                             CAST(c_custkey % 97 AS BIGINT) AS py
+                      FROM customer
+                    ),
+                    coded AS (
+                      SELECT px, py, ({_MORTON7_SQL}) AS z FROM pts
+                    )
+                    SELECT CAST(z >> 6 AS BIGINT) AS tile,
+                           CAST(count(*) AS BIGINT) AS n_rows,
+                           CAST(min(px) AS BIGINT) AS min_px,
+                           CAST(max(px) AS BIGINT) AS max_px,
+                           CAST(min(py) AS BIGINT) AS min_py,
+                           CAST(max(py) AS BIGINT) AS max_py
+                    FROM coded GROUP BY 1
+                """,
+    }

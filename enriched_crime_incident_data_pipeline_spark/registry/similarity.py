@@ -1,0 +1,695 @@
+"""Similarity search family (ss*): brute-force/IVF/LSH/PQ ANN, recall evals, filtered search, MMR.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import brute_force_neighbors, ivf_assignments, ivf_topk_neighbors
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _COS,
+    _HYPERPLANE_SIGS_CTE,
+)
+
+
+
+
+def q_ss1_ann_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_neighbors(emb, query_vec_id=0, k=10)
+
+
+def q_ss2_ivf_assign(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assignments(emb, n_centroids=8)
+
+
+def q_ss3_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_neighbors(emb, query_vec_id=0, k=10, n_centroids=8)
+
+
+
+def q_ss13_filtered_ann(spark, sf_dir):
+    # metadata-filtered vector search (r5): exact top-10 cosine
+    # neighbors of vec 0 among label=4 vectors only. PRE-filter (rank
+    # among matches), never post-filter (which under-returns); the
+    # label predicate is a pushed parquet filter, the query vector
+    # broadcasts, top-k is TakeOrdered — see datapipe/similarity.py.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        filtered_topk_neighbors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return filtered_topk_neighbors(emb, query_vec_id=0, label=4, k=10)
+
+
+def q_ss14_mmr_topk(spark, sf_dir):
+    # MMR-diversified retrieval (r5): greedy redundancy-penalized
+    # top-5 of vec 0 (λ=0.7, μ=0.3) over an exact top-20 shortlist —
+    # the standard RAG re-rank (plain top-k of a near-dup corpus
+    # returns k copies of one doc). Corpus side = one broadcast-query
+    # scan + TakeOrdered; the sequential greedy runs over the BOUNDED
+    # shortlist with JVM-computed pairwise sims.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        mmr_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, query_vec_id=0, k=5, shortlist=20)
+
+
+def q_ss12_truncated_recall(spark, sf_dir):
+    # Matryoshka truncation eval: recall@10 of 16-of-64-dim search vs
+    # full-dim exact — the measurement that licenses 4x cheaper
+    # vector storage/IO; queries broadcast, corpus never shuffles
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        truncated_dim_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncated_dim_recall(emb, trunc_dim=16, query_mod=50, k=10)
+
+
+def q_ss11_recall_eval(spark, sf_dir):
+    # ANN index evaluation: recall@10 of the IVF read path vs exact
+    # search over a sampled query set (vec_id % 50 == 0) — queries
+    # broadcast, corpus never shuffles for scoring, per-query top-k
+    # windows parallel across queries; recall is an exact int ratio
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ann_recall_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_eval(emb, query_mod=50, k=10, n_centroids=8)
+
+
+def q_ss6_quantize_int8(spark, sf_dir):
+    # int8 scalar quantization of the embedding column (4× storage
+    # cut before ANN indexing) through the Arrow numpy kernel; q array
+    # projected to JSON for the driver compare, reconstruction error
+    # as the quality audit
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+def q_ss9_cluster_purity(spark, sf_dir):
+    # unsupervised-clustering evaluation against the labeled column:
+    # per-IVF-cluster majority label and purity in basis points
+    # (integer DIV — no float-cast divergence)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(emb, n_centroids=8)
+    labeled = assign.join(emb.select("vec_id", "label"), "vec_id")
+    cells = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = cells.groupBy("cluster").agg(
+        F.max_by(
+            "label", F.struct(F.col("n"), F.col("label"))
+        ).alias("majority_label"),
+        F.max(F.struct(F.col("n"), F.col("label"))).getField("n").alias(
+            "majority_n"
+        ),
+        F.sum("n").alias("total"),
+    )
+    return top.select(
+        "cluster",
+        "majority_label",
+        "majority_n",
+        "total",
+        F.expr("CAST((majority_n * 10000) DIV total AS BIGINT)").alias(
+            "purity_bp"
+        ),
+    )
+
+
+def q_ss7_pq_codes(spark, sf_dir):
+    # product-quantization codes: 8 subspaces × deterministic
+    # 16-centroid codebooks → 8 small ints per vector (32× smaller
+    # than float32); the other half of scale ANN alongside IVF
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb)
+
+
+def q_ss8_pq_adc_topk(spark, sf_dir):
+    # asymmetric-distance top-k over the PQ codes: scan touches only
+    # 1 byte/subspace/vector + a broadcast 8×16 lookup table
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, query_vec_id=0, k=10)
+
+
+def q_ss10_ivf_pq_search(spark, sf_dir):
+    # the composed production ANN read path (the 1 B+-vector shape):
+    # IVF probe (top-2 clusters by query-centroid cosine, broadcast
+    # centroids) → PQ-ADC shortlist over candidate codes only (1
+    # byte/subspace scan + broadcast 8×16 LUT) → exact cosine re-rank
+    # of the 40-row shortlist. Never evaluates a full-corpus distance.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(emb, query_vec_id=0, k=10, nprobe=2, shortlist=64)
+
+
+def q_ss4_hyperplane_lsh(spark, sf_dir):
+    # signed-random-projection LSH over embeddings: md5-derived ±1
+    # hyperplanes on floor-quantized integer components — an
+    # engine-exact 16-bit bucket signature; map-only except the
+    # bucket-size count
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        hyperplane_signatures,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_signatures(emb, n_planes=16, dim=64)
+
+
+def q_ss5_lsh_near_dup(spark, sf_dir):
+    # banded LSH over the hyperplane signatures: candidate pairs share
+    # a band (equi-join on small ints), verified by bit_count Hamming —
+    # the end of the embedding near-dup scale path (never an n² join)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        hyperplane_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_near_dup_pairs(
+        emb, n_planes=16, dim=64, band_bits=8, max_hamming=4
+    )
+
+QUERIES = {
+    "ss6_quantize_int8": q_ss6_quantize_int8,
+    "ss7_pq_codes": q_ss7_pq_codes,
+    "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
+    "ss10_ivf_pq_search": q_ss10_ivf_pq_search,
+    "ss11_recall_eval": q_ss11_recall_eval,
+    "ss12_truncated_recall": q_ss12_truncated_recall,
+    "ss13_filtered_ann": q_ss13_filtered_ann,
+    "ss14_mmr_topk": q_ss14_mmr_topk,
+    "ss9_cluster_purity": q_ss9_cluster_purity,
+    "ss1_ann_bruteforce": q_ss1_ann_bruteforce,
+    "ss2_ivf_assign": q_ss2_ivf_assign,
+    "ss3_ivf_topk": q_ss3_ivf_topk,
+    "ss4_hyperplane_lsh": q_ss4_hyperplane_lsh,
+    "ss5_lsh_near_dup": q_ss5_lsh_near_dup,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "ss4_hyperplane_lsh": f"""
+                    WITH {_HYPERPLANE_SIGS_CTE}
+                    SELECT vec_id, sig,
+                           count(*) OVER (PARTITION BY sig) AS bucket_size
+                    FROM sigs
+                """,
+        "ss5_lsh_near_dup": f"""
+                    WITH {_HYPERPLANE_SIGS_CTE},
+                    bands AS (
+                      SELECT vec_id, sig, 0 AS band_idx, sig & 255 AS band_val
+                      FROM sigs
+                      UNION ALL
+                      SELECT vec_id, sig, 1, (sig >> 8) & 255 FROM sigs
+                    )
+                    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+                    FROM bands a JOIN bands b
+                      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                     AND a.vec_id < b.vec_id
+                    WHERE bit_count(xor(a.sig, b.sig)) <= 4
+                """,
+        "ss12_truncated_recall": """
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v,
+                             (embedding::DOUBLE[])[1:16] AS tv
+                      FROM embeddings
+                    ),
+                    q AS (SELECT vec_id AS qid, v AS qv, tv AS qtv FROM e
+                          WHERE vec_id % 50 = 0),
+                    scored AS (
+                      SELECT q.qid, e.vec_id AS cid,
+                             list_dot_product(q.qv, e.v)
+                               / (sqrt(list_dot_product(q.qv, q.qv))
+                                  * sqrt(list_dot_product(e.v, e.v))) AS cosf,
+                             list_dot_product(q.qtv, e.tv)
+                               / (sqrt(list_dot_product(q.qtv, q.qtv))
+                                  * sqrt(list_dot_product(e.tv, e.tv))) AS cost
+                      FROM q, e WHERE e.vec_id <> q.qid
+                    ),
+                    fullk AS (
+                      SELECT qid, cid FROM (
+                        SELECT qid, cid,
+                               row_number() OVER (PARTITION BY qid
+                                                  ORDER BY cosf DESC, cid) AS rk
+                        FROM scored
+                      ) WHERE rk <= 10
+                    ),
+                    trunck AS (
+                      SELECT qid, cid FROM (
+                        SELECT qid, cid,
+                               row_number() OVER (PARTITION BY qid
+                                                  ORDER BY cost DESC, cid) AS rk
+                        FROM scored
+                      ) WHERE rk <= 10
+                    ),
+                    hits AS (
+                      SELECT qid, count(*) AS n
+                      FROM fullk JOIN trunck USING (qid, cid) GROUP BY qid
+                    )
+                    SELECT q.qid, CAST(coalesce(h.n, 0) AS INTEGER) AS n_hit,
+                           CAST(coalesce(h.n, 0) AS DOUBLE) / 10.0 AS recall
+                    FROM q LEFT JOIN hits h USING (qid)
+                """,
+        "ss11_recall_eval": """
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    q AS (SELECT vec_id AS qid, v AS qv FROM e
+                          WHERE vec_id % 50 = 0),
+                    scored AS (
+                      SELECT q.qid, e.vec_id AS cid,
+                             list_dot_product(q.qv, e.v)
+                               / (sqrt(list_dot_product(q.qv, q.qv))
+                                  * sqrt(list_dot_product(e.v, e.v))) AS cos
+                      FROM q, e WHERE e.vec_id <> q.qid
+                    ),
+                    exact AS (
+                      SELECT qid, cid FROM (
+                        SELECT qid, cid,
+                               row_number() OVER (PARTITION BY qid
+                                                  ORDER BY cos DESC, cid) AS rk
+                        FROM scored
+                      ) WHERE rk <= 10
+                    ),
+                    cent AS (SELECT vec_id AS ccid, v AS cv FROM e
+                             WHERE vec_id < 8),
+                    assign AS (
+                      SELECT vec_id, ccid AS cluster FROM (
+                        SELECT a.vec_id, cent.ccid,
+                          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                            list_dot_product(a.v, cent.cv)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                            cent.ccid) AS rn
+                        FROM e a, cent
+                      ) WHERE rn = 1
+                    ),
+                    ivf AS (
+                      SELECT qid, cid FROM (
+                        SELECT s.qid, s.cid,
+                               row_number() OVER (PARTITION BY s.qid
+                                                  ORDER BY s.cos DESC, s.cid) AS rk
+                        FROM scored s
+                        JOIN assign qa ON qa.vec_id = s.qid
+                        JOIN assign ca ON ca.vec_id = s.cid
+                                       AND ca.cluster = qa.cluster
+                      ) WHERE rk <= 10
+                    ),
+                    hits AS (
+                      SELECT qid, count(*) AS n_hit
+                      FROM exact JOIN ivf USING (qid, cid) GROUP BY qid
+                    )
+                    SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+                           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall
+                    FROM q LEFT JOIN hits h USING (qid)
+                """,
+        "ss3_ivf_topk": f"""
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+                    assign AS (
+                      SELECT vec_id, cid AS cluster FROM (
+                        SELECT a.vec_id, cent.cid,
+                          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                            list_dot_product(a.v, cent.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(cent.v, cent.v))) DESC,
+                            cent.cid) AS rn
+                        FROM e a, cent
+                      ) WHERE rn = 1
+                    ),
+                    qc AS (SELECT cluster FROM assign WHERE vec_id = 0),
+                    cand AS (
+                      SELECT e.vec_id, e.v FROM e
+                      JOIN assign ON e.vec_id = assign.vec_id
+                      JOIN qc ON assign.cluster = qc.cluster
+                      WHERE e.vec_id <> 0
+                    ),
+                    q AS (SELECT v FROM e WHERE vec_id = 0),
+                    scored AS (
+                      SELECT a.vec_id AS neighbor_id, {_COS} AS cosine
+                      FROM cand a, q b
+                    )
+                    SELECT neighbor_id, CAST(rn AS INTEGER) AS rank, cosine FROM (
+                      SELECT *, row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rn
+                      FROM scored
+                    ) WHERE rn <= 10
+                """,
+        "ss7_pq_codes": f"""
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+                    comp AS (
+                      SELECT e.vec_id, cent.cid, dd.d,
+                             CAST(dd.d // 8 AS INTEGER) AS s,
+                             e.v[CAST(dd.d + 1 AS INTEGER)]
+                               - cent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+                      FROM e, cent, (SELECT unnest(range(64)) AS d) dd
+                    ),
+                    dist AS (
+                      SELECT vec_id, cid, s, sum(df * df ORDER BY d) AS dist
+                      FROM comp GROUP BY vec_id, cid, s
+                    ),
+                    best AS (
+                      SELECT vec_id, s, cid FROM (
+                        SELECT vec_id, s, cid,
+                               row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY dist, cid) AS rn
+                        FROM dist
+                      ) WHERE rn = 1
+                    )
+                    SELECT vec_id,
+                           {", ".join(f"max(CASE WHEN s = {s} THEN cid END) AS code_{s}" for s in range(8))}
+                    FROM best GROUP BY vec_id
+                """,
+        "ss8_pq_adc_topk": """
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+                    comp AS (
+                      SELECT e.vec_id, cent.cid, dd.d,
+                             CAST(dd.d // 8 AS INTEGER) AS s,
+                             e.v[CAST(dd.d + 1 AS INTEGER)]
+                               - cent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+                      FROM e, cent, (SELECT unnest(range(64)) AS d) dd
+                    ),
+                    dist AS (
+                      SELECT vec_id, cid, s, sum(df * df ORDER BY d) AS dist
+                      FROM comp GROUP BY vec_id, cid, s
+                    ),
+                    best AS (
+                      SELECT vec_id, s, cid FROM (
+                        SELECT vec_id, s, cid,
+                               row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY dist, cid) AS rn
+                        FROM dist
+                      ) WHERE rn = 1
+                    ),
+                    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+                    lcomp AS (
+                      SELECT cent.cid, dd.d, CAST(dd.d // 8 AS INTEGER) AS s,
+                             q.qv[CAST(dd.d + 1 AS INTEGER)]
+                               - cent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+                      FROM q, cent, (SELECT unnest(range(64)) AS d) dd
+                    ),
+                    lut AS (
+                      SELECT cid, s, sum(df * df ORDER BY d) AS dlut
+                      FROM lcomp GROUP BY cid, s
+                    ),
+                    scored AS (
+                      SELECT b.vec_id, sum(l.dlut ORDER BY b.s) AS approx_dist
+                      FROM best b JOIN lut l ON l.cid = b.cid AND l.s = b.s
+                      WHERE b.vec_id <> 0
+                      GROUP BY b.vec_id
+                    )
+                    SELECT vec_id AS neighbor_id,
+                           CAST(row_number() OVER (ORDER BY approx_dist, vec_id)
+                                AS INTEGER) AS rank,
+                           approx_dist
+                    FROM scored ORDER BY approx_dist, vec_id LIMIT 10
+                """,
+        "ss10_ivf_pq_search": f"""
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    icent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+                    q AS (SELECT v FROM e WHERE vec_id = 0),
+                    probed AS (
+                      SELECT cid AS cluster FROM (
+                        SELECT icent.cid,
+                          row_number() OVER (ORDER BY
+                            list_dot_product(q.v, icent.v)
+                              / (sqrt(list_dot_product(q.v, q.v))
+                                 * sqrt(list_dot_product(icent.v, icent.v))) DESC,
+                            icent.cid) AS rn
+                        FROM q, icent
+                      ) WHERE rn <= 2
+                    ),
+                    assign AS (
+                      SELECT vec_id, cid AS cluster FROM (
+                        SELECT a.vec_id, icent.cid,
+                          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                            list_dot_product(a.v, icent.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(icent.v, icent.v))) DESC,
+                            icent.cid) AS rn
+                        FROM e a, icent
+                      ) WHERE rn = 1
+                    ),
+                    cand AS (
+                      SELECT e.vec_id, e.v FROM e
+                      JOIN assign ON e.vec_id = assign.vec_id
+                      JOIN probed ON assign.cluster = probed.cluster
+                      WHERE e.vec_id <> 0
+                    ),
+                    pcent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+                    comp AS (
+                      SELECT c.vec_id, pcent.cid, dd.d,
+                             CAST(dd.d // 8 AS INTEGER) AS s,
+                             c.v[CAST(dd.d + 1 AS INTEGER)]
+                               - pcent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+                      FROM cand c, pcent, (SELECT unnest(range(64)) AS d) dd
+                    ),
+                    dist AS (
+                      SELECT vec_id, cid, s, sum(df * df ORDER BY d) AS dist
+                      FROM comp GROUP BY vec_id, cid, s
+                    ),
+                    best AS (
+                      SELECT vec_id, s, cid FROM (
+                        SELECT vec_id, s, cid,
+                               row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY dist, cid) AS rn
+                        FROM dist
+                      ) WHERE rn = 1
+                    ),
+                    lcomp AS (
+                      SELECT pcent.cid, dd.d, CAST(dd.d // 8 AS INTEGER) AS s,
+                             q.v[CAST(dd.d + 1 AS INTEGER)]
+                               - pcent.cv[CAST(dd.d + 1 AS INTEGER)] AS df
+                      FROM q, pcent, (SELECT unnest(range(64)) AS d) dd
+                    ),
+                    lut AS (
+                      SELECT cid, s, sum(df * df ORDER BY d) AS dlut
+                      FROM lcomp GROUP BY cid, s
+                    ),
+                    adc AS (
+                      SELECT b.vec_id, sum(l.dlut ORDER BY b.s) AS approx_dist
+                      FROM best b JOIN lut l ON l.cid = b.cid AND l.s = b.s
+                      GROUP BY b.vec_id
+                    ),
+                    short AS (
+                      SELECT vec_id FROM adc ORDER BY approx_dist, vec_id LIMIT 64
+                    ),
+                    rer AS (
+                      SELECT a.vec_id AS neighbor_id, {_COS} AS cosine
+                      FROM e a
+                      JOIN short ON a.vec_id = short.vec_id
+                      CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) b
+                    )
+                    SELECT neighbor_id, CAST(rn AS INTEGER) AS rank, cosine FROM (
+                      SELECT *, row_number() OVER (ORDER BY cosine DESC,
+                                                   neighbor_id) AS rn
+                      FROM rer
+                    ) WHERE rn <= 10
+                """,
+        "ss6_quantize_int8": """
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    el AS (
+                      SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS pos
+                      FROM e
+                    ),
+                    mm AS (
+                      SELECT vec_id, min(x) AS mn, max(x) AS mx,
+                             (max(x) - min(x)) / 255.0 AS scale
+                      FROM el GROUP BY vec_id
+                    ),
+                    q AS (
+                      SELECT el.vec_id, el.pos,
+                             CASE WHEN mm.mx = mm.mn THEN 0
+                                  ELSE CAST(least(floor((el.x - mm.mn) / mm.scale),
+                                                  255) AS INTEGER) END AS qi,
+                             el.x, mm.mn, mm.mx, mm.scale
+                      FROM el JOIN mm USING (vec_id)
+                    )
+                    SELECT vec_id,
+                           any_value(scale) AS scale,
+                           any_value(mn) AS zero_point,
+                           '[' || string_agg(CAST(qi AS VARCHAR), ',' ORDER BY pos)
+                               || ']' AS q_json,
+                           CASE WHEN any_value(mx) = any_value(mn) THEN 0.0
+                                ELSE max(abs(x - (mn + CAST(qi AS DOUBLE) * scale)))
+                           END AS max_abs_err
+                    FROM q GROUP BY vec_id
+                """,
+        "ss1_ann_bruteforce": f"""
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    a AS (SELECT * FROM e WHERE vec_id <> 0),
+                    b AS (SELECT v FROM e WHERE vec_id = 0),
+                    scored AS (
+                      SELECT a.vec_id AS neighbor_id, {_COS} AS cosine FROM a, b
+                    )
+                    SELECT neighbor_id, CAST(rn AS INTEGER) AS rank, cosine FROM (
+                      SELECT *, row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rn
+                      FROM scored
+                    ) WHERE rn <= 10
+                """,
+        "ss14_mmr_topk": f"""
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    b AS (SELECT v FROM e WHERE vec_id = 0),
+                    scored AS (
+                      SELECT a.vec_id AS neighbor_id, a.v, {_COS} AS cosine
+                      FROM (SELECT * FROM e WHERE vec_id <> 0) a, b
+                    ),
+                    short AS (SELECT * FROM scored
+                              ORDER BY cosine DESC, neighbor_id LIMIT 20),
+                    pair AS (
+                      SELECT a.neighbor_id AS i, b.neighbor_id AS j, {_COS} AS c
+                      FROM short a, short b WHERE a.neighbor_id <> b.neighbor_id
+                    ),
+                    s1 AS (SELECT neighbor_id, cosine, 0.7 * cosine AS mmr
+                           FROM short ORDER BY mmr DESC, neighbor_id LIMIT 1),
+                    sel1 AS (SELECT neighbor_id FROM s1),
+                    s2 AS (SELECT sh.neighbor_id, sh.cosine,
+                                  0.7 * sh.cosine - 0.3 * (
+                                    SELECT max(p.c) FROM pair p, sel1 s
+                                    WHERE p.i = sh.neighbor_id
+                                      AND p.j = s.neighbor_id) AS mmr
+                           FROM short sh
+                           WHERE sh.neighbor_id NOT IN (SELECT * FROM sel1)
+                           ORDER BY mmr DESC, sh.neighbor_id LIMIT 1),
+                    sel2 AS (SELECT * FROM sel1 UNION ALL
+                             SELECT neighbor_id FROM s2),
+                    s3 AS (SELECT sh.neighbor_id, sh.cosine,
+                                  0.7 * sh.cosine - 0.3 * (
+                                    SELECT max(p.c) FROM pair p, sel2 s
+                                    WHERE p.i = sh.neighbor_id
+                                      AND p.j = s.neighbor_id) AS mmr
+                           FROM short sh
+                           WHERE sh.neighbor_id NOT IN (SELECT * FROM sel2)
+                           ORDER BY mmr DESC, sh.neighbor_id LIMIT 1),
+                    sel3 AS (SELECT * FROM sel2 UNION ALL
+                             SELECT neighbor_id FROM s3),
+                    s4 AS (SELECT sh.neighbor_id, sh.cosine,
+                                  0.7 * sh.cosine - 0.3 * (
+                                    SELECT max(p.c) FROM pair p, sel3 s
+                                    WHERE p.i = sh.neighbor_id
+                                      AND p.j = s.neighbor_id) AS mmr
+                           FROM short sh
+                           WHERE sh.neighbor_id NOT IN (SELECT * FROM sel3)
+                           ORDER BY mmr DESC, sh.neighbor_id LIMIT 1),
+                    sel4 AS (SELECT * FROM sel3 UNION ALL
+                             SELECT neighbor_id FROM s4),
+                    s5 AS (SELECT sh.neighbor_id, sh.cosine,
+                                  0.7 * sh.cosine - 0.3 * (
+                                    SELECT max(p.c) FROM pair p, sel4 s
+                                    WHERE p.i = sh.neighbor_id
+                                      AND p.j = s.neighbor_id) AS mmr
+                           FROM short sh
+                           WHERE sh.neighbor_id NOT IN (SELECT * FROM sel4)
+                           ORDER BY mmr DESC, sh.neighbor_id LIMIT 1)
+                    SELECT neighbor_id, CAST(rank AS INTEGER) AS rank, cosine, mmr
+                    FROM (
+                      SELECT 1 AS rank, * FROM s1
+                      UNION ALL SELECT 2, * FROM s2
+                      UNION ALL SELECT 3, * FROM s3
+                      UNION ALL SELECT 4, * FROM s4
+                      UNION ALL SELECT 5, * FROM s5
+                    )
+                """,
+        "ss13_filtered_ann": f"""
+                    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                               FROM embeddings),
+                    a AS (SELECT * FROM e WHERE vec_id <> 0 AND label = 4),
+                    b AS (SELECT v FROM e WHERE vec_id = 0),
+                    scored AS (
+                      SELECT a.vec_id AS neighbor_id, {_COS} AS cosine FROM a, b
+                    )
+                    SELECT neighbor_id, CAST(rn AS INTEGER) AS rank, cosine FROM (
+                      SELECT *, row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rn
+                      FROM scored
+                    ) WHERE rn <= 10
+                """,
+        "ss2_ivf_assign": f"""
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+                    scored AS (
+                      SELECT a.vec_id, cent.cid,
+                             list_dot_product(a.v, cent.v)
+                               / (sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(cent.v, cent.v))) AS cos
+                      FROM e a, cent
+                    )
+                    SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                      FROM scored
+                    ) WHERE rn = 1
+                """,
+        "ss9_cluster_purity": """
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+                    scored AS (
+                      SELECT a.vec_id, cent.cid,
+                             list_dot_product(a.v, cent.v)
+                               / (sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(cent.v, cent.v))) AS cos
+                      FROM e a, cent
+                    ),
+                    assign AS (
+                      SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                        FROM scored
+                      ) WHERE rn = 1
+                    ),
+                    cells AS (
+                      SELECT a.cluster, em.label, count(*) AS n
+                      FROM assign a JOIN embeddings em ON a.vec_id = em.vec_id
+                      GROUP BY a.cluster, em.label
+                    ),
+                    top AS (
+                      SELECT cluster, label AS majority_label, n AS majority_n
+                      FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY cluster ORDER BY n DESC, label DESC) AS rn
+                        FROM cells
+                      ) WHERE rn = 1
+                    ),
+                    tot AS (SELECT cluster, sum(n) AS total FROM cells GROUP BY cluster)
+                    SELECT t.cluster, t.majority_label, t.majority_n,
+                           CAST(tt.total AS BIGINT) AS total,
+                           CAST((t.majority_n * 10000) // tt.total AS BIGINT)
+                             AS purity_bp
+                    FROM top t JOIN tot tt ON t.cluster = tt.cluster
+                """,
+    }

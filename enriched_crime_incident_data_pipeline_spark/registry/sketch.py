@@ -1,0 +1,413 @@
+"""Sketch family (sk*): KMV, Bloom, CMS, HLL, quantile sketches, exact heavy hitters.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import bloom_build, bloom_probe, cms_counters, cms_estimates
+from enriched_crime_incident_data_pipeline_spark.functions.text import doc_fingerprint
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _BLOOM_POS,
+    _CMS_POS,
+    _HASH32,
+    _NORM,
+)
+
+
+
+
+def q_sk4_hll_distinct(spark, sf_dir):
+    # deterministic HyperLogLog: 1024 registers over a 52-bit
+    # md5-derived hash, rho via integer bit-length (no log2), raw
+    # estimator only (range corrections need ln, a transcendental
+    # that breaks cross-engine bit-parity). The register table is the
+    # mergeable 1 KiB sketch state.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        hll_distinct_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct_estimate(li, F.col("l_partkey").cast("string"))
+
+
+def q_sk5_hll_rollup(spark, sf_dir):
+    # mergeable-sketch rollup: distinct active customers per nation /
+    # region / global as HLL register tables. The leaf (nation) level
+    # is the ONLY pass over the fact data; region and global sketches
+    # are derived by MERGING register tables (max per register) — the
+    # associativity the oracle verifies by computing each level
+    # directly from the raw rows. This is the 100 TB count-distinct
+    # rollup shape: 1 KiB of state per group, no re-scan per level.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        hll_estimates_from_registers,
+        hll_grouped_registers,
+        hll_merge_registers,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rel = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_name", "r_name", F.col("o_custkey").cast("string").alias("cust"))
+    )
+    nat_regs = hll_grouped_registers(rel, ["n_name", "r_name"], F.col("cust"))
+    reg_regs = hll_merge_registers(nat_regs, ["r_name"])
+    glob_regs = hll_merge_registers(reg_regs, [])
+    est = lambda regs, cols, level, key: (  # noqa: E731
+        hll_estimates_from_registers(regs, cols).select(
+            F.lit(level).alias("level"),
+            key.alias("key"),
+            "m",
+            "observed",
+            "raw_estimate",
+        )
+    )
+    return (
+        est(nat_regs, ["n_name", "r_name"], "nation", F.col("n_name"))
+        .unionByName(est(reg_regs, ["r_name"], "region", F.col("r_name")))
+        .unionByName(est(glob_regs, [], "global", F.lit("ALL")))
+    )
+
+
+def q_sk6_kmv_set_ops(spark, sf_dir):
+    # sketch set algebra: union/intersection/Jaccard of the part sets
+    # shipped before vs from 1997, from two 256-hash KMV sketches —
+    # no re-scan, no join of the underlying sets; the k-min merge is
+    # TakeOrdered, estimator arithmetic integer-exact + one divide
+    # chain (bit-reproducible)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        kmv_set_estimates,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < "1997-01-01")
+    b = li.filter(F.col("l_shipdate") >= "1997-01-01")
+    return kmv_set_estimates(
+        a,
+        b,
+        F.col("l_partkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+    )
+
+
+def q_sk7_quantile_sketch(spark, sf_dir):
+    # mergeable histogram quantile sketch: p50/p95/p99 of
+    # l_extendedprice from a fixed-width bucket→count table. One
+    # groupBy pass over the fact data (map-side combine bounds the
+    # shuffle at ~#buckets rows per partition); the read-out window
+    # runs over the tiny bucket relation only. |est − true| < width
+    # by construction (pinned in test_graph_sketch.py).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        histogram_quantile_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantile_sketch(
+        li, F.col("l_extendedprice"), 1000.0,
+        qs=((1, 2), (19, 20), (99, 100)),
+    )
+
+
+def q_sk1_kmv_distinct(spark, sf_dir):
+    # deterministic KMV distinct sketch: k smallest md5 hashes →
+    # estimate, reproducible bit-for-bit in any engine with md5
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct_estimate(li, F.col("l_partkey").cast("string"))
+
+
+
+def q_sk8_heavy_hitters(spark, sf_dir):
+    # exact frequent items, sketch-then-verify: CMS counters (one
+    # mergeable agg) ride the row filter as a literal array —
+    # array_min over d coordinates per row, no join, no distinct
+    # pass; only sketch survivors reach the exact groupBy + HAVING
+    # (CMS never underestimates ⇒ no false negatives, collisions die
+    # in the verify). Output == plain GROUP BY HAVING, by
+    # construction, at any sketch size.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        heavy_hitters_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(
+        ev, F.col("user_id").cast("string"), threshold=80
+    )
+
+
+def q_sk2_bloom(spark, sf_dir):
+    # Bloom membership: filter built from the old snapshot's content
+    # fingerprints, probed by every doc — md5 basis makes false
+    # positives deterministic and oracle-checkable
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    bits = bloom_build(
+        fp.filter(F.col("doc_id") < 250), F.col("fingerprint")
+    )
+    return bloom_probe(fp, bits, F.col("fingerprint"), "doc_id")
+
+
+def q_sk3_cms(spark, sf_dir):
+    # count-min frequency sketch over the lineitem partkey stream:
+    # 4×1024 counters whatever the stream size; per-key estimate is
+    # min over rows, always ≥ the true count
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_partkey"), F.col("l_partkey").cast("string").alias("key")
+    )
+    counters = cms_counters(src, F.col("key"))
+    keys = src.groupBy("l_partkey", "key").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    est = cms_estimates(keys, counters, F.col("key"), "l_partkey")
+    return (
+        keys.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            F.col("est"),
+            F.col("true_cnt").cast("int").alias("true_cnt"),
+            (F.col("est") - F.col("true_cnt")).cast("int").alias("overcount"),
+        )
+    )
+
+QUERIES = {
+    "sk8_heavy_hitters": q_sk8_heavy_hitters,
+    "sk6_kmv_set_ops": q_sk6_kmv_set_ops,
+    "sk7_quantile_sketch": q_sk7_quantile_sketch,
+    "sk1_kmv_distinct": q_sk1_kmv_distinct,
+    "sk4_hll_distinct": q_sk4_hll_distinct,
+    "sk5_hll_rollup": q_sk5_hll_rollup,
+    "sk2_bloom": q_sk2_bloom,
+    "sk3_cms": q_sk3_cms,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "sk8_heavy_hitters": """
+                    SELECT CAST(user_id AS VARCHAR) AS key,
+                           count(*) AS n
+                    FROM events GROUP BY 1 HAVING count(*) >= 80
+                """,
+        "sk4_hll_distinct": """
+                    WITH h AS (
+                      SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
+                      FROM lineitem
+                    ),
+                    parts AS (
+                      SELECT h // 4398046511104 AS register,
+                             h % 4398046511104 AS w
+                      FROM h
+                    ),
+                    rho AS (
+                      SELECT register,
+                             max(CASE WHEN w = 0 THEN 43
+                                      ELSE 43 - length(bin(w)) END) AS rho
+                      FROM parts GROUP BY register
+                    )
+                    SELECT 1024 AS m, CAST(count(*) AS INTEGER) AS observed,
+                           (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                             / (sum(power(2.0, -rho))
+                                + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
+                    FROM rho
+                """,
+        "sk5_hll_rollup": """
+                    -- each level computed DIRECTLY from the raw rows; equality
+                    -- with the engine's merged-register path IS the sketch
+                    -- mergeability property under oracle check
+                    WITH rel AS (
+                      SELECT n.n_name, r.r_name, CAST(o.o_custkey AS VARCHAR) AS cust
+                      FROM orders o
+                      JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN nation n ON c.c_nationkey = n.n_nationkey
+                      JOIN region r ON n.n_regionkey = r.r_regionkey
+                    ),
+                    parts AS (
+                      SELECT n_name, r_name,
+                             (('0x' || substr(md5(cust), 1, 13))::BIGINT)
+                               // 4398046511104 AS register,
+                             (('0x' || substr(md5(cust), 1, 13))::BIGINT)
+                               % 4398046511104 AS w
+                      FROM rel
+                    ),
+                    rho_nation AS (
+                      SELECT n_name, register,
+                             max(CASE WHEN w = 0 THEN 43
+                                      ELSE 43 - length(bin(w)) END) AS rho
+                      FROM parts GROUP BY n_name, register
+                    ),
+                    rho_region AS (
+                      SELECT r_name, register,
+                             max(CASE WHEN w = 0 THEN 43
+                                      ELSE 43 - length(bin(w)) END) AS rho
+                      FROM parts GROUP BY r_name, register
+                    ),
+                    rho_global AS (
+                      SELECT register,
+                             max(CASE WHEN w = 0 THEN 43
+                                      ELSE 43 - length(bin(w)) END) AS rho
+                      FROM parts GROUP BY register
+                    )
+                    SELECT 'nation' AS level, n_name AS key, 1024 AS m,
+                           CAST(count(*) AS INTEGER) AS observed,
+                           (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                             / (sum(power(2.0, -rho))
+                                + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
+                    FROM rho_nation GROUP BY n_name
+                    UNION ALL
+                    SELECT 'region' AS level, r_name AS key, 1024 AS m,
+                           CAST(count(*) AS INTEGER) AS observed,
+                           (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                             / (sum(power(2.0, -rho))
+                                + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
+                    FROM rho_region GROUP BY r_name
+                    UNION ALL
+                    SELECT 'global' AS level, 'ALL' AS key, 1024 AS m,
+                           CAST(count(*) AS INTEGER) AS observed,
+                           (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                             / (sum(power(2.0, -rho))
+                                + CAST(1024 - count(*) AS DOUBLE)) AS raw_estimate
+                    FROM rho_global
+                """,
+        "sk6_kmv_set_ops": f"""
+                    WITH a AS (
+                      SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
+                      FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+                    ),
+                    b AS (
+                      SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
+                      FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+                    ),
+                    tagged AS (
+                      SELECT h, 1 AS in_a, 0 AS in_b FROM a
+                      UNION ALL
+                      SELECT h, 0 AS in_a, 1 AS in_b FROM b
+                    ),
+                    merged AS (
+                      SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+                      FROM tagged GROUP BY h
+                    ),
+                    kmin AS (SELECT * FROM merged ORDER BY h LIMIT 256),
+                    base AS (
+                      SELECT CAST(count(*) AS INTEGER) AS k_used,
+                             max(h) AS kth_hash,
+                             CAST(sum(in_a * in_b) AS INTEGER) AS n_both
+                      FROM kmin
+                    )
+                    SELECT k_used, kth_hash, n_both,
+                           CAST(k_used - 1 AS DOUBLE) * 4294967296.0 / kth_hash
+                             AS union_est,
+                           (CAST(n_both AS DOUBLE)
+                            * (CAST(k_used - 1 AS DOUBLE) * 4294967296.0 / kth_hash))
+                             / CAST(k_used AS DOUBLE) AS inter_est,
+                           CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)
+                             AS jaccard_est
+                    FROM base
+                """,
+        "sk7_quantile_sketch": """
+                    WITH b AS (
+                      SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket,
+                             count(*) AS cnt
+                      FROM lineitem GROUP BY 1
+                    ),
+                    c AS (
+                      SELECT bucket, cnt,
+                             CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+                      FROM b
+                    ),
+                    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM b),
+                    qs (q_num, q_den) AS (VALUES (1, 2), (19, 20), (99, 100)),
+                    ks AS (
+                      SELECT q_num, q_den,
+                             (n_total * CAST(q_num AS BIGINT)
+                              + CAST(q_den AS BIGINT) - 1) // CAST(q_den AS BIGINT)
+                               AS k,
+                             n_total
+                      FROM qs, n
+                    )
+                    SELECT q_num, q_den, k, n_total, c.bucket,
+                           CAST(c.bucket AS DOUBLE) * 1000.0
+                             + 1000.0 * (CAST(ks.k - (c.cum - c.cnt) AS DOUBLE)
+                                         / CAST(c.cnt AS DOUBLE)) AS est
+                    FROM ks JOIN c ON c.cum >= ks.k AND (c.cum - c.cnt) < ks.k
+                """,
+        "sk1_kmv_distinct": f"""
+                    WITH h AS (
+                      SELECT DISTINCT {_HASH32.format(x="CAST(l_partkey AS VARCHAR)")} AS h
+                      FROM lineitem
+                    ),
+                    kmin AS (SELECT h FROM h ORDER BY h LIMIT 256)
+                    SELECT CAST(count(*) AS INTEGER) AS k, max(h) AS kth_hash,
+                           CAST(count(*) - 1 AS DOUBLE) * 4294967296.0 / max(h) AS estimate
+                    FROM kmin
+                """,
+        "sk2_bloom": f"""
+                    WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+                    bits AS (
+                      SELECT DISTINCT bit FROM ({_BLOOM_POS.format(src="fp WHERE doc_id < 250")})
+                    ),
+                    ppos AS (
+                      SELECT DISTINCT doc_id, bit FROM ({_BLOOM_POS.format(src="fp")})
+                    ),
+                    stats AS (
+                      SELECT p.doc_id, count(*) AS n_pos,
+                             sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                               AS n_hit
+                      FROM ppos p LEFT JOIN bits b ON p.bit = b.bit
+                      GROUP BY p.doc_id
+                    )
+                    SELECT doc_id,
+                           CAST(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END AS INTEGER)
+                             AS hit
+                    FROM stats
+                """,
+        "sk3_cms": f"""
+                    WITH src AS (
+                      SELECT l_partkey, CAST(l_partkey AS VARCHAR) AS key
+                      FROM lineitem
+                    ),
+                    pos AS ({_CMS_POS.format(src="src", keyexpr="key")}),
+                    counters AS (
+                      SELECT j, bucket, count(*) AS cnt FROM pos GROUP BY j, bucket
+                    ),
+                    keys AS (
+                      SELECT l_partkey, key, count(*) AS true_cnt
+                      FROM src GROUP BY l_partkey, key
+                    ),
+                    kp AS ({_CMS_POS.format(src="keys", keyexpr="key")}
+                    ),
+                    est AS (
+                      SELECT kp.l_partkey, min(c.cnt) AS est
+                      FROM kp JOIN counters c ON kp.j = c.j AND kp.bucket = c.bucket
+                      GROUP BY kp.l_partkey
+                    )
+                    SELECT k.l_partkey, CAST(e.est AS INTEGER) AS est,
+                           CAST(k.true_cnt AS INTEGER) AS true_cnt,
+                           CAST(e.est - k.true_cnt AS INTEGER) AS overcount
+                    FROM keys k JOIN est e ON k.l_partkey = e.l_partkey
+                """,
+    }

@@ -1,0 +1,1218 @@
+"""Streaming family (st*): Structured Streaming twins pinned to batch semantics.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import hash32, minhash_bands
+from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import ivf_assignments
+from enriched_crime_incident_data_pipeline_spark.functions.text import tokens
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _COS,
+    _DC7_BLOOM_SQL,
+    _HASH32,
+    _MINHASH_BANDS_SQL,
+    _NORM,
+    _SESSIONIZATION_SQL,
+    _TOKENS,
+    _TUMBLING_SQL,
+    _documents_as_media,
+)
+
+
+
+
+def q_st3_stream_static_join(spark, sf_dir):
+    # stream-static broadcast join: streaming events enriched against
+    # a static dimension, then a streaming aggregation
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("error", 3), ("purchase", 4), ("signup", 5)],
+        "event_type string, w int",
+    )
+    s = stream_events(spark, sf_dir).join(F.broadcast(dim), "event_type")
+    agg = (
+        s.groupBy("event_type", "w")
+        .count()
+        .select(
+            "event_type",
+            (F.col("count") * F.col("w")).cast("bigint").alias("weighted_n"),
+        )
+    )
+    return run_available_now(
+        agg, "st3_static_join", "complete", state_partitions=8
+    )
+
+
+def q_st15_stream_temporal_enrich(spark, sf_dir):
+    # stream-static temporal (SCD2 as-of) enrichment: arriving fact
+    # events join the static dimension-history table on key +
+    # interval containment — STATELESS on the stream side (each
+    # micro-batch joins the static relation; no watermark state),
+    # the streaming twin of scd3. AvailableNow run ≡ the batch
+    # lookup, same oracle SQL.
+    from enriched_crime_incident_data_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # the dimension HISTORY is a maintained table in any real
+    # deployment, not something rebuilt per arriving batch — pin it
+    # once before the stream starts, so each micro-batch joins the
+    # materialized intervals instead of re-running the version window
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+            F.col("event_id").alias("dim_event_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("dim_value"),
+        ),
+        ["user_id"],
+        "ts",
+        "dim_event_id",
+    ).localCheckpoint(eager=True)
+    # normalize the raw stream's TIMESTAMP_NTZ once in the projection
+    # (one cast per fact row). Left inside the join residual, Spark
+    # wraps EVERY candidate comparison in the zone cast — the SMJ
+    # evaluates the residual per (fact, version) pair, so the cast
+    # runs ~versions-per-key times per fact: measured 18 s vs 3 s on
+    # the 10M-event backfill
+    facts = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+        "left",
+    ).select(
+        facts["event_id"], facts["user_id"], facts["ts"],
+        "dim_event_id", "dim_value",
+    )
+    # NO state_partitions override: this query is STATELESS (no
+    # aggregation/dedup/stream-stream join → zero state stores), so
+    # shuffle partitioning should track DATA volume like any batch
+    # join — pinning it to a small state-sized count strangled the
+    # join at the 10M-event backfill point (62 s → 28 s at sf10;
+    # with the projection-cast fix above, 7.2 s vs the 3.5 s batch
+    # twin — the residue is micro-batch machinery + sink collection)
+    return run_available_now(joined, "st15_temporal_enrich", "append")
+
+
+def q_st6_stream_lsh_probe(spark, sf_dir):
+    # continuous dedup: a document stream computes row-wise MinHash
+    # bands (stateless map — possible only because signatures no
+    # longer groupBy) and probes the STATIC band index via a
+    # stream-static equi-join; dropDuplicates dedups multi-band hits.
+    # Bounded AvailableNow run ≡ the batch incremental probe.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = minhash_bands(docs.filter(F.col("doc_id") % 5 != 0)).select(
+        F.col("doc_id").alias("b"), "band_id", "band_hash"
+    )
+    new_stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    probes = minhash_bands(new_stream).select(
+        F.col("doc_id").alias("a"), "band_id", "band_hash"
+    )
+    hits = (
+        probes.join(index, ["band_id", "band_hash"])
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return run_available_now(
+        hits, "st6_lsh_probe", "append", state_partitions=8
+    )
+
+
+def q_st17_stream_bloom_probe(spark, sf_dir):
+    # continuous decontamination at ingest (r5): arriving docs probe
+    # the STATIC packed-bitset Bloom of the eval grams — the whole
+    # probe is a stateless map (broadcast 1-row bitset crossJoin +
+    # column exprs, see dc7), so it is legal on a stream unchanged
+    # and batch ≡ stream bit-for-bit; the oracle is dc7's SQL
+    # restricted to the streamed split.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        bloom_decontaminate,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    stream_train = (
+        stream_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "text")
+    )
+    out = bloom_decontaminate(stream_train, eval_docs, n=8)
+    return run_available_now(out, "st17_bloom_probe", "append")
+
+
+def q_st14_stream_phash_probe(spark, sf_dir):
+    # continuous IMAGE dedup at ingest: arriving media compute their
+    # dHash row-wise (the Arrow kernel is a stateless map, legal on a
+    # stream) and probe the STATIC signature band index via a
+    # stream-static equi-join; multi-band hits dedup, then the exact
+    # bit_count(xor) Hamming verify runs on candidates only — the
+    # multimodal twin of st6's text LSH probe.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        simhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        dhash_signatures,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    static_sig = dhash_signatures(
+        _documents_as_media(docs.filter(F.col("doc_id") % 5 != 0))
+    ).withColumnRenamed("dhash", "simhash")
+    index = simhash_bands(static_sig, "media_id").select(
+        F.col("media_id").alias("_ib"),
+        "band_idx",
+        "band_val",
+        F.col("simhash").alias("_sb"),
+    )
+    stream_media = (
+        stream_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    probe_sig = dhash_signatures(stream_media).withColumnRenamed(
+        "dhash", "simhash"
+    )
+    probes = simhash_bands(probe_sig, "media_id").select(
+        F.col("media_id").alias("_ia"),
+        "band_idx",
+        "band_val",
+        F.col("simhash").alias("_sa"),
+    )
+    hits = (
+        probes.join(index, ["band_idx", "band_val"])
+        .select(
+            F.least("_ia", "_ib").alias("a"),
+            F.greatest("_ia", "_ib").alias("b"),
+            F.col("_sa"),
+            F.col("_sb"),
+        )
+        .dropDuplicates(["a", "b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+    )
+    return run_available_now(
+        hits, "st14_phash_probe", "append", state_partitions=8
+    )
+
+
+def q_st7_stream_corpus_ingest(spark, sf_dir):
+    # continuous corpus ingest: the documents table arrives as THREE
+    # id-ordered micro-batches; each batch probes the persistent band
+    # index (incremental LSH — work ∝ |batch|, never |corpus|²),
+    # drops near-dups of anything earlier, segment-dedups against the
+    # seen-segment state, and idempotently appends. Keep-earliest
+    # makes the fold prefix-stable, so the final state equals the
+    # batch twin (and the plain-SQL oracle) for any id-ordered split.
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from enriched_crime_incident_data_pipeline_spark.streaming.corpus_ingest import (
+        run_corpus_ingest_stream,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(src).sort_by("doc_id")
+    n = t.num_rows
+    base = tempfile.mkdtemp(prefix="spark_graft_st7_")
+    docs_dir = os.path.join(base, "docs")
+    os.makedirs(docs_dir)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(docs_dir, f"batch{i}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        # file-stream source processes oldest-mtime first: pin the
+        # arrival order to the id order the keeper rule assumes
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    schema = spark.read.parquet(src).schema
+    state_dir = os.path.join(base, "state")
+    os.makedirs(state_dir)
+    out = run_corpus_ingest_stream(spark, docs_dir, schema, state_dir)
+    # detach the result from the on-disk state (localCheckpoint pins
+    # the rows in block storage), then remove the whole temp root —
+    # docs, state parquet, and the per-run streaming checkpoint — so
+    # repeated selfcheck/bench invocations don't leak under /tmp
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def q_st8_stream_decontaminate(spark, sf_dir):
+    # continuous eval-contamination guard: the training-doc stream
+    # shingles 8-grams map-only and probes the BROADCAST static
+    # eval-gram set (eval benchmarks are MBs, the corpus is TBs — the
+    # stream never shuffles); dropDuplicates emits each contaminated
+    # doc id once. Bounded AvailableNow run ≡ the batch probe.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        doc_ngrams,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_grams = (
+        doc_ngrams(docs.filter(F.col("doc_id") % 7 == 0), 8)
+        .select("gram")
+        .distinct()
+    )
+    train_stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 != 0
+    )
+    hits = (
+        doc_ngrams(train_stream, 8)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    return run_available_now(
+        hits, "st8_decontaminate", "append", state_partitions=8
+    )
+
+
+def q_st9_stream_hll(spark, sf_dir):
+    # continuous distinct-count: the HLL register table IS a streaming
+    # aggregation — max-per-register is order-insensitive and
+    # mergeable, exactly what makes HLL a streaming sketch; the
+    # bounded complete-mode AvailableNow run equals the batch register
+    # table bit-for-bit. State is 1024 rows forever, regardless of
+    # stream length.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        hll_registers,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    li = stream_table(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, F.col("l_partkey").cast("string"))
+    out = regs.select(
+        F.col("register").cast("bigint").alias("register"),
+        F.col("rho").cast("bigint").alias("rho"),
+    )
+    return run_available_now(out, "st9_hll", "complete", state_partitions=8)
+
+
+def q_st18_stream_word_hist(spark, sf_dir):
+    # continuous word-histogram maintenance — the tok5 tokenizer-
+    # training feeder as a stream: (word, freq) IS a streaming
+    # aggregation (counts merge across micro-batches, order-
+    # insensitive), so arriving documents keep the histogram current
+    # and character-BPE training can re-run over the maintained state
+    # at any time WITHOUT rescanning the corpus. State is bounded by
+    # the vocabulary (Zipf-small), not the stream length; the
+    # AvailableNow complete-mode run equals the batch histogram
+    # exactly (same oracle as tok5's wh stage).
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return run_available_now(
+        hist, "st18_word_hist", "complete", state_partitions=8
+    )
+
+
+def q_st19_stream_heavy_hitters(spark, sf_dir):
+    # continuous frequent-items: the per-key count table IS a
+    # streaming aggregation (counts merge per micro-batch); the ≥ T
+    # read-out filters the maintained state, so "which keys are heavy
+    # RIGHT NOW" is query-time work over state bounded by the key
+    # domain, not the stream length. Batch twin: sk8 (whose CMS pass
+    # is the work-gate for enormous domains; the state table here is
+    # the exact verify layer kept continuously current).
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.col("user_id").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(
+        counts, "st19_heavy", "complete", state_partitions=8
+    )
+    return out.filter(F.col("n") >= 80)
+
+
+def q_st16_stream_quantile(spark, sf_dir):
+    # continuous quantiles: the histogram bucket→count table IS a
+    # streaming aggregation (counts merge across micro-batches), the
+    # same property that makes it a distributed sketch (sk7). State
+    # is ~#buckets rows forever, bounded by the VALUE DOMAIN, not the
+    # stream length. The quantile read-out runs as a batch query over
+    # the maintained sketch — query-time work independent of how much
+    # data has streamed past. AvailableNow run ≡ the batch sketch,
+    # same oracle SQL as the batch formulation.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        histogram_buckets,
+        histogram_quantile_readout,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    buckets = histogram_buckets(ev, F.col("value"), 5.0)
+    state = run_available_now(
+        buckets, "st16_quantile", "complete", state_partitions=8
+    )
+    return histogram_quantile_readout(
+        state, 5.0, qs=((1, 4), (1, 2), (19, 20), (99, 100))
+    )
+
+
+def q_st10_stream_embed_probe(spark, sf_dir):
+    # continuous SemDeDup ingest probe: arriving vectors (vec_id % 5
+    # == 0) assign to the corpus' IVF centroids via a STATELESS row
+    # expression (no groupBy state on the stream), then stream-static
+    # equi-join the corpus within their cluster and keep cosine >=
+    # 0.3 matches — the incremental twin of dd14's pair generator:
+    # work per vector ∝ its cluster's corpus size, never |corpus|.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_assignments,
+        stateless_ivf_assign,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    cent_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in corpus.filter(F.col("vec_id") < 16).collect()
+    ]
+    static = (
+        corpus.join(ivf_assignments(corpus, 16).select("vec_id", "cluster"), "vec_id")
+        .select(
+            F.col("vec_id").alias("match_id"),
+            F.col("embedding").alias("_bvec"),
+            l2_norm(F.col("embedding")).alias("_bn"),
+            "cluster",
+        )
+    )
+    stream = stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    probes = stateless_ivf_assign(stream, cent_rows).select(
+        "vec_id",
+        F.col("embedding").alias("_avec"),
+        l2_norm(F.col("embedding")).alias("_an"),
+        "cluster",
+    )
+    hits = (
+        probes.join(static, "cluster")
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("_avec"), F.col("_bvec"), F.col("_an"), F.col("_bn")
+            ),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .select("vec_id", "match_id", "cosine")
+    )
+    return run_available_now(
+        hits, "st10_embed_probe", "append", state_partitions=8
+    )
+
+
+
+def q_st11_stream_ohlc(spark, sf_dir):
+    # continuous OHLC bars: the ts5 aggregation as a complete-mode
+    # streaming window — min_by/max_by on the fixed-width
+    # (epoch_us, event_id) key are order-insensitive and mergeable
+    # across micro-batches, so the bounded AvailableNow run equals
+    # the batch bars exactly
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    val = F.col("value").cast("double")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by(val, key).alias("open"),
+            F.max(val).alias("high"),
+            F.min(val).alias("low"),
+            F.max_by(val, key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "open", "high", "low", "close", "n",
+        )
+    )
+    return run_available_now(bars, "st11_ohlc", "complete", state_partitions=8)
+
+
+
+def q_st12_stream_temperature_sample(spark, sf_dir):
+    # continuous corpus sampling at ingest: per-stratum keep
+    # thresholds derive from the STATIC corpus composition (one
+    # map-side count, broadcast); the document stream then filters
+    # with the pure hash predicate — stateless map, no stream
+    # shuffle. Bounded AvailableNow run ≡ the batch tp12 kept set.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        hash32,
+    )
+
+    stratum = (
+        F.when(F.col("doc_id") % 10 < 6, "heavy")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("light")
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "stratum", stratum
+    )
+    counts = docs.groupBy("stratum").agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "stratum",
+        F.floor(
+            F.sqrt(
+                F.col("_nmin").cast("double") / F.col("_n").cast("double")
+            )
+            * F.lit(4294967296.0)
+        ).alias("_thr"),
+    )
+    stream = stream_table(spark, sf_dir, "documents").withColumn(
+        "stratum", stratum
+    )
+    h = hash32(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    kept = (
+        stream.join(F.broadcast(rates), "stratum")
+        .filter(h < F.col("_thr"))
+        .select("doc_id", "stratum")
+    )
+    return run_available_now(
+        kept, "st12_temp_sample", "append", state_partitions=8
+    )
+
+
+def q_st4_stream_dedup(spark, sf_dir):
+    # watermarked streaming dedup feeding a streaming aggregation —
+    # the exactly-once ingest shape for at-least-once feeds
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    dd = s.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return run_available_now(agg, "st4_dedup", "complete", state_partitions=8)
+
+
+def q_st5_stream_stream_join(spark, sf_dir):
+    # stream-stream interval join: purchases ⋈ views of the same user
+    # within the preceding hour. Watermarks on BOTH sides + the
+    # time-range conjunct bound the join state (views older than the
+    # range + watermark are evicted) — the shape that stays flat on an
+    # unbounded feed. Bounded AvailableNow run ≡ the batch twin.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    # project to the 3 join/output columns BEFORE the join: the
+    # stream-stream join buffers BOTH inputs in the state store, so
+    # every non-projected column (props JSON, page, amounts…) would
+    # be serialized into state row-by-row — at sf0.1 that alone made
+    # the join ~2× slower (see SCALING.md round-4 st5 note); on an
+    # unbounded feed it's the difference between state ∝ needed bytes
+    # and state ∝ full-event bytes
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+        .alias("p")
+    )
+    v = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+        .alias("v")
+    )
+    j = p.join(
+        v,
+        F.expr(
+            "p.user_id = v.user_id"
+            " AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+        ),
+    )
+    out = j.select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.user_id").alias("user_id"),
+    )
+    # 8 state partitions: sized to the sf0.1 state volume (~40 k
+    # buffered rows) — see run_available_now's docstring; 32 was pure
+    # per-store commit overhead (the round-3 "st5 regression" was
+    # noise around that fixed cost, root-caused in SCALING.md r4)
+    return run_available_now(out, "st5_join", "append", state_partitions=8)
+
+
+def q_stat1_corr(spark, sf_dir):
+    # Pearson correlation from exact decimal co-moments (built-in
+    # corr() is float-sum order-dependent; this is engine-exact)
+    from enriched_crime_incident_data_pipeline_spark.functions.stats import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec2(F.col("l_quantity"))
+    y = dec2(F.col("l_extendedprice"))
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = n * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (n * d("sxx") - d("sx") * d("sx")) * (n * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select((num / den).alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# structured streaming (bounded AvailableNow runs, oracle = batch twin)
+# ---------------------------------------------------------------------------
+
+
+def q_st1_stream_tumbling(spark, sf_dir):
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    s = stream_events(spark, sf_dir)
+    return run_available_now(
+        tumbling_counts(s), "st1_tumbling", "complete", state_partitions=8
+    )
+
+
+def q_st13_stream_sliding(spark, sf_dir):
+    # overlapping sliding windows (10 min every 5 min) as a
+    # watermarked streaming aggregation; the bounded AvailableNow run
+    # must equal the batch expansion (each event in exactly 2
+    # windows), which is what the oracle computes
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        sliding_counts,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    return run_available_now(
+        sliding_counts(s), "st13_sliding", "complete", state_partitions=8
+    )
+
+
+def q_st2_stream_sessions(spark, sf_dir):
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        session_counts_stateful,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    return run_available_now(
+        session_counts_stateful(s), "st2_sessions", "update",
+        state_partitions=8,
+    )
+
+
+def q_stat2_mad(spark, sf_dir):
+    # median absolute deviation: two exact-percentile passes; the
+    # per-group median broadcasts back onto the fact rows
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("absdev"),
+        "med",
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.first("med").alias("median_price"),
+        F.expr("percentile(absdev, 0.5)").alias("mad"),
+    )
+
+
+def q_stat3_mode(spark, sf_dir):
+    # per-group mode as an aggregation (max_by on (count, -value)):
+    # map-side combinable, deterministic tie-break, no sort window
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.expr(
+            "max_by(l_quantity, struct(cnt, -l_quantity))"
+        ).alias("mode_quantity"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+def q_stat4_gini(spark, sf_dir):
+    # Gini impurity of the per-source language mix, computed from
+    # exact integer count sums (1 - Σcnt²/total²) — no float
+    # accumulation order anywhere
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    return per_source.select(
+        "source",
+        F.col("total").cast("int").alias("n_docs"),
+        (
+            F.lit(1.0)
+            - F.col("sumsq").cast("double")
+            / (F.col("total") * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def q_stat5_winsorize(spark, sf_dir):
+    # winsorized (clamped-tail) mean per group: exact-percentile
+    # bounds broadcast back onto the fact rows; the clamped sum is
+    # decimal-exact (double→decimal(18,6) has no rounding ties — a
+    # decimal tie needs a 5^k denominator no binary double can have)
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    joined = li.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.first("p05").alias("p05"),
+        F.first("p95").alias("p95"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low"),
+        F.sum(
+            F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high"),
+        (
+            F.sum(clamped.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )
+
+QUERIES = {
+    "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
+    "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
+    "st8_stream_decontaminate": q_st8_stream_decontaminate,
+    "st1_stream_tumbling": q_st1_stream_tumbling,
+    "st13_stream_sliding": q_st13_stream_sliding,
+    "st14_stream_phash_probe": q_st14_stream_phash_probe,
+    "st17_stream_bloom_probe": q_st17_stream_bloom_probe,
+    "st18_stream_word_hist": q_st18_stream_word_hist,
+    "st19_stream_heavy_hitters": q_st19_stream_heavy_hitters,
+    "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
+    "st16_stream_quantile": q_st16_stream_quantile,
+    "st2_stream_sessions": q_st2_stream_sessions,
+    "stat5_winsorize": q_stat5_winsorize,
+    "st3_stream_static_join": q_st3_stream_static_join,
+    "st9_stream_hll": q_st9_stream_hll,
+    "st10_stream_embed_probe": q_st10_stream_embed_probe,
+    "st11_stream_ohlc": q_st11_stream_ohlc,
+    "st12_stream_temperature_sample": q_st12_stream_temperature_sample,
+    "st4_stream_dedup": q_st4_stream_dedup,
+    "st5_stream_stream_join": q_st5_stream_stream_join,
+    "stat1_corr": q_stat1_corr,
+    "stat2_mad": q_stat2_mad,
+    "stat3_mode": q_stat3_mode,
+    "stat4_gini": q_stat4_gini,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "stat5_winsorize": """
+                    WITH bounds AS (
+                      SELECT l_returnflag,
+                             quantile_cont(l_extendedprice, 0.05) AS p05,
+                             quantile_cont(l_extendedprice, 0.95) AS p95
+                      FROM lineitem GROUP BY l_returnflag
+                    )
+                    SELECT l.l_returnflag,
+                           max(p05) AS p05, max(p95) AS p95,
+                           CAST(sum(CASE WHEN l_extendedprice < p05
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                           CAST(sum(CASE WHEN l_extendedprice > p95
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                           CAST(sum(CAST(least(greatest(l_extendedprice, p05), p95)
+                                    AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                             AS winsorized_mean
+                    FROM lineitem l JOIN bounds b USING (l_returnflag)
+                    GROUP BY l.l_returnflag
+                """,
+        "st3_stream_static_join": """
+                    SELECT e.event_type,
+                           CAST(count(*) * max(d.w) AS BIGINT) AS weighted_n
+                    FROM events e
+                    JOIN (VALUES ('click', 1), ('view', 2), ('error', 3),
+                                 ('purchase', 4), ('signup', 5)) AS d(event_type, w)
+                      ON e.event_type = d.event_type
+                    GROUP BY e.event_type
+                """,
+        "st1_stream_tumbling": _TUMBLING_SQL,
+        "st13_stream_sliding": """
+                    WITH expanded AS (
+                      SELECT time_bucket(INTERVAL '5 minutes', ts)
+                               - j.jn * INTERVAL '5 minutes' AS window_start,
+                             event_type, value
+                      FROM events, (SELECT unnest(range(2)) AS jn) j
+                    )
+                    SELECT window_start, event_type, count(*) AS n,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                             AS total_value
+                    FROM expanded GROUP BY 1, 2
+                """,
+        "st2_stream_sessions": _SESSIONIZATION_SQL,
+        "st14_stream_phash_probe": """
+                    WITH hx AS (
+                      SELECT doc_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                    ),
+                    pos AS (
+                      SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
+                    ),
+                    cellsum AS (
+                      SELECT doc_id, CAST(i % 72 AS INTEGER) AS k,
+                             CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                                      ::INTEGER) AS BIGINT) AS s
+                      FROM pos GROUP BY doc_id, i % 72
+                    ),
+                    grid AS (
+                      SELECT d.doc_id, CAST(g.k AS INTEGER) AS k
+                      FROM documents d
+                      CROSS JOIN (SELECT unnest(range(72)) AS k) g
+                    ),
+                    cells AS (
+                      SELECT grid.doc_id, grid.k, COALESCE(cellsum.s, 0) AS s
+                      FROM grid LEFT JOIN cellsum
+                        ON grid.doc_id = cellsum.doc_id AND grid.k = cellsum.k
+                    ),
+                    bits AS (
+                      SELECT a.doc_id,
+                             CAST((a.k // 9) * 8 + (a.k % 9) AS INTEGER) AS j,
+                             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+                      FROM cells a JOIN cells b
+                        ON a.doc_id = b.doc_id AND b.k = a.k + 1
+                      WHERE a.k % 9 <> 8
+                    ),
+                    bands AS (
+                      SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
+                             CAST(sum(CAST(bit AS BIGINT)
+                                      * (1::BIGINT << (j % 16))) AS BIGINT) AS band_val
+                      FROM bits GROUP BY doc_id, j // 16
+                    ),
+                    cand AS (
+                      SELECT DISTINCT least(p.doc_id, x.doc_id) AS a,
+                                      greatest(p.doc_id, x.doc_id) AS b
+                      FROM bands p JOIN bands x
+                        ON p.band_idx = x.band_idx AND p.band_val = x.band_val
+                      WHERE p.doc_id % 5 = 0 AND x.doc_id % 5 <> 0
+                    ),
+                    ham AS (
+                      SELECT c.a, c.b,
+                             CAST(sum(CASE WHEN ba.bit <> bb.bit
+                                      THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+                      FROM cand c
+                      JOIN bits ba ON ba.doc_id = c.a
+                      JOIN bits bb ON bb.doc_id = c.b AND bb.j = ba.j
+                      GROUP BY c.a, c.b
+                    )
+                    SELECT a, b, hamming FROM ham WHERE hamming <= 3
+                """,
+        "stat1_corr": """
+                    WITH m AS (
+                      SELECT count(*) AS n,
+                             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                             sum(CAST(l_quantity AS DECIMAL(18,2))
+                                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                             sum(CAST(l_quantity AS DECIMAL(18,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+                      FROM lineitem
+                    )
+                    SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                           AS corr_qty_price
+                    FROM m
+                """,
+        "st5_stream_stream_join": """
+                    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                           p.user_id AS user_id
+                    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+                      ON p.user_id = v.user_id
+                     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+                """,
+        "st4_stream_dedup": """
+                    SELECT event_type, count(*) AS cnt FROM (
+                      SELECT DISTINCT * FROM events
+                    ) GROUP BY event_type
+                """,
+        "st7_stream_corpus_ingest": f"""
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    pairs AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    kept AS (
+                      SELECT * FROM documents
+                      WHERE doc_id NOT IN (SELECT b FROM pairs)
+                    ),
+                    stoks AS (
+                      SELECT doc_id, {_TOKENS} AS ts FROM kept
+                      WHERE {_NORM} <> ''
+                    ),
+                    sseg AS (
+                      SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+                             array_to_string(
+                               list_slice(ts, CAST(g.i * 10 + 1 AS INTEGER),
+                                          CAST(g.i * 10 + 10 AS INTEGER)), ' ') AS seg
+                      FROM stoks, LATERAL (
+                        SELECT unnest(range(CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS i
+                      ) g
+                    ),
+                    skept AS (
+                      SELECT doc_id, seg_idx, seg FROM (
+                        SELECT doc_id, seg_idx, seg,
+                               row_number() OVER (PARTITION BY md5(seg)
+                                                  ORDER BY doc_id, seg_idx) AS rn
+                        FROM sseg
+                      ) WHERE rn = 1
+                    )
+                    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                           string_agg(seg, ' ' ORDER BY seg_idx) AS deduped_text
+                    FROM skept GROUP BY doc_id
+                """,
+        "st6_stream_lsh_probe": f"""
+                    WITH bands AS ({_MINHASH_BANDS_SQL}),
+                    nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+                    ob AS (SELECT * FROM bands WHERE doc_id % 5 <> 0)
+                    SELECT DISTINCT least(n.doc_id, o.doc_id) AS a,
+                           greatest(n.doc_id, o.doc_id) AS b
+                    FROM nb n JOIN ob o
+                      ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+                    WHERE n.doc_id <> o.doc_id
+                """,
+        "st8_stream_decontaminate": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    g AS (
+                      SELECT DISTINCT doc_id,
+                             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+                      FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                               AS t(i)
+                    ),
+                    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+                    SELECT DISTINCT g.doc_id
+                    FROM g JOIN ev USING (gram)
+                    WHERE g.doc_id % 7 <> 0
+                """,
+        "st10_stream_embed_probe": f"""
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    corpus AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+                    newv AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+                    cent AS (SELECT vec_id AS cid, v AS cv FROM corpus
+                             WHERE vec_id < 16),
+                    cassign AS (
+                      SELECT vec_id, cid AS cluster FROM (
+                        SELECT c.vec_id, cent.cid,
+                          row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                            list_dot_product(c.v, cent.cv)
+                              / (sqrt(list_dot_product(c.v, c.v))
+                                 * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                            cent.cid) AS rn
+                        FROM corpus c, cent
+                      ) WHERE rn = 1
+                    ),
+                    nassign AS (
+                      SELECT vec_id, cid AS cluster FROM (
+                        SELECT n.vec_id, cent.cid,
+                          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                            list_dot_product(n.v, cent.cv)
+                              / (sqrt(list_dot_product(n.v, n.v))
+                                 * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                            cent.cid) AS rn
+                        FROM newv n, cent
+                      ) WHERE rn = 1
+                    )
+                    SELECT a.vec_id, b.vec_id AS match_id, {_COS} AS cosine
+                    FROM newv a
+                    JOIN nassign na ON a.vec_id = na.vec_id
+                    JOIN cassign ca ON ca.cluster = na.cluster
+                    JOIN corpus b ON b.vec_id = ca.vec_id
+                    WHERE {_COS} >= 0.3
+                """,
+        "st19_stream_heavy_hitters": """
+                    SELECT CAST(user_id AS VARCHAR) AS key,
+                           count(*) AS n
+                    FROM events GROUP BY 1 HAVING count(*) >= 80
+                """,
+        "st18_stream_word_hist": f"""
+                    SELECT arr[i] AS w, count(*) AS freq
+                    FROM (SELECT {_TOKENS} AS arr FROM documents),
+                         unnest(generate_series(1, len(arr))) AS s(i)
+                    WHERE length(arr[i]) >= 1
+                    GROUP BY 1
+                """,
+        "st9_stream_hll": """
+                    WITH h AS (
+                      SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
+                      FROM lineitem
+                    ),
+                    parts AS (
+                      SELECT h // 4398046511104 AS register,
+                             h % 4398046511104 AS w
+                      FROM h
+                    )
+                    SELECT register,
+                           CAST(max(CASE WHEN w = 0 THEN 43
+                                         ELSE 43 - length(bin(w)) END) AS BIGINT)
+                             AS rho
+                    FROM parts GROUP BY register
+                """,
+        "st12_stream_temperature_sample": f"""
+                    WITH strat AS (
+                      SELECT doc_id,
+                             CASE WHEN doc_id % 10 < 6 THEN 'heavy'
+                                  WHEN doc_id % 10 < 9 THEN 'mid'
+                                  ELSE 'light' END AS stratum
+                      FROM documents
+                    ),
+                    counts AS (
+                      SELECT stratum, count(*) AS n FROM strat GROUP BY stratum
+                    ),
+                    nmin AS (SELECT min(n) AS nmin FROM counts),
+                    rates AS (
+                      SELECT stratum,
+                             CAST(floor(sqrt(CAST(nmin AS DOUBLE)
+                                             / CAST(n AS DOUBLE))
+                                        * 4294967296.0) AS BIGINT) AS thr
+                      FROM counts, nmin
+                    )
+                    SELECT d.doc_id, d.stratum
+                    FROM strat d JOIN rates r ON d.stratum = r.stratum
+                    WHERE {_HASH32.format(x="'temp:' || CAST(d.doc_id AS VARCHAR)")} < r.thr
+                """,
+        "st16_stream_quantile": """
+                    WITH b AS (
+                      SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+                             count(*) AS cnt
+                      FROM events GROUP BY 1
+                    ),
+                    c AS (
+                      SELECT bucket, cnt,
+                             CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+                      FROM b
+                    ),
+                    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM b),
+                    qs (q_num, q_den) AS (VALUES (1, 4), (1, 2), (19, 20), (99, 100)),
+                    ks AS (
+                      SELECT q_num, q_den,
+                             (n_total * CAST(q_num AS BIGINT)
+                              + CAST(q_den AS BIGINT) - 1) // CAST(q_den AS BIGINT)
+                               AS k,
+                             n_total
+                      FROM qs, n
+                    )
+                    SELECT q_num, q_den, k, n_total, c.bucket,
+                           CAST(c.bucket AS DOUBLE) * 5.0
+                             + 5.0 * (CAST(ks.k - (c.cum - c.cnt) AS DOUBLE)
+                                      / CAST(c.cnt AS DOUBLE)) AS est
+                    FROM ks JOIN c ON c.cum >= ks.k AND (c.cum - c.cnt) < ks.k
+                """,
+        "st17_stream_bloom_probe": _DC7_BLOOM_SQL,
+        "st11_stream_ohlc": """
+                    SELECT date_trunc('hour', ts) AS bucket,
+                           min_by(CAST(value AS DOUBLE),
+                                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                    || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                             AS open,
+                           max(CAST(value AS DOUBLE)) AS high,
+                           min(CAST(value AS DOUBLE)) AS low,
+                           max_by(CAST(value AS DOUBLE),
+                                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                    || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                             AS close,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1
+                """,
+        "stat2_mad": """
+                    WITH med AS (
+                      SELECT l_returnflag,
+                             quantile_cont(l_extendedprice, 0.5) AS med
+                      FROM lineitem GROUP BY l_returnflag
+                    )
+                    SELECT l.l_returnflag,
+                           any_value(m.med) AS median_price,
+                           quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+                    FROM lineitem l JOIN med m USING (l_returnflag)
+                    GROUP BY l.l_returnflag
+                """,
+        "stat3_mode": """
+                    WITH c AS (
+                      SELECT l_returnflag, l_quantity, count(*) AS cnt
+                      FROM lineitem GROUP BY l_returnflag, l_quantity
+                    )
+                    SELECT l_returnflag, l_quantity AS mode_quantity,
+                           cnt AS mode_count
+                    FROM (SELECT *, row_number() OVER (
+                            PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity ASC) AS rn
+                          FROM c)
+                    WHERE rn = 1
+                """,
+        "stat4_gini": """
+                    WITH c AS (
+                      SELECT source, lang, count(*) AS cnt
+                      FROM documents GROUP BY source, lang
+                    ),
+                    s AS (
+                      SELECT source, sum(cnt) AS total, sum(cnt * cnt) AS sumsq
+                      FROM c GROUP BY source
+                    )
+                    SELECT source, CAST(total AS INTEGER) AS n_docs,
+                           1.0 - CAST(sumsq AS DOUBLE)
+                               / CAST(total * total AS DOUBLE) AS gini
+                    FROM s
+                """,
+        "st15_stream_temporal_enrich": """
+                    WITH dim AS (
+                      SELECT event_id AS dim_event_id, user_id, ts,
+                             value AS dim_value
+                      FROM events WHERE event_type IN ('signup', 'purchase')
+                    ),
+                    iv AS (
+                      SELECT dim_event_id, user_id, dim_value,
+                             ts AS valid_from,
+                             lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, dim_event_id) AS valid_to
+                      FROM dim
+                    ),
+                    facts AS (
+                      SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'error'
+                    )
+                    SELECT f.event_id, f.user_id, f.ts,
+                           i.dim_event_id, i.dim_value
+                    FROM facts f LEFT JOIN iv i
+                      ON i.user_id = f.user_id AND i.valid_from <= f.ts
+                         AND (i.valid_to IS NULL OR f.ts < i.valid_to)
+                """,
+    }

@@ -1,0 +1,817 @@
+"""Time-centric operators: time series (ts*), as-of joins, range/interval joins, SCD, CDC, sessionization, tumbling windows, funnels, cohorts.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _SESSIONIZATION_SQL,
+    _TUMBLING_SQL,
+)
+
+
+
+
+def q_sessionization(spark, sf_dir):
+    # gap > 30 min starts a new session; sessions per user
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("_new").cast("bigint").alias("n_sessions"))
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    # batch twin of the streaming 5-minute tumbling aggregation
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    # point-in-time join: each purchase picks the latest at-or-before
+    # view of the same user — union-tag + running last(), ONE shuffle
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, ["user_id"], "ts", "event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+
+def q_asof2_forward(spark, sf_dir):
+    # forward as-of: each purchase picks the EARLIEST at-or-after
+    # view of the same user (the "next observation" join — lead-time
+    # features, next-touch attribution). Same union-tag single
+    # shuffle; the frame flips to [current, ∞) with right rows
+    # sorted after left at equal ts.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, ["user_id"], "ts", "event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+def q_asof3_nearest(spark, sf_dir):
+    # nearest as-of (pandas merge_asof direction='nearest'):
+    # whichever same-user view is closer in time, equidistant
+    # resolving backward. Still ONE key shuffle — the union carries
+    # right rows once per scan direction and both windows share the
+    # partitioning.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, ["user_id"], "ts", "event_id",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+def q_asof4_tolerance(spark, sf_dir):
+    # bounded-staleness as-of (merge_asof tolerance): the matched
+    # view nulls out if it is staler than 30 minutes — a residual
+    # null-out predicate after the match resolves, so the plan is
+    # byte-identical to asof_join's single-shuffle shape.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, ["user_id"], "ts", "event_id",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+def q_scd2_intervals(spark, sf_dir):
+    # SCD2 dimension build: each (user, signup/purchase) event opens a
+    # validity interval, closed by the key's next event
+    from enriched_crime_incident_data_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    out = scd2_intervals(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        "event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_range_join(spark, sf_dir):
+    # interval join with NO equi-key: customers whose balance falls in
+    # a part's price band — bucket-equi-join + residual, not a
+    # nested-loop cartesian
+    from enriched_crime_incident_data_pipeline_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    out = bucketed_range_join(
+        part,
+        cust,
+        lo=F.col("p_retailprice"),
+        hi=F.col("p_retailprice") + F.col("p_size") / 100.0,
+        value=F.col("c_acctbal"),
+        bucket_width=1.0,
+    )
+    return out.select("c_custkey", "p_partkey", "c_acctbal", "p_retailprice")
+
+
+def q_ts6_ewma(spark, sf_dir):
+    # exponentially-weighted moving average per user (the classic
+    # streaming smoother; α = 1/4 keeps every step a single
+    # exact-rounded double op). Bit-exact cross-engine by the lm.py
+    # ordered-fold contract: events fold in (ts, event_id) order,
+    # acc ← acc + (x − acc)/4, seeded by the first value — one
+    # groupBy(user) shuffle, per-task memory bounded by a user's
+    # event count (events-per-entity, not corpus-sized).
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("_a"))
+        .select(
+            "user_id",
+            F.size("_a").cast("int").alias("n_events"),
+            F.aggregate(
+                F.slice(F.col("_a"), 2, F.greatest(F.size("_a") - 1, F.lit(0))),
+                F.element_at(F.col("_a"), 1)["value"],
+                lambda acc, s: acc + (s["value"] - acc) / F.lit(4.0),
+            ).alias("ewma"),
+        )
+    )
+
+
+
+
+
+
+def q_ts5_ohlc_downsample(spark, sf_dir):
+    # time-series downsampling to hourly OHLC bars: open/close via
+    # min_by/max_by on (ts, event_id) — map-side-combinable argmin/
+    # argmax, no per-bucket sort window; one shuffle on the bucket
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("double")
+    # DuckDB's min_by/max_by take scalar ordering keys only — a
+    # fixed-width zero-padded (epoch_us, event_id) string is totally
+    # ordered identically to the numeric tuple in both engines
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.min_by(val, key).alias("open"),
+            F.max(val).alias("high"),
+            F.min(val).alias("low"),
+            F.max_by(val, key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def q_ts1_gapfill(spark, sf_dir):
+    # densify sparse per-user activity to one row per (user, day),
+    # zero-filling silent days — sequence+explode grid, one join
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        gapfill_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return gapfill_daily(
+        daily,
+        ["user_id"],
+        "day",
+        "2024-01-01",
+        "2024-01-30",
+        fill={"n_events": 0},
+    )
+
+
+def q_ts2_forward_fill(spark, sf_dir):
+    # carry each user's last observed daily purchase value forward
+    # over the dense day grid (leading days before first purchase
+    # stay NULL)
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        forward_fill,
+        gapfill_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    dense = gapfill_daily(daily, ["user_id"], "day", "2024-01-01", "2024-01-30")
+    return forward_fill(dense, ["user_id"], "day", "day_value", "filled_value").select(
+        "user_id", "day", "filled_value"
+    )
+
+
+def q_funnel1_conversion(spark, sf_dir):
+    # conversion funnel: per user, first view → first click after it →
+    # first purchase after that; stage timestamps as min-aggregations
+    # over conditional predecessors (one shuffle per stage, all on
+    # user_id — co-partitioned, no window over the event stream)
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    funnel = (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+    )
+    return funnel.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        (
+            F.col("first_click").isNotNull().cast("int")
+            + F.col("first_purchase").isNotNull().cast("int")
+            + F.lit(1)
+        ).alias("stages_reached"),
+    )
+
+
+def q_scd3_temporal_lookup(spark, sf_dir):
+    # point-in-interval dimension lookup: facts equi-join the SCD2
+    # version table on the natural key, half-open containment as the
+    # residual — time partitioning guarantees ≤1 version per fact.
+    # Pinned equivalent to the as-of-join formulation in
+    # tests/test_asof.py::test_scd2_containment_equals_asof
+    from enriched_crime_incident_data_pipeline_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+            F.col("event_id").alias("dim_event_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("dim_value"),
+        ),
+        ["user_id"],
+        "ts",
+        "dim_event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+        "left",
+    )
+    return joined.select(
+        facts["event_id"], facts["user_id"], facts["ts"],
+        "dim_event_id", "dim_value",
+    )
+
+
+def q_cdc1_upsert_merge(spark, sf_dir):
+    # changelog → current-state fold (latest-wins upsert + delete
+    # tombstones): the reference's in-place UPDATE / ON CONFLICT
+    # maintenance lifted to a single max_by aggregation — map-side
+    # combinable, one shuffle, no per-key window over raw history
+    from enriched_crime_incident_data_pipeline_spark.operators.cdc import (
+        latest_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = latest_state(
+        ev,
+        key_cols=["user_id"],
+        version_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+        is_delete=F.col("event_type") == "error",
+    )
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        "n_changes",
+    )
+
+
+def q_ts3_interval_merge(spark, sf_dir):
+    # gaps-and-islands: coalesce overlapping per-user activity
+    # intervals [ts, ts+30min) and measure covered time — exact
+    # integer-microsecond arithmetic, one hash shuffle by user
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1800000000).cast("long")).alias("e"),
+    )
+    return coalesce_intervals(iv, ["user_id"], "s", "e")
+
+
+def q_ts4_cumulative_distinct(spark, sf_dir):
+    # running distinct users per day, re-founded as first-seen
+    # aggregation; the ordered window runs over the day relation only
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        cumulative_distinct_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulative_distinct_daily(ev, "user_id", "ts")
+
+
+def q_seq1_transitions(spark, sf_dir):
+    # event-type transition matrix: lag over (user, time) order, then
+    # pair counts — the Markov-chain / user-journey building block
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_seq2_cooccurrence(spark, sf_dir):
+    # market-basket pair co-occurrence: parts ordered together.  The
+    # self-join key is the order id, so fan-out is bounded by max
+    # basket size (≤7 lines) — pairs-per-order is O(1), never a
+    # cross join; top-k by a deterministic (count, p1, p2) order
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    counts = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return counts.orderBy(F.desc("n_orders"), "p1", "p2").limit(50)
+
+
+def q_attr1_last_touch(spark, sf_dir):
+    # last-touch attribution: each purchase credits the user's most
+    # recent STRICTLY-preceding click — a per-key as-of lookup as one
+    # ignorenulls window (single hash shuffle by user; latency in
+    # exact integer microseconds)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros("ts")
+    )
+    attributed = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("_us"),
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_us, ignorenulls=True).over(w).alias("_click_us"),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "click_id",
+        (F.col("_us") - F.col("_click_us")).alias("latency_us"),
+    )
+
+QUERIES = {
+    "sessionization": q_sessionization,
+    "window_tumbling": q_window_tumbling,
+    "ts6_ewma": q_ts6_ewma,
+    "cdc1_upsert_merge": q_cdc1_upsert_merge,
+    "ts3_interval_merge": q_ts3_interval_merge,
+    "ts4_cumulative_distinct": q_ts4_cumulative_distinct,
+    "seq1_transitions": q_seq1_transitions,
+    "seq2_cooccurrence": q_seq2_cooccurrence,
+    "attr1_last_touch": q_attr1_last_touch,
+    "ts5_ohlc_downsample": q_ts5_ohlc_downsample,
+    "asof_join": q_asof_join,
+    "asof2_forward": q_asof2_forward,
+    "asof3_nearest": q_asof3_nearest,
+    "asof4_tolerance": q_asof4_tolerance,
+    "range_join": q_range_join,
+    "scd2_intervals": q_scd2_intervals,
+    "ts1_gapfill": q_ts1_gapfill,
+    "ts2_forward_fill": q_ts2_forward_fill,
+    "scd3_temporal_lookup": q_scd3_temporal_lookup,
+    "funnel1_conversion": q_funnel1_conversion,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "cdc1_upsert_merge": """
+                    WITH ranked AS (
+                      SELECT user_id, event_type, value,
+                             row_number() OVER (
+                               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                             ) AS rn,
+                             count(*) OVER (PARTITION BY user_id) AS n_changes
+                      FROM events
+                    )
+                    SELECT user_id, event_type AS last_type, value AS last_value,
+                           n_changes
+                    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+                """,
+        "ts3_interval_merge": """
+                    WITH iv AS (
+                      SELECT user_id, epoch_us(ts) AS s,
+                             epoch_us(ts) + 1800000000 AS e
+                      FROM events
+                    ),
+                    flagged AS (
+                      SELECT user_id, s, e,
+                        CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                             THEN 1 ELSE 0 END AS new_island
+                      FROM iv
+                      WINDOW w AS (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      )
+                    ),
+                    isl AS (
+                      SELECT user_id, s, e,
+                        sum(new_island) OVER (
+                          PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) AS island
+                      FROM flagged
+                    ),
+                    islands AS (
+                      SELECT user_id, island, min(s) AS s0, max(e) AS e1
+                      FROM isl GROUP BY user_id, island
+                    )
+                    SELECT user_id, count(*) AS n_islands,
+                           CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+                    FROM islands GROUP BY user_id
+                """,
+        "ts4_cumulative_distinct": """
+                    WITH fs AS (
+                      SELECT user_id, min(CAST(ts AS DATE)) AS day
+                      FROM events GROUP BY user_id
+                    ),
+                    daily AS (
+                      SELECT day, count(*) AS new_entities FROM fs GROUP BY day
+                    )
+                    SELECT day, new_entities,
+                           CAST(sum(new_entities) OVER (
+                             ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS BIGINT) AS cumulative_entities
+                    FROM daily
+                """,
+        "seq1_transitions": """
+                    WITH seqd AS (
+                      SELECT event_type,
+                             lag(event_type) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                             ) AS prev_type
+                      FROM events
+                    )
+                    SELECT prev_type, event_type AS next_type, count(*) AS n
+                    FROM seqd WHERE prev_type IS NOT NULL
+                    GROUP BY prev_type, event_type
+                """,
+        "seq2_cooccurrence": """
+                    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+                    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                           count(*) AS n_orders
+                    FROM op a JOIN op b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    GROUP BY 1, 2
+                    ORDER BY n_orders DESC, p1, p2
+                    LIMIT 50
+                """,
+        "attr1_last_touch": """
+                    WITH marked AS (
+                      SELECT user_id, event_id, event_type,
+                             epoch_us(ts) AS us,
+                             last_value(CASE WHEN event_type = 'click'
+                                        THEN event_id END IGNORE NULLS) OVER w
+                               AS click_id,
+                             last_value(CASE WHEN event_type = 'click'
+                                        THEN epoch_us(ts) END IGNORE NULLS) OVER w
+                               AS click_us
+                      FROM events
+                      WINDOW w AS (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      )
+                    )
+                    SELECT user_id, event_id AS purchase_id, click_id,
+                           us - click_us AS latency_us
+                    FROM marked WHERE event_type = 'purchase'
+                """,
+        "sessionization": _SESSIONIZATION_SQL,
+        "window_tumbling": _TUMBLING_SQL,
+        "ts1_gapfill": """
+                    WITH daily AS (
+                      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+                      FROM events WHERE user_id < 40 GROUP BY 1, 2
+                    ),
+                    grid AS (
+                      SELECT u.user_id, g.day::DATE AS day
+                      FROM (SELECT DISTINCT user_id FROM daily) u,
+                      LATERAL (
+                        SELECT unnest(generate_series(
+                          DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS day
+                      ) g
+                    )
+                    SELECT grid.user_id, grid.day, coalesce(d.n_events, 0) AS n_events
+                    FROM grid LEFT JOIN daily d
+                      ON grid.user_id = d.user_id AND grid.day = d.day
+                """,
+        "ts2_forward_fill": """
+                    WITH daily AS (
+                      SELECT user_id, CAST(ts AS DATE) AS day,
+                             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+                      FROM events WHERE event_type = 'purchase' AND user_id < 40
+                      GROUP BY 1, 2
+                    ),
+                    grid AS (
+                      SELECT u.user_id, g.day::DATE AS day
+                      FROM (SELECT DISTINCT user_id FROM daily) u,
+                      LATERAL (
+                        SELECT unnest(generate_series(
+                          DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS day
+                      ) g
+                    ),
+                    dense AS (
+                      SELECT grid.user_id, grid.day, d.day_value
+                      FROM grid LEFT JOIN daily d
+                        ON grid.user_id = d.user_id AND grid.day = d.day
+                    )
+                    SELECT user_id, day,
+                           last_value(day_value IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS filled_value
+                    FROM dense
+                """,
+        "range_join": """
+                    SELECT c_custkey, p_partkey, c_acctbal, p_retailprice
+                    FROM customer JOIN part
+                      ON c_acctbal >= p_retailprice
+                     AND c_acctbal < p_retailprice + p_size / 100.0
+                """,
+        "scd2_intervals": """
+                    SELECT event_id, user_id, value, ts AS valid_from,
+                           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS valid_to,
+                           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL AS is_current
+                    FROM events WHERE event_type IN ('signup', 'purchase')
+                """,
+        "asof_join": """
+                    SELECT p.event_id, p.user_id, p.ts,
+                           v.event_id AS view_event_id, v.value AS view_value
+                    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                    LEFT JOIN LATERAL (
+                      SELECT event_id, value FROM events v
+                      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                        AND v.ts <= p.ts
+                      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+                    ) v ON true
+                """,
+        "asof4_tolerance": """
+                    SELECT p.event_id, p.user_id, p.ts,
+                           v.event_id AS view_event_id, v.value AS view_value
+                    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                    LEFT JOIN LATERAL (
+                      SELECT event_id, value FROM events v
+                      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                        AND v.ts <= p.ts
+                        AND v.ts >= p.ts - INTERVAL 30 MINUTE
+                      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+                    ) v ON true
+                """,
+        "asof2_forward": """
+                    SELECT p.event_id, p.user_id, p.ts,
+                           v.event_id AS view_event_id, v.value AS view_value
+                    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                    LEFT JOIN LATERAL (
+                      SELECT event_id, value FROM events v
+                      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                        AND v.ts >= p.ts
+                      ORDER BY v.ts ASC, v.event_id ASC LIMIT 1
+                    ) v ON true
+                """,
+        "asof3_nearest": """
+                    SELECT p.event_id, p.user_id, p.ts,
+                           v.event_id AS view_event_id, v.value AS view_value
+                    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                    LEFT JOIN LATERAL (
+                      SELECT event_id, value FROM events v
+                      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                      ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC,
+                               (v.ts > p.ts) ASC,
+                               CASE WHEN v.ts <= p.ts THEN -v.event_id
+                                    ELSE v.event_id END ASC
+                      LIMIT 1
+                    ) v ON true
+                """,
+        "ts6_ewma": """
+                    SELECT user_id,
+                           CAST(count(*) AS INTEGER) AS n_events,
+                           list_reduce(list(value ORDER BY ts, event_id),
+                                       (acc, x) -> acc + (x - acc) / 4.0) AS ewma
+                    FROM events GROUP BY user_id
+                """,
+        "funnel1_conversion": """
+                    WITH views AS (
+                      SELECT user_id, min(ts) AS first_view FROM events
+                      WHERE event_type = 'view' GROUP BY user_id
+                    ),
+                    clicks AS (
+                      SELECT e.user_id, min(e.ts) AS first_click
+                      FROM events e JOIN views v ON e.user_id = v.user_id
+                      WHERE e.event_type = 'click' AND e.ts >= v.first_view
+                      GROUP BY e.user_id
+                    ),
+                    purch AS (
+                      SELECT e.user_id, min(e.ts) AS first_purchase
+                      FROM events e JOIN clicks c ON e.user_id = c.user_id
+                      WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+                      GROUP BY e.user_id
+                    )
+                    SELECT v.user_id, v.first_view, c.first_click,
+                           p.first_purchase,
+                           CAST(1 + CASE WHEN c.first_click IS NOT NULL
+                                         THEN 1 ELSE 0 END
+                                  + CASE WHEN p.first_purchase IS NOT NULL
+                                         THEN 1 ELSE 0 END AS INTEGER)
+                             AS stages_reached
+                    FROM views v
+                    LEFT JOIN clicks c ON v.user_id = c.user_id
+                    LEFT JOIN purch p ON v.user_id = p.user_id
+                """,
+        "ts5_ohlc_downsample": """
+                    SELECT date_trunc('hour', ts) AS bucket,
+                           min_by(CAST(value AS DOUBLE),
+                                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                    || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                             AS open,
+                           max(CAST(value AS DOUBLE)) AS high,
+                           min(CAST(value AS DOUBLE)) AS low,
+                           max_by(CAST(value AS DOUBLE),
+                                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                    || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                             AS close,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1
+                """,
+        "scd3_temporal_lookup": """
+                    WITH dim AS (
+                      SELECT event_id AS dim_event_id, user_id, ts,
+                             value AS dim_value
+                      FROM events WHERE event_type IN ('signup', 'purchase')
+                    ),
+                    iv AS (
+                      SELECT dim_event_id, user_id, dim_value,
+                             ts AS valid_from,
+                             lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, dim_event_id) AS valid_to
+                      FROM dim
+                    ),
+                    facts AS (
+                      SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'error'
+                    )
+                    SELECT f.event_id, f.user_id, f.ts,
+                           i.dim_event_id, i.dim_value
+                    FROM facts f LEFT JOIN iv i
+                      ON i.user_id = f.user_id AND i.valid_from <= f.ts
+                         AND (i.valid_to IS NULL OR f.ts < i.valid_to)
+                """,
+    }

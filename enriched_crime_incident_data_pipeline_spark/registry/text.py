@@ -1,0 +1,933 @@
+"""Text analysis + tokenizers + retrieval: ta*, tok* (BPE/WordPiece), TF-IDF/BM25/RRF.
+
+Split out of registry.py (r6); function bodies unchanged. ``QUERIES``
+and ``ORACLES`` are assembled into the full registry by
+``registry/__init__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import brute_force_neighbors
+from enriched_crime_incident_data_pipeline_spark.datapipe.tfidf import tfidf_top_terms
+from enriched_crime_incident_data_pipeline_spark.functions.text import (doc_fingerprint, lang_id, pii_counts, quality_features, repetition_features, scrub_pii, token_count, tokens, word_shingles)
+from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
+
+from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _COS,
+    _LANG_CASE,
+    _LANG_SCORES,
+    _NORM,
+    _STOPWORD_SETS,
+    _TA11_SQL,
+    _TOK1_APPLY,
+    _TOK1_BPE_SQL,
+    _TOK2_BPE_SQL,
+    _TOK3_WORDPIECE_SQL,
+    _TOK4_SAMPLED_SQL,
+    _TOK5_CHAIN,
+    _TOK5_CHAR_MERGES_SQL,
+    _TOK6_CHAR_ENCODE_SQL,
+    _TOKENS,
+    _TOKEN_COUNT,
+)
+
+
+
+
+def q_ta11_lm_quality(spark, sf_dir):
+    # unigram-LM quality score (perplexity proxy): corpus-trained
+    # add-one-smoothed mean inverse token probability — rational
+    # per-token terms + position-ordered fold keep it bit-exact
+    # across engines (no transcendentals)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        unigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs)
+
+
+
+def q_ta14_seed_lm_quality(spark, sf_dir):
+    # CCNet-style quality scoring: LM trained on a curated SEED split
+    # (doc_id % 10 < 2), every other doc scored by mean inverse token
+    # probability under the seed model — unseen tokens take the
+    # smoothed maximum term. Seed counts broadcast; no self-join.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.lm import (
+        seed_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seed_lm_scores(
+        docs.filter(F.col("doc_id") % 10 < 2),
+        docs.filter(F.col("doc_id") % 10 >= 2),
+    )
+
+
+def q_ta12_bpe_tokens(spark, sf_dir):
+    # GPT-2-style pretokenizer over RAW text: count + first/last
+    # pretokens as the segmentation witness (whole array stays
+    # non-scalar, so the compared face is scalar projections)
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        bpe_pretokens,
+        bpe_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = bpe_pretokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_pretokens"),
+        F.get(toks, 0).alias("first_tok"),
+        F.get(toks, F.size(toks) - 1).alias("last_tok"),
+    )
+
+
+def q_ta13_lang_confusion(spark, sf_dir):
+    # lang-ID evaluation against the labeled lang column: the
+    # (labeled, guessed) confusion matrix with per-cell counts and
+    # the within-label share in basis points (exact integer math)
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = docs.select(
+        F.col("lang"), lang_id(F.col("text")).alias("lang_guess")
+    )
+    cells = guessed.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = guessed.groupBy("lang").agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            # integer DIV (not float-divide-then-cast: double→bigint
+            # casts truncate in Spark but round in DuckDB)
+            F.expr("CAST((n * 10000) DIV _tot AS BIGINT)").alias("share_bp"),
+        )
+    )
+
+
+def q_ta1_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_ta2_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+def q_ta3_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_ta4_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_ta6_winnow(spark, sf_dir):
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        winnow_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", winnow_fingerprint(F.col("text")).alias("winnow")
+    )
+
+
+def q_tok1_bpe_merges(spark, sf_dir):
+    # tokenizer training: learn the first 3 BPE merge rules from the
+    # corpus. Each round is one corpus-wide adjacent-pair groupBy
+    # (map-side combinable) + a broadcast 1-row winner applied via
+    # the ordered greedy-merge fold; see datapipe/bpe.py.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, iters=3)
+
+
+def q_tok2_bpe_encode(spark, sf_dir):
+    # tokenizer read path: encode the corpus with the 3 learned
+    # merges; per-doc sequence length before/after — the compression
+    # audit published with a tokenizer-training run.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        bpe_encode_lengths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_lengths(docs, iters=3)
+
+
+def q_tok3_wordpiece_encode(spark, sf_dir):
+    # WordPiece-style read path: induce a vocab (all corpus chars +
+    # top-40 length-2/3 substrings, deterministic tiebreak), then
+    # greedy longest-match encode every word as a map-only sequential
+    # fold. The fp column pins the EXACT segmentation cross-engine.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.wordpiece import (
+        wordpiece_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_encode(docs, top_k=40)
+
+
+def q_tok4_bpe_sampled(spark, sf_dir):
+    # production BPE training shape: learn the merge table on a
+    # deterministic md5-hash HALF of the corpus (training cost scales
+    # with the sample), then encode the FULL corpus once per rule
+    # with the learned table — map-only, no counting shuffle over the
+    # full data. Resolves the merges×passes cost note (PLANS.md).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        bpe_encode_sampled,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_sampled(docs, iters=3, sample_bp=5000)
+
+
+def q_tok5_bpe_char_merges(spark, sf_dir):
+    # classic character-level BPE (word-bounded, GPT-2/SentencePiece
+    # shape), trained on the WORD HISTOGRAM: the corpus shuffles once
+    # into (word, freq); every round's pair count is a frequency-
+    # weighted aggregation over distinct words only — the exact-train
+    # answer to merges×passes (a 50k-merge vocab is 50k rounds over a
+    # Zipf-small relation, not 50k corpus passes).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        learn_bpe_merges_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges_chars(docs, iters=3)
+
+
+def q_tok6_bpe_char_encode(spark, sf_dir):
+    # character-BPE read path: per-document token budget under the
+    # learned vocab WITHOUT re-walking any document text — each
+    # distinct word's piece count is known from the trained word-
+    # symbol relation, so the corpus side is explode + equi-join +
+    # groupBy (text never enters the tokenizer twice).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        bpe_encode_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_chars(docs, iters=3)
+
+
+def q_tok7_fertility_audit(spark, sf_dir):
+    # the standard tokenizer-eval report: FERTILITY (pieces per word)
+    # by source domain under the char-BPE vocab — the number that
+    # decides whether a tokenizer under-serves a domain (high
+    # fertility = more compute per word). Integer-exact: fertility in
+    # basis points via integer DIV, no float ratio to drift.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        bpe_encode_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_chars(docs, iters=3)
+    per_doc = enc.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr("CAST((n_pieces * 10000) DIV n_words AS BIGINT)").alias(
+                "fertility_bp"
+            ),
+        )
+    )
+
+
+def q_ta7_quality_filter(spark, sf_dir):
+    # Gopher-style keep/drop verdict composed from the ta2 signals —
+    # the actual corpus-filter decision, not just the features
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    keep = (
+        (feats["n_tokens"] >= 10)
+        & (feats["n_tokens"] <= 500)
+        & (feats["stopword_ratio"] >= 0.05)
+        & (feats["digit_ratio"] <= 0.2)
+        & (feats["punct_ratio"] <= 0.2)
+    )
+    return docs.select("doc_id", keep.alias("keep"))
+
+
+def q_ta5_token_pieces(spark, sf_dir):
+    # BPE-ish sub-word piece count: letter runs, single digits,
+    # punctuation runs — a cheap tokenizer-cost estimator
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"), 0
+    )
+    return docs.select(
+        "doc_id", F.size(pieces).cast("int").alias("n_pieces")
+    )
+
+
+def q_ta8_repetition(spark, sf_dir):
+    # Gopher-style repetition signals over word 2-grams
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("gram")
+    )
+    return repetition_features(grams)
+
+
+def q_ta9_pii_scrub(spark, sf_dir):
+    # PII redaction audit: deterministic synthetic PII injected per
+    # doc (both engines inject identically), then regex scrub + counts
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("raw_text"),
+    )
+    counts = pii_counts(F.col("raw_text"))
+    return injected.select(
+        "doc_id",
+        scrub_pii(F.col("raw_text")).alias("clean_text"),
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_phones"].cast("int").alias("n_phones"),
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_retention1_cohorts(spark, sf_dir):
+    # cohort retention: users grouped by signup week; per (cohort,
+    # weeks-since-signup) distinct active users — two hash
+    # aggregations and one broadcastable cohort join
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    active = ev.join(F.broadcast(cohorts), "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(
+                F.to_date(F.date_trunc("week", F.col("ts"))),
+                F.to_date("cohort_week"),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_n"),
+    )
+    return (
+        active.filter(F.col("week_n") >= 0)
+        .groupBy(F.to_date("cohort_week").alias("cohort_week"), F.col("week_n"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+
+def q_ret1_bm25_topk(spark, sf_dir):
+    # retrieval baseline: rational-idf BM25 (log-free for cross-engine
+    # bit parity, same trade as ta11's rational perplexity) over the
+    # corpus' 3 most frequent tokens; df/dl are map-side groupBys,
+    # terms broadcast, per-doc fold order-pinned, top-k TakeOrdered
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, n_terms=3, k=20)
+
+
+
+def q_ret2_hybrid_rrf(spark, sf_dir):
+    # hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    # top-20 (ret1) and the dense ANN top-20 (ss1) for the same item
+    # space — the standard sparse+dense fusion. RRF works on RANKS
+    # (1/(60+rank): one correctly-rounded IEEE divide per list, sum
+    # in fixed text+vec order), so the two scoring scales never mix
+    # and the fusion is bit-reproducible cross-engine. Both input
+    # rank windows run over <= 20 survivor rows; fusion is a full
+    # outer join of two tiny relations; final top-10 is TakeOrdered.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        bm25_topk,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        brute_force_neighbors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text = bm25_topk(docs, n_terms=3, k=20)
+    text_r = text.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("text_rank"),
+    )
+    vec_r = brute_force_neighbors(emb, query_vec_id=0, k=20).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    # fusion as AGGREGATION, not a join: each list emits (doc,
+    # contribution) rows, union, one groupBy. A full-outer join would
+    # force a SortMergeJoin (Spark can't broadcast full-outer); the
+    # union+agg shape is join-free, map-side combinable, and extends
+    # to N lists unchanged. Bit-parity note: a doc has <= 2
+    # contribution rows and IEEE addition is COMMUTATIVE (only
+    # associativity fails), so the aggregated sum equals the oracle's
+    # fixed text+vec order exactly.
+    t_contrib = text_r.select(
+        "doc_id",
+        F.col("text_rank"),
+        F.lit(None).cast("int").alias("vec_rank"),
+        (F.lit(1.0) / (F.lit(60) + F.col("text_rank"))).alias("_c"),
+    )
+    v_contrib = vec_r.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("text_rank"),
+        F.col("vec_rank"),
+        (F.lit(1.0) / (F.lit(60) + F.col("vec_rank"))).alias("_c"),
+    )
+    return (
+        t_contrib.unionByName(v_contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.max("text_rank").alias("text_rank"),
+            F.max("vec_rank").alias("vec_rank"),
+            F.sum("_c").alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+
+
+def q_ta10_oov_rate(spark, sf_dir):
+    # out-of-vocabulary rate per document against the corpus' own
+    # top-1000-document-frequency vocabulary — the tokenizer-coverage
+    # signal; vocab is a broadcast anti-join, rate is integer bp
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    dfreq = (
+        tok.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = dfreq.orderBy(F.desc("df"), "tok").limit(1000).select("tok")
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nt"))
+    oov = (
+        tok.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_noov"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_nt", F.lit(0)).alias("n_tokens"),
+            F.when(F.coalesce("_nt", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(coalesce(_noov, 0) * 10000) DIV _nt")
+            )
+            .alias("oov_bp"),
+        )
+    )
+
+QUERIES = {
+    "ta11_lm_quality": q_ta11_lm_quality,
+    "ta14_seed_lm_quality": q_ta14_seed_lm_quality,
+    "ta12_bpe_tokens": q_ta12_bpe_tokens,
+    "ta13_lang_confusion": q_ta13_lang_confusion,
+    "tok1_bpe_merges": q_tok1_bpe_merges,
+    "tok2_bpe_encode": q_tok2_bpe_encode,
+    "tok3_wordpiece_encode": q_tok3_wordpiece_encode,
+    "tok4_bpe_sampled": q_tok4_bpe_sampled,
+    "tok5_bpe_char_merges": q_tok5_bpe_char_merges,
+    "tok6_bpe_char_encode": q_tok6_bpe_char_encode,
+    "tok7_fertility_audit": q_tok7_fertility_audit,
+    "ta1_token_count": q_ta1_token_count,
+    "ta2_quality": q_ta2_quality,
+    "ta3_lang_id": q_ta3_lang_id,
+    "ta4_fingerprint": q_ta4_fingerprint,
+    "ta10_oov_rate": q_ta10_oov_rate,
+    "ta5_token_pieces": q_ta5_token_pieces,
+    "ta6_winnow": q_ta6_winnow,
+    "ta7_quality_filter": q_ta7_quality_filter,
+    "ta8_repetition": q_ta8_repetition,
+    "ta9_pii_scrub": q_ta9_pii_scrub,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "ret1_bm25_topk": q_ret1_bm25_topk,
+    "ret2_hybrid_rrf": q_ret2_hybrid_rrf,
+    "retention1_cohorts": q_retention1_cohorts,
+}
+
+def oracles() -> dict[str, str]:
+    return {
+        "ta10_oov_rate": f"""
+                    WITH tok AS (
+                      SELECT doc_id, t.tok
+                      FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) d,
+                      LATERAL (SELECT unnest(toks) AS tok) t
+                      WHERE t.tok <> ''
+                    ),
+                    dfreq AS (
+                      SELECT tok, count(DISTINCT doc_id) AS df
+                      FROM tok GROUP BY tok
+                    ),
+                    vocab AS (
+                      SELECT tok FROM dfreq ORDER BY df DESC, tok LIMIT 1000
+                    ),
+                    cnt AS (
+                      SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id
+                    ),
+                    oov AS (
+                      SELECT doc_id, count(*) AS noov FROM tok
+                      WHERE tok NOT IN (SELECT tok FROM vocab)
+                      GROUP BY doc_id
+                    )
+                    SELECT d.doc_id,
+                           CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+                           CAST(CASE WHEN coalesce(nt, 0) = 0 THEN 0
+                                ELSE (coalesce(noov, 0) * 10000) // nt
+                           END AS BIGINT) AS oov_bp
+                    FROM documents d
+                    LEFT JOIN cnt USING (doc_id)
+                    LEFT JOIN oov USING (doc_id)
+                """,
+        "ta5_token_pieces": """
+                    SELECT doc_id,
+                           CAST(len(regexp_extract_all(
+                             text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'
+                           )) AS INTEGER) AS n_pieces
+                    FROM documents
+                """,
+        "ta6_winnow": """
+                    WITH norm AS (
+                      SELECT doc_id,
+                             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                               AS t
+                      FROM documents
+                    ),
+                    grams AS (
+                      SELECT DISTINCT doc_id, substr(t, g.i, 5) AS gram
+                      FROM norm, LATERAL (
+                        SELECT unnest(generate_series(
+                          1, greatest(length(t) - 4, 1))) AS i
+                      ) g
+                    )
+                    SELECT doc_id,
+                           min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS winnow
+                    FROM grams GROUP BY doc_id
+                """,
+        "ret1_bm25_topk": f"""
+                    WITH tok AS (
+                      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+                    ),
+                    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+                    stats AS (
+                      SELECT count(*) AS n_docs,
+                             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                               AS avgdl
+                      FROM dl
+                    ),
+                    dft AS (
+                      SELECT tok, count(*) AS df FROM (
+                        SELECT DISTINCT doc_id, tok FROM tok
+                      ) GROUP BY tok
+                    ),
+                    terms AS (
+                      SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 3
+                    ),
+                    tf AS (
+                      SELECT t.doc_id, t.tok, any_value(te.df) AS df,
+                             count(*) AS tf
+                      FROM tok t JOIN terms te ON t.tok = te.tok
+                      GROUP BY t.doc_id, t.tok
+                    ),
+                    w AS (
+                      SELECT tf.doc_id, tf.tok,
+                             ((CAST(s.n_docs AS DOUBLE) - CAST(tf.df AS DOUBLE)
+                               + 0.5) / (CAST(tf.df AS DOUBLE) + 0.5))
+                             * (CAST(tf.tf AS DOUBLE) * 2.2)
+                             / (CAST(tf.tf AS DOUBLE)
+                                + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                        / s.avgdl))) AS w
+                      FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+                    )
+                    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_hit,
+                           sum(w ORDER BY tok) AS score
+                    FROM w GROUP BY doc_id
+                    ORDER BY score DESC, doc_id LIMIT 20
+                """,
+        "ret2_hybrid_rrf": f"""
+                    WITH tok AS (
+                      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+                    ),
+                    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+                    stats AS (
+                      SELECT count(*) AS n_docs,
+                             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                               AS avgdl
+                      FROM dl
+                    ),
+                    dft AS (
+                      SELECT tok, count(*) AS df FROM (
+                        SELECT DISTINCT doc_id, tok FROM tok
+                      ) GROUP BY tok
+                    ),
+                    terms AS (
+                      SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 3
+                    ),
+                    tf AS (
+                      SELECT t.doc_id, t.tok, any_value(te.df) AS df,
+                             count(*) AS tf
+                      FROM tok t JOIN terms te ON t.tok = te.tok
+                      GROUP BY t.doc_id, t.tok
+                    ),
+                    w AS (
+                      SELECT tf.doc_id, tf.tok,
+                             ((CAST(s.n_docs AS DOUBLE) - CAST(tf.df AS DOUBLE)
+                               + 0.5) / (CAST(tf.df AS DOUBLE) + 0.5))
+                             * (CAST(tf.tf AS DOUBLE) * 2.2)
+                             / (CAST(tf.tf AS DOUBLE)
+                                + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                        / s.avgdl))) AS w
+                      FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+                    ),
+                    bm AS (
+                      SELECT doc_id, sum(w ORDER BY tok) AS score
+                      FROM w GROUP BY doc_id
+                      ORDER BY score DESC, doc_id LIMIT 20
+                    ),
+                    tr AS (
+                      SELECT doc_id,
+                             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                                  AS INTEGER) AS text_rank
+                      FROM bm
+                    ),
+                    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    a AS (SELECT * FROM e WHERE vec_id <> 0),
+                    b AS (SELECT v FROM e WHERE vec_id = 0),
+                    scored AS (
+                      SELECT a.vec_id AS neighbor_id, {_COS} AS cosine FROM a, b
+                    ),
+                    vr AS (
+                      SELECT neighbor_id AS doc_id, CAST(rn AS INTEGER) AS vec_rank
+                      FROM (
+                        SELECT *, row_number() OVER (
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+                        FROM scored
+                      ) WHERE rn <= 20
+                    ),
+                    fused AS (
+                      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+                             tr.text_rank, vr.vec_rank,
+                             COALESCE(CAST(1 AS DOUBLE)
+                                      / CAST(60 + tr.text_rank AS DOUBLE), 0.0)
+                               + COALESCE(CAST(1 AS DOUBLE)
+                                          / CAST(60 + vr.vec_rank AS DOUBLE), 0.0)
+                               AS rrf_score
+                      FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
+                    )
+                    SELECT doc_id, text_rank, vec_rank, rrf_score
+                    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+                """,
+        "ta11_lm_quality": _TA11_SQL,
+        "ta14_seed_lm_quality": f"""
+                    WITH seed_tok AS (
+                      SELECT unnest({_TOKENS}) AS tok FROM documents
+                      WHERE doc_id % 10 < 2
+                    ),
+                    counts AS (SELECT tok, count(*) AS c FROM seed_tok GROUP BY tok),
+                    tot AS (
+                      SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v
+                      FROM counts
+                    ),
+                    toks AS (
+                      SELECT doc_id, {_TOKENS} AS ts FROM documents
+                      WHERE doc_id % 10 >= 2
+                    ),
+                    tok AS (
+                      SELECT doc_id, unnest(ts) AS tok,
+                             unnest(range(len(ts))) AS pos
+                      FROM toks
+                    ),
+                    per AS (
+                      SELECT t.doc_id, t.pos,
+                             CAST(tot.n_total + tot.v AS DOUBLE)
+                               / CAST(coalesce(co.c, 0) + 1 AS DOUBLE) AS ip
+                      FROM tok t LEFT JOIN counts co ON t.tok = co.tok, tot
+                    ),
+                    agg AS (
+                      SELECT doc_id, sum(ip ORDER BY pos) AS sum_ip,
+                             count(*) AS n FROM per GROUP BY doc_id
+                    )
+                    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                           sum_ip / CAST(n AS DOUBLE) AS seed_mean_inv_prob
+                    FROM agg
+                """,
+        "ta12_bpe_tokens": """
+                    WITH t AS (
+                      SELECT doc_id,
+                             regexp_extract_all(text,
+                               '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')
+                               AS toks
+                      FROM documents
+                    )
+                    SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_pretokens,
+                           toks[1] AS first_tok, toks[len(toks)] AS last_tok
+                    FROM t
+                """,
+        "ta1_token_count": f"SELECT doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents",
+        "ta2_quality": f"""
+                    WITH base AS (
+                      SELECT doc_id, text,
+                             length(text) AS n_chars,
+                             {_TOKEN_COUNT} AS n_tokens,
+                             len(list_filter({_TOKENS},
+                                 t -> list_contains({_STOPWORD_SETS['en']}, t))) AS sw_hits,
+                             length(text) - length(regexp_replace(text,
+                               '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g')) AS punct_chars,
+                             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                               AS digit_chars
+                      FROM documents
+                    ),
+                    ratios AS (
+                      SELECT doc_id, n_tokens,
+                        CASE WHEN n_tokens > 0
+                             THEN CAST(sw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                             ELSE 0.0 END AS stopword_ratio,
+                        CASE WHEN n_chars > 0
+                             THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                             ELSE 0.0 END AS punct_ratio,
+                        CASE WHEN n_chars > 0
+                             THEN CAST(digit_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                             ELSE 0.0 END AS digit_ratio
+                      FROM base
+                    )
+                    SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
+                      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                      + least(stopword_ratio * 5.0, 1.0) * 0.3
+                      + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.15
+                      + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 AS quality_score
+                    FROM ratios
+                """,
+        "ta7_quality_filter": f"""
+                    WITH base AS (
+                      SELECT doc_id, text,
+                             length(text) AS n_chars,
+                             {_TOKEN_COUNT} AS n_tokens,
+                             len(list_filter({_TOKENS},
+                                 t -> list_contains({_STOPWORD_SETS['en']}, t))) AS sw_hits,
+                             length(text) - length(regexp_replace(text,
+                               '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g')) AS punct_chars,
+                             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                               AS digit_chars
+                      FROM documents
+                    ),
+                    ratios AS (
+                      SELECT doc_id, n_tokens,
+                        CASE WHEN n_tokens > 0
+                             THEN CAST(sw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                             ELSE 0.0 END AS stopword_ratio,
+                        CASE WHEN n_chars > 0
+                             THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                             ELSE 0.0 END AS punct_ratio,
+                        CASE WHEN n_chars > 0
+                             THEN CAST(digit_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                             ELSE 0.0 END AS digit_ratio
+                      FROM base
+                    )
+                    SELECT doc_id,
+                           n_tokens >= 10 AND n_tokens <= 500
+                           AND stopword_ratio >= 0.05
+                           AND digit_ratio <= 0.2
+                           AND punct_ratio <= 0.2 AS keep
+                    FROM ratios
+                """,
+        "ta3_lang_id": f"""
+                    WITH scores AS (
+                      SELECT doc_id,
+        {_LANG_SCORES}
+                      FROM documents
+                    )
+                    SELECT doc_id, {_LANG_CASE} AS lang_guess FROM scores
+                """,
+        "ta13_lang_confusion": f"""
+                    WITH scores AS (
+                      SELECT doc_id, lang,
+        {_LANG_SCORES}
+                      FROM documents
+                    ),
+                    guessed AS (
+                      SELECT lang, {_LANG_CASE} AS lang_guess FROM scores
+                    ),
+                    cells AS (
+                      SELECT lang, lang_guess, count(*) AS n
+                      FROM guessed GROUP BY lang, lang_guess
+                    ),
+                    totals AS (SELECT lang, count(*) AS tot FROM guessed GROUP BY lang)
+                    SELECT c.lang, c.lang_guess, c.n,
+                           CAST((c.n * 10000) // t.tot AS BIGINT) AS share_bp
+                    FROM cells c JOIN totals t ON c.lang = t.lang
+                """,
+        "ta4_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "tok1_bpe_merges": _TOK1_BPE_SQL,
+        "tok2_bpe_encode": _TOK2_BPE_SQL,
+        "tok3_wordpiece_encode": _TOK3_WORDPIECE_SQL,
+        "tok4_bpe_sampled": _TOK4_SAMPLED_SQL,
+        "tok5_bpe_char_merges": _TOK5_CHAR_MERGES_SQL,
+        "tok7_fertility_audit": "\n            WITH "
+                    + _TOK5_CHAIN
+                    + f""",
+                    c4 AS (SELECT w, freq, {_TOK1_APPLY} AS arr FROM c3, wm3),
+                    wp AS (SELECT w, len(arr) AS np FROM c4),
+                    dw AS (
+                      SELECT doc_id, arr[i] AS w
+                      FROM (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+                           unnest(generate_series(1, len(arr))) AS s(i)
+                      WHERE length(arr[i]) >= 1
+                    ),
+                    per_doc AS (
+                      SELECT doc_id, count(*) AS n_words,
+                             CAST(SUM(np) AS BIGINT) AS n_bpe
+                      FROM dw JOIN wp USING (w) GROUP BY doc_id
+                    )
+                    SELECT d.source, count(*) AS n_docs,
+                           CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+                           CAST(SUM(p.n_bpe) AS BIGINT) AS n_pieces,
+                           CAST((SUM(p.n_bpe) * 10000) // SUM(p.n_words) AS BIGINT)
+                             AS fertility_bp
+                    FROM per_doc p JOIN documents d USING (doc_id)
+                    GROUP BY d.source
+        """,
+        "tok6_bpe_char_encode": _TOK6_CHAR_ENCODE_SQL,
+        "ta8_repetition": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    g AS (
+                      SELECT doc_id,
+                             array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+                      FROM w, unnest(generate_series(1, greatest(len(toks) - 1, 1)))
+                               AS t(i)
+                    ),
+                    c AS (SELECT doc_id, gram, count(*) AS cnt
+                          FROM g GROUP BY doc_id, gram)
+                    SELECT doc_id,
+                           CAST(sum(cnt) AS INTEGER) AS n_grams,
+                           CAST(count(*) AS INTEGER) AS distinct_grams,
+                           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                             AS top_frac,
+                           CAST(sum(cnt) - count(*) AS DOUBLE)
+                             / CAST(sum(cnt) AS DOUBLE) AS dup_frac
+                    FROM c GROUP BY doc_id
+                """,
+        "ta9_pii_scrub": """
+                    WITH inj AS (
+                      SELECT doc_id,
+                        text ||
+                        CASE WHEN doc_id % 3 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com' ELSE '' END ||
+                        CASE WHEN doc_id % 5 = 0
+                             THEN ' call 555-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END AS raw_text
+                      FROM documents
+                    )
+                    SELECT doc_id,
+                           regexp_replace(
+                             regexp_replace(raw_text,
+                               '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+                             '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text,
+                           CAST(len(regexp_extract_all(raw_text,
+                             '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+')) AS INTEGER)
+                             AS n_emails,
+                           CAST(len(regexp_extract_all(raw_text, '555-[0-9]{4}'))
+                             AS INTEGER) AS n_phones
+                    FROM inj
+                """,
+        "tfidf_top_terms": f"""
+                    WITH toks AS (
+                      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+                    ),
+                    tf AS (SELECT doc_id, term, count(*) AS tf
+                           FROM toks GROUP BY doc_id, term),
+                    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                    n AS (SELECT count(*) AS n_docs FROM documents),
+                    scored AS (
+                      SELECT tf.doc_id, tf.term, tf.tf,
+                             (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+                               / CAST(dfreq.df AS DOUBLE) AS score
+                      FROM tf JOIN dfreq USING (term), n
+                    )
+                    SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, score,
+                           CAST(rnk AS INTEGER) AS rnk
+                    FROM (SELECT *, row_number() OVER (
+                            PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+                          FROM scored)
+                    WHERE rnk <= 3
+                """,
+        "retention1_cohorts": """
+                    WITH cohorts AS (
+                      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+                      FROM events WHERE event_type = 'signup' GROUP BY user_id
+                    ),
+                    active AS (
+                      SELECT e.user_id, c.cohort_week,
+                             CAST(date_diff('day',
+                                    CAST(c.cohort_week AS DATE),
+                                    CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                                  AS INTEGER) AS week_n
+                      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+                    )
+                    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_n,
+                           count(DISTINCT user_id) AS active_users
+                    FROM active WHERE week_n >= 0
+                    GROUP BY 1, 2
+                """,
+    }
