@@ -434,3 +434,117 @@ def label_propagation_communities(
             ).alias("lab")
         ).select(F.col("v").alias("node"), "lab")
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def _kcore_local(head, k: int, rounds: int) -> list:
+    """Driver-resident peeling — the same synchronous recurrence as
+    the distributed rounds (integer degrees + comparisons only, so
+    driver == distributed exactly). Returns ``(node, core_deg)`` for
+    the surviving nodes with their degree inside the survivor
+    subgraph after ``rounds`` peels (early exit at fixpoint — a
+    no-op peel removes nobody, so stopping early equals running all
+    rounds)."""
+    edges = [(r[0], r[1]) for r in head]
+    surv = {x for e in edges for x in e}
+    for _ in range(rounds):
+        deg: dict = {}
+        for a, b in edges:
+            if a in surv and b in surv:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        new = {v for v in surv if deg.get(v, 0) >= k}
+        if new == surv:
+            break
+        surv = new
+    deg = {}
+    for a, b in edges:
+        if a in surv and b in surv:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+    return [(v, deg.get(v, 0)) for v in sorted(surv)]
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    a_col: str = "a",
+    b_col: str = "b",
+    driver_graph_edges: int | None = None,
+) -> DataFrame:
+    """``(node, core_deg)`` — the synchronous ``rounds``-round k-core
+    peel of an undirected edge list: every round simultaneously drops
+    all nodes whose degree WITHIN the current survivor subgraph is
+    below ``k``; survivors are returned with their degree inside the
+    final subgraph. At fixpoint (no round removes anybody — reached
+    within graph-diameter-ish rounds on near-dup graphs) this is the
+    classic k-core (Seidman 1983), the density band between
+    connected_components' pure connectivity and gr5's communities:
+    boilerplate rings and tight duplicate families survive the peel,
+    chains and stars do not.
+
+    Synchronous peeling is a pure function of the graph (no
+    traversal order), and every quantity is an integer degree or a
+    comparison — bit-exact across engines, so the oracle is the same
+    recurrence unrolled in SQL. A peel past the fixpoint is a no-op,
+    so the engine may exit early while staying equal to the
+    fixed-``rounds`` oracle.
+
+    Scale: each round is one semi-join of the pinned symmetrized
+    edge relation against the (shrinking) survivor set plus one
+    map-side-combinable degree count — O(|E|) per round, fixed round
+    count. Driver tier (the cc/HITS/PageRank/LPA move): edge lists
+    under the take cap peel at the driver — integer-exact, pinned
+    equal to the distributed rounds by the shared tier property
+    test."""
+    cap = (
+        DRIVER_GRAPH_EDGES
+        if driver_graph_edges is None
+        else driver_graph_edges
+    )
+    e_proj = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    if cap > 0:
+        head = e_proj.take(cap + 1)
+        if len(head) <= cap:
+            node_t = e_proj.schema["a"].dataType
+            from pyspark.sql.types import LongType
+
+            return edges.sparkSession.createDataFrame(
+                _kcore_local(head, k, rounds),
+                StructType(
+                    [
+                        StructField("node", node_t),
+                        StructField("core_deg", LongType()),
+                    ]
+                ),
+            )
+    e = e_proj.localCheckpoint(eager=True)
+    sym = e.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    surv = sym.select("v").distinct().localCheckpoint(eager=True)
+    n_surv = surv.count()
+    for _ in range(rounds):
+        alive = sym.join(surv, "v", "leftsemi").join(
+            surv.select(F.col("v").alias("u")), "u", "leftsemi"
+        )
+        deg = alive.groupBy("v").agg(F.count(F.lit(1)).alias("_d"))
+        new_surv = deg.filter(F.col("_d") >= k).select("v").localCheckpoint(
+            eager=True
+        )
+        n_new = new_surv.count()
+        surv = new_surv
+        if n_new == n_surv:
+            break  # fixpoint: further peels are no-ops
+        n_surv = n_new
+    alive = sym.join(surv, "v", "leftsemi").join(
+        surv.select(F.col("v").alias("u")), "u", "leftsemi"
+    )
+    deg = alive.groupBy("v").agg(F.count(F.lit(1)).alias("_d"))
+    return (
+        surv.join(deg, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.coalesce("_d", F.lit(0)).cast("bigint").alias("core_deg"),
+        )
+    )

@@ -120,3 +120,117 @@ def bm25_topk(
         )
     )
     return folded.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def bm25_feedback_topk(
+    docs: DataFrame,
+    n_terms: int = 3,
+    fb_docs: int = 10,
+    fb_terms: int = 2,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style query expansion) on
+    top of :func:`bm25_topk`'s rational-idf scoring: score the base
+    query (the corpus' ``n_terms`` most frequent tokens), take the
+    top ``fb_docs`` documents as the positive feedback set, promote
+    the ``fb_terms`` most frequent tokens of that set that are NOT
+    already query terms (count desc, token asc — the classic
+    positive-centroid term selection reduced to its deterministic
+    integer core), and re-score the corpus with the expanded term
+    set. Returns the final top-``k`` ``(doc_id, n_terms_hit, score)``.
+
+    Everything heavy is shared with the base pass: the token explode,
+    document lengths, and df table are computed ONCE (pinned) and
+    both scoring passes read them; the feedback-doc id list and both
+    term sets are tiny broadcast relations. The per-document fold is
+    order-pinned (sort by term, sequential add) exactly as in
+    bm25_topk, so the oracle reproduces scores bit-for-bit modulo
+    the documented rational-idf trade."""
+    tok = (
+        fan_out(docs)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_avgdl"
+        ),
+    )
+    df_tbl = tok.select(id_col, "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).localCheckpoint(eager=False)
+
+    def score(terms: DataFrame) -> DataFrame:
+        tf = (
+            tok.join(F.broadcast(terms), "tok")
+            .groupBy(id_col, "tok", "_df")
+            .agg(F.count(F.lit(1)).alias("_tf"))
+        )
+        scored = (
+            tf.join(dl, id_col)
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "_idf_r",
+                (
+                    F.col("_n_docs").cast("double")
+                    - F.col("_df").cast("double")
+                    + F.lit(0.5)
+                )
+                / (F.col("_df").cast("double") + F.lit(0.5)),
+            )
+            .withColumn(
+                "_w",
+                F.col("_idf_r")
+                * (F.col("_tf").cast("double") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("_tf").cast("double")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B)
+                        * (F.col("_dl").cast("double") / F.col("_avgdl"))
+                    )
+                ),
+            )
+        )
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tok"), F.col("_w")))
+                ).alias("_arr"),
+            )
+            .select(
+                id_col,
+                "n_terms_hit",
+                F.aggregate(
+                    "_arr", F.lit(0.0), lambda acc, x: acc + x["_w"]
+                ).alias("score"),
+            )
+        )
+
+    base_terms = df_tbl.orderBy(F.desc("_df"), "tok").limit(n_terms)
+    fb_ids = (
+        score(base_terms)
+        .orderBy(F.desc("score"), id_col)
+        .limit(fb_docs)
+        .select(id_col)
+    )
+    expansion = (
+        tok.join(F.broadcast(fb_ids), id_col, "leftsemi")
+        .join(F.broadcast(base_terms.select("tok")), "tok", "left_anti")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), "tok")
+        .limit(fb_terms)
+        .select("tok")
+        .join(df_tbl, "tok")  # re-attach df for the scoring pass
+        .select("tok", "_df")
+    )
+    expanded = base_terms.select("tok", "_df").unionByName(expansion)
+    return score(expanded).orderBy(F.desc("score"), id_col).limit(k)

@@ -162,7 +162,73 @@ def q_graph1_tree_paths(spark, sf_dir):
     )
     return tree_paths(edges)
 
+def q_gr6_kcore(spark, sf_dir):
+    # k-core decomposition (Seidman 1983) of the near-dup graph: the
+    # density band between dd9's pure connectivity and gr5's
+    # communities — synchronous peeling drops every node whose degree
+    # within the current survivor subgraph is < 2, repeated to
+    # fixpoint (≤ 8 rounds — both engines run the identical
+    # fixed-round recurrence; a peel past the fixpoint is a no-op,
+    # so the engine's early exit stays exact). Tight duplicate
+    # families (rings, cliques) survive; chains and stars peel away
+    # — the audit signal for "is this cluster boilerplate or a true
+    # family". Integer degrees + comparisons only: bit-exact.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        k_core,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_core(
+        lsh_candidate_pairs(minhash_bands(docs)), k=2, rounds=8
+    ).select(F.col("node").alias("doc_id"), "core_deg")
+
+
+def _gr6_kcore_sql() -> str:
+    # the same synchronous peel, unrolled: s_i = nodes whose degree
+    # within s_{i-1}'s induced subgraph is >= k
+    rounds = []
+    for i in range(1, 9):
+        rounds.append(f"""
+                    e{i} AS (
+                      SELECT a, b FROM e
+                      WHERE a IN (SELECT v FROM s{i - 1})
+                        AND b IN (SELECT v FROM s{i - 1})
+                    ),
+                    d{i} AS (
+                      SELECT v, count(*) AS c FROM (
+                        SELECT a AS v FROM e{i}
+                        UNION ALL SELECT b AS v FROM e{i}
+                      ) GROUP BY v
+                    ),
+                    s{i} AS (SELECT v FROM d{i} WHERE c >= 2),""")
+    return f"""
+                    WITH bands AS ({_MINHASH_BANDS_SQL}),
+                    e AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    s0 AS (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
+                    {''.join(rounds)}
+                    ef AS (
+                      SELECT a, b FROM e
+                      WHERE a IN (SELECT v FROM s8)
+                        AND b IN (SELECT v FROM s8)
+                    ),
+                    df AS (
+                      SELECT v, count(*) AS c FROM (
+                        SELECT a AS v FROM ef UNION ALL SELECT b AS v FROM ef
+                      ) GROUP BY v
+                    )
+                    SELECT s8.v AS doc_id,
+                           CAST(coalesce(df.c, 0) AS BIGINT) AS core_deg
+                    FROM s8 LEFT JOIN df ON s8.v = df.v
+                """
+
+
 QUERIES = {
+    "gr6_kcore": q_gr6_kcore,
     "gr1_pagerank": q_gr1_pagerank,
     "gr3_hits": q_gr3_hits,
     "gr4_triangles": q_gr4_triangles,
@@ -173,6 +239,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "gr6_kcore": _gr6_kcore_sql(),
         "gr1_pagerank": _GR1_PAGERANK_SQL,
         "gr3_hits": _GR3_HITS_SQL,
         "gr4_triangles": f"""

@@ -195,7 +195,25 @@ def q_ss5_lsh_near_dup(spark, sf_dir):
         emb, n_planes=16, dim=64, band_bits=8, max_hamming=4
     )
 
+def q_ss15_batch_topk(spark, sf_dir):
+    # the serving/eval BATCH shape: exact cosine top-8 for a whole
+    # deterministic query set (vec_id % 101 == 0) in ONE corpus scan
+    # — an Arrow kernel scores every batch against the broadcast
+    # query matrix with one matmul and emits only batch-local top-k
+    # candidates (<= partitions x |Q| x k rows shuffle, never
+    # |corpus| x |Q| pairs); a |Q|*k-row window finishes the rank.
+    # Recall sweeps that scan the corpus once PER query multiply
+    # their dominant cost by |Q|; this is the plan that doesn't.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        batch_topk_neighbors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return batch_topk_neighbors(emb, query_mod=101, k=8)
+
+
 QUERIES = {
+    "ss15_batch_topk": q_ss15_batch_topk,
     "ss6_quantize_int8": q_ss6_quantize_int8,
     "ss7_pq_codes": q_ss7_pq_codes,
     "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
@@ -214,6 +232,24 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ss15_batch_topk": f"""
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 101 = 0),
+                    scored AS (
+                      SELECT q.query_id, e.vec_id AS neighbor_id,
+                             list_dot_product(e.v, q.qv)
+                               / (sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+                      FROM e JOIN q ON e.vec_id <> q.query_id
+                    )
+                    SELECT query_id, CAST(rn AS INTEGER) AS rank,
+                           neighbor_id, cosine FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rn
+                      FROM scored
+                    ) WHERE rn <= 8
+                """,
         "ss4_hyperplane_lsh": f"""
                     WITH {_HYPERPLANE_SIGS_CTE}
                     SELECT vec_id, sig,

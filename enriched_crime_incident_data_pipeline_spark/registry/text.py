@@ -478,7 +478,26 @@ def q_ta10_oov_rate(spark, sf_dir):
         )
     )
 
+def q_ret3_rocchio_expand(spark, sf_dir):
+    # pseudo-relevance feedback (Rocchio query expansion): base BM25
+    # pass (3 most frequent tokens) -> top-10 feedback docs -> the 2
+    # most frequent non-query tokens of that set join the query ->
+    # full re-score, final top-10. The classic two-pass retrieval
+    # recipe; the token explode / doc lengths / df table are computed
+    # once and shared by both scoring passes, term sets and the
+    # feedback id-list are broadcast, and the per-doc fold is
+    # order-pinned exactly as ret1 (rational-idf trade documented in
+    # datapipe/retrieval.py).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        bm25_feedback_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_feedback_topk(docs, n_terms=3, fb_docs=10, fb_terms=2, k=10)
+
+
 QUERIES = {
+    "ret3_rocchio_expand": q_ret3_rocchio_expand,
     "ta11_lm_quality": q_ta11_lm_quality,
     "ta14_seed_lm_quality": q_ta14_seed_lm_quality,
     "ta12_bpe_tokens": q_ta12_bpe_tokens,
@@ -508,6 +527,80 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ret3_rocchio_expand": f"""
+                    WITH tok AS (
+                      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+                    ),
+                    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+                    stats AS (
+                      SELECT count(*) AS n_docs,
+                             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                               AS avgdl
+                      FROM dl
+                    ),
+                    dft AS (
+                      SELECT tok, count(*) AS df FROM (
+                        SELECT DISTINCT doc_id, tok FROM tok
+                      ) GROUP BY tok
+                    ),
+                    base_terms AS (
+                      SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 3
+                    ),
+                    tf0 AS (
+                      SELECT t.doc_id, t.tok, any_value(te.df) AS df,
+                             count(*) AS tf
+                      FROM tok t JOIN base_terms te ON t.tok = te.tok
+                      GROUP BY t.doc_id, t.tok
+                    ),
+                    w0 AS (
+                      SELECT tf.doc_id, tf.tok,
+                             ((CAST(s.n_docs AS DOUBLE) - CAST(tf.df AS DOUBLE)
+                               + 0.5) / (CAST(tf.df AS DOUBLE) + 0.5))
+                             * (CAST(tf.tf AS DOUBLE) * 2.2)
+                             / (CAST(tf.tf AS DOUBLE)
+                                + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                        / s.avgdl))) AS w
+                      FROM tf0 tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+                    ),
+                    fb AS (
+                      SELECT doc_id, sum(w ORDER BY tok) AS score
+                      FROM w0 GROUP BY doc_id
+                      ORDER BY score DESC, doc_id LIMIT 10
+                    ),
+                    expansion AS (
+                      SELECT t.tok FROM tok t
+                      JOIN fb ON t.doc_id = fb.doc_id
+                      WHERE t.tok NOT IN (SELECT tok FROM base_terms)
+                      GROUP BY t.tok
+                      ORDER BY count(*) DESC, t.tok LIMIT 2
+                    ),
+                    terms AS (
+                      SELECT tok, df FROM base_terms
+                      UNION ALL
+                      SELECT d.tok, d.df FROM dft d
+                      JOIN expansion x ON d.tok = x.tok
+                    ),
+                    tf AS (
+                      SELECT t.doc_id, t.tok, any_value(te.df) AS df,
+                             count(*) AS tf
+                      FROM tok t JOIN terms te ON t.tok = te.tok
+                      GROUP BY t.doc_id, t.tok
+                    ),
+                    w AS (
+                      SELECT tf.doc_id, tf.tok,
+                             ((CAST(s.n_docs AS DOUBLE) - CAST(tf.df AS DOUBLE)
+                               + 0.5) / (CAST(tf.df AS DOUBLE) + 0.5))
+                             * (CAST(tf.tf AS DOUBLE) * 2.2)
+                             / (CAST(tf.tf AS DOUBLE)
+                                + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                        / s.avgdl))) AS w
+                      FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+                    )
+                    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_hit,
+                           sum(w ORDER BY tok) AS score
+                    FROM w GROUP BY doc_id
+                    ORDER BY score DESC, doc_id LIMIT 10
+                """,
         "ta10_oov_rate": f"""
                     WITH tok AS (
                       SELECT doc_id, t.tok

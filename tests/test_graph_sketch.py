@@ -840,3 +840,94 @@ def test_mmr_topk_diversifies_near_dup_results(spark):
         selected.append(best[1])
         expect.append((rank, best[1]))
     assert got == expect
+
+
+def test_kcore_peels_tails_keeps_triangle(spark):
+    """gr6 semantics on a hand graph: triangle {1,2,3} with a tail
+    3-4-5 and an isolated edge (8,9). The 2-core is exactly the
+    triangle (each member degree 2 inside it); the tail peels over
+    two rounds and the isolated edge in one. Driver tier ==
+    forced-distributed, and a second peel round is a no-op."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        k_core,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (8, 9)],
+        "a bigint, b bigint",
+    )
+    want = {(1, 2), (2, 3), (3, 2)}
+    got = {tuple(r) for r in k_core(edges, k=2, rounds=8).collect()}
+    assert got == want
+    dist = {
+        tuple(r)
+        for r in k_core(edges, k=2, rounds=8, driver_graph_edges=0).collect()
+    }
+    assert dist == want
+    # k=1 keeps everything with its plain degree
+    got1 = {tuple(r) for r in k_core(edges, k=1, rounds=8).collect()}
+    assert got1 == {
+        (1, 2), (2, 2), (3, 3), (4, 2), (5, 1), (8, 1), (9, 1)
+    }
+    # k=3 peels the whole graph
+    assert k_core(edges, k=3, rounds=8).count() == 0
+
+
+def test_batch_topk_matches_per_query_bruteforce(spark):
+    """ss15: the one-scan batch kernel must return, for every query,
+    the same neighbor ranking as the per-query brute-force operator
+    (cosines to float tolerance, ids/ranks exact)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        batch_topk_neighbors,
+        brute_force_neighbors,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = batch_topk_neighbors(emb, query_mod=25, k=5).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 25, 50}
+    for qid, out in by_q.items():
+        ref = brute_force_neighbors(emb, query_vec_id=qid, k=5).collect()
+        assert [r["neighbor_id"] for r in sorted(out, key=lambda x: x["rank"])] == [
+            r["neighbor_id"] for r in ref
+        ]
+        for a, b in zip(sorted(out, key=lambda x: x["rank"]), ref):
+            assert math.isclose(a["cosine"], b["cosine"], rel_tol=1e-9)
+
+
+def test_rocchio_expansion_reduces_to_base_without_feedback(spark):
+    """ret3: with fb_terms=0 the expanded query IS the base query, so
+    the two-pass plan must equal bm25_topk exactly; with feedback on,
+    the expansion terms are the most frequent non-query tokens of the
+    top documents."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        bm25_feedback_topk,
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma gamma zeta"),
+        (3, "alpha beta delta zeta zeta"),
+        (4, "alpha epsilon epsilon"),
+        (5, "beta gamma delta delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = bm25_topk(docs, n_terms=2, k=5).collect()
+    same = bm25_feedback_topk(
+        docs, n_terms=2, fb_docs=3, fb_terms=0, k=5
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in same]
+    # with one expansion term, docs hitting it gain a term hit
+    out = bm25_feedback_topk(docs, n_terms=2, fb_docs=5, fb_terms=1, k=5)
+    hits = {r["doc_id"]: r["n_terms_hit"] for r in out.collect()}
+    assert max(hits.values()) == 3  # someone matched base(2) + expansion(1)
