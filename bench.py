@@ -103,6 +103,8 @@ LONGTAIL = [
     "st18_stream_word_hist",  # streaming char-BPE training feeder (r5)
     "sk8_heavy_hitters",  # CMS shortlist -> exact verify (r5)
     "dd19_lsh_verified",  # LSH candidates -> exact-Jaccard verify (r5)
+    "gr6_kcore",  # synchronous k-core peel, driver tier (r6)
+    "ret3_rocchio_expand",  # two-pass pseudo-relevance BM25 (r6)
 ]
 
 

@@ -185,33 +185,37 @@ def q_gr6_kcore(spark, sf_dir):
 
 def _gr6_kcore_sql() -> str:
     # the same synchronous peel, unrolled: s_i = nodes whose degree
-    # within s_{i-1}'s induced subgraph is >= k
+    # within s_{i-1}'s induced subgraph is >= k. Every CTE is
+    # MATERIALIZED: `e` and each survivor set are referenced multiple
+    # times per round, and DuckDB's default inlining would replicate
+    # the bands self-join exponentially across the 8 unrolled rounds
+    # (measured: fd exhaustion before it even planned).
     rounds = []
     for i in range(1, 9):
         rounds.append(f"""
-                    e{i} AS (
+                    e{i} AS MATERIALIZED (
                       SELECT a, b FROM e
                       WHERE a IN (SELECT v FROM s{i - 1})
                         AND b IN (SELECT v FROM s{i - 1})
                     ),
-                    d{i} AS (
+                    d{i} AS MATERIALIZED (
                       SELECT v, count(*) AS c FROM (
                         SELECT a AS v FROM e{i}
                         UNION ALL SELECT b AS v FROM e{i}
                       ) GROUP BY v
                     ),
-                    s{i} AS (SELECT v FROM d{i} WHERE c >= 2),""")
+                    s{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE c >= 2),""")
     return f"""
-                    WITH bands AS ({_MINHASH_BANDS_SQL}),
-                    e AS (
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    e AS MATERIALIZED (
                       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                       FROM bands l JOIN bands r
                         ON l.band_id = r.band_id AND l.band_hash = r.band_hash
                       WHERE l.doc_id < r.doc_id
                     ),
-                    s0 AS (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
+                    s0 AS MATERIALIZED (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
                     {''.join(rounds)}
-                    ef AS (
+                    ef AS MATERIALIZED (
                       SELECT a, b FROM e
                       WHERE a IN (SELECT v FROM s8)
                         AND b IN (SELECT v FROM s8)
@@ -243,8 +247,8 @@ def oracles() -> dict[str, str]:
         "gr1_pagerank": _GR1_PAGERANK_SQL,
         "gr3_hits": _GR3_HITS_SQL,
         "gr4_triangles": f"""
-                    WITH bands AS ({_MINHASH_BANDS_SQL}),
-                    e AS (
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    e AS MATERIALIZED (
                       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                       FROM bands l JOIN bands r
                         ON l.band_id = r.band_id AND l.band_hash = r.band_hash
@@ -261,8 +265,8 @@ def oracles() -> dict[str, str]:
                     FROM corners GROUP BY doc_id
                 """,
         "gr5_label_prop": f"""
-                    WITH bands AS ({_MINHASH_BANDS_SQL}),
-                    e AS (
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    e AS MATERIALIZED (
                       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                       FROM bands l JOIN bands r
                         ON l.band_id = r.band_id AND l.band_hash = r.band_hash

@@ -856,7 +856,7 @@ def test_kcore_peels_tails_keeps_triangle(spark):
         [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (8, 9)],
         "a bigint, b bigint",
     )
-    want = {(1, 2), (2, 3), (3, 2)}
+    want = {(1, 2), (2, 2), (3, 2)}
     got = {tuple(r) for r in k_core(edges, k=2, rounds=8).collect()}
     assert got == want
     dist = {
