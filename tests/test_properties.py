@@ -575,6 +575,18 @@ def test_graph_driver_tiers_match_distributed(spark, edges):
         ).collect()
     }
     assert c_drv == c_dst
+    # k-core: driver peel vs forced-distributed rounds (r6 — the
+    # fifth tier in the shared equivalence suite)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        k_core,
+    )
+
+    k_drv = {tuple(r) for r in k_core(und, k=2, rounds=8).collect()}
+    k_dst = {
+        tuple(r)
+        for r in k_core(und, k=2, rounds=8, driver_graph_edges=0).collect()
+    }
+    assert k_drv == k_dst
 
 
 @given(
