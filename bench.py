@@ -105,6 +105,7 @@ LONGTAIL = [
     "dd19_lsh_verified",  # LSH candidates -> exact-Jaccard verify (r5)
     "gr6_kcore",  # synchronous k-core peel, driver tier (r6)
     "ret3_rocchio_expand",  # two-pass pseudo-relevance BM25 (r6)
+    "dd20_dup_rate_by_source",  # per-source duplication-rate audit (r6)
 ]
 
 

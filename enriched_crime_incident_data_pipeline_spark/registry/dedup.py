@@ -317,7 +317,57 @@ def q_dd13b_repeated_spans_sampled(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return repeated_spans_sampled(docs, win_tokens=10, winnow_w=8)
 
+def q_dd20_dup_rate_by_source(spark, sf_dir):
+    # corpus-audit rollup: per source, how much near-duplication? One
+    # row per source with doc count, docs that belong to any LSH
+    # cluster, distinct clusters touched, and the duplication rate in
+    # integer basis points - the per-provider report a 100 TB corpus
+    # clean publishes before deciding drop policies. Reuses the exact
+    # banding -> CC machinery (dd9); the per-source reduce runs over
+    # the tiny member relation joined to a two-column docs
+    # projection.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    members = connected_components(lsh_candidate_pairs(minhash_bands(docs)))
+    src = docs.select("doc_id", "source")
+    m = members.join(src, members["node"] == src["doc_id"]).select(
+        "source", "cluster_id"
+    )
+    per_src = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_members"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    totals = src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_members", F.lit(0)).cast("bigint").alias(
+                "n_dup_members"
+            ),
+            F.coalesce("n_clusters", F.lit(0)).cast("bigint").alias(
+                "n_clusters"
+            ),
+            F.expr(
+                "CAST(coalesce(n_dup_members, 0) * 10000 DIV n_docs"
+                " AS BIGINT)"
+            ).alias("dup_rate_bp"),
+        )
+    )
+
+
 QUERIES = {
+    "dd20_dup_rate_by_source": q_dd20_dup_rate_by_source,
     "dd1_exact_dedup": q_dd1_exact_dedup,
     "dd2_minhash_bands": q_dd2_minhash_bands,
     "dd3_lsh_pairs": q_dd3_lsh_pairs,
@@ -343,6 +393,46 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dd20_dup_rate_by_source": f"""
+                    WITH RECURSIVE pairs AS (
+                      WITH bands AS ({_MINHASH_BANDS_SQL})
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+                    ),
+                    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+                    m AS (
+                      SELECT d.source, cc.cluster_id
+                      FROM cc JOIN documents d ON cc.node = d.doc_id
+                    ),
+                    per_src AS (
+                      SELECT source, count(*) AS n_dup_members,
+                             count(DISTINCT cluster_id) AS n_clusters
+                      FROM m GROUP BY source
+                    ),
+                    totals AS (
+                      SELECT source, count(*) AS n_docs
+                      FROM documents GROUP BY source
+                    )
+                    SELECT t.source,
+                           CAST(t.n_docs AS BIGINT) AS n_docs,
+                           CAST(coalesce(p.n_dup_members, 0) AS BIGINT)
+                             AS n_dup_members,
+                           CAST(coalesce(p.n_clusters, 0) AS BIGINT)
+                             AS n_clusters,
+                           CAST(coalesce(p.n_dup_members, 0) * 10000
+                                // t.n_docs AS BIGINT) AS dup_rate_bp
+                    FROM totals t LEFT JOIN per_src p ON t.source = p.source
+                """,
         "dd6_embed_cosine": f"""
                     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
                     SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine

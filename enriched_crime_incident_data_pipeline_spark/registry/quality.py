@@ -220,7 +220,22 @@ def q_dq2_profile(spark, sf_dir):
         " as (column_name, n_nulls, n_distinct)"
     )
 
+def q_dq4_fd_audit(spark, sf_dir):
+    # functional-dependency audit for the candidate FD source -> lang:
+    # per source, row count, distinct-rhs count, the deterministic
+    # majority lang (ties -> lower value), and the repair distance
+    # (rows outside the majority). FD discovery/repair is the classic
+    # data-quality sweep; counts + comparisons only, bit-exact.
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        fd_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fd_audit(docs, "source", "lang")
+
+
 QUERIES = {
+    "dq4_fd_audit": q_dq4_fd_audit,
     "dq1_constraint_audit": q_dq1_constraint_audit,
     "dq2_profile": q_dq2_profile,
     "dq3_volume_anomaly": q_dq3_volume_anomaly,
@@ -232,6 +247,18 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq4_fd_audit": """
+                    WITH pair AS (
+                      SELECT source, lang, count(*) AS c
+                      FROM documents GROUP BY source, lang
+                    )
+                    SELECT source,
+                           CAST(sum(c) AS BIGINT) AS n_rows,
+                           CAST(count(*) AS BIGINT) AS n_distinct_rhs,
+                           first(lang ORDER BY c DESC, lang) AS majority_rhs,
+                           CAST(sum(c) - max(c) AS BIGINT) AS n_violations
+                    FROM pair GROUP BY source
+                """,
         "dq1_constraint_audit": """
                     SELECT 'orders_pk_dup' AS check_name,
                            count(*) - count(DISTINCT o_orderkey) AS violations

@@ -505,7 +505,44 @@ def q_attr1_last_touch(spark, sf_dir):
         (F.col("_us") - F.col("_click_us")).alias("latency_us"),
     )
 
+def q_ts7_decayed_counts(spark, sf_dir):
+    # exponentially time-decayed counts per event type at the
+    # corpus watermark (now = max ts): each event weighs 2^-age_days
+    # (capped at 30 days). The freshness-weighted frequency behind
+    # feed ranking and crawl re-visit scheduling. EXACT despite the
+    # float column: every weight is a negative power of two and every
+    # partial sum is an integer multiple of 2^-30 far below 2^53, so
+    # float64 addition never rounds and ANY summation order gives the
+    # same bits - the plain map-side-combinable sum is cross-engine
+    # bit-exact (no ordered fold needed).
+    events = load_table(spark, sf_dir, "events")
+    now = events.agg(F.max("ts").alias("_now"))
+    wts = F.array(*[F.lit(w) for w in _TS7_WEIGHTS])
+    aged = events.crossJoin(F.broadcast(now)).select(
+        "event_type",
+        F.least(
+            F.datediff(F.to_date("_now"), F.to_date("ts")), F.lit(30)
+        ).alias("_b"),
+    )
+    return (
+        aged.select(
+            "event_type", F.element_at(wts, F.col("_b") + 1).alias("_w")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("_w").alias("decayed"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+# 2^-b for b in 0..30: exactly representable doubles, emitted via
+# repr() so the SQL literal list reproduces the identical bits
+_TS7_WEIGHTS = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625, 0.001953125, 0.0009765625, 0.00048828125, 0.000244140625, 0.0001220703125, 6.103515625e-05, 3.0517578125e-05, 1.52587890625e-05, 7.62939453125e-06, 3.814697265625e-06, 1.9073486328125e-06, 9.5367431640625e-07, 4.76837158203125e-07, 2.384185791015625e-07, 1.1920928955078125e-07, 5.960464477539063e-08, 2.9802322387695312e-08, 1.4901161193847656e-08, 7.450580596923828e-09, 3.725290298461914e-09, 1.862645149230957e-09, 9.313225746154785e-10]
+
+
 QUERIES = {
+    "ts7_decayed_counts": q_ts7_decayed_counts,
     "sessionization": q_sessionization,
     "window_tumbling": q_window_tumbling,
     "ts6_ewma": q_ts6_ewma,
@@ -530,6 +567,19 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ts7_decayed_counts": """
+                    WITH now_t AS (SELECT max(ts) AS now FROM events),
+                    aged AS (
+                      SELECT event_type,
+                             least(date_diff('day', CAST(ts AS DATE),
+                                             CAST(now AS DATE)), 30) AS b
+                      FROM events, now_t
+                    )
+                    SELECT event_type,
+                           sum(([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625, 0.001953125, 0.0009765625, 0.00048828125, 0.000244140625, 0.0001220703125, 6.103515625e-05, 3.0517578125e-05, 1.52587890625e-05, 7.62939453125e-06, 3.814697265625e-06, 1.9073486328125e-06, 9.5367431640625e-07, 4.76837158203125e-07, 2.384185791015625e-07, 1.1920928955078125e-07, 5.960464477539063e-08, 2.9802322387695312e-08, 1.4901161193847656e-08, 7.450580596923828e-09, 3.725290298461914e-09, 1.862645149230957e-09, 9.313225746154785e-10])[b + 1]) AS decayed,
+                           CAST(count(*) AS BIGINT) AS n_events
+                    FROM aged GROUP BY event_type
+                """,
         "cdc1_upsert_merge": """
                     WITH ranked AS (
                       SELECT user_id, event_type, value,

@@ -131,3 +131,64 @@ def test_cdc_segments_hash_independent_roundtrip(spark):
         for r in cdc_segment_dedup(pair, boundary_hash="xxhash64").collect()
     }
     assert got[2]["n_kept"] < got[2]["n_segs"]
+
+
+def test_fd_audit_majority_and_violations(spark):
+    """dq4 semantics: majority ties break on the LOWER rhs value, and
+    n_violations is the repair distance (rows outside the majority)."""
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        fd_audit,
+    )
+
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "y"),          # majority x, 1 repair
+        ("b", "p"), ("b", "q"),                       # tie -> lower 'p'
+        ("c", "z"),                                   # clean FD
+    ]
+    df = spark.createDataFrame(rows, "lhs string, rhs string")
+    got = {r["lhs"]: tuple(r)[1:] for r in fd_audit(df, "lhs", "rhs").collect()}
+    assert got == {
+        "a": (3, 2, "x", 1),
+        "b": (2, 2, "p", 1),
+        "c": (1, 1, "z", 0),
+    }
+
+
+def test_decayed_counts_bitexact_any_partitioning(spark):
+    """ts7's exactness claim: every weight is a negative power of two
+    and partial sums are multiples of 2^-30 below 2^53, so the plain
+    unordered float sum is BIT-equal to the Python model under any
+    physical partitioning."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    base = dt.datetime(2026, 1, 31)
+    rows = [
+        (i, base - dt.timedelta(days=i % 45), f"t{i % 3}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, tp string")
+    now = max(r[1] for r in rows)
+    want: dict = {}
+    for _, ts, tp in rows:
+        b = min((now.date() - ts.date()).days, 30)
+        want[tp] = want.get(tp, 0.0) + 2.0 ** -b
+    wts = F.array(*[F.lit(2.0 ** -b) for b in range(31)])
+    for parts in (1, 7):
+        aged = df.repartition(parts).crossJoin(
+            F.broadcast(df.agg(F.max("ts").alias("_now")))
+        ).select(
+            "tp",
+            F.element_at(
+                wts,
+                F.least(
+                    F.datediff(F.to_date("_now"), F.to_date("ts")), F.lit(30)
+                ) + 1,
+            ).alias("_w"),
+        )
+        got = {
+            r["tp"]: r["d"]
+            for r in aged.groupBy("tp").agg(F.sum("_w").alias("d")).collect()
+        }
+        assert got == want  # == on floats: BIT equality, not approx
