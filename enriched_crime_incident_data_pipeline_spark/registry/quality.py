@@ -234,7 +234,63 @@ def q_dq4_fd_audit(spark, sf_dir):
     return fd_audit(docs, "source", "lang")
 
 
+def q_dq5_ri_audit(spark, sf_dir):
+    # referential-integrity audit across the fact->dim edges a
+    # warehouse health sweep publishes: for each declared FK edge,
+    # child row count, orphan rows (no parent), orphan rate in
+    # integer basis points. Each edge is one left-anti count against
+    # the parent key projection - broadcast where the parent is a
+    # dim, shuffle-pruned otherwise; counts only, bit-exact. The
+    # lineitem->orders edge is clean by construction, so the audit
+    # also checks an INTENTIONALLY-violated edge: events.user_id
+    # against the customer key space (synthetic users are not
+    # customers - nonzero orphan rate proves the probe works).
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def edge(name, child, key, parent, pkey):
+        n = child.count()
+        orphans = child.join(
+            parent.select(F.col(pkey).alias(key)).distinct(),
+            key,
+            "left_anti",
+        ).count()
+        return (name, n, orphans, orphans * 10000 // n if n else 0)
+
+    rows = [
+        edge("lineitem.l_orderkey->orders", li.select("l_orderkey"),
+             "l_orderkey", orders, "o_orderkey"),
+        edge("orders.o_custkey->customer", orders.select("o_custkey"),
+             "o_custkey", cust, "c_custkey"),
+        edge("events.user_id->customer", ev.select(
+            F.col("user_id").alias("user_id")), "user_id",
+            cust.select(F.col("c_custkey").cast("bigint").alias("user_id")),
+            "user_id"),
+    ]
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("fk_edge", StringType()),
+                StructField("n_child_rows", LongType()),
+                StructField("n_orphans", LongType()),
+                StructField("orphan_rate_bp", LongType()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
+    "dq5_ri_audit": q_dq5_ri_audit,
     "dq4_fd_audit": q_dq4_fd_audit,
     "dq1_constraint_audit": q_dq1_constraint_audit,
     "dq2_profile": q_dq2_profile,
@@ -247,6 +303,43 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq5_ri_audit": """
+                    WITH e1 AS (
+                      SELECT count(*) AS n,
+                             count(*) FILTER (o_orderkey IS NULL) AS orph
+                      FROM lineitem l LEFT JOIN (
+                        SELECT DISTINCT o_orderkey FROM orders
+                      ) o ON l.l_orderkey = o.o_orderkey
+                    ),
+                    e2 AS (
+                      SELECT count(*) AS n,
+                             count(*) FILTER (c_custkey IS NULL) AS orph
+                      FROM orders r LEFT JOIN (
+                        SELECT DISTINCT c_custkey FROM customer
+                      ) c ON r.o_custkey = c.c_custkey
+                    ),
+                    e3 AS (
+                      SELECT count(*) AS n,
+                             count(*) FILTER (ck IS NULL) AS orph
+                      FROM events v LEFT JOIN (
+                        SELECT DISTINCT CAST(c_custkey AS BIGINT) AS ck
+                        FROM customer
+                      ) c ON v.user_id = c.ck
+                    )
+                    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                           CAST(n AS BIGINT) AS n_child_rows,
+                           CAST(orph AS BIGINT) AS n_orphans,
+                           CAST(orph * 10000 // n AS BIGINT) AS orphan_rate_bp
+                    FROM e1
+                    UNION ALL
+                    SELECT 'orders.o_custkey->customer',
+                           CAST(n AS BIGINT), CAST(orph AS BIGINT),
+                           CAST(orph * 10000 // n AS BIGINT) FROM e2
+                    UNION ALL
+                    SELECT 'events.user_id->customer',
+                           CAST(n AS BIGINT), CAST(orph AS BIGINT),
+                           CAST(orph * 10000 // n AS BIGINT) FROM e3
+                """,
         "dq4_fd_audit": """
                     WITH pair AS (
                       SELECT source, lang, count(*) AS c

@@ -799,7 +799,48 @@ def q_stat5_winsorize(spark, sf_dir):
         ).alias("winsorized_mean"),
     )
 
+def q_st20_stream_decayed_counts(spark, sf_dir):
+    # continuous freshness-weighted frequency (ts7 as a stream): the
+    # per-type decayed count IS a streaming aggregation - each
+    # arriving event adds its 2^-age_days weight (age vs the STATIC
+    # corpus watermark, one scalar broadcast) and float adds of
+    # 2^-30-multiples below 2^53 never round, so merge order across
+    # micro-batches is irrelevant and the bounded complete-mode run
+    # equals the ts7 batch table bit-for-bit. State is one row per
+    # event type forever.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev_static = load_table(spark, sf_dir, "events")
+    now = ev_static.agg(F.max("ts").alias("_now"))
+    wts = F.array(*[F.lit(w) for w in _TS7_WEIGHTS_ST])
+    ev = stream_table(spark, sf_dir, "events")
+    aged = ev.join(F.broadcast(now)).select(
+        "event_type",
+        F.element_at(
+            wts,
+            F.least(
+                F.datediff(F.to_date("_now"), F.to_date("ts")), F.lit(30)
+            )
+            + 1,
+        ).alias("_w"),
+    )
+    out = aged.groupBy("event_type").agg(
+        F.sum("_w").alias("decayed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return run_available_now(
+        out, "st20_decayed", "complete", state_partitions=8
+    )
+
+
+_TS7_WEIGHTS_ST = [2.0 ** -b for b in range(31)]
+
+
 QUERIES = {
+    "st20_stream_decayed_counts": q_st20_stream_decayed_counts,
     "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
     "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
     "st8_stream_decontaminate": q_st8_stream_decontaminate,
@@ -828,6 +869,19 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "st20_stream_decayed_counts": """
+                    WITH now_t AS (SELECT max(ts) AS now FROM events),
+                    aged AS (
+                      SELECT event_type,
+                             least(date_diff('day', CAST(ts AS DATE),
+                                             CAST(now AS DATE)), 30) AS b
+                      FROM events, now_t
+                    )
+                    SELECT event_type,
+                           sum(([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625, 0.001953125, 0.0009765625, 0.00048828125, 0.000244140625, 0.0001220703125, 6.103515625e-05, 3.0517578125e-05, 1.52587890625e-05, 7.62939453125e-06, 3.814697265625e-06, 1.9073486328125e-06, 9.5367431640625e-07, 4.76837158203125e-07, 2.384185791015625e-07, 1.1920928955078125e-07, 5.960464477539063e-08, 2.9802322387695312e-08, 1.4901161193847656e-08, 7.450580596923828e-09, 3.725290298461914e-09, 1.862645149230957e-09, 9.313225746154785e-10])[b + 1]) AS decayed,
+                           CAST(count(*) AS BIGINT) AS n_events
+                    FROM aged GROUP BY event_type
+                """,
         "stat5_winsorize": """
                     WITH bounds AS (
                       SELECT l_returnflag,
