@@ -106,6 +106,8 @@ LONGTAIL = [
     "gr6_kcore",  # synchronous k-core peel, driver tier (r6)
     "ret3_rocchio_expand",  # two-pass pseudo-relevance BM25 (r6)
     "dd20_dup_rate_by_source",  # per-source duplication-rate audit (r6)
+    "dq5_ri_audit",  # per-FK-edge orphan-rate audit (r6)
+    "st20_stream_decayed_counts",  # streaming twin of ts7 (r6)
 ]
 
 
