@@ -366,7 +366,55 @@ def q_dd20_dup_rate_by_source(spark, sf_dir):
     )
 
 
+def q_dd21_source_overlap(spark, sf_dir):
+    # inter-provider overlap audit via MinHash MERGEABILITY: a
+    # source-level signature is the element-wise min of its docs'
+    # signatures (min-of-mins == min over the union of shingle sets
+    # - the sketch-union property that makes MinHash a distributive
+    # aggregate), so per-source sigs cost one map-side-combinable
+    # groupBy and the pairwise Jaccard estimate runs over the TINY
+    # sources x sources relation - never doc pairs. The estimate is
+    # exact integer arithmetic: matching coordinates x 625 bp (16
+    # hashes). The report a corpus buyer reads before paying twice
+    # for the same crawl.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        NUM_HASHES,
+        minhash_sigs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_sigs(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    src_sigs = sigs.groupBy("source").agg(
+        *[F.min(f"mh{j}").alias(f"mh{j}") for j in range(NUM_HASHES)]
+    )
+    a = src_sigs.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)],
+    )
+    b = src_sigs.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_HASHES)],
+    )
+    matches = None
+    for j in range(NUM_HASHES):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        a.crossJoin(b)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            matches.cast("bigint").alias("n_matches"),
+            (matches * 625).cast("bigint").alias("jaccard_bp"),
+        )
+    )
+
+
 QUERIES = {
+    "dd21_source_overlap": q_dd21_source_overlap,
     "dd20_dup_rate_by_source": q_dd20_dup_rate_by_source,
     "dd1_exact_dedup": q_dd1_exact_dedup,
     "dd2_minhash_bands": q_dd2_minhash_bands,
@@ -393,6 +441,24 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dd21_source_overlap": f"""
+                    WITH sh AS ({_SHINGLES3}),
+                    hx AS (
+                      SELECT d.source, {_HASH32.format(x='shingle')} AS x
+                      FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+                    ),
+                    sig AS (
+                      SELECT source,
+{_MINHASH_TERMS}
+                      FROM hx GROUP BY source
+                    )
+                    SELECT a.source AS source_a, b.source AS source_b,
+                           CAST((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) + (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) + (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) + (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) + (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) + (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END) + (CASE WHEN a.mh12 = b.mh12 THEN 1 ELSE 0 END) + (CASE WHEN a.mh13 = b.mh13 THEN 1 ELSE 0 END) + (CASE WHEN a.mh14 = b.mh14 THEN 1 ELSE 0 END) + (CASE WHEN a.mh15 = b.mh15 THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_matches,
+                           CAST(((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) + (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) + (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) + (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) + (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) + (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END) + (CASE WHEN a.mh12 = b.mh12 THEN 1 ELSE 0 END) + (CASE WHEN a.mh13 = b.mh13 THEN 1 ELSE 0 END) + (CASE WHEN a.mh14 = b.mh14 THEN 1 ELSE 0 END) + (CASE WHEN a.mh15 = b.mh15 THEN 1 ELSE 0 END)) * 625 AS BIGINT)
+                             AS jaccard_bp
+                    FROM sig a JOIN sig b ON a.source < b.source
+                """,
         "dd20_dup_rate_by_source": f"""
                     WITH RECURSIVE pairs AS (
                       WITH bands AS ({_MINHASH_BANDS_SQL})

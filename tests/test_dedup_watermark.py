@@ -192,3 +192,41 @@ def test_decayed_counts_bitexact_any_partitioning(spark):
             for r in aged.groupBy("tp").agg(F.sum("_w").alias("d")).collect()
         }
         assert got == want  # == on floats: BIT equality, not approx
+
+
+def test_source_minhash_mergeability(spark):
+    """dd21's foundation: a source-level signature (element-wise min
+    over its docs) equals the signature of the UNION of the shingle
+    sets. sD splits sA's text so that its two docs' 3-shingle sets
+    union to exactly sA's set ({abc,bcd} ∪ {cde,def} = {abc..def}),
+    so sA and sD must match on all 16 coordinates (jaccard_bp =
+    10000); a disjoint-vocabulary source must not."""
+    import pyspark.sql.functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.registry.dedup import (
+        q_dd21_source_overlap,
+    )
+
+    rows = [
+        (1, "a b c d e f", "x", "sA"),
+        (2, "a b c d", "x", "sD"),
+        (3, "c d e f", "x", "sD"),
+        (4, "q r s t u v", "x", "sZ"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dd21_test_")
+    docs.select("doc_id", "text", "lang", "source").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_matches"], r["jaccard_bp"])
+        for r in q_dd21_source_overlap(spark, d).collect()
+    }
+    assert out[("sA", "sD")] == (16, 10000)
+    assert out[("sA", "sZ")][0] < 16
+    assert out[("sD", "sZ")][0] == out[("sA", "sZ")][0]
