@@ -951,3 +951,54 @@ def test_r5_session2_op_plans_stay_scale_shaped(spark):
     plan = gr1._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan  # local ranks join node ids
+
+
+def test_r6_op_plans_stay_scale_shaped(spark):
+    """Plan-shape regression guards for the r6 operators: the batch
+    ANN kernel shuffles once, retrieval/audit joins broadcast their
+    tiny sides, and the graph/audit ops never sort-merge a corpus
+    against a model artifact."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # ss15: one corpus scan; the only exchange is the |Q|*k-row
+    # window hash partitioning — no join at all
+    ss15 = qs["ss15_batch_topk"](spark, sf)
+    plan = ss15._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    # gr6: driver tier at fixture scale — the final plan is a local
+    # relation scan, no peel-round join chain survives
+    gr6 = qs["gr6_kcore"](spark, sf)
+    plan = gr6._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+    # ret3: both scoring passes join the broadcast term sets; the
+    # feedback id-list and quota relations broadcast too — a
+    # sort-merge join would mean a corpus-wide sort crept in
+    ret3 = qs["ret3_rocchio_expand"](spark, sf)
+    plan = ret3._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+    # dd21: per-source sigs are one hash aggregate over doc sigs; the
+    # pairwise estimate is a nested-loop of the tiny source relation
+    # (intended), never a doc-pair join
+    dd21 = qs["dd21_source_overlap"](spark, sf)
+    plan = dd21._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+    # dq4: two hash aggregates, no join anywhere
+    dq4 = qs["dq4_fd_audit"](spark, sf)
+    plan = dq4._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    # ts7: scalar watermark broadcasts into the map stage; the only
+    # hash exchange is the per-type aggregate
+    ts7 = qs["ts7_decayed_counts"](spark, sf)
+    plan = ts7._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
