@@ -108,6 +108,8 @@ LONGTAIL = [
     "dd20_dup_rate_by_source",  # per-source duplication-rate audit (r6)
     "dq5_ri_audit",  # per-FK-edge orphan-rate audit (r6)
     "st20_stream_decayed_counts",  # streaming twin of ts7 (r6)
+    "tok8_compression_curve",  # 0..3-merge piece totals, one word-hist pass (r6)
+    "dd21_source_overlap",  # mergeable-MinHash inter-provider audit (r6)
 ]
 
 

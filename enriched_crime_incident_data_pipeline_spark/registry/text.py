@@ -496,7 +496,75 @@ def q_ret3_rocchio_expand(spark, sf_dir):
     return bm25_feedback_topk(docs, n_terms=3, fb_docs=10, fb_terms=2, k=10)
 
 
+def q_tok8_compression_curve(spark, sf_dir):
+    # the tokenizer-eval artifact: corpus piece totals under 0..3
+    # char-BPE merges - the compression curve a vocab-size ablation
+    # publishes (how many pieces per 10k chars does each extra merge
+    # buy). The Sennrich reduction keeps everything on the
+    # Zipf-small word histogram: the 3 learned rules are 6 broadcast
+    # scalars, one Arrow pass replays them per distinct word emitting
+    # the piece count AFTER EACH PREFIX of the rule list, and a
+    # single aggregate + stack yields the 4-row curve. All integers:
+    # bit-exact.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        _word_hist_syms,
+        learn_bpe_merges_chars,
+        merge_pair,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        (r["a"], r["b"])
+        for r in learn_bpe_merges_chars(docs, iters=3)
+        .orderBy("it")
+        .collect()
+    ]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            freqs = pdf["freq"]
+            nps = {0: [], 1: [], 2: [], 3: []}
+            for arr in pdf["arr"]:
+                syms = list(arr)
+                nps[0].append(len(syms))
+                for m, (a, b) in enumerate(rules, start=1):
+                    syms = merge_pair(syms, a, b)
+                    nps[m].append(len(syms))
+            yield pd.DataFrame(
+                {
+                    "freq": freqs,
+                    "np0": nps[0],
+                    "np1": nps[1],
+                    "np2": nps[2],
+                    "np3": nps[3],
+                }
+            )
+
+    enc = _word_hist_syms(docs, "text").mapInPandas(
+        gen, "freq bigint, np0 bigint, np1 bigint, np2 bigint, np3 bigint"
+    )
+    tot = enc.agg(
+        *[
+            F.sum(F.col("freq") * F.col(f"np{m}")).alias(f"p{m}")
+            for m in range(4)
+        ]
+    )
+    return tot.selectExpr(
+        "stack(4, 0, p0, 1, p1, 2, p2, 3, p3) AS (n_merges, total_pieces)",
+        "p0 AS _chars",
+    ).select(
+        F.col("n_merges").cast("int").alias("n_merges"),
+        F.col("total_pieces").cast("bigint").alias("total_pieces"),
+        F.expr("CAST(total_pieces * 10000 DIV _chars AS BIGINT)").alias(
+            "pieces_per_10k_chars"
+        ),
+    )
+
+
 QUERIES = {
+    "tok8_compression_curve": q_tok8_compression_curve,
     "ret3_rocchio_expand": q_ret3_rocchio_expand,
     "ta11_lm_quality": q_ta11_lm_quality,
     "ta14_seed_lm_quality": q_ta14_seed_lm_quality,
@@ -527,6 +595,23 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "tok8_compression_curve": f"""
+                    WITH {_TOK5_CHAIN},
+                    c4 AS (SELECT w, freq, {_TOK1_APPLY} AS arr
+                           FROM c3, wm3),
+                    tots AS (
+                      SELECT 0 AS n_merges, sum(freq * len(arr)) AS tp FROM c1
+                      UNION ALL SELECT 1, sum(freq * len(arr)) FROM c2
+                      UNION ALL SELECT 2, sum(freq * len(arr)) FROM c3
+                      UNION ALL SELECT 3, sum(freq * len(arr)) FROM c4
+                    ),
+                    chars AS (SELECT sum(freq * len(arr)) AS ch FROM c1)
+                    SELECT CAST(n_merges AS INTEGER) AS n_merges,
+                           CAST(tp AS BIGINT) AS total_pieces,
+                           CAST(tp * 10000 // ch AS BIGINT)
+                             AS pieces_per_10k_chars
+                    FROM tots, chars
+                """,
         "ret3_rocchio_expand": f"""
                     WITH tok AS (
                       SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
