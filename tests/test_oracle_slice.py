@@ -142,11 +142,18 @@ SF1_POOL = [
     "tok7_fertility_audit",
     "dd1_exact_dedup",
     "tp1_pack",
+    "tok8_compression_curve",
+    "dd21_source_overlap",
+    "ts7_decayed_counts",
+    "dq5_ri_audit",
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
-# cost) and wa3_range_frame (43 s oracle window) — their sf1 behavior
-# is covered by SCALING.md sweeps; this slice stays ≤ ~2 min.
+# cost), wa3_range_frame (43 s oracle window), gr6_kcore (109 s —
+# 8 MATERIALIZED peel rounds over the sf1 bands) and
+# dd20_dup_rate_by_source (346 s — DuckDB's recursive-CTE CC at sf1)
+# — their sf1 behavior is covered by SCALING.md sweeps; this slice
+# stays ≤ ~2 min.
 
 
 def _sf1_slice_names() -> list[str]:
