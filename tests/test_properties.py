@@ -652,3 +652,47 @@ def test_asof_directions_match_python_model(spark, lefts, rights):
         else:
             exp_n = fw[1]
         assert near[i] == exp_n, ("nearest", i, k, m)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=20,
+    ).map(lambda es: [(a, b) for a, b in es if a != b]),
+)
+@settings(**SETTINGS)
+def test_kcore_defining_property(spark, edges):
+    """Independent semantic pin for gr6 (beyond driver==distributed):
+    at fixpoint (rounds ≫ |V| guarantees it), the returned node set S
+    must satisfy the k-core DEFINITION — (a) every member's degree
+    within S is ≥ k and equals the reported core_deg; (b) maximality:
+    no peeled node has ≥ k neighbors in S (else it belonged in the
+    core). Degrees counted with multigraph multiplicity, matching the
+    operator's contract."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        k_core,
+    )
+
+    if not edges:
+        return
+    k = 2
+    e = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r["node"]: r["core_deg"] for r in k_core(e, k=k, rounds=30).collect()}
+    members = set(got)
+    nodes = {x for ab in edges for x in ab}
+
+    def deg_in(v, s):
+        d = 0
+        for a, b in edges:
+            if a == v and b in s:
+                d += 1
+            if b == v and a in s:
+                d += 1
+        return d
+
+    for v in members:
+        assert got[v] == deg_in(v, members)
+        assert got[v] >= k
+    for v in nodes - members:
+        assert deg_in(v, members) < k
