@@ -155,3 +155,83 @@ def asof_join(
         if c not in keys
     ]
     return matched.select(*out_cols)
+
+
+def asof_topn(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    n: int,
+    lookback_seconds: int,
+    prefix: str = "prev_",
+) -> DataFrame:
+    """The feature-engineering staple the single-match as-of join
+    can't express: for every left row, the ``n`` most recent right
+    rows STRICTLY preceding it (in the total ``(ts, tiebreak)``
+    order, so self/simultaneous rows never match) within a bounded
+    ``lookback_seconds`` horizon — "the last 3 readings in the hour
+    before each label". Returns one row per match: the left columns
+    plus ``rank`` (1 = most recent) and ``prefix``-renamed right
+    columns; left rows with no in-horizon predecessor emit nothing.
+
+    Scale contract — the lookback bound is what makes this a join,
+    not a blow-up: time is bucketed at the lookback width and each
+    right row registers in its own bucket and the next, so every
+    candidate pair shares a ``(keys…, bucket)`` equi-key (a left row
+    in bucket b only ever looks back into b and b−1). One shuffle of
+    2·|R| + |L| rows; the per-left top-n window runs over in-horizon
+    candidates only — work ∝ rows-per-horizon-window, NEVER the full
+    key history (an unbucketed r.ts ≤ l.ts lateral fans out
+    quadratically on a long-lived key). Timestamps are compared at
+    micros precision; everything is integer/lexicographic, so the
+    match set is engine-exact.
+
+    ``tiebreak_col`` must uniquely identify LEFT rows (it is the
+    per-left-row window partition key) and totally order right rows
+    at equal ts — the usual event-id contract."""
+    lb = int(lookback_seconds) * 1_000_000
+    lnum = F.unix_micros(F.col(ts_col))
+    lft = left.select(
+        "*",
+        lnum.alias("_lts"),
+        F.floor(lnum / F.lit(lb)).alias("_bucket"),
+    )
+    r_renamed = right.select(
+        *key_cols,
+        F.unix_micros(F.col(ts_col)).alias("_rts"),
+        F.col(tiebreak_col).alias("_rtie"),
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in right.columns
+            if c not in key_cols
+        ],
+    )
+    # each right row serves its own bucket and the next one
+    rgt = r_renamed.select(
+        "*",
+        F.explode(
+            F.array(
+                F.floor(F.col("_rts") / F.lit(lb)),
+                F.floor(F.col("_rts") / F.lit(lb)) + 1,
+            )
+        ).alias("_bucket"),
+    )
+    strictly_before = (F.col("_rts") < F.col("_lts")) | (
+        (F.col("_rts") == F.col("_lts"))
+        & (F.col("_rtie") < F.col(tiebreak_col))
+    )
+    in_horizon = F.col("_rts") >= F.col("_lts") - F.lit(lb)
+    cand = lft.join(rgt, [*key_cols, "_bucket"]).filter(
+        strictly_before & in_horizon
+    )
+    w = Window.partitionBy(tiebreak_col).orderBy(
+        F.desc("_rts"), F.desc("_rtie")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(*left.columns, F.col("rank").cast("int").alias("rank"),
+                *[c for c in r_renamed.columns if c.startswith(prefix)])
+    )

@@ -541,7 +541,32 @@ def q_ts7_decayed_counts(spark, sf_dir):
 _TS7_WEIGHTS = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625, 0.001953125, 0.0009765625, 0.00048828125, 0.000244140625, 0.0001220703125, 6.103515625e-05, 3.0517578125e-05, 1.52587890625e-05, 7.62939453125e-06, 3.814697265625e-06, 1.9073486328125e-06, 9.5367431640625e-07, 4.76837158203125e-07, 2.384185791015625e-07, 1.1920928955078125e-07, 5.960464477539063e-08, 2.9802322387695312e-08, 1.4901161193847656e-08, 7.450580596923828e-09, 3.725290298461914e-09, 1.862645149230957e-09, 9.313225746154785e-10]
 
 
+def q_asof5_lastn(spark, sf_dir):
+    # last-n-before join: for every event, the 2 most recent events
+    # of the same user STRICTLY preceding it (total (ts, event_id)
+    # order - no self/simultaneous matches) within a 30-minute
+    # horizon. The bounded-lookback bucketing is what keeps this a
+    # join (one shuffle of 2|R|+|L| bucket-keyed rows, top-n window
+    # over in-horizon candidates only); the unbucketed LATERAL the
+    # oracle runs fans out on long-lived keys and exists only as the
+    # small-scale truth.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import (
+        asof_topn,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_topn(
+        ev, ev, ["user_id"], "ts", "event_id", n=2, lookback_seconds=1800
+    )
+    return out.select(
+        "event_id", "rank", "prev_event_id", "prev_event_type"
+    )
+
+
 QUERIES = {
+    "asof5_lastn": q_asof5_lastn,
     "ts7_decayed_counts": q_ts7_decayed_counts,
     "sessionization": q_sessionization,
     "window_tumbling": q_window_tumbling,
@@ -567,6 +592,22 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "asof5_lastn": """
+                    SELECT l.event_id, CAST(r.rank AS INTEGER) AS rank,
+                           r.prev_event_id, r.prev_event_type
+                    FROM events l, LATERAL (
+                      SELECT row_number() OVER (
+                               ORDER BY ts DESC, event_id DESC) AS rank,
+                             event_id AS prev_event_id,
+                             event_type AS prev_event_type
+                      FROM events r
+                      WHERE r.user_id = l.user_id
+                        AND (r.ts < l.ts
+                             OR (r.ts = l.ts AND r.event_id < l.event_id))
+                        AND r.ts >= l.ts - INTERVAL 1800 SECONDS
+                      ORDER BY ts DESC, event_id DESC LIMIT 2
+                    ) r
+                """,
         "ts7_decayed_counts": """
                     WITH now_t AS (SELECT max(ts) AS now FROM events),
                     aged AS (

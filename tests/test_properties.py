@@ -696,3 +696,63 @@ def test_kcore_defining_property(spark, edges):
         assert got[v] >= k
     for v in nodes - members:
         assert deg_in(v, members) < k
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 80)),
+        min_size=1,
+        max_size=14,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 80)), max_size=14
+    ),
+    n=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_asof_topn_matches_python_model(spark, lefts, rights, n):
+    """asof5's bucketed last-n join vs the naive model: for every
+    left row, the n most recent right rows strictly preceding it in
+    (ts, id) order within the lookback horizon, ranked most-recent
+    first. Horizon chosen mid-range so matches regularly straddle
+    the bucket boundary (the fan-out-into-next-bucket path)."""
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import (
+        asof_topn,
+    )
+
+    lookback = 25  # seconds; ts spread over 80s → boundary crossings
+    left = spark.createDataFrame(
+        [
+            (i, k, _T0 + dt.timedelta(seconds=m))
+            for i, (k, m) in enumerate(lefts)
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100 + j, k, _T0 + dt.timedelta(seconds=m))
+            for j, (k, m) in enumerate(rights)
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["rank"], r["prev_event_id"])
+        for r in asof_topn(
+            left, right, ["user_id"], "ts", "event_id",
+            n=n, lookback_seconds=lookback,
+        ).collect()
+    )
+    want = []
+    for i, (k, m) in enumerate(lefts):
+        cands = [
+            (mm, 100 + j)
+            for j, (kk, mm) in enumerate(rights)
+            if kk == k
+            and (mm, 100 + j) < (m, i)
+            and mm >= m - lookback
+        ]
+        for rank, (_, rid) in enumerate(
+            sorted(cands, reverse=True)[:n], start=1
+        ):
+            want.append((i, rank, rid))
+    assert got == sorted(want)
