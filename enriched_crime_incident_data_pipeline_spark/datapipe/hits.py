@@ -77,6 +77,7 @@ def hits_scores(
     dst_col: str = "dst",
     id_col: str = "id",
     driver_graph_edges: int = DRIVER_GRAPH_EDGES,
+    nodes_cover_edges: bool = False,
 ) -> DataFrame:
     """``(id, authority, hub)`` after ``iters`` un-normalized HITS
     rounds over directed ``edges``; every node in ``nodes`` appears
@@ -113,9 +114,15 @@ def hits_scores(
             # join exactly (r6, ADVICE): one column-pruned scan of
             # nodes semi-joined against the ≤cap distinct srcs; the
             # collect is bounded by the src count, never |nodes|.
+            # r7: skipped under the caller's nodes_cover_edges
+            # contract (see pagerank.py) — the probe measured
+            # +0.33 s/call at sf0.1 and proves a structural fact at
+            # the registry call sites.
             srcs = sorted({r[0] for r in head})
             members: set = set()
-            if srcs:
+            if nodes_cover_edges:
+                members = set(srcs)
+            elif srcs:
                 src_df = spark.createDataFrame(
                     [(s,) for s in srcs],
                     StructType([StructField("id", node_t)]),

@@ -42,7 +42,10 @@ def q_gr1_pagerank(spark, sf_dir):
     pairs = lsh_candidate_pairs(minhash_bands(docs))
     edges = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     nodes = docs.select(F.col("doc_id").alias("id"))
-    pr = pagerank(edges, nodes, iters=5, ordered=True)
+    # nodes = every doc_id and edges are LSH pairs OF doc_ids, so
+    # node coverage holds by construction — skip the driver tier's
+    # membership probe (r7; one whole Spark job per call otherwise)
+    pr = pagerank(edges, nodes, iters=5, ordered=True, nodes_cover_edges=True)
     return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
 
 
@@ -65,7 +68,12 @@ def q_gr2_pagerank_converged(spark, sf_dir):
         F.expr("doc_id DIV 16").alias("dst"),
     )
     nodes = docs.select(F.col("doc_id").alias("id"))
-    pr = pagerank(edges, nodes, iters=8, ordered=True, tol=0.0)
+    # src = doc_id (filtered ≥1) and dst = doc_id DIV 16 which is a
+    # doc_id whenever src is (ids are dense from 0) — coverage by
+    # construction, probe skipped (r7)
+    pr = pagerank(
+        edges, nodes, iters=8, ordered=True, tol=0.0, nodes_cover_edges=True
+    )
     return pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("pr"))
 
 
@@ -88,7 +96,8 @@ def q_gr3_hits(spark, sf_dir):
     pairs = lsh_candidate_pairs(minhash_bands(docs))
     edges = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     nodes = docs.select(F.col("doc_id").alias("id"))
-    out = hits_scores(edges, nodes, iters=4)
+    # LSH-pair endpoints are doc_ids ⊆ nodes — probe skipped (r7)
+    out = hits_scores(edges, nodes, iters=4, nodes_cover_edges=True)
     return out.select(F.col("id").alias("doc_id"), "authority", "hub")
 
 

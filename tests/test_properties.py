@@ -590,6 +590,54 @@ def test_graph_driver_tiers_match_distributed(spark, edges):
 
 
 @given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=18,
+    ).map(lambda es: [(a, b) for a, b in es if a != b]),
+    dangling=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_nodes_cover_edges_contract_is_free(spark, edges, dangling):
+    """r7: when every endpoint IS in `nodes` (endpoints 0..9 ⊆ node
+    set 0..9), the ``nodes_cover_edges=True`` fast path (probe
+    skipped; n_nodes fused or standalone) returns bit-identical rows
+    to the probing default for both HITS and PageRank — including
+    the dangling/tol variants that exercise the r7 fused
+    count+membership single-job path on the probing side."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.hits import (
+        hits_scores,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        pagerank,
+    )
+
+    if not edges:
+        return
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
+    h_probe = {tuple(r) for r in hits_scores(e, nodes, iters=2).collect()}
+    h_fast = {
+        tuple(r)
+        for r in hits_scores(
+            e, nodes, iters=2, nodes_cover_edges=True
+        ).collect()
+    }
+    assert h_probe == h_fast
+    kw = dict(iters=3, ordered=True)
+    if dangling:
+        kw.update(dangling=True, tol=0.0)
+    p_probe = {
+        r["id"]: r["rank"] for r in pagerank(e, nodes, **kw).collect()
+    }
+    p_fast = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, nodes, nodes_cover_edges=True, **kw).collect()
+    }
+    assert p_probe == p_fast
+
+
+@given(
     lefts=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
     ),
