@@ -110,6 +110,8 @@ LONGTAIL = [
     "st20_stream_decayed_counts",  # streaming twin of ts7 (r6)
     "tok8_compression_curve",  # 0..3-merge piece totals, one word-hist pass (r6)
     "dd21_source_overlap",  # mergeable-MinHash inter-provider audit (r6)
+    "tok9_unigram_train",  # unigram-LM hard-EM training (r7)
+    "tok10_unigram_encode",  # Viterbi encode, distinct words once (r7)
 ]
 
 

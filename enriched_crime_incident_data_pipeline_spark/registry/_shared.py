@@ -907,3 +907,163 @@ _MORTON7_SQL = " + ".join(
     f"(((px >> {i}) & 1) << {2 * i}) + (((py >> {i}) & 1) << {2 * i + 1})"
     for i in range(7)
 )
+
+
+# ---------------------------------------------------------------
+# tok9/tok10: unigram-LM tokenizer (datapipe/unigram.py twin).
+# Per-round Viterbi DP as a recursive CTE with a sliding 4-position
+# window of typed DOUBLE/VARCHAR columns — no list_reduce (DuckDB
+# 1.0.0's struct-accumulator mis-binding, the tok3 lesson) and no
+# serialization round-trips. Candidates are evaluated via a CASE
+# cascade on greatest(): argmax with ties resolving to the LONGEST
+# piece, the exact tie-break of viterbi_segment's longest-first
+# strict-> scan. All probabilities are (c+1)/(T+|V|) — one exact
+# IEEE division — and path scores multiply left-to-right, so every
+# double is bit-identical to the Spark kernel's. Multi-referenced
+# CTEs are MATERIALIZED (the gr6 lesson).
+# ---------------------------------------------------------------
+_UNI_MAXLEN, _UNI_SEED_K, _UNI_KEEP_K = 4, 60, 40
+
+_UNI_DP = """
+p{n} AS MATERIALIZED (
+  SELECT map(list(piece), list(pr)) AS m FROM {probs}
+),
+dp{n} AS (
+  SELECT w, 0 AS i,
+         CAST(1.0 AS DOUBLE) AS b0, '' AS q0,
+         CAST(NULL AS DOUBLE) AS b1, CAST(NULL AS VARCHAR) AS q1,
+         CAST(NULL AS DOUBLE) AS b2, CAST(NULL AS VARCHAR) AS q2,
+         CAST(NULL AS DOUBLE) AS b3, CAST(NULL AS VARCHAR) AS q3
+  FROM wh
+  UNION ALL
+  SELECT w, i + 1, nb, nq, b0, q0, b1, q1, b2, q2
+  FROM (
+    SELECT w, i, b0, q0, b1, q1, b2, q2,
+      greatest(coalesce(c4, -1.0), coalesce(c3, -1.0),
+               coalesce(c2, -1.0), c1) AS nb,
+      CASE greatest(coalesce(c4, -1.0), coalesce(c3, -1.0),
+                    coalesce(c2, -1.0), c1)
+        WHEN c4 THEN q3 || ' ' || substr(w, i - 2, 4)
+        WHEN c3 THEN q2 || ' ' || substr(w, i - 1, 3)
+        WHEN c2 THEN q1 || ' ' || substr(w, i, 2)
+        ELSE q0 || ' ' || substr(w, i + 1, 1) END AS nq
+    FROM (
+      SELECT dp{n}.*,
+        CASE WHEN i >= 3 AND len(m[substr(w, i - 2, 4)]) > 0
+             THEN b3 * m[substr(w, i - 2, 4)][1] END AS c4,
+        CASE WHEN i >= 2 AND len(m[substr(w, i - 1, 3)]) > 0
+             THEN b2 * m[substr(w, i - 1, 3)][1] END AS c3,
+        CASE WHEN i >= 1 AND len(m[substr(w, i, 2)]) > 0
+             THEN b1 * m[substr(w, i, 2)][1] END AS c2,
+        b0 * m[substr(w, i + 1, 1)][1] AS c1
+      FROM dp{n}, p{n}
+      WHERE i < length(w)
+    )
+  )
+),
+seg{n} AS MATERIALIZED (
+  SELECT dp{n}.w, wh.freq, trim(q0) AS pieces
+  FROM dp{n} JOIN wh USING (w) WHERE i = length(w)
+),
+e{n} AS MATERIALIZED (
+  SELECT u.piece, SUM(freq) AS cnt
+  FROM seg{n}, unnest(string_split(pieces, ' ')) AS u(piece)
+  GROUP BY 1
+)
+"""
+
+_UNI_COMMON = (
+    f"""
+wh AS MATERIALIZED (
+  SELECT arr[i] AS w, count(*) AS freq
+  FROM (SELECT {_TOKENS} AS arr FROM documents),
+       unnest(generate_series(1, len(arr))) AS s(i)
+  WHERE length(arr[i]) >= 1
+  GROUP BY 1
+),
+subs AS MATERIALIZED (
+  SELECT substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+         SUM(freq) AS cnt
+  FROM wh,
+       unnest(generate_series(1, length(w))) AS q(p),
+       unnest(generate_series(1, {_UNI_MAXLEN})) AS r(l)
+  WHERE p + l - 1 <= length(w)
+  GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM subs WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {_UNI_SEED_K})
+),
+pr1 AS MATERIALIZED (
+  SELECT piece,
+         CAST(cnt + 1 AS DOUBLE)
+         / (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE) FROM v0) AS pr
+  FROM v0
+),
+"""
+    + _UNI_DP.format(n=1, probs="pr1")
+    + f""",
+c1 AS MATERIALIZED (
+  SELECT v0.piece, COALESCE(e1.cnt, 0) AS cnt
+  FROM v0 LEFT JOIN e1 USING (piece)
+),
+pr2 AS MATERIALIZED (
+  SELECT piece,
+         CAST(cnt + 1 AS DOUBLE)
+         / (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE) FROM c1) AS pr
+  FROM c1
+),
+"""
+    + _UNI_DP.format(n=2, probs="pr2")
+    + f""",
+c2 AS MATERIALIZED (
+  SELECT v0.piece, COALESCE(e2.cnt, 0) AS cnt
+  FROM v0 LEFT JOIN e2 USING (piece)
+),
+fin AS MATERIALIZED (
+  SELECT piece, cnt FROM c2 WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM c2 WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {_UNI_KEEP_K})
+)
+"""
+)
+
+_TOK9_UNIGRAM_SQL = f"""
+            WITH RECURSIVE {_UNI_COMMON}
+            SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(length(piece) AS INT) AS nchars
+            FROM fin
+"""
+
+_TOK10_UNIGRAM_SQL = (
+    f"""
+            WITH RECURSIVE {_UNI_COMMON},
+            prf AS MATERIALIZED (
+              SELECT piece,
+                     CAST(cnt + 1 AS DOUBLE)
+                     / (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE)
+                        FROM fin) AS pr
+              FROM fin
+            ),
+"""
+    + _UNI_DP.format(n=3, probs="prf")
+    + f""",
+            dwords AS (
+              SELECT doc_id, pos, arr[pos] AS w
+              FROM (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+                   unnest(generate_series(1, len(arr))) AS s(pos)
+              WHERE length(arr[pos]) >= 1
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(SUM(len(string_split(pieces, ' '))) AS BIGINT)
+                     AS n_pieces,
+                   md5(string_agg(pieces, '|' ORDER BY pos)) AS fp
+            FROM dwords JOIN seg3 USING (w)
+            GROUP BY doc_id
+"""
+)

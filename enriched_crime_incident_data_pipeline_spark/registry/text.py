@@ -29,6 +29,8 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _TOK5_CHAIN,
     _TOK5_CHAR_MERGES_SQL,
     _TOK6_CHAR_ENCODE_SQL,
+    _TOK9_UNIGRAM_SQL,
+    _TOK10_UNIGRAM_SQL,
     _TOKENS,
     _TOKEN_COUNT,
 )
@@ -563,8 +565,42 @@ def q_tok8_compression_curve(spark, sf_dir):
     )
 
 
+def q_tok9_unigram_train(spark, sf_dir):
+    # the THIRD tokenizer family (after BPE tok1/4/5 and WordPiece
+    # tok3): Kudo-2018 unigram-LM training, SentencePiece's default
+    # (T5 / LLaMA shipped this) — seed pieces from substring counts,
+    # hard-EM (Viterbi E-step) rounds over the word histogram, prune
+    # to keep_k + all single chars. Hard EM keeps every cross-word
+    # sum INTEGER, Laplace (c+1)/(T+|V|) probabilities are one exact
+    # IEEE division, and Viterbi compares left-to-right double
+    # PRODUCTS (no log — not bit-portable), so the learned vocab is
+    # reproducible across engines and partitionings.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.unigram import (
+        learn_unigram_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_unigram_vocab(docs)
+
+
+def q_tok10_unigram_encode(spark, sf_dir):
+    # unigram-LM read path: per-document Viterbi piece count + an
+    # md5 fingerprint of the exact piece sequence in document order.
+    # Distinct words encode ONCE in an Arrow kernel (the vocab rides
+    # as a closure); documents join back by word — text never enters
+    # the tokenizer twice (the tok6 shape).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.unigram import (
+        unigram_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_encode(docs)
+
+
 QUERIES = {
     "tok8_compression_curve": q_tok8_compression_curve,
+    "tok9_unigram_train": q_tok9_unigram_train,
+    "tok10_unigram_encode": q_tok10_unigram_encode,
     "ret3_rocchio_expand": q_ret3_rocchio_expand,
     "ta11_lm_quality": q_ta11_lm_quality,
     "ta14_seed_lm_quality": q_ta14_seed_lm_quality,
@@ -595,6 +631,8 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "tok9_unigram_train": _TOK9_UNIGRAM_SQL,
+        "tok10_unigram_encode": _TOK10_UNIGRAM_SQL,
         "tok8_compression_curve": f"""
                     WITH {_TOK5_CHAIN},
                     c4 AS (SELECT w, freq, {_TOK1_APPLY} AS arr
