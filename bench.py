@@ -112,6 +112,7 @@ LONGTAIL = [
     "dd21_source_overlap",  # mergeable-MinHash inter-provider audit (r6)
     "tok9_unigram_train",  # unigram-LM hard-EM training (r7)
     "tok10_unigram_encode",  # Viterbi encode, distinct words once (r7)
+    "gr7_scc",  # directed SCC: driver Tarjan / f-b peeling tiers (r7)
 ]
 
 

@@ -548,3 +548,197 @@ def k_core(
             F.coalesce("_d", F.lit(0)).cast("bigint").alias("core_deg"),
         )
     )
+
+
+def _scc_local(head) -> list:
+    """Driver-resident Tarjan (iterative — no Python recursion-depth
+    cliff on long cycles) over a take-delivered edge list. Returns
+    ``sorted((node, scc_id))`` with ``scc_id`` = the component's
+    MINIMUM member id — the engine-independent labelling the
+    distributed peeling tier and the oracle's closure definition
+    (``min{u : u →* v and v →* u}``) both produce, so the three
+    implementations agree row-for-row regardless of traversal
+    order."""
+    adj: dict = {}
+    nodes: set = set()
+    for r in head:
+        u, v = r[0], r[1]
+        nodes.add(u)
+        nodes.add(v)
+        adj.setdefault(u, []).append(v)
+    for u in adj:
+        adj[u].sort()
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    out: dict = {}
+    counter = 0
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stk.append(v)
+                onstk.add(v)
+            descend = False
+            nbrs = adj.get(v, ())
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                work[-1] = (v, pi)
+                if w not in index:
+                    work.append((w, 0))
+                    descend = True
+                    break
+                if w in onstk and index[w] < low[v]:
+                    low[v] = index[w]
+            if descend:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+            work.pop()
+            if work and low[v] < low[work[-1][0]]:
+                low[work[-1][0]] = low[v]
+    return sorted(out.items())
+
+
+def _minlabel_fixpoint(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """``(node, lbl)`` with ``lbl`` = min id over {node} ∪ its
+    ancestors along directed ``edges (src, dst)``, restricted to
+    ``nodes``. Plain monotone min-propagation to fixpoint: each
+    round is one join + one map-side-combinable min-agg over
+    O(|E|+|V|) rows; labels only decrease, so the fixpoint probe is
+    a changed-row count against the pinned iterate. O(diameter)
+    rounds — acceptable for the SCC fallback tier (the common path
+    is the driver Tarjan; see strongly_connected_components)."""
+    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    while True:
+        incoming = (
+            edges.join(lbl, edges["src"] == lbl["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("_in"))
+        )
+        new = (
+            lbl.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "lbl", F.coalesce("_in", F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("_in") < F.col("lbl")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new.filter(F.col("_chg")).count()
+        lbl = new.select("node", "lbl")
+        if changed == 0:
+            return lbl
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_graph_edges: int | None = None,
+) -> DataFrame:
+    """``(node, scc_id)`` — strongly connected components of the
+    directed edge list, ``scc_id`` = minimum member id. The directed
+    analogue of :func:`connected_components` for citation/link
+    graphs: CC/k-core/LPA treat edges as undirected; SCC answers
+    "which pages mutually reach each other", the unit a link-graph
+    audit contracts cycles by.
+
+    Driver tier (the shared graph move): edge lists under the take
+    cap run iterative Tarjan at the driver — O(|E|) exact — and
+    return as a local relation. Past the cap: forward/backward
+    min-label PEELING, exact at any size: each outer round computes
+    f(v) = min ancestor-or-self and b(v) = min descendant-or-self
+    over the ACTIVE subgraph (two min-propagation fixpoints);
+    mutual-reachability makes f and b constant on an SCC, so a whole
+    SCC finishes exactly when f == b (its min member is inside), at
+    least the active-minimum's SCC finishes every round (f(m)=b(m)=m
+    trivially), and finished nodes leave the active set. Under-
+    propagation can never finish a node wrongly (f(v)=b(v)=m
+    certifies real paths both ways), so correctness never depends on
+    round counts — only progress speed does.
+
+    Scale: near-dup/citation SCC inputs are edge-proportional to
+    duplicates, not corpus size — the driver tier is the 100 TB
+    common path, the peeling tier the insurance (O(condensation
+    depth) outer rounds × O(diameter) propagation rounds, each one
+    join+agg shuffle)."""
+    cap = (
+        DRIVER_GRAPH_EDGES
+        if driver_graph_edges is None
+        else driver_graph_edges
+    )
+    e_proj = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    node_t = e_proj.schema["src"].dataType
+    if cap > 0:
+        head = e_proj.take(cap + 1)
+        if len(head) <= cap:
+            return edges.sparkSession.createDataFrame(
+                _scc_local(head),
+                StructType(
+                    [
+                        StructField("node", node_t),
+                        StructField("scc_id", node_t),
+                    ]
+                ),
+            )
+    e = e_proj.localCheckpoint(eager=True)
+    active = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_active = active.count()
+    done_parts: list = []
+    while n_active > 0:
+        ea = e.join(
+            active.select(F.col("node").alias("src")), "src", "leftsemi"
+        ).join(
+            active.select(F.col("node").alias("dst")), "dst", "leftsemi"
+        )
+        fwd = _minlabel_fixpoint(ea, active)
+        bwd = _minlabel_fixpoint(
+            ea.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            active,
+        )
+        finished = (
+            fwd.join(
+                bwd.select("node", F.col("lbl").alias("_b")), "node"
+            )
+            .filter(F.col("lbl") == F.col("_b"))
+            .select("node", F.col("lbl").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        done_parts.append(finished)
+        active = active.join(finished, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_active = active.count()
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.union(part)
+    return out

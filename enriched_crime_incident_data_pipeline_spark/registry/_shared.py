@@ -1067,3 +1067,50 @@ _TOK10_UNIGRAM_SQL = (
             GROUP BY doc_id
 """
 )
+
+
+# gr7: strongly connected components of the directed link graph
+# (datapipe/clusters.py strongly_connected_components twin). Edges:
+# per-16-bucket rotations (every doc on a cycle) + LSH "citation"
+# chords newer→older, with the FORWARD chord added when (a+b)%3=0 —
+# mutual dup pairs, so cross-bucket SCC contraction actually
+# happens. Oracle: reachability closure via recursive CTE (UNION
+# dedup), scc_id(v) = min over {v} ∪ {u : u →* v AND v →* u} — the
+# definitional form, independent of either engine's algorithm.
+_GR7_SCC_SQL = f"""
+            WITH RECURSIVE
+            bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+            pairs AS MATERIALIZED (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            rot AS (
+              SELECT doc_id AS src,
+                     coalesce(lead(doc_id) OVER w,
+                              first_value(doc_id) OVER w) AS dst
+              FROM documents
+              WINDOW w AS (PARTITION BY doc_id // 16 ORDER BY doc_id)
+            ),
+            edges AS MATERIALIZED (
+              SELECT src, dst FROM rot
+              UNION SELECT b AS src, a AS dst FROM pairs
+              UNION SELECT a AS src, b AS dst FROM pairs
+                WHERE (a + b) % 3 = 0
+            ),
+            reach AS (
+              SELECT src AS u, dst AS v FROM edges
+              UNION
+              SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+            ),
+            mutual AS MATERIALIZED (
+              SELECT r1.u AS node, r1.v AS other
+              FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+            )
+            SELECT d.doc_id,
+                   least(d.doc_id,
+                         coalesce(min(m.other), d.doc_id)) AS scc_id
+            FROM documents d LEFT JOIN mutual m ON m.node = d.doc_id
+            GROUP BY d.doc_id
+"""

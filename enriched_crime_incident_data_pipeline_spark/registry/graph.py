@@ -13,6 +13,7 @@ from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_tab
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _GR1_PAGERANK_SQL,
+    _GR7_SCC_SQL,
     _GR2_SQL,
     _GR3_HITS_SQL,
     _MINHASH_BANDS_SQL,
@@ -240,8 +241,48 @@ def _gr6_kcore_sql() -> str:
                 """
 
 
+def q_gr7_scc(spark, sf_dir):
+    # strongly connected components over a DIRECTED link graph — the
+    # directed-reachability analogue of dd9's duplicate clusters
+    # (CC/k-core/LPA are undirected; citation/link audits contract
+    # mutual-reachability cycles). Graph: every doc sits on its
+    # 16-bucket rotation cycle (lead-over-window, wrapping — no
+    # data-dependent constants), LSH dup pairs add newer→older
+    # "citation" chords, and pairs with (a+b)%3=0 add the forward
+    # chord too (mutual dups) — those merge whole cycles into one
+    # SCC, so the contraction logic does real work (sf0.1: 313
+    # cycles → 225 SCCs, largest 576). Driver tier = iterative
+    # Tarjan under the shared take cap; distributed tier = exact
+    # f/b min-label peeling (see clusters.py docstring); sixth tier
+    # in the shared driver==distributed property suite.
+    from pyspark.sql import Window
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        strongly_connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
+    rot = docs.select(
+        F.col("doc_id").alias("src"),
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(w)
+        ).alias("dst"),
+    )
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    edges = rot.union(back).union(fwd)
+    return strongly_connected_components(edges).select(
+        F.col("node").alias("doc_id"), "scc_id"
+    )
+
+
 QUERIES = {
     "gr6_kcore": q_gr6_kcore,
+    "gr7_scc": q_gr7_scc,
     "gr1_pagerank": q_gr1_pagerank,
     "gr3_hits": q_gr3_hits,
     "gr4_triangles": q_gr4_triangles,
@@ -252,6 +293,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "gr7_scc": _GR7_SCC_SQL,
         "gr6_kcore": _gr6_kcore_sql(),
         "gr1_pagerank": _GR1_PAGERANK_SQL,
         "gr3_hits": _GR3_HITS_SQL,

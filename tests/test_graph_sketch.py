@@ -931,3 +931,22 @@ def test_rocchio_expansion_reduces_to_base_without_feedback(spark):
     out = bm25_feedback_topk(docs, n_terms=2, fb_docs=5, fb_terms=1, k=5)
     hits = {r["doc_id"]: r["n_terms_hit"] for r in out.collect()}
     assert max(hits.values()) == 3  # someone matched base(2) + expansion(1)
+
+
+def test_scc_long_cycle_and_shapes(spark):
+    # one 3000-node cycle (would blow Python's default recursion
+    # limit if Tarjan recursed — pins the iterative implementation),
+    # plus a 2-cycle, a self-loop, and a DAG tail (all singletons)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        strongly_connected_components,
+    )
+
+    n = 3000
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    extra = [(n + 1, n + 2), (n + 2, n + 1), (n + 3, n + 3), (n + 4, n + 5)]
+    e = spark.createDataFrame(cyc + extra, "src bigint, dst bigint")
+    got = {r["node"]: r["scc_id"] for r in strongly_connected_components(e).collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert got[n + 1] == n + 1 and got[n + 2] == n + 1
+    assert got[n + 3] == n + 3
+    assert got[n + 4] == n + 4 and got[n + 5] == n + 5

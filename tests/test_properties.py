@@ -587,6 +587,50 @@ def test_graph_driver_tiers_match_distributed(spark, edges):
         for r in k_core(und, k=2, rounds=8, driver_graph_edges=0).collect()
     }
     assert k_drv == k_dst
+    # SCC: driver Tarjan vs forced-distributed f/b min-label peeling
+    # (r7 — the sixth tier in the shared equivalence suite), on the
+    # DIRECTED edges, plus the defining property against a Python
+    # reachability model: same scc_id ⟺ mutually reachable, and
+    # scc_id = min member.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        strongly_connected_components,
+    )
+
+    s_drv = {
+        tuple(r) for r in strongly_connected_components(e).collect()
+    }
+    s_dst = {
+        tuple(r)
+        for r in strongly_connected_components(
+            e, driver_graph_edges=0
+        ).collect()
+    }
+    assert s_drv == s_dst
+    # Python model: transitive closure by repeated squaring-free BFS
+    nodes_e = {u for u, _ in edges} | {v for _, v in edges}
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    reach = {}
+    for s in nodes_e:
+        seen = {s}
+        stack = [s]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        reach[s] = seen
+    model = {
+        v: min(
+            u
+            for u in nodes_e
+            if u == v or (u in reach[v] and v in reach[u])
+        )
+        for v in nodes_e
+    }
+    assert {n: c for n, c in s_drv} == model
 
 
 @given(
