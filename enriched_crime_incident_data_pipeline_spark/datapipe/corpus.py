@@ -531,3 +531,57 @@ def domain_upsample(
             ),
         )
     )
+
+
+def weighted_sample_k(
+    docs: DataFrame,
+    k: int,
+    tier: "Column",
+    id_col: str = "doc_id",
+    max_tier: int = 4,
+    salt: str = "es:",
+) -> DataFrame:
+    """EXACT-size weighted sampling without replacement — the
+    mixture-building primitive ``weighted_sample`` (Bernoulli,
+    independent keeps, random size) and ``tp6`` (per-group top-k by
+    unweighted hash) don't cover: draw exactly ``k`` rows where a
+    row's selection pressure is proportional to its weight, via
+    Efraimidis–Spirakis (2006) exponential keys — key_i =
+    u_i^(1/w_i) with u_i uniform, keep the k LARGEST keys; one pass,
+    embarrassingly parallel, global top-k (TakeOrdered — never a
+    full sort at scale, Spark's sort+limit physical plan keeps only
+    k rows per partition).
+
+    Exactness move (the ts7/st20 powers-of-two trick applied to E-S):
+    weights are TIERS ``w = 2^t``, ``t = clamp(tier, 0, max_tier)``,
+    so the key is ``sqrt`` applied ``t`` times to ``u`` — and IEEE
+    754 REQUIRES correctly-rounded sqrt, so keys are bit-identical
+    in the JVM, numpy, Python, and DuckDB (a fractional ``pow`` or a
+    log-space key would not be: ``ln``/``pow`` carry no such
+    guarantee). ``u = (hash32(salt || id) + 1) / 2^32`` — an exact
+    dyadic rational in (0, 1], a pure function of the id, so the
+    sample is independent of engine, run, and partitioning. Ties
+    (astronomically rare) break by id ascending.
+
+    Returns the selected rows' ``(id, tier t, es_key)``."""
+    t = F.least(
+        F.greatest(tier.cast("int"), F.lit(0)), F.lit(max_tier)
+    )
+    u = (
+        hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(4294967296.0)
+    key = u
+    out = F.when(t == 0, key)
+    for ti in range(1, max_tier + 1):
+        key = F.sqrt(key)
+        out = out.when(t == ti, key)
+    return (
+        docs.select(
+            F.col(id_col),
+            t.alias("tier"),
+            out.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -783,6 +783,25 @@ def q_tp13_epoch_reshuffle(spark, sf_dir):
         .select("epoch", "doc_id", "shard", "position")
     )
 
+def q_tp15_weighted_k_sample(spark, sf_dir):
+    # EXACT-size weighted sampling without replacement — the mixture
+    # primitive tp8 (Bernoulli: independent keeps, random size) and
+    # tp6 (per-group top-k, unweighted) don't cover: Efraimidis-
+    # Spirakis exponential keys, keep the k largest. Weights are
+    # power-of-two tiers 2^least(4, tokens DIV 64), so the key
+    # u^(1/2^t) is sqrt applied t times — IEEE-correctly-rounded in
+    # every engine, unlike pow/ln (the ts7 move applied to E-S).
+    # One pass + global top-k (TakeOrdered: k rows per partition,
+    # never a full sort).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        weighted_sample_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tier = F.floor(token_count(F.col("text")) / 64).cast("int")
+    return weighted_sample_k(docs, 100, tier)
+
+
 QUERIES = {
     "corpus_build2": q_corpus_build2,
     "corpus_report1": q_corpus_report1,
@@ -803,11 +822,31 @@ QUERIES = {
     "tp6_group_sample": q_tp6_group_sample,
     "corpus_build": q_corpus_build,
     "tp8_weighted_sample": q_tp8_weighted_sample,
+    "tp15_weighted_k_sample": q_tp15_weighted_k_sample,
     "tp7_length_buckets": q_tp7_length_buckets,
 }
 
 def oracles() -> dict[str, str]:
     return {
+        "tp15_weighted_k_sample": f"""
+            WITH base AS (
+              SELECT doc_id,
+                CAST(least(greatest(({_TOKEN_COUNT}) // 64, 0), 4)
+                     AS INT) AS tier,
+                CAST({_HASH32.format(x="'es:' || doc_id")} + 1 AS DOUBLE)
+                  / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id, tier,
+              CASE tier
+                WHEN 0 THEN u
+                WHEN 1 THEN sqrt(u)
+                WHEN 2 THEN sqrt(sqrt(u))
+                WHEN 3 THEN sqrt(sqrt(sqrt(u)))
+                ELSE sqrt(sqrt(sqrt(sqrt(u)))) END AS es_key
+            FROM base
+            ORDER BY es_key DESC, doc_id LIMIT 100
+""",
         "tp9_mixture_sample": f"""
                     WITH t(src, t_bp) AS (VALUES {", ".join(
                         f"('{k}', {v})" for k, v in sorted(MIXTURE_TARGETS_BP.items())

@@ -98,3 +98,74 @@ def test_weighted_sample_is_reproducible_and_monotone(spark):
     assert w50 == w50_again
     # raising every weight only ADDS rows (hash threshold is monotone)
     assert w50 <= w80
+
+
+def test_weighted_sample_k_matches_python_model(spark):
+    # exact-set equality vs the pure-Python Efraimidis-Spirakis model
+    # (same md5 uniforms, same sqrt-tier keys, same tie-break)
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, i % 7) for i in range(200)]  # tiers 0..6 → clamped 0..4
+    df = spark.createDataFrame(rows, "doc_id long, t long")
+    got = [
+        (r["doc_id"], r["tier"], r["es_key"])
+        for r in weighted_sample_k(df, 25, F.col("t"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .collect()
+    ]
+
+    def model_key(i, t):
+        h = int(hashlib.md5(f"es:{i}".encode()).hexdigest()[:8], 16)
+        u = float(h + 1) / 4294967296.0
+        for _ in range(min(max(t, 0), 4)):
+            u = u**0.5  # Python **0.5 is correctly-rounded sqrt
+        return u
+
+    exp = sorted(
+        ((i, min(max(t, 0), 4), model_key(i, t)) for i, t in rows),
+        key=lambda x: (-x[2], x[0]),
+    )[:25]
+    assert got == exp
+
+
+def test_es_sqrt_tier_keys_obey_the_multiplicity_law():
+    # the SCHEME pin (independent of Spark): with true uniforms, the
+    # probability that item i has the LARGEST key u^(1/2^t) is
+    # w_i/Σw for one draw (Efraimidis-Spirakis theorem 1) — Monte
+    # Carlo over 40k trials, tiers (0,1,2,3) → weights (1,2,4,8),
+    # expected shares (1,2,4,8)/15, tolerance ±0.015
+    import random
+
+    rng = random.Random(20260815)
+    tiers = [0, 1, 2, 3]
+    wins = [0, 0, 0, 0]
+    n = 40_000
+    for _ in range(n):
+        best, arg = -1.0, -1
+        for j, t in enumerate(tiers):
+            key = rng.random()
+            for _ in range(t):
+                key = key**0.5
+            if key > best:
+                best, arg = key, j
+        wins[arg] += 1
+    tot = 1 + 2 + 4 + 8
+    for j, w in enumerate([1, 2, 4, 8]):
+        assert abs(wins[j] / n - w / tot) < 0.015, (j, wins[j] / n, w / tot)
+
+
+def test_weighted_sample_k_returns_all_when_k_exceeds_n(spark):
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        weighted_sample_k,
+    )
+
+    df = spark.createDataFrame([(1, 0), (2, 3)], "doc_id long, t long")
+    assert weighted_sample_k(df, 10, F.col("t")).count() == 2
