@@ -113,6 +113,7 @@ LONGTAIL = [
     "tok9_unigram_train",  # unigram-LM hard-EM training (r7)
     "tok10_unigram_encode",  # Viterbi encode, distinct words once (r7)
     "gr7_scc",  # directed SCC: driver Tarjan / f-b peeling tiers (r7)
+    "st21_stream_asof",  # streaming as-of via interval conversion (r7)
 ]
 
 

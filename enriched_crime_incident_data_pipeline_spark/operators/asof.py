@@ -235,3 +235,49 @@ def asof_topn(
         .select(*left.columns, F.col("rank").cast("int").alias("rank"),
                 *[c for c in r_renamed.columns if c.startswith(prefix)])
     )
+
+
+def asof_intervals(
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    asof_prefix: str = "asof_",
+) -> DataFrame:
+    """Validity-interval form of the backward as-of relation:
+    ``(keys, valid_from, valid_to, asof_<payload>…)`` such that a
+    key + containment join (``valid_from <= l.ts AND (valid_to IS
+    NULL OR l.ts < valid_to)``) reproduces
+    ``asof_join(direction='backward')`` exactly — including the
+    greatest-tiebreak rule at equal ts: intervals are cut by
+    ``lead(ts)`` over ``(ts, tiebreak)`` order, so of several right
+    rows sharing a ts only the greatest tiebreak gets a non-empty
+    interval (the others span ``[ts, ts)``, which no left row can
+    fall into).
+
+    This is how as-of enrichment reaches STREAMS (st21): window
+    functions don't run on streaming DataFrames, but the union-tag
+    window only ever touches the right side's order — so convert the
+    (static/maintained) right side to intervals once, batch-side,
+    and let arriving facts join STATELESS on key + containment, the
+    same micro-batch shape as st15's SCD2 lookup. A backward
+    tolerance composes as one extra residual (``valid_from >=
+    l.ts - tol``): the containment match is unique, so the residual
+    can only null it out — exactly asof_join's match-then-null-out
+    semantics, never a re-route to an older row.
+
+    One batch shuffle (the window) on the right side only; the fact
+    side never shuffles for the join when the interval relation
+    broadcasts (dimension-sized), which is the 100 TB common case.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    payload = [c for c in right.columns if c not in keys]
+    return right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        *[F.col(c).alias(f"{asof_prefix}{c}") for c in payload],
+    )

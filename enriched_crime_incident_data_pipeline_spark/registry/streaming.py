@@ -839,6 +839,66 @@ def q_st20_stream_decayed_counts(spark, sf_dir):
 _TS7_WEIGHTS_ST = [2.0 ** -b for b in range(31)]
 
 
+def q_st21_stream_asof(spark, sf_dir):
+    # streaming as-of enrichment — the asof family (asof1-5) was
+    # batch-only; this closes it. Window functions don't run on
+    # streams, but the union-tag window only orders the RIGHT side:
+    # asof_intervals converts the static view dimension to validity
+    # intervals once (batch window, greatest-tiebreak ties become
+    # empty intervals), and arriving purchases join STATELESS on
+    # key + containment + the 30-minute backward tolerance residual
+    # (match-then-null-out composes as one predicate because the
+    # containment match is unique). AvailableNow ≡ batch
+    # asof_join(tolerance=30min) — the asof4 oracle, same SQL.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import (
+        asof_intervals,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dim = asof_intervals(
+        views, ["user_id"], "ts", "event_id"
+    ).localCheckpoint(eager=True)
+    # normalize the stream's TIMESTAMP_NTZ in the projection (the
+    # st15 lesson: a cast left inside the join residual re-runs per
+    # candidate pair in the SMJ)
+    facts = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"]))
+        & (
+            dim["valid_from"]
+            >= facts["ts"] - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left",
+    ).select(
+        facts["event_id"],
+        facts["user_id"],
+        facts["ts"],
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+    # stateless (no aggregation/dedup/stream-stream join): no
+    # state_partitions override — shuffle tracks data volume
+    return run_available_now(joined, "st21_stream_asof", "append")
+
+
 QUERIES = {
     "st20_stream_decayed_counts": q_st20_stream_decayed_counts,
     "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
@@ -851,6 +911,7 @@ QUERIES = {
     "st18_stream_word_hist": q_st18_stream_word_hist,
     "st19_stream_heavy_hitters": q_st19_stream_heavy_hitters,
     "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
+    "st21_stream_asof": q_st21_stream_asof,
     "st16_stream_quantile": q_st16_stream_quantile,
     "st2_stream_sessions": q_st2_stream_sessions,
     "stat5_winsorize": q_stat5_winsorize,
@@ -869,6 +930,21 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "st21_stream_asof": """
+                    SELECT p.event_id, p.user_id, p.ts,
+                           v.event_id AS view_event_id,
+                           v.value AS view_value
+                    FROM (SELECT * FROM events
+                          WHERE event_type = 'purchase') p
+                    LEFT JOIN LATERAL (
+                      SELECT event_id, value FROM events v
+                      WHERE v.user_id = p.user_id
+                        AND v.event_type = 'view'
+                        AND v.ts <= p.ts
+                        AND v.ts >= p.ts - INTERVAL 30 MINUTE
+                      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+                    ) v ON true
+                """,
         "st20_stream_decayed_counts": """
                     WITH now_t AS (SELECT max(ts) AS now FROM events),
                     aged AS (

@@ -121,3 +121,59 @@ def test_interval_overlap_join_exact_once_and_plan(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_intervals_containment_equals_asof_join(spark):
+    # the st21 building block: key+containment join over
+    # asof_intervals must equal asof_join(direction='backward') —
+    # including greatest-tiebreak at equal ts (rows 10/11 share a
+    # ts) and the no-match-before-first-right case
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import (
+        asof_intervals,
+        asof_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(5)), (2, 100, ts(10)), (3, 100, ts(2)), (4, 200, ts(7))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, ts(10), 1.0),
+            (11, 100, ts(10), 2.0),  # same ts, greater tiebreak wins
+            (12, 100, ts(4), 3.0),
+            (13, 300, ts(1), 4.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    want = sorted(
+        tuple(r)
+        for r in asof_join(left, right, ["user_id"], "ts", "event_id")
+        .select("event_id", "asof_event_id", "asof_value")
+        .collect()
+    )
+    dim = asof_intervals(right, ["user_id"], "ts", "event_id")
+    got = sorted(
+        tuple(r)
+        for r in left.join(
+            dim,
+            (left["user_id"] == dim["user_id"])
+            & (dim["valid_from"] <= left["ts"])
+            & (dim["valid_to"].isNull() | (left["ts"] < dim["valid_to"])),
+            "left",
+        )
+        .select("event_id", "asof_event_id", "asof_value")
+        .collect()
+    )
+    assert got == want
+    # row 2 (ts=10) must have picked tiebreak 11, not 10
+    assert (2, 11, 2.0) in got

@@ -75,3 +75,53 @@ def test_streaming_ingest_equals_batch_pipeline(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_st21_stream_asof_equals_batch_asof_join(spark):
+    # AvailableNow ≡ the batch asof_join with the same 30-minute
+    # tolerance — the r7 "last batch-only family" closure, pinned
+    # end-to-end through the registry entry
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in spark_queries()["st21_stream_asof"](spark, sf_dir).collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    want = sorted(
+        tuple(r)
+        for r in asof_join(
+            purchases,
+            views,
+            ["user_id"],
+            "ts",
+            "event_id",
+            tolerance=F.expr("INTERVAL 30 MINUTES"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("asof_event_id").alias("view_event_id"),
+            F.col("asof_value").alias("view_value"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
