@@ -114,6 +114,8 @@ LONGTAIL = [
     "tok10_unigram_encode",  # Viterbi encode, distinct words once (r7)
     "gr7_scc",  # directed SCC: driver Tarjan / f-b peeling tiers (r7)
     "st21_stream_asof",  # streaming as-of via interval conversion (r7)
+    "st22_stream_weighted_sample",  # maintained E-S sample state (r7)
+    "dq6_token_drift",  # per-source TV drift, exact integer bp (r7)
 ]
 
 

@@ -564,6 +564,30 @@ def weighted_sample_k(
     (astronomically rare) break by id ascending.
 
     Returns the selected rows' ``(id, tier t, es_key)``."""
+    t, key = es_key_exprs(tier, id_col, max_tier, salt)
+    return (
+        docs.select(
+            F.col(id_col),
+            t.alias("tier"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def es_key_exprs(
+    tier: "Column",
+    id_col: str = "doc_id",
+    max_tier: int = 4,
+    salt: str = "es:",
+) -> tuple:
+    """The (tier, es_key) column expressions behind
+    :func:`weighted_sample_k`, exposed so the STREAMING twin (st22)
+    computes bit-identical keys statelessly per arriving row — E-S
+    keys make sampling-without-replacement mergeable (the top-k of a
+    union is the top-k of the per-part top-ks), which is the whole
+    streaming story."""
     t = F.least(
         F.greatest(tier.cast("int"), F.lit(0)), F.lit(max_tier)
     )
@@ -576,12 +600,4 @@ def weighted_sample_k(
     for ti in range(1, max_tier + 1):
         key = F.sqrt(key)
         out = out.when(t == ti, key)
-    return (
-        docs.select(
-            F.col(id_col),
-            t.alias("tier"),
-            out.alias("es_key"),
-        )
-        .orderBy(F.col("es_key").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return t, out

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
 
+from enriched_crime_incident_data_pipeline_spark.registry._shared import _TOKENS
+
 
 
 
@@ -289,8 +291,65 @@ def q_dq5_ri_audit(spark, sf_dir):
     )
 
 
+
+def q_dq6_token_drift(spark, sf_dir):
+    # per-source distribution-drift audit: total-variation distance
+    # between each source's token distribution and the corpus-wide
+    # one, in EXACT integer basis points — the snapshot-drift tripwire
+    # a continuous corpus pipeline runs per provider (KL/chi-square
+    # need per-token fractional denominators; TV = (1/2)Σ|p_t − q_t|
+    # admits ONE common denominator N_s·N, so the whole statistic is
+    # integer arithmetic). Tokens absent from a source contribute
+    # N_s·(N − C_s) in closed form — never a source×all-tokens
+    # product. DECIMAL(38) guards the ×10⁴ headroom at 100 TB token
+    # counts; two map-side-combinable aggs + one join on token.
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 1)
+    ost = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("o"))
+    ct = ost.groupBy("w").agg(F.sum("o").alias("c"))
+    ns = ost.groupBy("source").agg(F.sum("o").alias("n_s"))
+    tot = ct.agg(F.sum("c").alias("n"))
+    dec = "decimal(38,0)"
+    terms = (
+        ost.join(ct, "w")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.abs(
+                F.col("o").cast(dec) * F.col("n").cast(dec)
+                - F.col("c").cast(dec) * F.col("n_s").cast(dec)
+            ).alias("term"),
+            "c",
+        )
+        .groupBy("source")
+        .agg(F.sum("term").alias("present"), F.sum("c").alias("c_s"))
+    )
+    return (
+        terms.join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(((present + CAST(n_s AS decimal(38,0))"
+                " * (n - c_s)) * 10000)"
+                " DIV (2 * CAST(n_s AS decimal(38,0))"
+                " * CAST(n AS decimal(38,0))) AS BIGINT)"
+            ).alias("drift_bp"),
+        )
+    )
+
+
 QUERIES = {
     "dq5_ri_audit": q_dq5_ri_audit,
+    "dq6_token_drift": q_dq6_token_drift,
     "dq4_fd_audit": q_dq4_fd_audit,
     "dq1_constraint_audit": q_dq1_constraint_audit,
     "dq2_profile": q_dq2_profile,
@@ -303,6 +362,37 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq6_token_drift": f"""
+            WITH words AS (
+              SELECT source, arr[i] AS w
+              FROM (SELECT source, {_TOKENS} AS arr FROM documents),
+                   unnest(generate_series(1, len(arr))) AS s(i)
+              WHERE length(arr[i]) >= 1
+            ),
+            ost AS (SELECT source, w, count(*) AS o
+                    FROM words GROUP BY 1, 2),
+            ct AS (SELECT w, SUM(o) AS c FROM ost GROUP BY 1),
+            ns AS (SELECT source, SUM(o) AS n_s FROM ost GROUP BY 1),
+            tot AS (SELECT SUM(c) AS n FROM ct),
+            terms AS (
+              SELECT ost.source,
+                     SUM(abs(CAST(ost.o AS HUGEINT) * tot.n
+                             - CAST(ct.c AS HUGEINT) * ns.n_s))
+                       AS present,
+                     SUM(ct.c) AS c_s
+              FROM ost JOIN ct USING (w) JOIN ns USING (source), tot
+              GROUP BY 1
+            )
+            SELECT terms.source,
+                   CAST(ns.n_s AS BIGINT) AS n_tokens,
+                   CAST((
+                     (terms.present
+                      + CAST(ns.n_s AS HUGEINT) * (tot.n - terms.c_s))
+                     * 10000
+                   ) // (2 * CAST(ns.n_s AS HUGEINT) * tot.n)
+                   AS BIGINT) AS drift_bp
+            FROM terms JOIN ns USING (source), tot
+""",
         "dq5_ri_audit": """
                     WITH e1 AS (
                       SELECT count(*) AS n,

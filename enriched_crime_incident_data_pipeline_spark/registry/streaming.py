@@ -21,6 +21,7 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _NORM,
     _SESSIONIZATION_SQL,
     _TOKENS,
+    _TOKEN_COUNT,
     _TUMBLING_SQL,
     _documents_as_media,
 )
@@ -899,6 +900,42 @@ def q_st21_stream_asof(spark, sf_dir):
     return run_available_now(joined, "st21_stream_asof", "append")
 
 
+def q_st22_stream_weighted_sample(spark, sf_dir):
+    # streaming twin of tp15: maintained exact-k weighted sample via
+    # applyInPandasWithState. E-S keys are MERGEABLE (top-k of a
+    # union = top-k of per-part top-ks), so bounded per-salt state
+    # (32 buckets x k candidates, O(k) forever) maintains the EXACT
+    # sample over any stream length; keys are computed statelessly
+    # per row with the same sqrt-tier expressions as the batch op
+    # (bit-identical doubles). AvailableNow then the latest-gen
+    # per-salt union tops out to tp15's 100 rows exactly — same
+    # oracle SQL.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        es_key_exprs,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        finalize_weighted_sample,
+        run_available_now,
+        stream_table,
+        stream_weighted_sample,
+    )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    tier_in = F.floor(token_count(F.col("text")) / 64).cast("int")
+    t, key = es_key_exprs(tier_in)
+    keyed = docs.select(
+        "doc_id", t.alias("tier"), key.alias("es_key")
+    )
+    emitted = stream_weighted_sample(keyed, k=100)
+    table = run_available_now(
+        emitted, "st22_weighted_sample", "update", state_partitions=8
+    )
+    return finalize_weighted_sample(table, k=100)
+
+
 QUERIES = {
     "st20_stream_decayed_counts": q_st20_stream_decayed_counts,
     "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
@@ -912,6 +949,7 @@ QUERIES = {
     "st19_stream_heavy_hitters": q_st19_stream_heavy_hitters,
     "st15_stream_temporal_enrich": q_st15_stream_temporal_enrich,
     "st21_stream_asof": q_st21_stream_asof,
+    "st22_stream_weighted_sample": q_st22_stream_weighted_sample,
     "st16_stream_quantile": q_st16_stream_quantile,
     "st2_stream_sessions": q_st2_stream_sessions,
     "stat5_winsorize": q_stat5_winsorize,
@@ -930,6 +968,25 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "st22_stream_weighted_sample": f"""
+            WITH base AS (
+              SELECT doc_id,
+                CAST(least(greatest(({_TOKEN_COUNT}) // 64, 0), 4)
+                     AS INT) AS tier,
+                CAST({_HASH32.format(x="'es:' || doc_id")} + 1 AS DOUBLE)
+                  / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id, tier,
+              CASE tier
+                WHEN 0 THEN u
+                WHEN 1 THEN sqrt(u)
+                WHEN 2 THEN sqrt(sqrt(u))
+                WHEN 3 THEN sqrt(sqrt(sqrt(u)))
+                ELSE sqrt(sqrt(sqrt(sqrt(u)))) END AS es_key
+            FROM base
+            ORDER BY es_key DESC, doc_id LIMIT 100
+""",
         "st21_stream_asof": """
                     SELECT p.event_id, p.user_id, p.ts,
                            v.event_id AS view_event_id,

@@ -20,6 +20,10 @@ from enriched_crime_incident_data_pipeline_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
+from enriched_crime_incident_data_pipeline_spark.streaming.sample import (  # noqa: F401
+    finalize_weighted_sample,
+    stream_weighted_sample,
+)
 from enriched_crime_incident_data_pipeline_spark.streaming.sessions import (
     session_counts_stateful,
 )

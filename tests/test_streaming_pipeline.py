@@ -125,3 +125,65 @@ def test_st21_stream_asof_equals_batch_asof_join(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_st22_multibatch_state_merge_equals_batch_tp15(spark, tmp_path):
+    # the mergeability claim under REAL incremental state: documents
+    # arrive as 3 separate files processed one per micro-batch
+    # (maxFilesPerTrigger=1), the per-salt top-k state merges across
+    # batches, and the finalized sample equals the batch
+    # weighted_sample_k over the union — row-for-row, keys included
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        es_key_exprs,
+        weighted_sample_k,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        finalize_weighted_sample,
+        run_available_now,
+        stream_weighted_sample,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "arrivals")
+    for lo, hi in [(0, 170), (170, 340), (340, 10_000)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tier_in = F.floor(token_count(F.col("text")) / 64).cast("int")
+    t, key = es_key_exprs(tier_in)
+    keyed = stream.select("doc_id", t.alias("tier"), key.alias("es_key"))
+    emitted = run_available_now(
+        stream_weighted_sample(keyed, k=25),
+        "st22_multibatch_test",
+        "update",
+        state_partitions=4,
+    )
+    # ≥2 generations for at least one salt proves multi-batch merging
+    assert emitted.agg(F.max("gen")).collect()[0][0] >= 2
+    got = [
+        tuple(r)
+        for r in finalize_weighted_sample(emitted, k=25).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in weighted_sample_k(docs, 25, tier_in)
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .collect()
+    ]
+    assert got == want and len(got) == 25

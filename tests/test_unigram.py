@@ -140,3 +140,37 @@ def test_encode_matches_python_model(spark):
         1: sum(len(viterbi_segment(w, probs)) for w in ["bb", "aa"]),
     }
     assert {k: v[1] for k, v in out.items()} == model
+
+
+def test_dq6_tv_drift_hand_computed(spark):
+    # two sources, hand-computable TV: srcA = {a:2, b:2} (N_s=4),
+    # srcB = {a:4} (N_s=4), corpus c = {a:6, b:2}, N=8.
+    # p_A = (1/2, 1/2), q = (3/4, 1/4) → TV_A = (1/4+1/4)/2 = 1/4
+    # p_B = (1, 0)                     → TV_B = (1/4+1/4)/2 = 1/4
+    # drift_bp = 2500 for both
+    from enriched_crime_incident_data_pipeline_spark.registry.quality import (
+        q_dq6_token_drift,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources import catalog
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b b", "srcA"),
+            (1, "a a a a", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    import enriched_crime_incident_data_pipeline_spark.registry.quality as q
+
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, n: docs
+        q.load_table = catalog.load_table
+        out = {
+            r["source"]: (r["n_tokens"], r["drift_bp"])
+            for r in q_dq6_token_drift(spark, "ignored").collect()
+        }
+    finally:
+        catalog.load_table = orig
+        q.load_table = orig
+    assert out == {"srcA": (4, 2500), "srcB": (4, 2500)}
