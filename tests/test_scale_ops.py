@@ -1002,3 +1002,53 @@ def test_r6_op_plans_stay_scale_shaped(spark):
     plan = ts7._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_r7_op_plans_stay_scale_shaped(spark):
+    """Plan-shape regression guards for the r7 operators: tokenizer
+    vocab artifacts ride as closures/local relations (never a
+    corpus-side sort-merge), the SCC driver tier collapses to a
+    local relation, tp15 is a TakeOrdered (never a global sort
+    exchange), and dq6's only join is the token equi-join."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # tok9: word histogram + kernel rounds — no join in the final
+    # vocab plan at all (it's a driver-assembled local relation)
+    tok9 = qs["tok9_unigram_train"](spark, sf)
+    plan = tok9._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+    # tok10: the doc-words → distinct-word-encodings equi-join must
+    # stay a hash join (a sort-merge here would sort the corpus
+    # against the Zipf-small word relation)
+    tok10 = qs["tok10_unigram_encode"](spark, sf)
+    plan = tok10._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+    # gr7: driver Tarjan tier at fixture scale — local relation (the
+    # rotation-window side feeds the take, not the output plan)
+    gr7 = qs["gr7_scc"](spark, sf)
+    plan = gr7._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+    # tp15: exactly one global TakeOrdered, never a Sort + single-
+    # partition exchange (the k-rows-per-partition property is the
+    # whole point of E-S sampling at scale)
+    tp15 = qs["tp15_weighted_k_sample"](spark, sf)
+    plan = tp15._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+
+    # dq6: the token equi-join and the two tiny scalar cross-joins
+    # (broadcast) — never a sort-merge, never a nested loop over the
+    # token relation
+    dq6 = qs["dq6_token_drift"](spark, sf)
+    plan = dq6._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
