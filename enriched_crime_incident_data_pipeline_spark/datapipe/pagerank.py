@@ -341,3 +341,179 @@ def pagerank(
     if stats is not None:
         stats["rounds"] = rounds
     return ranks
+
+
+def _ppr_local(head, iters: int, alpha: float, members: set, seeds: set):
+    """Driver-resident personalized power iteration — float-for-float
+    the distributed recurrence below: ``r_0(v) = 1_S(v)``,
+    ``r_{k+1}(v) = alpha·1_S(v) + (1-alpha)·incoming`` with the
+    ordered (ascending-src) contribution fold. Out-of-edge background
+    splits into TWO scalar trajectories: non-seed background is 0.0
+    forever (teleport 0, no in-edges), seed background is 1.0 then
+    constant ``alpha`` from round 1. Returns
+    ``(endpoint_ranks, seed_bg, nonseed_bg)``."""
+    edges = [(r[0], r[1]) for r in head]
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    endpoints = sorted(
+        ({u for u, _ in edges} | {v for _, v in edges}) & members
+    )
+    in_lists: dict = {}
+    for u, v in edges:
+        if u in members and v in members:
+            in_lists.setdefault(v, []).append(u)
+    for v in in_lists:
+        in_lists[v].sort()
+    ranks = {k: (1.0 if k in seeds else 0.0) for k in endpoints}
+    seed_bg = 1.0
+    for _ in range(iters):
+        prev = ranks
+        new = {}
+        for k in endpoints:
+            s = 0.0
+            for u in in_lists.get(k, ()):
+                s += prev[u] / float(outdeg[u])
+            base = alpha if k in seeds else 0.0
+            new[k] = base + (1.0 - alpha) * s
+        seed_bg = alpha
+        ranks = new
+    return ranks, seed_bg, 0.0
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    alpha: float = ALPHA,
+    ordered: bool = False,
+    driver_graph_edges: int = DRIVER_GRAPH_EDGES,
+    nodes_cover_edges: bool = False,
+) -> DataFrame:
+    """``(id, rank)`` — PageRank personalized to a seed set (random
+    walks restart at SEEDS, not uniformly): ``r_0 = 1_S`` and
+    ``r_{k+1}(v) = alpha·1_S(v) + (1-alpha)·Σ_{u→v} r_k(u)/out(u)``
+    — the crawl-frontier/seed-expansion scorer (rank mass measures
+    proximity to the seeds through the link structure; nodes
+    unreachable from seeds score exactly 0). The unnormalized analog
+    of gr1's variant: same damped update, the teleport constant
+    restricted to seeds.
+
+    ``seeds`` is a 1-column ``id`` relation and is broadcast — seed
+    sets are small by construction (crawl seeds, trusted domains).
+    Driver tier under the shared take cap (bounded extra probe: seed
+    membership of the ≤2·cap endpoints rides one broadcast semi-join
+    against ``seeds``, not a scan of anything corpus-sized);
+    distributed tier pins a per-node seed flag once and reuses it
+    every round. ``ordered=True`` uses the ascending-src fold — the
+    bit-exact cross-engine mode (the gr1 contract). ``dangling`` and
+    ``tol`` are deliberately not offered here: dangling teleport
+    interacts with personalization (mass restarts at seeds) and is a
+    different operator."""
+    e_proj = edges.select("src", "dst")
+    node_t = nodes.schema[0].dataType
+    seed_ids = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    if driver_graph_edges > 0:
+        head = e_proj.take(driver_graph_edges + 1)
+        if len(head) <= driver_graph_edges:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            eps = sorted({r[0] for r in head} | {r[1] for r in head})
+            members: set = set(eps)
+            ep_df = None
+            if eps:
+                ep_df = edges.sparkSession.createDataFrame(
+                    [(x,) for x in eps],
+                    StructType([StructField("id", node_t)]),
+                )
+            if not nodes_cover_edges and ep_df is not None:
+                members = {
+                    r[0]
+                    for r in nodes.select("id")
+                    .join(F.broadcast(ep_df), "id", "leftsemi")
+                    .collect()
+                }
+            seed_eps: set = set()
+            if ep_df is not None:
+                seed_eps = {
+                    r[0]
+                    for r in seed_ids.join(
+                        F.broadcast(ep_df), "id", "leftsemi"
+                    ).collect()
+                }
+            ranks_d, seed_bg, nonseed_bg = _ppr_local(
+                head, iters, alpha, members, seed_eps
+            )
+            local = edges.sparkSession.createDataFrame(
+                sorted(ranks_d.items()),
+                StructType(
+                    [
+                        StructField("id", node_t),
+                        StructField("_r", DoubleType()),
+                    ]
+                ),
+            )
+            return (
+                nodes.select("id")
+                .join(
+                    F.broadcast(seed_ids.withColumn("_s", F.lit(1))),
+                    "id",
+                    "left",
+                )
+                .join(F.broadcast(local), "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(
+                        "_r",
+                        F.when(F.col("_s") == 1, F.lit(seed_bg)).otherwise(
+                            F.lit(nonseed_bg)
+                        ),
+                    ).alias("rank"),
+                )
+            )
+    deg = e_proj.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    weighted = _pin(
+        e_proj.join(deg, "src").select(
+            "src", "dst", F.col("outdeg").cast("double").alias("outdeg")
+        )
+    )
+    flags = _pin(
+        nodes.select("id")
+        .join(
+            F.broadcast(seed_ids.withColumn("_s", F.lit(1))), "id", "left"
+        )
+        .select("id", F.coalesce("_s", F.lit(0)).alias("_s"))
+    )
+    ranks = flags.select(
+        "id", F.col("_s").cast("double").alias("rank")
+    )
+    for _ in range(iters):
+        contribs = weighted.join(
+            ranks, weighted["src"] == ranks["id"]
+        ).select(
+            "dst", "src", (F.col("rank") / F.col("outdeg")).alias("c")
+        )
+        if ordered:
+            summed = contribs.groupBy("dst").agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("src"), F.col("c")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("s")
+            )
+        else:
+            summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        incoming = F.coalesce(F.col("s"), F.lit(0.0))
+        ranks = _pin(
+            flags.join(summed, flags["id"] == summed["dst"], "left").select(
+                "id",
+                (
+                    F.lit(alpha) * F.col("_s").cast("double")
+                    + F.lit(1.0 - alpha) * incoming
+                ).alias("rank"),
+            )
+        )
+    return ranks

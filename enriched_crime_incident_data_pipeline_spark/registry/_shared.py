@@ -1114,3 +1114,51 @@ _GR7_SCC_SQL = f"""
             FROM documents d LEFT JOIN mutual m ON m.node = d.doc_id
             GROUP BY d.doc_id
 """
+
+
+# gr8: personalized PageRank (datapipe/pagerank.py
+# personalized_pagerank twin) — teleport restricted to the seed set
+# (doc_id % 50 = 0), r0 = 1_S, update = 0.15·1_S + 0.85·incoming,
+# ordered ascending-src fold (the gr1 bit-exact contract).
+_GR8_ITER = """,
+            ps{k} AS (
+              SELECT e.dst, sum(r.pr / d.od ORDER BY e.src) AS s
+              FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN pr{p} r ON e.src = r.id
+              GROUP BY e.dst
+            ),
+            pr{k} AS (
+              SELECT n.id,
+                     CAST(0.15 AS DOUBLE) * n.s
+                       + CAST(0.85 AS DOUBLE)
+                         * coalesce(ps.s, CAST(0.0 AS DOUBLE)) AS pr
+              FROM sflag n LEFT JOIN ps{k} ps ON n.id = ps.dst
+            )"""
+
+_GR8_PPR_SQL = (
+    f"""
+            WITH bands AS ({_MINHASH_BANDS_SQL}),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            edges AS (SELECT b AS src, a AS dst FROM pairs),
+            deg AS (
+              SELECT src, CAST(count(*) AS DOUBLE) AS od
+              FROM edges GROUP BY src
+            ),
+            sflag AS (
+              SELECT doc_id AS id,
+                     CASE WHEN doc_id % 50 = 0
+                          THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS s
+              FROM documents
+            ),
+            pr0 AS (SELECT id, s AS pr FROM sflag)"""
+    + "".join(_GR8_ITER.format(k=k, p=k - 1) for k in range(1, 6))
+    + """
+            SELECT id AS doc_id, pr AS ppr FROM pr5
+"""
+)

@@ -14,6 +14,7 @@ from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_tab
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _GR1_PAGERANK_SQL,
     _GR7_SCC_SQL,
+    _GR8_PPR_SQL,
     _GR2_SQL,
     _GR3_HITS_SQL,
     _MINHASH_BANDS_SQL,
@@ -280,8 +281,35 @@ def q_gr7_scc(spark, sf_dir):
     )
 
 
+def q_gr8_personalized_pagerank(spark, sf_dir):
+    # personalized PageRank over the near-dup citation graph: random
+    # walks restart at the SEED docs (doc_id % 50 = 0 — the 2%
+    # trusted set), so rank measures link-proximity to the seeds and
+    # unreachable docs score exactly 0 — the crawl-frontier /
+    # seed-expansion scorer (what a curator runs to grow a trusted
+    # domain list). Ordered fold → bit-exact vs the unrolled oracle;
+    # the seed relation broadcasts (seed sets are small by
+    # construction); same driver tier as gr1.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        personalized_pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    edges = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    out = personalized_pagerank(
+        edges, nodes, seeds, iters=5, ordered=True, nodes_cover_edges=True
+    )
+    return out.select(F.col("id").alias("doc_id"), F.col("rank").alias("ppr"))
+
+
 QUERIES = {
     "gr6_kcore": q_gr6_kcore,
+    "gr8_personalized_pagerank": q_gr8_personalized_pagerank,
     "gr7_scc": q_gr7_scc,
     "gr1_pagerank": q_gr1_pagerank,
     "gr3_hits": q_gr3_hits,
@@ -293,6 +321,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "gr8_personalized_pagerank": _GR8_PPR_SQL,
         "gr7_scc": _GR7_SCC_SQL,
         "gr6_kcore": _gr6_kcore_sql(),
         "gr1_pagerank": _GR1_PAGERANK_SQL,

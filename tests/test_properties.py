@@ -631,6 +631,33 @@ def test_graph_driver_tiers_match_distributed(spark, edges):
         for v in nodes_e
     }
     assert {n: c for n, c in s_drv} == model
+    # personalized PageRank: driver vs forced-distributed (r7 — the
+    # seventh tier), plus the defining zero-outside-seed-reach
+    # property: a node not reachable from any seed scores exactly 0
+    from enriched_crime_incident_data_pipeline_spark.datapipe.pagerank import (
+        personalized_pagerank,
+    )
+
+    seeds = spark.createDataFrame([(0,), (3,)], "id bigint")
+    pp_drv = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(
+            e, nodes, seeds, iters=3, ordered=True
+        ).collect()
+    }
+    pp_dst = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(
+            e, nodes, seeds, iters=3, ordered=True, driver_graph_edges=0
+        ).collect()
+    }
+    assert pp_drv == pp_dst
+    seed_reach = reach.get(0, {0}) | reach.get(3, {3}) | {0, 3}
+    for n, r in pp_drv.items():
+        if n not in seed_reach:
+            assert r == 0.0, (n, r)
+        elif n in (0, 3):
+            assert r > 0.0
 
 
 @given(
