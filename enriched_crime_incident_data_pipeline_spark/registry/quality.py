@@ -347,7 +347,43 @@ def q_dq6_token_drift(spark, sf_dir):
     )
 
 
+def q_dq7_ks_drift(spark, sf_dir):
+    # per-source NUMERIC distribution drift: exact two-sample
+    # Kolmogorov–Smirnov statistic (each source's doc-length ECDF vs
+    # the corpus-wide one) in pure integer arithmetic — the numeric
+    # companion to dq6's token-TV audit (KS is what detects a
+    # provider silently truncating or padding documents even when
+    # token frequencies barely move). Exactness without
+    # densification: sup|F_s − F| over a pair of step functions is
+    # attained either AT one of the source's own jump points or just
+    # BEFORE one (between consecutive source points F_s is constant
+    # while F rises monotonically, so |F_s − F| peaks at an interval
+    # endpoint — and the right endpoint of interval [a,b) is exactly
+    # the "just-before" candidate of the next source point b, with
+    # the initial interval covered by the first point's cum_s=0
+    # just-before candidate). So each source needs only its OWN
+    # (source, value) rows — never a source × all-distinct-values
+    # product — and both candidates use cumulative counts already on
+    # the row: D_at = |cum_s·N − cum·N_s|, D_before =
+    # |(cum_s−cnt_s)·N − (cum−cnt)·N_s|; KS_bp = 10⁴·max(D)/(N_s·N)
+    # — all integers, one common denominator (the dq6 trick), no
+    # float ECDFs to disagree across engines. Property-pinned vs a
+    # brute-force dense-grid Python model in test_properties.py.
+    # Shuffles: two map-side-combinable groupBys sized by the
+    # DISTINCT-VALUE relation (bounded by the value domain, like a
+    # histogram — not by row count), one equi-join on value. The one
+    # unpartitioned window runs over distinct values only.
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        ks_drift,
+    )
+
+    return ks_drift(
+        load_table(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
 QUERIES = {
+    "dq7_ks_drift": q_dq7_ks_drift,
     "dq5_ri_audit": q_dq5_ri_audit,
     "dq6_token_drift": q_dq6_token_drift,
     "dq4_fd_audit": q_dq4_fd_audit,
@@ -362,6 +398,39 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq7_ks_drift": """
+            WITH vals AS (SELECT source, n_chars AS x FROM documents),
+            g AS (
+              SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cum
+              FROM (SELECT x, count(*) AS cnt FROM vals GROUP BY 1)
+            ),
+            s AS (
+              SELECT source, x, cnt_s,
+                     SUM(cnt_s) OVER (PARTITION BY source ORDER BY x)
+                       AS cum_s
+              FROM (SELECT source, x, count(*) AS cnt_s
+                    FROM vals GROUP BY 1, 2)
+            ),
+            ns AS (SELECT source, SUM(cnt_s) AS n_s FROM s GROUP BY 1),
+            tot AS (SELECT SUM(cnt) AS n FROM g),
+            d AS (
+              SELECT s.source,
+                     MAX(greatest(
+                       abs(CAST(s.cum_s AS HUGEINT) * tot.n
+                           - CAST(g.cum AS HUGEINT) * ns.n_s),
+                       abs(CAST(s.cum_s - s.cnt_s AS HUGEINT) * tot.n
+                           - CAST(g.cum - g.cnt AS HUGEINT) * ns.n_s)
+                     )) AS dmax
+              FROM s JOIN g USING (x) JOIN ns USING (source), tot
+              GROUP BY 1
+            )
+            SELECT d.source,
+                   CAST(ns.n_s AS BIGINT) AS n_rows,
+                   CAST((d.dmax * 10000)
+                        // (CAST(ns.n_s AS HUGEINT) * tot.n)
+                     AS BIGINT) AS ks_bp
+            FROM d JOIN ns USING (source), tot
+""",
         "dq6_token_drift": f"""
             WITH words AS (
               SELECT source, arr[i] AS w

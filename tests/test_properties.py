@@ -875,3 +875,51 @@ def test_asof_topn_matches_python_model(spark, lefts, rights, n):
         ):
             want.append((i, rank, rid))
     assert got == sorted(want)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 12)),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda d: len({g for g, _ in d}) >= 2)
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ks_drift_matches_dense_grid_model(spark, data):
+    # ks_drift evaluates sup|F_g - F| at only the group's own jump
+    # points (two candidates per point); the model evaluates the
+    # ECDF difference densely at every global point AND just before
+    # it — if the candidate-point argument were wrong anywhere (ties,
+    # gaps, first/last intervals), these would diverge.
+    from fractions import Fraction
+
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        ks_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{g}", x) for g, x in data], "source string, x bigint"
+    )
+    got = {
+        r["source"]: (r["n_rows"], r["ks_bp"])
+        for r in ks_drift(df, "source", "x").collect()
+    }
+    xs_all = [x for _, x in data]
+    pts = sorted(set(xs_all))
+    grid = [p - 1 for p in pts] + pts + [pts[-1] + 1]
+    n = len(xs_all)
+    for gname in {f"g{g}" for g, _ in data}:
+        xs_g = [x for g, x in data if f"g{g}" == gname]
+        n_g = len(xs_g)
+        sup = max(
+            abs(
+                Fraction(sum(1 for v in xs_g if v <= t), n_g)
+                - Fraction(sum(1 for v in xs_all if v <= t), n)
+            )
+            for t in grid
+        )
+        assert got[gname] == (n_g, int(sup * 10000))

@@ -1052,3 +1052,20 @@ def test_r7_op_plans_stay_scale_shaped(spark):
     plan = dq6._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r7_session2_op_plans_stay_scale_shaped(spark):
+    """Plan-shape guards for the round-7 session-2 operators."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # dq7: the value equi-join stays a hash join (the distinct-value
+    # relations are histogram-sized — a sort-merge would sort them
+    # pointlessly); the scalar total rides a broadcast nested loop,
+    # never a CartesianProduct
+    dq7 = qs["dq7_ks_drift"](spark, sf)
+    plan = dq7._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
