@@ -1012,3 +1012,109 @@ def batch_topk_neighbors(
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "neighbor_id", "cosine")
     )
+
+
+def embedding_diversity(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Exact mean pairwise cosine within each group — the corpus
+    DIVERSITY audit (a collapsing source or an over-aggressive dedup
+    shows up as mean intra-group cosine drifting toward 1) — in ONE
+    scan via the second-moment identity, never a pairwise join:
+
+        Σ_{i≠j} ûᵢ·ûⱼ = ‖Σᵢ ûᵢ‖² − Σᵢ ‖ûᵢ‖²
+
+    so the O(n²) statistic is one explode and two STACKED map-side-
+    combinable aggregations over O(n·d) terms — per-(group, dim)
+    partials carry Σq, Σq², and the row count, then collapse per
+    group — with no join anywhere in the plan. At 100 TB the reduce
+    state is |groups|·d cells — corpus-size-independent.
+
+    Cross-engine determinism: unordered float sums would make the
+    statistic partitioning-dependent, so components are quantized
+    FIRST — ``q_d = floor(v_d / ‖v‖ · 2^quant_bits)`` (norm is the
+    sequential-double ``l2_norm`` == DuckDB ``sqrt(list_dot_product)``
+    on a DOUBLE[] cast; divide and multiply are single
+    correctly-rounded IEEE ops in a fixed order; ``floor`` has no
+    tie semantics) — and everything after is INTEGER arithmetic,
+    associative and exact under any partitioning. The statistic is
+    defined over the quantized grid (both engines compute it
+    exactly); at 2⁻²⁰ per-component resolution the mean-cosine bias
+    is < 2·d·2⁻²⁰ ≈ 1.2e-4 for d=64. decimal(38,0) headroom:
+    ``Σ S_d² ≤ d·(n·2²⁰)²`` stays in range up to n ≈ 10⁹ rows per
+    group, and the signed output divides |num| before re-applying
+    the sign so Spark's truncating ``DIV`` and DuckDB's ``//`` agree
+    on negative means.
+
+    Zero-norm vectors carry no direction (cosine undefined) and are
+    filtered; groups with fewer than 2 surviving rows are dropped
+    (no pairs). Returns ``(group, n, mean_cos_bp)``.
+    """
+    scale = float(1 << quant_bits)
+    norm = l2_norm(F.col(vec_col))
+    rows = (
+        embeddings.select(
+            F.col(group_col).alias("g"),
+            F.col(vec_col).alias("v"),
+            norm.alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            "g",
+            # the zero-norm rows are filtered above, but whole-stage
+            # codegen fuses this projection INTO the filter's stage,
+            # so under ANSI mode the division must still be safe on
+            # the filtered-out rows — their quantized value is never
+            # read, any non-zero denominator works
+            F.transform(
+                "v",
+                lambda x: F.floor(
+                    x.cast("double")
+                    / F.when(F.col("_n") > 0, F.col("_n")).otherwise(
+                        F.lit(1.0)
+                    )
+                    * F.lit(scale)
+                ),
+            ).alias("q"),
+        )
+    )
+    dec = "decimal(38,0)"
+    # ONE explode feeds both moments: per-(group, dim) partial sums
+    # carry Σq (for ‖Σû‖²), Σq² (Σ_d Σ_i q² == Σ_i ‖q_i‖², so the
+    # per-ROW squared norm never needs row identity), and the row
+    # count (identical across dims of a fixed-dim embedding column)
+    # — so the whole statistic is one scan and two stacked
+    # map-side-combinable aggregations, with NO join anywhere.
+    per_dim = (
+        rows.select("g", F.posexplode("q").alias("d", "qd"))
+        .groupBy("g", "d")
+        .agg(
+            F.sum("qd").alias("s"),
+            F.sum((F.col("qd") * F.col("qd")).cast(dec)).alias("sqd"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    stats = per_dim.groupBy("g").agg(
+        F.max("c").alias("n"),
+        F.sum(F.col("s").cast(dec) * F.col("s").cast(dec)).alias("ss2"),
+        F.sum("sqd").alias("sumsq"),
+    )
+    ksq = 1 << (2 * quant_bits)
+    return (
+        stats.filter(F.col("n") >= 2)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(CASE WHEN ss2 < sumsq THEN -((sumsq - ss2) * 10000"
+                f" DIV (CAST(n AS decimal(38,0)) * (n - 1) * {ksq}))"
+                " ELSE (ss2 - sumsq) * 10000"
+                f" DIV (CAST(n AS decimal(38,0)) * (n - 1) * {ksq})"
+                " END AS BIGINT)"
+            ).alias("mean_cos_bp"),
+        )
+    )

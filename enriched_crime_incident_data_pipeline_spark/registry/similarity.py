@@ -212,7 +212,26 @@ def q_ss15_batch_topk(spark, sf_dir):
     return batch_topk_neighbors(emb, query_mod=101, k=8)
 
 
+def q_ss16_embed_diversity(spark, sf_dir):
+    # per-cluster embedding-diversity audit: exact mean pairwise
+    # cosine within each label via the second-moment identity
+    # Σ_{i≠j} ûᵢ·ûⱼ = ‖Σû‖² − Σ‖û‖² — the O(n²) statistic in ONE
+    # scan (what a curation run checks after dedup/mixing: a group
+    # drifting toward mean-cos 1 has collapsed). Components quantize
+    # to a 2⁻²⁰ grid first so every sum is integer — exact under any
+    # partitioning and bit-equal cross-engine; reduce state is
+    # |labels|·d cells, corpus-size-independent. See
+    # datapipe/similarity.py:embedding_diversity.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        embedding_diversity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_diversity(emb, group_col="label")
+
+
 QUERIES = {
+    "ss16_embed_diversity": q_ss16_embed_diversity,
     "ss15_batch_topk": q_ss15_batch_topk,
     "ss6_quantize_int8": q_ss6_quantize_int8,
     "ss7_pq_codes": q_ss7_pq_codes,
@@ -232,6 +251,45 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ss16_embed_diversity": """
+            WITH e AS (
+              SELECT label, vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings
+              WHERE list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0
+            ),
+            q AS (
+              SELECT label, vec_id, i,
+                     CAST(floor(v[i] / sqrt(list_dot_product(v, v))
+                                * 1048576.0) AS HUGEINT) AS qd
+              FROM e, unnest(generate_series(1, len(v))) AS s(i)
+            ),
+            rowsq AS (
+              SELECT label, vec_id, SUM(qd * qd) AS sq
+              FROM q GROUP BY 1, 2
+            ),
+            moments AS (
+              SELECT label, COUNT(*) AS n, SUM(sq) AS sumsq
+              FROM rowsq GROUP BY 1
+            ),
+            comp AS (
+              SELECT label, SUM(sd * sd) AS ss2 FROM (
+                SELECT label, i, SUM(qd) AS sd FROM q GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+            SELECT m.label,
+                   CAST(m.n AS BIGINT) AS n,
+                   CAST(CASE WHEN c.ss2 < m.sumsq
+                        THEN -((m.sumsq - c.ss2) * 10000
+                               // (CAST(m.n AS HUGEINT) * (m.n - 1)
+                                   * 1099511627776))
+                        ELSE (c.ss2 - m.sumsq) * 10000
+                               // (CAST(m.n AS HUGEINT) * (m.n - 1)
+                                   * 1099511627776)
+                        END AS BIGINT) AS mean_cos_bp
+            FROM moments m JOIN comp c USING (label)
+            WHERE m.n >= 2
+""",
         "ss15_batch_topk": f"""
                     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 101 = 0),

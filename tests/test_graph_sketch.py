@@ -950,3 +950,77 @@ def test_scc_long_cycle_and_shapes(spark):
     assert got[n + 1] == n + 1 and got[n + 2] == n + 1
     assert got[n + 3] == n + 3
     assert got[n + 4] == n + 4 and got[n + 5] == n + 5
+
+
+def test_embedding_diversity_moment_trick_matches_bruteforce(spark):
+    # the one-scan second-moment statistic must equal the O(n²)
+    # definition EXACTLY (integer equality over the quantized grid),
+    # including a group with negative mean cosine (sign/truncation
+    # semantics of DIV), a zero vector (filtered), and a singleton
+    # group (no pairs → dropped).
+    import math
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        embedding_diversity,
+    )
+
+    rng = random.Random(41)
+    dim, quant_bits = 8, 20
+    rows = []
+    # group 0: random cloud; group 1: antipodal pair (mean cos < 0);
+    # group 2: near-duplicates (mean cos ~ 1); group 3: singleton;
+    # plus one zero vector in group 0
+    for i in range(12):
+        rows.append((0, i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows.append((1, 100, base))
+    rows.append((1, 101, [-x for x in base]))
+    for i in range(4):
+        rows.append((2, 200 + i, [x + rng.uniform(-1e-3, 1e-3) for x in base]))
+    rows.append((3, 300, base))
+    rows.append((0, 99, [0.0] * dim))
+
+    df = spark.createDataFrame(
+        [(g, i, [float(x) for x in v]) for g, i, v in rows],
+        "label int, vec_id long, embedding array<float>",
+    )
+    got = {
+        r["label"]: (r["n"], r["mean_cos_bp"])
+        for r in embedding_diversity(
+            df, group_col="label", quant_bits=quant_bits
+        ).collect()
+    }
+
+    K = 1 << quant_bits
+    byg: dict[int, list[list[int]]] = {}
+    for g, _, v in rows:
+        # replicate float32 storage then the double pipeline
+        import struct
+
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        nrm = 0.0
+        for x in v32:
+            nrm += x * x
+        nrm = math.sqrt(nrm)
+        if nrm == 0:
+            continue
+        byg.setdefault(g, []).append(
+            [math.floor(x / nrm * K) for x in v32]
+        )
+    want = {}
+    for g, qs in byg.items():
+        n = len(qs)
+        if n < 2:
+            continue
+        num = sum(
+            sum(a * b for a, b in zip(qs[i], qs[j]))
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        )
+        den = n * (n - 1) * K * K
+        mag = (abs(num) * 10000) // den
+        want[g] = (n, -mag if num < 0 else mag)
+    assert got == want
+    assert 3 not in got and got[1][1] < -9000 and got[2][1] > 9000

@@ -1069,3 +1069,10 @@ def test_r7_session2_op_plans_stay_scale_shaped(spark):
     plan = dq7._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+    # ss16: the moment trick means NO join of any kind in the plan —
+    # one generate (explode) and two stacked hash aggregates
+    ss16 = qs["ss16_embed_diversity"](spark, sf)
+    plan = ss16._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Generate") >= 1
