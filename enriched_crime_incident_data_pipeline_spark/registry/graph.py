@@ -307,7 +307,38 @@ def q_gr8_personalized_pagerank(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), F.col("rank").alias("ppr"))
 
 
+def q_gr9_link_predict(spark, sf_dir):
+    # common-neighbor link prediction — "suggest related docs" /
+    # crawl-frontier ranking: non-adjacent pairs ranked by shared
+    # neighborhood over a doc↔attribute bipartite graph (each doc
+    # links to one hub per attribute family: doc_id mod 13 / 17 / 19
+    # — a deterministic stand-in for domain/lang/topic facets) plus
+    # the LSH dup pairs as the already-linked set the anti-join
+    # removes. Wedges through doc mids rank hub-hub co-occurrence;
+    # wedges through hub mids rank doc-doc affinity (common=3 ⇔
+    # doc_ids congruent mod 13·17·19). All-integer scoring (count +
+    # Jaccard in bp), TakeOrdered top-50 — see datapipe/linkpred.py
+    # for the Σdeg(mid)² work bound and the skew story.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.linkpred import (
+        link_predict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hub = None
+    for k in (13, 17, 19):
+        h = docs.select(
+            F.col("doc_id").alias("a"),
+            (F.lit(1000000000 + 1000 * k) + F.col("doc_id") % k).alias(
+                "b"
+            ),
+        )
+        hub = h if hub is None else hub.union(h)
+    pairs = lsh_candidate_pairs(minhash_bands(docs)).select("a", "b")
+    return link_predict(hub.union(pairs), k=50)
+
+
 QUERIES = {
+    "gr9_link_predict": q_gr9_link_predict,
     "gr6_kcore": q_gr6_kcore,
     "gr8_personalized_pagerank": q_gr8_personalized_pagerank,
     "gr7_scc": q_gr7_scc,
@@ -321,6 +352,53 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "gr9_link_predict": f"""
+            WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+            lsh AS MATERIALIZED (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            hub AS (
+              SELECT doc_id AS a, 1000013000 + doc_id % 13 AS b
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 1000017000 + doc_id % 17 FROM documents
+              UNION ALL
+              SELECT doc_id, 1000019000 + doc_id % 19 FROM documents
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+              FROM (SELECT a, b FROM hub UNION ALL SELECT a, b FROM lsh)
+              WHERE a <> b
+            ),
+            adj AS (
+              SELECT a AS mid, b AS nb FROM und
+              UNION ALL SELECT b, a FROM und
+            ),
+            deg AS (SELECT mid, count(*) AS deg FROM adj GROUP BY 1),
+            cand AS (
+              SELECT l.nb AS u, r.nb AS v, count(*) AS common
+              FROM adj l JOIN adj r
+                ON l.mid = r.mid AND l.nb < r.nb
+              GROUP BY 1, 2
+            ),
+            nc AS (
+              SELECT c.* FROM cand c
+              LEFT JOIN und e ON c.u = e.a AND c.v = e.b
+              WHERE e.a IS NULL
+            )
+            SELECT nc.u, nc.v,
+                   CAST(nc.common AS BIGINT) AS common_neighbors,
+                   CAST(nc.common * 10000
+                        // (du.deg + dv.deg - nc.common) AS BIGINT)
+                     AS jaccard_bp
+            FROM nc JOIN deg du ON nc.u = du.mid
+                    JOIN deg dv ON nc.v = dv.mid
+            ORDER BY common_neighbors DESC, jaccard_bp DESC, u, v
+            LIMIT 50
+""",
         "gr8_personalized_pagerank": _GR8_PPR_SQL,
         "gr7_scc": _GR7_SCC_SQL,
         "gr6_kcore": _gr6_kcore_sql(),

@@ -923,3 +923,62 @@ def test_ks_drift_matches_dense_grid_model(spark, data):
             for t in grid
         )
         assert got[gname] == (n_g, int(sup * 10000))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 13), st.integers(0, 13)),
+        min_size=3,
+        max_size=40,
+    ),
+    cap=st.sampled_from([None, 2, 4]),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_link_predict_matches_python_model(spark, edges, cap):
+    # wedge-join + anti-join + integer Jaccard == the set-algebra
+    # definition, in BOTH exact and degree-capped modes (the cap
+    # drops wedge MIDS only; degrees in the Jaccard stay full-graph)
+    from enriched_crime_incident_data_pipeline_spark.datapipe.linkpred import (
+        link_predict,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), "a bigint, b bigint")
+    k = 1000  # no truncation: compare the full candidate set
+    got = sorted(
+        (r["u"], r["v"], r["common_neighbors"], r["jaccard_bp"])
+        for r in link_predict(df, k=k, max_mid_degree=cap).collect()
+    )
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in nbrs.items()}
+    mids = [
+        m for m in nbrs if cap is None or deg[m] <= cap
+    ]
+    common: dict[tuple[int, int], int] = {}
+    for m in mids:
+        ns = sorted(nbrs[m])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                common[p] = common.get(p, 0) + 1
+    want = sorted(
+        (
+            u,
+            v,
+            c,
+            c * 10000 // (deg[u] + deg[v] - c),
+        )
+        for (u, v), c in common.items()
+        if (u, v) not in und
+    )
+    assert got == want

@@ -1076,3 +1076,14 @@ def test_r7_session2_op_plans_stay_scale_shaped(spark):
     plan = ss16._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Generate") >= 1
+
+    # gr9: every join is a hash join on ids (the wedge self-join,
+    # the anti-join, the degree joins — a sort-merge or cartesian
+    # anywhere here breaks the Σdeg(mid)² bound), and the top-50 is
+    # a TakeOrdered, never a global sort exchange
+    gr9 = qs["gr9_link_predict"](spark, sf)
+    plan = gr9._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
