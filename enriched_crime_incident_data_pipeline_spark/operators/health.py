@@ -82,10 +82,33 @@ def ks_drift(
     value. The one unpartitioned window runs over distinct values
     only, never over rows.
     """
+    vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    counts = vals.groupBy("g", "x").agg(F.count(F.lit(1)).alias("cnt_s"))
+    return ks_drift_from_counts(counts, group_col)
+
+
+def ks_drift_from_counts(
+    counts: DataFrame, group_col: str = "g"
+) -> DataFrame:
+    """:func:`ks_drift` from a pre-aggregated per-(group, value)
+    histogram ``(g, x, cnt_s)`` — the maintained STATE of a streaming
+    drift monitor (st23): a continuous job keeps per-source value
+    histograms as a streaming aggregation (state is |groups| × value
+    domain, never rows), and this batch epilogue computes the exact
+    KS statistic over that state on demand. The global histogram
+    derives by summing over groups, so batch and stream agree by
+    construction."""
     from pyspark.sql import Window
 
-    vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
-    g = vals.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    # both branches derive from the SAME input relation (a memory-
+    # sink table in the streaming caller), so rebase one side to
+    # fresh attribute ids or the value equi-join self-references
+    counts = counts.select(
+        F.col("g").alias("g"), F.col("x").alias("x"), F.col("cnt_s")
+    )
+    g = counts.select("x", "cnt_s").groupBy("x").agg(
+        F.sum("cnt_s").alias("cnt")
+    )
     g = g.select(
         "x",
         "cnt",
@@ -93,8 +116,7 @@ def ks_drift(
         .over(Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum"),
     )
-    s = vals.groupBy("g", "x").agg(F.count(F.lit(1)).alias("cnt_s"))
-    s = s.select(
+    s = counts.select(
         "g",
         "x",
         "cnt_s",

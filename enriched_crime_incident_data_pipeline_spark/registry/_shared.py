@@ -1162,3 +1162,41 @@ _GR8_PPR_SQL = (
             SELECT id AS doc_id, pr AS ppr FROM pr5
 """
 )
+
+
+# dq7 / st23: exact two-sample KS per source (see operators/health.py
+# ks_drift for the candidate-point argument) — the streaming twin
+# maintains the same histogram, so one oracle serves both.
+_KS_DRIFT_SQL = """
+            WITH vals AS (SELECT source, n_chars AS x FROM documents),
+            g AS (
+              SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cum
+              FROM (SELECT x, count(*) AS cnt FROM vals GROUP BY 1)
+            ),
+            s AS (
+              SELECT source, x, cnt_s,
+                     SUM(cnt_s) OVER (PARTITION BY source ORDER BY x)
+                       AS cum_s
+              FROM (SELECT source, x, count(*) AS cnt_s
+                    FROM vals GROUP BY 1, 2)
+            ),
+            ns AS (SELECT source, SUM(cnt_s) AS n_s FROM s GROUP BY 1),
+            tot AS (SELECT SUM(cnt) AS n FROM g),
+            d AS (
+              SELECT s.source,
+                     MAX(greatest(
+                       abs(CAST(s.cum_s AS HUGEINT) * tot.n
+                           - CAST(g.cum AS HUGEINT) * ns.n_s),
+                       abs(CAST(s.cum_s - s.cnt_s AS HUGEINT) * tot.n
+                           - CAST(g.cum - g.cnt AS HUGEINT) * ns.n_s)
+                     )) AS dmax
+              FROM s JOIN g USING (x) JOIN ns USING (source), tot
+              GROUP BY 1
+            )
+            SELECT d.source,
+                   CAST(ns.n_s AS BIGINT) AS n_rows,
+                   CAST((d.dmax * 10000)
+                        // (CAST(ns.n_s AS HUGEINT) * tot.n)
+                     AS BIGINT) AS ks_bp
+            FROM d JOIN ns USING (source), tot
+"""

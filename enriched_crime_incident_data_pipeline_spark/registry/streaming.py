@@ -14,6 +14,7 @@ from enriched_crime_incident_data_pipeline_spark.functions.text import tokens
 from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _KS_DRIFT_SQL,
     _COS,
     _DC7_BLOOM_SQL,
     _HASH32,
@@ -936,7 +937,37 @@ def q_st22_stream_weighted_sample(spark, sf_dir):
     return finalize_weighted_sample(table, k=100)
 
 
+def q_st23_stream_ks_drift(spark, sf_dir):
+    # continuous distribution-drift monitor (dq7 as a stream): the
+    # per-(source, value) histogram IS a streaming aggregation —
+    # integer counts merge exactly in any micro-batch order, and the
+    # state is |sources| × value-domain rows (a histogram, never the
+    # row stream). The exact-KS epilogue (ks_drift_from_counts, the
+    # same code path dq7's batch form calls) runs on the maintained
+    # state — precisely the production shape: the stream keeps
+    # histograms current forever; the alert evaluator computes
+    # sup|F_s − F| on demand. AvailableNow ≡ batch dq7 by
+    # construction (global histogram = sum of per-source state).
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        ks_drift_from_counts,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(
+        F.col("source").alias("g"), F.col("n_chars").alias("x")
+    ).agg(F.count(F.lit(1)).alias("cnt_s"))
+    state = run_available_now(
+        counts, "st23_ks_drift", "complete", state_partitions=4
+    )
+    return ks_drift_from_counts(state, group_col="source")
+
+
 QUERIES = {
+    "st23_stream_ks_drift": q_st23_stream_ks_drift,
     "st20_stream_decayed_counts": q_st20_stream_decayed_counts,
     "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
     "st6_stream_lsh_probe": q_st6_stream_lsh_probe,
@@ -968,6 +999,9 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        # st23 maintains the dq7 histogram as streaming state; the
+        # statistic over it is identical, so one oracle serves both
+        "st23_stream_ks_drift": _KS_DRIFT_SQL,
         "st22_stream_weighted_sample": f"""
             WITH base AS (
               SELECT doc_id,

@@ -187,3 +187,23 @@ def test_st22_multibatch_state_merge_equals_batch_tp15(spark, tmp_path):
         .collect()
     ]
     assert got == want and len(got) == 25
+
+
+def test_st23_stream_ks_drift_equals_batch_dq7(spark):
+    # AvailableNow ≡ batch: the streaming monitor maintains the
+    # per-(source, value) histogram as state and runs the identical
+    # exact-KS epilogue, so the bounded run must equal dq7's batch
+    # answer row-for-row — pinned end-to-end through the registry
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    got = sorted(
+        tuple(r) for r in qs["st23_stream_ks_drift"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in qs["dq7_ks_drift"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
