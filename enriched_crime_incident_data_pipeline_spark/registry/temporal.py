@@ -565,7 +565,57 @@ def q_asof5_lastn(spark, sf_dir):
     )
 
 
+def q_ts8_time_weighted_avg(spark, sf_dir):
+    # time-weighted average per user — the sensor/finance mean that
+    # weighs each reading by how LONG it was in effect (a value held
+    # for an hour counts 3600x one held a second; the arithmetic mean
+    # is wrong whenever sampling is irregular, which at 100 TB of
+    # telemetry it always is). Exact cross-engine: values quantize to
+    # integer milli-units FIRST (floor(v*1000) — the ss16/dq7 trick),
+    # durations are integer epoch-second gaps to the next reading
+    # (lead over (ts, event_id) — deterministic under ties), so both
+    # sums are pure integers under any partitioning; output is the
+    # sign-safe integer ratio in milli-units. One window + one
+    # map-side-combinable groupBy, both on user_id — a single
+    # shuffle; per-task memory is O(1) (lead, not collect). The last
+    # reading per user has no successor and carries zero weight
+    # (half-open interval convention); users whose total span is 0
+    # are dropped (no time to average over).
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = "decimal(38,0)"
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.floor(F.col("value") * F.lit(1000.0)).alias("vm"),
+        F.lead(F.unix_timestamp("ts")).over(w).alias("tn"),
+    )
+    agg = (
+        e.filter(F.col("tn").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("tn") - F.col("t")).cast(dec)
+                * F.col("vm").cast(dec)
+            ).alias("num"),
+            F.sum(F.col("tn") - F.col("t")).alias("den"),
+        )
+    )
+    return agg.filter(F.col("den") > 0).select(
+        "user_id",
+        F.col("den").cast("bigint").alias("total_seconds"),
+        F.expr(
+            "CAST(CASE WHEN num < 0"
+            " THEN -((-num) DIV CAST(den AS decimal(38,0)))"
+            " ELSE num DIV CAST(den AS decimal(38,0)) END AS BIGINT)"
+        ).alias("twa_milli"),
+    )
+
+
 QUERIES = {
+    "ts8_time_weighted_avg": q_ts8_time_weighted_avg,
     "asof5_lastn": q_asof5_lastn,
     "ts7_decayed_counts": q_ts7_decayed_counts,
     "sessionization": q_sessionization,
@@ -608,6 +658,30 @@ def oracles() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC LIMIT 2
                     ) r
                 """,
+        "ts8_time_weighted_avg": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts) // 1000000 AS t,
+                     CAST(floor(value * 1000) AS BIGINT) AS vm,
+                     lead(epoch_us(ts) // 1000000) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS tn
+              FROM events
+            ),
+            agg AS (
+              SELECT user_id,
+                     SUM(CAST(tn - t AS HUGEINT) * vm) AS num,
+                     SUM(tn - t) AS den
+              FROM e WHERE tn IS NOT NULL GROUP BY 1
+            )
+            SELECT user_id,
+                   CAST(den AS BIGINT) AS total_seconds,
+                   CAST(CASE WHEN num < 0
+                        THEN -((-num) // CAST(den AS HUGEINT))
+                        ELSE num // CAST(den AS HUGEINT) END
+                     AS BIGINT) AS twa_milli
+            FROM agg WHERE den > 0
+""",
         "ts7_decayed_counts": """
                     WITH now_t AS (SELECT max(ts) AS now FROM events),
                     aged AS (

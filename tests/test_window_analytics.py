@@ -115,3 +115,41 @@ def test_trailing_90d_range_frame_on_dates(spark):
     assert out[dt.date(2024, 1, 1)] == 10.0
     assert out[dt.date(2024, 3, 1)] == 30.0
     assert out[dt.date(2024, 7, 1)] == 40.0
+
+
+def test_ts8_time_weighted_avg_hand_computed(spark):
+    # irregular intervals dominate the mean by duration; ties order
+    # by event_id; the last reading carries zero weight; a
+    # single-event user has no span and is dropped
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: 10.0 held 100s, then 20.0 held 10s, then 99.0 (tail)
+        (1, t0, 1, "view", 10.0),
+        (2, t0 + dt.timedelta(seconds=100), 1, "view", 20.0),
+        (3, t0 + dt.timedelta(seconds=110), 1, "view", 99.0),
+        # user 2: single event -> dropped
+        (4, t0, 2, "view", 5.0),
+        # user 3: two events at the SAME ts -> zero span -> dropped
+        (5, t0, 3, "view", 1.0),
+        (6, t0, 3, "view", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["user_id"]: (r["total_seconds"], r["twa_milli"])
+        for r in spark_queries()["ts8_time_weighted_avg"](spark, d).collect()
+    }
+    # user 1: num = 100*10000 + 10*20000 = 1_200_000 milli·s, den = 110
+    assert out == {1: (110, 1_200_000 // 110)}
