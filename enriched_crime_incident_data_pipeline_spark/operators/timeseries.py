@@ -149,3 +149,63 @@ def forward_fill(
     return df.withColumn(
         out_col or value_col, F.last(value_col, ignorenulls=True).over(w)
     )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak number of simultaneously-open half-open intervals
+    ``[start, end)`` per key, and the earliest instant that peak is
+    reached — the sweep-line statistic behind capacity planning
+    (max concurrent sessions / connections / jobs).
+
+    Sweep-line as relational algebra: each interval contributes a
+    ``+1`` delta at ``start`` and a ``-1`` at ``end``; the running
+    sum of deltas in ``(t, d)`` order IS the concurrency curve, and
+    ordering ``d = -1`` before ``d = +1`` at equal ``t`` encodes the
+    half-open convention (an interval ending exactly when another
+    starts never overlaps it). All arithmetic is integer, so the
+    result is exact under any partitioning; within a block of tied
+    ``(t, d)`` rows the prefix sums form the same *multiset* in any
+    engine-chosen order (descending for ``-1`` blocks, ascending for
+    ``+1`` blocks), and the peak is always the last row of a ``+1``
+    block — so ``max`` and its earliest ``t`` are deterministic even
+    though per-row sums at ties are not.
+
+    Scale shape: ONE hash shuffle by key (the union is narrow; the
+    window partitions by key; the final group-by reuses the window's
+    partitioning, so AQE inserts no second exchange). Per-task memory
+    is O(1) — a running sum, never a buffered partition. The peak is
+    extracted with a single ``max(struct(run, -t))`` — no second
+    window pass and no join-back.
+
+    Returns one row per key: ``(*keys, max_concurrency, peak_at)``
+    where ``peak_at`` is the earliest ``start_col`` value at which
+    the peak is attained (same unit as the inputs).
+    """
+    keys = list(key_cols)
+    starts = intervals.select(
+        *keys, F.col(start_col).alias("t"), F.lit(1).alias("d")
+    )
+    ends = intervals.select(
+        *keys, F.col(end_col).alias("t"), F.lit(-1).alias("d")
+    )
+    deltas = starts.unionByName(ends)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.withColumn("c", F.sum("d").over(w))
+    peak = run.groupBy(*keys).agg(
+        F.max(F.struct(F.col("c").alias("c"), (-F.col("t")).alias("nt")))
+        .alias("m")
+    )
+    return peak.select(
+        *keys,
+        F.col("m.c").cast("int").alias("max_concurrency"),
+        (-F.col("m.nt")).cast("long").alias("peak_at"),
+    )

@@ -614,7 +614,32 @@ def q_ts8_time_weighted_avg(spark, sf_dir):
     )
 
 
+def q_ts9_max_concurrency(spark, sf_dir):
+    # peak concurrent sessions per user — the capacity-planning
+    # statistic: each event opens a half-open 30-min interval
+    # [ts, ts+1800s) (the ts3 convention) and the sweep-line running
+    # sum's maximum is the answer. Exact integers end-to-end; one
+    # hash shuffle by user_id (window + reuse-partitioned groupBy);
+    # peak extracted via max(struct(run, -t)) — no join-back, no
+    # second window. Half-open semantics pinned by ordering -1
+    # deltas before +1 at equal t.
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        max_concurrency,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1800000000).cast("long")).alias("e"),
+    )
+    return max_concurrency(iv, ["user_id"], "s", "e").withColumnRenamed(
+        "peak_at", "peak_at_us"
+    )
+
+
 QUERIES = {
+    "ts9_max_concurrency": q_ts9_max_concurrency,
     "ts8_time_weighted_avg": q_ts8_time_weighted_avg,
     "asof5_lastn": q_asof5_lastn,
     "ts7_decayed_counts": q_ts7_decayed_counts,
@@ -658,6 +683,36 @@ def oracles() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC LIMIT 2
                     ) r
                 """,
+        "ts9_max_concurrency": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events
+            ),
+            deltas AS (
+              SELECT user_id, s AS t, 1 AS d FROM iv
+              UNION ALL
+              SELECT user_id, e AS t, -1 AS d FROM iv
+            ),
+            run AS (
+              SELECT user_id, t,
+                     sum(d) OVER (
+                       PARTITION BY user_id ORDER BY t, d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS c
+              FROM deltas
+            ),
+            mc AS (
+              SELECT user_id, t, c,
+                     max(c) OVER (PARTITION BY user_id) AS m
+              FROM run
+            )
+            SELECT user_id,
+                   CAST(max(c) AS INTEGER) AS max_concurrency,
+                   CAST(min(CASE WHEN c = m THEN t END) AS BIGINT)
+                     AS peak_at_us
+            FROM mc GROUP BY user_id
+""",
         "ts8_time_weighted_avg": """
             WITH e AS (
               SELECT user_id,

@@ -1087,3 +1087,19 @@ def test_r7_session2_op_plans_stay_scale_shaped(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_r7_session3_op_plans_stay_scale_shaped(spark):
+    """Plan-shape guards for the round-7 session-3 operators."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # ts9: ONE hash exchange total (window + groupBy share the
+    # user_id partitioning; the peak rides a map-side-combinable
+    # struct max) and no join anywhere
+    ts9 = qs["ts9_max_concurrency"](spark, sf)
+    plan = ts9._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

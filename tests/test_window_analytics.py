@@ -153,3 +153,86 @@ def test_ts8_time_weighted_avg_hand_computed(spark):
     }
     # user 1: num = 100*10000 + 10*20000 = 1_200_000 milli·s, den = 110
     assert out == {1: (110, 1_200_000 // 110)}
+
+
+def test_ts9_max_concurrency_hand_computed(spark):
+    # staircase overlap peaks at 3 when the third interval opens;
+    # half-open intervals: an event exactly 1800s after another does
+    # NOT overlap it; duplicate timestamps both count; a lone event
+    # peaks at 1
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, uid, secs):
+        return (eid, t0 + dt.timedelta(seconds=secs), uid, "view", 1.0)
+
+    rows = [
+        # user 1: opens at 0, 600, 1200 -> all three open at t=1200;
+        # the 4th at 1800 starts exactly when [0,1800) closes (no 4)
+        ev(1, 1, 0), ev(2, 1, 600), ev(3, 1, 1200), ev(4, 1, 1800),
+        # user 2: two events at the SAME instant -> peak 2 at t0
+        ev(5, 2, 0), ev(6, 2, 0),
+        # user 3: lone event -> peak 1
+        ev(7, 3, 50),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    out = {
+        r["user_id"]: (r["max_concurrency"], r["peak_at_us"])
+        for r in spark_queries()["ts9_max_concurrency"](spark, d).collect()
+    }
+    assert out == {
+        1: (3, us + 1_200_000_000),
+        2: (2, us),
+        3: (1, us + 50_000_000),
+    }
+
+
+def test_ts9_max_concurrency_matches_python_sweep(spark):
+    # property: the relational sweep equals a brute-force per-key
+    # Python sweep on adversarial random intervals (duplicate starts,
+    # end==start touches, nesting)
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        max_concurrency,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    for k in range(6):
+        for _ in range(rng.randint(1, 40)):
+            s = rng.randrange(0, 50) * 100
+            rows.append((k, s, s + rng.choice([100, 300, 700, 1800])))
+    df = spark.createDataFrame(rows, "k int, s long, e long")
+    got = {
+        r["k"]: (r["max_concurrency"], r["peak_at"])
+        for r in max_concurrency(df, ["k"], "s", "e").collect()
+    }
+
+    exp = {}
+    for k in {r[0] for r in rows}:
+        deltas = []
+        for kk, s, e in rows:
+            if kk == k:
+                deltas += [(s, 1), (e, -1)]
+        deltas.sort()  # (t, d): -1 before +1 at equal t
+        run, best, best_t = 0, 0, None
+        for t, d in deltas:
+            run += d
+            if run > best:
+                best, best_t = run, t
+        exp[k] = (best, best_t)
+    assert got == exp
