@@ -193,16 +193,39 @@ def max_concurrency(
     ends = intervals.select(
         *keys, F.col(end_col).alias("t"), F.lit(-1).alias("d")
     )
-    deltas = starts.unionByName(ends)
+    return peak_from_deltas(starts.unionByName(ends), keys, "t", "d")
+
+
+def peak_from_deltas(
+    deltas: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str = "t",
+    d_col: str = "d",
+) -> DataFrame:
+    """Sweep epilogue shared by the batch and streaming forms: max
+    running sum of ``d_col`` in ``(t, d)`` order per key, plus the
+    earliest ``t`` attaining it.
+
+    Works identically on raw ±1 delta rows and on per-(key, t) *net*
+    deltas (the streaming-state form): within an instant the raw
+    sequence first descends through the ``-1`` block then ascends
+    through the ``+1`` block, so every within-instant value is
+    bounded by the net values of the adjacent instants — the global
+    max over raw rows equals the max over net-per-instant values,
+    and so does its earliest instant. That is what makes the
+    net-delta histogram a sufficient streaming state.
+    """
+    keys = list(key_cols)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("t", "d")
+        .orderBy(t_col, d_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = deltas.withColumn("c", F.sum("d").over(w))
+    run = deltas.withColumn("c", F.sum(d_col).over(w))
     peak = run.groupBy(*keys).agg(
-        F.max(F.struct(F.col("c").alias("c"), (-F.col("t")).alias("nt")))
-        .alias("m")
+        F.max(
+            F.struct(F.col("c").alias("c"), (-F.col(t_col)).alias("nt"))
+        ).alias("m")
     )
     return peak.select(
         *keys,

@@ -1200,3 +1200,39 @@ _KS_DRIFT_SQL = """
                      AS BIGINT) AS ks_bp
             FROM d JOIN ns USING (source), tot
 """
+
+
+# ts9 / st24: per-user peak concurrent half-open [ts, ts+30min)
+# intervals via the integer sweep-line — the streaming twin maintains
+# the per-(user, instant) net-delta histogram as state and runs the
+# identical epilogue, so one oracle serves both.
+_MAX_CONCURRENCY_SQL = """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events
+            ),
+            deltas AS (
+              SELECT user_id, s AS t, 1 AS d FROM iv
+              UNION ALL
+              SELECT user_id, e AS t, -1 AS d FROM iv
+            ),
+            run AS (
+              SELECT user_id, t,
+                     sum(d) OVER (
+                       PARTITION BY user_id ORDER BY t, d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS c
+              FROM deltas
+            ),
+            mc AS (
+              SELECT user_id, t, c,
+                     max(c) OVER (PARTITION BY user_id) AS m
+              FROM run
+            )
+            SELECT user_id,
+                   CAST(max(c) AS INTEGER) AS max_concurrency,
+                   CAST(min(CASE WHEN c = m THEN t END) AS BIGINT)
+                     AS peak_at_us
+            FROM mc GROUP BY user_id
+"""

@@ -15,6 +15,7 @@ from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_tab
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _KS_DRIFT_SQL,
+    _MAX_CONCURRENCY_SQL,
     _COS,
     _DC7_BLOOM_SQL,
     _HASH32,
@@ -966,7 +967,57 @@ def q_st23_stream_ks_drift(spark, sf_dir):
     return ks_drift_from_counts(state, group_col="source")
 
 
+def q_st24_stream_concurrency(spark, sf_dir):
+    # live peak-concurrency monitor (ts9 as a stream): each arriving
+    # event contributes a +1 delta at its start instant and a −1 at
+    # start+30min (one stateless explode — no second readStream),
+    # and the per-(user, instant) NET delta histogram IS a streaming
+    # aggregation: integer deltas merge exactly in any micro-batch
+    # order, so arrival order never matters. State is the delta
+    # histogram (bounded by the key × instant domain — with
+    # time-quantized telemetry, far below the row stream), never the
+    # raw rows. The sweep epilogue (peak_from_deltas — the code path
+    # batch ts9 ends in) runs over the maintained state; the
+    # net-per-instant sufficiency argument lives in its docstring.
+    # AvailableNow ≡ batch ts9 by construction; one oracle serves
+    # both.
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        peak_from_deltas,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    # file-stream parquet surfaces ts as TIMESTAMP_NTZ; session TZ is
+    # pinned UTC, so the cast is an exact identity
+    s_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    deltas = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(s_us.alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (s_us + F.lit(1800000000).cast("long")).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("sd"),
+    ).select("user_id", F.col("sd.t").alias("t"), F.col("sd.d").alias("d"))
+    net = deltas.groupBy("user_id", "t").agg(F.sum("d").alias("d_net"))
+    state = run_available_now(
+        net, "st24_concurrency", "complete", state_partitions=4
+    )
+    return peak_from_deltas(state, ["user_id"], "t", "d_net").select(
+        "user_id",
+        "max_concurrency",
+        F.col("peak_at").alias("peak_at_us"),
+    )
+
+
 QUERIES = {
+    "st24_stream_concurrency": q_st24_stream_concurrency,
     "st23_stream_ks_drift": q_st23_stream_ks_drift,
     "st20_stream_decayed_counts": q_st20_stream_decayed_counts,
     "st7_stream_corpus_ingest": q_st7_stream_corpus_ingest,
@@ -1002,6 +1053,10 @@ def oracles() -> dict[str, str]:
         # st23 maintains the dq7 histogram as streaming state; the
         # statistic over it is identical, so one oracle serves both
         "st23_stream_ks_drift": _KS_DRIFT_SQL,
+        # st24 maintains the ts9 net-delta histogram as streaming
+        # state; the sweep statistic over it is identical, so one
+        # oracle serves both.
+        "st24_stream_concurrency": _MAX_CONCURRENCY_SQL,
         "st22_stream_weighted_sample": f"""
             WITH base AS (
               SELECT doc_id,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _MAX_CONCURRENCY_SQL,
     _SESSIONIZATION_SQL,
     _TUMBLING_SQL,
 )
@@ -683,36 +684,7 @@ def oracles() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC LIMIT 2
                     ) r
                 """,
-        "ts9_max_concurrency": """
-            WITH iv AS (
-              SELECT user_id, epoch_us(ts) AS s,
-                     epoch_us(ts) + 1800000000 AS e
-              FROM events
-            ),
-            deltas AS (
-              SELECT user_id, s AS t, 1 AS d FROM iv
-              UNION ALL
-              SELECT user_id, e AS t, -1 AS d FROM iv
-            ),
-            run AS (
-              SELECT user_id, t,
-                     sum(d) OVER (
-                       PARTITION BY user_id ORDER BY t, d
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS c
-              FROM deltas
-            ),
-            mc AS (
-              SELECT user_id, t, c,
-                     max(c) OVER (PARTITION BY user_id) AS m
-              FROM run
-            )
-            SELECT user_id,
-                   CAST(max(c) AS INTEGER) AS max_concurrency,
-                   CAST(min(CASE WHEN c = m THEN t END) AS BIGINT)
-                     AS peak_at_us
-            FROM mc GROUP BY user_id
-""",
+        "ts9_max_concurrency": _MAX_CONCURRENCY_SQL,
         "ts8_time_weighted_avg": """
             WITH e AS (
               SELECT user_id,

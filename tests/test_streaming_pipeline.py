@@ -207,3 +207,26 @@ def test_st23_stream_ks_drift_equals_batch_dq7(spark):
         tuple(r) for r in qs["dq7_ks_drift"](spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_st24_stream_concurrency_equals_batch_ts9(spark):
+    # AvailableNow ≡ batch: the streaming monitor maintains the
+    # per-(user, instant) net-delta histogram as state (arrival-order
+    # free — integer deltas merge in any micro-batch order) and runs
+    # the identical sweep epilogue, so the bounded run must equal
+    # ts9's batch answer row-for-row — pinned end-to-end through the
+    # registry
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    got = sorted(
+        tuple(r)
+        for r in qs["st24_stream_concurrency"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in qs["ts9_max_concurrency"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
