@@ -234,3 +234,99 @@ def bm25_feedback_topk(
     )
     expanded = base_terms.select("tok", "_df").unionByName(expansion)
     return score(expanded).orderBy(F.desc("score"), id_col).limit(k)
+
+
+def build_postings_blocks(
+    docs: DataFrame,
+    block: int = 64,
+    shard_mod: int = 37,
+    shard: int = 0,
+    max_df_num: int = 9,
+    max_df_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One term-shard of a blocked inverted index — the physical
+    artifact a distributed search/dedup index actually materializes,
+    with per-block skip metadata and the exact delta-encoded size.
+
+    Term-sharded: only tokens hashing into ``shard`` (md5 mod
+    ``shard_mod``) are built here — index construction at 100 TB is
+    embarrassingly parallel across term shards, and each shard's
+    build never sees another shard's postings. Within the shard,
+    posting lists are doc-id-ordered and cut into ``block``-entry
+    blocks; per block we emit ``(min_docid, max_docid)`` — the
+    skip-list bounds a query-time scan prunes on — and ``gap_bits``,
+    the exact bit size of the delta encoding (first doc-id of each
+    block raw, then gaps), i.e. ``length(bin(x))`` summed. All
+    integer arithmetic — exact in any engine.
+
+    Tokens appearing in more than ``max_df_num/max_df_den`` of the
+    corpus are dropped (relative stopword cap — their posting lists
+    are the classic index skew, and real indexes elide them); the
+    cap is the integer predicate ``den*df <= num*n_docs``,
+    scale-free across SFs.
+
+    Shape: explode → map-side-combinable DISTINCT on (token, doc)
+    (occurrences collapse before the wire) → one window pass per
+    token partition computing rank, df (count over the same
+    partition — no join-back) and the lagged gap → a group-by that
+    reuses the token partitioning. Two data exchanges total (plus the
+    O(1)-row scalar doc-count broadcast); the corpus text never
+    shuffles (only (token, doc_id) pairs do). Hot-but-under-cap
+    tokens serialize their own posting list through one task — the
+    inherent index-build skew; shrink ``max_df_num/den`` to shed it.
+    """
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        hash32,
+    )
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("docid"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    post = toks.filter(
+        hash32(F.concat(F.lit("shard:"), F.col("token"))) % shard_mod
+        == shard
+    ).distinct()
+
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("token").orderBy("docid")
+    wp = Window.partitionBy("token")
+    ranked = (
+        post.join(F.broadcast(n_docs))
+        .withColumn("df", F.count(F.lit(1)).over(wp))
+        .filter(
+            F.lit(max_df_den) * F.col("df")
+            <= F.lit(max_df_num) * F.col("n_docs")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("prev", F.lag("docid").over(w))
+    )
+    cost = F.when(
+        (F.col("rn") - 1) % block == 0, F.length(F.bin(F.col("docid")))
+    ).otherwise(F.length(F.bin(F.col("docid") - F.col("prev"))))
+    return (
+        ranked.withColumn(
+            "block_id",
+            F.expr(f"CAST((rn - 1) DIV {block} AS INT)"),
+        )
+        .withColumn("bits", cost)
+        .groupBy("token", "df", "block_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("block_len"),
+            F.min("docid").alias("min_docid"),
+            F.max("docid").alias("max_docid"),
+            F.sum("bits").cast("bigint").alias("gap_bits"),
+        )
+        .select(
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            "block_id",
+            "block_len",
+            "min_docid",
+            "max_docid",
+            "gap_bits",
+        )
+    )

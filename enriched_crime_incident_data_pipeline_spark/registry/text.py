@@ -368,6 +368,21 @@ def q_retention1_cohorts(spark, sf_dir):
 
 
 
+def q_ret4_postings_blocks(spark, sf_dir):
+    # inverted-index build artifact: one term-shard (md5(token) mod
+    # 3 == 0) of blocked doc-ordered posting lists with skip-list
+    # bounds and the EXACT delta-encoded size in bits — the physical
+    # relation a distributed search/decontamination index writes.
+    # See datapipe/retrieval.py build_postings_blocks for the
+    # two-exchange shape and the relative stopword cap.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        build_postings_blocks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_postings_blocks(docs, block=64, shard_mod=3, shard=0)
+
+
 def q_ret1_bm25_topk(spark, sf_dir):
     # retrieval baseline: rational-idf BM25 (log-free for cross-engine
     # bit parity, same trade as ta11's rational perplexity) over the
@@ -625,6 +640,7 @@ QUERIES = {
     "ta9_pii_scrub": q_ta9_pii_scrub,
     "tfidf_top_terms": q_tfidf_top_terms,
     "ret1_bm25_topk": q_ret1_bm25_topk,
+    "ret4_postings_blocks": q_ret4_postings_blocks,
     "ret2_hybrid_rrf": q_ret2_hybrid_rrf,
     "retention1_cohorts": q_retention1_cohorts,
 }
@@ -780,6 +796,41 @@ def oracles() -> dict[str, str]:
                            min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS winnow
                     FROM grams GROUP BY doc_id
                 """,
+        "ret4_postings_blocks": f"""
+            WITH toks AS (
+              SELECT doc_id AS docid, unnest({_TOKENS}) AS token
+              FROM documents WHERE {_NORM} <> ''
+            ),
+            post AS (
+              SELECT DISTINCT token, docid FROM toks
+              WHERE token <> ''
+                AND ('0x' || substr(md5('shard:' || token), 1, 8))::BIGINT
+                    % 3 = 0
+            ),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            ranked AS (
+              SELECT token, docid,
+                     count(*) OVER (PARTITION BY token) AS df,
+                     row_number() OVER (
+                       PARTITION BY token ORDER BY docid) AS rn,
+                     lag(docid) OVER (
+                       PARTITION BY token ORDER BY docid) AS prev
+              FROM post
+            )
+            SELECT token,
+                   CAST(df AS BIGINT) AS df,
+                   CAST((rn - 1) // 64 AS INT) AS block_id,
+                   CAST(count(*) AS INT) AS block_len,
+                   min(docid) AS min_docid,
+                   max(docid) AS max_docid,
+                   CAST(sum(CASE WHEN (rn - 1) % 64 = 0
+                            THEN length(bin(docid))
+                            ELSE length(bin(docid - prev)) END)
+                     AS BIGINT) AS gap_bits
+            FROM ranked, nd
+            WHERE 10 * df <= 9 * n_docs
+            GROUP BY token, df, (rn - 1) // 64
+""",
         "ret1_bm25_topk": f"""
                     WITH tok AS (
                       SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents

@@ -1103,3 +1103,13 @@ def test_r7_session3_op_plans_stay_scale_shaped(spark):
     plan = ts9._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+    # ret4: two DATA exchanges — the (token, doc) distinct and the
+    # token window (the final group-by must reuse the window's token
+    # partitioning) — plus the O(1)-row scalar count broadcast; the
+    # doc-count join is a broadcast, never sort-merge
+    ret4 = qs["ret4_postings_blocks"](spark, sf)
+    plan = ret4._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange rangepartitioning" not in plan

@@ -754,3 +754,68 @@ def test_char_bpe_weighted_counts_partition_invariant(spark):
         .collect()
     ]
     assert one == many
+
+
+def test_postings_blocks_hand_fixture(spark):
+    """Blocked postings: block cut at the block-size boundary, first
+    doc of each block costed raw and the rest as gaps, skip bounds
+    per block, stopword cap drops the everywhere-token, and the term
+    shard only builds its own tokens (verified by a Python model of
+    the same fixture)."""
+    import hashlib
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        build_postings_blocks,
+    )
+
+    # token "bg" in every doc (dropped by the 1/2 cap); "rare" in doc
+    # 3 and 40 only; "mid" in docs 0..9 → with block=4: 3 blocks
+    rows = []
+    for i in range(50):
+        parts = ["bg"]
+        if i in (3, 40):
+            parts.append("rare")
+        if i < 10:
+            parts.append("mid mid")  # duplicate occurrences collapse
+        rows.append((i, " ".join(parts)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shard_of(tok):
+        return int(hashlib.md5(f"shard:{tok}".encode()).hexdigest()[:8], 16)
+
+    # build EVERY shard so the fixture covers all tokens
+    out = []
+    for s in range(3):
+        out += build_postings_blocks(
+            docs, block=4, shard_mod=3, shard=s,
+            max_df_num=1, max_df_den=2,
+        ).collect()
+    got = {
+        (r["token"], r["block_id"]): (
+            r["df"], r["block_len"], r["min_docid"], r["max_docid"],
+            r["gap_bits"],
+        )
+        for r in out
+    }
+
+    def bits(x):
+        return len(bin(x)[2:]) if x > 0 else 1
+
+    # "bg": df=50 > 25 → dropped. "rare": [3, 40] one block:
+    # raw(3)=2 bits + gap(37)=6 bits. "mid": docs 0..9, blocks
+    # [0,1,2,3], [4,5,6,7], [8,9]
+    exp = {
+        ("rare", 0): (2, 2, 3, 40, bits(3) + bits(40 - 3)),
+        ("mid", 0): (10, 4, 0, 3, bits(0) + 3 * bits(1)),
+        ("mid", 1): (10, 4, 4, 7, bits(4) + 3 * bits(1)),
+        ("mid", 2): (10, 2, 8, 9, bits(8) + bits(1)),
+    }
+    assert got == exp
+    # shard containment: every emitted token belongs to the shard it
+    # was built in
+    for s in range(3):
+        for r in build_postings_blocks(
+            docs, block=4, shard_mod=3, shard=s,
+            max_df_num=1, max_df_den=2,
+        ).collect():
+            assert shard_of(r["token"]) % 3 == s
