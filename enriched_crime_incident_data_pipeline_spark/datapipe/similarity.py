@@ -1118,3 +1118,92 @@ def embedding_diversity(
             ).alias("mean_cos_bp"),
         )
     )
+
+
+def kmeans_lloyd_step(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One EXACT Lloyd iteration — the codebook-training step the IVF
+    read path (ss2/ss3/ss10) consumes: assign every vector to its
+    nearest seed centroid (cosine, ties to the lowest centroid id —
+    the ss2 assignment semantics), then recompute each centroid as
+    the per-dimension mean of its members, on a 2^-20 integer grid so
+    the mean is exact under any partitioning.
+
+    Scale shape — the canonical distributed k-means step: the k seed
+    centroids (the first ``n_centroids`` stored vectors, a bounded-k
+    driver shortlist) are inlined as literal arrays, so assignment is
+    a ROW-LOCAL argmax (array_max over k (cos, -cid) structs — no
+    scored-pair relation, no groupBy-argmax shuffle, no join); the
+    M-step quantizes components to integers (``floor(x·2^20)``) and
+    reduces per-(cluster, dim) partial sums map-side. ONE exchange
+    total, carrying k×d aggregation cells — never rows. The corpus
+    is read once and never shuffled.
+
+    Cross-engine exactness: centroid norms are computed in driver
+    Python with the same sequential IEEE-double fold Spark's
+    ``aggregate`` and DuckDB's ``list_dot_product`` use, so every
+    cosine is bit-identical to ss2's join form; the quantized M-step
+    sums are pure integers with sign-safe division. Empty clusters
+    simply emit no rows (a production trainer re-seeds them; the
+    absent rows are the witness).
+
+    Returns ``(cluster, dim, n_members, centroid_q)`` with
+    ``centroid_q`` the new centroid component on the 2^-20 grid.
+    """
+    import math
+
+    seed = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+    def _norm(v: list[float]) -> float:
+        s = 0.0
+        for x in v:
+            s = s + x * x
+        return math.sqrt(s)
+
+    vn = l2_norm(F.col(vec_col))
+    choices = []
+    for cid, cv in seed:
+        c_lit = F.array(*[F.lit(x).cast("double") for x in cv])
+        choices.append(
+            F.struct(
+                cosine_from_norms(
+                    F.col(vec_col), c_lit, vn, F.lit(_norm(cv))
+                ).alias("cos"),
+                F.lit(-cid).cast("long").alias("ncid"),
+            )
+        )
+    # array() drops struct field names (col1/col2) — restore them
+    # with an explicit element-type cast before the field access
+    choice_arr = F.array(*choices).cast(
+        "array<struct<cos:double,ncid:bigint>>"
+    )
+    cluster = (-F.array_max(choice_arr)["ncid"]).cast("int")
+
+    comp = embeddings.select(
+        cluster.alias("cluster"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    agg = comp.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.floor(F.col("x").cast("double") * F.lit(float(scale))))
+        .alias("sq"),
+    )
+    return agg.select(
+        "cluster",
+        "dim",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.expr(
+            "CAST(CASE WHEN sq < 0 THEN -((-sq) DIV n_members)"
+            " ELSE sq DIV n_members END AS BIGINT)"
+        ).alias("centroid_q"),
+    )

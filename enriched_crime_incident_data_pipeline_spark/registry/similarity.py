@@ -24,6 +24,20 @@ def q_ss1_ann_bruteforce(spark, sf_dir):
     return brute_force_neighbors(emb, query_vec_id=0, k=10)
 
 
+def q_ss17_kmeans_step(spark, sf_dir):
+    # codebook training: one exact Lloyd iteration over the ss2 seed
+    # centroids — row-local argmax assignment vs inlined bounded-k
+    # centroids (no join, no scored-pair shuffle) + integer-grid
+    # M-step; ONE exchange of k x d cells. Closes the loop: ss2/ss3/
+    # ss10 consume the codebook this op trains.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        kmeans_lloyd_step,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_step(emb, n_centroids=8)
+
+
 def q_ss2_ivf_assign(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_assignments(emb, n_centroids=8)
@@ -243,6 +257,7 @@ QUERIES = {
     "ss14_mmr_topk": q_ss14_mmr_topk,
     "ss9_cluster_purity": q_ss9_cluster_purity,
     "ss1_ann_bruteforce": q_ss1_ann_bruteforce,
+    "ss17_kmeans_step": q_ss17_kmeans_step,
     "ss2_ivf_assign": q_ss2_ivf_assign,
     "ss3_ivf_topk": q_ss3_ivf_topk,
     "ss4_hyperplane_lsh": q_ss4_hyperplane_lsh,
@@ -733,6 +748,40 @@ def oracles() -> dict[str, str]:
                       FROM scored
                     ) WHERE rn <= 10
                 """,
+        "ss17_kmeans_step": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT a.vec_id, cent.cid,
+                     list_dot_product(a.v, cent.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(cent.v, cent.v))) AS cos
+              FROM e a, cent
+            ),
+            assign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ),
+            comp AS (
+              SELECT a.cluster, s.i - 1 AS dim,
+                     CAST(floor(e.v[s.i] * 1048576.0) AS HUGEINT) AS q
+              FROM e JOIN assign a USING (vec_id),
+                   unnest(generate_series(1, len(e.v))) AS s(i)
+            )
+            SELECT CAST(cluster AS INT) AS cluster,
+                   CAST(dim AS INT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(CASE WHEN sum(q) < 0
+                        THEN -((-sum(q)) // count(*))
+                        ELSE sum(q) // count(*) END AS BIGINT)
+                     AS centroid_q
+            FROM comp GROUP BY 1, 2
+""",
         "ss2_ivf_assign": f"""
                     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                     cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),

@@ -1024,3 +1024,90 @@ def test_embedding_diversity_moment_trick_matches_bruteforce(spark):
         want[g] = (n, -mag if num < 0 else mag)
     assert got == want
     assert 3 not in got and got[1][1] < -9000 and got[2][1] > 9000
+
+
+def test_kmeans_step_hand_fixture(spark):
+    """One Lloyd iteration on a 2-d fixture: centroids assign to
+    themselves, cosine picks direction not magnitude, the zero
+    vector (all-NULL cosines) falls to the lowest centroid id, and
+    the quantized means (incl. a negative-sum dimension's sign-safe
+    division) match a Python model."""
+    import math
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        kmeans_lloyd_step,
+    )
+
+    vecs = {
+        0: [1.0, 0.0],   # centroid 0
+        1: [0.0, 1.0],   # centroid 1
+        2: [0.6, 0.8],   # closer (cosine) to c1
+        3: [-1.0, 0.0],  # cos c0 = -1 < cos c1 = 0 -> c1
+        4: [0.9, 0.1],   # -> c0
+        5: [0.0, 0.0],   # zero norm: NULL cosines -> lowest cid
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        (r["cluster"], r["dim"]): (r["n_members"], r["centroid_q"])
+        for r in kmeans_lloyd_step(emb, n_centroids=2).collect()
+    }
+
+    members = {0: [0, 4, 5], 1: [1, 2, 3]}
+    exp = {}
+    for c, ids in members.items():
+        for d in range(2):
+            qs = [math.floor(vecs[i][d] * (1 << 20)) for i in ids]
+            s, n = sum(qs), len(qs)
+            mean = -((-s) // n) if s < 0 else s // n
+            exp[(c, d)] = (n, mean)
+    assert got == exp
+
+
+def test_kmeans_step_assignment_matches_ivf_join_form(spark):
+    """The row-local inlined-centroid argmax must reproduce ss2's
+    broadcast-join + groupBy-argmax assignment exactly: rebuilding
+    the M-step from ivf_assignments (join form) gives the identical
+    (cluster, dim, n_members, centroid_q) relation on real data."""
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_assignments,
+        kmeans_lloyd_step,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = sorted(
+        tuple(r) for r in kmeans_lloyd_step(emb, n_centroids=8).collect()
+    )
+
+    assign = ivf_assignments(emb, n_centroids=8)
+    joined = emb.join(assign, "vec_id").select(
+        "cluster", F.posexplode("embedding").alias("dim", "x")
+    )
+    want = sorted(
+        tuple(r)
+        for r in joined.groupBy("cluster", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(float(1 << 20)))
+            ).alias("sq"),
+        )
+        .select(
+            "cluster",
+            "dim",
+            "n_members",
+            F.expr(
+                "CAST(CASE WHEN sq < 0 THEN -((-sq) DIV n_members)"
+                " ELSE sq DIV n_members END AS BIGINT)"
+            ).alias("centroid_q"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0

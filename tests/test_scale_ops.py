@@ -1113,3 +1113,10 @@ def test_r7_session3_op_plans_stay_scale_shaped(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange rangepartitioning" not in plan
+
+    # ss17: row-local assignment vs inlined centroids — NO join of
+    # any kind, ONE exchange (the k×d aggregation cells)
+    ss17 = qs["ss17_kmeans_step"](spark, sf)
+    plan = ss17._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
