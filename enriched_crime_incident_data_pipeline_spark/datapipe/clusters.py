@@ -742,3 +742,58 @@ def strongly_connected_components(
     for part in done_parts[1:]:
         out = out.union(part)
     return out
+
+
+def bfs_hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS hop distances, bounded at ``rounds`` hops —
+    the seed-proximity / crawl-horizon measure (how many near-dup /
+    citation hops a document sits from a trusted set).
+
+    ``edges`` is directed ``(src, dst)`` (symmetrize at the call
+    site for undirected semantics); ``seeds`` carries ``id_col``.
+    Returns ``(id, dist)`` for every node within ``rounds`` hops;
+    unreached nodes are absent (their distance is not 0, and a
+    sentinel would just be a full-node-set join).
+
+    Frontier form of min-plus: round ``h`` expands only the nodes
+    FIRST discovered at ``h-1`` (join on src, distinct dst, anti-join
+    the known set), so each edge is traversed at most once per
+    endpoint discovery and total work is O(E · avg-multiplicity),
+    never rounds × E state rewrites. Correctness is
+    horizon-independent: a fixed-round cap can only truncate the
+    frontier, never mis-label a reached node — dist(v) ≤ rounds is
+    exact because BFS layers are discovered in order. The edge
+    relation is lazily checkpointed once (``rounds`` consumers); the
+    accumulated distance set is checkpointed per round so the
+    anti-join never re-derives prior rounds' lineage.
+    """
+    sym = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    dist = (
+        seeds.select(F.col(id_col).cast("long").alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("id")
+    for h in range(1, rounds + 1):
+        reached = (
+            sym.join(frontier, sym["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(h).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        frontier = new.select("id")
+    return dist

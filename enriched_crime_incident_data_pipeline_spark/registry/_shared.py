@@ -1236,3 +1236,43 @@ _MAX_CONCURRENCY_SQL = """
                      AS peak_at_us
             FROM mc GROUP BY user_id
 """
+
+
+# gr10: bounded multi-source directed BFS hop distance from the gr8
+# seed set over gr7's citation graph (datapipe/clusters.py
+# bfs_hop_distances twin). Oracle: recursive-CTE walk with UNION
+# dedup on (node, d) — terminates because d is capped; min(d) per
+# node is the BFS distance by definition, independent of either
+# engine's frontier strategy.
+_GR10_BFS_SQL = f"""
+            WITH RECURSIVE
+            bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+            pairs AS MATERIALIZED (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            rot AS (
+              SELECT doc_id AS src,
+                     coalesce(lead(doc_id) OVER w,
+                              first_value(doc_id) OVER w) AS dst
+              FROM documents
+              WINDOW w AS (PARTITION BY doc_id // 16 ORDER BY doc_id)
+            ),
+            edges AS MATERIALIZED (
+              SELECT src, dst FROM rot
+              UNION SELECT b AS src, a AS dst FROM pairs
+              UNION SELECT a AS src, b AS dst FROM pairs
+                WHERE (a + b) % 3 = 0
+            ),
+            walk(id, d) AS (
+              SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+              UNION
+              SELECT e.dst, w.d + 1
+              FROM walk w JOIN edges e ON e.src = w.id
+              WHERE w.d < 4
+            )
+            SELECT id AS doc_id, CAST(min(d) AS INT) AS dist
+            FROM walk GROUP BY 1
+"""

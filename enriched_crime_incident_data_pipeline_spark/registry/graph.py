@@ -15,6 +15,7 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _GR1_PAGERANK_SQL,
     _GR7_SCC_SQL,
     _GR8_PPR_SQL,
+    _GR10_BFS_SQL,
     _GR2_SQL,
     _GR3_HITS_SQL,
     _MINHASH_BANDS_SQL,
@@ -307,6 +308,45 @@ def q_gr8_personalized_pagerank(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), F.col("rank").alias("ppr"))
 
 
+def q_gr10_bfs_distance(spark, sf_dir):
+    # seed-proximity audit: DIRECTED hop distance from the trusted
+    # seed set (doc_id % 50 = 0, gr8's seeds) over gr7's citation
+    # graph (16-bucket rotation cycles + LSH chords), capped at 4
+    # hops — "how many citation hops is every document from a vetted
+    # domain", the crawl-horizon twin of gr8's random-walk proximity.
+    # All 5 BFS layers are populated (seeded cycles walk 0→4; cycles
+    # with no seed inside the horizon stay absent). Frontier BFS:
+    # each round joins only the newly discovered layer against the
+    # (lazily checkpointed, reused) edge relation; fixed rounds are
+    # exact for dist<=4 by BFS layer order — no convergence
+    # question, hence no driver tier.
+    from pyspark.sql import Window
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        bfs_hop_distances,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
+    rot = docs.select(
+        F.col("doc_id").alias("src"),
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(w)
+        ).alias("dst"),
+    )
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    edges = rot.union(back).union(fwd).distinct()
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    out = bfs_hop_distances(edges, seeds, rounds=4)
+    return out.select(F.col("id").alias("doc_id"), "dist")
+
+
 def q_gr9_link_predict(spark, sf_dir):
     # common-neighbor link prediction — "suggest related docs" /
     # crawl-frontier ranking: non-adjacent pairs ranked by shared
@@ -340,6 +380,7 @@ def q_gr9_link_predict(spark, sf_dir):
 QUERIES = {
     "gr9_link_predict": q_gr9_link_predict,
     "gr6_kcore": q_gr6_kcore,
+    "gr10_bfs_distance": q_gr10_bfs_distance,
     "gr8_personalized_pagerank": q_gr8_personalized_pagerank,
     "gr7_scc": q_gr7_scc,
     "gr1_pagerank": q_gr1_pagerank,
@@ -399,6 +440,7 @@ def oracles() -> dict[str, str]:
             ORDER BY common_neighbors DESC, jaccard_bp DESC, u, v
             LIMIT 50
 """,
+        "gr10_bfs_distance": _GR10_BFS_SQL,
         "gr8_personalized_pagerank": _GR8_PPR_SQL,
         "gr7_scc": _GR7_SCC_SQL,
         "gr6_kcore": _gr6_kcore_sql(),

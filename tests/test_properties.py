@@ -982,3 +982,50 @@ def test_link_predict_matches_python_model(spark, edges, cap):
         if (u, v) not in und
     )
     assert got == want
+
+
+def test_bfs_hop_distances_matches_python_model(spark):
+    """Frontier BFS == textbook BFS on adversarial random directed
+    graphs: cycles, multi-edges, self-loops, seeds inside and outside
+    cycles, nodes beyond the horizon absent, unreachable nodes
+    absent — and the fixed-round cap truncates, never mislabels."""
+    import random
+    from collections import deque
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        bfs_hop_distances,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(40, 90))
+        ]
+        # a guaranteed long chain so layers past round 4 exist
+        edges += [(i, i + 1) for i in range(50, 59)]
+        seeds = sorted(rng.sample(range(n), 5)) + [50]
+        rounds = 4
+
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        s_df = spark.createDataFrame([(s,) for s in set(seeds)], "id long")
+        got = {
+            r["id"]: r["dist"]
+            for r in bfs_hop_distances(e_df, s_df, rounds=rounds).collect()
+        }
+
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        dist = {s: 0 for s in set(seeds)}
+        dq = deque(dist)
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= rounds:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        assert got == dist, f"trial {trial}"
