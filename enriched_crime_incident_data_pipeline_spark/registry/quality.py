@@ -18,6 +18,50 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
 
 
 
+def q_dq8_benford(spark, sf_dir):
+    # first-significant-digit (Benford) audit over order prices —
+    # the fabricated-data / broken-generator tripwire finance and
+    # data-quality teams run on amount columns: natural multi-scale
+    # amounts follow P(d) = log10(1+1/d); a synthetic or truncated
+    # feed doesn't. Exact integer path end-to-end: amounts quantize
+    # to cents (floor(x·100) — the first significant digit is
+    # invariant under the ×10^k shift), the leading digit is the
+    # first character of the INTEGER's decimal string (identical in
+    # both engines — no float formatting), shares are integer basis
+    # points, and the Benford expectation is a fixed literal table
+    # (floor(log10(1+1/d)·10^4), precomputed — no runtime log). One
+    # map-side-combinable 9-cell groupBy + a broadcast scalar total.
+    li = load_table(spark, sf_dir, "lineitem")
+    dig = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = dig.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    benford = F.array(
+        *[F.lit(x) for x in [3010, 1760, 1249, 969, 791, 669, 579, 511, 457]]
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST((n * 10000) DIV _tot AS BIGINT)").alias("share_bp"),
+        F.element_at(benford, F.col("digit")).cast("bigint").alias(
+            "benford_bp"
+        ),
+        F.abs(
+            F.expr("CAST((n * 10000) DIV _tot AS BIGINT)")
+            - F.element_at(benford, F.col("digit")).cast("bigint")
+        ).alias("abs_dev_bp"),
+    )
+
+
 def q_dq3_volume_anomaly(spark, sf_dir):
     # ingest-volume anomaly monitor: daily event counts vs the robust
     # MAD band — flag days where |count - median| > 3·MAD (the
@@ -386,6 +430,7 @@ def q_dq7_ks_drift(spark, sf_dir):
 
 
 QUERIES = {
+    "dq8_benford": q_dq8_benford,
     "dq7_ks_drift": q_dq7_ks_drift,
     "dq5_ri_audit": q_dq5_ri_audit,
     "dq6_token_drift": q_dq6_token_drift,
@@ -401,6 +446,33 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq8_benford": """
+            WITH dig AS (
+              SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100)
+                                       AS BIGINT) AS VARCHAR), 1, 1)
+                          AS INT) AS digit
+              FROM lineitem
+            ),
+            counts AS (
+              SELECT digit, count(*) AS n FROM dig
+              WHERE digit >= 1 GROUP BY 1
+            ),
+            tot AS (SELECT sum(n) AS t FROM counts),
+            exp_bp AS (
+              SELECT * FROM (VALUES
+                (1, 3010), (2, 1760), (3, 1249), (4, 969), (5, 791),
+                (6, 669), (7, 579), (8, 511), (9, 457)
+              ) AS v(digit, benford_bp)
+            )
+            SELECT c.digit,
+                   CAST(c.n AS BIGINT) AS n,
+                   CAST((c.n * 10000) // t.t AS BIGINT) AS share_bp,
+                   CAST(e.benford_bp AS BIGINT) AS benford_bp,
+                   CAST(abs((c.n * 10000) // t.t - e.benford_bp)
+                        AS BIGINT) AS abs_dev_bp
+            FROM counts c, tot t
+            JOIN exp_bp e ON e.digit = c.digit
+""",
         "dq7_ks_drift": _KS_DRIFT_SQL,
         "dq6_token_drift": f"""
             WITH words AS (

@@ -230,3 +230,33 @@ def test_source_minhash_mergeability(spark):
     assert out[("sA", "sD")] == (16, 10000)
     assert out[("sA", "sZ")][0] < 16
     assert out[("sD", "sZ")][0] == out[("sA", "sZ")][0]
+
+
+def test_dq8_benford_digit_extraction_fixture(spark):
+    """The cents quantization + decimal-string leading digit: scale
+    invariance (0.05 / 5.0 / 50.0 all land on digit 5), sub-cent
+    amounts (floor to 0) are excluded, and shares/deviations are
+    integer basis points against the fixed Benford table."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    prices = [0.05, 5.0, 50.0, 123.45, 19.99, 0.001]  # last one drops
+    rows = [(i, p) for i, p in enumerate(prices)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_extendedprice double"
+    )
+    d = tempfile.mkdtemp()
+    li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    got = {
+        r["digit"]: (r["n"], r["share_bp"], r["benford_bp"], r["abs_dev_bp"])
+        for r in spark_queries()["dq8_benford"](spark, d).collect()
+    }
+    # 5 kept rows: digits 5,5,5,1,1
+    assert got == {
+        5: (3, 3 * 10000 // 5, 791, abs(6000 - 791)),
+        1: (2, 2 * 10000 // 5, 3010, abs(4000 - 3010)),
+    }
