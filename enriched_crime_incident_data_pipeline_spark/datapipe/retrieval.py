@@ -330,3 +330,67 @@ def build_postings_blocks(
             "gap_bits",
         )
     )
+
+
+def trigram_substring_search(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Indexed substring search (the pg_trgm / code-search shape):
+    trigram pruning + exact residual verify. Returns
+    ``(doc_id, pos)`` — the 1-based first occurrence — for every
+    document whose raw text contains ``query``.
+
+    A document can contain the query only if it contains every one
+    of the query's character trigrams, so the scan emits, per
+    document, only positions whose trigram is IN the query's trigram
+    set (a tiny literal IN-list — evaluated map-side, nothing else
+    leaves the scan), distincts to (doc, gram), and keeps docs
+    matching ALL |Q| grams. Only those candidates — a relation
+    bounded by the true-match count times the trigram
+    false-positive rate — get the exact ``instr`` verify, via a
+    broadcast semi-join back to the corpus. The corpus text is read
+    once and never shuffled; the only shuffled relation is
+    (doc, query-gram) pairs.
+
+    Trigram containment over-approximates substring containment
+    (grams can match at scattered positions), which is exactly why
+    the residual verify exists; the oracle is the DEFINITIONAL
+    direct scan, so correctness of the pruning (candidates ⊇
+    matches) is proven by equality, not assumed.
+    """
+    qgrams = sorted({query[i : i + 3] for i in range(len(query) - 2)})
+    n_q = len(qgrams)
+    if n_q == 0:
+        raise ValueError("query must be at least 3 characters")
+
+    t = F.col(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length(t) - F.lit(2), F.lit(0)),
+                    ),
+                    lambda i: F.substring(t, i, F.lit(3)),
+                ),
+                lambda g: g.isin(*qgrams),
+            )
+        ).alias("g"),
+    )
+    cand = (
+        grams.distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .filter(F.col("_ng") == n_q)
+        .select(id_col)
+    )
+    verified = docs.join(F.broadcast(cand), id_col).select(
+        F.col(id_col),
+        F.instr(t, query).cast("bigint").alias("pos"),
+    )
+    return verified.filter(F.col("pos") > 0)

@@ -383,6 +383,22 @@ def q_ret4_postings_blocks(spark, sf_dir):
     return build_postings_blocks(docs, block=64, shard_mod=3, shard=0)
 
 
+def q_ret6_trigram_search(spark, sf_dir):
+    # indexed substring search (pg_trgm / code-search shape): the
+    # scan keeps only positions whose trigram is IN the query's
+    # 9-gram literal set, candidates must contain ALL query grams,
+    # and only candidates get the exact instr verify — the oracle is
+    # the DEFINITIONAL direct scan, so the equality proves the
+    # pruning loses nothing. See datapipe/retrieval.py
+    # trigram_substring_search.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        trigram_substring_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_substring_search(docs, "merge batch")
+
+
 def q_ret1_bm25_topk(spark, sf_dir):
     # retrieval baseline: rational-idf BM25 (log-free for cross-engine
     # bit parity, same trade as ta11's rational perplexity) over the
@@ -641,6 +657,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "ret1_bm25_topk": q_ret1_bm25_topk,
     "ret4_postings_blocks": q_ret4_postings_blocks,
+    "ret6_trigram_search": q_ret6_trigram_search,
     "ret2_hybrid_rrf": q_ret2_hybrid_rrf,
     "retention1_cohorts": q_retention1_cohorts,
 }
@@ -796,6 +813,12 @@ def oracles() -> dict[str, str]:
                            min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS winnow
                     FROM grams GROUP BY doc_id
                 """,
+        "ret6_trigram_search": """
+            SELECT doc_id,
+                   CAST(instr(text, 'merge batch') AS BIGINT) AS pos
+            FROM documents
+            WHERE instr(text, 'merge batch') > 0
+""",
         "ret4_postings_blocks": f"""
             WITH toks AS (
               SELECT doc_id AS docid, unnest({_TOKENS}) AS token

@@ -1120,3 +1120,11 @@ def test_r7_session3_op_plans_stay_scale_shaped(spark):
     plan = ss17._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+    # ret6: the candidate→verify join must be a broadcast hash join
+    # (candidates are match-bounded), never sort-merge/cartesian
+    ret6 = qs["ret6_trigram_search"](spark, sf)
+    plan = ret6._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan

@@ -819,3 +819,58 @@ def test_postings_blocks_hand_fixture(spark):
             max_df_num=1, max_df_den=2,
         ).collect():
             assert shard_of(r["token"]) % 3 == s
+
+
+def test_trigram_search_scattered_grams_are_pruned(spark):
+    """Adversarial fixture: a doc containing every query trigram at
+    SCATTERED positions (the trigram-containment false positive) must
+    be pruned by the exact residual verify; true matches report the
+    1-based first-occurrence position; a doc missing one gram never
+    becomes a candidate."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        trigram_substring_search,
+    )
+
+    q = "abcde"  # grams: abc, bcd, cde
+    rows = [
+        (1, "xx" + q + "yy"),          # match at pos 3
+        (2, "abcZZbcdZZcdeZZ"),         # all grams, scattered -> no
+        (3, "abcZZbcdZZ"),              # missing 'cde' -> no
+        (4, q),                         # match at pos 1
+        (5, "zzzzz"),                   # nothing
+        (6, "cdebcdabc" + q),           # grams before the match too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in trigram_substring_search(docs, q).collect()
+    }
+    assert got == {1: 3, 4: 1, 6: 10}
+
+
+def test_trigram_search_matches_python_in_operator(spark):
+    """Property: indexed search == Python substring scan on random
+    small-alphabet strings (dense trigram collisions)."""
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        trigram_substring_search,
+    )
+
+    rng = random.Random(99)
+    texts = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(0, 40)))
+        for _ in range(300)
+    ]
+    q = "abca"
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in trigram_substring_search(docs, q).collect()
+    }
+    exp = {
+        i: t.index(q) + 1 for i, t in enumerate(texts) if q in t
+    }
+    assert got == exp and len(exp) > 0
