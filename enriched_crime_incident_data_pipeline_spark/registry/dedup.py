@@ -216,6 +216,75 @@ def q_dd9_dup_clusters(spark, sf_dir):
     return dup_clusters(docs, pairs)
 
 
+def q_dd22_cluster_agreement(spark, sf_dir):
+    # Adjusted Rand Index between the LSH dup clustering (dd9) and
+    # the provider partition — "does near-duplication align with
+    # source?", the audit a curation team runs before weighting
+    # providers (ARI ~ 1 means one provider's feed is re-serving
+    # another's). Exact integer combinatorics end-to-end: the
+    # contingency table (cluster × source cell counts) is one
+    # map-side groupBy; pair counts n·(n−1)/2, row/col sums, and the
+    # ARI numerator/denominator are integer arithmetic in
+    # decimal(38,0) (products reach C(N,2)², past bigint at corpus
+    # scale), published as sign-safe integer bp. The only row-sized
+    # work is dd9's own clustering + one hash join to attach source.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dup_clusters(
+        docs, lsh_candidate_pairs(minhash_bands(docs))
+    ).select("doc_id", "cluster_id")
+    cells = (
+        clusters.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dec = "decimal(38,0)"
+    pairs2 = lambda c: (F.col(c).cast(dec) * (F.col(c).cast(dec) - 1)) / 2
+    idx = cells.agg(
+        F.sum(pairs2("n")).cast(dec).alias("sum_index"),
+        F.sum("n").cast(dec).alias("n_items"),
+        F.countDistinct("cluster_id").alias("n_a"),
+        F.countDistinct("source").alias("n_b"),
+    )
+    sa = (
+        cells.groupBy("cluster_id")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(pairs2("a")).cast(dec).alias("sa"))
+    )
+    sb = (
+        cells.groupBy("source")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(pairs2("b")).cast(dec).alias("sb"))
+    )
+    out = (
+        idx.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .withColumn("cn2", F.expr(
+            "CAST(n_items * (n_items - 1) AS decimal(38,0)) DIV 2"
+        ).cast(dec))
+        .withColumn("num2", F.expr(
+            "2 * (cn2 * sum_index - sa * sb)"
+        ))
+        .withColumn("den2", F.expr("cn2 * (sa + sb) - 2 * sa * sb"))
+    )
+    return out.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_a").cast("bigint").alias("n_clusters"),
+        F.col("n_b").cast("bigint").alias("n_sources"),
+        F.col("sum_index").cast("bigint").alias("index_pairs"),
+        F.col("sa").cast("bigint").alias("sum_a_pairs"),
+        F.col("sb").cast("bigint").alias("sum_b_pairs"),
+        F.expr(
+            "CAST(CASE WHEN den2 = 0 THEN 0"
+            " WHEN num2 < 0 THEN -(((-num2) * 10000) DIV den2)"
+            " ELSE (num2 * 10000) DIV den2 END AS BIGINT)"
+        ).alias("ari_bp"),
+    )
+
+
 def q_dd10_dedup_keeper(spark, sf_dir):
     # corpus-clean drop-list: LSH pairs → connected components →
     # keep-longest keeper per cluster, emit the rows to delete
@@ -437,6 +506,7 @@ QUERIES = {
     "dd14_semdedup": q_dd14_semdedup,
     "dd8_simhash_pairs": q_dd8_simhash_pairs,
     "dd9_dup_clusters": q_dd9_dup_clusters,
+    "dd22_cluster_agreement": q_dd22_cluster_agreement,
 }
 
 def oracles() -> dict[str, str]:
@@ -760,6 +830,75 @@ def oracles() -> dict[str, str]:
                     JOIN sizes sa ON inter.a = sa.doc_id
                     JOIN sizes sb ON inter.b = sb.doc_id
                     ORDER BY jaccard DESC, a, b LIMIT 20
+                """,
+        "dd22_cluster_agreement": f"""
+                    WITH RECURSIVE pairs AS (
+                      WITH bands AS ({_MINHASH_BANDS_SQL})
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs
+                      UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e.a AS node, r.label
+                      FROM edges e JOIN reach r ON r.node = e.b
+                    ),
+                    cc AS (
+                      SELECT node, min(label) AS cluster_id
+                      FROM reach GROUP BY node
+                    ),
+                    asg AS (
+                      SELECT d.doc_id,
+                             coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                             d.source
+                      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+                    ),
+                    cells AS (
+                      SELECT cluster_id, source, count(*) AS n
+                      FROM asg GROUP BY 1, 2
+                    ),
+                    idx AS (
+                      SELECT CAST(sum(n * (n - 1) // 2) AS HUGEINT)
+                               AS sum_index,
+                             CAST(sum(n) AS HUGEINT) AS n_items,
+                             count(DISTINCT cluster_id) AS n_a,
+                             count(DISTINCT source) AS n_b
+                      FROM cells
+                    ),
+                    sag AS (
+                      SELECT CAST(sum(a * (a - 1) // 2) AS HUGEINT) AS sa
+                      FROM (SELECT sum(n) AS a FROM cells GROUP BY cluster_id)
+                    ),
+                    sbg AS (
+                      SELECT CAST(sum(b * (b - 1) // 2) AS HUGEINT) AS sb
+                      FROM (SELECT sum(n) AS b FROM cells GROUP BY source)
+                    ),
+                    f AS (
+                      SELECT *,
+                             2 * (((n_items * (n_items - 1)) // 2)
+                                  * sum_index - sa * sb) AS num2,
+                             ((n_items * (n_items - 1)) // 2) * (sa + sb)
+                               - 2 * sa * sb AS den2
+                      FROM idx, sag, sbg
+                    )
+                    SELECT CAST(n_items AS BIGINT) AS n_items,
+                           CAST(n_a AS BIGINT) AS n_clusters,
+                           CAST(n_b AS BIGINT) AS n_sources,
+                           CAST(sum_index AS BIGINT) AS index_pairs,
+                           CAST(sa AS BIGINT) AS sum_a_pairs,
+                           CAST(sb AS BIGINT) AS sum_b_pairs,
+                           CAST(CASE WHEN den2 = 0 THEN 0
+                                WHEN num2 < 0
+                                  THEN -(((-num2) * 10000) // den2)
+                                ELSE (num2 * 10000) // den2 END AS BIGINT)
+                             AS ari_bp
+                    FROM f
                 """,
         "dd9_dup_clusters": f"""
                     WITH RECURSIVE pairs AS (

@@ -260,3 +260,52 @@ def test_dq8_benford_digit_extraction_fixture(spark):
         5: (3, 3 * 10000 // 5, 791, abs(6000 - 791)),
         1: (2, 2 * 10000 // 5, 3010, abs(4000 - 3010)),
     }
+
+
+def test_dd22_ari_hand_cases(spark):
+    """ARI in exact integer bp: identical partitions give exactly
+    10000; an anti-aligned labeling gives the Fraction-model value
+    (negative, sign-safe division). Exact-duplicate texts guarantee
+    the LSH clustering used as side A."""
+    import os
+    import tempfile
+    from fractions import Fraction
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    def run(sources):
+        texts = ["alpha beta gamma delta epsilon zeta " * 4,
+                 "one two three four five six seven eight " * 4,
+                 "red green blue yellow purple orange pink " * 4]
+        rows = [
+            (i, texts[i // 2], "en", sources[i], 100)
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string,"
+            " source string, n_chars bigint",
+        )
+        d = tempfile.mkdtemp()
+        docs.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        (r,) = spark_queries()["dd22_cluster_agreement"](spark, d).collect()
+        return r
+
+    # perfect agreement: same-text pairs share a source
+    r = run(["s1", "s1", "s2", "s2", "s3", "s3"])
+    assert (r["index_pairs"], r["sum_a_pairs"], r["sum_b_pairs"]) == (3, 3, 3)
+    assert r["ari_bp"] == 10000
+
+    # anti-aligned: every cluster splits 1/1 across two sources
+    r = run(["s1", "s2", "s1", "s2", "s1", "s2"])
+    cn2, index, sa, sb = Fraction(15), Fraction(0), Fraction(3), Fraction(6)
+    ari = (index - sa * sb / cn2) / ((sa + sb) / 2 - sa * sb / cn2)
+    assert ari < 0
+    # sign-safe integer division of the scaled rational
+    num2, den2 = 2 * (cn2 * index - sa * sb), cn2 * (sa + sb) - 2 * sa * sb
+    want = -((-num2 * 10000) // den2)
+    assert r["ari_bp"] == want == -3636
