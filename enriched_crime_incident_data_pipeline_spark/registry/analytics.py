@@ -460,7 +460,63 @@ def q_hist2_equidepth(spark, sf_dir):
         )
     )
 
+def q_stat6_linear_trend(spark, sf_dir):
+    # per-type OLS drift line — "is this metric trending, and how
+    # hard": slope and fit strength of value-vs-time per event_type,
+    # in EXACT integer arithmetic (built-in regr_slope is float-sum
+    # order-dependent). Values quantize to milli-units, times to
+    # epoch seconds re-based against the GLOBAL min (a broadcast
+    # scalar — magnitude control without a per-group pass, and slope
+    # is shift-invariant); the five co-moment sums are
+    # decimal(38,0) and map-side combinable, so the whole reduce
+    # state is |types| x 5 cells and the answer is exact under any
+    # partitioning. slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) published
+    # as sign-safe milli-units/day; fit strength r² in integer bp
+    # via the TWO-STEP floored division ((|num|·10⁴ DIV vary)·|num|)
+    # DIV den — num² itself overflows decimal(38) at sf0.1 — which
+    # under-reads the one-shot floor by at most the dropped
+    # remainder's share yet is the identical deterministic value in
+    # both engines. Degenerate groups (all at one instant or
+    # constant value) pin to 0.
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    tmin = ev.agg(F.min(F.unix_timestamp("ts")).alias("_t0"))
+    base = ev.crossJoin(F.broadcast(tmin)).select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.col("_t0")).cast(dec).alias("x"),
+        F.floor(F.col("value") * F.lit(1000.0)).cast(dec).alias("y"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    agg = (
+        agg.withColumn("num", F.expr("n * sxy - sx * sy"))
+        .withColumn("den", F.expr("n * sxx - sx * sx"))
+        .withColumn("vary", F.expr("n * syy - sy * sy"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN 0"
+            " WHEN num < 0 THEN -(((-num) * 86400) DIV den)"
+            " ELSE (num * 86400) DIV den END AS BIGINT)"
+        ).alias("slope_milli_per_day"),
+        F.expr(
+            "CAST(CASE WHEN den = 0 OR vary = 0 THEN 0"
+            " ELSE ((abs(num) * 10000 DIV vary) * abs(num)) DIV den"
+            " END AS BIGINT)"
+        ).alias("r2_bp"),
+    )
+
+
 QUERIES = {
+    "stat6_linear_trend": q_stat6_linear_trend,
     "topk_per_group": q_topk_per_group,
     "sort_limit": q_sort_limit,
     "pivot": q_pivot,
@@ -492,6 +548,42 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "stat6_linear_trend": """
+            WITH t0 AS (
+              SELECT min(epoch_us(ts) // 1000000) AS t0 FROM events
+            ),
+            base AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 1000000 - t0 AS HUGEINT) AS x,
+                     CAST(floor(value * 1000) AS HUGEINT) AS y
+              FROM events, t0
+            ),
+            agg AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM base GROUP BY 1
+            ),
+            f AS (
+              SELECT event_type, n,
+                     n * sxy - sx * sy AS num,
+                     n * sxx - sx * sx AS den,
+                     n * syy - sy * sy AS vary
+              FROM agg
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN den = 0 THEN 0
+                        WHEN num < 0 THEN -(((-num) * 86400) // den)
+                        ELSE (num * 86400) // den END AS BIGINT)
+                     AS slope_milli_per_day,
+                   CAST(CASE WHEN den = 0 OR vary = 0 THEN 0
+                        ELSE ((abs(num) * 10000 // vary) * abs(num)) // den
+                        END AS BIGINT) AS r2_bp
+            FROM f
+""",
         "topk_per_group": """
                     SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
                     FROM (

@@ -236,3 +236,48 @@ def test_ts9_max_concurrency_matches_python_sweep(spark):
                 best, best_t = run, t
         exp[k] = (best, best_t)
     assert got == exp
+
+
+def test_stat6_linear_trend_hand_cases(spark):
+    """Exact OLS integers: a perfect 2 units/sec line reports exactly
+    2000*86400 milli/day with r2 = 10000 bp (the two-step floored
+    division is exact when den divides); a constant series reports
+    slope 0, r2 0; a single-instant type is degenerate (den = 0)."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # "line": value = 2*t exactly
+    for sec in range(0, 50, 5):
+        rows.append((eid, t0 + dt.timedelta(seconds=sec), 1, "line",
+                     2.0 * sec))
+        eid += 1
+    # "flat": constant value over time
+    for sec in range(0, 30, 3):
+        rows.append((eid, t0 + dt.timedelta(seconds=sec), 1, "flat", 7.25))
+        eid += 1
+    # "point": two rows at one instant
+    rows.append((eid, t0, 2, "point", 1.0)); eid += 1
+    rows.append((eid, t0, 2, "point", 9.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["event_type"]: (r["n"], r["slope_milli_per_day"], r["r2_bp"])
+        for r in spark_queries()["stat6_linear_trend"](spark, d).collect()
+    }
+    assert got == {
+        "line": (10, 2000 * 86400, 10000),
+        "flat": (10, 0, 0),
+        "point": (2, 0, 0),
+    }
