@@ -43,3 +43,42 @@ def var_from_moments(n: Column, s: Column, ss: Column) -> Column:
     subtraction can land epsilon-negative)."""
     m = mean_from_moments(n, s)
     return F.greatest(ss.cast("double") / n - m * m, F.lit(0.0))
+
+
+def trend_from_moments(agg: "DataFrame") -> "DataFrame":
+    """OLS epilogue shared by batch stat6 and streaming st25: given
+    per-group exact decimal co-moment sums ``(n, sx, sy, sxx, syy,
+    sxy)``, publish the sign-safe integer slope (milli-units/day)
+    and the two-step-floored r² in bp (see stat6's overflow note).
+
+    The co-moments num = n·Σxy − ΣxΣy, den = n·Σx² − (Σx)² and
+    vary are EXACTLY shift-invariant in integer arithmetic (shifting
+    x by any constant c cancels: n(Σxy+cΣy) − (Σx+nc)Σy = num), so a
+    batch caller that re-bases x for magnitude control and a
+    streaming caller that cannot (a global min is itself a stream
+    aggregation) produce bit-identical outputs — which is what lets
+    ONE oracle serve both."""
+    agg = (
+        agg.withColumn("num", F.expr("n * sxy - sx * sy"))
+        .withColumn("den", F.expr("n * sxx - sx * sx"))
+        .withColumn("vary", F.expr("n * syy - sy * sy"))
+    )
+    group_cols = [
+        c for c in agg.columns
+        if c not in {"n", "sx", "sy", "sxx", "syy", "sxy",
+                     "num", "den", "vary"}
+    ]
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN 0"
+            " WHEN num < 0 THEN -(((-num) * 86400) DIV den)"
+            " ELSE (num * 86400) DIV den END AS BIGINT)"
+        ).alias("slope_milli_per_day"),
+        F.expr(
+            "CAST(CASE WHEN den = 0 OR vary = 0 THEN 0"
+            " ELSE ((abs(num) * 10000 DIV vary) * abs(num)) DIV den"
+            " END AS BIGINT)"
+        ).alias("r2_bp"),
+    )

@@ -1276,3 +1276,44 @@ _GR10_BFS_SQL = f"""
             SELECT id AS doc_id, CAST(min(d) AS INT) AS dist
             FROM walk GROUP BY 1
 """
+
+
+# stat6 / st25: per-type exact-integer OLS drift line — the streaming
+# twin maintains the same co-moment sums (shift-invariant, see
+# functions/stats.py trend_from_moments), so one oracle serves both.
+_LINEAR_TREND_SQL = """
+            WITH t0 AS (
+              SELECT min(epoch_us(ts) // 1000000) AS t0 FROM events
+            ),
+            base AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 1000000 - t0 AS HUGEINT) AS x,
+                     CAST(floor(value * 1000) AS HUGEINT) AS y
+              FROM events, t0
+            ),
+            agg AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM base GROUP BY 1
+            ),
+            f AS (
+              SELECT event_type, n,
+                     n * sxy - sx * sy AS num,
+                     n * sxx - sx * sx AS den,
+                     n * syy - sy * sy AS vary
+              FROM agg
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN den = 0 THEN 0
+                        WHEN num < 0 THEN -(((-num) * 86400) // den)
+                        ELSE (num * 86400) // den END AS BIGINT)
+                     AS slope_milli_per_day,
+                   CAST(CASE WHEN den = 0 OR vary = 0 THEN 0
+                        ELSE ((abs(num) * 10000 // vary) * abs(num)) // den
+                        END AS BIGINT) AS r2_bp
+            FROM f
+"""

@@ -13,6 +13,7 @@ from enriched_crime_incident_data_pipeline_spark.functions.text import STOPWORDS
 from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _LINEAR_TREND_SQL,
     _SQL1,
     _STOPWORD_SETS,
     _TOKEN_COUNT,
@@ -494,25 +495,11 @@ def q_stat6_linear_trend(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    agg = (
-        agg.withColumn("num", F.expr("n * sxy - sx * sy"))
-        .withColumn("den", F.expr("n * sxx - sx * sx"))
-        .withColumn("vary", F.expr("n * syy - sy * sy"))
+    from enriched_crime_incident_data_pipeline_spark.functions.stats import (
+        trend_from_moments,
     )
-    return agg.select(
-        "event_type",
-        F.col("n").cast("bigint").alias("n"),
-        F.expr(
-            "CAST(CASE WHEN den = 0 THEN 0"
-            " WHEN num < 0 THEN -(((-num) * 86400) DIV den)"
-            " ELSE (num * 86400) DIV den END AS BIGINT)"
-        ).alias("slope_milli_per_day"),
-        F.expr(
-            "CAST(CASE WHEN den = 0 OR vary = 0 THEN 0"
-            " ELSE ((abs(num) * 10000 DIV vary) * abs(num)) DIV den"
-            " END AS BIGINT)"
-        ).alias("r2_bp"),
-    )
+
+    return trend_from_moments(agg)
 
 
 QUERIES = {
@@ -548,42 +535,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
-        "stat6_linear_trend": """
-            WITH t0 AS (
-              SELECT min(epoch_us(ts) // 1000000) AS t0 FROM events
-            ),
-            base AS (
-              SELECT event_type,
-                     CAST(epoch_us(ts) // 1000000 - t0 AS HUGEINT) AS x,
-                     CAST(floor(value * 1000) AS HUGEINT) AS y
-              FROM events, t0
-            ),
-            agg AS (
-              SELECT event_type,
-                     CAST(count(*) AS HUGEINT) AS n,
-                     sum(x) AS sx, sum(y) AS sy,
-                     sum(x * x) AS sxx, sum(y * y) AS syy,
-                     sum(x * y) AS sxy
-              FROM base GROUP BY 1
-            ),
-            f AS (
-              SELECT event_type, n,
-                     n * sxy - sx * sy AS num,
-                     n * sxx - sx * sx AS den,
-                     n * syy - sy * sy AS vary
-              FROM agg
-            )
-            SELECT event_type,
-                   CAST(n AS BIGINT) AS n,
-                   CAST(CASE WHEN den = 0 THEN 0
-                        WHEN num < 0 THEN -(((-num) * 86400) // den)
-                        ELSE (num * 86400) // den END AS BIGINT)
-                     AS slope_milli_per_day,
-                   CAST(CASE WHEN den = 0 OR vary = 0 THEN 0
-                        ELSE ((abs(num) * 10000 // vary) * abs(num)) // den
-                        END AS BIGINT) AS r2_bp
-            FROM f
-""",
+        "stat6_linear_trend": _LINEAR_TREND_SQL,
         "topk_per_group": """
                     SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
                     FROM (

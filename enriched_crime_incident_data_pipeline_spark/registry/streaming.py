@@ -15,6 +15,7 @@ from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_tab
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _KS_DRIFT_SQL,
+    _LINEAR_TREND_SQL,
     _MAX_CONCURRENCY_SQL,
     _COS,
     _DC7_BLOOM_SQL,
@@ -1016,7 +1017,49 @@ def q_st24_stream_concurrency(spark, sf_dir):
     )
 
 
+def q_st25_stream_trend(spark, sf_dir):
+    # live drift-line monitor (stat6 as a stream): the five exact
+    # decimal co-moment sums per event_type ARE a streaming
+    # aggregation — integers merge in any micro-batch order, state
+    # is |types| × 6 cells — and the OLS epilogue
+    # (trend_from_moments, the code path batch stat6 ends in) runs
+    # over the maintained state. The stream CANNOT re-base x against
+    # the global min (that min is itself a stream aggregation), and
+    # doesn't need to: num/den/vary are exactly shift-invariant in
+    # integer arithmetic (proof in trend_from_moments), so the
+    # un-rebased streaming sums and stat6's rebased batch sums yield
+    # bit-identical outputs — one oracle serves both.
+    from enriched_crime_incident_data_pipeline_spark.functions.stats import (
+        trend_from_moments,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast(dec).alias("x"),
+        F.floor(F.col("value") * F.lit(1000.0)).cast(dec).alias("y"),
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    state = run_available_now(
+        sums, "st25_trend", "complete", state_partitions=4
+    )
+    return trend_from_moments(state)
+
+
 QUERIES = {
+    "st25_stream_trend": q_st25_stream_trend,
     "st24_stream_concurrency": q_st24_stream_concurrency,
     "st23_stream_ks_drift": q_st23_stream_ks_drift,
     "st20_stream_decayed_counts": q_st20_stream_decayed_counts,
@@ -1057,6 +1100,10 @@ def oracles() -> dict[str, str]:
         # state; the sweep statistic over it is identical, so one
         # oracle serves both.
         "st24_stream_concurrency": _MAX_CONCURRENCY_SQL,
+        # st25 maintains the stat6 co-moments as streaming state;
+        # shift-invariance makes the statistic identical, so one
+        # oracle serves both.
+        "st25_stream_trend": _LINEAR_TREND_SQL,
         "st22_stream_weighted_sample": f"""
             WITH base AS (
               SELECT doc_id,

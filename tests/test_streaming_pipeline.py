@@ -230,3 +230,24 @@ def test_st24_stream_concurrency_equals_batch_ts9(spark):
         tuple(r) for r in qs["ts9_max_concurrency"](spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_st25_stream_trend_equals_batch_stat6(spark):
+    # AvailableNow ≡ batch: the streaming monitor maintains the five
+    # co-moment sums as state with UN-rebased x while batch stat6
+    # re-bases x against the global min — integer shift-invariance
+    # (trend_from_moments docstring) makes the outputs bit-identical,
+    # pinned end-to-end through the registry
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    got = sorted(
+        tuple(r) for r in qs["st25_stream_trend"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in qs["stat6_linear_trend"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
