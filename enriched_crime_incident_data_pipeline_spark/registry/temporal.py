@@ -615,6 +615,66 @@ def q_ts8_time_weighted_avg(spark, sf_dir):
     )
 
 
+def q_funnel2_time_bounded(spark, sf_dir):
+    # funnel with per-stage deadlines — the product-analytics form
+    # (an unbounded funnel credits a purchase months after the
+    # click): first view → first click WITHIN 1h of it → first
+    # purchase WITHIN 24h of that. Same scale shape as funnel1
+    # (per-stage min-aggregations over conditional joins, every
+    # shuffle on user_id — co-partitioned, no event-stream window);
+    # the deadline is one extra row-local predicate per stage, and
+    # a stage missing its window nulls everything downstream (the
+    # join chain encodes that for free). Integer-second bounds.
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_view"))
+            & (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp("first_view")
+                <= 3600
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_click"))
+            & (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp("first_click")
+                <= 86400
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    funnel = views.join(clicks, "user_id", "left").join(
+        purchases, "user_id", "left"
+    )
+    return funnel.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        (
+            F.col("first_click").isNotNull().cast("int")
+            + F.col("first_purchase").isNotNull().cast("int")
+            + F.lit(1)
+        ).alias("stages_reached"),
+    )
+
+
 def q_ts9_max_concurrency(spark, sf_dir):
     # peak concurrent sessions per user — the capacity-planning
     # statistic: each event opens a half-open 30-min interval
@@ -640,6 +700,7 @@ def q_ts9_max_concurrency(spark, sf_dir):
 
 
 QUERIES = {
+    "funnel2_time_bounded": q_funnel2_time_bounded,
     "ts9_max_concurrency": q_ts9_max_concurrency,
     "ts8_time_weighted_avg": q_ts8_time_weighted_avg,
     "asof5_lastn": q_asof5_lastn,
@@ -685,6 +746,39 @@ def oracles() -> dict[str, str]:
                     ) r
                 """,
         "ts9_max_concurrency": _MAX_CONCURRENCY_SQL,
+        "funnel2_time_bounded": """
+                    WITH views AS (
+                      SELECT user_id, min(ts) AS first_view FROM events
+                      WHERE event_type = 'view' GROUP BY user_id
+                    ),
+                    clicks AS (
+                      SELECT e.user_id, min(e.ts) AS first_click
+                      FROM events e JOIN views v ON e.user_id = v.user_id
+                      WHERE e.event_type = 'click' AND e.ts >= v.first_view
+                        AND epoch_us(e.ts) // 1000000
+                            - epoch_us(v.first_view) // 1000000 <= 3600
+                      GROUP BY e.user_id
+                    ),
+                    purch AS (
+                      SELECT e.user_id, min(e.ts) AS first_purchase
+                      FROM events e JOIN clicks c ON e.user_id = c.user_id
+                      WHERE e.event_type = 'purchase'
+                        AND e.ts >= c.first_click
+                        AND epoch_us(e.ts) // 1000000
+                            - epoch_us(c.first_click) // 1000000 <= 86400
+                      GROUP BY e.user_id
+                    )
+                    SELECT v.user_id, v.first_view, c.first_click,
+                           p.first_purchase,
+                           CAST(1 + CASE WHEN c.first_click IS NOT NULL
+                                         THEN 1 ELSE 0 END
+                                  + CASE WHEN p.first_purchase IS NOT NULL
+                                         THEN 1 ELSE 0 END AS INTEGER)
+                             AS stages_reached
+                    FROM views v
+                    LEFT JOIN clicks c ON v.user_id = c.user_id
+                    LEFT JOIN purch p ON v.user_id = p.user_id
+                """,
         "ts8_time_weighted_avg": """
             WITH e AS (
               SELECT user_id,
