@@ -107,7 +107,93 @@ def q_zo1_zorder_tiles(spark, sf_dir):
         )
     )
 
+def q_zo2_skipping_audit(spark, sf_dir):
+    # data-skipping effectiveness audit — the number a layout
+    # decision is actually judged by: for a range predicate on each
+    # axis, how many tiles (parquet footers) does the reader scan
+    # and how many rows ride along, under (a) the z-ordered layout
+    # vs (b) the insertion-ordered layout. Z-order keeps BOTH axes'
+    # per-tile bounds tight, so either predicate skips most tiles;
+    # insertion order leaves px/py cycling through their full range
+    # inside every tile (min≈0, max≈domain) and skips nothing — the
+    # audit makes that a measured, oracle-checked fact, not a claim.
+    # Shape: two tile-stat groupBys over the point relation (tile-
+    # domain partials, map-side combinable) + per-predicate
+    # aggregations over the TINY tile relations + one map-side
+    # matching-row count; all integers.
+    from enriched_crime_incident_data_pipeline_spark.sinks.zorder import (
+        morton_code,
+    )
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 89).cast("long").alias("px"),
+        (F.col("c_custkey") % 97).cast("long").alias("py"),
+    )
+
+    def tile_stats(tile_col):
+        return (
+            pts.groupBy(tile_col.alias("tile"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("px").alias("min_px"),
+                F.max("px").alias("max_px"),
+                F.min("py").alias("min_py"),
+                F.max("py").alias("max_py"),
+            )
+        )
+
+    zcode = morton_code(F.col("px"), F.col("py"), bits=7)
+    layouts = {
+        "zorder": tile_stats(F.shiftright(zcode, 6).cast("bigint")),
+        "insertion": tile_stats(
+            F.expr("CAST(k DIV 64 AS BIGINT)")
+        ),
+    }
+    preds = {"px_10_19": ("px", 10, 19), "py_40_49": ("py", 40, 49)}
+
+    outs = []
+    for lname, tiles in layouts.items():
+        for pname, (ax, lo, hi) in preds.items():
+            scanned = (F.col(f"min_{ax}") <= hi) & (
+                F.col(f"max_{ax}") >= lo
+            )
+            outs.append(
+                tiles.agg(
+                    F.lit(lname).alias("layout"),
+                    F.lit(pname).alias("predicate"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_tiles"),
+                    F.sum(scanned.cast("int")).cast("bigint").alias(
+                        "tiles_scanned"
+                    ),
+                    F.sum(
+                        F.when(scanned, F.col("n_rows")).otherwise(0)
+                    ).cast("bigint").alias("rows_scanned"),
+                )
+            )
+    audit = outs[0]
+    for o in outs[1:]:
+        audit = audit.unionByName(o)
+    match = [
+        pts.agg(
+            F.lit(pname).alias("predicate"),
+            F.sum(
+                (
+                    (F.col(ax) >= lo) & (F.col(ax) <= hi)
+                ).cast("int")
+            ).cast("bigint").alias("rows_matching"),
+        )
+        for pname, (ax, lo, hi) in preds.items()
+    ]
+    m = match[0].unionByName(match[1])
+    return audit.join(F.broadcast(m), "predicate").select(
+        "layout", "predicate", "n_tiles", "tiles_scanned",
+        "rows_scanned", "rows_matching",
+    )
+
+
 QUERIES = {
+    "zo2_skipping_audit": q_zo2_skipping_audit,
     "sj1_salted_hot_agg": q_sj1_salted_hot_agg,
     "sj2_salted_join": q_sj2_salted_join,
     "zo1_zorder_tiles": q_zo1_zorder_tiles,
@@ -135,6 +221,76 @@ def oracles() -> dict[str, str]:
                       FROM (SELECT DISTINCT k FROM e)
                     )
                     SELECT e.event_id, e.k, dim.w FROM e JOIN dim USING (k)
+                """,
+        "zo2_skipping_audit": f"""
+                    WITH pts AS (
+                      SELECT c_custkey AS k,
+                             CAST(c_custkey % 89 AS BIGINT) AS px,
+                             CAST(c_custkey % 97 AS BIGINT) AS py
+                      FROM customer
+                    ),
+                    coded AS (
+                      SELECT k, px, py, ({_MORTON7_SQL}) AS z FROM pts
+                    ),
+                    zt AS (
+                      SELECT z >> 6 AS tile, count(*) AS n_rows,
+                             min(px) AS min_px, max(px) AS max_px,
+                             min(py) AS min_py, max(py) AS max_py
+                      FROM coded GROUP BY 1
+                    ),
+                    it AS (
+                      SELECT k // 64 AS tile, count(*) AS n_rows,
+                             min(px) AS min_px, max(px) AS max_px,
+                             min(py) AS min_py, max(py) AS max_py
+                      FROM coded GROUP BY 1
+                    ),
+                    audit AS (
+                      SELECT 'zorder' AS layout, 'px_10_19' AS predicate,
+                             count(*) AS n_tiles,
+                             sum(CASE WHEN min_px <= 19 AND max_px >= 10
+                                 THEN 1 ELSE 0 END) AS tiles_scanned,
+                             sum(CASE WHEN min_px <= 19 AND max_px >= 10
+                                 THEN n_rows ELSE 0 END) AS rows_scanned
+                      FROM zt
+                      UNION ALL
+                      SELECT 'zorder', 'py_40_49', count(*),
+                             sum(CASE WHEN min_py <= 49 AND max_py >= 40
+                                 THEN 1 ELSE 0 END),
+                             sum(CASE WHEN min_py <= 49 AND max_py >= 40
+                                 THEN n_rows ELSE 0 END)
+                      FROM zt
+                      UNION ALL
+                      SELECT 'insertion', 'px_10_19', count(*),
+                             sum(CASE WHEN min_px <= 19 AND max_px >= 10
+                                 THEN 1 ELSE 0 END),
+                             sum(CASE WHEN min_px <= 19 AND max_px >= 10
+                                 THEN n_rows ELSE 0 END)
+                      FROM it
+                      UNION ALL
+                      SELECT 'insertion', 'py_40_49', count(*),
+                             sum(CASE WHEN min_py <= 49 AND max_py >= 40
+                                 THEN 1 ELSE 0 END),
+                             sum(CASE WHEN min_py <= 49 AND max_py >= 40
+                                 THEN n_rows ELSE 0 END)
+                      FROM it
+                    ),
+                    m AS (
+                      SELECT 'px_10_19' AS predicate,
+                             sum(CASE WHEN px BETWEEN 10 AND 19
+                                 THEN 1 ELSE 0 END) AS rows_matching
+                      FROM pts
+                      UNION ALL
+                      SELECT 'py_40_49',
+                             sum(CASE WHEN py BETWEEN 40 AND 49
+                                 THEN 1 ELSE 0 END)
+                      FROM pts
+                    )
+                    SELECT a.layout, a.predicate,
+                           CAST(a.n_tiles AS BIGINT) AS n_tiles,
+                           CAST(a.tiles_scanned AS BIGINT) AS tiles_scanned,
+                           CAST(a.rows_scanned AS BIGINT) AS rows_scanned,
+                           CAST(m.rows_matching AS BIGINT) AS rows_matching
+                    FROM audit a JOIN m USING (predicate)
                 """,
         "zo1_zorder_tiles": f"""
                     WITH pts AS (

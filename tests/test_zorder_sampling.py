@@ -169,3 +169,26 @@ def test_weighted_sample_k_returns_all_when_k_exceeds_n(spark):
 
     df = spark.createDataFrame([(1, 0), (2, 3)], "doc_id long, t long")
     assert weighted_sample_k(df, 10, F.col("t")).count() == 2
+
+
+def test_zo2_skipping_audit_zorder_dominates(spark):
+    """The audit's point, asserted: on every predicate the z-ordered
+    layout scans strictly fewer rows than the insertion layout, and
+    scanning is sound (rows_scanned >= rows_matching — a pruned tile
+    never hides a match)."""
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    rows = spark_queries()["zo2_skipping_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = {(r["layout"], r["predicate"]): r for r in rows}
+    assert len(by) == 4
+    for pred in ("px_10_19", "py_40_49"):
+        z, i = by[("zorder", pred)], by[("insertion", pred)]
+        assert z["rows_matching"] == i["rows_matching"]
+        assert z["rows_scanned"] >= z["rows_matching"]
+        assert i["rows_scanned"] >= i["rows_matching"]
+        assert z["rows_scanned"] < i["rows_scanned"]
+        assert z["tiles_scanned"] < z["n_tiles"]
