@@ -121,6 +121,42 @@ def q_dd7_embed_blocked(spark, sf_dir):
 
 
 
+def q_dd23_threshold_sweep(spark, sf_dir):
+    # the threshold-tuning artifact a semantic-dedup rollout is
+    # decided on (tok8's compression curve, for dd14): duplicate
+    # pair count and documents-affected at each candidate cosine
+    # threshold, ALL from ONE blocked pair relation (computed at the
+    # loosest threshold and lazily checkpointed — 4 consumers would
+    # re-derive the IVF-blocked scoring join otherwise). Each sweep
+    # point is a conditional aggregate over the candidate-pair
+    # relation (pairs-sized, never corpus-sized); docs_affected is a
+    # distinct over the pairs that survive that threshold. Cosine is
+    # bit-identical cross-engine by the dd6/dd7 ordered-fold
+    # contract, so the literal threshold comparisons agree exactly.
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.2, block_clusters=16
+    ).localCheckpoint(eager=False)
+    outs = []
+    for t_bp, t in [(2000, 0.2), (3000, 0.3), (4000, 0.4),
+                    (5000, 0.5), (7000, 0.7)]:
+        surv = pairs.filter(F.col("cosine") >= F.lit(t))
+        docs = (
+            surv.select(F.explode(F.array("a", "b")).alias("d"))
+            .agg(F.countDistinct("d").cast("bigint").alias("docs_affected"))
+        )
+        outs.append(
+            surv.agg(
+                F.lit(t_bp).cast("int").alias("threshold_bp"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            ).crossJoin(F.broadcast(docs))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_dd14_semdedup(spark, sf_dir):
     # SemDeDup (Abbas et al. 2023): IVF-cluster the embedding space,
     # take intra-cluster pairs with cosine >= 0.3 (the dd7 blocked
@@ -504,6 +540,7 @@ QUERIES = {
     "dd6_embed_cosine": q_dd6_embed_cosine,
     "dd7_embed_blocked": q_dd7_embed_blocked,
     "dd14_semdedup": q_dd14_semdedup,
+    "dd23_threshold_sweep": q_dd23_threshold_sweep,
     "dd8_simhash_pairs": q_dd8_simhash_pairs,
     "dd9_dup_clusters": q_dd9_dup_clusters,
     "dd22_cluster_agreement": q_dd22_cluster_agreement,
@@ -574,6 +611,75 @@ def oracles() -> dict[str, str]:
                     SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine
                     FROM e a JOIN e b ON a.vec_id < b.vec_id
                     WHERE {_COS} >= 0.4
+                """,
+        "dd23_threshold_sweep": f"""
+                    WITH e AS (
+                      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    ),
+                    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 16),
+                    assign AS (
+                      SELECT vec_id, cid AS cluster FROM (
+                        SELECT a.vec_id, cent.cid,
+                          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                            list_dot_product(a.v, cent.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(cent.v, cent.v))) DESC,
+                            cent.cid) AS rn
+                        FROM e a, cent
+                      ) WHERE rn = 1
+                    ),
+                    pairs AS MATERIALIZED (
+                      SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cosine
+                      FROM e a
+                      JOIN assign ca ON a.vec_id = ca.vec_id
+                      JOIN assign cb ON cb.cluster = ca.cluster
+                      JOIN e b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+                      WHERE {_COS} >= 0.2
+                    )
+                      SELECT CAST(2000 AS INTEGER) AS threshold_bp,
+                             CAST(count(*) AS BIGINT) AS n_pairs,
+                             CAST((SELECT count(DISTINCT d) FROM (
+                                SELECT a AS d FROM pairs WHERE cosine >= 0.2
+                                UNION ALL
+                                SELECT b FROM pairs WHERE cosine >= 0.2))
+                               AS BIGINT) AS docs_affected
+                      FROM pairs WHERE cosine >= 0.2
+                      UNION ALL
+                      SELECT CAST(3000 AS INTEGER) AS threshold_bp,
+                             CAST(count(*) AS BIGINT) AS n_pairs,
+                             CAST((SELECT count(DISTINCT d) FROM (
+                                SELECT a AS d FROM pairs WHERE cosine >= 0.3
+                                UNION ALL
+                                SELECT b FROM pairs WHERE cosine >= 0.3))
+                               AS BIGINT) AS docs_affected
+                      FROM pairs WHERE cosine >= 0.3
+                      UNION ALL
+                      SELECT CAST(4000 AS INTEGER) AS threshold_bp,
+                             CAST(count(*) AS BIGINT) AS n_pairs,
+                             CAST((SELECT count(DISTINCT d) FROM (
+                                SELECT a AS d FROM pairs WHERE cosine >= 0.4
+                                UNION ALL
+                                SELECT b FROM pairs WHERE cosine >= 0.4))
+                               AS BIGINT) AS docs_affected
+                      FROM pairs WHERE cosine >= 0.4
+                      UNION ALL
+                      SELECT CAST(5000 AS INTEGER) AS threshold_bp,
+                             CAST(count(*) AS BIGINT) AS n_pairs,
+                             CAST((SELECT count(DISTINCT d) FROM (
+                                SELECT a AS d FROM pairs WHERE cosine >= 0.5
+                                UNION ALL
+                                SELECT b FROM pairs WHERE cosine >= 0.5))
+                               AS BIGINT) AS docs_affected
+                      FROM pairs WHERE cosine >= 0.5
+                      UNION ALL
+                      SELECT CAST(7000 AS INTEGER) AS threshold_bp,
+                             CAST(count(*) AS BIGINT) AS n_pairs,
+                             CAST((SELECT count(DISTINCT d) FROM (
+                                SELECT a AS d FROM pairs WHERE cosine >= 0.7
+                                UNION ALL
+                                SELECT b FROM pairs WHERE cosine >= 0.7))
+                               AS BIGINT) AS docs_affected
+                      FROM pairs WHERE cosine >= 0.7
                 """,
         "dd7_embed_blocked": f"""
                     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -309,3 +309,35 @@ def test_dd22_ari_hand_cases(spark):
     num2, den2 = 2 * (cn2 * index - sa * sb), cn2 * (sa + sb) - 2 * sa * sb
     want = -((-num2 * 10000) // den2)
     assert r["ari_bp"] == want == -3636
+
+
+def test_dd23_sweep_is_monotone_and_consistent(spark):
+    """Structural invariants of the threshold sweep: pair counts and
+    docs_affected are non-increasing in the threshold, the loosest
+    point equals the raw dd7-style pair relation's size, and
+    docs_affected never exceeds 2x pairs."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        (r["threshold_bp"], r["n_pairs"], r["docs_affected"])
+        for r in spark_queries()["dd23_threshold_sweep"](spark, sf).collect()
+    )
+    assert [t for t, _, _ in rows] == [2000, 3000, 4000, 5000, 7000]
+    for (t1, p1, d1), (t2, p2, d2) in zip(rows, rows[1:]):
+        assert p1 >= p2 and d1 >= d2
+    for _, p, d in rows:
+        assert d <= 2 * p
+    emb = load_table(spark, sf, "embeddings")
+    base = embedding_near_dup_pairs(
+        emb, threshold=0.2, block_clusters=16
+    ).count()
+    assert rows[0][1] == base > 0
