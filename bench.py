@@ -116,6 +116,16 @@ LONGTAIL = [
     "st21_stream_asof",  # streaming as-of via interval conversion (r7)
     "st22_stream_weighted_sample",  # maintained E-S sample state (r7)
     "dq6_token_drift",  # per-source TV drift, exact integer bp (r7)
+    "ts9_max_concurrency",  # sweep-line peak concurrency (r7s3)
+    "st24_stream_concurrency",  # streaming twin of ts9 (r7s3)
+    "ret4_postings_blocks",  # blocked inverted-index shard build (r7s3)
+    "ret6_trigram_search",  # trigram-pruned substring search (r7s3)
+    "ss17_kmeans_step",  # exact Lloyd step, row-local assign (r7s3)
+    "gr10_bfs_distance",  # bounded multi-source frontier BFS (r7s3)
+    "dd22_cluster_agreement",  # integer ARI vs source partition (r7s3)
+    "dd23_threshold_sweep",  # semdedup threshold curve, one pair scan (r7s3)
+    "stat6_linear_trend",  # exact-integer OLS drift line (r7s3)
+    "st25_stream_trend",  # streaming twin of stat6 (r7s3)
 ]
 
 

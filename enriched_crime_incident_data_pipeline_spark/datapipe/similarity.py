@@ -1189,9 +1189,17 @@ def kmeans_lloyd_step(
     )
     cluster = (-F.array_max(choice_arr)["ncid"]).cast("int")
 
-    comp = embeddings.select(
-        cluster.alias("cluster"),
-        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    # materialization barrier: without it, whole-stage codegen
+    # inlines the 8-fold argmax into the explode's consumer and
+    # re-evaluates it PER ELEMENT (64×) — measured 6.9 s → 77.9 s at
+    # sf1. The lazy checkpoint pins "assignment once per row, then
+    # explode" (2.8 s + 0.4 s measured separately) and keeps the
+    # plan shuffle-free up to the k×d aggregation.
+    assigned = embeddings.select(
+        cluster.alias("cluster"), F.col(vec_col).alias("_v")
+    ).localCheckpoint(eager=False)
+    comp = assigned.select(
+        "cluster", F.posexplode(F.col("_v")).alias("dim", "x")
     )
     agg = comp.groupBy("cluster", "dim").agg(
         F.count(F.lit(1)).alias("n_members"),
