@@ -1121,10 +1121,10 @@ def test_r7_session3_op_plans_stay_scale_shaped(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
 
-    # ret6: the candidate→verify join must be a broadcast hash join
-    # (candidates are match-bounded), never sort-merge/cartesian
+    # ret6: conjunctive gram pruning + verify is ONE streaming scan
+    # — no join, no exchange of any kind (the 14×-slower
+    # per-position-lambda variant is what this guard prevents)
     ret6 = qs["ret6_trigram_search"](spark, sf)
     plan = ret6._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "Cartesian" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
