@@ -140,6 +140,58 @@ def q_fuzzy1_name_pairs(spark, sf_dir):
     return fuzzy_name_pairs(cust, "c_custkey", "c_name", max_distance=1)
 
 
+def q_er2_blocking_recall(spark, sf_dir):
+    # the eval every blocking scheme owes its users: measured recall
+    # of fuzzy1's prefix blocking against EXHAUSTIVE ground truth on
+    # a bounded audit sample (custkey % 7 = 0 AND custkey < 20000 —
+    # deterministic, and the absolute cap keeps the sample's
+    # quadratic exact pass fixed-size at ANY corpus scale; the full
+    # corpus never sees a pairwise product). Ground truth = all
+    # sample pairs with levenshtein <= 1 (broadcast self-join over
+    # the capped sample); blocked = fuzzy_name_pairs on the same
+    # sample (already levenshtein-verified, so blocked ⊆ truth and
+    # precision is 1 by construction — recall is the number that
+    # can be lost). Empty truth pins recall to 10000 (vacuous).
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        fuzzy_name_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    sample = cust.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") < 20000)
+    ).select("c_custkey", "c_name")
+    a = sample.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na")
+    )
+    b = sample.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb")
+    )
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
+    )
+    blocked = fuzzy_name_pairs(sample, "c_custkey", "c_name", 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("blocked_pairs")
+    )
+    n = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    return (
+        n.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(blocked))
+        .select(
+            "n_sampled",
+            "true_pairs",
+            "blocked_pairs",
+            F.expr(
+                "CAST(CASE WHEN true_pairs = 0 THEN 10000"
+                " ELSE (blocked_pairs * 10000) DIV true_pairs"
+                " END AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+    )
+
+
 def q_er1_entity_clusters(spark, sf_dir):
     # entity resolution end-to-end: fuzzy-blocked name pairs (fuzzy1)
     # -> connected components -> one canonical entity per component
@@ -442,10 +494,46 @@ QUERIES = {
     "geo2_grid_knn": q_geo2_grid_knn,
     "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
     "er1_entity_clusters": q_er1_entity_clusters,
+    "er2_blocking_recall": q_er2_blocking_recall,
 }
 
 def oracles() -> dict[str, str]:
     return {
+        "er2_blocking_recall": """
+            WITH s AS (
+              SELECT c_custkey AS k, c_name AS nm FROM customer
+              WHERE c_custkey % 7 = 0 AND c_custkey < 20000
+            ),
+            truth AS (
+              SELECT count(*) AS true_pairs
+              FROM s a JOIN s b ON a.k < b.k
+              WHERE levenshtein(a.nm, b.nm) <= 1
+            ),
+            blocked AS (
+              SELECT count(*) AS blocked_pairs
+              FROM (
+                SELECT a.k
+                FROM (SELECT k, nm,
+                        substring(nm, 1, length(nm) - 1)
+                          || '#' || CAST(length(nm) AS VARCHAR) AS blk
+                      FROM s) a
+                JOIN (SELECT k, nm,
+                        substring(nm, 1, length(nm) - 1)
+                          || '#' || CAST(length(nm) AS VARCHAR) AS blk
+                      FROM s) b
+                  ON a.blk = b.blk AND a.k < b.k
+                WHERE levenshtein(a.nm, b.nm) <= 1
+              )
+            ),
+            n AS (SELECT count(*) AS n_sampled FROM s)
+            SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
+                   CAST(true_pairs AS BIGINT) AS true_pairs,
+                   CAST(blocked_pairs AS BIGINT) AS blocked_pairs,
+                   CAST(CASE WHEN true_pairs = 0 THEN 10000
+                        ELSE (blocked_pairs * 10000) // true_pairs
+                        END AS BIGINT) AS recall_bp
+            FROM n, truth, blocked
+""",
         "dq8_benford": """
             WITH dig AS (
               SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100)

@@ -102,3 +102,37 @@ def test_grid_knn_exact_and_plan(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_er2_blocking_recall_semantics(spark):
+    """Blocked ⊆ truth (recall ≤ 10000 always); on real data the
+    prefix scheme's known weakness (pairs differing in a non-final
+    character) shows as recall < 10000; on a fixture where every
+    dup differs ONLY in the last character, recall is exactly
+    10000."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    (real,) = spark_queries()["er2_blocking_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert real["blocked_pairs"] <= real["true_pairs"]
+    assert real["recall_bp"] <= 10000
+
+    rows = [
+        (7, "Customer#00a"), (14, "Customer#00b"),   # last-char dup
+        (21, "Customer#00c"), (28, "Customer#00d"),  # last-char dup
+        (35, "Wholly Different Name"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_name string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    (fx,) = spark_queries()["er2_blocking_recall"](spark, d).collect()
+    # all 6 pairs among the 4 Customer#00x names are distance-1 truth
+    assert fx["true_pairs"] == 6 == fx["blocked_pairs"]
+    assert fx["recall_bp"] == 10000
