@@ -615,6 +615,62 @@ def q_ts8_time_weighted_avg(spark, sf_dir):
     )
 
 
+def q_cdc2_snapshot_diff(spark, sf_dir):
+    # snapshot diff — the data-ops answer to "what changed since
+    # the last run": per-user latest state (event_type, milli-value)
+    # as of T1 = max(ts) − 1h vs T2 = max(ts), classified added /
+    # changed / unchanged (removed cannot occur under append-only
+    # ingestion, and its absence is part of the contract). Each
+    # snapshot is ONE max_by aggregation (deterministic (ts,
+    # event_id) tiebreak, the cdc1 idiom) — map-side combinable, no
+    # per-user window over the event stream; the diff is a full
+    # outer join co-partitioned on user_id; output is the 3-row
+    # status histogram a pipeline posts to its run report.
+    ev = load_table(spark, sf_dir, "events")
+    t2 = ev.agg(F.max(F.unix_timestamp("ts")).alias("_t2"))
+    base = ev.crossJoin(F.broadcast(t2)).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000.0)).alias("vm"),
+        F.col("_t2"),
+    )
+
+    def snap(df, cutoff):
+        return (
+            df.filter(F.col("t") <= cutoff)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("event_type").alias("et"),
+                        F.col("vm").alias("vm"),
+                    ),
+                    F.struct(F.col("t"), F.col("event_id")),
+                ).alias("st")
+            )
+        )
+
+    s1 = snap(base, F.col("_t2") - 3600).select(
+        "user_id", F.col("st").alias("s1")
+    )
+    s2 = snap(base, F.col("_t2")).select("user_id", F.col("st").alias("s2"))
+    diff = s2.join(s1, "user_id", "left").select(
+        F.when(F.col("s1").isNull(), "added")
+        .when(
+            (F.col("s1.et") == F.col("s2.et"))
+            & (F.col("s1.vm") == F.col("s2.vm")),
+            "unchanged",
+        )
+        .otherwise("changed")
+        .alias("status")
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
 def q_funnel2_time_bounded(spark, sf_dir):
     # funnel with per-stage deadlines — the product-analytics form
     # (an unbounded funnel credits a purchase months after the
@@ -700,6 +756,7 @@ def q_ts9_max_concurrency(spark, sf_dir):
 
 
 QUERIES = {
+    "cdc2_snapshot_diff": q_cdc2_snapshot_diff,
     "funnel2_time_bounded": q_funnel2_time_bounded,
     "ts9_max_concurrency": q_ts9_max_concurrency,
     "ts8_time_weighted_avg": q_ts8_time_weighted_avg,
@@ -746,6 +803,43 @@ def oracles() -> dict[str, str]:
                     ) r
                 """,
         "ts9_max_concurrency": _MAX_CONCURRENCY_SQL,
+        "cdc2_snapshot_diff": """
+                    WITH t2 AS (
+                      SELECT max(epoch_us(ts) // 1000000) AS t2 FROM events
+                    ),
+                    base AS (
+                      SELECT user_id, epoch_us(ts) // 1000000 AS t,
+                             event_id, event_type,
+                             CAST(floor(value * 1000) AS BIGINT) AS vm,
+                             t2.t2
+                      FROM events, t2
+                    ),
+                    s1 AS (
+                      SELECT user_id, event_type AS et1, vm AS vm1 FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY user_id
+                          ORDER BY t DESC, event_id DESC) AS rn
+                        FROM base WHERE t <= t2 - 3600
+                      ) WHERE rn = 1
+                    ),
+                    s2 AS (
+                      SELECT user_id, event_type AS et2, vm AS vm2 FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY user_id
+                          ORDER BY t DESC, event_id DESC) AS rn
+                        FROM base WHERE t <= t2
+                      ) WHERE rn = 1
+                    )
+                    SELECT status, CAST(count(*) AS BIGINT) AS n_users
+                    FROM (
+                      SELECT CASE
+                        WHEN s1.user_id IS NULL THEN 'added'
+                        WHEN s1.et1 = s2.et2 AND s1.vm1 = s2.vm2
+                          THEN 'unchanged'
+                        ELSE 'changed' END AS status
+                      FROM s2 LEFT JOIN s1 USING (user_id)
+                    ) GROUP BY status
+                """,
         "funnel2_time_bounded": """
                     WITH views AS (
                       SELECT user_id, min(ts) AS first_view FROM events

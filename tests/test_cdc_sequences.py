@@ -296,3 +296,51 @@ def test_equidepth_histogram_uniform_buckets(spark, tmp_path):
     assert all(n == 10 for n, _, _ in rows.values())
     assert rows[0] == (10, 1.0, 10.0)
     assert rows[9] == (10, 91.0, 100.0)
+
+
+def test_cdc2_snapshot_diff_all_three_statuses(spark):
+    """Fixture exercising every diff class: a user whose first event
+    lands inside the window (added), one whose state flips inside
+    it (changed), one untouched (unchanged), and one whose newest
+    event inside the window REAFFIRMS the same state (unchanged —
+    the diff compares state, not activity)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    t_end = dt.datetime(2026, 1, 2, 12, 0, 0)
+    old = t_end - dt.timedelta(hours=5)
+    recent = t_end - dt.timedelta(minutes=10)
+    rows = [
+        # user 1: added (first event in the last hour)
+        (1, recent, 1, "view", 1.0),
+        # user 2: changed (value flips in the window)
+        (2, old, 2, "view", 1.0),
+        (3, recent, 2, "view", 2.0),
+        # user 3: unchanged (no events in the window)
+        (4, old, 3, "click", 5.0),
+        # user 4: unchanged (recent event reaffirms the same state)
+        (5, old, 4, "view", 7.0),
+        (6, recent, 4, "view", 7.0),
+        # anchor row pinning max(ts) = t_end for user 2
+        (7, t_end, 2, "view", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["status"]: r["n_users"]
+        for r in spark_queries()["cdc2_snapshot_diff"](spark, d).collect()
+    }
+    # user 2's anchor row keeps its state = 2.0 (changed vs 1.0)
+    assert got == {"added": 1, "changed": 1, "unchanged": 2}
