@@ -1058,7 +1058,50 @@ def q_st25_stream_trend(spark, sf_dir):
     return trend_from_moments(state)
 
 
+def q_st26_stream_session_window(spark, sf_dir):
+    # the one streaming surface the registry had not exercised:
+    # Spark's NATIVE session_window aggregation (st2 demonstrates
+    # the applyInPandasWithState route; this is the built-in gap-
+    # merge operator, whose state the engine merges across
+    # micro-batches itself). Per (user, session): bounds, event
+    # count, decimal-exact value total. Session semantics pinned by
+    # the oracle AND a boundary fixture: an event's window is
+    # [ts, ts+30min) and Spark merges windows that overlap OR TOUCH
+    # — a gap of exactly 30min still merges; only a strictly larger
+    # gap starts a new session.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(
+        agg, "st26_session_window", "complete", state_partitions=4
+    )
+
+
 QUERIES = {
+    "st26_stream_session_window": q_st26_stream_session_window,
     "st25_stream_trend": q_st25_stream_trend,
     "st24_stream_concurrency": q_st24_stream_concurrency,
     "st23_stream_ks_drift": q_st23_stream_ks_drift,
@@ -1104,6 +1147,37 @@ def oracles() -> dict[str, str]:
         # shift-invariance makes the statistic identical, so one
         # oracle serves both.
         "st25_stream_trend": _LINEAR_TREND_SQL,
+        "st26_stream_session_window": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t, value FROM events
+            ),
+            flagged AS (
+              SELECT user_id, t, value,
+                CASE WHEN max(t) OVER w IS NULL
+                          OR t - max(t) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM e
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+            ),
+            sess AS (
+              SELECT user_id, t, value,
+                sum(new_s) OVER (
+                  PARTITION BY user_id ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   make_timestamp(min(t)) AS session_start,
+                   make_timestamp(max(t) + 1800000000) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+            FROM sess GROUP BY user_id, sid
+""",
         "st22_stream_weighted_sample": f"""
             WITH base AS (
               SELECT doc_id,

@@ -251,3 +251,54 @@ def test_st25_stream_trend_equals_batch_stat6(spark):
         tuple(r) for r in qs["stat6_linear_trend"](spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_st26_session_window_touch_boundary(spark):
+    """Native session_window gap semantics pinned empirically (this
+    fixture is how the oracle's tie rule was DISCOVERED): Spark
+    merges windows that overlap or TOUCH, so an exact-30min gap
+    still merges and only a strictly larger gap splits; the merged
+    session's end is last_ts + 30 min."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: exact 1800s gap -> TOUCHING windows merge
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + dt.timedelta(seconds=1800), 1, "view", 2.0),
+        # user 2: 1801s gap -> two sessions
+        (3, t0, 2, "view", 3.0),
+        (4, t0 + dt.timedelta(seconds=1801), 2, "view", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    d = tempfile.mkdtemp()
+    # stage a single parquet FILE: the staged file source symlinks
+    # <dir>/events.parquet itself, and treats each file as an
+    # arriving batch — a multi-file fixture would also let the
+    # watermark late-drop the older rows of a later batch
+    tmp_out = os.path.join(d, "_ev")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(d, "events.parquet"))
+    out = spark_queries()["st26_stream_session_window"](spark, d).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    (s1,) = by_user[1]
+    assert s1["n_events"] == 2 and s1["total_value"] == 3.0
+    assert s1["session_end"] == t0 + dt.timedelta(seconds=1800 + 1800)
+    assert len(by_user[2]) == 2
