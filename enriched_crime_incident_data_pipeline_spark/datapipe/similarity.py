@@ -1215,3 +1215,116 @@ def kmeans_lloyd_step(
             " ELSE sq DIV n_members END AS BIGINT)"
         ).alias("centroid_q"),
     )
+
+
+def ivf_nprobe_recall_curve(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 10,
+    n_centroids: int = 8,
+    max_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The recall-vs-cost curve an IVF deployment is tuned on: for
+    nprobe = 1..``max_probe``, mean recall@k against exact search
+    AND the rows actually scanned — the two axes of the tradeoff,
+    from ONE scoring pass. Returns one row per nprobe:
+    ``(nprobe, n_queries, total_hits, recall_bp, scanned_rows)``.
+
+    The prefix trick keeps it one pass: candidates are scored once
+    at the WIDEST setting (each query's ``max_probe``
+    cosine-nearest centroids, ranked), and every smaller nprobe is a
+    prefix filter ``centroid_rank <= p`` over that relation — no
+    re-scoring, no second corpus read. Queries and the probe table
+    broadcast; the corpus never shuffles for scoring (the
+    ann_recall_eval contract); per-query top-k windows run over
+    candidate rows only. All outputs are exact integer ratios."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("cid_"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    queries = embeddings.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    cos = cosine_from_norms(
+        F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("cid_") != F.col("qid"))
+        .select("qid", "cid_", cos.alias("_cos"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.col("cid_"))
+    exact = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("qid", F.col("cid_").alias("nn"))
+    )
+
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_pcid"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    qrank = Window.partitionBy("qid").orderBy(
+        F.desc("_ccos"), F.col("_pcid")
+    )
+    qprobe = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "qid",
+            F.col("_pcid"),
+            cosine_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ).alias("_ccos"),
+        )
+        .withColumn("crank", F.row_number().over(qrank))
+        .filter(F.col("crank") <= max_probe)
+        .select("qid", F.col("_pcid").alias("cluster"), "crank")
+    )
+    assign = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    cand = (
+        scored.join(
+            assign.select(F.col(id_col).alias("cid_"), "cluster"), "cid_"
+        )
+        .join(F.broadcast(qprobe), ["qid", "cluster"])
+        .select("qid", "cid_", "_cos", "crank")
+        .localCheckpoint(eager=False)
+    )
+    nq = queries.count()  # bounded: |corpus| / query_mod
+
+    outs = []
+    for p in range(1, max_probe + 1):
+        sub = cand.filter(F.col("crank") <= p)
+        ivf_topk = (
+            sub.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("qid", F.col("cid_").alias("nn"))
+        )
+        hits = ivf_topk.join(exact, ["qid", "nn"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_hits")
+        )
+        scanned = sub.agg(
+            F.count(F.lit(1)).cast("bigint").alias("scanned_rows")
+        )
+        outs.append(
+            hits.crossJoin(F.broadcast(scanned)).select(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.lit(nq).cast("bigint").alias("n_queries"),
+                "total_hits",
+                F.expr(
+                    f"CAST((total_hits * 10000) DIV ({k} * {nq})"
+                    " AS BIGINT)"
+                ).alias("recall_bp"),
+                "scanned_rows",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

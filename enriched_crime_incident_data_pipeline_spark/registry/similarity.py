@@ -301,6 +301,24 @@ def q_ret5_ndcg(spark, sf_dir):
     )
 
 
+def q_ss18_nprobe_curve(spark, sf_dir):
+    # the recall-vs-cost curve an IVF deployment is tuned on: mean
+    # recall@10 AND rows-scanned for nprobe = 1..4, all from ONE
+    # scoring pass (wider probes are prefix filters over the
+    # centroid-rank column — no re-scoring, no second corpus read).
+    # Completes the ANN artifact set: ss11 evaluates one operating
+    # point; this emits the curve the operating point is chosen
+    # from. See datapipe/similarity.py ivf_nprobe_recall_curve.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_nprobe_recall_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_nprobe_recall_curve(
+        emb, query_mod=50, k=10, n_centroids=8, max_probe=4
+    )
+
+
 def q_ss16_embed_diversity(spark, sf_dir):
     # per-cluster embedding-diversity audit: exact mean pairwise
     # cosine within each label via the second-moment identity
@@ -322,6 +340,7 @@ def q_ss16_embed_diversity(spark, sf_dir):
 QUERIES = {
     "ss16_embed_diversity": q_ss16_embed_diversity,
     "ss15_batch_topk": q_ss15_batch_topk,
+    "ss18_nprobe_curve": q_ss18_nprobe_curve,
     "ret5_ndcg": q_ret5_ndcg,
     "ss6_quantize_int8": q_ss6_quantize_int8,
     "ss7_pq_codes": q_ss7_pq_codes,
@@ -439,6 +458,158 @@ def oracles() -> dict[str, str]:
                         ELSE (dcg * 10000) // idcg END AS BIGINT)
                      AS ndcg_bp
             FROM agg
+""",
+        "ss18_nprobe_curve": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+            ),
+            scored AS MATERIALIZED (
+              SELECT q.qid, e.vec_id AS cid,
+                     list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM e JOIN q ON e.vec_id <> q.qid
+            ),
+            exact AS MATERIALIZED (
+              SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+                FROM scored
+              ) WHERE rn <= 10
+            ),
+            cent AS (SELECT vec_id AS pcid, v FROM e WHERE vec_id < 8),
+            qprobe AS (
+              SELECT qid, pcid AS cluster, crank FROM (
+                SELECT q.qid, cent.pcid,
+                       row_number() OVER (
+                         PARTITION BY q.qid ORDER BY
+                           list_dot_product(q.qv, cent.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(cent.v, cent.v)))
+                           DESC, cent.pcid) AS crank
+                FROM q, cent
+              ) WHERE crank <= 4
+            ),
+            assign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT a.vec_id, cent2.cid,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    list_dot_product(a.v, cent2.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(cent2.v, cent2.v))) DESC,
+                    cent2.cid) AS rn
+                FROM e a, (SELECT vec_id AS cid, v FROM e
+                           WHERE vec_id < 8) cent2
+              ) WHERE rn = 1
+            ),
+            cand AS MATERIALIZED (
+              SELECT s.qid, s.cid, s.cos, p.crank
+              FROM scored s
+              JOIN assign a ON s.cid = a.vec_id
+              JOIN qprobe p ON p.qid = s.qid AND p.cluster = a.cluster
+            )
+            SELECT CAST(1 AS INTEGER) AS nprobe,
+                   (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+                   CAST((SELECT count(*)
+                         FROM (SELECT qid, cid FROM (
+                                 SELECT qid, cid, row_number() OVER (
+                                   PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rn
+                                 FROM cand WHERE crank <= 1
+                               ) WHERE rn <= 10) i
+                         JOIN exact x ON i.qid = x.qid AND i.cid = x.cid)
+                     AS BIGINT) AS total_hits,
+                   CAST(((SELECT count(*)
+                          FROM (SELECT qid, cid FROM (
+                                  SELECT qid, cid, row_number() OVER (
+                                    PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rn
+                                  FROM cand WHERE crank <= 1
+                                ) WHERE rn <= 10) i
+                          JOIN exact x ON i.qid = x.qid AND i.cid = x.cid)
+                         * 10000)
+                        // (10 * (SELECT count(*) FROM q))
+                     AS BIGINT) AS recall_bp,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM cand WHERE crank <= 1) AS scanned_rows
+            UNION ALL
+            SELECT CAST(2 AS INTEGER) AS nprobe,
+                   (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+                   CAST((SELECT count(*)
+                         FROM (SELECT qid, cid FROM (
+                                 SELECT qid, cid, row_number() OVER (
+                                   PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rn
+                                 FROM cand WHERE crank <= 2
+                               ) WHERE rn <= 10) i
+                         JOIN exact x ON i.qid = x.qid AND i.cid = x.cid)
+                     AS BIGINT) AS total_hits,
+                   CAST(((SELECT count(*)
+                          FROM (SELECT qid, cid FROM (
+                                  SELECT qid, cid, row_number() OVER (
+                                    PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rn
+                                  FROM cand WHERE crank <= 2
+                                ) WHERE rn <= 10) i
+                          JOIN exact x ON i.qid = x.qid AND i.cid = x.cid)
+                         * 10000)
+                        // (10 * (SELECT count(*) FROM q))
+                     AS BIGINT) AS recall_bp,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM cand WHERE crank <= 2) AS scanned_rows
+            UNION ALL
+            SELECT CAST(3 AS INTEGER) AS nprobe,
+                   (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+                   CAST((SELECT count(*)
+                         FROM (SELECT qid, cid FROM (
+                                 SELECT qid, cid, row_number() OVER (
+                                   PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rn
+                                 FROM cand WHERE crank <= 3
+                               ) WHERE rn <= 10) i
+                         JOIN exact x ON i.qid = x.qid AND i.cid = x.cid)
+                     AS BIGINT) AS total_hits,
+                   CAST(((SELECT count(*)
+                          FROM (SELECT qid, cid FROM (
+                                  SELECT qid, cid, row_number() OVER (
+                                    PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rn
+                                  FROM cand WHERE crank <= 3
+                                ) WHERE rn <= 10) i
+                          JOIN exact x ON i.qid = x.qid AND i.cid = x.cid)
+                         * 10000)
+                        // (10 * (SELECT count(*) FROM q))
+                     AS BIGINT) AS recall_bp,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM cand WHERE crank <= 3) AS scanned_rows
+            UNION ALL
+            SELECT CAST(4 AS INTEGER) AS nprobe,
+                   (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+                   CAST((SELECT count(*)
+                         FROM (SELECT qid, cid FROM (
+                                 SELECT qid, cid, row_number() OVER (
+                                   PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rn
+                                 FROM cand WHERE crank <= 4
+                               ) WHERE rn <= 10) i
+                         JOIN exact x ON i.qid = x.qid AND i.cid = x.cid)
+                     AS BIGINT) AS total_hits,
+                   CAST(((SELECT count(*)
+                          FROM (SELECT qid, cid FROM (
+                                  SELECT qid, cid, row_number() OVER (
+                                    PARTITION BY qid
+                                    ORDER BY cos DESC, cid) AS rn
+                                  FROM cand WHERE crank <= 4
+                                ) WHERE rn <= 10) i
+                          JOIN exact x ON i.qid = x.qid AND i.cid = x.cid)
+                         * 10000)
+                        // (10 * (SELECT count(*) FROM q))
+                     AS BIGINT) AS recall_bp,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM cand WHERE crank <= 4) AS scanned_rows
 """,
         "ss15_batch_topk": f"""
                     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

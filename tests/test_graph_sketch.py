@@ -1150,3 +1150,31 @@ def test_ret5_ndcg_hand_fixture(spark):
     dcg = 2 * W[0] + 1 * W[1] + 1 * W[9]
     idcg = 2 * W[0] + 1 * W[1] + 1 * W[2]
     assert out == {0: (dcg, idcg, dcg * 10000 // idcg)}
+
+
+def test_ss18_nprobe_curve_invariants(spark):
+    """Curve structure: recall and scanned_rows strictly widen with
+    nprobe (prefix filters over one scored relation), hits are
+    bounded by k x |Q|, and probing ALL centroids must reach full
+    recall (nprobe = n_centroids ≡ exact search restricted to
+    nothing)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_nprobe_recall_curve,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(
+        (r["nprobe"], r["total_hits"], r["recall_bp"], r["scanned_rows"])
+        for r in ivf_nprobe_recall_curve(
+            emb, query_mod=50, k=10, n_centroids=8, max_probe=8
+        ).collect()
+    )
+    for (p1, h1, r1, s1), (p2, h2, r2, s2) in zip(rows, rows[1:]):
+        assert h1 <= h2 and r1 <= r2 and s1 < s2
+    nq = rows[0][1] and None  # noqa: just readability
+    assert all(h <= 10 * 20 for _, h, _, _ in rows)
+    # probing every centroid IS exact search: recall exactly 10000
+    assert rows[-1][2] == 10000
