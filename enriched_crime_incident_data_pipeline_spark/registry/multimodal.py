@@ -65,6 +65,41 @@ def q_mm5_phash_neardup(spark, sf_dir):
     return phash_near_dup_pairs(_documents_as_media(docs), max_hamming=3)
 
 
+def q_mm6_phash_threshold_curve(spark, sf_dir):
+    # the perceptual-dedup tuning artifact (dd23 for images, ss18
+    # for vectors — the threshold curve the rollout is decided on):
+    # dup pair count + media affected at every Hamming cutoff
+    # 0..3, ALL from ONE banded candidate relation (complete for
+    # <=3 by the 4-band pigeonhole, lazily checkpointed for the 4
+    # prefix consumers). Each curve point is a conditional
+    # aggregate over the candidate-pair relation, never the media
+    # corpus.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = phash_near_dup_pairs(
+        _documents_as_media(docs), max_hamming=3
+    ).localCheckpoint(eager=False)
+    outs = []
+    for h in range(4):
+        surv = pairs.filter(F.col("hamming") <= h)
+        media = surv.select(
+            F.explode(F.array("media_a", "media_b")).alias("m")
+        ).agg(F.countDistinct("m").cast("bigint").alias("media_affected"))
+        outs.append(
+            surv.agg(
+                F.lit(h).cast("int").alias("max_hamming"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            ).crossJoin(F.broadcast(media))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_mm3_frame_sample(spark, sf_dir):
     # frame-sampling fan-out over video metadata (decode stays a stub;
     # the offset explosion is pure relational work)
@@ -95,6 +130,7 @@ QUERIES = {
     "mm3_frame_sample": q_mm3_frame_sample,
     "mm4_resize_plan": q_mm4_resize_plan,
     "mm5_phash_neardup": q_mm5_phash_neardup,
+    "mm6_phash_threshold_curve": q_mm6_phash_threshold_curve,
 }
 
 def oracles() -> dict[str, str]:
@@ -135,6 +171,97 @@ def oracles() -> dict[str, str]:
                     SELECT doc_id AS media_id, 'image' AS kind,
                            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
                     FROM documents
+                """,
+        "mm6_phash_threshold_curve": """
+                    WITH hx AS (
+                      SELECT doc_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                    ),
+                    pos AS (
+                      SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
+                    ),
+                    cellsum AS (
+                      SELECT doc_id, CAST(i % 72 AS INTEGER) AS k,
+                             CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                                      ::INTEGER) AS BIGINT) AS s
+                      FROM pos GROUP BY doc_id, i % 72
+                    ),
+                    grid AS (
+                      SELECT d.doc_id, CAST(g.k AS INTEGER) AS k
+                      FROM documents d
+                      CROSS JOIN (SELECT unnest(range(72)) AS k) g
+                    ),
+                    cells AS (
+                      SELECT grid.doc_id, grid.k, COALESCE(cellsum.s, 0) AS s
+                      FROM grid LEFT JOIN cellsum
+                        ON grid.doc_id = cellsum.doc_id AND grid.k = cellsum.k
+                    ),
+                    bits AS (
+                      -- dHash bit j = r*8 + c: grid cell (r*9+c) > (r*9+c+1)
+                      SELECT a.doc_id,
+                             CAST((a.k // 9) * 8 + (a.k % 9) AS INTEGER) AS j,
+                             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+                      FROM cells a JOIN cells b
+                        ON a.doc_id = b.doc_id AND b.k = a.k + 1
+                      WHERE a.k % 9 <> 8
+                    ),
+                    bands AS (
+                      SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
+                             CAST(sum(CAST(bit AS BIGINT)
+                                      * (1::BIGINT << (j % 16))) AS BIGINT) AS band_val
+                      FROM bits GROUP BY doc_id, j // 16
+                    ),
+                    cand AS (
+                      SELECT DISTINCT l.doc_id AS media_a, r.doc_id AS media_b
+                      FROM bands l JOIN bands r
+                        ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+                       AND l.doc_id < r.doc_id
+                    ),
+                    ham AS (
+                      SELECT c.media_a, c.media_b,
+                             CAST(sum(CASE WHEN ba.bit <> bb.bit
+                                      THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+                      FROM cand c
+                      JOIN bits ba ON ba.doc_id = c.media_a
+                      JOIN bits bb ON bb.doc_id = c.media_b AND bb.j = ba.j
+                      GROUP BY c.media_a, c.media_b
+                    )
+                    SELECT CAST(0 AS INTEGER) AS max_hamming,
+                           CAST(count(*) AS BIGINT) AS n_pairs,
+                           CAST((SELECT count(DISTINCT m) FROM (
+                              SELECT media_a AS m FROM ham WHERE hamming <= 0
+                              UNION ALL
+                              SELECT media_b FROM ham WHERE hamming <= 0))
+                             AS BIGINT) AS media_affected
+                    FROM ham WHERE hamming <= 0
+                    UNION ALL
+                    SELECT CAST(1 AS INTEGER) AS max_hamming,
+                           CAST(count(*) AS BIGINT) AS n_pairs,
+                           CAST((SELECT count(DISTINCT m) FROM (
+                              SELECT media_a AS m FROM ham WHERE hamming <= 1
+                              UNION ALL
+                              SELECT media_b FROM ham WHERE hamming <= 1))
+                             AS BIGINT) AS media_affected
+                    FROM ham WHERE hamming <= 1
+                    UNION ALL
+                    SELECT CAST(2 AS INTEGER) AS max_hamming,
+                           CAST(count(*) AS BIGINT) AS n_pairs,
+                           CAST((SELECT count(DISTINCT m) FROM (
+                              SELECT media_a AS m FROM ham WHERE hamming <= 2
+                              UNION ALL
+                              SELECT media_b FROM ham WHERE hamming <= 2))
+                             AS BIGINT) AS media_affected
+                    FROM ham WHERE hamming <= 2
+                    UNION ALL
+                    SELECT CAST(3 AS INTEGER) AS max_hamming,
+                           CAST(count(*) AS BIGINT) AS n_pairs,
+                           CAST((SELECT count(DISTINCT m) FROM (
+                              SELECT media_a AS m FROM ham WHERE hamming <= 3
+                              UNION ALL
+                              SELECT media_b FROM ham WHERE hamming <= 3))
+                             AS BIGINT) AS media_affected
+                    FROM ham WHERE hamming <= 3
                 """,
         "mm5_phash_neardup": """
                     WITH hx AS (

@@ -481,3 +481,25 @@ def test_semantic_decontaminate_flags_planted_dup(spark):
     assert set(got) == {1}
     assert got[1]["n_eval_hits"] == 1
     assert got[1]["max_cos"] == pytest.approx(1.0)
+
+
+def test_mm6_curve_monotone_and_anchored(spark):
+    """Curve invariants: pair counts and media_affected non-
+    decreasing in the Hamming cutoff, and the widest point equals
+    the mm5 pair relation's size (same banded generator)."""
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    rows = sorted(
+        (r["max_hamming"], r["n_pairs"], r["media_affected"])
+        for r in qs["mm6_phash_threshold_curve"](spark, sf).collect()
+    )
+    assert [h for h, _, _ in rows] == [0, 1, 2, 3]
+    for (h1, p1, m1), (h2, p2, m2) in zip(rows, rows[1:]):
+        assert p1 <= p2 and m1 <= m2
+    assert rows[-1][1] == qs["mm5_phash_neardup"](spark, sf).count() > 0
