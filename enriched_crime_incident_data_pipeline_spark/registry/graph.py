@@ -137,6 +137,90 @@ def q_gr4_triangles(spark, sf_dir):
     )
 
 
+def q_gr11_modularity(spark, sf_dir):
+    # community-QUALITY metric for gr5's partition — the number that
+    # decides whether a community structure is real or noise:
+    # per-community Newman modularity contribution, exact integers.
+    # Q = Σ_c (e_c/m − (d_c/2m)²) becomes q_num_c = 4·m·e_c − d_c²
+    # over the common denominator 4m² (never materialized: the
+    # published column is the sign-safe micro-unit floor
+    # q_num·10⁶ DIV 4m², plus the raw integer witnesses e_c, d_c,
+    # n_c that carry exactness). m is a driver scalar (one count of
+    # the pair relation); everything else is three hash joins on
+    # node ids + community-domain aggregations; the pair relation is
+    # lazily checkpointed (LPA + degrees + e_in all read it).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        label_propagation_communities,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        lsh_candidate_pairs(minhash_bands(docs))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    comm = label_propagation_communities(pairs, rounds=3)
+    m = pairs.count()
+    dec = "decimal(38,0)"
+    sym = pairs.select(F.col("a").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        deg.join(comm, deg["v"] == comm["node"])
+        .groupBy("community")
+        .agg(F.sum("d").cast("bigint").alias("deg_sum"))
+    )
+    ca = comm.select(
+        F.col("node").alias("a"), F.col("community").alias("comm_a")
+    )
+    cb = comm.select(
+        F.col("node").alias("b"), F.col("community").alias("comm_b")
+    )
+    e_in = (
+        pairs.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    nn = comm.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    out = (
+        nn.join(dc, "community", "left")
+        .join(e_in, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            F.coalesce("deg_sum", F.lit(0)).cast("bigint").alias("deg_sum"),
+        )
+    )
+    return out.select(
+        "community",
+        "n_nodes",
+        "e_in",
+        "deg_sum",
+        F.expr(
+            f"CAST(CASE WHEN 4 * CAST({m} AS {dec}) * e_in"
+            f" - CAST(deg_sum AS {dec}) * deg_sum < 0"
+            f" THEN -((-(4 * CAST({m} AS {dec}) * e_in"
+            f"   - CAST(deg_sum AS {dec}) * deg_sum) * 1000000)"
+            f"   DIV (4 * CAST({m} AS {dec}) * {m}))"
+            f" ELSE ((4 * CAST({m} AS {dec}) * e_in"
+            f"   - CAST(deg_sum AS {dec}) * deg_sum) * 1000000)"
+            f"   DIV (4 * CAST({m} AS {dec}) * {m})"
+            f" END AS BIGINT)"
+        ).alias("q_micro"),
+    )
+
+
 def q_gr5_label_prop(spark, sf_dir):
     # community detection over the near-dup graph: synchronous
     # label propagation, 3 deterministic rounds ((count desc, label
@@ -387,6 +471,7 @@ QUERIES = {
     "gr3_hits": q_gr3_hits,
     "gr4_triangles": q_gr4_triangles,
     "gr5_label_prop": q_gr5_label_prop,
+    "gr11_modularity": q_gr11_modularity,
     "gr2_pagerank_converged": q_gr2_pagerank_converged,
     "graph1_tree_paths": q_graph1_tree_paths,
 }
@@ -463,6 +548,78 @@ def oracles() -> dict[str, str]:
                     corners AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
                     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
                     FROM corners GROUP BY doc_id
+                """,
+        "gr11_modularity": f"""
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    e AS MATERIALIZED (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    sym AS (
+                      SELECT a AS v, b AS u FROM e
+                      UNION ALL SELECT b AS v, a AS u FROM e
+                    ),
+                    l0 AS (SELECT DISTINCT v AS node, v AS lab FROM sym),
+                    n1 AS (SELECT s.v, l.lab, count(*) AS c
+                           FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2),
+                    l1 AS (SELECT v AS node, lab FROM (
+                             SELECT v, lab, row_number() OVER (
+                               PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n1)
+                           WHERE rn = 1),
+                    n2 AS (SELECT s.v, l.lab, count(*) AS c
+                           FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2),
+                    l2 AS (SELECT v AS node, lab FROM (
+                             SELECT v, lab, row_number() OVER (
+                               PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n2)
+                           WHERE rn = 1),
+                    n3 AS (SELECT s.v, l.lab, count(*) AS c
+                           FROM sym s JOIN l2 l ON s.u = l.node GROUP BY 1, 2),
+                    l3 AS (SELECT v AS node, lab FROM (
+                             SELECT v, lab, row_number() OVER (
+                               PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n3)
+                           WHERE rn = 1)
+                    ,
+                    m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+                    deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v),
+                    dc AS (
+                      SELECT l.lab AS community,
+                             CAST(sum(deg.d) AS HUGEINT) AS deg_sum
+                      FROM deg JOIN l3 l ON deg.v = l.node GROUP BY 1
+                    ),
+                    e_in AS (
+                      SELECT la.lab AS community,
+                             CAST(count(*) AS HUGEINT) AS e_in
+                      FROM e
+                      JOIN l3 la ON e.a = la.node
+                      JOIN l3 lb ON e.b = lb.node
+                      WHERE la.lab = lb.lab GROUP BY 1
+                    ),
+                    nn AS (
+                      SELECT lab AS community, count(*) AS n_nodes
+                      FROM l3 GROUP BY 1
+                    )
+                    SELECT nn.community,
+                           CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+                           CAST(coalesce(e_in.e_in, 0) AS BIGINT) AS e_in,
+                           CAST(coalesce(dc.deg_sum, 0) AS BIGINT)
+                             AS deg_sum,
+                           CAST(CASE WHEN 4 * m.m * coalesce(e_in.e_in, 0)
+                                     - coalesce(dc.deg_sum, 0)
+                                       * coalesce(dc.deg_sum, 0) < 0
+                                THEN -((-(4 * m.m * coalesce(e_in.e_in, 0)
+                                      - coalesce(dc.deg_sum, 0)
+                                        * coalesce(dc.deg_sum, 0)) * 1000000)
+                                      // (4 * m.m * m.m))
+                                ELSE ((4 * m.m * coalesce(e_in.e_in, 0)
+                                      - coalesce(dc.deg_sum, 0)
+                                        * coalesce(dc.deg_sum, 0)) * 1000000)
+                                      // (4 * m.m * m.m)
+                                END AS BIGINT) AS q_micro
+                    FROM nn CROSS JOIN m
+                    LEFT JOIN dc ON dc.community = nn.community
+                    LEFT JOIN e_in ON e_in.community = nn.community
                 """,
         "gr5_label_prop": f"""
                     WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),

