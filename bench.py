@@ -126,6 +126,12 @@ LONGTAIL = [
     "dd23_threshold_sweep",  # semdedup threshold curve, one pair scan (r7s3)
     "stat6_linear_trend",  # exact-integer OLS drift line (r7s3)
     "st25_stream_trend",  # streaming twin of stat6 (r7s3)
+    "er2_blocking_recall",  # blocking recall vs exhaustive sample truth (r7s3)
+    "cdc2_snapshot_diff",  # added/changed/unchanged state diff (r7s3)
+    "st26_stream_session_window",  # native session_window aggregation (r7s3)
+    "ss18_nprobe_curve",  # IVF recall-vs-cost curve, one scoring pass (r7s3)
+    "mm6_phash_threshold_curve",  # perceptual-dup Hamming curve (r7s3)
+    "gr11_modularity",  # exact-integer Newman modularity of LPA (r7s3)
 ]
 
 
