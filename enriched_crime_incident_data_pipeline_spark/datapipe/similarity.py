@@ -1223,6 +1223,7 @@ def ivf_nprobe_recall_curve(
     k: int = 10,
     n_centroids: int = 8,
     max_probe: int = 4,
+    query_cap: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1245,7 +1246,9 @@ def ivf_nprobe_recall_curve(
         F.col(vec_col).alias("cvec"),
         l2_norm(F.col(vec_col)).alias("cn"),
     )
-    queries = embeddings.filter(F.col(id_col) % query_mod == 0).select(
+    queries = embeddings.filter(
+        (F.col(id_col) % query_mod == 0) & (F.col(id_col) < query_cap)
+    ).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
         l2_norm(F.col(vec_col)).alias("qn"),

@@ -464,7 +464,8 @@ def oracles() -> dict[str, str]:
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ),
             q AS (
-              SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+              SELECT vec_id AS qid, v AS qv FROM e
+              WHERE vec_id % 50 = 0 AND vec_id < 2000
             ),
             scored AS MATERIALIZED (
               SELECT q.qid, e.vec_id AS cid,
