@@ -18,6 +18,42 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
 
 
 
+def q_dq9_reconciliation(spark, sf_dir):
+    # header/detail reconciliation — the warehouse close-of-books
+    # audit: does each order header's total equal the sum of its
+    # line items? Exact integer cents (floor(x·100) per line, the
+    # dq8 idiom — the audit DEFINES its quantization rather than
+    # trusting float sums), one map-side-combinable groupBy on
+    # l_orderkey + one co-partitioned left join; the report is a
+    # single summary row (headers with no lines, exact matches,
+    # mismatches, worst and total absolute drift in cents) so the
+    # output never scales with the fact table.
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lsum = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0))
+        ).cast("bigint").alias("line_cents")
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("o_cents"),
+    ).join(lsum, orders["o_orderkey"] == lsum["l_orderkey"], "left")
+    diff = F.abs(F.col("o_cents") - F.col("line_cents"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("line_cents").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_no_lines"),
+        F.sum((diff == 0).cast("int")).cast("bigint").alias("n_exact"),
+        F.sum((diff > 0).cast("int")).cast("bigint").alias("n_mismatched"),
+        F.max(diff).cast("bigint").alias("max_abs_diff_cents"),
+        F.sum(diff).cast("bigint").alias("total_abs_diff_cents"),
+    )
+
+
 def q_dq8_benford(spark, sf_dir):
     # first-significant-digit (Benford) audit over order prices —
     # the fabricated-data / broken-generator tripwire finance and
@@ -483,6 +519,7 @@ def q_dq7_ks_drift(spark, sf_dir):
 
 QUERIES = {
     "dq8_benford": q_dq8_benford,
+    "dq9_reconciliation": q_dq9_reconciliation,
     "dq7_ks_drift": q_dq7_ks_drift,
     "dq5_ri_audit": q_dq5_ri_audit,
     "dq6_token_drift": q_dq6_token_drift,
@@ -533,6 +570,31 @@ def oracles() -> dict[str, str]:
                         ELSE (blocked_pairs * 10000) // true_pairs
                         END AS BIGINT) AS recall_bp
             FROM n, truth, blocked
+""",
+        "dq9_reconciliation": """
+            WITH lsum AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS line_cents
+              FROM lineitem GROUP BY 1
+            ),
+            j AS (
+              SELECT CAST(floor(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+                     l.line_cents
+              FROM orders o LEFT JOIN lsum l ON o.o_orderkey = l.l_orderkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_no_lines,
+                   CAST(sum(CASE WHEN abs(o_cents - line_cents) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN abs(o_cents - line_cents) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+                   CAST(max(abs(o_cents - line_cents)) AS BIGINT)
+                     AS max_abs_diff_cents,
+                   CAST(sum(abs(o_cents - line_cents)) AS BIGINT)
+                     AS total_abs_diff_cents
+            FROM j
 """,
         "dq8_benford": """
             WITH dig AS (

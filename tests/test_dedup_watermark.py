@@ -341,3 +341,40 @@ def test_dd23_sweep_is_monotone_and_consistent(spark):
         emb, threshold=0.2, block_clusters=16
     ).count()
     assert rows[0][1] == base > 0
+
+
+def test_dq9_reconciliation_hand_fixture(spark):
+    """Reconciliation classes pinned: an exactly-matching header, a
+    header 3 cents off, and a header with no lines — and the cents
+    quantization is per-LINE-then-sum (two 0.005 halves floor to 0
+    each, so the header's floor(1 cent) reads as a 1-cent drift:
+    the audit defines its quantization, the fixture documents it)."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    # NB 10.03*100 is 1002.999... in IEEE doubles, so the header
+    # floors to 1002 cents — deterministic and identical in both
+    # engines, and exactly why the audit pins floor() semantics
+    orders = [(1, 20.00), (2, 10.03), (3, 5.00), (4, 0.01)]
+    lines = [
+        (1, 1, 12.00), (1, 2, 8.00),     # exact
+        (2, 1, 10.00),                    # 3 cents off
+        # order 3: no lines
+        (4, 1, 0.005), (4, 2, 0.005),     # floors: 0+0 vs header 1
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_totalprice double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey bigint, l_linenumber int, l_extendedprice double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    (r,) = spark_queries()["dq9_reconciliation"](spark, d).collect()
+    assert (
+        r["n_orders"], r["n_no_lines"], r["n_exact"], r["n_mismatched"],
+        r["max_abs_diff_cents"], r["total_abs_diff_cents"],
+    ) == (4, 1, 1, 2, 2, 3)
