@@ -132,6 +132,8 @@ LONGTAIL = [
     "ss18_nprobe_curve",  # IVF recall-vs-cost curve, one scoring pass (r7s3)
     "mm6_phash_threshold_curve",  # perceptual-dup Hamming curve (r7s3)
     "gr11_modularity",  # exact-integer Newman modularity of LPA (r7s3)
+    "dq9_reconciliation",  # header/detail cents reconciliation (r7s3)
+    "json2_schema_profile",  # JSON key/type discovery profile (r7s3)
 ]
 
 
