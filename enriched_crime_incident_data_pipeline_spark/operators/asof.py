@@ -281,3 +281,74 @@ def asof_intervals(
         F.lead(F.col(ts_col)).over(w).alias("valid_to"),
         *[F.col(c).alias(f"{asof_prefix}{c}") for c in payload],
     )
+
+
+def asof_window_agg(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    lookback_seconds: int,
+) -> DataFrame:
+    """Point-in-time window AGGREGATE — the feature-store primitive
+    ("views in the 30 minutes before each purchase"): for every left
+    row, the count and milli-quantized sum of right ``value_col``
+    over right rows STRICTLY preceding it (the asof_topn total-order
+    contract, so labels never leak their own instant) within the
+    bounded lookback horizon. Unlike asof_topn, left rows with no
+    predecessor DO emit (count 0) — a feature must exist for every
+    training row — via one equi-join of the aggregated candidates
+    back to the left relation on its unique tiebreak.
+
+    Same scale contract as asof_topn: lookback-width buckets give
+    every candidate pair a ``(keys…, bucket)`` equi-key, one shuffle
+    of 2·|R| + |L| rows, work ∝ rows-per-horizon; the aggregation is
+    map-side combinable per left row. All integer arithmetic
+    (micros, milli-units), engine-exact.
+    """
+    lb = int(lookback_seconds) * 1_000_000
+    lnum = F.unix_micros(F.col(ts_col))
+    lft = left.select(
+        "*",
+        lnum.alias("_lts"),
+        F.floor(lnum / F.lit(lb)).alias("_bucket"),
+    )
+    rgt = right.select(
+        *key_cols,
+        F.unix_micros(F.col(ts_col)).alias("_rts"),
+        F.col(tiebreak_col).alias("_rtie"),
+        F.floor(F.col(value_col) * F.lit(1000.0)).alias("_rvm"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(
+                F.floor(F.col("_rts") / F.lit(lb)),
+                F.floor(F.col("_rts") / F.lit(lb)) + 1,
+            )
+        ).alias("_bucket"),
+    )
+    strictly_before = (F.col("_rts") < F.col("_lts")) | (
+        (F.col("_rts") == F.col("_lts"))
+        & (F.col("_rtie") < F.col(tiebreak_col))
+    )
+    in_horizon = F.col("_rts") >= F.col("_lts") - F.lit(lb)
+    cand = lft.join(rgt, [*key_cols, "_bucket"]).filter(
+        strictly_before & in_horizon
+    )
+    agg = cand.groupBy(F.col(tiebreak_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prev"),
+        F.sum("_rvm").cast("bigint").alias("sum_prev_milli"),
+    )
+    return (
+        left.join(agg, left[tiebreak_col] == agg["_k"], "left")
+        .drop("_k")
+        .withColumn(
+            "n_prev", F.coalesce("n_prev", F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "sum_prev_milli",
+            F.coalesce("sum_prev_milli", F.lit(0)).cast("bigint"),
+        )
+    )

@@ -615,6 +615,31 @@ def q_ts8_time_weighted_avg(spark, sf_dir):
     )
 
 
+def q_asof6_window_agg(spark, sf_dir):
+    # point-in-time-correct feature computation (the feature-store
+    # primitive): for every purchase, how many views — and their
+    # milli-value sum — occurred in the strictly-preceding 30
+    # minutes. The strictly-before total order means a label never
+    # sees its own instant (leakage-safe by construction); zero-
+    # history rows emit count 0 (a feature must exist for every
+    # training row). Bucketed-equi-key shape per asof_window_agg.
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import (
+        asof_window_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_window_agg(
+        purchases, views, ["user_id"], "ts", "event_id", "value", 1800
+    )
+    return out.select("event_id", "user_id", "n_prev", "sum_prev_milli")
+
+
 def q_cdc2_snapshot_diff(spark, sf_dir):
     # snapshot diff — the data-ops answer to "what changed since
     # the last run": per-user latest state (event_type, milli-value)
@@ -757,6 +782,7 @@ def q_ts9_max_concurrency(spark, sf_dir):
 
 QUERIES = {
     "cdc2_snapshot_diff": q_cdc2_snapshot_diff,
+    "asof6_window_agg": q_asof6_window_agg,
     "funnel2_time_bounded": q_funnel2_time_bounded,
     "ts9_max_concurrency": q_ts9_max_concurrency,
     "ts8_time_weighted_avg": q_ts8_time_weighted_avg,
@@ -803,6 +829,32 @@ def oracles() -> dict[str, str]:
                     ) r
                 """,
         "ts9_max_concurrency": _MAX_CONCURRENCY_SQL,
+        "asof6_window_agg": """
+                    WITH l AS (
+                      SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'purchase'
+                    ),
+                    r AS (
+                      SELECT event_id, user_id, ts,
+                             CAST(floor(value * 1000) AS BIGINT) AS vm
+                      FROM events WHERE event_type = 'view'
+                    ),
+                    agg AS (
+                      SELECT l.event_id AS eid,
+                             count(*) AS n_prev,
+                             sum(r.vm) AS sum_prev
+                      FROM l JOIN r ON r.user_id = l.user_id
+                       AND (r.ts < l.ts
+                            OR (r.ts = l.ts AND r.event_id < l.event_id))
+                       AND epoch_us(r.ts) >= epoch_us(l.ts) - 1800000000
+                      GROUP BY 1
+                    )
+                    SELECT l.event_id, l.user_id,
+                           CAST(coalesce(a.n_prev, 0) AS BIGINT) AS n_prev,
+                           CAST(coalesce(a.sum_prev, 0) AS BIGINT)
+                             AS sum_prev_milli
+                    FROM l LEFT JOIN agg a ON a.eid = l.event_id
+                """,
         "cdc2_snapshot_diff": """
                     WITH t2 AS (
                       SELECT max(epoch_us(ts) // 1000000) AS t2 FROM events

@@ -177,3 +177,66 @@ def test_asof_intervals_containment_equals_asof_join(spark):
     assert got == want
     # row 2 (ts=10) must have picked tiebreak 11, not 10
     assert (2, 11, 2.0) in got
+
+
+def test_asof_window_agg_matches_python_model(spark):
+    """Point-in-time aggregate == a brute-force Python model on
+    adversarial data: simultaneous left/right rows (strictly-before
+    excludes ties at the same (ts, id)), horizon-boundary inclusion
+    (exactly lookback seconds before IS in horizon), bucket-straddle
+    pairs, and zero-history lefts emitting count 0."""
+    import datetime as dt
+    import math
+    import random
+
+    from enriched_crime_incident_data_pipeline_spark.operators.asof import (
+        asof_window_agg,
+    )
+
+    rng = random.Random(4242)
+    t0 = dt.datetime(2026, 1, 1)
+    lefts, rights = [], []
+    eid = 0
+    for _ in range(120):
+        u = rng.randrange(4)
+        sec = rng.randrange(0, 7200)
+        if rng.random() < 0.4:
+            lefts.append((eid, u, t0 + dt.timedelta(seconds=sec)))
+        else:
+            rights.append(
+                (eid, u, t0 + dt.timedelta(seconds=sec),
+                 rng.randrange(100) / 7.0)
+            )
+        eid += 1
+    # force a tie pair and an exact-boundary pair
+    lefts.append((900, 9, t0))
+    rights.append((899, 9, t0, 5.0))          # same ts, smaller id: in
+    rights.append((901, 9, t0, 5.0))          # same ts, larger id: out
+    lefts.append((903, 8, t0 + dt.timedelta(seconds=1800)))
+    rights.append((902, 8, t0, 3.0))          # exactly lookback: in
+
+    l_df = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    r_df = spark.createDataFrame(
+        rights, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["n_prev"], r["sum_prev_milli"])
+        for r in asof_window_agg(
+            l_df, r_df, ["user_id"], "ts", "event_id", "value", 1800
+        ).collect()
+    }
+    exp = {}
+    for le, lu, lts in lefts:
+        n = s = 0
+        for re_, ru, rts, rv in rights:
+            if ru != lu:
+                continue
+            if (rts, re_) >= (lts, le):
+                continue
+            if rts < lts - dt.timedelta(seconds=1800):
+                continue
+            n += 1
+            s += math.floor(rv * 1000.0)
+        exp[le] = (n, s)
+    assert got == exp
+    assert any(v == (0, 0) for v in got.values())
