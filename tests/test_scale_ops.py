@@ -1128,3 +1128,51 @@ def test_r7_session3_op_plans_stay_scale_shaped(spark):
     plan = ret6._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """At 100 TB the fact table is date-partitioned and the dim-side
+    filter must reach the fact SCAN at runtime: Spark's dynamic
+    partition pruning injects the broadcast dim keys as a partition
+    filter (SubqueryAdaptiveBroadcast dynamicpruning in the plan) so
+    only qualifying date directories are listed — the query-side
+    complement of the zo2 storage-layout audit. Result equality vs
+    the unpruned compute proves pruning is sound."""
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    fact_dir = str(tmp_path / "fact")
+    ev.select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    ).write.partitionBy("day").mode("overwrite").parquet(fact_dir)
+
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+    )
+    fact = spark.read.parquet(fact_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_days = daily.count()
+    dim = daily.filter(F.col("n") > 35)  # busier-than-average days
+    assert 0 < dim.count() < n_days  # a strict subset, so pruning bites
+    j = fact.join(dim.hint("broadcast"), "day").groupBy("day").agg(
+        F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("s")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    got = sorted((str(r["day"]), r["s"]) for r in j.collect())
+    want = sorted(
+        (str(r["day"]), r["s"])
+        for r in ev.select(F.to_date("ts").alias("day"), "value")
+        .join(dim.select("day"), "day")
+        .groupBy("day")
+        .agg(F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("s"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
