@@ -541,10 +541,72 @@ def heavy_hitters_exact(
             ),
         )
     )
+    shortlist = df.crossJoin(F.broadcast(flat)).filter(
+        est >= F.lit(threshold)
+    )
+    return (
+        shortlist.groupBy(col.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+
+
+def group_heavy_hitters_exact(
+    df: DataFrame,
+    group_col: Column,
+    col: Column,
+    threshold: int,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Per-GROUP exact frequent items ("heavy users per event type")
+    with ONE global sketch: the shortlist uses the same global CMS
+    probe as :func:`heavy_hitters_exact`, and stays complete for
+    every group because the global estimate dominates — for any
+    (group, key), CMS-estimate(key) ≥ global-count(key) ≥
+    per-group-count(key), so a row filtered out can never belong to
+    a (group, key) pair meeting the threshold. Only survivors reach
+    the exact (group, key) groupBy + HAVING; collisions die there.
+    Output == plain GROUP BY (group, key) HAVING, at any sketch
+    size, without building |groups| sketches."""
+    raw = (
+        df.select(F.explode(cms_entries(col, d, w)).alias("e"))
+        .groupBy(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    flat = (
+        raw
+        .select(
+            (F.col("j") * w + F.col("bucket")).cast("int").alias("p"),
+            F.col("cnt"),
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("p"), F.col("cnt")))
+            ).alias("_m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d * w - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("int")),
+                    F.lit(0).cast("bigint"),
+                ),
+            ).alias("_cms")
+        )
+    )
+    est = F.array_min(
+        F.transform(
+            cms_entries(col, d, w),
+            lambda e: F.element_at(
+                F.col("_cms"), e["j"] * w + e["bucket"] + 1
+            ),
+        )
+    )
     return (
         df.crossJoin(F.broadcast(flat))
         .filter(est >= F.lit(threshold))
-        .groupBy(col.alias("key"))
+        .groupBy(group_col.alias("grp"), col.alias("key"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
     )

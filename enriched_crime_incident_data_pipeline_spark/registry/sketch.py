@@ -140,6 +140,27 @@ def q_sk1_kmv_distinct(spark, sf_dir):
 
 
 
+def q_sk9_group_heavy_hitters(spark, sf_dir):
+    # per-GROUP exact frequent items ("heavy users per event type")
+    # from ONE global sketch: the global CMS estimate dominates
+    # every per-group count, so the shared shortlist is complete for
+    # all groups simultaneously — no |groups| x sketch state, no
+    # second sketch pass; the exact (group, key) groupBy + HAVING
+    # kills collisions. See datapipe/sketch.py
+    # group_heavy_hitters_exact for the domination argument.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        group_heavy_hitters_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_heavy_hitters_exact(
+        ev,
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+        threshold=12,
+    )
+
+
 def q_sk8_heavy_hitters(spark, sf_dir):
     # exact frequent items, sketch-then-verify: CMS counters (one
     # mergeable agg) ride the row filter as a literal array —
@@ -197,6 +218,7 @@ def q_sk3_cms(spark, sf_dir):
 
 QUERIES = {
     "sk8_heavy_hitters": q_sk8_heavy_hitters,
+    "sk9_group_heavy_hitters": q_sk9_group_heavy_hitters,
     "sk6_kmv_set_ops": q_sk6_kmv_set_ops,
     "sk7_quantile_sketch": q_sk7_quantile_sketch,
     "sk1_kmv_distinct": q_sk1_kmv_distinct,
@@ -208,6 +230,13 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "sk9_group_heavy_hitters": """
+            SELECT event_type AS grp,
+                   CAST(user_id AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2 HAVING count(*) >= 12
+""",
         "sk8_heavy_hitters": """
                     SELECT CAST(user_id AS VARCHAR) AS key,
                            count(*) AS n

@@ -1176,3 +1176,40 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_r7_session3b_op_plans_stay_scale_shaped(spark):
+    """Plan guards for the later session-3 operators."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    # asof6: the big-big candidate join may sort-merge (both sides
+    # are row-sized — correct strategy), but never a cartesian and
+    # never a global sort exchange; exactly 2 hash exchanges (the
+    # bucketed candidate key + the agg join-back)
+    p = qs["asof6_window_agg"](spark, sf)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+
+    # dq9: one co-partitioned exchange, header side joins broadcast
+    p = qs["dq9_reconciliation"](spark, sf)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # json2: one key-domain exchange, no join at all
+    p = qs["json2_schema_profile"](spark, sf)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+    # cdc2 / er2 / funnel2: hash/broadcast joins only
+    for name in ("cdc2_snapshot_diff", "er2_blocking_recall",
+                 "funnel2_time_bounded"):
+        p = qs[name](spark, sf)._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name

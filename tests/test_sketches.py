@@ -209,3 +209,32 @@ def test_heavy_hitters_exact_even_with_colliding_sketch(spark):
             ).collect()
         }
         assert got == {("hot", 50), ("warm", 10)}, (d, w, got)
+
+
+def test_group_heavy_hitters_exact_with_tiny_colliding_sketch(spark):
+    """The domination argument under maximal collision pressure: a
+    deliberately tiny CMS (d=2, w=4 — everything collides) must
+    still produce the EXACT per-group answer, including a key that
+    is globally heavy but below threshold in every single group
+    (the global shortlist admits it, the per-group verify drops
+    it)."""
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        group_heavy_hitters_exact,
+    )
+
+    rows = []
+    # key "a": 6 in g1, 1 in g2; key "b": 4+4 (globally 8, never >=6
+    # in one group); key "c": 2 total
+    rows += [("g1", "a")] * 6 + [("g2", "a")] * 1
+    rows += [("g1", "b")] * 4 + [("g2", "b")] * 4
+    rows += [("g1", "c")] * 2
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {
+        (r["grp"], r["key"]): r["n"]
+        for r in group_heavy_hitters_exact(
+            df, F.col("g"), F.col("k"), threshold=6, d=2, w=4
+        ).collect()
+    }
+    assert got == {("g1", "a"): 6}
