@@ -134,6 +134,8 @@ LONGTAIL = [
     "gr11_modularity",  # exact-integer Newman modularity of LPA (r7s3)
     "dq9_reconciliation",  # header/detail cents reconciliation (r7s3)
     "json2_schema_profile",  # JSON key/type discovery profile (r7s3)
+    "asof6_window_agg",  # point-in-time feature aggregate (r7s3)
+    "sk9_group_heavy_hitters",  # grouped HH from one global sketch (r7s3)
 ]
 
 
