@@ -378,3 +378,45 @@ def trigram_substring_search(
         )
         .filter(F.col("pos") > 0)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level phrase query over positional postings — the
+    search primitive ret4's blocked index serves at read time
+    ("these exact tokens, adjacent, in order"): returns
+    ``(doc_id, n_occurrences)`` counting every occurrence,
+    including overlapping ones (the phrase "table table" matches
+    twice in "table table table").
+
+    Positional-intersection shape: the token explode keeps ONLY the
+    phrase's terms (a literal IN filter at the scan — nothing else
+    leaves it), and the i-th term joins on ``(doc, first_pos + i)``
+    — k−1 hash equi-joins over term-posting relations, work bounded
+    by the phrase terms' posting sizes, never the corpus token
+    stream. Phrases made of stopwords inherit those terms' posting
+    skew — the same caveat (and the same df-cap remedy) as ret4.
+    """
+    terms = [t for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"),
+    ).filter(F.col("_t").isin(*set(terms)))
+    out = toks.filter(F.col("_t") == terms[0]).select("_d", "_p")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("_t") == t).select(
+            F.col("_d").alias("_d2"), (F.col("_p") - i).alias("_p2")
+        )
+        out = out.join(
+            nxt,
+            (out["_d"] == nxt["_d2"]) & (out["_p"] == nxt["_p2"]),
+        ).select("_d", "_p")
+    return out.groupBy(F.col("_d").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )

@@ -383,6 +383,20 @@ def q_ret4_postings_blocks(spark, sf_dir):
     return build_postings_blocks(docs, block=64, shard_mod=3, shard=0)
 
 
+def q_ret7_phrase_search(spark, sf_dir):
+    # positional phrase query ("table table" — the self-adjacent
+    # phrase, so overlapping occurrences are exercised on real
+    # data): only the phrase terms' postings leave the scan, k-1
+    # hash joins on (doc, pos+i) intersect them. See
+    # datapipe/retrieval.py phrase_search.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "table table")
+
+
 def q_ret6_trigram_search(spark, sf_dir):
     # indexed substring search (pg_trgm / code-search shape): the
     # scan keeps only positions whose trigram is IN the query's
@@ -658,6 +672,7 @@ QUERIES = {
     "ret1_bm25_topk": q_ret1_bm25_topk,
     "ret4_postings_blocks": q_ret4_postings_blocks,
     "ret6_trigram_search": q_ret6_trigram_search,
+    "ret7_phrase_search": q_ret7_phrase_search,
     "ret2_hybrid_rrf": q_ret2_hybrid_rrf,
     "retention1_cohorts": q_retention1_cohorts,
 }
@@ -813,6 +828,22 @@ def oracles() -> dict[str, str]:
                            min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS winnow
                     FROM grams GROUP BY doc_id
                 """,
+        "ret7_phrase_search": f"""
+            WITH toks AS (
+              SELECT doc_id, tok, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS pos
+              FROM (
+                SELECT doc_id, unnest({_TOKENS}) AS tok,
+                       generate_subscripts({_TOKENS}, 1) AS pos
+                FROM documents WHERE {_NORM} <> ''
+              )
+            )
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok = 'table' AND b.tok = 'table'
+            GROUP BY a.doc_id
+""",
         "ret6_trigram_search": """
             SELECT doc_id,
                    CAST(instr(text, 'merge batch') AS BIGINT) AS pos

@@ -874,3 +874,33 @@ def test_trigram_search_matches_python_in_operator(spark):
         i: t.index(q) + 1 for i, t in enumerate(texts) if q in t
     }
     assert got == exp and len(exp) > 0
+
+
+def test_phrase_search_overlaps_and_order(spark):
+    """Phrase semantics pinned: overlapping self-adjacent matches
+    count individually ("x x x" has two "x x"), order matters
+    ("b a" is not "a b"), 3-term phrases need full adjacency, and
+    punctuation normalizes away before positions are assigned."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "x x x y"),          # "x x" twice (overlap)
+        (2, "a b a b"),          # "a b" twice, "b a" once
+        (3, "a, b! c"),          # punctuation: "a b c" matches
+        (4, "a c b"),            # no adjacency
+        (5, ""),                 # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def run(phrase):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(docs, phrase).collect()
+        }
+
+    assert run("x x") == {1: 2}
+    assert run("a b") == {2: 2, 3: 1}
+    assert run("b a") == {2: 1}
+    assert run("a b c") == {3: 1}
