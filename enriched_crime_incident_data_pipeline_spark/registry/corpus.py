@@ -718,6 +718,62 @@ def q_tp9_mixture_sample(spark, sf_dir):
 
 
 
+def q_tp16_mixture_curve(spark, sf_dir):
+    # the mixture table a temperature choice is made FROM (tok8/dd23/
+    # ss18's artifact-curve pattern, for sampling): per stratum, the
+    # resulting corpus share under T=2 (flatten, w = floor(sqrt(n)
+    # at micro precision)), T=1 (natural, w = n) and T=1/2 (sharpen,
+    # w = n²) — one stratum-count groupBy feeds all three rows per
+    # stratum. Integer end-to-end: n and n² exactly; the sqrt weight
+    # is floor of a correctly-rounded IEEE sqrt of an integer —
+    # bit-identical in both engines by determinism (and exact floor
+    # for every n below ~2^52 except the k²−1 ulp corner, which
+    # both engines resolve identically). Shares in integer bp.
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 10 < 6, "heavy")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("light"),
+    )
+    counts = docs.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    dec = "decimal(38,0)"
+    weights = {
+        "T=2_flatten": F.floor(
+            F.sqrt(F.col("n_docs").cast("double") * F.lit(1e6))
+        ).cast(dec),
+        "T=1_natural": F.col("n_docs").cast(dec),
+        "T=0.5_sharpen": (
+            F.col("n_docs").cast(dec) * F.col("n_docs").cast(dec)
+        ),
+    }
+    outs = []
+    for label, w in weights.items():
+        per = counts.select(
+            F.lit(label).alias("temperature"),
+            "stratum",
+            "n_docs",
+            w.alias("weight"),
+        )
+        tot = per.agg(F.sum("weight").alias("_tot"))
+        outs.append(
+            per.crossJoin(F.broadcast(tot)).select(
+                "temperature",
+                "stratum",
+                "n_docs",
+                F.col("weight").cast("bigint").alias("weight"),
+                F.expr(
+                    "CAST((weight * 10000) DIV _tot AS BIGINT)"
+                ).alias("share_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_tp12_temperature_sample(spark, sf_dir):
     # T=2 temperature mixture: per-stratum keep rate sqrt(n_min/n_s)
     # via hash threshold — expected composition ∝ sqrt(n_s), smallest
@@ -811,6 +867,7 @@ QUERIES = {
     "tp10_budget_select": q_tp10_budget_select,
     "tp11_curriculum_order": q_tp11_curriculum_order,
     "tp12_temperature_sample": q_tp12_temperature_sample,
+    "tp16_mixture_curve": q_tp16_mixture_curve,
     "tp13_epoch_reshuffle": q_tp13_epoch_reshuffle,
     "tp14_domain_upsample": q_tp14_domain_upsample,
     "tp9_mixture_sample": q_tp9_mixture_sample,
@@ -828,6 +885,35 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "tp16_mixture_curve": """
+            WITH c AS (
+              SELECT CASE WHEN doc_id % 10 < 6 THEN 'heavy'
+                          WHEN doc_id % 10 < 9 THEN 'mid'
+                          ELSE 'light' END AS stratum,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1
+            ),
+            w AS (
+              SELECT 'T=2_flatten' AS temperature, stratum, n_docs,
+                     CAST(floor(sqrt(n_docs * 1000000.0)) AS HUGEINT)
+                       AS weight
+              FROM c
+              UNION ALL
+              SELECT 'T=1_natural', stratum, n_docs,
+                     CAST(n_docs AS HUGEINT)
+              FROM c
+              UNION ALL
+              SELECT 'T=0.5_sharpen', stratum, n_docs,
+                     CAST(n_docs AS HUGEINT) * n_docs
+              FROM c
+            )
+            SELECT temperature, stratum, n_docs,
+                   CAST(weight AS BIGINT) AS weight,
+                   CAST((weight * 10000)
+                        // sum(weight) OVER (PARTITION BY temperature)
+                     AS BIGINT) AS share_bp
+            FROM w
+""",
         "tp15_weighted_k_sample": f"""
             WITH base AS (
               SELECT doc_id,

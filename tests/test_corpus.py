@@ -386,3 +386,37 @@ def test_domain_upsample_multiplicity_law(spark):
     rep = {(r["doc_id"], r["copy_idx"])
            for r in domain_upsample(docs.repartition(7), rates).collect()}
     assert rep == {(r["doc_id"], r["copy_idx"]) for r in out}
+
+
+def test_tp16_mixture_curve_direction_and_anchors(spark):
+    """Curve structure: the natural row reproduces raw shares; the
+    flatten row moves every stratum's share TOWARD uniform (heavy
+    down, light up); the sharpen row moves every share AWAY from
+    uniform; each temperature's shares sum to ~10000 (floor loss
+    < #strata)."""
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    rows = spark_queries()["tp16_mixture_curve"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["temperature"], {})[r["stratum"]] = r
+    nat = by_t["T=1_natural"]
+    total = sum(r["n_docs"] for r in nat.values())
+    for s, r in nat.items():
+        assert r["share_bp"] == r["n_docs"] * 10000 // total
+    uniform = 10000 // 3
+    for s in nat:
+        n_bp = nat[s]["share_bp"]
+        f_bp = by_t["T=2_flatten"][s]["share_bp"]
+        s_bp = by_t["T=0.5_sharpen"][s]["share_bp"]
+        if n_bp > uniform:
+            assert f_bp < n_bp < s_bp
+        elif n_bp < uniform:
+            assert f_bp > n_bp > s_bp
+    for t, d in by_t.items():
+        tot = sum(r["share_bp"] for r in d.values())
+        assert 10000 - len(d) < tot <= 10000, t
