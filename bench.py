@@ -136,6 +136,8 @@ LONGTAIL = [
     "json2_schema_profile",  # JSON key/type discovery profile (r7s3)
     "asof6_window_agg",  # point-in-time feature aggregate (r7s3)
     "sk9_group_heavy_hitters",  # grouped HH from one global sketch (r7s3)
+    "ret7_phrase_search",  # positional phrase intersection (r7s3)
+    "tp16_mixture_curve",  # temperature mixture table (r7s3)
 ]
 
 
