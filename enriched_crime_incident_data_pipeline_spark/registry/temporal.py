@@ -440,6 +440,69 @@ def q_ts4_cumulative_distinct(spark, sf_dir):
     return cumulative_distinct_daily(ev, "user_id", "ts")
 
 
+def q_seq3_collocations(spark, sf_dir):
+    # collocation mining — the phrase-DISCOVERY artifact that feeds a
+    # phrase query (ret7): top-20 adjacent token bigrams by lift =
+    # P(ab)/(P(a)·P(b)), in exact integers — lift_bp = c_ab·N·10⁴
+    # DIV (c_a·c_b) (the log-free PMI ordering; log is monotone, so
+    # the ranking is PMI's). Bigrams are ROW-LOCAL (zip the token
+    # array against its own tail — no window, no position join);
+    # bigram and unigram counts are map-side groupBys; the two
+    # unigram attach joins are token-domain; final top-20 is
+    # TakeOrdered. Min support 5 keeps the lift denominator honest.
+    docs = load_table(spark, sf_dir, "documents")
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        tokens as _tokens,
+    )
+
+    toks = docs.select(_tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("decimal(38,0)").alias("_n"))
+    pairs = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    ).filter(F.col("c_ab") >= 5)
+    dec = "decimal(38,0)"
+    out = (
+        pairs.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.expr(
+                f"CAST((CAST(c_ab AS {dec}) * _n * 10000)"
+                f" DIV (CAST(c_a AS {dec}) * c_b) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift_bp"), F.asc("w1"), F.asc("w2")
+    ).limit(20)
+
+
 def q_seq1_transitions(spark, sf_dir):
     # event-type transition matrix: lag over (user, time) order, then
     # pair counts — the Markov-chain / user-journey building block
@@ -795,6 +858,7 @@ QUERIES = {
     "ts3_interval_merge": q_ts3_interval_merge,
     "ts4_cumulative_distinct": q_ts4_cumulative_distinct,
     "seq1_transitions": q_seq1_transitions,
+    "seq3_collocations": q_seq3_collocations,
     "seq2_cooccurrence": q_seq2_cooccurrence,
     "attr1_last_touch": q_attr1_last_touch,
     "ts5_ohlc_downsample": q_ts5_ohlc_downsample,
@@ -829,6 +893,40 @@ def oracles() -> dict[str, str]:
                     ) r
                 """,
         "ts9_max_concurrency": _MAX_CONCURRENCY_SQL,
+        "seq3_collocations": """
+            WITH norm AS (
+              SELECT string_split_regex(
+                       trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' +') AS ts
+              FROM documents
+              WHERE trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')) <> ''
+            ),
+            pos AS (
+              SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM norm WHERE len(ts) >= 2
+            ),
+            bg AS (
+              SELECT ts[i] AS w1, ts[i + 1] AS w2,
+                     count(*) AS c_ab
+              FROM pos GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            uni AS (
+              SELECT w, count(*) AS c FROM (
+                SELECT unnest(ts) AS w FROM norm
+              ) WHERE w <> '' GROUP BY 1
+            ),
+            n AS (SELECT CAST(sum(c) AS HUGEINT) AS nt FROM uni)
+            SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+                   CAST((CAST(c_ab AS HUGEINT) * nt * 10000)
+                        // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT)
+                     AS lift_bp
+            FROM bg
+            JOIN uni a ON a.w = bg.w1
+            JOIN uni b ON b.w = bg.w2
+            CROSS JOIN n
+            ORDER BY lift_bp DESC, w1, w2 LIMIT 20
+""",
         "asof6_window_agg": """
                     WITH l AS (
                       SELECT event_id, user_id, ts FROM events

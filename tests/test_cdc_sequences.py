@@ -344,3 +344,36 @@ def test_cdc2_snapshot_diff_all_three_statuses(spark):
     }
     # user 2's anchor row keeps its state = 2.0 (changed vs 1.0)
     assert got == {"added": 1, "changed": 1, "unchanged": 2}
+
+
+def test_seq3_collocations_lift_hand_computed(spark):
+    """Lift arithmetic pinned on a constructed corpus: a bigram
+    always appearing together scores lift = N/(c_a·c_b)·c_ab in bp
+    exactly; a bigram of two frequent-but-independent tokens scores
+    near 10000·N/(c_a·c_b)·c_ab; min-support 5 drops rare pairs."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    # "aa bb" 6 times (always adjacent); "cc" and "dd" frequent but
+    # never adjacent; "ee ff" only 2 times (below support)
+    texts = ["aa bb"] * 6 + ["cc xx dd"] * 6 + ["ee ff"] * 2
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string,"
+        " source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["lift_bp"])
+        for r in spark_queries()["seq3_collocations"](spark, d).collect()
+    }
+    n_tok = 6 * 2 + 6 * 3 + 2 * 2  # 34
+    assert out[("aa", "bb")] == (6, 6 * n_tok * 10000 // (6 * 6))
+    assert ("ee", "ff") not in out
+    # "cc xx" and "xx dd" both present with c_ab=6, c=6 each
+    assert out[("cc", "xx")] == (6, 6 * n_tok * 10000 // (6 * 6))
