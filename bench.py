@@ -138,6 +138,7 @@ LONGTAIL = [
     "sk9_group_heavy_hitters",  # grouped HH from one global sketch (r7s3)
     "ret7_phrase_search",  # positional phrase intersection (r7s3)
     "tp16_mixture_curve",  # temperature mixture table (r7s3)
+    "seq3_collocations",  # bigram lift collocation mining (r7s3)
 ]
 
 
