@@ -1317,3 +1317,43 @@ _LINEAR_TREND_SQL = """
                         END AS BIGINT) AS r2_bp
             FROM f
 """
+
+
+# gr12: directed reciprocity of the gr7 citation graph — |E ∩ E^T|
+# over |E| in integer bp (self-loops from 1-node rotation buckets
+# excluded on both sides).
+_GR12_RECIPROCITY_SQL = f"""
+            WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+            pairs AS MATERIALIZED (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            rot AS (
+              SELECT doc_id AS src,
+                     coalesce(lead(doc_id) OVER w,
+                              first_value(doc_id) OVER w) AS dst
+              FROM documents
+              WINDOW w AS (PARTITION BY doc_id // 16 ORDER BY doc_id)
+            ),
+            edges AS MATERIALIZED (
+              SELECT src, dst FROM (
+                SELECT src, dst FROM rot
+                UNION SELECT b AS src, a AS dst FROM pairs
+                UNION SELECT a AS src, b AS dst FROM pairs
+                  WHERE (a + b) % 3 = 0
+              ) WHERE src <> dst
+            ),
+            m AS (
+              SELECT count(*) AS n_mutual
+              FROM edges e JOIN edges r
+                ON e.src = r.dst AND e.dst = r.src
+            ),
+            t AS (SELECT count(*) AS n_edges FROM edges)
+            SELECT CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_mutual AS BIGINT) AS n_mutual,
+                   CAST((n_mutual * 10000) // n_edges AS BIGINT)
+                     AS reciprocity_bp
+            FROM t CROSS JOIN m
+"""

@@ -16,6 +16,7 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _GR7_SCC_SQL,
     _GR8_PPR_SQL,
     _GR10_BFS_SQL,
+    _GR12_RECIPROCITY_SQL,
     _GR2_SQL,
     _GR3_HITS_SQL,
     _MINHASH_BANDS_SQL,
@@ -392,6 +393,52 @@ def q_gr8_personalized_pagerank(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), F.col("rank").alias("ppr"))
 
 
+def q_gr12_reciprocity(spark, sf_dir):
+    # directed-graph reciprocity — the citation-graph health metric
+    # (what share of links are mutual?) over gr7's graph, where
+    # mutual LSH chords exist by construction: r = |E ∩ E^T| / |E|
+    # in integer bp. One distinct edge relation, one self-join on
+    # the reversed key (hash join), two counts — no windows, no
+    # per-node state; the rotation cycles contribute mutual edges
+    # only for 2-node buckets, so the statistic is dominated by the
+    # (a+b)%3 mutual-chord rule and is a real, data-dependent value.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
+    rot = docs.select(
+        F.col("doc_id").alias("src"),
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(w)
+        ).alias("dst"),
+    )
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    edges = (
+        rot.union(back).union(fwd)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = edges.join(rev, ["src", "dst"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mutual")
+    )
+    tot = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return tot.crossJoin(F.broadcast(mutual)).select(
+        "n_edges",
+        "n_mutual",
+        F.expr(
+            "CAST((n_mutual * 10000) DIV n_edges AS BIGINT)"
+        ).alias("reciprocity_bp"),
+    )
+
+
 def q_gr10_bfs_distance(spark, sf_dir):
     # seed-proximity audit: DIRECTED hop distance from the trusted
     # seed set (doc_id % 50 = 0, gr8's seeds) over gr7's citation
@@ -465,6 +512,7 @@ QUERIES = {
     "gr9_link_predict": q_gr9_link_predict,
     "gr6_kcore": q_gr6_kcore,
     "gr10_bfs_distance": q_gr10_bfs_distance,
+    "gr12_reciprocity": q_gr12_reciprocity,
     "gr8_personalized_pagerank": q_gr8_personalized_pagerank,
     "gr7_scc": q_gr7_scc,
     "gr1_pagerank": q_gr1_pagerank,
@@ -526,6 +574,7 @@ def oracles() -> dict[str, str]:
             LIMIT 50
 """,
         "gr10_bfs_distance": _GR10_BFS_SQL,
+        "gr12_reciprocity": _GR12_RECIPROCITY_SQL,
         "gr8_personalized_pagerank": _GR8_PPR_SQL,
         "gr7_scc": _GR7_SCC_SQL,
         "gr6_kcore": _gr6_kcore_sql(),

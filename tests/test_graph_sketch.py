@@ -1277,3 +1277,56 @@ def test_gr11_modularity_matches_python_model(spark):
         for r in out.collect()
     }
     assert got == exp and len(got) >= 2
+
+
+def test_gr12_reciprocity_python_model(spark):
+    """Reciprocity equals a Python set model on the same registry
+    graph construction at sf0.001, and the hand invariants hold:
+    every mutual edge's reverse is also counted (n_mutual is even
+    unless self-loops, which are excluded), and 0 <= bp <= 10000."""
+    from pyspark.sql import Window
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    (r,) = spark_queries()["gr12_reciprocity"](spark, sf).collect()
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
+    rot = [
+        (x["src"], x["dst"])
+        for x in docs.select(
+            F.col("doc_id").alias("src"),
+            F.coalesce(
+                F.lead("doc_id").over(w), F.first("doc_id").over(w)
+            ).alias("dst"),
+        ).collect()
+    ]
+    prs = [
+        (x["a"], x["b"])
+        for x in lsh_candidate_pairs(minhash_bands(docs)).collect()
+    ]
+    edges = set()
+    for s_, d_ in rot:
+        if s_ != d_:
+            edges.add((s_, d_))
+    for a, b in prs:
+        edges.add((b, a))
+        if (a + b) % 3 == 0:
+            edges.add((a, b))
+    mutual = {e for e in edges if (e[1], e[0]) in edges}
+    assert r["n_edges"] == len(edges)
+    assert r["n_mutual"] == len(mutual)
+    assert r["n_mutual"] % 2 == 0
+    assert r["reciprocity_bp"] == len(mutual) * 10000 // len(edges)
+    assert 0 < r["reciprocity_bp"] <= 10000
