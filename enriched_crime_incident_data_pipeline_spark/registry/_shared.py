@@ -1357,3 +1357,37 @@ _GR12_RECIPROCITY_SQL = f"""
                      AS reciprocity_bp
             FROM t CROSS JOIN m
 """
+
+
+# tp16 / st27: stratum mixture table under three temperature
+# exponents — the streaming twin maintains the same stratum counts,
+# so one oracle serves both.
+_MIXTURE_CURVE_SQL = """
+            WITH c AS (
+              SELECT CASE WHEN doc_id % 10 < 6 THEN 'heavy'
+                          WHEN doc_id % 10 < 9 THEN 'mid'
+                          ELSE 'light' END AS stratum,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1
+            ),
+            w AS (
+              SELECT 'T=2_flatten' AS temperature, stratum, n_docs,
+                     CAST(floor(sqrt(n_docs * 1000000.0)) AS HUGEINT)
+                       AS weight
+              FROM c
+              UNION ALL
+              SELECT 'T=1_natural', stratum, n_docs,
+                     CAST(n_docs AS HUGEINT)
+              FROM c
+              UNION ALL
+              SELECT 'T=0.5_sharpen', stratum, n_docs,
+                     CAST(n_docs AS HUGEINT) * n_docs
+              FROM c
+            )
+            SELECT temperature, stratum, n_docs,
+                   CAST(weight AS BIGINT) AS weight,
+                   CAST((weight * 10000)
+                        // sum(weight) OVER (PARTITION BY temperature)
+                     AS BIGINT) AS share_bp
+            FROM w
+"""

@@ -15,6 +15,7 @@ from enriched_crime_incident_data_pipeline_spark.functions.text import (doc_fing
 from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _MIXTURE_CURVE_SQL,
     MIXTURE_TARGETS_BP,
     _HASH32,
     _LANG_CASE,
@@ -885,35 +886,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
-        "tp16_mixture_curve": """
-            WITH c AS (
-              SELECT CASE WHEN doc_id % 10 < 6 THEN 'heavy'
-                          WHEN doc_id % 10 < 9 THEN 'mid'
-                          ELSE 'light' END AS stratum,
-                     CAST(count(*) AS BIGINT) AS n_docs
-              FROM documents GROUP BY 1
-            ),
-            w AS (
-              SELECT 'T=2_flatten' AS temperature, stratum, n_docs,
-                     CAST(floor(sqrt(n_docs * 1000000.0)) AS HUGEINT)
-                       AS weight
-              FROM c
-              UNION ALL
-              SELECT 'T=1_natural', stratum, n_docs,
-                     CAST(n_docs AS HUGEINT)
-              FROM c
-              UNION ALL
-              SELECT 'T=0.5_sharpen', stratum, n_docs,
-                     CAST(n_docs AS HUGEINT) * n_docs
-              FROM c
-            )
-            SELECT temperature, stratum, n_docs,
-                   CAST(weight AS BIGINT) AS weight,
-                   CAST((weight * 10000)
-                        // sum(weight) OVER (PARTITION BY temperature)
-                     AS BIGINT) AS share_bp
-            FROM w
-""",
+        "tp16_mixture_curve": _MIXTURE_CURVE_SQL,
         "tp15_weighted_k_sample": f"""
             WITH base AS (
               SELECT doc_id,

@@ -16,6 +16,7 @@ from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_tab
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _KS_DRIFT_SQL,
     _LINEAR_TREND_SQL,
+    _MIXTURE_CURVE_SQL,
     _MAX_CONCURRENCY_SQL,
     _COS,
     _DC7_BLOOM_SQL,
@@ -1100,7 +1101,69 @@ def q_st26_stream_session_window(spark, sf_dir):
     )
 
 
+def q_st27_stream_mixture(spark, sf_dir):
+    # live mixture monitor (tp16 as a stream): the per-stratum doc
+    # counts ARE a streaming aggregation (integer counts merge in
+    # any micro-batch order; state = |strata| rows) and the
+    # three-temperature weight/share epilogue — exactly the
+    # arithmetic batch tp16 ends in — runs over the maintained
+    # state. The dashboard a data-mixing run watches while ingest
+    # is still appending. tp16's oracle serves the twin verbatim.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    counts = docs.withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 10 < 6, "heavy")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("light"),
+    ).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    state = run_available_now(
+        counts, "st27_mixture", "complete", state_partitions=4
+    )
+    dec = "decimal(38,0)"
+    weights = {
+        "T=2_flatten": F.floor(
+            F.sqrt(F.col("n_docs").cast("double") * F.lit(1e6))
+        ).cast(dec),
+        "T=1_natural": F.col("n_docs").cast(dec),
+        "T=0.5_sharpen": (
+            F.col("n_docs").cast(dec) * F.col("n_docs").cast(dec)
+        ),
+    }
+    outs = []
+    for label, w in weights.items():
+        per = state.select(
+            F.lit(label).alias("temperature"),
+            "stratum",
+            "n_docs",
+            w.alias("weight"),
+        )
+        tot = per.agg(F.sum("weight").alias("_tot"))
+        outs.append(
+            per.crossJoin(F.broadcast(tot)).select(
+                "temperature",
+                "stratum",
+                "n_docs",
+                F.col("weight").cast("bigint").alias("weight"),
+                F.expr(
+                    "CAST((weight * 10000) DIV _tot AS BIGINT)"
+                ).alias("share_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 QUERIES = {
+    "st27_stream_mixture": q_st27_stream_mixture,
     "st26_stream_session_window": q_st26_stream_session_window,
     "st25_stream_trend": q_st25_stream_trend,
     "st24_stream_concurrency": q_st24_stream_concurrency,
@@ -1147,6 +1210,7 @@ def oracles() -> dict[str, str]:
         # shift-invariance makes the statistic identical, so one
         # oracle serves both.
         "st25_stream_trend": _LINEAR_TREND_SQL,
+        "st27_stream_mixture": _MIXTURE_CURVE_SQL,
         "st26_stream_session_window": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS t, value FROM events

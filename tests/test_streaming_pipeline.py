@@ -302,3 +302,23 @@ def test_st26_session_window_touch_boundary(spark):
     assert s1["n_events"] == 2 and s1["total_value"] == 3.0
     assert s1["session_end"] == t0 + dt.timedelta(seconds=1800 + 1800)
     assert len(by_user[2]) == 2
+
+
+def test_st27_stream_mixture_equals_batch_tp16(spark):
+    # AvailableNow ≡ batch: the streaming monitor maintains the
+    # per-stratum counts as state and runs the identical
+    # three-temperature epilogue, pinned end-to-end through the
+    # registry
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    got = sorted(
+        tuple(r) for r in qs["st27_stream_mixture"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in qs["tp16_mixture_curve"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) == 9
