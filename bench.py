@@ -139,6 +139,8 @@ LONGTAIL = [
     "ret7_phrase_search",  # positional phrase intersection (r7s3)
     "tp16_mixture_curve",  # temperature mixture table (r7s3)
     "seq3_collocations",  # bigram lift collocation mining (r7s3)
+    "gr12_reciprocity",  # directed mutual-link share (r7s3)
+    "st27_stream_mixture",  # streaming twin of tp16 (r7s3)
 ]
 
 
