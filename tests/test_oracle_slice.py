@@ -146,6 +146,14 @@ SF1_POOL = [
     "dd21_source_overlap",
     "ts7_decayed_counts",
     "dq5_ri_audit",
+    # r7 session-3 joiners (measured sf1 oracle costs 0.01–3.5 s):
+    "stat6_linear_trend",
+    "ts9_max_concurrency",
+    "dq8_benford",
+    "dq9_reconciliation",
+    "tp16_mixture_curve",
+    "seq3_collocations",
+    "asof6_window_agg",
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
