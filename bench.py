@@ -141,6 +141,7 @@ LONGTAIL = [
     "seq3_collocations",  # bigram lift collocation mining (r7s3)
     "gr12_reciprocity",  # directed mutual-link share (r7s3)
     "st27_stream_mixture",  # streaming twin of tp16 (r7s3)
+    "stat7_lorenz_curve",  # exact concentration polyline (r7s3)
 ]
 
 

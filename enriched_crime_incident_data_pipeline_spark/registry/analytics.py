@@ -513,6 +513,48 @@ def q_hist2_equidepth(spark, sf_dir):
         )
     )
 
+def q_stat7_lorenz_curve(spark, sf_dir):
+    # concentration audit — "what share of events do the least/most
+    # active users produce": the exact Lorenz polyline over user
+    # activity, in integer bp. The w1 trick makes it scale-safe: no
+    # rank over the user domain — users collapse to the activity
+    # HISTOGRAM (one map-side groupBy user, one groupBy n), and the
+    # ordered cumulative window runs over distinct activity LEVELS
+    # only (bounded by max events-per-user, never user count).
+    # Emits one polyline vertex per level: users at that level,
+    # cumulative user share and cumulative event share (ascending
+    # activity — the Lorenz convention; Gini is the area gap, and
+    # stat4 computes it independently). All integer bp.
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    hist = per_user.groupBy("n").agg(
+        F.count(F.lit(1)).alias("users"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col("n").cast("bigint").alias("n_events_level"),
+        F.col("users").cast("bigint").alias("users_at_level"),
+        F.sum("users").over(w).alias("cum_users"),
+        F.sum(F.col("users") * F.col("n")).over(w).alias("cum_events"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("_tu"),
+        F.sum("n").alias("_te"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "n_events_level",
+        "users_at_level",
+        F.expr("CAST((cum_users * 10000) DIV _tu AS BIGINT)").alias(
+            "cum_users_bp"
+        ),
+        F.expr("CAST((cum_events * 10000) DIV _te AS BIGINT)").alias(
+            "cum_events_bp"
+        ),
+    )
+
+
 def q_stat6_linear_trend(spark, sf_dir):
     # per-type OLS drift line — "is this metric trending, and how
     # hard": slope and fit strength of value-vs-time per event_type,
@@ -556,6 +598,7 @@ def q_stat6_linear_trend(spark, sf_dir):
 
 QUERIES = {
     "stat6_linear_trend": q_stat6_linear_trend,
+    "stat7_lorenz_curve": q_stat7_lorenz_curve,
     "topk_per_group": q_topk_per_group,
     "sort_limit": q_sort_limit,
     "pivot": q_pivot,
@@ -589,6 +632,36 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "stat6_linear_trend": _LINEAR_TREND_SQL,
+        "stat7_lorenz_curve": """
+            WITH pu AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY 1
+            ),
+            hist AS (
+              SELECT n, count(*) AS users FROM pu GROUP BY 1
+            ),
+            cum AS (
+              SELECT n, users,
+                     sum(users) OVER (
+                       ORDER BY n
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_users,
+                     sum(users * n) OVER (
+                       ORDER BY n
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_events
+              FROM hist
+            ),
+            tot AS (
+              SELECT count(*) AS tu, sum(n) AS te FROM pu
+            )
+            SELECT CAST(n AS BIGINT) AS n_events_level,
+                   CAST(users AS BIGINT) AS users_at_level,
+                   CAST((cum_users * 10000) // tu AS BIGINT)
+                     AS cum_users_bp,
+                   CAST((cum_events * 10000) // te AS BIGINT)
+                     AS cum_events_bp
+            FROM cum CROSS JOIN tot
+""",
         "json2_schema_profile": """
             WITH kv AS (
               SELECT k AS key,

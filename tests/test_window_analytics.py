@@ -324,3 +324,41 @@ def test_json2_schema_profile_mixed_types_fixture(spark):
         "b": (3, 0, 0, 1, 0, 2, "string"),
         "c": (1, 0, 0, 0, 0, 1, "string"),
     }
+
+
+def test_stat7_lorenz_curve_hand_computed(spark):
+    """Lorenz polyline on a hand distribution: 3 users with 1 event,
+    1 user with 7 — the bottom 75% of users hold exactly 30% of
+    events; the curve is monotone, ends at (10000, 10000), and
+    users-share always >= events-share (ascending-activity
+    convention ⇒ the curve sits under the diagonal)."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    rows = []
+    eid = 0
+    for u, k in [(1, 1), (2, 1), (3, 1), (4, 7)]:
+        for i in range(k):
+            rows.append(
+                (eid, dt.datetime(2026, 1, 1, 0, 0, i), u, "view", 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = sorted(
+        (r["n_events_level"], r["users_at_level"],
+         r["cum_users_bp"], r["cum_events_bp"])
+        for r in spark_queries()["stat7_lorenz_curve"](spark, d).collect()
+    )
+    assert out == [(1, 3, 7500, 3000), (7, 1, 10000, 10000)]
+    for _, _, u_bp, e_bp in out:
+        assert u_bp >= e_bp
