@@ -319,6 +319,73 @@ def q_ss18_nprobe_curve(spark, sf_dir):
     )
 
 
+def q_ss19_quant_bits_curve(spark, sf_dir):
+    # the storage-precision artifact ("how many bits do these
+    # embeddings actually need"): reconstruction-error curve for
+    # per-vector scalar quantization at 4 / 6 / 8 bits, from one
+    # corpus scan — each bit-width is a row-local expression over
+    # the same (min, max) pair, so the curve costs one pass and a
+    # 3-cell reduce. Errors quantize to the 2^-20 integer grid
+    # before summing (the ss16 trick — exact under any
+    # partitioning); every per-element step (min/max, scale
+    # division, floor, reconstruction multiply-add) is a
+    # correctly-rounded IEEE op in a fixed order, so both engines
+    # compute identical errors. Constant vectors quantize exactly
+    # (error 0) by the scale=0 guard.
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    outs = []
+    for bits in (4, 6, 8):
+        levels = (1 << bits) - 1
+        scale = (mx - mn) / F.lit(float(levels))
+        err_elems = F.when(mx == mn, F.array(F.lit(0).cast("bigint"))).otherwise(
+            F.transform(
+                v,
+                lambda x: F.floor(
+                    F.abs(
+                        x
+                        - (
+                            mn
+                            + F.least(
+                                F.floor((x - mn) / scale),
+                                F.lit(float(levels)),
+                            )
+                            * scale
+                        )
+                    )
+                    * F.lit(1048576.0)
+                ).cast("bigint"),
+            )
+        )
+        per_vec = emb.select(
+            F.aggregate(
+                err_elems, F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("err_sum"),
+            F.array_max(err_elems).alias("err_max"),
+            F.size(v).cast("bigint").alias("n"),
+        )
+        outs.append(
+            per_vec.agg(
+                F.lit(bits).cast("int").alias("bits"),
+                F.sum("n").cast("bigint").alias("n_vals"),
+                F.sum("err_sum").alias("_tot"),
+                F.max("err_max").cast("bigint").alias("max_err_micro"),
+            ).select(
+                "bits",
+                "n_vals",
+                F.expr("CAST(_tot DIV n_vals AS BIGINT)").alias(
+                    "mean_abs_err_micro"
+                ),
+                "max_err_micro",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_ss16_embed_diversity(spark, sf_dir):
     # per-cluster embedding-diversity audit: exact mean pairwise
     # cosine within each label via the second-moment identity
@@ -341,6 +408,7 @@ QUERIES = {
     "ss16_embed_diversity": q_ss16_embed_diversity,
     "ss15_batch_topk": q_ss15_batch_topk,
     "ss18_nprobe_curve": q_ss18_nprobe_curve,
+    "ss19_quant_bits_curve": q_ss19_quant_bits_curve,
     "ret5_ndcg": q_ret5_ndcg,
     "ss6_quantize_int8": q_ss6_quantize_int8,
     "ss7_pq_codes": q_ss7_pq_codes,
@@ -611,6 +679,91 @@ def oracles() -> dict[str, str]:
                      AS BIGINT) AS recall_bp,
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM cand WHERE crank <= 4) AS scanned_rows
+""",
+        "ss19_quant_bits_curve": """
+            WITH e AS (
+              SELECT list_aggregate(embedding::DOUBLE[], 'min') AS mn,
+                     list_aggregate(embedding::DOUBLE[], 'max') AS mx,
+                     embedding::DOUBLE[] AS v
+              FROM embeddings
+            )
+            SELECT CAST(4 AS INTEGER) AS bits,
+                   CAST(sum(n) AS BIGINT) AS n_vals,
+                   CAST(sum(err_sum) // sum(n) AS BIGINT)
+                     AS mean_abs_err_micro,
+                   CAST(max(err_max) AS BIGINT) AS max_err_micro
+            FROM (
+              SELECT CASE WHEN mx = mn THEN 0
+                     ELSE (SELECT sum(CAST(floor(abs(
+                              u.x - (mn + least(floor((u.x - mn)
+                                / ((mx - mn) / 15.0)),
+                                15.0)
+                                * ((mx - mn) / 15.0)))
+                              * 1048576.0) AS BIGINT))
+                           FROM unnest(v) AS u(x)) END AS err_sum,
+                     CASE WHEN mx = mn THEN 0
+                     ELSE (SELECT max(CAST(floor(abs(
+                              u.x - (mn + least(floor((u.x - mn)
+                                / ((mx - mn) / 15.0)),
+                                15.0)
+                                * ((mx - mn) / 15.0)))
+                              * 1048576.0) AS BIGINT))
+                           FROM unnest(v) AS u(x)) END AS err_max,
+                     len(v) AS n
+              FROM e
+            )
+            UNION ALL
+            SELECT CAST(6 AS INTEGER) AS bits,
+                   CAST(sum(n) AS BIGINT) AS n_vals,
+                   CAST(sum(err_sum) // sum(n) AS BIGINT)
+                     AS mean_abs_err_micro,
+                   CAST(max(err_max) AS BIGINT) AS max_err_micro
+            FROM (
+              SELECT CASE WHEN mx = mn THEN 0
+                     ELSE (SELECT sum(CAST(floor(abs(
+                              u.x - (mn + least(floor((u.x - mn)
+                                / ((mx - mn) / 63.0)),
+                                63.0)
+                                * ((mx - mn) / 63.0)))
+                              * 1048576.0) AS BIGINT))
+                           FROM unnest(v) AS u(x)) END AS err_sum,
+                     CASE WHEN mx = mn THEN 0
+                     ELSE (SELECT max(CAST(floor(abs(
+                              u.x - (mn + least(floor((u.x - mn)
+                                / ((mx - mn) / 63.0)),
+                                63.0)
+                                * ((mx - mn) / 63.0)))
+                              * 1048576.0) AS BIGINT))
+                           FROM unnest(v) AS u(x)) END AS err_max,
+                     len(v) AS n
+              FROM e
+            )
+            UNION ALL
+            SELECT CAST(8 AS INTEGER) AS bits,
+                   CAST(sum(n) AS BIGINT) AS n_vals,
+                   CAST(sum(err_sum) // sum(n) AS BIGINT)
+                     AS mean_abs_err_micro,
+                   CAST(max(err_max) AS BIGINT) AS max_err_micro
+            FROM (
+              SELECT CASE WHEN mx = mn THEN 0
+                     ELSE (SELECT sum(CAST(floor(abs(
+                              u.x - (mn + least(floor((u.x - mn)
+                                / ((mx - mn) / 255.0)),
+                                255.0)
+                                * ((mx - mn) / 255.0)))
+                              * 1048576.0) AS BIGINT))
+                           FROM unnest(v) AS u(x)) END AS err_sum,
+                     CASE WHEN mx = mn THEN 0
+                     ELSE (SELECT max(CAST(floor(abs(
+                              u.x - (mn + least(floor((u.x - mn)
+                                / ((mx - mn) / 255.0)),
+                                255.0)
+                                * ((mx - mn) / 255.0)))
+                              * 1048576.0) AS BIGINT))
+                           FROM unnest(v) AS u(x)) END AS err_max,
+                     len(v) AS n
+              FROM e
+            )
 """,
         "ss15_batch_topk": f"""
                     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1330,3 +1330,39 @@ def test_gr12_reciprocity_python_model(spark):
     assert r["n_mutual"] % 2 == 0
     assert r["reciprocity_bp"] == len(mutual) * 10000 // len(edges)
     assert 0 < r["reciprocity_bp"] <= 10000
+
+
+def test_ss19_quant_curve_monotone_and_constant_vector(spark):
+    """Distortion curve structure: mean and max error strictly drop
+    as bits grow (~4x per 2 bits on smooth data), and a constant
+    vector quantizes exactly at every width (the scale=0 guard)."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    rows = sorted(
+        (r["bits"], r["mean_abs_err_micro"], r["max_err_micro"])
+        for r in spark_queries()["ss19_quant_bits_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert [b for b, _, _ in rows] == [4, 6, 8]
+    for (b1, m1, x1), (b2, m2, x2) in zip(rows, rows[1:]):
+        assert m1 > m2 and x1 > x2
+
+    emb = spark.createDataFrame(
+        [(0, [0.5] * 8, 0), (1, [1.0, 0.0] * 4, 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    d = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = spark_queries()["ss19_quant_bits_curve"](spark, d).collect()
+    # constant vec contributes exact-0 error; the 0/1 vec hits the
+    # level grid exactly too (min 0, max 1, both endpoints on grid)
+    assert all(
+        r["mean_abs_err_micro"] == 0 and r["max_err_micro"] == 0
+        for r in out
+    )
