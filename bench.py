@@ -142,6 +142,7 @@ LONGTAIL = [
     "gr12_reciprocity",  # directed mutual-link share (r7s3)
     "st27_stream_mixture",  # streaming twin of tp16 (r7s3)
     "stat7_lorenz_curve",  # exact concentration polyline (r7s3)
+    "ss19_quant_bits_curve",  # storage-precision distortion curve (r7s3)
 ]
 
 
