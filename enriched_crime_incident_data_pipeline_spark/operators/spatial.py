@@ -84,22 +84,32 @@ def fuzzy_name_pairs(
     id_col: str,
     name_col: str,
     max_distance: int = 1,
+    block_tail: int = 1,
 ) -> DataFrame:
     """Candidate near-duplicate name pairs: block on (all-but-last
-    character, length), verify with exact levenshtein ≤
-    ``max_distance``.
+    ``block_tail`` characters, length), verify with exact
+    levenshtein ≤ ``max_distance``.
 
-    Prefix blocking bounds each block at |alphabet| rows, so the
-    self-join is linear in the input; like any LSH-style scheme it
-    trades recall (pairs differing in an earlier character fall in
-    different blocks) for never forming the quadratic product. The
-    levenshtein residual is exact on both engines.
+    Prefix blocking bounds each block at |alphabet|^tail rows, so
+    the self-join is linear in the input; like any LSH-style scheme
+    it trades recall (pairs differing in an earlier character fall
+    in different blocks) for never forming the quadratic product.
+    The levenshtein residual is exact on both engines.
+
+    With ``block_tail = 1`` every intra-block pair is automatically
+    within distance 1, so the verify never rejects and the resulting
+    clusters are cliques; a WIDER tail with a tighter verify (e.g.
+    tail 2, distance 1) is the configuration where transitive
+    chaining genuinely occurs — what er3's cohesion audit measures.
     """
     blocked = names.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),
         F.concat(
-            F.expr(f"substring({name_col}, 1, length({name_col}) - 1)"),
+            F.expr(
+                f"substring({name_col}, 1,"
+                f" length({name_col}) - {int(block_tail)})"
+            ),
             F.lit("#"),
             F.length(name_col).cast("string"),
         ).alias("block"),

@@ -228,6 +228,60 @@ def q_er2_blocking_recall(spark, sf_dir):
     )
 
 
+def q_er3_cluster_cohesion(spark, sf_dir):
+    # the SECOND number an ER rollout needs (er2 measured pair
+    # recall; this measures what transitive closure costs): cluster
+    # cohesion = the share of intra-cluster pairs that are DIRECTLY
+    # similar (levenshtein <= 1) — chaining (a~b, b~c but a!~c)
+    # drags it below 10000, and a curator reads it before trusting
+    # the merged entities. NB the configuration matters: er1's
+    # 1-char-tail blocking makes clusters cliques (cohesion
+    # structurally 10000 — proven in fuzzy_name_pairs' docstring),
+    # so the audit runs the 2-char-tail + distance-1 configuration
+    # where chaining genuinely occurs ("…01"~"…02"~"…12" chains
+    # while "…01"!~"…12"). Intra-cluster pairwise work is bounded by
+    # blocking-bounded cluster sizes (Σ|c|², never the table²).
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+    )
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        fuzzy_name_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_name_pairs(
+        cust, "c_custkey", "c_name", max_distance=1, block_tail=2
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    mem = cc.join(
+        cust.select(
+            F.col("c_custkey").alias("node"), F.col("c_name").alias("nm")
+        ),
+        "node",
+    )
+    a = mem.select(
+        F.col("cluster_id"), F.col("node").alias("ka"), F.col("nm").alias("na")
+    )
+    b = mem.select(
+        F.col("cluster_id"), F.col("node").alias("kb"), F.col("nm").alias("nb")
+    )
+    intra = a.join(b, "cluster_id").filter(F.col("ka") < F.col("kb"))
+    return intra.agg(
+        F.count(F.lit(1)).cast("bigint").alias("intra_pairs"),
+        F.sum(
+            (F.levenshtein(F.col("na"), F.col("nb")) <= 1).cast("int")
+        ).cast("bigint").alias("direct_pairs"),
+    ).select(
+        "intra_pairs",
+        "direct_pairs",
+        F.expr(
+            "CAST(CASE WHEN intra_pairs = 0 THEN 10000"
+            " ELSE (direct_pairs * 10000) DIV intra_pairs"
+            " END AS BIGINT)"
+        ).alias("cohesion_bp"),
+    )
+
+
 def q_er1_entity_clusters(spark, sf_dir):
     # entity resolution end-to-end: fuzzy-blocked name pairs (fuzzy1)
     # -> connected components -> one canonical entity per component
@@ -532,6 +586,7 @@ QUERIES = {
     "fuzzy1_name_pairs": q_fuzzy1_name_pairs,
     "er1_entity_clusters": q_er1_entity_clusters,
     "er2_blocking_recall": q_er2_blocking_recall,
+    "er3_cluster_cohesion": q_er3_cluster_cohesion,
 }
 
 def oracles() -> dict[str, str]:
@@ -808,6 +863,54 @@ def oracles() -> dict[str, str]:
                            CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
                     FROM blocked a JOIN blocked b USING (block)
                     WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+                """,
+        "er3_cluster_cohesion": """
+                    WITH RECURSIVE blocked AS (
+                      SELECT c_custkey AS id, c_name AS name,
+                             substring(c_name, 1, length(c_name) - 2)
+                               || '#' || CAST(length(c_name) AS VARCHAR)
+                               AS block
+                      FROM customer
+                    ),
+                    pairs AS (
+                      SELECT a.id AS a, b.id AS b
+                      FROM blocked a JOIN blocked b USING (block)
+                      WHERE a.id < b.id
+                        AND levenshtein(a.name, b.name) <= 1
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs
+                      UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e.a AS node, r.label
+                      FROM edges e JOIN reach r ON r.node = e.b
+                    ),
+                    cc AS (
+                      SELECT node, min(label) AS cluster_id
+                      FROM reach GROUP BY node
+                    ),
+                    mem AS (
+                      SELECT cc.cluster_id, cc.node, c.c_name AS nm
+                      FROM cc JOIN customer c ON c.c_custkey = cc.node
+                    ),
+                    intra AS (
+                      SELECT a.nm AS na, b.nm AS nb
+                      FROM mem a JOIN mem b
+                        ON a.cluster_id = b.cluster_id AND a.node < b.node
+                    )
+                    SELECT CAST(count(*) AS BIGINT) AS intra_pairs,
+                           CAST(sum(CASE WHEN levenshtein(na, nb) <= 1
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                             AS direct_pairs,
+                           CAST(CASE WHEN count(*) = 0 THEN 10000
+                                ELSE (sum(CASE WHEN levenshtein(na, nb) <= 1
+                                          THEN 1 ELSE 0 END) * 10000)
+                                     // count(*) END AS BIGINT)
+                             AS cohesion_bp
+                    FROM intra
                 """,
         "er1_entity_clusters": """
                     WITH RECURSIVE blocked AS (

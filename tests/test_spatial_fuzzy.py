@@ -136,3 +136,35 @@ def test_er2_blocking_recall_semantics(spark):
     # all 6 pairs among the 4 Customer#00x names are distance-1 truth
     assert fx["true_pairs"] == 6 == fx["blocked_pairs"]
     assert fx["recall_bp"] == 10000
+
+
+def test_er3_cohesion_detects_chaining(spark):
+    """Cohesion semantics on a constructed chain under the audit's
+    2-char-tail/distance-1 configuration: "name12"~"name13" and
+    "name13"~"name23" are direct (distance 1) but "name12"!~
+    "name23" (distance 2) — one 3-member cluster, 3 intra pairs, 2
+    direct -> 6666 bp. A clean distance-1 pair alone scores 10000.
+    (With er1's 1-char-tail blocking this audit would be
+    structurally 10000 — clusters are cliques; that proof lives in
+    fuzzy_name_pairs' docstring and is why the audit widens the
+    block.)"""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    def run(names):
+        rows = [(i + 1, n) for i, n in enumerate(names)]
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(
+            rows, "c_custkey bigint, c_name string"
+        ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        (r,) = spark_queries()["er3_cluster_cohesion"](spark, d).collect()
+        return (r["intra_pairs"], r["direct_pairs"], r["cohesion_bp"])
+
+    assert run(["name12", "name13", "name23", "unrelated thing"]) == (
+        3, 2, 2 * 10000 // 3,
+    )
+    assert run(["name12", "name13", "other junk here"]) == (1, 1, 10000)
