@@ -143,6 +143,7 @@ LONGTAIL = [
     "st27_stream_mixture",  # streaming twin of tp16 (r7s3)
     "stat7_lorenz_curve",  # exact concentration polyline (r7s3)
     "ss19_quant_bits_curve",  # storage-precision distortion curve (r7s3)
+    "er3_cluster_cohesion",  # transitive-chaining cost audit (r7s3)
 ]
 
 
