@@ -1300,6 +1300,11 @@ def ivf_nprobe_recall_curve(
         .localCheckpoint(eager=False)
     )
     nq = queries.count()  # bounded: |corpus| / query_mod
+    # nq == 0 would make the recall denominator 0: Spark's DIV 0
+    # yields NULL while DuckDB's // 0 errors — clamp to 1 so the
+    # degenerate empty-query case emits recall_bp 0 in both engines
+    # (total_hits is necessarily 0 when there are no queries).
+    denom = k * max(nq, 1)
 
     outs = []
     for p in range(1, max_probe + 1):
@@ -1321,7 +1326,7 @@ def ivf_nprobe_recall_curve(
                 F.lit(nq).cast("bigint").alias("n_queries"),
                 "total_hits",
                 F.expr(
-                    f"CAST((total_hits * 10000) DIV ({k} * {nq})"
+                    f"CAST((total_hits * 10000) DIV {denom}"
                     " AS BIGINT)"
                 ).alias("recall_bp"),
                 "scanned_rows",

@@ -45,11 +45,20 @@ def var_from_moments(n: Column, s: Column, ss: Column) -> Column:
     return F.greatest(ss.cast("double") / n - m * m, F.lit(0.0))
 
 
-def trend_from_moments(agg: "DataFrame") -> "DataFrame":
+def trend_from_moments(
+    agg: "DataFrame", group_cols: "list[str] | None" = None
+) -> "DataFrame":
     """OLS epilogue shared by batch stat6 and streaming st25: given
     per-group exact decimal co-moment sums ``(n, sx, sy, sxx, syy,
     sxy)``, publish the sign-safe integer slope (milli-units/day)
     and the two-step-floored r² in bp (see stat6's overflow note).
+
+    ``group_cols``: the group-key columns to carry through.  When
+    None (the default) they are INFERRED as every column of ``agg``
+    not named ``n/sx/sy/sxx/syy/sxy`` (nor the internal
+    ``num/den/vary``) — callers whose real group column collides
+    with one of those reserved names MUST pass ``group_cols``
+    explicitly or the column is silently consumed as a moment.
 
     The co-moments num = n·Σxy − ΣxΣy, den = n·Σx² − (Σx)² and
     vary are EXACTLY shift-invariant in integer arithmetic (shifting
@@ -63,11 +72,12 @@ def trend_from_moments(agg: "DataFrame") -> "DataFrame":
         .withColumn("den", F.expr("n * sxx - sx * sx"))
         .withColumn("vary", F.expr("n * syy - sy * sy"))
     )
-    group_cols = [
-        c for c in agg.columns
-        if c not in {"n", "sx", "sy", "sxx", "syy", "sxy",
-                     "num", "den", "vary"}
-    ]
+    if group_cols is None:
+        group_cols = [
+            c for c in agg.columns
+            if c not in {"n", "sx", "sy", "sxx", "syy", "sxy",
+                         "num", "den", "vary"}
+        ]
     return agg.select(
         *group_cols,
         F.col("n").cast("bigint").alias("n"),

@@ -130,7 +130,8 @@ def q_json2_schema_profile(spark, sf_dir):
     # and the observed value-type histogram (int/float/bool/null/
     # string by regex over the stringified scalar — deterministic,
     # engine-identical) plus the dominant type (count desc, name
-    # asc). One from_json + explode (map-side) and one key-domain
+    # DESC on ties — the rule both engines pin below). One
+    # from_json + explode (map-side) and one key-domain
     # groupBy; the key domain, not the row count, bounds the output.
     e = load_table(spark, sf_dir, "events")
     kv = e.select(

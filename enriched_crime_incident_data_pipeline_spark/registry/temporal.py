@@ -712,8 +712,11 @@ def q_cdc2_snapshot_diff(spark, sf_dir):
     # snapshot is ONE max_by aggregation (deterministic (ts,
     # event_id) tiebreak, the cdc1 idiom) — map-side combinable, no
     # per-user window over the event stream; the diff is a full
-    # outer join co-partitioned on user_id; output is the 3-row
-    # status histogram a pipeline posts to its run report.
+    # outer join co-partitioned on user_id; output is the status
+    # histogram a pipeline posts to its run report — UP TO 3 rows:
+    # a status with zero users emits no row (at sf0.01 only 2 rows
+    # appear because no user is 'added'); consumers wanting a fixed
+    # 3-row shape should left-join a literal status domain.
     ev = load_table(spark, sf_dir, "events")
     t2 = ev.agg(F.max(F.unix_timestamp("ts")).alias("_t2"))
     base = ev.crossJoin(F.broadcast(t2)).select(
