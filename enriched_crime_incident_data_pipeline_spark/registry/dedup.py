@@ -190,6 +190,23 @@ def q_dd8_simhash_pairs(spark, sf_dir):
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_dd8b_simhash_wide(spark, sf_dir):
+    # uniform-tail-honest twin of dd8: 32-bit bands + radius-1
+    # multi-probe (Manku-style) — same output contract (both are
+    # COMPLETE Hamming<=3 candidate generators over the same
+    # signatures, then the same exact bit_count(xor) filter), so the
+    # two share one oracle; expected uniform-tail candidates per band
+    # drop n^2/2^16 -> n^2/2^32 for a 16x probe-row constant. See
+    # datapipe/dedup.py:simhash_near_dup_pairs_wide and SCALING.md
+    # (r8) for the measured candidate-count table.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        simhash_near_dup_pairs_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs_wide(docs, max_hamming=3, band_bits=32)
+
+
 
 def q_dd15_containment(spark, sf_dir):
     # asymmetric near-dup: shingle containment |A∩B|/|A| — catches a
@@ -542,12 +559,13 @@ QUERIES = {
     "dd14_semdedup": q_dd14_semdedup,
     "dd23_threshold_sweep": q_dd23_threshold_sweep,
     "dd8_simhash_pairs": q_dd8_simhash_pairs,
+    "dd8b_simhash_wide": q_dd8b_simhash_wide,
     "dd9_dup_clusters": q_dd9_dup_clusters,
     "dd22_cluster_agreement": q_dd22_cluster_agreement,
 }
 
 def oracles() -> dict[str, str]:
-    return {
+    out = {
         "dd21_source_overlap": f"""
                     WITH sh AS ({_SHINGLES3}),
                     hx AS (
@@ -1281,3 +1299,8 @@ def oracles() -> dict[str, str]:
                     FROM kept GROUP BY doc_id
                 """,
     }
+    # dd8b is the wide-band multi-probe twin of dd8: both are complete
+    # Hamming<=3 candidate generators over identical signatures
+    # followed by the same exact filter, so one oracle serves both.
+    out["dd8b_simhash_wide"] = out["dd8_simhash_pairs"]
+    return out

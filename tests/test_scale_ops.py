@@ -399,6 +399,54 @@ def test_simhash_band_join_cardinality_stays_bounded(spark):
     sig.unpersist()
 
 
+def test_simhash_wide_multiprobe_matches_narrow_and_shrinks_candidates(spark):
+    """The r8 uniform-tail variant (32-bit bands + radius-1 probe)
+    must (a) return EXACTLY the narrow generator's pairs — both are
+    complete for Hamming ≤ 3 over identical signatures — and (b)
+    generate strictly fewer candidate pairs than the 16-bit banding
+    on an unrelated-docs corpus (the quadratic-tail insurance it
+    exists for; 26× fewer measured on sf0.1, SCALING.md §r8), and
+    (c) reject configurations whose probe radius would exceed 1."""
+    import random
+
+    import pytest
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_wide,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(500)]
+        + [
+            (10_000, "alpha beta gamma delta"),
+            (10_001, "alpha beta gamma delta"),
+            (10_002, "alpha beta gamma zeta"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(8)
+
+    narrow = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    wide = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_dup_pairs_wide(
+            docs, max_hamming=3, band_bits=32
+        ).collect()
+    }
+    assert wide == narrow
+    assert wide.get((10_000, 10_001)) == 0
+
+    with pytest.raises(ValueError, match="radius"):
+        simhash_near_dup_pairs_wide(docs, max_hamming=7, band_bits=64)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs_wide(docs, max_hamming=3, band_bits=24)
+
+
 def test_ngram_jaccard_max_df_prunes_hot_shingle(spark):
     """Stop-shingle skew guard: every doc shares one boilerplate
     shingle, so the uncapped self-join fans out n²/2 pairs from that
