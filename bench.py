@@ -144,6 +144,8 @@ LONGTAIL = [
     "stat7_lorenz_curve",  # exact concentration polyline (r7s3)
     "ss19_quant_bits_curve",  # storage-precision distortion curve (r7s3)
     "er3_cluster_cohesion",  # transitive-chaining cost audit (r7s3)
+    "dd8b_simhash_wide",  # uniform-tail simhash: 32-bit bands + probe (r8)
+    "st28_stream_corpus_refresh",  # incremental refresh vs band index (r8)
 ]
 
 

@@ -1162,7 +1162,58 @@ def q_st27_stream_mixture(spark, sf_dir):
     return out
 
 
+def q_st28_stream_corpus_refresh(spark, sf_dir):
+    # streaming-native corpus refresh (r7 verdict item 4): the
+    # corpus_refresh1 verdict table produced INCREMENTALLY — arriving
+    # docs (id >= 250) stream in three id-ordered micro-batches; each
+    # batch probes the PERSISTED band index (seeded from the standing
+    # corpus, appended per batch — dd12's incremental-LSH mechanism,
+    # never a batch recompute), the static old-fingerprint set, and
+    # the once-collected eval-gram broadcast. Prefix-stable (every
+    # verdict depends only on smaller-id docs + static state), so the
+    # accumulated verdicts equal the batch refresh for any id-ordered
+    # split and corpus_refresh1's oracle serves verbatim. State is
+    # bounded by band-index size. See streaming/corpus_refresh.py.
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from enriched_crime_incident_data_pipeline_spark.streaming.corpus_refresh import (
+        run_corpus_refresh_stream,
+    )
+
+    cutoff = 250
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(src).sort_by("doc_id")
+    new_t = t.filter(pc.field("doc_id") >= cutoff)
+    n = new_t.num_rows
+    base = tempfile.mkdtemp(prefix="spark_graft_st28_")
+    docs_dir = os.path.join(base, "docs")
+    os.makedirs(docs_dir)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(docs_dir, f"batch{i}.parquet")
+        pq.write_table(new_t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") < cutoff)
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    schema = spark.read.parquet(src).schema
+    state_dir = os.path.join(base, "state")
+    os.makedirs(state_dir)
+    out = run_corpus_refresh_stream(
+        spark, docs_dir, schema, state_dir, old_docs, eval_docs, cutoff
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 QUERIES = {
+    "st28_stream_corpus_refresh": q_st28_stream_corpus_refresh,
     "st27_stream_mixture": q_st27_stream_mixture,
     "st26_stream_session_window": q_st26_stream_session_window,
     "st25_stream_trend": q_st25_stream_trend,
@@ -1198,7 +1249,7 @@ QUERIES = {
 }
 
 def oracles() -> dict[str, str]:
-    return {
+    out = {
         # st23 maintains the dq7 histogram as streaming state; the
         # statistic over it is identical, so one oracle serves both
         "st23_stream_ks_drift": _KS_DRIFT_SQL,
@@ -1677,3 +1728,10 @@ def oracles() -> dict[str, str]:
                          AND (i.valid_to IS NULL OR f.ts < i.valid_to)
                 """,
     }
+    # st28 accumulates the corpus_refresh1 verdict table incrementally;
+    # prefix-stability makes the final state identical, so the batch
+    # refresh oracle serves verbatim.
+    from enriched_crime_incident_data_pipeline_spark.registry import corpus as _corpus
+
+    out["st28_stream_corpus_refresh"] = _corpus.oracles()["corpus_refresh1"]
+    return out

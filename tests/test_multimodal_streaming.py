@@ -503,3 +503,83 @@ def test_mm6_curve_monotone_and_anchored(spark):
     for (h1, p1, m1), (h2, p2, m2) in zip(rows, rows[1:]):
         assert p1 <= p2 and m1 <= m2
     assert rows[-1][1] == qs["mm5_phash_neardup"](spark, sf).count() > 0
+
+
+def test_stream_corpus_refresh_prefix_stable_and_idempotent(spark, tmp_path):
+    """The streaming refresh (st28) must (a) produce the batch
+    refresh's exact verdict table when arriving docs stream in
+    id-ordered micro-batches — every verdict depends only on
+    smaller-id docs plus static state, so the fold is prefix-stable
+    — (b) leave state unchanged on an at-least-once replay, and
+    (c) reject an out-of-order batch loudly."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        doc_ngrams,
+    )
+    from enriched_crime_incident_data_pipeline_spark.registry.corpus import (
+        q_corpus_refresh1,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming.corpus_refresh import (
+        corpus_refresh_batch,
+        run_corpus_refresh_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = sf_dir + "/documents.parquet"
+    cutoff = 250
+    t = pq.read_table(src).sort_by("doc_id")
+    new_t = t.filter(pc.field("doc_id") >= cutoff)
+    n = new_t.num_rows
+    assert n > 0
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = os.path.join(docs_dir, f"b{i}.parquet")
+        pq.write_table(new_t.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    docs = spark.read.parquet(src)
+    old_docs = docs.filter(F.col("doc_id") < cutoff)
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    streamed = run_corpus_refresh_stream(
+        spark,
+        docs_dir,
+        spark.read.parquet(src).schema,
+        state_dir,
+        old_docs,
+        eval_docs,
+        cutoff,
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in q_corpus_refresh1(spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) == n, "one verdict row per arriving doc"
+
+    # replay idempotency: re-fold the LAST batch with its original
+    # batch_id; the per-batch overwrite must leave state identical
+    grams = frozenset(
+        r[0]
+        for r in doc_ngrams(eval_docs, 8).select("gram").distinct().collect()
+    )
+    fn = corpus_refresh_batch(state_dir, cutoff, grams)
+    last = spark.read.parquet(os.path.join(docs_dir, "b2.parquet"))
+    # the AvailableNow run used batch ids 0..2
+    fn(last, 2)
+    replayed = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(state_dir, "verdicts"))
+        .drop("batch")
+        .collect()
+    }
+    assert replayed == want
+
+    # out-of-order rejection: a batch whose min id precedes the
+    # watermark must raise and leave no band-state trace
+    with _pytest.raises(ValueError, match="out-of-order"):
+        fn(spark.read.parquet(os.path.join(docs_dir, "b0.parquet")), 3)
+    assert not os.path.exists(os.path.join(state_dir, "band_index", "batch=3"))
