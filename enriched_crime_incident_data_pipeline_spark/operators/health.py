@@ -166,3 +166,117 @@ def ks_drift_from_counts(
             ).alias("ks_bp"),
         )
     )
+
+
+def schema_drift(
+    events: DataFrame, props_col: str = "props", ts_col: str = "ts"
+) -> DataFrame:
+    """Snapshot-over-snapshot JSON schema drift — the run-report a
+    lake actually wants from its semi-structured column (r7 verdict
+    item 6): json2's key-domain profile computed AS OF two points in
+    time and diffed with the cdc2 snapshot idiom.
+
+    Snapshots are cumulative (a profile "as of T" sees all rows up to
+    T): T2 = everything, T1 = rows at or before the integer epoch-µs
+    midpoint ``(min+max) DIV 2`` — scale-free and engine-identical.
+    Per key the output carries both snapshots' presence counts and
+    dominant types (json2's pinned rule: count desc, name DESC on
+    ties; NULL when the key is absent at T1) plus
+    ``presence_drift_bp`` = (n₂·10⁴ DIV rows₂) − (n₁·10⁴ DIV rows₁),
+    the integer-bp change in presence rate. ``status`` classifies:
+    'added' (key unseen at T1), 'type_flip' (dominant type changed),
+    else 'stable'. 'removed' cannot occur under append-only ingestion
+    — cumulative snapshots only grow — and its absence is part of the
+    contract (cdc2's exact argument).
+
+    Plan shape: one tiny (min, max, count) aggregate over the
+    pruned ts column, one count-at-or-before-cut scalar (ts column
+    only), then ONE from_json + explode pass with per-key CONDITIONAL
+    aggregation producing both snapshots' 6 counters in a single
+    shuffle — the key domain, not the row count, bounds the output
+    and the reduce state. Dominant types are row-local
+    array_max(struct) epilogues over the aggregated counters.
+    """
+    ev = events.select(
+        F.unix_micros(F.col(ts_col)).alias("t"), F.col(props_col).alias("p")
+    )
+    bounds = ev.agg(
+        F.min("t").alias("_mn"),
+        F.max("t").alias("_mx"),
+        F.count(F.lit(1)).cast("bigint").alias("_rows2"),
+    ).select(
+        F.expr("CAST((_mn + _mx) DIV 2 AS BIGINT)").alias("_cut"), "_rows2"
+    )
+    rows1 = (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(F.col("t") <= F.col("_cut"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_rows1"))
+    )
+    kv = (
+        ev.crossJoin(F.broadcast(bounds.select("_cut")))
+        .select(
+            "t",
+            "_cut",
+            F.explode(F.from_json(F.col("p"), "map<string,string>")).alias(
+                "key", "val"
+            ),
+        )
+    )
+    ty = (
+        F.when(F.col("val").isNull(), "null")
+        .when(F.col("val").rlike("^-?[0-9]+$"), "int")
+        .when(F.col("val").rlike("^-?[0-9]*\\.[0-9]+$"), "float")
+        .when(F.col("val").isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+    in1 = (F.col("t") <= F.col("_cut")).cast("int")
+    typed = kv.select("key", ty.alias("ty"), in1.alias("in1"))
+    aggs = [
+        F.sum("in1").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+    ]
+    for tname in ("int", "float", "bool", "null", "string"):
+        hit = (F.col("ty") == tname).cast("int")
+        aggs.append(F.sum(hit * F.col("in1")).cast("bigint").alias(f"a_{tname}"))
+        aggs.append(F.sum(hit).cast("bigint").alias(f"b_{tname}"))
+    per_key = typed.groupBy("key").agg(*aggs)
+
+    def dom(prefix):
+        cand = F.array(
+            *[
+                F.struct(
+                    F.col(f"{prefix}_{tname}").alias("c"),
+                    F.lit(tname).alias("t"),
+                )
+                for tname in ("bool", "float", "int", "null", "string")
+            ]
+        )
+        return F.array_max(cand)["t"]
+
+    out = (
+        per_key.crossJoin(F.broadcast(bounds.select("_rows2")))
+        .crossJoin(F.broadcast(rows1))
+        .select(
+            "key",
+            F.col("n1").alias("n_t1"),
+            F.col("n2").alias("n_t2"),
+            F.when(F.col("n1") > 0, dom("a")).alias("dominant_t1"),
+            dom("b").alias("dominant_t2"),
+            F.expr(
+                "CAST((n2 * 10000) DIV _rows2 - (n1 * 10000) DIV _rows1"
+                " AS BIGINT)"
+            ).alias("presence_drift_bp"),
+        )
+    )
+    return out.select(
+        "key",
+        F.when(F.col("n_t1") == 0, F.lit("added"))
+        .when(F.col("dominant_t1") != F.col("dominant_t2"), F.lit("type_flip"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+        "n_t1",
+        "n_t2",
+        "dominant_t1",
+        "dominant_t2",
+        "presence_drift_bp",
+    )

@@ -154,7 +154,7 @@ def q_json2_schema_profile(spark, sf_dir):
         F.sum((F.col("t") == "null").cast("int")).cast("bigint").alias("n_null"),
         F.sum((F.col("t") == "string").cast("int")).cast("bigint").alias("n_string"),
     )
-    # dominant type: argmax over the five counters, ties by name asc
+    # dominant type: argmax over the five counters, ties by name DESC
     # — a row-local greatest(struct) over the aggregated counts
     cand = F.array(
         F.struct(F.col("n_bool").alias("c"), F.lit("bool").alias("t")),

@@ -571,7 +571,23 @@ def q_dq7_ks_drift(spark, sf_dir):
     )
 
 
+def q_dq10_schema_drift(spark, sf_dir):
+    # snapshot-over-snapshot JSON schema drift (r7 verdict item 6):
+    # json2's key-domain profile AS OF the epoch-µs midpoint vs AS OF
+    # now, diffed with the cdc2 idiom — keys added, dominant-type
+    # flips ('removed' cannot occur: cumulative snapshots only grow),
+    # plus the integer-bp presence-rate change. One conditional-agg
+    # pass over the exploded kv relation; output bounded by the key
+    # domain. See operators/health.py:schema_drift.
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        schema_drift,
+    )
+
+    return schema_drift(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
+    "dq10_schema_drift": q_dq10_schema_drift,
     "dq8_benford": q_dq8_benford,
     "dq9_reconciliation": q_dq9_reconciliation,
     "dq7_ks_drift": q_dq7_ks_drift,
@@ -591,6 +607,79 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq10_schema_drift": """
+            WITH b AS (
+              SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut,
+                     CAST(count(*) AS BIGINT) AS rows2
+              FROM events
+            ),
+            r1 AS (
+              SELECT CAST(count(*) AS BIGINT) AS rows1
+              FROM events, b WHERE epoch_us(ts) <= b.cut
+            ),
+            kv AS (
+              SELECT epoch_us(ts) AS t, k AS key,
+                     json_extract_string(props, '$.' || k) AS val
+              FROM (
+                SELECT ts, props, unnest(json_keys(props)) AS k FROM events
+              )
+            ),
+            typed AS (
+              SELECT t, key,
+                     CASE WHEN val IS NULL THEN 'null'
+                          WHEN regexp_full_match(val, '-?[0-9]+')
+                            THEN 'int'
+                          WHEN regexp_full_match(val, '-?[0-9]*\\.[0-9]+')
+                            THEN 'float'
+                          WHEN val IN ('true', 'false') THEN 'bool'
+                          ELSE 'string' END AS ty,
+                     CASE WHEN t <= b.cut THEN 1 ELSE 0 END AS in1
+              FROM kv, b
+            ),
+            agg AS (
+              SELECT key,
+                     CAST(sum(in1) AS BIGINT) AS n1,
+                     CAST(count(*) AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN ty='int' THEN in1 ELSE 0 END) AS BIGINT) AS a_int,
+                     CAST(sum(CASE WHEN ty='int' THEN 1 ELSE 0 END) AS BIGINT) AS b_int,
+                     CAST(sum(CASE WHEN ty='float' THEN in1 ELSE 0 END) AS BIGINT) AS a_float,
+                     CAST(sum(CASE WHEN ty='float' THEN 1 ELSE 0 END) AS BIGINT) AS b_float,
+                     CAST(sum(CASE WHEN ty='bool' THEN in1 ELSE 0 END) AS BIGINT) AS a_bool,
+                     CAST(sum(CASE WHEN ty='bool' THEN 1 ELSE 0 END) AS BIGINT) AS b_bool,
+                     CAST(sum(CASE WHEN ty='null' THEN in1 ELSE 0 END) AS BIGINT) AS a_null,
+                     CAST(sum(CASE WHEN ty='null' THEN 1 ELSE 0 END) AS BIGINT) AS b_null,
+                     CAST(sum(CASE WHEN ty='string' THEN in1 ELSE 0 END) AS BIGINT) AS a_string,
+                     CAST(sum(CASE WHEN ty='string' THEN 1 ELSE 0 END) AS BIGINT) AS b_string
+              FROM typed GROUP BY key
+            ),
+            doms AS (
+              SELECT key, n1, n2,
+                     CASE WHEN n1 = 0 THEN NULL ELSE (
+                       SELECT t FROM (
+                         SELECT 'bool' AS t, a_bool AS c
+                         UNION ALL SELECT 'float', a_float
+                         UNION ALL SELECT 'int', a_int
+                         UNION ALL SELECT 'null', a_null
+                         UNION ALL SELECT 'string', a_string)
+                       ORDER BY c DESC, t DESC LIMIT 1) END AS dominant_t1,
+                     (SELECT t FROM (
+                        SELECT 'bool' AS t, b_bool AS c
+                        UNION ALL SELECT 'float', b_float
+                        UNION ALL SELECT 'int', b_int
+                        UNION ALL SELECT 'null', b_null
+                        UNION ALL SELECT 'string', b_string)
+                      ORDER BY c DESC, t DESC LIMIT 1) AS dominant_t2
+              FROM agg
+            )
+            SELECT key,
+                   CASE WHEN n1 = 0 THEN 'added'
+                        WHEN dominant_t1 <> dominant_t2 THEN 'type_flip'
+                        ELSE 'stable' END AS status,
+                   n1 AS n_t1, n2 AS n_t2, dominant_t1, dominant_t2,
+                   CAST((n2 * 10000) // rows2 - (n1 * 10000) // rows1
+                     AS BIGINT) AS presence_drift_bp
+            FROM doms, b, r1
+        """,
         "er2_blocking_recall": """
             WITH s AS (
               SELECT c_custkey AS k, c_name AS nm FROM customer

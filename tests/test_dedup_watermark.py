@@ -378,3 +378,49 @@ def test_dq9_reconciliation_hand_fixture(spark):
         r["n_orders"], r["n_no_lines"], r["n_exact"], r["n_mismatched"],
         r["max_abs_diff_cents"], r["total_abs_diff_cents"],
     ) == (4, 1, 1, 2, 2, 3)
+
+
+def test_dq10_schema_drift_added_key_and_type_flip_fixture(spark):
+    """Hand fixture for the snapshot-diff semantics: 10 hourly events,
+    midpoint cut puts the first 5 in T1. Key 'k' stays int (stable,
+    zero drift); key 'm' is int in T1 and splits 5 int / 5 string at
+    T2 — the tie resolves by the pinned count-desc-name-DESC rule to
+    'string', so the flip ALSO pins the json2 tie rule; key 'newk'
+    appears only after the cut (added, dominant NULL at T1,
+    presence 0 → 5000 bp)."""
+    import datetime
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(10):
+        ts = t0 + datetime.timedelta(hours=i)
+        if i < 5:
+            props = '{"k": %d, "m": %d}' % (i, i)
+        else:
+            props = '{"k": %d, "m": "x", "newk": true}' % i
+        rows.append((i, ts, props))
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp, props string")
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["key"]: (
+            r["status"],
+            r["n_t1"],
+            r["n_t2"],
+            r["dominant_t1"],
+            r["dominant_t2"],
+            r["presence_drift_bp"],
+        )
+        for r in spark_queries()["dq10_schema_drift"](spark, d).collect()
+    }
+    assert got == {
+        "k": ("stable", 5, 10, "int", "int", 0),
+        "m": ("type_flip", 5, 10, "int", "string", 0),
+        "newk": ("added", 0, 5, None, "bool", 5000),
+    }
