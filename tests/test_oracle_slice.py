@@ -154,6 +154,14 @@ SF1_POOL = [
     "tp16_mixture_curve",
     "seq3_collocations",
     "asof6_window_agg",
+    # r8 joiners (measured sf1 DuckDB oracle costs, 2026-08-16):
+    "stat7_lorenz_curve",  # 0.02 s
+    "ss19_quant_bits_curve",  # 0.24 s
+    "cdc2_snapshot_diff",  # 0.30 s
+    "dq10_schema_drift",  # 1.23 s
+    "json2_schema_profile",  # 1.48 s
+    "ret7_phrase_search",  # 5.48 s
+    "er3_cluster_cohesion",  # 7.61 s — r7 verdict ask; worth the seconds
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
@@ -161,7 +169,10 @@ SF1_POOL = [
 # 8 MATERIALIZED peel rounds over the sf1 bands) and
 # dd20_dup_rate_by_source (346 s — DuckDB's recursive-CTE CC at sf1)
 # — their sf1 behavior is covered by SCALING.md sweeps; this slice
-# stays ≤ ~2 min.
+# stays ≤ ~2 min. r8 measurements add two more exclusions:
+# gr12_reciprocity (17.7 s — the mutual-edge join over sf1's edge
+# list) and mm6_phash_threshold_curve (396 s — DuckDB evaluates the
+# 4-threshold Hamming sweep as repeated un-indexed band joins).
 
 
 def _sf1_slice_names() -> list[str]:
