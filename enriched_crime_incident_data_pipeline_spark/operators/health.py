@@ -231,15 +231,33 @@ def schema_drift(
     )
     in1 = (F.col("t") <= F.col("_cut")).cast("int")
     typed = kv.select("key", ty.alias("ty"), in1.alias("in1"))
-    aggs = [
+    counts = typed.groupBy("key", "ty").agg(
         F.sum("in1").cast("bigint").alias("n1"),
         F.count(F.lit(1)).cast("bigint").alias("n2"),
+    )
+    return drift_from_type_counts(counts, rows1, bounds.select("_rows2"))
+
+
+def drift_from_type_counts(
+    counts: DataFrame, rows1: DataFrame, rows2: DataFrame
+) -> DataFrame:
+    """Schema-drift epilogue shared by batch dq10 and streaming st29:
+    given the per-(key, value-type) snapshot counters ``(key, ty, n1,
+    n2)`` — exactly the relation a streaming aggregation maintains as
+    state, since integer counts merge in any micro-batch order — plus
+    the one-cell event totals ``rows1`` (``_rows1``) / ``rows2``
+    (``_rows2``), publish the per-key drift verdict. The key×type
+    domain (≤ 5 types), not the event stream, bounds every relation
+    here."""
+    aggs = [
+        F.sum("n1").cast("bigint").alias("n1"),
+        F.sum("n2").cast("bigint").alias("n2"),
     ]
     for tname in ("int", "float", "bool", "null", "string"):
-        hit = (F.col("ty") == tname).cast("int")
-        aggs.append(F.sum(hit * F.col("in1")).cast("bigint").alias(f"a_{tname}"))
-        aggs.append(F.sum(hit).cast("bigint").alias(f"b_{tname}"))
-    per_key = typed.groupBy("key").agg(*aggs)
+        hit = (F.col("ty") == tname).cast("bigint")
+        aggs.append(F.sum(hit * F.col("n1")).cast("bigint").alias(f"a_{tname}"))
+        aggs.append(F.sum(hit * F.col("n2")).cast("bigint").alias(f"b_{tname}"))
+    per_key = counts.groupBy("key").agg(*aggs)
 
     def dom(prefix):
         cand = F.array(
@@ -254,7 +272,7 @@ def schema_drift(
         return F.array_max(cand)["t"]
 
     out = (
-        per_key.crossJoin(F.broadcast(bounds.select("_rows2")))
+        per_key.crossJoin(F.broadcast(rows2))
         .crossJoin(F.broadcast(rows1))
         .select(
             "key",

@@ -1359,6 +1359,70 @@ _GR12_RECIPROCITY_SQL = f"""
 """
 
 
+# gr13: degree assortativity of the gr7 citation graph — Pearson
+# correlation of (deg(src), deg(dst)) over directed edges, published
+# as sign + two-step-floored r² in bp (stat6's overflow-safe idiom;
+# HUGEINT here ≡ Spark's decimal(38,0) co-moments). Same edge CTE as
+# gr12.
+_GR13_ASSORT_SQL = f"""
+            WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+            pairs AS MATERIALIZED (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            rot AS (
+              SELECT doc_id AS src,
+                     coalesce(lead(doc_id) OVER w,
+                              first_value(doc_id) OVER w) AS dst
+              FROM documents
+              WINDOW w AS (PARTITION BY doc_id // 16 ORDER BY doc_id)
+            ),
+            edges AS MATERIALIZED (
+              SELECT src, dst FROM (
+                SELECT src, dst FROM rot
+                UNION SELECT b AS src, a AS dst FROM pairs
+                UNION SELECT a AS src, b AS dst FROM pairs
+                  WHERE (a + b) % 3 = 0
+              ) WHERE src <> dst
+            ),
+            deg AS (
+              SELECT v, CAST(count(*) AS HUGEINT) AS deg FROM (
+                SELECT src AS v FROM edges
+                UNION ALL SELECT dst AS v FROM edges
+              ) GROUP BY v
+            ),
+            xy AS (
+              SELECT ds.deg AS x, dd.deg AS y
+              FROM edges e
+              JOIN deg ds ON e.src = ds.v
+              JOIN deg dd ON e.dst = dd.v
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM xy
+            ),
+            f AS (
+              SELECT n,
+                     n * sxy - sx * sy AS num,
+                     n * sxx - sx * sx AS denx,
+                     n * syy - sy * sy AS deny
+              FROM agg
+            )
+            SELECT CAST(n AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                        ELSE 0 END AS INTEGER) AS assort_sign,
+                   CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0
+                        ELSE ((abs(num) * 10000 // denx) * abs(num)) // deny
+                        END AS BIGINT) AS r2_bp
+            FROM f
+"""
+
+
 # tp16 / st27: stratum mixture table under three temperature
 # exponents — the streaming twin maintains the same stratum counts,
 # so one oracle serves both.

@@ -17,6 +17,7 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _GR8_PPR_SQL,
     _GR10_BFS_SQL,
     _GR12_RECIPROCITY_SQL,
+    _GR13_ASSORT_SQL,
     _GR2_SQL,
     _GR3_HITS_SQL,
     _MINHASH_BANDS_SQL,
@@ -439,6 +440,80 @@ def q_gr12_reciprocity(spark, sf_dir):
     )
 
 
+def q_gr13_assortativity(spark, sf_dir):
+    # degree assortativity — the mixing-pattern audit a crawl/citation
+    # graph gets before link-based quality propagation (assortative
+    # graphs propagate labels well; disassortative hub-and-spoke
+    # graphs don't): Pearson correlation of (deg(src), deg(dst)) over
+    # gr7's directed edges, in EXACT integer arithmetic — decimal(38,0)
+    # co-moments (stat6's machinery), published as sign + the
+    # two-step-floored r² in bp (the overflow-safe idiom; num² itself
+    # would overflow). Plan: the gr12 edge relation (lazily
+    # checkpointed — degree build and the two joins read blocks, not
+    # lineage), ONE degree groupBy over the 2|E|-row endpoint union,
+    # two hash joins edge→degree, one 6-cell global reduce. No
+    # windows over row domains; reduce state is 6 cells.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
+    rot = docs.select(
+        F.col("doc_id").alias("src"),
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(w)
+        ).alias("dst"),
+    )
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    edges = (
+        rot.union(back).union(fwd)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast(dec).alias("deg"))
+    )
+    xy = (
+        edges.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("x")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("y")), "dst")
+        .select("x", "y")
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    f = agg.select(
+        "n",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("denx"),
+        F.expr("n * syy - sy * sy").alias("deny"),
+    )
+    return f.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.expr(
+            "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1"
+            " ELSE 0 END AS INT)"
+        ).alias("assort_sign"),
+        F.expr(
+            "CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0"
+            " ELSE ((abs(num) * 10000 DIV denx) * abs(num)) DIV deny"
+            " END AS BIGINT)"
+        ).alias("r2_bp"),
+    )
+
+
 def q_gr10_bfs_distance(spark, sf_dir):
     # seed-proximity audit: DIRECTED hop distance from the trusted
     # seed set (doc_id % 50 = 0, gr8's seeds) over gr7's citation
@@ -513,6 +588,7 @@ QUERIES = {
     "gr6_kcore": q_gr6_kcore,
     "gr10_bfs_distance": q_gr10_bfs_distance,
     "gr12_reciprocity": q_gr12_reciprocity,
+    "gr13_assortativity": q_gr13_assortativity,
     "gr8_personalized_pagerank": q_gr8_personalized_pagerank,
     "gr7_scc": q_gr7_scc,
     "gr1_pagerank": q_gr1_pagerank,
@@ -575,6 +651,7 @@ def oracles() -> dict[str, str]:
 """,
         "gr10_bfs_distance": _GR10_BFS_SQL,
         "gr12_reciprocity": _GR12_RECIPROCITY_SQL,
+        "gr13_assortativity": _GR13_ASSORT_SQL,
         "gr8_personalized_pagerank": _GR8_PPR_SQL,
         "gr7_scc": _GR7_SCC_SQL,
         "gr6_kcore": _gr6_kcore_sql(),

@@ -419,6 +419,39 @@ def q_ss19_quant_bits_curve(spark, sf_dir):
     )
 
 
+def q_ss20_ivf_balance(spark, sf_dir):
+    # IVF list-size balance audit — the artifact that decides whether
+    # an IVF index is deployable at all: probe cost is bounded by the
+    # LARGEST visited list, so a skewed assignment (load_bp ≫ 10000
+    # for some cluster) means nprobe tuning can't save the tail
+    # latency and the centroids need retraining (ss17) or the lists
+    # need splitting. Per cluster: count, corpus share in bp, and
+    # load factor vs the perfectly-balanced ideal (n·k/total, bp —
+    # 10000 = ideal). One ss2 assignment pass (centroids broadcast,
+    # corpus never shuffles for scoring) + one cluster-domain groupBy
+    # + an O(k)-row epilogue.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    counts = (
+        ivf_assignments(emb, n_centroids=k)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+    tot = counts.agg(F.sum("n_vecs").alias("_tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        "n_vecs",
+        F.expr("CAST((n_vecs * 10000) DIV _tot AS BIGINT)").alias("share_bp"),
+        F.expr(f"CAST((n_vecs * {k} * 10000) DIV _tot AS BIGINT)").alias(
+            "load_bp"
+        ),
+    )
+
+
 def q_ss16_embed_diversity(spark, sf_dir):
     # per-cluster embedding-diversity audit: exact mean pairwise
     # cosine within each label via the second-moment identity
@@ -455,6 +488,7 @@ QUERIES = {
     "ss1_ann_bruteforce": q_ss1_ann_bruteforce,
     "ss17_kmeans_step": q_ss17_kmeans_step,
     "ss2_ivf_assign": q_ss2_ivf_assign,
+    "ss20_ivf_balance": q_ss20_ivf_balance,
     "ss3_ivf_topk": q_ss3_ivf_topk,
     "ss4_hyperplane_lsh": q_ss4_hyperplane_lsh,
     "ss5_lsh_near_dup": q_ss5_lsh_near_dup,
@@ -1275,6 +1309,33 @@ def oracles() -> dict[str, str]:
                      AS centroid_q
             FROM comp GROUP BY 1, 2
 """,
+        "ss20_ivf_balance": f"""
+                    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+                    scored AS (
+                      SELECT a.vec_id, cent.cid,
+                             list_dot_product(a.v, cent.v)
+                               / (sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(cent.v, cent.v))) AS cos
+                      FROM e a, cent
+                    ),
+                    assign AS (
+                      SELECT vec_id, cid AS cluster FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                        FROM scored) WHERE rn = 1
+                    ),
+                    counts AS (
+                      SELECT CAST(cluster AS INTEGER) AS cluster,
+                             CAST(count(*) AS BIGINT) AS n_vecs
+                      FROM assign GROUP BY cluster
+                    ),
+                    t AS (SELECT sum(n_vecs) AS tot FROM counts)
+                    SELECT cluster, n_vecs,
+                           CAST((n_vecs * 10000) // tot AS BIGINT) AS share_bp,
+                           CAST((n_vecs * 8 * 10000) // tot AS BIGINT) AS load_bp
+                    FROM counts, t
+                """,
         "ss2_ivf_assign": f"""
                     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                     cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),

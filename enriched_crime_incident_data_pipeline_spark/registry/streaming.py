@@ -1162,6 +1162,74 @@ def q_st27_stream_mixture(spark, sf_dir):
     return out
 
 
+def q_st29_stream_schema_drift(spark, sf_dir):
+    # continuous schema-drift monitor (dq10 as a stream): the
+    # per-(key, value-type) snapshot counters ARE a streaming
+    # aggregation — integer counts merge in any micro-batch order,
+    # state is the key×type domain (≤5 types/key), never the event
+    # stream — and the drift epilogue (drift_from_type_counts, the
+    # code path batch dq10 ends in) runs over the maintained state.
+    # The snapshot cut and event totals are driver scalars: in
+    # production the cut is the PREVIOUS run's published watermark (a
+    # parameter); here it is derived from the static table so dq10's
+    # oracle pins the twin exactly. AvailableNow ≡ batch dq10 by
+    # construction.
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        drift_from_type_counts,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+        stream_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(F.unix_micros("ts").alias("t"))
+        .agg(
+            F.min("t").alias("_mn"),
+            F.max("t").alias("_mx"),
+            F.count(F.lit(1)).cast("bigint").alias("_rows2"),
+        )
+        .select(
+            F.expr("CAST((_mn + _mx) DIV 2 AS BIGINT)").alias("_cut"),
+            "_rows2",
+        )
+        .collect()[0]
+    )
+    cut, rows2_val = b["_cut"], b["_rows2"]
+    rows1_val = ev.filter(F.unix_micros("ts") <= F.lit(cut)).count()
+    stream = stream_table(spark, sf_dir, "events")
+    # the file-stream source surfaces ts as TIMESTAMP_NTZ; the session
+    # is pinned to UTC so the cast is the identity on the instant
+    kv = stream.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
+            "key", "val"
+        ),
+    )
+    ty = (
+        F.when(F.col("val").isNull(), "null")
+        .when(F.col("val").rlike("^-?[0-9]+$"), "int")
+        .when(F.col("val").rlike("^-?[0-9]*\\.[0-9]+$"), "float")
+        .when(F.col("val").isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+    counts = kv.select(
+        "key",
+        ty.alias("ty"),
+        (F.col("t") <= F.lit(cut)).cast("int").alias("in1"),
+    ).groupBy("key", "ty").agg(
+        F.sum("in1").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+    )
+    state = run_available_now(
+        counts, "st29_schema_drift", "complete", state_partitions=4
+    )
+    rows1 = spark.createDataFrame([(rows1_val,)], "_rows1 bigint")
+    rows2 = spark.createDataFrame([(rows2_val,)], "_rows2 bigint")
+    return drift_from_type_counts(state, rows1, rows2)
+
+
 def q_st28_stream_corpus_refresh(spark, sf_dir):
     # streaming-native corpus refresh (r7 verdict item 4): the
     # corpus_refresh1 verdict table produced INCREMENTALLY — arriving
@@ -1213,6 +1281,7 @@ def q_st28_stream_corpus_refresh(spark, sf_dir):
 
 
 QUERIES = {
+    "st29_stream_schema_drift": q_st29_stream_schema_drift,
     "st28_stream_corpus_refresh": q_st28_stream_corpus_refresh,
     "st27_stream_mixture": q_st27_stream_mixture,
     "st26_stream_session_window": q_st26_stream_session_window,
@@ -1734,4 +1803,10 @@ def oracles() -> dict[str, str]:
     from enriched_crime_incident_data_pipeline_spark.registry import corpus as _corpus
 
     out["st28_stream_corpus_refresh"] = _corpus.oracles()["corpus_refresh1"]
+    # st29 maintains dq10's per-(key,type) snapshot counters as
+    # streaming state; the epilogue is the same code path, so the
+    # batch drift oracle serves verbatim.
+    from enriched_crime_incident_data_pipeline_spark.registry import quality as _quality
+
+    out["st29_stream_schema_drift"] = _quality.oracles()["dq10_schema_drift"]
     return out

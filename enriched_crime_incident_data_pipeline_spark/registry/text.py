@@ -642,7 +642,48 @@ def q_tok10_unigram_encode(spark, sf_dir):
     return unigram_encode(docs)
 
 
+def q_ta15_heaps_curve(spark, sf_dir):
+    # vocabulary-growth (Heaps-law) curve — the statistic that sizes a
+    # tokenizer vocab and predicts OOV decay before training: distinct
+    # tokens vs corpus size over four NESTED samples S_k = docs with
+    # doc_id % 4 < k (S_1 ⊂ … ⊂ S_4 = all). No global sort and no
+    # per-prefix rescans: a token is in S_k's vocab iff min(doc_id % 4)
+    # over its occurrences < k, so ONE groupBy(token) computes each
+    # token's first-quarter m, and the curve is three tiny histograms
+    # (docs, token occurrences, first-token m — each ≤ 4 rows)
+    # cumulated by an intended ≤4-row window. One explode scan + one
+    # token-domain shuffle, identical at 100 TB.
+    docs = load_table(spark, sf_dir, "documents")
+    dq = (F.col("doc_id") % 4).alias("q")
+    doc_hist = docs.select(
+        dq, token_count(F.col("text")).cast("bigint").alias("nt")
+    ).groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("nt").cast("bigint").alias("occ"),
+    )
+    tok = docs.select(dq, F.explode(tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    vocab_hist = (
+        tok.groupBy("token")
+        .agg(F.min("q").alias("q"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    )
+    hist = doc_hist.join(vocab_hist, "q", "left").select(
+        "q", "nd", "occ", F.coalesce(F.col("nv"), F.lit(0)).cast("bigint").alias("nv")
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        (F.col("q") + 1).cast("int").alias("sample_quarter"),
+        F.sum("nd").over(w).cast("bigint").alias("n_docs"),
+        F.sum("occ").over(w).cast("bigint").alias("n_tokens"),
+        F.sum("nv").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
 QUERIES = {
+    "ta15_heaps_curve": q_ta15_heaps_curve,
     "tok8_compression_curve": q_tok8_compression_curve,
     "tok9_unigram_train": q_tok9_unigram_train,
     "tok10_unigram_encode": q_tok10_unigram_encode,
@@ -679,6 +720,39 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ta15_heaps_curve": f"""
+            WITH d AS (
+              SELECT doc_id % 4 AS q, {_TOKEN_COUNT} AS nt FROM documents
+            ),
+            doc_hist AS (
+              SELECT q, CAST(count(*) AS BIGINT) AS nd,
+                     CAST(sum(nt) AS BIGINT) AS occ
+              FROM d GROUP BY q
+            ),
+            tok AS (
+              SELECT doc_id % 4 AS q, unnest({_TOKENS}) AS token
+              FROM documents
+            ),
+            firstq AS (
+              SELECT token, min(q) AS q FROM tok WHERE token <> ''
+              GROUP BY token
+            ),
+            vocab_hist AS (
+              SELECT q, CAST(count(*) AS BIGINT) AS nv FROM firstq GROUP BY q
+            ),
+            hist AS (
+              SELECT dh.q, dh.nd, dh.occ,
+                     CAST(coalesce(vh.nv, 0) AS BIGINT) AS nv
+              FROM doc_hist dh LEFT JOIN vocab_hist vh ON dh.q = vh.q
+            )
+            SELECT CAST(q + 1 AS INTEGER) AS sample_quarter,
+                   CAST(sum(nd) OVER w AS BIGINT) AS n_docs,
+                   CAST(sum(occ) OVER w AS BIGINT) AS n_tokens,
+                   CAST(sum(nv) OVER w AS BIGINT) AS vocab_size
+            FROM hist
+            WINDOW w AS (ORDER BY q
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         "tok9_unigram_train": _TOK9_UNIGRAM_SQL,
         "tok10_unigram_encode": _TOK10_UNIGRAM_SQL,
         "tok8_compression_curve": f"""
