@@ -1261,3 +1261,49 @@ def test_r7_session3b_op_plans_stay_scale_shaped(spark):
             .executedPlan().toString()
         assert "SortMergeJoin" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_r8_op_plans_stay_scale_shaped(spark):
+    """Plan-shape regression guards for the r8 operators (audited in
+    PLANS.md §r8): the Heaps curve never joins doc-scale relations
+    (its one BHJ is the ≤4-row histogram join), assortativity's two
+    shuffle joins are the honest big⋈big edge→degree joins (no
+    nested-loop, no cartesian), the IVF balance audit's nested loops
+    are the intended broadcast centroid/total scalars, the schema
+    drift runs join-free apart from broadcast scalar epilogues, and
+    the wide simhash generator stays a single equi-join."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    ta15 = qs["ta15_heaps_curve"](spark, sf)
+    plan = ta15._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # token-domain agg + two ≤4-row histogram aggs; the single BHJ
+    # joins the two tiny histograms
+    assert plan.count("BroadcastHashJoin") <= 1
+
+    gr13 = qs["gr13_assortativity"](spark, sf)
+    plan = gr13._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    ss20 = qs["ss20_ivf_balance"](spark, sf)
+    plan = ss20._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # the BNLJs are the intended 8-row centroid broadcast and the
+    # 1-row total broadcast (ss1's documented shape)
+
+    dq10 = qs["dq10_schema_drift"](spark, sf)
+    plan = dq10._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # bounds relation is lazily pinned: ≤4 events scans (bounds,
+    # rows1, kv — plus at most one re-read), never 5+
+    assert plan.count("FileScan") <= 4
+
+    dd8b = qs["dd8b_simhash_wide"](spark, sf)
+    plan = dd8b._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
