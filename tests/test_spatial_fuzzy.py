@@ -168,3 +168,34 @@ def test_er3_cohesion_detects_chaining(spark):
         3, 2, 2 * 10000 // 3,
     )
     assert run(["name12", "name13", "other junk here"]) == (1, 1, 10000)
+
+
+def test_er4_deletion_blocking_catches_midsuffix_edit(spark):
+    """Hand fixture for the er4 story: a substitution at the
+    third-from-last char is INVISIBLE to prefix blocking (the pair
+    lands in different prefix blocks) but shared-deletion-variant
+    blocking catches it; recall columns pin 0 bp vs 10000 bp."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    rows = [
+        (7, "Customer#000000107"),
+        (14, "Customer#000000207"),  # differs at position -3: dist 1
+        (21, "Customer#000999999"),  # unrelated
+    ]
+    cust = spark.createDataFrame(rows, "c_custkey bigint, c_name string")
+    d = tempfile.mkdtemp()
+    cust.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    (r,) = spark_queries()["er4_deletion_blocking"](spark, d).collect()
+    assert (
+        r["n_sampled"],
+        r["true_pairs"],
+        r["prefix_pairs"],
+        r["deletion_pairs"],
+    ) == (3, 1, 0, 1)
+    assert r["recall_prefix_bp"] == 0
+    assert r["recall_deletion_bp"] == 10000
