@@ -322,3 +322,109 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
+
+
+FRAME_DHASH_DDL = "media_id long, frame_idx int, fhash long"
+_FRAME_BYTES = 96
+
+
+def frame_dhash_signatures(
+    media: DataFrame, id_col: str = "media_id", frame_bytes: int = _FRAME_BYTES
+) -> DataFrame:
+    """Per-FRAME perceptual fingerprints for video-level dedup:
+    ``(media_id, frame_idx, fhash)`` — the content-based
+    video-retrieval primitive (frame-fingerprint inverted index).
+
+    Frames are consecutive ``frame_bytes`` byte slices of the payload
+    (the stand-in for decoded frame buffers — the codec seam of
+    :func:`decode_image`; at frame f the slice is
+    ``content[f·W : (f+1)·W)``, last frame ragged), each hashed with
+    the SAME dHash fold as :func:`dhash_signatures` (positions mod 72
+    → 8×9 grid → 64 gradient bits, bit 63 via two's complement).
+    Everything downstream of the decode stand-in — slicing schedule,
+    grid, gradient bits, the inverted-index join mm7 builds on —
+    carries over unchanged under a real decoder.
+
+    Kernel shape: one Arrow-batched ``mapInPandas``; payload bytes
+    never leave the scan task, only (id, frame_idx, 8-byte hash) rows
+    shuffle — per media that is ceil(bytes/W) rows, ∝ duration.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_cells = _DHASH_ROWS * _DHASH_COLS
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+        ids, idxs, hashes = [], [], []
+        for pdf in batches:
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                if content is None or len(content) == 0:
+                    continue
+                arr = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+                n_frames = -(-arr.size // frame_bytes)
+                for f in range(n_frames):
+                    sl = arr[f * frame_bytes : (f + 1) * frame_bytes]
+                    cells = np.bincount(
+                        np.arange(sl.size) % n_cells,
+                        weights=sl,
+                        minlength=n_cells,
+                    ).astype(np.int64)
+                    grid = cells.reshape(_DHASH_ROWS, _DHASH_COLS)
+                    bits = (grid[:, :-1] > grid[:, 1:]).ravel().astype(
+                        np.uint64
+                    )
+                    ids.append(mid)
+                    idxs.append(f)
+                    hashes.append(int((bits * weights).sum().astype(np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "fhash": pd.array(hashes, dtype="int64"),
+                }
+            )
+            ids, idxs, hashes = [], [], []
+
+    return media.select(F.col(id_col).alias(id_col), "content").mapInPandas(
+        run, FRAME_DHASH_DDL
+    )
+
+
+def frame_match_pairs(
+    media: DataFrame,
+    min_shared: int = 2,
+    max_media_per_hash: int = 64,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video near-duplicate candidates by shared frame fingerprints:
+    ``(media_a, media_b, n_shared)`` for pairs sharing ≥
+    ``min_shared`` DISTINCT frame-hash values — the inverted-index
+    join a content-based video dedup actually runs (equality on the
+    64-bit frame hash; no Hamming pass needed because near-identical
+    frames collapse to equal hashes under the fold).
+
+    Skew guard: hash values held by more than ``max_media_per_hash``
+    distinct media are dropped BEFORE the self-join (dd5b's hot-key
+    cap — an all-black/boilerplate frame would otherwise fan out
+    n²/2 pairs from one bucket); per (media, hash) multiplicity
+    collapses first, so only distinct postings shuffle.
+    """
+    fr = frame_dhash_signatures(media, id_col)
+    postings = fr.select(id_col, "fhash").distinct()
+    hot = (
+        postings.groupBy("fhash")
+        .agg(F.count(F.lit(1)).alias("_nm"))
+        .filter(F.col("_nm") > max_media_per_hash)
+        .select("fhash")
+    )
+    kept = postings.join(hot, "fhash", "left_anti")
+    a = kept.select(F.col(id_col).alias("media_a"), "fhash")
+    b = kept.select(F.col(id_col).alias("media_b"), "fhash")
+    return (
+        a.join(b, "fhash")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

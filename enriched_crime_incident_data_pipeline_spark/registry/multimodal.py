@@ -52,6 +52,22 @@ def q_mm4_resize_plan(spark, sf_dir):
     return resize_thumbnails(media, max_side=224)
 
 
+def q_mm7_frame_match(spark, sf_dir):
+    # video-level near-dup via the frame-fingerprint inverted index —
+    # the CBVR shape (per-frame dHash, exact equality join, hot-hash
+    # cap, pairs sharing >= 2 distinct frame hashes). Frame decode is
+    # the byte-slice stand-in behind the same codec seam as mm5; the
+    # slicing schedule, fold, postings dedup, skew cap, and the
+    # pair-count join are the real algorithm. See
+    # datapipe/multimodal.py:frame_match_pairs.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        frame_match_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_match_pairs(_documents_as_media(docs))
+
+
 def q_mm5_phash_neardup(spark, sf_dir):
     # perceptual (dHash) image near-dup pairs over binary media:
     # Arrow-kernel signatures, 4x16-bit pigeonhole band candidate
@@ -130,6 +146,7 @@ QUERIES = {
     "mm3_frame_sample": q_mm3_frame_sample,
     "mm4_resize_plan": q_mm4_resize_plan,
     "mm5_phash_neardup": q_mm5_phash_neardup,
+    "mm7_frame_match": q_mm7_frame_match,
     "mm6_phash_threshold_curve": q_mm6_phash_threshold_curve,
 }
 
@@ -262,6 +279,71 @@ def oracles() -> dict[str, str]:
                               SELECT media_b FROM ham WHERE hamming <= 3))
                              AS BIGINT) AS media_affected
                     FROM ham WHERE hamming <= 3
+                """,
+        "mm7_frame_match": """
+                    WITH hx AS (
+                      SELECT doc_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents WHERE octet_length(encode(text)) > 0
+                    ),
+                    pos AS (
+                      SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
+                    ),
+                    cellsum AS (
+                      SELECT doc_id, CAST(i // 96 AS INTEGER) AS f,
+                             CAST((i % 96) % 72 AS INTEGER) AS k,
+                             CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                                      ::INTEGER) AS BIGINT) AS s
+                      FROM pos GROUP BY doc_id, i // 96, (i % 96) % 72
+                    ),
+                    frames AS (SELECT DISTINCT doc_id, f FROM cellsum),
+                    grid AS (
+                      SELECT frames.doc_id, frames.f, CAST(g.k AS INTEGER) AS k
+                      FROM frames
+                      CROSS JOIN (SELECT unnest(range(72)) AS k) g
+                    ),
+                    cells AS (
+                      SELECT grid.doc_id, grid.f, grid.k,
+                             COALESCE(cellsum.s, 0) AS s
+                      FROM grid LEFT JOIN cellsum
+                        ON grid.doc_id = cellsum.doc_id
+                       AND grid.f = cellsum.f AND grid.k = cellsum.k
+                    ),
+                    bits AS (
+                      SELECT a.doc_id, a.f,
+                             CAST((a.k // 9) * 8 + (a.k % 9) AS INTEGER) AS j,
+                             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+                      FROM cells a JOIN cells b
+                        ON a.doc_id = b.doc_id AND a.f = b.f AND b.k = a.k + 1
+                      WHERE a.k % 9 <> 8
+                    ),
+                    fh AS (
+                      -- bit 63 enters as the signed-long minimum (two's
+                      -- complement), matching the kernel's uint64->int64 view
+                      SELECT doc_id, f,
+                             CAST(sum(CAST(bit AS BIGINT)
+                                      * (CASE WHEN j = 63
+                                         THEN -9223372036854775807 - 1
+                                         ELSE (1::BIGINT << j) END))
+                               AS BIGINT) AS fhash
+                      FROM bits GROUP BY doc_id, f
+                    ),
+                    postings AS (SELECT DISTINCT doc_id, fhash FROM fh),
+                    hot AS (
+                      SELECT fhash FROM (
+                        SELECT fhash, count(*) AS nm FROM postings GROUP BY fhash
+                      ) WHERE nm > 64
+                    ),
+                    kept AS (
+                      SELECT doc_id, fhash FROM postings
+                      WHERE fhash NOT IN (SELECT fhash FROM hot)
+                    )
+                    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+                           CAST(count(*) AS BIGINT) AS n_shared
+                    FROM kept a JOIN kept b
+                      ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id
+                    HAVING count(*) >= 2
                 """,
         "mm5_phash_neardup": """
                     WITH hx AS (
