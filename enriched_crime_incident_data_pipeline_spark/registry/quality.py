@@ -205,7 +205,7 @@ def q_er2_blocking_recall(spark, sf_dir):
     truth = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("ka") < F.col("kb"))
-        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 1)
+        .filter(F.levenshtein(F.col("na"), F.col("nb"), 1) >= 0)
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
     )
     blocked = fuzzy_name_pairs(sample, "c_custkey", "c_name", 1).agg(
@@ -253,7 +253,7 @@ def q_er4_deletion_blocking(spark, sf_dir):
     truth = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("ka") < F.col("kb"))
-        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 1)
+        .filter(F.levenshtein(F.col("na"), F.col("nb"), 1) >= 0)
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
     )
     from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
@@ -295,7 +295,7 @@ def q_er4_deletion_blocking(spark, sf_dir):
             F.col("b.nm").alias("nb"),
         )
         .distinct()
-        .filter(F.levenshtein("na", "nb") <= 1)
+        .filter(F.levenshtein("na", "nb", 1) >= 0)
         .agg(F.count(F.lit(1)).cast("bigint").alias("deletion_pairs"))
     )
     n = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
@@ -363,7 +363,7 @@ def q_er3_cluster_cohesion(spark, sf_dir):
     return intra.agg(
         F.count(F.lit(1)).cast("bigint").alias("intra_pairs"),
         F.sum(
-            (F.levenshtein(F.col("na"), F.col("nb")) <= 1).cast("int")
+            (F.levenshtein(F.col("na"), F.col("nb"), 1) >= 0).cast("int")
         ).cast("bigint").alias("direct_pairs"),
     ).select(
         "intra_pairs",
