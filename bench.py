@@ -146,6 +146,9 @@ LONGTAIL = [
     "er3_cluster_cohesion",  # transitive-chaining cost audit (r7s3)
     "dd8b_simhash_wide",  # uniform-tail simhash: 32-bit bands + probe (r8)
     "st28_stream_corpus_refresh",  # incremental refresh vs band index (r8)
+    "er4_deletion_blocking",  # FastSS blocking + capped truth pass (r8)
+    "gr13_assortativity",  # degree-moment joins over citation edges (r8)
+    "st29_stream_schema_drift",  # dq10 counters as streaming state (r8)
 ]
 
 
