@@ -1180,6 +1180,32 @@ def test_ss18_nprobe_curve_invariants(spark):
     assert rows[-1][2] == 10000
 
 
+def test_ss18_empty_query_set_yields_zero_recall_not_null(spark):
+    """r8 advisor guard: with NO rows passing the query filter the
+    recall denominator is clamped to 1, so the curve emits
+    recall_bp 0 (Spark's DIV 0 would yield NULL; DuckDB's // 0
+    errors — the clamp removes the latent cross-engine divergence
+    on degenerate inputs)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.similarity import (
+        ivf_nprobe_recall_curve,
+    )
+
+    emb = spark.createDataFrame(
+        # every vec_id >= query_cap → the capped query filter matches
+        # nothing; 10 corpus vectors remain for centroids/scoring
+        [(5000 + i, [float(i), float(i % 3)], i % 2) for i in range(10)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = ivf_nprobe_recall_curve(
+        emb, query_mod=1, k=3, n_centroids=2, max_probe=2, query_cap=2000
+    ).collect()
+    assert rows, "curve must still emit one row per nprobe"
+    for r in rows:
+        assert r["n_queries"] == 0
+        assert r["total_hits"] == 0
+        assert r["recall_bp"] == 0  # not NULL
+
+
 def test_gr11_modularity_matches_python_model(spark):
     """Per-community q_micro equals a Fraction-model Newman
     modularity on a hand graph with known structure: two dense
