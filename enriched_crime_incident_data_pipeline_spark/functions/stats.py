@@ -55,10 +55,14 @@ def trend_from_moments(
 
     ``group_cols``: the group-key columns to carry through.  When
     None (the default) they are INFERRED as every column of ``agg``
-    not named ``n/sx/sy/sxx/syy/sxy`` (nor the internal
-    ``num/den/vary``) — callers whose real group column collides
-    with one of those reserved names MUST pass ``group_cols``
-    explicitly or the column is silently consumed as a moment.
+    not named ``n/sx/sy/sxx/syy/sxy`` — a caller whose real group
+    column collides with one of THOSE moment names must pass
+    ``group_cols`` explicitly or the column is consumed as a moment.
+    The internal num/den/vary intermediates use collision-proof
+    ``_tfm_``-prefixed names (r8: a group column literally named
+    'num' used to be OVERWRITTEN by the withColumn even under
+    explicit group_cols; pinned by
+    ``test_trend_from_moments_explicit_group_cols_survives_reserved_name``).
 
     The co-moments num = n·Σxy − ΣxΣy, den = n·Σx² − (Σx)² and
     vary are EXACTLY shift-invariant in integer arithmetic (shifting
@@ -68,27 +72,27 @@ def trend_from_moments(
     aggregation) produce bit-identical outputs — which is what lets
     ONE oracle serve both."""
     agg = (
-        agg.withColumn("num", F.expr("n * sxy - sx * sy"))
-        .withColumn("den", F.expr("n * sxx - sx * sx"))
-        .withColumn("vary", F.expr("n * syy - sy * sy"))
+        agg.withColumn("_tfm_num", F.expr("n * sxy - sx * sy"))
+        .withColumn("_tfm_den", F.expr("n * sxx - sx * sx"))
+        .withColumn("_tfm_vary", F.expr("n * syy - sy * sy"))
     )
     if group_cols is None:
         group_cols = [
             c for c in agg.columns
             if c not in {"n", "sx", "sy", "sxx", "syy", "sxy",
-                         "num", "den", "vary"}
+                         "_tfm_num", "_tfm_den", "_tfm_vary"}
         ]
     return agg.select(
         *group_cols,
         F.col("n").cast("bigint").alias("n"),
         F.expr(
-            "CAST(CASE WHEN den = 0 THEN 0"
-            " WHEN num < 0 THEN -(((-num) * 86400) DIV den)"
-            " ELSE (num * 86400) DIV den END AS BIGINT)"
+            "CAST(CASE WHEN _tfm_den = 0 THEN 0"
+            " WHEN _tfm_num < 0 THEN -(((-_tfm_num) * 86400) DIV _tfm_den)"
+            " ELSE (_tfm_num * 86400) DIV _tfm_den END AS BIGINT)"
         ).alias("slope_milli_per_day"),
         F.expr(
-            "CAST(CASE WHEN den = 0 OR vary = 0 THEN 0"
-            " ELSE ((abs(num) * 10000 DIV vary) * abs(num)) DIV den"
-            " END AS BIGINT)"
+            "CAST(CASE WHEN _tfm_den = 0 OR _tfm_vary = 0 THEN 0"
+            " ELSE ((abs(_tfm_num) * 10000 DIV _tfm_vary) * abs(_tfm_num))"
+            " DIV _tfm_den END AS BIGINT)"
         ).alias("r2_bp"),
     )

@@ -362,3 +362,47 @@ def test_stat7_lorenz_curve_hand_computed(spark):
     assert out == [(1, 3, 7500, 3000), (7, 1, 10000, 10000)]
     for _, _, u_bp, e_bp in out:
         assert u_bp >= e_bp
+
+
+def test_trend_from_moments_explicit_group_cols_survives_reserved_name(spark):
+    """r8 advisor guard: a caller whose group column collides with a
+    reserved moment name ('num' here) silently loses it under
+    inference; the explicit group_cols parameter carries it through.
+    Moments for y = 2x (exact integers) pin slope = 2000 milli/day
+    per group and r2_bp = 10000."""
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.functions.stats import (
+        trend_from_moments,
+    )
+
+    # two groups, named by the RESERVED column 'num'; x in days→secs
+    xs = [0, 86400, 172800]
+    rows = [(g, x, 2 * x) for g in ("a", "b") for x in xs]
+    base = spark.createDataFrame(rows, "num string, x long, y long")
+    dec = "decimal(38,0)"
+    agg = base.groupBy("num").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    out = trend_from_moments(agg, group_cols=["num"])
+    got = {
+        r["num"]: (r["slope_milli_per_day"], r["r2_bp"]) for r in out.collect()
+    }
+    # slope: y rises 2 units per x unit → 2·86400 per day → in
+    # milli-units: num·86400 DIV den with y already integer = 2000?
+    # exact check: num = n·Σxy − ΣxΣy, den = n·Σx² − (Σx)²; y=2x ⇒
+    # num = 2·den ⇒ slope_milli = (2·den·86400) DIV den... compute:
+    import fractions
+
+    n = 3
+    sx = sum(xs); sy = sum(2 * x for x in xs)
+    sxx = sum(x * x for x in xs); sxy = sum(x * 2 * x for x in xs)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    want_slope = (num * 86400) // den
+    assert got == {"a": (want_slope, 10000), "b": (want_slope, 10000)}
