@@ -179,6 +179,74 @@ def q_sk8_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_sk10_bloom_fpr_curve(spark, sf_dir):
+    # the Bloom-filter SIZING artifact (ss19/mm6/dd23 for membership
+    # filters — the curve the bits-per-key budget is chosen from):
+    # measured false-positive rate at m = 2¹²/2¹⁴/2¹⁶ bits, same
+    # k=3 hashes, build = the standing snapshot's fingerprints
+    # (doc_id < 250), probes = every doc. Truth membership is exact
+    # BY VALUE (fingerprint semi-join, computed once); per m the
+    # probe is sk2's broadcast-bits pass, so the curve costs three
+    # bounded passes over one fingerprint projection and the md5
+    # basis makes every false positive deterministic and
+    # oracle-checkable. fpr_bp = false_pos·10⁴ DIV true_negatives.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).localCheckpoint(eager=False)
+    build = fp.filter(F.col("doc_id") < 250)
+    member = (
+        fp.join(
+            build.select("fingerprint").distinct(),
+            "fingerprint",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("_m", F.lit(1))
+    )
+    truth = fp.select("doc_id").join(member, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("_m"), F.lit(0)).alias("is_member")
+    )
+    outs = []
+    for m in (1 << 12, 1 << 14, 1 << 16):
+        bits = bloom_build(build, F.col("fingerprint"), m=m)
+        probed = bloom_probe(fp, bits, F.col("fingerprint"), "doc_id", m=m)
+        j = probed.join(truth, "doc_id")
+        outs.append(
+            j.agg(
+                F.lit(m).cast("int").alias("m_bits"),
+                F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+                F.sum("is_member").cast("bigint").alias("n_members"),
+                F.sum(
+                    ((F.col("hit") == 1) & (F.col("is_member") == 0)).cast(
+                        "int"
+                    )
+                )
+                .cast("bigint")
+                .alias("n_false_pos"),
+            ).select(
+                "m_bits",
+                "n_probes",
+                "n_members",
+                "n_false_pos",
+                F.expr(
+                    "CAST(CASE WHEN n_probes = n_members THEN 0"
+                    " ELSE (n_false_pos * 10000)"
+                    " DIV (n_probes - n_members) END AS BIGINT)"
+                ).alias("fpr_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_sk2_bloom(spark, sf_dir):
     # Bloom membership: filter built from the old snapshot's content
     # fingerprints, probed by every doc — md5 basis makes false
@@ -225,6 +293,7 @@ QUERIES = {
     "sk4_hll_distinct": q_sk4_hll_distinct,
     "sk5_hll_rollup": q_sk5_hll_rollup,
     "sk2_bloom": q_sk2_bloom,
+    "sk10_bloom_fpr_curve": q_sk10_bloom_fpr_curve,
     "sk3_cms": q_sk3_cms,
 }
 
@@ -394,6 +463,98 @@ def oracles() -> dict[str, str]:
                            CAST(count(*) - 1 AS DOUBLE) * 4294967296.0 / max(h) AS estimate
                     FROM kmin
                 """,
+        "sk10_bloom_fpr_curve": f"""
+            WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+            members AS (
+              SELECT DISTINCT f FROM fp WHERE doc_id < 250
+            ),
+            truth AS (
+              SELECT fp.doc_id,
+                     CASE WHEN m.f IS NOT NULL THEN 1 ELSE 0 END AS is_member
+              FROM fp LEFT JOIN members m ON fp.f = m.f
+            ),
+            curve AS (
+            SELECT CAST(4096 AS INTEGER) AS m_bits,
+                   CAST((SELECT count(*) FROM fp) AS BIGINT) AS n_probes,
+                   CAST((SELECT count(*) FROM truth WHERE is_member = 1)
+                     AS BIGINT) AS n_members,
+                   CAST((SELECT count(*) FROM (
+                      WITH bits_4096 AS (
+                        SELECT DISTINCT bit FROM (SELECT doc_id, ('0x' || substr(md5('bloom0:' || f), 1, 8))::BIGINT % 4096 AS bit FROM fp WHERE doc_id < 250
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom1:' || f), 1, 8))::BIGINT % 4096 AS bit FROM fp WHERE doc_id < 250
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom2:' || f), 1, 8))::BIGINT % 4096 AS bit FROM fp WHERE doc_id < 250)
+                      ),
+                      ppos_4096 AS (
+                        SELECT DISTINCT doc_id, bit FROM (SELECT doc_id, ('0x' || substr(md5('bloom0:' || f), 1, 8))::BIGINT % 4096 AS bit FROM fp
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom1:' || f), 1, 8))::BIGINT % 4096 AS bit FROM fp
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom2:' || f), 1, 8))::BIGINT % 4096 AS bit FROM fp)
+                      ),
+                      stats_4096 AS (
+                        SELECT p.doc_id, count(*) AS n_pos,
+                               sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                        FROM ppos_4096 p LEFT JOIN bits_4096 b ON p.bit = b.bit
+                        GROUP BY p.doc_id
+                      )
+                      SELECT s.doc_id FROM stats_4096 s JOIN truth t ON s.doc_id = t.doc_id
+                      WHERE s.n_hit = s.n_pos AND t.is_member = 0
+                   )) AS BIGINT) AS n_false_pos
+            UNION ALL
+            SELECT CAST(16384 AS INTEGER) AS m_bits,
+                   CAST((SELECT count(*) FROM fp) AS BIGINT) AS n_probes,
+                   CAST((SELECT count(*) FROM truth WHERE is_member = 1)
+                     AS BIGINT) AS n_members,
+                   CAST((SELECT count(*) FROM (
+                      WITH bits_16384 AS (
+                        SELECT DISTINCT bit FROM (SELECT doc_id, ('0x' || substr(md5('bloom0:' || f), 1, 8))::BIGINT % 16384 AS bit FROM fp WHERE doc_id < 250
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom1:' || f), 1, 8))::BIGINT % 16384 AS bit FROM fp WHERE doc_id < 250
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom2:' || f), 1, 8))::BIGINT % 16384 AS bit FROM fp WHERE doc_id < 250)
+                      ),
+                      ppos_16384 AS (
+                        SELECT DISTINCT doc_id, bit FROM (SELECT doc_id, ('0x' || substr(md5('bloom0:' || f), 1, 8))::BIGINT % 16384 AS bit FROM fp
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom1:' || f), 1, 8))::BIGINT % 16384 AS bit FROM fp
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom2:' || f), 1, 8))::BIGINT % 16384 AS bit FROM fp)
+                      ),
+                      stats_16384 AS (
+                        SELECT p.doc_id, count(*) AS n_pos,
+                               sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                        FROM ppos_16384 p LEFT JOIN bits_16384 b ON p.bit = b.bit
+                        GROUP BY p.doc_id
+                      )
+                      SELECT s.doc_id FROM stats_16384 s JOIN truth t ON s.doc_id = t.doc_id
+                      WHERE s.n_hit = s.n_pos AND t.is_member = 0
+                   )) AS BIGINT) AS n_false_pos
+            UNION ALL
+            SELECT CAST(65536 AS INTEGER) AS m_bits,
+                   CAST((SELECT count(*) FROM fp) AS BIGINT) AS n_probes,
+                   CAST((SELECT count(*) FROM truth WHERE is_member = 1)
+                     AS BIGINT) AS n_members,
+                   CAST((SELECT count(*) FROM (
+                      WITH bits_65536 AS (
+                        SELECT DISTINCT bit FROM (SELECT doc_id, ('0x' || substr(md5('bloom0:' || f), 1, 8))::BIGINT % 65536 AS bit FROM fp WHERE doc_id < 250
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom1:' || f), 1, 8))::BIGINT % 65536 AS bit FROM fp WHERE doc_id < 250
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom2:' || f), 1, 8))::BIGINT % 65536 AS bit FROM fp WHERE doc_id < 250)
+                      ),
+                      ppos_65536 AS (
+                        SELECT DISTINCT doc_id, bit FROM (SELECT doc_id, ('0x' || substr(md5('bloom0:' || f), 1, 8))::BIGINT % 65536 AS bit FROM fp
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom1:' || f), 1, 8))::BIGINT % 65536 AS bit FROM fp
+              UNION ALL SELECT doc_id, ('0x' || substr(md5('bloom2:' || f), 1, 8))::BIGINT % 65536 AS bit FROM fp)
+                      ),
+                      stats_65536 AS (
+                        SELECT p.doc_id, count(*) AS n_pos,
+                               sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                        FROM ppos_65536 p LEFT JOIN bits_65536 b ON p.bit = b.bit
+                        GROUP BY p.doc_id
+                      )
+                      SELECT s.doc_id FROM stats_65536 s JOIN truth t ON s.doc_id = t.doc_id
+                      WHERE s.n_hit = s.n_pos AND t.is_member = 0
+                   )) AS BIGINT) AS n_false_pos
+            )
+            SELECT m_bits, n_probes, n_members, n_false_pos,
+                   CAST(CASE WHEN n_probes = n_members THEN 0
+                        ELSE (n_false_pos * 10000) // (n_probes - n_members)
+                        END AS BIGINT) AS fpr_bp
+            FROM curve
+""",
         "sk2_bloom": f"""
                     WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
                     bits AS (

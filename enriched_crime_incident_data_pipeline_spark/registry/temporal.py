@@ -822,6 +822,57 @@ def q_funnel2_time_bounded(spark, sf_dir):
     )
 
 
+def q_ts10_gap_histogram(spark, sf_dir):
+    # the number sessionization's 1800 s threshold is TUNED on: the
+    # per-user inter-event gap distribution as a log2-bucket
+    # histogram with integer-bp shares and cumulative shares. Bucket
+    # b holds gaps in [2^(b-1), 2^b) seconds (bucket 0 = simultaneous
+    # events); the bucket index is length(bin(gap)) — pure integer,
+    # engine-identical, no log(). One per-user lag window (the st2 /
+    # sessionization partitioning) + a ≤40-row histogram groupBy; the
+    # cumulative window runs over the histogram only (w1's trick),
+    # never the event stream.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(w)
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    hist = (
+        gaps.select(
+            F.when(F.col("gap") <= 0, F.lit(0))
+            .otherwise(F.length(F.expr("bin(gap)")))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+    )
+    tot = hist.agg(F.sum("n_gaps").alias("_tot"))
+    cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN bucket = 0 THEN 0 ELSE"
+                " shiftleft(CAST(1 AS BIGINT), bucket - 1) END AS BIGINT)"
+            ).alias("lo_sec"),
+            "n_gaps",
+            F.expr("CAST((n_gaps * 10000) DIV _tot AS BIGINT)").alias(
+                "share_bp"
+            ),
+            F.expr(
+                "CAST((SUM(n_gaps) OVER (ORDER BY bucket ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) DIV _tot"
+                " AS BIGINT)"
+            ).alias("cum_bp"),
+        )
+    )
+
+
 def q_ts9_max_concurrency(spark, sf_dir):
     # peak concurrent sessions per user — the capacity-planning
     # statistic: each event opens a half-open 30-min interval
@@ -847,6 +898,7 @@ def q_ts9_max_concurrency(spark, sf_dir):
 
 
 QUERIES = {
+    "ts10_gap_histogram": q_ts10_gap_histogram,
     "cdc2_snapshot_diff": q_cdc2_snapshot_diff,
     "asof6_window_agg": q_asof6_window_agg,
     "funnel2_time_bounded": q_funnel2_time_bounded,
@@ -879,6 +931,37 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ts10_gap_histogram": """
+            WITH g AS (
+              SELECT epoch_us(ts) // 1000000
+                     - lag(epoch_us(ts) // 1000000) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+              FROM events
+            ),
+            b AS (
+              SELECT CASE WHEN gap <= 0 THEN 0
+                          ELSE length(bin(gap)) END AS bucket
+              FROM g WHERE gap IS NOT NULL
+            ),
+            hist AS (
+              SELECT CAST(bucket AS INTEGER) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_gaps
+              FROM b GROUP BY bucket
+            ),
+            t AS (SELECT sum(n_gaps) AS tot FROM hist)
+            SELECT bucket,
+                   CAST(CASE WHEN bucket = 0 THEN 0
+                        ELSE (1::BIGINT << (bucket - 1)) END AS BIGINT)
+                     AS lo_sec,
+                   n_gaps,
+                   CAST((n_gaps * 10000) // tot AS BIGINT) AS share_bp,
+                   CAST((sum(n_gaps) OVER (ORDER BY bucket ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) // tot
+                     AS BIGINT) AS cum_bp
+            FROM hist, t
+""",
+
         "asof5_lastn": """
                     SELECT l.event_id, CAST(r.rank AS INTEGER) AS rank,
                            r.prev_event_id, r.prev_event_type
