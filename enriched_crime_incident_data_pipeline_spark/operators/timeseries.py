@@ -232,3 +232,29 @@ def peak_from_deltas(
         F.col("m.c").cast("int").alias("max_concurrency"),
         (-F.col("m.nt")).cast("long").alias("peak_at"),
     )
+
+
+def gap_histogram_report(hist: DataFrame) -> DataFrame:
+    """Epilogue shared by batch ts10 and streaming st30: given the
+    log2-bucket gap histogram ``(bucket, n_gaps)`` — exactly the
+    relation a stateful stream maintains — publish the report with
+    bucket lower bounds, integer-bp shares, and cumulative shares.
+    Every window here runs over the ≤40-row histogram (w1's trick),
+    never an event stream."""
+    from pyspark.sql import functions as F
+
+    tot = hist.agg(F.sum("n_gaps").alias("_tot"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            "CAST(CASE WHEN bucket = 0 THEN 0 ELSE"
+            " shiftleft(CAST(1 AS BIGINT), bucket - 1) END AS BIGINT)"
+        ).alias("lo_sec"),
+        "n_gaps",
+        F.expr("CAST((n_gaps * 10000) DIV _tot AS BIGINT)").alias("share_bp"),
+        F.expr(
+            "CAST((SUM(n_gaps) OVER (ORDER BY bucket ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) DIV _tot"
+            " AS BIGINT)"
+        ).alias("cum_bp"),
+    )

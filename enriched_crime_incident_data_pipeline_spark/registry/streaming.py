@@ -1162,6 +1162,31 @@ def q_st27_stream_mixture(spark, sf_dir):
     return out
 
 
+def q_st30_stream_gap_monitor(spark, sf_dir):
+    # live gap-distribution monitor (ts10 as a stream; the repo's
+    # THIRD applyInPandasWithState operator): per-user state
+    # (last_ts, gen, counts[44]) folds each micro-batch's gaps
+    # against the carried timestamp — batch boundaries create no
+    # seams — and emits cumulative bucket counts; finalize keeps each
+    # user's last generation and runs the SAME epilogue code path as
+    # batch ts10 (gap_histogram_report), so ts10's oracle serves
+    # verbatim. State O(|users|)×44 longs; emissions ≤44 rows per
+    # user per batch. See streaming/gaps.py.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        finalize_gap_histogram,
+        run_available_now,
+        stream_gap_buckets,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    emitted = run_available_now(
+        stream_gap_buckets(ev), "st30_gap_monitor", "update",
+        state_partitions=8,
+    )
+    return finalize_gap_histogram(emitted)
+
+
 def q_st29_stream_schema_drift(spark, sf_dir):
     # continuous schema-drift monitor (dq10 as a stream): the
     # per-(key, value-type) snapshot counters ARE a streaming
@@ -1281,6 +1306,7 @@ def q_st28_stream_corpus_refresh(spark, sf_dir):
 
 
 QUERIES = {
+    "st30_stream_gap_monitor": q_st30_stream_gap_monitor,
     "st29_stream_schema_drift": q_st29_stream_schema_drift,
     "st28_stream_corpus_refresh": q_st28_stream_corpus_refresh,
     "st27_stream_mixture": q_st27_stream_mixture,
@@ -1809,4 +1835,9 @@ def oracles() -> dict[str, str]:
     from enriched_crime_incident_data_pipeline_spark.registry import quality as _quality
 
     out["st29_stream_schema_drift"] = _quality.oracles()["dq10_schema_drift"]
+    # st30 maintains ts10's gap histogram as per-user streaming state
+    # and ends in the same epilogue code path — one oracle for both.
+    from enriched_crime_incident_data_pipeline_spark.registry import temporal as _temporal
+
+    out["st30_stream_gap_monitor"] = _temporal.oracles()["ts10_gap_histogram"]
     return out

@@ -840,6 +840,10 @@ def q_ts10_gap_histogram(spark, sf_dir):
             - F.lag(F.unix_timestamp("ts")).over(w)
         ).alias("gap")
     ).filter(F.col("gap").isNotNull())
+    from enriched_crime_incident_data_pipeline_spark.operators.timeseries import (
+        gap_histogram_report,
+    )
+
     hist = (
         gaps.select(
             F.when(F.col("gap") <= 0, F.lit(0))
@@ -850,27 +854,7 @@ def q_ts10_gap_histogram(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
     )
-    tot = hist.agg(F.sum("n_gaps").alias("_tot"))
-    cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        hist.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.expr(
-                "CAST(CASE WHEN bucket = 0 THEN 0 ELSE"
-                " shiftleft(CAST(1 AS BIGINT), bucket - 1) END AS BIGINT)"
-            ).alias("lo_sec"),
-            "n_gaps",
-            F.expr("CAST((n_gaps * 10000) DIV _tot AS BIGINT)").alias(
-                "share_bp"
-            ),
-            F.expr(
-                "CAST((SUM(n_gaps) OVER (ORDER BY bucket ROWS BETWEEN"
-                " UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) DIV _tot"
-                " AS BIGINT)"
-            ).alias("cum_bp"),
-        )
-    )
+    return gap_histogram_report(hist)
 
 
 def q_ts9_max_concurrency(spark, sf_dir):

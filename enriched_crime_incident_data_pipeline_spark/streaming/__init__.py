@@ -24,6 +24,10 @@ from enriched_crime_incident_data_pipeline_spark.streaming.sample import (  # no
     finalize_weighted_sample,
     stream_weighted_sample,
 )
+from enriched_crime_incident_data_pipeline_spark.streaming.gaps import (
+    finalize_gap_histogram,
+    stream_gap_buckets,
+)
 from enriched_crime_incident_data_pipeline_spark.streaming.sessions import (
     session_counts_stateful,
 )
@@ -36,4 +40,6 @@ __all__ = [
     "sliding_counts",
     "run_available_now",
     "session_counts_stateful",
+    "stream_gap_buckets",
+    "finalize_gap_histogram",
 ]

@@ -322,3 +322,68 @@ def test_st27_stream_mixture_equals_batch_tp16(spark):
         tuple(r) for r in qs["tp16_mixture_curve"](spark, sf_dir).collect()
     )
     assert got == want and len(got) == 9
+
+
+def test_st30_multibatch_gap_state_equals_batch_ts10(spark, tmp_path):
+    # gaps that SPAN micro-batch boundaries must fold against the
+    # carried last_ts, not restart: events arrive as 3 time-ordered
+    # files (maxFilesPerTrigger=1) and the finalized histogram must
+    # equal batch ts10 over the union row-for-row.
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        finalize_gap_histogram,
+        run_available_now,
+        stream_gap_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    cuts = [r[0] for r in ev.select(
+        F.expr("percentile(unix_timestamp(ts), array(0.33, 0.66))")
+    ).collect()][0]
+    src = str(tmp_path / "arrivals")
+    parts = [
+        ev.filter(F.unix_timestamp("ts") <= F.lit(int(cuts[0]))),
+        ev.filter(
+            (F.unix_timestamp("ts") > F.lit(int(cuts[0])))
+            & (F.unix_timestamp("ts") <= F.lit(int(cuts[1])))
+        ),
+        ev.filter(F.unix_timestamp("ts") > F.lit(int(cuts[1]))),
+    ]
+    import os
+    import time as _time
+
+    os.makedirs(src)
+    for i, p in enumerate(parts):
+        d = os.path.join(src, f"b{i}.parquet")
+        p.coalesce(1).write.mode("overwrite").parquet(d)
+        t = 1_000_000_000 + i
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(d, (t, t))
+    schema = spark.read.parquet(src + "/b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    emitted = run_available_now(
+        stream_gap_buckets(stream), "st30_multibatch_test", "update",
+        state_partitions=4,
+    )
+    # >=2 generations proves multi-batch state merging actually ran
+    assert emitted.agg(F.max("gen")).collect()[0][0] >= 2
+    got = sorted(tuple(r) for r in finalize_gap_histogram(emitted).collect())
+    want = sorted(
+        tuple(r)
+        for r in spark_queries()["ts10_gap_histogram"](spark, sf).collect()
+    )
+    assert got == want and len(got) > 3
