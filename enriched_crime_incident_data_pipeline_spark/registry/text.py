@@ -682,8 +682,73 @@ def q_ta15_heaps_curve(spark, sf_dir):
     )
 
 
+def q_tok11_coverage_curve(spark, sf_dir):
+    # the vocab-BUDGET artifact (ta15 counts types; this prices the
+    # budget in occurrences): what share of all token OCCURRENCES a
+    # top-k frequency vocab covers, for k = 256 / 1024 / 4096 — the
+    # curve a tokenizer's vocab size is chosen from. Scale-safe by
+    # the w1 count-level trick: tokens collapse to (count-value,
+    # n_tokens) LEVELS, the cumulative window runs over the level
+    # histogram (≤ |distinct count values| rows, never the token
+    # domain), and because every token in a level has the SAME count,
+    # the partial level at the k boundary contributes exactly
+    # (k − cum_before)·c — no per-token rank or tiebreak needed. All
+    # three k's are columns of ONE select over the level table; one
+    # agg emits the curve.
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cnts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    levels = cnts.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lev = levels.select(
+        "c",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"),
+    )
+    ks = (256, 1024, 4096)
+    agg_cols = [
+        F.sum(F.col("c") * F.col("n_tokens")).cast("bigint").alias("total_occ"),
+        F.sum("n_tokens").cast("bigint").alias("total_vocab"),
+    ]
+    for k in ks:
+        take = F.greatest(
+            F.lit(0),
+            F.least(F.col("n_tokens"), F.lit(k) - F.col("cum_before")),
+        )
+        agg_cols.append(
+            F.sum(F.col("c") * take).cast("bigint").alias(f"cov_{k}")
+        )
+    cells = lev.agg(*agg_cols)
+    return cells.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{k}, cov_{k}" for k in ks)
+            + ") AS (k_budget, covered_occ)"
+        ),
+        "total_occ",
+        "total_vocab",
+    ).select(
+        F.col("k_budget").cast("int").alias("k_budget"),
+        F.least(F.col("k_budget").cast("bigint"), F.col("total_vocab")).alias(
+            "vocab_used"
+        ),
+        "covered_occ",
+        "total_occ",
+        F.expr("CAST((covered_occ * 10000) DIV total_occ AS BIGINT)").alias(
+            "coverage_bp"
+        ),
+    )
+
+
 QUERIES = {
     "ta15_heaps_curve": q_ta15_heaps_curve,
+    "tok11_coverage_curve": q_tok11_coverage_curve,
     "tok8_compression_curve": q_tok8_compression_curve,
     "tok9_unigram_train": q_tok9_unigram_train,
     "tok10_unigram_encode": q_tok10_unigram_encode,
@@ -720,6 +785,51 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "tok11_coverage_curve": f"""
+            WITH tok AS (
+              SELECT unnest({_TOKENS}) AS token FROM documents
+            ),
+            cnts AS (
+              SELECT token, count(*) AS c FROM tok WHERE token <> ''
+              GROUP BY token
+            ),
+            levels AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM cnts GROUP BY c
+            ),
+            lev AS (
+              SELECT c, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY c DESC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                       AS cum_before
+              FROM levels
+            ),
+            cells AS (
+              SELECT CAST(sum(c * n_tokens) AS BIGINT) AS total_occ,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_vocab,
+                     CAST(sum(c * greatest(0, least(n_tokens, 256 - cum_before)))
+                       AS BIGINT) AS cov_256,
+                     CAST(sum(c * greatest(0, least(n_tokens, 1024 - cum_before)))
+                       AS BIGINT) AS cov_1024,
+                     CAST(sum(c * greatest(0, least(n_tokens, 4096 - cum_before)))
+                       AS BIGINT) AS cov_4096
+              FROM lev
+            ),
+            curve AS (
+              SELECT 256 AS k_budget, cov_256 AS covered_occ,
+                     total_occ, total_vocab FROM cells
+              UNION ALL
+              SELECT 1024, cov_1024, total_occ, total_vocab FROM cells
+              UNION ALL
+              SELECT 4096, cov_4096, total_occ, total_vocab FROM cells
+            )
+            SELECT CAST(k_budget AS INTEGER) AS k_budget,
+                   CAST(least(k_budget, total_vocab) AS BIGINT) AS vocab_used,
+                   covered_occ, total_occ,
+                   CAST((covered_occ * 10000) // total_occ AS BIGINT)
+                     AS coverage_bp
+            FROM curve
+""",
         "ta15_heaps_curve": f"""
             WITH d AS (
               SELECT doc_id % 4 AS q, {_TOKEN_COUNT} AS nt FROM documents
