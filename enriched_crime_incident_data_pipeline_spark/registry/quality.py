@@ -245,9 +245,14 @@ def q_er4_deletion_blocking(spark, sf_dir):
     # published against er2's exhaustive capped-sample truth — the
     # artifact IS the measured gain (3757 → 10000 bp at sf0.01).
     cust = load_table(spark, sf_dir, "customer")
+    # lazily pin the capped sample: seven consumers (truth a/b, the
+    # prefix blocking's two sides, the variant table's two sides, n)
+    # would otherwise each re-scan customer (7 FileScans measured)
     sample = cust.filter(
         (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") < 20000)
-    ).select(F.col("c_custkey").alias("k"), F.col("c_name").alias("nm"))
+    ).select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("nm")
+    ).localCheckpoint(eager=False)
     a = sample.select(F.col("k").alias("ka"), F.col("nm").alias("na"))
     b = sample.select(F.col("k").alias("kb"), F.col("nm").alias("nb"))
     truth = (

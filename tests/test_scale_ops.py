@@ -1307,3 +1307,36 @@ def test_r8_op_plans_stay_scale_shaped(spark):
     plan = dd8b._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r8_second_batch_plans_stay_scale_shaped(spark):
+    """Plan guards for the second r8 batch: the coverage curve is one
+    token shuffle + a level-histogram window (no joins at all), the
+    gap histogram's only nested loop is the 1-row total broadcast,
+    the FPR curve never cartesians (its SMJs are honest
+    full-relation probe joins), and er4's sample is pinned (no
+    repeated customer scans after materialization)."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    tok11 = qs["tok11_coverage_curve"](spark, sf)
+    plan = tok11._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+    ts10 = qs["ts10_gap_histogram"](spark, sf)
+    plan = ts10._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    sk10 = qs["sk10_bloom_fpr_curve"](spark, sf)
+    plan = sk10._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    er4 = qs["er4_deletion_blocking"](spark, sf)
+    er4.collect()
+    plan = er4._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0  # pinned sample, no re-scans
