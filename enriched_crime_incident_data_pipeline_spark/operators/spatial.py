@@ -210,3 +210,76 @@ def grid_nearest_neighbor(
         F.col("_nn.nn_id").alias("nn_id"),
         F.col("_nn.d2").alias("d2"),
     )
+
+
+def deletion_variant_pairs(
+    names: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 1,
+    window: int = 6,
+) -> DataFrame:
+    """Candidate near-duplicate name pairs via DELETION-NEIGHBORHOOD
+    blocking (FastSS / SymSpell symmetric deletes), restricted to the
+    last ``window`` character positions: each name emits itself plus
+    the ``window`` variants with one suffix-window char deleted;
+    candidates equi-join on the variant string and verify with exact
+    (bounded) levenshtein.  ``(id_a, id_b, distance)``.
+
+    COMPLETE for distance-1 edits whose site lies within the last
+    ``window`` positions OF THE LONGER STRING: a substitution at
+    position −p (p ≤ window) makes both names share that position's
+    deletion variant; an insert/delete is caught when deleting the
+    extra char from the longer side is a window variant — i.e. the
+    site is ≤ window from the LONGER string's end (an insertion at
+    exactly −window of the shorter lands at −(window+1) of the
+    longer and is missed — the boundary hypothesis found when this
+    contract was first stated loosely; pinned in
+    test_properties.py).  The
+    r8 measured gain over prefix blocking is 3757 → 10000 bp recall
+    on er2's exhaustive truth (see registry/quality.py
+    q_er4_deletion_blocking); completeness is property-pinned against
+    random suffix-window edits in test_properties.py.  7 keys/name,
+    blocks bounded like any equi-key scheme; ``window`` dials the
+    completeness span vs key volume.
+    """
+    var = (
+        names.select(
+            F.col(id_col).alias("id"),
+            F.col(name_col).alias("nm"),
+            F.explode(
+                F.array(*[F.lit(p) for p in range(window + 1)])
+            ).alias("p"),
+        )
+        .filter(F.length("nm") >= F.col("p"))
+        .select(
+            "id",
+            "nm",
+            F.when(F.col("p") == 0, F.col("nm"))
+            .otherwise(
+                F.concat(
+                    F.expr("substring(nm, 1, length(nm) - p)"),
+                    F.expr("substring(nm, length(nm) - p + 2, p - 1)"),
+                )
+            )
+            .alias("v"),
+        )
+    )
+    a, b = var.alias("a"), var.alias("b")
+    return (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nm").alias("na"),
+            F.col("b.nm").alias("nb"),
+        )
+        .distinct()
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("na"), F.col("nb"), int(max_distance)),
+        )
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "distance")
+    )

@@ -268,41 +268,13 @@ def q_er4_deletion_blocking(spark, sf_dir):
     prefix_pairs = fuzzy_name_pairs(sample, "k", "nm", 1).agg(
         F.count(F.lit(1)).cast("bigint").alias("prefix_pairs")
     )
-    D = 6
-    var = (
-        sample.select(
-            "k",
-            "nm",
-            F.explode(F.array(*[F.lit(p) for p in range(D + 1)])).alias("p"),
-        )
-        .filter(F.length("nm") >= F.col("p"))
-        .select(
-            "k",
-            "nm",
-            F.when(F.col("p") == 0, F.col("nm"))
-            .otherwise(
-                F.concat(
-                    F.expr("substring(nm, 1, length(nm) - p)"),
-                    F.expr("substring(nm, length(nm) - p + 2, p - 1)"),
-                )
-            )
-            .alias("v"),
-        )
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        deletion_variant_pairs,
     )
-    va, vb = var.alias("a"), var.alias("b")
-    deletion_pairs = (
-        va.join(vb, F.col("a.v") == F.col("b.v"))
-        .filter(F.col("a.k") < F.col("b.k"))
-        .select(
-            F.col("a.k").alias("ka"),
-            F.col("b.k").alias("kb"),
-            F.col("a.nm").alias("na"),
-            F.col("b.nm").alias("nb"),
-        )
-        .distinct()
-        .filter(F.levenshtein("na", "nb", 1) >= 0)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deletion_pairs"))
-    )
+
+    deletion_pairs = deletion_variant_pairs(
+        sample, "k", "nm", max_distance=1, window=6
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("deletion_pairs"))
     n = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
     return (
         n.crossJoin(F.broadcast(truth))

@@ -1029,3 +1029,56 @@ def test_bfs_hop_distances_matches_python_model(spark):
                     dist[v] = dist[u] + 1
                     dq.append(v)
         assert got == dist, f"trial {trial}"
+
+
+@given(
+    base=st.lists(
+        st.text(alphabet="abcdef", min_size=7, max_size=12),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    edit_pos=st.integers(min_value=1, max_value=6),
+    edit_kind=st.sampled_from(["sub", "del", "ins"]),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_deletion_blocking_complete_for_suffix_window_edits(
+    spark, base, edit_pos, edit_kind, data
+):
+    """er4's completeness claim, adversarially: take a random name,
+    apply ONE random edit (substitution / deletion / insertion) at a
+    random position within the last 6 characters, and the
+    deletion-variant blocking MUST produce the pair — for every
+    generated case, not just the crafted fixture."""
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        deletion_variant_pairs,
+    )
+
+    name = base[0]
+    if edit_kind == "ins":
+        # insertion contract: the site must be within the last
+        # `window` positions of the LONGER (edited) string — an
+        # insertion at exactly −window of the shorter lands at
+        # −(window+1) of the longer (hypothesis found the boundary)
+        edit_pos = min(edit_pos, 5)
+    pos = len(name) - edit_pos  # 0-indexed edit site in the window
+    if edit_kind == "sub":
+        new_ch = data.draw(
+            st.sampled_from([c for c in "abcdef" if c != name[pos]])
+        )
+        edited = name[:pos] + new_ch + name[pos + 1 :]
+    elif edit_kind == "del":
+        edited = name[:pos] + name[pos + 1 :]
+    else:  # insertion inside the window
+        new_ch = data.draw(st.sampled_from("abcdef"))
+        edited = name[:pos] + new_ch + name[pos:]
+    if edited == name:
+        return
+    rows = [(i + 10, nm) for i, nm in enumerate(base)] + [(1, edited)]
+    df = spark.createDataFrame(rows, "id long, nm string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in deletion_variant_pairs(df, "id", "nm", 1, window=6).collect()
+    }
+    assert (1, 10) in got
