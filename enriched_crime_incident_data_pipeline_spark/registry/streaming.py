@@ -1162,6 +1162,63 @@ def q_st27_stream_mixture(spark, sf_dir):
     return out
 
 
+def q_st31_incident_feed_source(spark, sf_dir):
+    # the reference's incremental poller as a CUSTOM Spark streaming
+    # source (Spark 4 Python DataSourceStreamReader): offset = the
+    # high-water incident id (the reference's MAX watermark made a
+    # real streaming offset), latestOffset reads only file NAMES
+    # (upto-<maxid>.jsonl — the producer publishes its high-water
+    # mark), id-range partitions fan reads across executors, and
+    # range replay over the append-only spool is what makes the
+    # ingest exactly-once by construction rather than by
+    # conflict-skip. Events pose as incidents (nature = event_type);
+    # the bounded run aggregates per nature, so the plain batch
+    # GROUP BY is the oracle. See sources/incident_feed.py.
+    import shutil
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.sources.incident_feed import (
+        IncidentFeedDataSource,
+        write_spool_file,
+    )
+
+    try:
+        spark.dataSource.register(IncidentFeedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = load_table(spark, sf_dir, "events")
+    rows = [
+        dict(
+            incident_id=r["event_id"],
+            ts=str(r["ts"]),
+            location=None,
+            nature=r["event_type"],
+        )
+        for r in ev.select("event_id", "ts", "event_type").collect()
+    ]
+    rows.sort(key=lambda r: r["incident_id"])
+    spool = tempfile.mkdtemp(prefix="spark_graft_st31_")
+    n = len(rows)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        write_spool_file(spool, rows[cuts[i] : cuts[i + 1]])
+    stream = (
+        spark.readStream.format("incident_feed").option("path", spool).load()
+    )
+    counts = stream.groupBy("nature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        run_available_now,
+    )
+
+    out = run_available_now(
+        counts, "st31_incident_feed", "complete", state_partitions=4
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(spool, ignore_errors=True)
+    return out
+
+
 def q_st30_stream_gap_monitor(spark, sf_dir):
     # live gap-distribution monitor (ts10 as a stream; the repo's
     # THIRD applyInPandasWithState operator): per-user state
@@ -1306,6 +1363,7 @@ def q_st28_stream_corpus_refresh(spark, sf_dir):
 
 
 QUERIES = {
+    "st31_incident_feed_source": q_st31_incident_feed_source,
     "st30_stream_gap_monitor": q_st30_stream_gap_monitor,
     "st29_stream_schema_drift": q_st29_stream_schema_drift,
     "st28_stream_corpus_refresh": q_st28_stream_corpus_refresh,
@@ -1840,4 +1898,8 @@ def oracles() -> dict[str, str]:
     from enriched_crime_incident_data_pipeline_spark.registry import temporal as _temporal
 
     out["st30_stream_gap_monitor"] = _temporal.oracles()["ts10_gap_histogram"]
+    out["st31_incident_feed_source"] = """
+        SELECT event_type AS nature, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """
     return out

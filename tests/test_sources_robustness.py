@@ -50,3 +50,73 @@ def test_dropmalformed_keeps_only_parseable(spark, tmp_path):
         .csv(str(raw))
     )
     assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_incident_feed_offsets_replay_and_append_only(spark, tmp_path):
+    """The streaming-source contract the checkpoint depends on:
+    latestOffset advances from file NAMES only, partitions() slices
+    the id range, re-reading a committed range returns identical rows
+    (replay determinism over the append-only spool), an empty trigger
+    is well-formed, and the producer refuses an append-only
+    violation."""
+    import pytest as _pytest
+
+    from enriched_crime_incident_data_pipeline_spark.sources.incident_feed import (
+        IncidentFeedStreamReader,
+        write_spool_file,
+    )
+
+    spool = str(tmp_path / "spool")
+    write_spool_file(
+        spool,
+        [
+            dict(incident_id=i, ts=None, location=None, nature="burglary")
+            for i in range(0, 5)
+        ],
+    )
+    r = IncidentFeedStreamReader(spool, slice_width=2)
+    assert r.initialOffset() == {"max_id": -1}
+    o1 = r.latestOffset()
+    assert o1 == {"max_id": 4}
+
+    parts = r.partitions({"max_id": -1}, o1)
+    assert [(p.start, p.end) for p in parts] == [(-1, 1), (1, 3), (3, 4)]
+    batch1 = sorted(
+        row[0] for p in parts for row in r.read(p)
+    )
+    assert batch1 == [0, 1, 2, 3, 4]
+
+    # second poll arrives
+    write_spool_file(
+        spool,
+        [
+            dict(incident_id=i, ts=None, location=None, nature="theft")
+            for i in range(5, 8)
+        ],
+    )
+    o2 = r.latestOffset()
+    assert o2 == {"max_id": 7}
+    batch2 = sorted(
+        row[0]
+        for p in r.partitions(o1, o2)
+        for row in r.read(p)
+    )
+    assert batch2 == [5, 6, 7]
+
+    # replay of the FIRST committed range after the spool grew:
+    # byte-identical row set — exactly-once under checkpoint recovery
+    replay = sorted(
+        row[0] for p in r.partitions({"max_id": -1}, o1) for row in r.read(p)
+    )
+    assert replay == batch1
+
+    # no-new-data trigger stays well-formed (one empty slice)
+    empty = r.partitions(o2, o2)
+    assert len(empty) == 1 and list(r.read(empty[0])) == []
+
+    # append-only contract enforced at the producer
+    with _pytest.raises(ValueError, match="append-only"):
+        write_spool_file(
+            spool,
+            [dict(incident_id=3, ts=None, location=None, nature="dup")],
+        )
