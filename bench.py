@@ -149,6 +149,7 @@ LONGTAIL = [
     "er4_deletion_blocking",  # FastSS blocking + capped truth pass (r8)
     "gr13_assortativity",  # degree-moment joins over citation edges (r8)
     "st29_stream_schema_drift",  # dq10 counters as streaming state (r8)
+    "st31_incident_feed_source",  # custom streaming source, offset replay (r8)
 ]
 
 
