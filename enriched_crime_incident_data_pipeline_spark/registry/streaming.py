@@ -1182,21 +1182,34 @@ def q_st31_incident_feed_source(spark, sf_dir):
         write_spool_file,
     )
 
+    import os
+
+    import pyarrow.parquet as pq
+
     try:
         spark.dataSource.register(IncidentFeedDataSource)
     except Exception:
         pass  # already registered in this session
-    ev = load_table(spark, sf_dir, "events")
+    # spool construction is FIXTURE SCAFFOLDING (the producer side of
+    # the feed), built with pyarrow like st7's arrival files — the
+    # engine's query path never collects fact-scale data
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    ).sort_by("event_id")
     rows = [
         dict(
-            incident_id=r["event_id"],
-            ts=str(r["ts"]),
+            incident_id=int(i),
+            ts=str(ts),
             location=None,
-            nature=r["event_type"],
+            nature=str(et),
         )
-        for r in ev.select("event_id", "ts", "event_type").collect()
+        for i, ts, et in zip(
+            t.column("event_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("event_type").to_pylist(),
+        )
     ]
-    rows.sort(key=lambda r: r["incident_id"])
     spool = tempfile.mkdtemp(prefix="spark_graft_st31_")
     n = len(rows)
     cuts = [0, n // 3, 2 * n // 3, n]
