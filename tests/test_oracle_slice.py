@@ -162,6 +162,16 @@ SF1_POOL = [
     "json2_schema_profile",  # 1.48 s
     "ret7_phrase_search",  # 5.48 s
     "er3_cluster_cohesion",  # 7.61 s — r7 verdict ask; worth the seconds
+    # r8 second wave (measured sf1 DuckDB oracle costs, 2026-08-16):
+    "st31_incident_feed_source",  # 0.01 s
+    "st30_stream_gap_monitor",  # 0.07 s
+    "ts10_gap_histogram",  # 0.12 s
+    "ss20_ivf_balance",  # 0.57 s
+    "st29_stream_schema_drift",  # 1.15 s
+    "tok11_coverage_curve",  # 1.68 s
+    "sk10_bloom_fpr_curve",  # 2.02 s
+    "ta15_heaps_curve",  # 2.07 s
+    "er4_deletion_blocking",  # 2.77 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
