@@ -642,6 +642,44 @@ def q_dq7_ks_drift(spark, sf_dir):
     )
 
 
+def q_dq11_k_anonymity(spark, sf_dir):
+    # the privacy audit a training-data release runs before shipping
+    # rows with demographic-ish columns: treat (nation, market
+    # segment) as the quasi-identifier and report how identifying the
+    # combination is — the dataset is k-anonymous for k = the
+    # smallest group size, and re-identification risk concentrates in
+    # the small groups. One groupBy over the quasi-id domain, then a
+    # ≤|groups|-row summary: group count, min/max sizes, singleton
+    # count, rows in groups below the k=5 release bar and their share
+    # in bp. All integers; output is one row whatever the table size.
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return g.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.max("sz").cast("bigint").alias("max_group"),
+        F.sum((F.col("sz") == 1).cast("int")).cast("bigint").alias(
+            "n_singleton_groups"
+        ),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_below_k5"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "k_anonymity",
+        "max_group",
+        "n_singleton_groups",
+        "rows_below_k5",
+        F.expr("CAST((rows_below_k5 * 10000) DIV n_rows AS BIGINT)").alias(
+            "risk_share_bp"
+        ),
+    )
+
+
 def q_dq10_schema_drift(spark, sf_dir):
     # snapshot-over-snapshot JSON schema drift (r7 verdict item 6):
     # json2's key-domain profile AS OF the epoch-µs midpoint vs AS OF
@@ -659,6 +697,7 @@ def q_dq10_schema_drift(spark, sf_dir):
 
 QUERIES = {
     "dq10_schema_drift": q_dq10_schema_drift,
+    "dq11_k_anonymity": q_dq11_k_anonymity,
     "dq8_benford": q_dq8_benford,
     "dq9_reconciliation": q_dq9_reconciliation,
     "dq7_ks_drift": q_dq7_ks_drift,
@@ -679,6 +718,28 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq11_k_anonymity": """
+            WITH g AS (
+              SELECT c_nationkey, c_mktsegment, count(*) AS sz
+              FROM customer GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(min(sz) AS BIGINT) AS k_anonymity,
+                     CAST(max(sz) AS BIGINT) AS max_group,
+                     CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_singleton_groups,
+                     CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                       AS rows_below_k5
+              FROM g
+            )
+            SELECT n_rows, n_groups, k_anonymity, max_group,
+                   n_singleton_groups, rows_below_k5,
+                   CAST((rows_below_k5 * 10000) // n_rows AS BIGINT)
+                     AS risk_share_bp
+            FROM s
+""",
         "dq10_schema_drift": """
             WITH b AS (
               SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut,
