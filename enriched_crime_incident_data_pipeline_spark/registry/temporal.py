@@ -440,6 +440,47 @@ def q_ts4_cumulative_distinct(spark, sf_dir):
     return cumulative_distinct_daily(ev, "user_id", "ts")
 
 
+def q_seq4_session_paths(spark, sf_dir):
+    # session-scoped path mining — the product-analytics report seq1's
+    # global transition matrix can't answer ("what 3-step journeys do
+    # sessions actually take"): sessionize with the standing 1800 s
+    # gap rule, then count 3-step event-type paths WITHIN sessions
+    # (lead×2 over the (user, session) partition — a path never
+    # crosses a session boundary) and publish the top 10 with the
+    # deterministic (count desc, path asc) tiebreak. The path domain
+    # is |event_types|³ — tiny — so the final ordering is a
+    # domain-bounded sort, never a row sort; everything upstream is
+    # the one per-user window sessionization already pays.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+        ).over(w).alias("sess_id"),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    paths = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).alias("_p3"),
+    ).filter(F.col("_p3").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
 def q_seq3_collocations(spark, sf_dir):
     # collocation mining — the phrase-DISCOVERY artifact that feeds a
     # phrase query (ret7): top-20 adjacent token bigrams by lift =
@@ -897,6 +938,7 @@ QUERIES = {
     "ts3_interval_merge": q_ts3_interval_merge,
     "ts4_cumulative_distinct": q_ts4_cumulative_distinct,
     "seq1_transitions": q_seq1_transitions,
+    "seq4_session_paths": q_seq4_session_paths,
     "seq3_collocations": q_seq3_collocations,
     "seq2_cooccurrence": q_seq2_cooccurrence,
     "attr1_last_touch": q_attr1_last_touch,
@@ -1190,6 +1232,36 @@ def oracles() -> dict[str, str]:
                            ) AS BIGINT) AS cumulative_entities
                     FROM daily
                 """,
+        "seq4_session_paths": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(epoch_us(ts) // 1000000) OVER w IS NULL
+                               OR epoch_us(ts) // 1000000
+                                  - lag(epoch_us(ts) // 1000000) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, event_id, event_type,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sess_id
+              FROM flagged
+            ),
+            paths AS (
+              SELECT event_type || '>' || lead(event_type, 1) OVER ws
+                     || '>' || lead(event_type, 2) OVER ws AS path,
+                     lead(event_type, 2) OVER ws AS p3
+              FROM sess
+              WINDOW ws AS (PARTITION BY user_id, sess_id
+                            ORDER BY ts, event_id)
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n
+            FROM paths WHERE p3 IS NOT NULL
+            GROUP BY path ORDER BY n DESC, path LIMIT 10
+""",
         "seq1_transitions": """
                     WITH seqd AS (
                       SELECT event_type,
