@@ -440,6 +440,66 @@ def q_gr12_reciprocity(spark, sf_dir):
     )
 
 
+def q_gr14_two_hop_reach(spark, sf_dir):
+    # friend-of-friend reach — the crawl-frontier / influence metric
+    # that pairs with gr4's triangles (closed 2-paths) by counting
+    # the OPEN ones: per node, distinct nodes at distance exactly 2
+    # (reachable through a middle, not a direct neighbor, not self)
+    # over gr7's UNDIRECTED citation graph — the rotation cycles give
+    # real distance-2 structure (the plain LSH dup graph is cliques:
+    # measured 0 open 2-paths at every SF, which is itself the er3
+    # cohesion story). Two self-equi-joins of the symmetric edge list
+    # + one anti-join against direct neighbors; work bounded by
+    # Σ deg², never a cartesian. Nodes with no 2-hop reach emit no
+    # row (cdc2's absent-zero convention).
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
+    rot = docs.select(
+        F.col("doc_id").alias("src"),
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(w)
+        ).alias("dst"),
+    )
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    e = (
+        rot.union(back).union(fwd)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    two = (
+        sym.alias("x")
+        .join(
+            sym.alias("y").select(
+                F.col("u").alias("v"), F.col("v").alias("w")
+            ),
+            "v",
+        )
+        .filter(F.col("u") != F.col("w"))
+        .select("u", "w")
+        .distinct()
+    )
+    direct = sym.select("u", F.col("v").alias("w"))
+    return (
+        two.join(direct, ["u", "w"], "left_anti")
+        .groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("two_hop_reach"))
+    )
+
+
 def q_gr13_assortativity(spark, sf_dir):
     # degree assortativity — the mixing-pattern audit a crawl/citation
     # graph gets before link-based quality propagation (assortative
@@ -589,6 +649,7 @@ QUERIES = {
     "gr10_bfs_distance": q_gr10_bfs_distance,
     "gr12_reciprocity": q_gr12_reciprocity,
     "gr13_assortativity": q_gr13_assortativity,
+    "gr14_two_hop_reach": q_gr14_two_hop_reach,
     "gr8_personalized_pagerank": q_gr8_personalized_pagerank,
     "gr7_scc": q_gr7_scc,
     "gr1_pagerank": q_gr1_pagerank,
@@ -652,6 +713,49 @@ def oracles() -> dict[str, str]:
         "gr10_bfs_distance": _GR10_BFS_SQL,
         "gr12_reciprocity": _GR12_RECIPROCITY_SQL,
         "gr13_assortativity": _GR13_ASSORT_SQL,
+        "gr14_two_hop_reach": f"""
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    pairs AS MATERIALIZED (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    rot AS (
+                      SELECT doc_id AS src,
+                             coalesce(lead(doc_id) OVER w,
+                                      first_value(doc_id) OVER w) AS dst
+                      FROM documents
+                      WINDOW w AS (PARTITION BY doc_id // 16 ORDER BY doc_id)
+                    ),
+                    e AS MATERIALIZED (
+                      SELECT DISTINCT least(src, dst) AS a,
+                             greatest(src, dst) AS b
+                      FROM (
+                        SELECT src, dst FROM rot
+                        UNION SELECT b AS src, a AS dst FROM pairs
+                        UNION SELECT a AS src, b AS dst FROM pairs
+                          WHERE (a + b) % 3 = 0
+                      ) WHERE src <> dst
+                    ),
+                    sym AS (
+                      SELECT a AS u, b AS v FROM e
+                      UNION ALL SELECT b AS u, a AS v FROM e
+                    ),
+                    two AS (
+                      SELECT DISTINCT x.u, y.v AS w
+                      FROM sym x JOIN sym y ON x.v = y.u
+                      WHERE x.u <> y.v
+                    ),
+                    reach AS (
+                      SELECT t.u, t.w FROM two t
+                      LEFT JOIN sym d ON t.u = d.u AND t.w = d.v
+                      WHERE d.u IS NULL
+                    )
+                    SELECT u AS doc_id, CAST(count(*) AS BIGINT)
+                             AS two_hop_reach
+                    FROM reach GROUP BY u
+                """,
         "gr8_personalized_pagerank": _GR8_PPR_SQL,
         "gr7_scc": _GR7_SCC_SQL,
         "gr6_kcore": _gr6_kcore_sql(),
