@@ -379,15 +379,18 @@ def frame_dhash_signatures(
                     hashes.append(int((bits * weights).sum().astype(np.int64)))
             yield pd.DataFrame(
                 {
-                    "media_id": pd.array(ids, dtype="int64"),
+                    id_col: pd.array(ids, dtype="int64"),
                     "frame_idx": pd.array(idxs, dtype="int32"),
                     "fhash": pd.array(hashes, dtype="int64"),
                 }
             )
             ids, idxs, hashes = [], [], []
 
+    # output id column is named id_col (FRAME_DHASH_DDL is the
+    # media_id-default instance) so non-default callers work
+    ddl = f"{id_col} long, frame_idx int, fhash long"
     return media.select(F.col(id_col).alias(id_col), "content").mapInPandas(
-        run, FRAME_DHASH_DDL
+        run, ddl
     )
 
 

@@ -218,6 +218,7 @@ def deletion_variant_pairs(
     name_col: str,
     max_distance: int = 1,
     window: int = 6,
+    max_ids_per_variant: int = 256,
 ) -> DataFrame:
     """Candidate near-duplicate name pairs via DELETION-NEIGHBORHOOD
     blocking (FastSS / SymSpell symmetric deletes), restricted to the
@@ -242,6 +243,16 @@ def deletion_variant_pairs(
     random suffix-window edits in test_properties.py.  7 keys/name,
     blocks bounded like any equi-key scheme; ``window`` dials the
     completeness span vs key volume.
+
+    Skew guard: variant values shared by more than
+    ``max_ids_per_variant`` distinct ids are anti-joined out BEFORE
+    the self-join (frame_match_pairs' hot-key cap) — a degenerate
+    name domain (many identical names) would otherwise fan out n²/2
+    pairs from one variant bucket. The cap trades recall on hot
+    buckets for a bounded join; the measured max bucket on the
+    TPC-H-style name domain is 38 ids at every SF (dims replicate,
+    not grow, in the sf1 derivation), so the default 256 never fires
+    there and er4's pinned output is unchanged.
     """
     var = (
         names.select(
@@ -265,6 +276,13 @@ def deletion_variant_pairs(
             .alias("v"),
         )
     )
+    hot = (
+        var.groupBy("v")
+        .agg(F.count_distinct("id").alias("_nid"))
+        .filter(F.col("_nid") > max_ids_per_variant)
+        .select("v")
+    )
+    var = var.join(hot, "v", "left_anti")
     a, b = var.alias("a"), var.alias("b")
     return (
         a.join(b, F.col("a.v") == F.col("b.v"))

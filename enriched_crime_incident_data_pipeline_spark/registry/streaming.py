@@ -1211,25 +1211,30 @@ def q_st31_incident_feed_source(spark, sf_dir):
         )
     ]
     spool = tempfile.mkdtemp(prefix="spark_graft_st31_")
-    n = len(rows)
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        write_spool_file(spool, rows[cuts[i] : cuts[i + 1]])
-    stream = (
-        spark.readStream.format("incident_feed").option("path", spool).load()
-    )
-    counts = stream.groupBy("nature").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    from enriched_crime_incident_data_pipeline_spark.streaming import (
-        run_available_now,
-    )
+    try:
+        n = len(rows)
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for i in range(3):
+            batch = rows[cuts[i] : cuts[i + 1]]
+            if batch:  # tiny tables can make a third empty
+                write_spool_file(spool, batch)
+        stream = (
+            spark.readStream.format("incident_feed")
+            .option("path", spool)
+            .load()
+        )
+        counts = stream.groupBy("nature").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        from enriched_crime_incident_data_pipeline_spark.streaming import (
+            run_available_now,
+        )
 
-    out = run_available_now(
-        counts, "st31_incident_feed", "complete", state_partitions=4
-    ).localCheckpoint(eager=True)
-    shutil.rmtree(spool, ignore_errors=True)
-    return out
+        return run_available_now(
+            counts, "st31_incident_feed", "complete", state_partitions=4
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
 
 
 def q_st30_stream_gap_monitor(spark, sf_dir):
@@ -1354,25 +1359,28 @@ def q_st28_stream_corpus_refresh(spark, sf_dir):
     new_t = t.filter(pc.field("doc_id") >= cutoff)
     n = new_t.num_rows
     base = tempfile.mkdtemp(prefix="spark_graft_st28_")
-    docs_dir = os.path.join(base, "docs")
-    os.makedirs(docs_dir)
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        path = os.path.join(docs_dir, f"batch{i}.parquet")
-        pq.write_table(new_t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
-    docs = load_table(spark, sf_dir, "documents")
-    old_docs = docs.filter(F.col("doc_id") < cutoff)
-    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
-    schema = spark.read.parquet(src).schema
-    state_dir = os.path.join(base, "state")
-    os.makedirs(state_dir)
-    out = run_corpus_refresh_stream(
-        spark, docs_dir, schema, state_dir, old_docs, eval_docs, cutoff
-    )
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    try:
+        docs_dir = os.path.join(base, "docs")
+        os.makedirs(docs_dir)
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for i in range(3):
+            path = os.path.join(docs_dir, f"batch{i}.parquet")
+            pq.write_table(new_t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+            os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+        docs = load_table(spark, sf_dir, "documents")
+        old_docs = docs.filter(F.col("doc_id") < cutoff)
+        eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select(
+            "doc_id", "text"
+        )
+        schema = spark.read.parquet(src).schema
+        state_dir = os.path.join(base, "state")
+        os.makedirs(state_dir)
+        out = run_corpus_refresh_stream(
+            spark, docs_dir, schema, state_dir, old_docs, eval_docs, cutoff
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 QUERIES = {

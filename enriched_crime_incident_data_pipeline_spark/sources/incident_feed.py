@@ -143,6 +143,12 @@ def write_spool_file(path: str, rows: list[dict]) -> str:
     the spool's current max id — the append-only contract replay
     depends on."""
     os.makedirs(path, exist_ok=True)
+    if not rows:
+        raise ValueError(
+            "cannot spool an empty poll: the file NAME carries the new "
+            "high-water mark, so an empty batch has no offset to publish "
+            "(skip the poll instead)"
+        )
     max_id = max(int(r["incident_id"]) for r in rows)
     existing = _spool_files(path)
     if existing:

@@ -583,3 +583,48 @@ def test_stream_corpus_refresh_prefix_stable_and_idempotent(spark, tmp_path):
     with _pytest.raises(ValueError, match="out-of-order"):
         fn(spark.read.parquet(os.path.join(docs_dir, "b0.parquet")), 3)
     assert not os.path.exists(os.path.join(state_dir, "band_index", "batch=3"))
+
+
+def test_frame_dhash_honors_id_col(spark):
+    """ADVICE r8: frame_dhash_signatures took an id_col parameter but
+    hardcoded the output column to media_id, so frame_match_pairs
+    with a non-default id broke at fr.select(id_col, ...)."""
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        frame_dhash_signatures,
+        frame_match_pairs,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"a" * 200), (2, b"a" * 200), (3, b"zqx" * 64)],
+        "vid long, content binary",
+    )
+    fr = frame_dhash_signatures(media, id_col="vid")
+    assert fr.columns == ["vid", "frame_idx", "fhash"]
+    pairs = frame_match_pairs(media, min_shared=2, id_col="vid").collect()
+    assert {(r["media_a"], r["media_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_deletion_variant_hot_cap_bounds_degenerate_domain(spark):
+    """ADVICE r8: a skewed name domain (many identical names) fans
+    out n²/2 pairs from one variant bucket; the max_ids_per_variant
+    anti-join cap drops the hot bucket BEFORE the self-join. The
+    default (256) never fires on the TPC-H name domain (measured max
+    bucket 38 ids at every SF), so er4's pinned output is unchanged."""
+    from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
+        deletion_variant_pairs,
+    )
+
+    rows = [(i, "SameName") for i in range(30)] + [
+        (100, "Unique#1"),
+        (101, "Unique#2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, nm string")
+    capped = deletion_variant_pairs(
+        df, "id", "nm", max_ids_per_variant=8
+    ).collect()
+    # the 30-way identical bucket is dropped; the unique pair stays
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    full = deletion_variant_pairs(
+        df, "id", "nm", max_ids_per_variant=256
+    ).count()
+    assert full == 30 * 29 // 2 + 1

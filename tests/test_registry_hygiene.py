@@ -41,3 +41,29 @@ def test_registry_query_names_unique_and_nonempty():
     assert all(callable(v) for v in queries.values())
     # every oracle refers to a registered query
     assert set(oracle_queries()) <= set(queries)
+
+
+def test_readme_query_count_matches_registry():
+    """r8 verdict item 2: README.md's advertised query count drifted
+    (313 vs 314) because the count was hand-maintained in two prose
+    spots. Pin every README occurrence of the count to
+    ``len(spark_queries())`` so a registry add without a README bump
+    fails here."""
+    import re
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    n = len(spark_queries())
+    readme = (REGISTRY_DIR.parents[1] / "README.md").read_text()
+    counts = {
+        int(m)
+        for m in re.findall(r"(\d+) named queries|all (\d+) queries", readme)
+        for m in m
+        if m
+    }
+    assert counts == {n}, (
+        f"README query counts {sorted(counts)} != registry size {n} — "
+        "update README.md's two count mentions"
+    )

@@ -120,3 +120,17 @@ def test_incident_feed_offsets_replay_and_append_only(spark, tmp_path):
             spool,
             [dict(incident_id=3, ts=None, location=None, nature="dup")],
         )
+
+
+def test_write_spool_file_rejects_empty_poll(tmp_path):
+    """ADVICE r8: an empty poll used to crash with an opaque
+    ``max() arg is an empty sequence``; the file NAME carries the
+    high-water mark so an empty batch has no offset to publish —
+    the producer must skip the poll, and the helper says so."""
+    from enriched_crime_incident_data_pipeline_spark.sources.incident_feed import (
+        write_spool_file,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty poll"):
+        write_spool_file(str(tmp_path / "spool"), [])
