@@ -102,3 +102,65 @@ def link_predict(
     return scored.orderBy(
         F.desc("common_neighbors"), F.desc("jaccard_bp"), "u", "v"
     ).limit(k)
+
+
+def two_hop_reach(
+    edges: DataFrame,
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """Per-node OPEN 2-path reach: distinct nodes at distance exactly
+    2 (reachable through a middle, not a direct neighbor, not self)
+    — the crawl-frontier / friend-of-friend metric gr4's triangles
+    (CLOSED 2-paths) pairs with. ``edges``: (a, b) undirected rows
+    (canonicalized here). Returns ``(doc_id, two_hop_reach)``; nodes
+    with no 2-hop reach emit no row (the absent-zero convention).
+
+    Work is the wedge sum Σ_mid deg(mid)² — exactly
+    :func:`link_predict`'s cost shape, and at 100 TB a power-law
+    graph's top hub makes ONE key quadratic (a deg-10⁶ hub is 10¹²
+    wedges from one join key). ``max_mid_degree`` applies the same
+    documented concession link_predict ships: drop mids above the
+    cap before wedging — reach THROUGH a mega-hub is the least
+    informative reach there is — off by default so the exact result
+    is the default result. On the citation-graph fixture the skew
+    term is measured flat (max-deg²/Σdeg² = 70/10/5 bp at
+    sf0.01/0.1/1 — SCALING.md §r9), so the cap exists for the
+    power-law case, not this one.
+    """
+    und = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # three consumers (two wedge arms + the direct anti-join):
+        # pin so the upstream edge derivation runs once
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(F.col("a").alias("mid"), F.col("b").alias("nb")).union(
+        und.select(F.col("b").alias("mid"), F.col("a").alias("nb"))
+    )
+    wedge_src = adj
+    if max_mid_degree is not None:
+        deg = adj.groupBy("mid").agg(F.count(F.lit(1)).alias("deg"))
+        wedge_src = adj.join(
+            deg.filter(F.col("deg") <= max_mid_degree).select("mid"), "mid"
+        )
+    two = (
+        wedge_src.select("mid", F.col("nb").alias("u"))
+        .join(
+            wedge_src.select("mid", F.col("nb").alias("w")).hint(
+                "shuffle_hash"
+            ),
+            "mid",
+        )
+        .filter(F.col("u") != F.col("w"))
+        .select("u", "w")
+        .distinct()
+    )
+    direct = adj.select(F.col("mid").alias("u"), F.col("nb").alias("w"))
+    return (
+        two.join(direct.hint("shuffle_hash"), ["u", "w"], "left_anti")
+        .groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("two_hop_reach"))
+    )

@@ -449,10 +449,20 @@ def q_gr14_two_hop_reach(spark, sf_dir):
     # real distance-2 structure (the plain LSH dup graph is cliques:
     # measured 0 open 2-paths at every SF, which is itself the er3
     # cohesion story). Two self-equi-joins of the symmetric edge list
-    # + one anti-join against direct neighbors; work bounded by
-    # Σ deg², never a cartesian. Nodes with no 2-hop reach emit no
-    # row (cdc2's absent-zero convention).
+    # + one anti-join against direct neighbors; work bounded by the
+    # wedge sum Σ deg(mid)², never a cartesian — and on a power-law
+    # graph the top hub owns that sum, so the operator
+    # (datapipe/linkpred.py:two_hop_reach) carries link_predict's
+    # opt-in max_mid_degree cap; unset here because the citation
+    # graph is measured degree-flat (max-deg²/Σdeg² = 70/10/5 bp at
+    # sf0.01/0.1/1, SCALING.md §r9) and the exact result is the
+    # default result. Nodes with no 2-hop reach emit no row (cdc2's
+    # absent-zero convention).
     from pyspark.sql import Window
+
+    from enriched_crime_incident_data_pipeline_spark.datapipe.linkpred import (
+        two_hop_reach,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
@@ -467,37 +477,10 @@ def q_gr14_two_hop_reach(spark, sf_dir):
     fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
-    e = (
-        rot.union(back).union(fwd)
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    raw = rot.union(back).union(fwd).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
     )
-    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    two = (
-        sym.alias("x")
-        .join(
-            sym.alias("y").select(
-                F.col("u").alias("v"), F.col("v").alias("w")
-            ),
-            "v",
-        )
-        .filter(F.col("u") != F.col("w"))
-        .select("u", "w")
-        .distinct()
-    )
-    direct = sym.select("u", F.col("v").alias("w"))
-    return (
-        two.join(direct, ["u", "w"], "left_anti")
-        .groupBy(F.col("u").alias("doc_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("two_hop_reach"))
-    )
+    return two_hop_reach(raw)
 
 
 def q_gr13_assortativity(spark, sf_dir):

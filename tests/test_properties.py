@@ -984,6 +984,55 @@ def test_link_predict_matches_python_model(spark, edges, cap):
     assert got == want
 
 
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 13), st.integers(0, 13)),
+        min_size=3,
+        max_size=40,
+    ),
+    cap=st.sampled_from([None, 2, 4]),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_hop_reach_matches_python_model(spark, edges, cap):
+    # open-2-path reach == the set-algebra definition in BOTH exact
+    # and hub-capped modes: the cap drops wedge MIDS only (reach
+    # through a mega-hub is the concession), direct-neighbor
+    # exclusion stays full-graph; r9 verdict item 5's honesty
+    # upgrade for gr14.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.linkpred import (
+        two_hop_reach,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), "a bigint, b bigint")
+    got = {
+        (r["doc_id"], r["two_hop_reach"])
+        for r in two_hop_reach(df, max_mid_degree=cap).collect()
+    }
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    mids = [
+        m for m in nbrs if cap is None or len(nbrs[m]) <= cap
+    ]
+    reach: dict[int, set[int]] = {}
+    for m in mids:
+        for u in nbrs[m]:
+            for w in nbrs[m]:
+                if u != w and w not in nbrs[u]:
+                    reach.setdefault(u, set()).add(w)
+    want = {(u, len(ws)) for u, ws in reach.items() if ws}
+    assert got == want
+
+
 def test_bfs_hop_distances_matches_python_model(spark):
     """Frontier BFS == textbook BFS on adversarial random directed
     graphs: cycles, multi-edges, self-loops, seeds inside and outside

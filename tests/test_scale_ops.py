@@ -1340,3 +1340,31 @@ def test_r8_second_batch_plans_stay_scale_shaped(spark):
     er4.collect()
     plan = er4._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 0  # pinned sample, no re-scans
+
+
+def test_r9_op_plans_stay_scale_shaped(spark):
+    """Plan guards for the two r8 tail-of-session ops (r9 verdict
+    item 1): seq4's path mining is window-only — NO joins, the final
+    ordering is TakeOrderedAndProject over the |types|³ path domain,
+    never a global sort exchange; gr14's wedge joins are shuffle-hash
+    over the pinned edge relation (no SMJ sorting the Σdeg² term, no
+    cartesian, zero FileScan re-derivations of the LSH banding)."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    seq4 = qs["seq4_session_paths"](spark, sf)
+    seq4.collect()
+    plan = seq4._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    gr14 = qs["gr14_two_hop_reach"](spark, sf)
+    gr14.collect()
+    plan = gr14._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan") == 0  # pinned edge relation
