@@ -1362,8 +1362,16 @@ def q_st28_stream_corpus_refresh(spark, sf_dir):
     try:
         docs_dir = os.path.join(base, "docs")
         os.makedirs(docs_dir)
-        cuts = [0, n // 3, 2 * n // 3, n]
-        for i in range(3):
+        # TWO micro-batches, not three: the r9 floor decomposition
+        # (SCALING §r9) measured the steady-state cost as ~1.4 s seed
+        # + ~1.65 s/batch FIXED machinery (writes + joins over tiny
+        # relations) + ~0.5 s stream overhead — per-batch probe work
+        # is a small fraction at sf0.1, so batch count IS the cost
+        # dial. Two batches still exercise index-append +
+        # cross-batch probing; the 3-batch prefix-stability contract
+        # stays pinned by test_multimodal_streaming's replay fixture.
+        cuts = [0, n // 2, n]
+        for i in range(2):
             path = os.path.join(docs_dir, f"batch{i}.parquet")
             pq.write_table(new_t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
             os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
