@@ -172,6 +172,9 @@ SF1_POOL = [
     "sk10_bloom_fpr_curve",  # 2.02 s
     "ta15_heaps_curve",  # 2.07 s
     "er4_deletion_blocking",  # 2.77 s
+    # r9 joiners (measured sf1 DuckDB oracle costs, 2026-08-16):
+    "dq11_k_anonymity",  # 0.00 s
+    "seq4_session_paths",  # 0.46 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
@@ -183,6 +186,9 @@ SF1_POOL = [
 # gr12_reciprocity (17.7 s — the mutual-edge join over sf1's edge
 # list) and mm6_phash_threshold_curve (396 s — DuckDB evaluates the
 # 4-threshold Hamming sweep as repeated un-indexed band joins).
+# r9 measurement: gr14_two_hop_reach excluded at 16.2 s (the
+# un-indexed wedge self-join over sf1's symmetric edge list — same
+# class as gr12); its sf1 behavior rides the SCALING sweeps.
 
 
 def _sf1_slice_names() -> list[str]:
