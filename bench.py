@@ -150,6 +150,9 @@ LONGTAIL = [
     "gr13_assortativity",  # degree-moment joins over citation edges (r8)
     "st29_stream_schema_drift",  # dq10 counters as streaming state (r8)
     "st31_incident_feed_source",  # custom streaming source, offset replay (r8)
+    "seq4_session_paths",  # top-10 in-session 3-step paths (r8)
+    "gr14_two_hop_reach",  # open 2-path reach, hub-cap operator (r8)
+    "tok12_vocab_drift",  # snapshot-over-snapshot vocab/OOV drift (r9)
 ]
 
 

@@ -746,8 +746,126 @@ def q_tok11_coverage_curve(spark, sf_dir):
     )
 
 
+def q_tok12_vocab_drift(spark, sf_dir):
+    # snapshot-over-snapshot VOCAB drift (r8 verdict item 6) — the
+    # training-data twin of dq10's schema diff: a lake re-tokenizes
+    # after every ingest, and the question is "did the new data move
+    # the vocabulary?" Snapshot A is the doc_id prefix up to the
+    # median id (dq10's bounds idiom), snapshot B the full corpus
+    # (A ⊂ B — yesterday's corpus vs today's after ingest). ONE
+    # documents scan produces per-token CONDITIONAL counts
+    # (c_a, c_b); both snapshots' count-level histograms come from
+    # one stack over that pinned relation (tok11's trick — windows
+    # run over level domains, never the token domain), and the
+    # published artifact is the coverage-at-budget delta for
+    # k = 256/1024/4096 plus the new-type OOV mass (occurrences of
+    # tokens unseen in A, in bp of B's total) — the two numbers that
+    # say "retrain the tokenizer" or "don't". Exact integers
+    # throughout; the injected-shift fixture is
+    # test_text_pipeline.py::test_tok12_vocab_drift_injected_shift.
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("CAST((min(doc_id) + max(doc_id)) DIV 2 AS BIGINT)").alias(
+            "_cut"
+        )
+    )
+    tok = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(tokens(F.col("text"))).alias("token"),
+            (F.col("doc_id") <= F.col("_cut")).cast("int").alias("in_a"),
+        )
+        .filter(F.col("token") != "")
+    )
+    # two consumers (level stack + OOV agg): pin so the tokenize
+    # shuffle runs once
+    cnts = (
+        tok.groupBy("token")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("c_a"),
+            F.count(F.lit(1)).cast("bigint").alias("c_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lev_src = cnts.select(
+        F.expr("stack(2, 'a', c_a, 'b', c_b) AS (side, c)")
+    ).filter(F.col("c") > 0)
+    levels = lev_src.groupBy("side", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("side")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lev = levels.select(
+        "side",
+        "c",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"),
+    )
+    ks = (256, 1024, 4096)
+    cell_cols = []
+    for side in ("a", "b"):
+        is_side = F.col("side") == side
+        cell_cols.append(
+            F.sum(F.when(is_side, F.col("c") * F.col("n_tokens")))
+            .cast("bigint")
+            .alias(f"occ_{side}")
+        )
+        for k in ks:
+            take = F.greatest(
+                F.lit(0),
+                F.least(F.col("n_tokens"), F.lit(k) - F.col("cum_before")),
+            )
+            cell_cols.append(
+                F.sum(F.when(is_side, F.col("c") * take))
+                .cast("bigint")
+                .alias(f"cov_{side}_{k}")
+            )
+    cells = lev.agg(*cell_cols)
+    oov = cnts.agg(
+        F.sum((F.col("c_a") == 0).cast("int")).cast("bigint").alias(
+            "new_types"
+        ),
+        F.sum(F.when(F.col("c_a") == 0, F.col("c_b")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("new_type_occ"),
+    )
+    one = cells.crossJoin(F.broadcast(oov))
+    return one.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{k}, cov_a_{k}, cov_b_{k}" for k in ks)
+            + ") AS (k_budget, cov_a, cov_b)"
+        ),
+        "occ_a",
+        "occ_b",
+        "new_types",
+        "new_type_occ",
+    ).select(
+        F.col("k_budget").cast("int").alias("k_budget"),
+        F.expr("CAST((cov_a * 10000) DIV occ_a AS BIGINT)").alias(
+            "cov_a_bp"
+        ),
+        F.expr("CAST((cov_b * 10000) DIV occ_b AS BIGINT)").alias(
+            "cov_b_bp"
+        ),
+        F.expr(
+            "CAST((cov_b * 10000) DIV occ_b"
+            " - (cov_a * 10000) DIV occ_a AS BIGINT)"
+        ).alias("cov_delta_bp"),
+        "new_types",
+        "new_type_occ",
+        F.expr("CAST((new_type_occ * 10000) DIV occ_b AS BIGINT)").alias(
+            "oov_bp"
+        ),
+    )
+
+
 QUERIES = {
     "ta15_heaps_curve": q_ta15_heaps_curve,
+    "tok12_vocab_drift": q_tok12_vocab_drift,
     "tok11_coverage_curve": q_tok11_coverage_curve,
     "tok8_compression_curve": q_tok8_compression_curve,
     "tok9_unigram_train": q_tok9_unigram_train,
@@ -785,6 +903,89 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "tok12_vocab_drift": f"""
+            WITH bounds AS (
+              SELECT (min(doc_id) + max(doc_id)) // 2 AS cut FROM documents
+            ),
+            tok AS (
+              SELECT unnest({_TOKENS}) AS token,
+                     CASE WHEN doc_id <= (SELECT cut FROM bounds)
+                          THEN 1 ELSE 0 END AS in_a
+              FROM documents
+            ),
+            cnts AS MATERIALIZED (
+              SELECT token,
+                     CAST(sum(in_a) AS BIGINT) AS c_a,
+                     CAST(count(*) AS BIGINT) AS c_b
+              FROM tok WHERE token <> '' GROUP BY token
+            ),
+            lev_src AS (
+              SELECT 'a' AS side, c_a AS c FROM cnts WHERE c_a > 0
+              UNION ALL
+              SELECT 'b', c_b FROM cnts WHERE c_b > 0
+            ),
+            levels AS (
+              SELECT side, c, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM lev_src GROUP BY side, c
+            ),
+            lev AS (
+              SELECT side, c, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY side ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS cum_before
+              FROM levels
+            ),
+            cells AS (
+              SELECT
+                CAST(sum(CASE WHEN side = 'a' THEN c * n_tokens END)
+                  AS BIGINT) AS occ_a,
+                CAST(sum(CASE WHEN side = 'b' THEN c * n_tokens END)
+                  AS BIGINT) AS occ_b,
+                CAST(sum(CASE WHEN side = 'a' THEN c * greatest(0,
+                  least(n_tokens, 256 - cum_before)) END) AS BIGINT)
+                  AS cov_a_256,
+                CAST(sum(CASE WHEN side = 'b' THEN c * greatest(0,
+                  least(n_tokens, 256 - cum_before)) END) AS BIGINT)
+                  AS cov_b_256,
+                CAST(sum(CASE WHEN side = 'a' THEN c * greatest(0,
+                  least(n_tokens, 1024 - cum_before)) END) AS BIGINT)
+                  AS cov_a_1024,
+                CAST(sum(CASE WHEN side = 'b' THEN c * greatest(0,
+                  least(n_tokens, 1024 - cum_before)) END) AS BIGINT)
+                  AS cov_b_1024,
+                CAST(sum(CASE WHEN side = 'a' THEN c * greatest(0,
+                  least(n_tokens, 4096 - cum_before)) END) AS BIGINT)
+                  AS cov_a_4096,
+                CAST(sum(CASE WHEN side = 'b' THEN c * greatest(0,
+                  least(n_tokens, 4096 - cum_before)) END) AS BIGINT)
+                  AS cov_b_4096
+              FROM lev
+            ),
+            oov AS (
+              SELECT CAST(sum(CASE WHEN c_a = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS new_types,
+                     CAST(sum(CASE WHEN c_a = 0 THEN c_b ELSE 0 END)
+                       AS BIGINT) AS new_type_occ
+              FROM cnts
+            ),
+            curve AS (
+              SELECT 256 AS k_budget, cov_a_256 AS cov_a, cov_b_256 AS cov_b,
+                     occ_a, occ_b FROM cells
+              UNION ALL
+              SELECT 1024, cov_a_1024, cov_b_1024, occ_a, occ_b FROM cells
+              UNION ALL
+              SELECT 4096, cov_a_4096, cov_b_4096, occ_a, occ_b FROM cells
+            )
+            SELECT CAST(k_budget AS INTEGER) AS k_budget,
+                   CAST((cov_a * 10000) // occ_a AS BIGINT) AS cov_a_bp,
+                   CAST((cov_b * 10000) // occ_b AS BIGINT) AS cov_b_bp,
+                   CAST((cov_b * 10000) // occ_b
+                        - (cov_a * 10000) // occ_a AS BIGINT)
+                     AS cov_delta_bp,
+                   new_types, new_type_occ,
+                   CAST((new_type_occ * 10000) // occ_b AS BIGINT) AS oov_bp
+            FROM curve CROSS JOIN oov
+""",
         "tok11_coverage_curve": f"""
             WITH tok AS (
               SELECT unnest({_TOKENS}) AS token FROM documents

@@ -1368,3 +1368,12 @@ def test_r9_op_plans_stay_scale_shaped(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("FileScan") == 0  # pinned edge relation
+
+    # tok12: one token shuffle + stacked level histograms; the only
+    # nested-loop joins are the two 1-row broadcasts (bounds, oov)
+    tok12 = qs["tok12_vocab_drift"](spark, sf)
+    tok12.collect()
+    plan = tok12._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

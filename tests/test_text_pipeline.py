@@ -904,3 +904,44 @@ def test_phrase_search_overlaps_and_order(spark):
     assert run("a b") == {2: 2, 3: 1}
     assert run("b a") == {2: 1}
     assert run("a b c") == {3: 1}
+
+
+def test_tok12_vocab_drift_injected_shift(spark):
+    """Hand fixture for the vocab-drift semantics (r9 verdict item
+    6): snapshot A = doc_ids 0..4 (median cut of 0..9) speaks only
+    {aa, bb}; docs 5..9 inject a vocabulary shift — five occurrences
+    of the brand-new token cc and one more bb. Expected, by hand:
+    A has 10 occ (5 aa + 5 bb); B has 16 (5 aa + 6 bb + 5 cc).
+    new_types = 1 (cc), new_type_occ = 5, oov_bp = 5*10000//16 =
+    3125. Every k budget ≥ vocab size covers everything → cov 10000
+    both sides, delta 0 (the curve shape: a NEW-token shift shows in
+    OOV mass, not in coverage at generous budgets)."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    rows = []
+    for i in range(5):
+        rows.append((i, "aa bb"))
+    for i in range(5, 10):
+        extra = " bb" if i == 5 else ""
+        rows.append((i, "cc" + extra))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["k_budget"]: (
+            r["cov_a_bp"],
+            r["cov_b_bp"],
+            r["cov_delta_bp"],
+            r["new_types"],
+            r["new_type_occ"],
+            r["oov_bp"],
+        )
+        for r in spark_queries()["tok12_vocab_drift"](spark, d).collect()
+    }
+    want = (10000, 10000, 0, 1, 5, 3125)
+    assert got == {256: want, 1024: want, 4096: want}
