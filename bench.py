@@ -153,6 +153,7 @@ LONGTAIL = [
     "seq4_session_paths",  # top-10 in-session 3-step paths (r8)
     "gr14_two_hop_reach",  # open 2-path reach, hub-cap operator (r8)
     "tok12_vocab_drift",  # snapshot-over-snapshot vocab/OOV drift (r9)
+    "st32_stream_k_anonymity",  # streaming quasi-id privacy gate (r9)
 ]
 
 

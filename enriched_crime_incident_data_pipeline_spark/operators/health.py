@@ -307,3 +307,34 @@ def drift_from_type_counts(
         "dominant_t2",
         "presence_drift_bp",
     )
+
+
+def k_anonymity_report(groups: DataFrame, k: int = 5) -> DataFrame:
+    """The dq11 release-bar summary over a quasi-identifier group-size
+    relation (any columns + ``sz``): one row — total rows, group
+    count, k-anonymity (min group size), max group, singleton groups,
+    rows in groups below the ``k`` bar and their share in bp. The
+    SHARED epilogue of batch ``dq11_k_anonymity`` and streaming
+    ``st32_stream_k_anonymity`` — one code path, one oracle."""
+    return groups.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.max("sz").cast("bigint").alias("max_group"),
+        F.sum((F.col("sz") == 1).cast("int")).cast("bigint").alias(
+            "n_singleton_groups"
+        ),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias(f"rows_below_k{k}"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "k_anonymity",
+        "max_group",
+        "n_singleton_groups",
+        f"rows_below_k{k}",
+        F.expr(
+            f"CAST((rows_below_k{k} * 10000) DIV n_rows AS BIGINT)"
+        ).alias("risk_share_bp"),
+    )

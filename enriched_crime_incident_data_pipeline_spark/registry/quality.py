@@ -652,32 +652,15 @@ def q_dq11_k_anonymity(spark, sf_dir):
     # ≤|groups|-row summary: group count, min/max sizes, singleton
     # count, rows in groups below the k=5 release bar and their share
     # in bp. All integers; output is one row whatever the table size.
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        k_anonymity_report,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
     g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("sz")
     )
-    return g.agg(
-        F.sum("sz").cast("bigint").alias("n_rows"),
-        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-        F.min("sz").cast("bigint").alias("k_anonymity"),
-        F.max("sz").cast("bigint").alias("max_group"),
-        F.sum((F.col("sz") == 1).cast("int")).cast("bigint").alias(
-            "n_singleton_groups"
-        ),
-        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("rows_below_k5"),
-    ).select(
-        "n_rows",
-        "n_groups",
-        "k_anonymity",
-        "max_group",
-        "n_singleton_groups",
-        "rows_below_k5",
-        F.expr("CAST((rows_below_k5 * 10000) DIV n_rows AS BIGINT)").alias(
-            "risk_share_bp"
-        ),
-    )
+    return k_anonymity_report(g, k=5)
 
 
 def q_dq10_schema_drift(spark, sf_dir):

@@ -1237,6 +1237,35 @@ def q_st31_incident_feed_source(spark, sf_dir):
         shutil.rmtree(spool, ignore_errors=True)
 
 
+def q_st32_stream_k_anonymity(spark, sf_dir):
+    # live privacy gate (r8 verdict item 7): dq11's quasi-identifier
+    # audit as the repo's FOURTH applyInPandasWithState operator —
+    # per-(nation, segment) state (gen, cumulative size) folds each
+    # micro-batch's arrivals, emits the running size plus an under-k
+    # alert flag per touched group, and finalize keeps each group's
+    # last generation and runs the SAME epilogue code path as batch
+    # dq11 (operators/health.k_anonymity_report), so dq11's oracle
+    # serves verbatim. Integer counts merge in any batch order — no
+    # ordering contract. State O(|quasi-id domain|)×2 longs. See
+    # streaming/kanon.py; multi-batch ≡ and alert-flip semantics
+    # pinned in test_streaming_pipeline.py.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        finalize_k_anonymity,
+        run_available_now,
+        stream_group_sizes,
+        stream_table,
+    )
+
+    cust = stream_table(spark, sf_dir, "customer")
+    emitted = run_available_now(
+        stream_group_sizes(cust, k=5),
+        "st32_k_anonymity",
+        "update",
+        state_partitions=8,
+    )
+    return finalize_k_anonymity(emitted, k=5)
+
+
 def q_st30_stream_gap_monitor(spark, sf_dir):
     # live gap-distribution monitor (ts10 as a stream; the repo's
     # THIRD applyInPandasWithState operator): per-user state
@@ -1392,6 +1421,7 @@ def q_st28_stream_corpus_refresh(spark, sf_dir):
 
 
 QUERIES = {
+    "st32_stream_k_anonymity": q_st32_stream_k_anonymity,
     "st31_incident_feed_source": q_st31_incident_feed_source,
     "st30_stream_gap_monitor": q_st30_stream_gap_monitor,
     "st29_stream_schema_drift": q_st29_stream_schema_drift,
@@ -1922,6 +1952,7 @@ def oracles() -> dict[str, str]:
     from enriched_crime_incident_data_pipeline_spark.registry import quality as _quality
 
     out["st29_stream_schema_drift"] = _quality.oracles()["dq10_schema_drift"]
+    out["st32_stream_k_anonymity"] = _quality.oracles()["dq11_k_anonymity"]
     # st30 maintains ts10's gap histogram as per-user streaming state
     # and ends in the same epilogue code path — one oracle for both.
     from enriched_crime_incident_data_pipeline_spark.registry import temporal as _temporal

@@ -24,6 +24,10 @@ from enriched_crime_incident_data_pipeline_spark.streaming.sample import (  # no
     finalize_weighted_sample,
     stream_weighted_sample,
 )
+from enriched_crime_incident_data_pipeline_spark.streaming.kanon import (
+    finalize_k_anonymity,
+    stream_group_sizes,
+)
 from enriched_crime_incident_data_pipeline_spark.streaming.gaps import (
     finalize_gap_histogram,
     stream_gap_buckets,
@@ -42,4 +46,6 @@ __all__ = [
     "session_counts_stateful",
     "stream_gap_buckets",
     "finalize_gap_histogram",
+    "stream_group_sizes",
+    "finalize_k_anonymity",
 ]

@@ -176,6 +176,7 @@ SF1_POOL = [
     "dq11_k_anonymity",  # 0.00 s
     "seq4_session_paths",  # 0.46 s
     "tok12_vocab_drift",  # 1.52 s
+    "st32_stream_k_anonymity",  # 0.00 s (dq11's oracle)
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

@@ -387,3 +387,88 @@ def test_st30_multibatch_gap_state_equals_batch_ts10(spark, tmp_path):
         for r in spark_queries()["ts10_gap_histogram"](spark, sf).collect()
     )
     assert got == want and len(got) > 3
+
+
+def test_st32_multibatch_k_anonymity_equals_batch_dq11(spark, tmp_path):
+    # group sizes that accumulate ACROSS micro-batches must fold into
+    # the carried state, not restart: customers arrive as 3 id-split
+    # files (maxFilesPerTrigger=1) and the finalized summary must
+    # equal batch dq11 over the union cell-for-cell. Also pins the
+    # alert semantics: a group's final emission carries under_k
+    # consistent with its CUMULATIVE size (a group that crossed the
+    # bar mid-stream stops alerting).
+    import os
+
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+    from enriched_crime_incident_data_pipeline_spark.sources.catalog import (
+        load_table,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        finalize_k_anonymity,
+        run_available_now,
+        stream_group_sizes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer")
+    n = cust.count()
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    parts = [
+        cust.filter(F.col("c_custkey") % 3 == i) for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        d = os.path.join(src, f"b{i}.parquet")
+        p.coalesce(1).write.mode("overwrite").parquet(d)
+        t = 1_000_000_000 + i
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(d, (t, t))
+    schema = spark.read.parquet(src + "/b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    emitted = run_available_now(
+        stream_group_sizes(stream, k=5),
+        "st32_multibatch_test",
+        "update",
+        state_partitions=4,
+    )
+    # >=2 generations proves multi-batch state merging actually ran
+    assert emitted.agg(F.max("gen")).collect()[0][0] >= 2
+    got = [tuple(r) for r in finalize_k_anonymity(emitted, k=5).collect()]
+    want = [
+        tuple(r)
+        for r in spark_queries()["dq11_k_anonymity"](spark, sf).collect()
+    ]
+    assert got == want
+
+    # alert consistency on the FINAL generation per group: under_k
+    # reflects the cumulative size, and at least one group crossed
+    # the k=5 bar only after its first batch (flip observed)
+    # (collect once; the memory-sink table cannot self-join without
+    # re-aliasing, and plain python over ≤|groups|×3 rows is clearer)
+    rows = emitted.collect()
+    last = {}
+    for r in rows:
+        key = (r["c_nationkey"], r["c_mktsegment"])
+        if key not in last or r["gen"] > last[key]["gen"]:
+            last[key] = r
+    for r in last.values():
+        assert r["under_k"] == (1 if r["sz"] < 5 else 0)
+    alerted = {
+        (r["c_nationkey"], r["c_mktsegment"])
+        for r in rows
+        if r["under_k"] == 1
+    }
+    flipped = [
+        k for k, r in last.items() if r["under_k"] == 0 and k in alerted
+    ]
+    assert len(flipped) >= 1
