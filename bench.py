@@ -154,6 +154,7 @@ LONGTAIL = [
     "gr14_two_hop_reach",  # open 2-path reach, hub-cap operator (r8)
     "tok12_vocab_drift",  # snapshot-over-snapshot vocab/OOV drift (r9)
     "st32_stream_k_anonymity",  # streaming quasi-id privacy gate (r9)
+    "gr15_wedge_skew_audit",  # degree-bucket share of the wedge sum (r9)
 ]
 
 

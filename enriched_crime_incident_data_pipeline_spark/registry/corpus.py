@@ -31,6 +31,56 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
 
 
 
+def q_tp17_truncation_loss(spark, sf_dir):
+    # the max-sequence-length sizing artifact (tp1 packs; this prices
+    # the OTHER regime — truncation, what a finetuning/eval loader
+    # does when documents can't span windows): for max_len candidates
+    # L = 512/2048/8192, the token mass LOST to truncation
+    # (Σ max(0, n_tokens − L)), the docs affected, and the kept share
+    # in bp. ONE documents pass computes per-doc token counts; all
+    # three L's are conditional-agg cells of ONE 1-row aggregate
+    # (the ss19/tok11 idiom — never a per-L union re-scanning
+    # parquet), stack-unpivoted to the 3-row curve. Exact integers.
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(token_count(F.col("text")).cast("bigint").alias("nt"))
+    ls = (512, 2048, 8192)
+    cells = [
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ]
+    for l in ls:
+        cells.append(
+            F.sum(F.greatest(F.lit(0), F.col("nt") - F.lit(l)))
+            .cast("bigint")
+            .alias(f"lost_{l}")
+        )
+        cells.append(
+            F.sum((F.col("nt") > F.lit(l)).cast("int"))
+            .cast("bigint")
+            .alias(f"cut_{l}")
+        )
+    one = t.agg(*cells)
+    return one.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{l}, lost_{l}, cut_{l}" for l in ls)
+            + ") AS (max_len, lost_tokens, docs_truncated)"
+        ),
+        "total_tokens",
+        "n_docs",
+    ).select(
+        F.col("max_len").cast("int").alias("max_len"),
+        "lost_tokens",
+        "docs_truncated",
+        "total_tokens",
+        "n_docs",
+        F.expr(
+            "CAST(((total_tokens - lost_tokens) * 10000)"
+            " DIV total_tokens AS BIGINT)"
+        ).alias("kept_bp"),
+    )
+
+
 def q_tp1_pack(spark, sf_dir):
     # concat-and-chunk sequence packing via two-phase prefix sum —
     # the only corpus-wide windows run per value-derived bucket, plus
@@ -869,6 +919,7 @@ QUERIES = {
     "tp11_curriculum_order": q_tp11_curriculum_order,
     "tp12_temperature_sample": q_tp12_temperature_sample,
     "tp16_mixture_curve": q_tp16_mixture_curve,
+    "tp17_truncation_loss": q_tp17_truncation_loss,
     "tp13_epoch_reshuffle": q_tp13_epoch_reshuffle,
     "tp14_domain_upsample": q_tp14_domain_upsample,
     "tp9_mixture_sample": q_tp9_mixture_sample,
@@ -887,6 +938,41 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "tp16_mixture_curve": _MIXTURE_CURVE_SQL,
+        "tp17_truncation_loss": f"""
+            WITH t AS (
+              SELECT CAST({_TOKEN_COUNT} AS BIGINT) AS nt FROM documents
+            ),
+            cells AS (
+              SELECT CAST(sum(nt) AS BIGINT) AS total_tokens,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(greatest(0, nt - 512)) AS BIGINT) AS lost_512,
+                     CAST(sum(CASE WHEN nt > 512 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cut_512,
+                     CAST(sum(greatest(0, nt - 2048)) AS BIGINT) AS lost_2048,
+                     CAST(sum(CASE WHEN nt > 2048 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cut_2048,
+                     CAST(sum(greatest(0, nt - 8192)) AS BIGINT) AS lost_8192,
+                     CAST(sum(CASE WHEN nt > 8192 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cut_8192
+              FROM t
+            ),
+            curve AS (
+              SELECT 512 AS max_len, lost_512 AS lost_tokens,
+                     cut_512 AS docs_truncated, total_tokens, n_docs
+              FROM cells
+              UNION ALL
+              SELECT 2048, lost_2048, cut_2048, total_tokens, n_docs
+              FROM cells
+              UNION ALL
+              SELECT 8192, lost_8192, cut_8192, total_tokens, n_docs
+              FROM cells
+            )
+            SELECT CAST(max_len AS INTEGER) AS max_len, lost_tokens,
+                   docs_truncated, total_tokens, n_docs,
+                   CAST(((total_tokens - lost_tokens) * 10000)
+                        // total_tokens AS BIGINT) AS kept_bp
+            FROM curve
+""",
         "tp15_weighted_k_sample": f"""
             WITH base AS (
               SELECT doc_id,

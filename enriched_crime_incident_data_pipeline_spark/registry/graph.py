@@ -403,24 +403,9 @@ def q_gr12_reciprocity(spark, sf_dir):
     # per-node state; the rotation cycles contribute mutual edges
     # only for 2-node buckets, so the statistic is dominated by the
     # (a+b)%3 mutual-chord rule and is a real, data-dependent value.
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
-    rot = docs.select(
-        F.col("doc_id").alias("src"),
-        F.coalesce(
-            F.lead("doc_id").over(w), F.first("doc_id").over(w)
-        ).alias("dst"),
-    )
-    pairs = lsh_candidate_pairs(minhash_bands(docs))
-    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
     edges = (
-        rot.union(back).union(fwd)
-        .filter(F.col("src") != F.col("dst"))
+        _citation_raw_edges(docs)
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -437,6 +422,91 @@ def q_gr12_reciprocity(spark, sf_dir):
         F.expr(
             "CAST((n_mutual * 10000) DIV n_edges AS BIGINT)"
         ).alias("reciprocity_bp"),
+    )
+
+
+def _citation_raw_edges(docs):
+    """The family's shared fixture graph (gr7/gr13/gr14/gr15): a
+    rotation cycle per 16-doc block (real distance-2 structure the
+    clique-shaped dup graph lacks) plus the LSH dup edges, reversed,
+    with every third pair also kept forward. Directed (src, dst) with
+    self-loops removed; callers canonicalize/symmetrize as needed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
+    rot = docs.select(
+        F.col("doc_id").alias("src"),
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(w)
+        ).alias("dst"),
+    )
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return rot.union(back).union(fwd).filter(F.col("src") != F.col("dst"))
+
+
+def q_gr15_wedge_skew_audit(spark, sf_dir):
+    # the operator that DECIDES gr14's max_mid_degree and
+    # link_predict's cap: a degree-magnitude histogram of the
+    # undirected citation graph with each bucket's share of the wedge
+    # sum Σdeg² — the quantity the 2-hop/wedge joins actually pay.
+    # Buckets are bit-lengths of the degree (integer-exact via binary
+    # string length — no float log), so the output is ≤64 rows
+    # whatever the graph; the only window is the share total over
+    # that bucket relation. The r9 SCALING §gr14 table, first-class
+    # and continuously queryable: when the top bucket's share grows,
+    # cap the wedge mids.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _citation_raw_edges(docs)
+    e = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = e.select(F.col("a").alias("u")).unionAll(
+        e.select(F.col("b").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    b = deg.select(
+        F.length(F.conv(F.col("deg").cast("string"), 10, 2))
+        .cast("int")
+        .alias("bucket"),
+        "deg",
+    )
+    buckets = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("deg").cast("bigint").alias("sum_deg"),
+        F.sum(F.col("deg") * F.col("deg")).cast("bigint").alias("sum_deg2"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return buckets.select(
+        "bucket",
+        "n_nodes",
+        "sum_deg",
+        "sum_deg2",
+        F.expr(
+            "CAST(shiftleft(2L, bucket - 1) - 1 AS BIGINT)"
+        ).alias("bucket_max_deg"),
+        F.sum("sum_deg2").over(wall).alias("_tot"),
+    ).select(
+        "bucket",
+        "n_nodes",
+        "sum_deg",
+        "sum_deg2",
+        "bucket_max_deg",
+        F.expr("CAST((sum_deg2 * 10000) DIV _tot AS BIGINT)").alias(
+            "deg2_share_bp"
+        ),
     )
 
 
@@ -465,19 +535,7 @@ def q_gr14_two_hop_reach(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
-    rot = docs.select(
-        F.col("doc_id").alias("src"),
-        F.coalesce(
-            F.lead("doc_id").over(w), F.first("doc_id").over(w)
-        ).alias("dst"),
-    )
-    pairs = lsh_candidate_pairs(minhash_bands(docs))
-    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
-    raw = rot.union(back).union(fwd).select(
+    raw = _citation_raw_edges(docs).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
     return two_hop_reach(raw)
@@ -496,24 +554,9 @@ def q_gr13_assortativity(spark, sf_dir):
     # lineage), ONE degree groupBy over the 2|E|-row endpoint union,
     # two hash joins edge→degree, one 6-cell global reduce. No
     # windows over row domains; reduce state is 6 cells.
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.expr("doc_id DIV 16")).orderBy("doc_id")
-    rot = docs.select(
-        F.col("doc_id").alias("src"),
-        F.coalesce(
-            F.lead("doc_id").over(w), F.first("doc_id").over(w)
-        ).alias("dst"),
-    )
-    pairs = lsh_candidate_pairs(minhash_bands(docs))
-    back = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    fwd = pairs.filter((F.col("a") + F.col("b")) % 3 == 0).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
     edges = (
-        rot.union(back).union(fwd)
-        .filter(F.col("src") != F.col("dst"))
+        _citation_raw_edges(docs)
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -632,6 +675,7 @@ QUERIES = {
     "gr10_bfs_distance": q_gr10_bfs_distance,
     "gr12_reciprocity": q_gr12_reciprocity,
     "gr13_assortativity": q_gr13_assortativity,
+    "gr15_wedge_skew_audit": q_gr15_wedge_skew_audit,
     "gr14_two_hop_reach": q_gr14_two_hop_reach,
     "gr8_personalized_pagerank": q_gr8_personalized_pagerank,
     "gr7_scc": q_gr7_scc,
@@ -696,6 +740,57 @@ def oracles() -> dict[str, str]:
         "gr10_bfs_distance": _GR10_BFS_SQL,
         "gr12_reciprocity": _GR12_RECIPROCITY_SQL,
         "gr13_assortativity": _GR13_ASSORT_SQL,
+        "gr15_wedge_skew_audit": f"""
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    pairs AS MATERIALIZED (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    rot AS (
+                      SELECT doc_id AS src,
+                             coalesce(lead(doc_id) OVER w,
+                                      first_value(doc_id) OVER w) AS dst
+                      FROM documents
+                      WINDOW w AS (PARTITION BY doc_id // 16 ORDER BY doc_id)
+                    ),
+                    e AS MATERIALIZED (
+                      SELECT DISTINCT least(src, dst) AS a,
+                             greatest(src, dst) AS b
+                      FROM (
+                        SELECT src, dst FROM rot
+                        UNION SELECT b AS src, a AS dst FROM pairs
+                        UNION SELECT a AS src, b AS dst FROM pairs
+                          WHERE (a + b) % 3 = 0
+                      ) WHERE src <> dst
+                    ),
+                    sym AS (
+                      SELECT a AS u FROM e UNION ALL SELECT b FROM e
+                    ),
+                    deg AS (
+                      SELECT u, CAST(count(*) AS BIGINT) AS deg
+                      FROM sym GROUP BY u
+                    ),
+                    bk AS (
+                      SELECT CAST(length(bin(deg)) AS INTEGER) AS bucket, deg
+                      FROM deg
+                    ),
+                    buckets AS (
+                      SELECT bucket,
+                             CAST(count(*) AS BIGINT) AS n_nodes,
+                             CAST(sum(deg) AS BIGINT) AS sum_deg,
+                             CAST(sum(deg * deg) AS BIGINT) AS sum_deg2
+                      FROM bk GROUP BY bucket
+                    )
+                    SELECT bucket, n_nodes, sum_deg, sum_deg2,
+                           CAST((2::BIGINT << (bucket - 1)) - 1 AS BIGINT)
+                             AS bucket_max_deg,
+                           CAST((sum_deg2 * 10000)
+                                // (sum(sum_deg2) OVER ()) AS BIGINT)
+                             AS deg2_share_bp
+                    FROM buckets
+""",
         "gr14_two_hop_reach": f"""
                     WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
                     pairs AS MATERIALIZED (

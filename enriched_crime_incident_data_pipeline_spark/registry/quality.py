@@ -642,6 +642,54 @@ def q_dq7_ks_drift(spark, sf_dir):
     )
 
 
+def q_dq12_event_order_audit(spark, sf_dir):
+    # the ordering audit the engine's own streaming contracts depend
+    # on: st7/st21/st28's carried state is only correct when events
+    # arrive in event-time order per key, and this measures whether a
+    # feed actually satisfies that — per user, an event is LATE when
+    # its ts precedes the running max ts over earlier event_ids (the
+    # append sequence). One per-user window (partitioned, never a
+    # global row sort) → 1-row summary: events, late count/share,
+    # worst lateness in seconds, users affected. Exact integers via
+    # epoch micros. The number feeds directly into watermark sizing:
+    # withWatermark's delay threshold must exceed max_lateness_s or
+    # the late tail is dropped.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+    ).withColumn("_rm", F.max("t").over(w))
+    late = F.col("_rm").isNotNull() & (F.col("t") < F.col("_rm"))
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late.cast("int")).cast("bigint").alias("n_late"),
+        F.max(
+            F.when(late, (F.col("_rm") - F.col("t"))).otherwise(F.lit(0))
+        ).alias("_max_late_us"),
+        F.count_distinct(F.when(late, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_affected"),
+    ).select(
+        "n_events",
+        "n_late",
+        F.expr("CAST((n_late * 10000) DIV n_events AS BIGINT)").alias(
+            "late_share_bp"
+        ),
+        F.expr("CAST(_max_late_us DIV 1000000 AS BIGINT)").alias(
+            "max_lateness_s"
+        ),
+        "n_users_affected",
+    )
+
+
 def q_dq11_k_anonymity(spark, sf_dir):
     # the privacy audit a training-data release runs before shipping
     # rows with demographic-ish columns: treat (nation, market
@@ -679,6 +727,7 @@ def q_dq10_schema_drift(spark, sf_dir):
 
 
 QUERIES = {
+    "dq12_event_order_audit": q_dq12_event_order_audit,
     "dq10_schema_drift": q_dq10_schema_drift,
     "dq11_k_anonymity": q_dq11_k_anonymity,
     "dq8_benford": q_dq8_benford,
@@ -701,6 +750,33 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq12_event_order_audit": """
+            WITH t AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     max(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS rm
+              FROM events
+            ),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CASE WHEN rm IS NOT NULL AND t < rm
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                     CAST(max(CASE WHEN rm IS NOT NULL AND t < rm
+                              THEN rm - t ELSE 0 END) AS BIGINT)
+                       AS max_late_us,
+                     CAST(count(DISTINCT CASE WHEN rm IS NOT NULL AND t < rm
+                              THEN user_id END) AS BIGINT)
+                       AS n_users_affected
+              FROM t
+            )
+            SELECT n_events, n_late,
+                   CAST((n_late * 10000) // n_events AS BIGINT)
+                     AS late_share_bp,
+                   CAST(max_late_us // 1000000 AS BIGINT) AS max_lateness_s,
+                   n_users_affected
+            FROM s
+""",
         "dq11_k_anonymity": """
             WITH g AS (
               SELECT c_nationkey, c_mktsegment, count(*) AS sz

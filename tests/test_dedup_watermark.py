@@ -424,3 +424,49 @@ def test_dq10_schema_drift_added_key_and_type_flip_fixture(spark):
         "m": ("type_flip", 5, 10, "int", "string", 0),
         "newk": ("added", 0, 5, None, "bool", 5000),
     }
+
+
+def test_dq12_event_order_audit_injected_lateness(spark):
+    """Hand fixture for the ordering-audit semantics (the testdata
+    feed is fully ordered — n_late 0 at every SF, the negative result
+    that VALIDATES st7/st28's ordering contract there — so the
+    non-degenerate path is pinned here): user 1 appends an event 90 s
+    behind its running max and then one more in order; user 2 stays
+    ordered; ties (equal ts) are NOT late (strict <)."""
+    import datetime
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: 0s, 100s, then LATE at 10s (90s behind rm=100),
+        # then 100s again (tie with running max -> not late)
+        (1, 1, ts(0)),
+        (2, 1, ts(100)),
+        (3, 1, ts(10)),
+        (4, 1, ts(100)),
+        # user 2: ordered
+        (5, 2, ts(0)),
+        (6, 2, ts(50)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    (r,) = spark_queries()["dq12_event_order_audit"](spark, d).collect()
+    assert (
+        r["n_events"],
+        r["n_late"],
+        r["late_share_bp"],
+        r["max_lateness_s"],
+        r["n_users_affected"],
+    ) == (6, 1, 1666, 90, 1)

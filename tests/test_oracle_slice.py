@@ -177,6 +177,8 @@ SF1_POOL = [
     "seq4_session_paths",  # 0.46 s
     "tok12_vocab_drift",  # 1.52 s
     "st32_stream_k_anonymity",  # 0.00 s (dq11's oracle)
+    "dq12_event_order_audit",  # 0.10 s
+    "tp17_truncation_loss",  # 2.08 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
@@ -191,6 +193,7 @@ SF1_POOL = [
 # r9 measurement: gr14_two_hop_reach excluded at 16.2 s (the
 # un-indexed wedge self-join over sf1's symmetric edge list — same
 # class as gr12); its sf1 behavior rides the SCALING sweeps.
+# gr15_wedge_skew_audit likewise excluded at 15.4 s (same edge CTE).
 
 
 def _sf1_slice_names() -> list[str]:

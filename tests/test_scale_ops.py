@@ -1377,3 +1377,27 @@ def test_r9_op_plans_stay_scale_shaped(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    # tp17: join-free — one documents pass, all three max_len cells
+    # in ONE 1-row aggregate
+    tp17 = qs["tp17_truncation_loss"](spark, sf)
+    tp17.collect()
+    plan = tp17._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+    # dq12: one per-user window (never a global row sort) + 1-row agg
+    dq12 = qs["dq12_event_order_audit"](spark, sf)
+    dq12.collect()
+    plan = dq12._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+    # gr15: pinned edge relation (no LSH re-derivation), degree
+    # groupBy, ≤64-row bucket epilogue
+    gr15 = qs["gr15_wedge_skew_audit"](spark, sf)
+    gr15.collect()
+    plan = gr15._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 0
