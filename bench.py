@@ -155,6 +155,7 @@ LONGTAIL = [
     "tok12_vocab_drift",  # snapshot-over-snapshot vocab/OOV drift (r9)
     "st32_stream_k_anonymity",  # streaming quasi-id privacy gate (r9)
     "gr15_wedge_skew_audit",  # degree-bucket share of the wedge sum (r9)
+    "ret8_self_retrieval_mrr",  # known-item IR eval, rarest-term probe (r9)
 ]
 
 

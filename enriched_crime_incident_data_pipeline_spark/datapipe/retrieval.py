@@ -420,3 +420,135 @@ def phrase_search(
     return out.groupBy(F.col("_d").alias(id_col)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
+
+
+def self_retrieval_mrr(
+    docs: DataFrame,
+    every: int = 50,
+    cap: int = 20000,
+    n_terms: int = 2,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval-quality EVAL harness: known-item self-retrieval MRR.
+
+    Queries are a capped deterministic document sample
+    (``id % every == 0 AND id < cap`` — absolute cap, er2's lesson:
+    eval cost must not grow with the corpus); each query is the
+    source doc's ``n_terms`` RAREST tokens (min df, tie by token) and
+    the source doc itself is the one relevant item — the classic
+    known-item sanity eval an IR stack runs after every index build.
+    Returns ONE row: ``(n_queries, hits_at_1, hits_at_{k},
+    mrr_bp)`` with integer MRR@k — per query rr = 10000 DIV rank if
+    rank ≤ k else 0, mrr_bp = Σrr DIV n_queries (exact integers, no
+    float mean). ``n_queries`` counts sampled docs with ≥ 1 token.
+
+    Scale shape: candidates come from the rarest-term INVERTED
+    probe — query terms equi-join the postings relation, so per-query
+    work is Σ df(chosen terms), and choosing MINIMUM-df terms makes
+    that the smallest possible probe. Ranking windows partition by
+    query over those bounded candidate sets; never a corpus-wide
+    sort. BM25 weights use ret1's rational idf and order-pinned
+    per-(query, doc) fold for cross-engine bit parity.
+    """
+    tok = (
+        fan_out(docs)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    postings = tok.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("_tf")
+    ).localCheckpoint(eager=False)
+    dl = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_avgdl"
+        ),
+    )
+    dft = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    qdocs = docs.filter(
+        (F.col(id_col) % every == 0) & (F.col(id_col) < cap)
+    ).select(F.col(id_col).alias("qid"))
+    qtok = postings.join(
+        F.broadcast(qdocs), postings[id_col] == F.col("qid")
+    ).select("qid", "tok")
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("qid").orderBy("_df", "tok")
+    qterms = (
+        qtok.join(dft, "tok")
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_terms)
+        .select("qid", "tok", "_df")
+    )
+    cand = qterms.join(postings, "tok").select(
+        "qid", F.col(id_col), "tok", "_df", "_tf"
+    )
+    scored = (
+        cand.join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_w",
+            (
+                (
+                    F.col("_n_docs").cast("double")
+                    - F.col("_df").cast("double")
+                    + F.lit(0.5)
+                )
+                / (F.col("_df").cast("double") + F.lit(0.5))
+            )
+            * (F.col("_tf").cast("double") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("_tf").cast("double")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B)
+                    * (F.col("_dl").cast("double") / F.col("_avgdl"))
+                )
+            ),
+        )
+    )
+    per_doc = (
+        scored.groupBy("qid", id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok"), F.col("_w")))
+            ).alias("_arr")
+        )
+        .select(
+            "qid",
+            id_col,
+            F.aggregate(
+                "_arr", F.lit(0.0), lambda acc, x: acc + x["_w"]
+            ).alias("_score"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("_score"), id_col)
+    self_rank = (
+        per_doc.withColumn("_rank", F.row_number().over(wr))
+        .filter(F.col(id_col) == F.col("qid"))
+        .select("qid", "_rank")
+    )
+    return self_rank.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum((F.col("_rank") == 1).cast("int")).cast("bigint").alias(
+            "hits_at_1"
+        ),
+        F.sum((F.col("_rank") <= k).cast("int")).cast("bigint").alias(
+            f"hits_at_{k}"
+        ),
+        F.sum(
+            F.when(
+                F.col("_rank") <= k,
+                F.expr("CAST(10000 DIV _rank AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        ).alias("_sum_rr"),
+    ).select(
+        "n_queries",
+        "hits_at_1",
+        f"hits_at_{k}",
+        F.expr("CAST(_sum_rr DIV n_queries AS BIGINT)").alias("mrr_bp"),
+    )

@@ -413,6 +413,24 @@ def q_ret6_trigram_search(spark, sf_dir):
     return trigram_substring_search(docs, "merge batch")
 
 
+def q_ret8_self_retrieval_mrr(spark, sf_dir):
+    # the eval harness an IR stack runs after every index build:
+    # known-item self-retrieval — each sampled doc queried by its 2
+    # RAREST tokens, the source doc the one relevant item; published
+    # as integer MRR@10 + hit rates. Candidates come from the
+    # rarest-term inverted probe (per-query work = Σ df of the
+    # chosen minimum-df terms — the smallest possible probe), the
+    # sample is capped ABSOLUTE (er2's lesson), ranking windows
+    # partition per query over those bounded candidate sets. See
+    # datapipe/retrieval.py:self_retrieval_mrr.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.retrieval import (
+        self_retrieval_mrr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return self_retrieval_mrr(docs, every=50, cap=20000, n_terms=2, k=10)
+
+
 def q_ret1_bm25_topk(spark, sf_dir):
     # retrieval baseline: rational-idf BM25 (log-free for cross-engine
     # bit parity, same trade as ta11's rational perplexity) over the
@@ -894,6 +912,7 @@ QUERIES = {
     "ta9_pii_scrub": q_ta9_pii_scrub,
     "tfidf_top_terms": q_tfidf_top_terms,
     "ret1_bm25_topk": q_ret1_bm25_topk,
+    "ret8_self_retrieval_mrr": q_ret8_self_retrieval_mrr,
     "ret4_postings_blocks": q_ret4_postings_blocks,
     "ret6_trigram_search": q_ret6_trigram_search,
     "ret7_phrase_search": q_ret7_phrase_search,
@@ -1269,6 +1288,79 @@ def oracles() -> dict[str, str]:
             FROM ranked, nd
             WHERE 10 * df <= 9 * n_docs
             GROUP BY token, df, (rn - 1) // 64
+""",
+        "ret8_self_retrieval_mrr": f"""
+                    WITH tok AS (
+                      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+                    ),
+                    postings AS MATERIALIZED (
+                      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                      FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+                    ),
+                    dl AS (
+                      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                      FROM postings GROUP BY doc_id
+                    ),
+                    stats AS (
+                      SELECT count(*) AS n_docs,
+                             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                               AS avgdl
+                      FROM dl
+                    ),
+                    dft AS (
+                      SELECT tok, CAST(count(*) AS BIGINT) AS df
+                      FROM postings GROUP BY tok
+                    ),
+                    qdocs AS (
+                      SELECT doc_id AS qid FROM documents
+                      WHERE doc_id % 50 = 0 AND doc_id < 20000
+                    ),
+                    qterms AS (
+                      SELECT qid, tok, df FROM (
+                        SELECT q.qid, p.tok, d.df,
+                               row_number() OVER (PARTITION BY q.qid
+                                 ORDER BY d.df, p.tok) AS rn
+                        FROM qdocs q
+                        JOIN postings p ON p.doc_id = q.qid
+                        JOIN dft d ON d.tok = p.tok
+                      ) WHERE rn <= 2
+                    ),
+                    cand AS (
+                      SELECT qt.qid, p.doc_id, p.tok, qt.df, p.tf
+                      FROM qterms qt JOIN postings p ON p.tok = qt.tok
+                    ),
+                    w AS (
+                      SELECT c.qid, c.doc_id, c.tok,
+                             ((CAST(s.n_docs AS DOUBLE) - CAST(c.df AS DOUBLE)
+                               + 0.5) / (CAST(c.df AS DOUBLE) + 0.5))
+                             * (CAST(c.tf AS DOUBLE) * 2.2)
+                             / (CAST(c.tf AS DOUBLE)
+                                + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                        / s.avgdl))) AS w
+                      FROM cand c JOIN dl ON c.doc_id = dl.doc_id, stats s
+                    ),
+                    per_doc AS (
+                      SELECT qid, doc_id, sum(w ORDER BY tok) AS score
+                      FROM w GROUP BY qid, doc_id
+                    ),
+                    ranked AS (
+                      SELECT qid, doc_id,
+                             row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id) AS rank
+                      FROM per_doc
+                    ),
+                    sr AS (
+                      SELECT qid, rank FROM ranked WHERE doc_id = qid
+                    )
+                    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                           CAST(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS hits_at_1,
+                           CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS hits_at_10,
+                           CAST(sum(CASE WHEN rank <= 10 THEN 10000 // rank
+                                    ELSE 0 END) // count(*) AS BIGINT)
+                             AS mrr_bp
+                    FROM sr
 """,
         "ret1_bm25_topk": f"""
                     WITH tok AS (

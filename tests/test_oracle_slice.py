@@ -179,6 +179,7 @@ SF1_POOL = [
     "st32_stream_k_anonymity",  # 0.00 s (dq11's oracle)
     "dq12_event_order_audit",  # 0.10 s
     "tp17_truncation_loss",  # 2.08 s
+    "ret8_self_retrieval_mrr",  # 3.40 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

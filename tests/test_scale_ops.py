@@ -1401,3 +1401,12 @@ def test_r9_op_plans_stay_scale_shaped(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("FileScan") == 0
+
+    # ret8: capped query sample, rarest-term inverted probe; the only
+    # nested loop is the 1-row stats broadcast (AQE prints the final
+    # and initial plans, so it appears ≤2 times)
+    ret8 = qs["ret8_self_retrieval_mrr"](spark, sf)
+    ret8.collect()
+    plan = ret8._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
