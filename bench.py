@@ -156,6 +156,7 @@ LONGTAIL = [
     "st32_stream_k_anonymity",  # streaming quasi-id privacy gate (r9)
     "gr15_wedge_skew_audit",  # degree-bucket share of the wedge sum (r9)
     "ret8_self_retrieval_mrr",  # known-item IR eval, rarest-term probe (r9)
+    "st33_stream_order_audit",  # streaming twin of dq12 (r9)
 ]
 
 

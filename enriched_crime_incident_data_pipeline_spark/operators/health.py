@@ -338,3 +338,30 @@ def k_anonymity_report(groups: DataFrame, k: int = 5) -> DataFrame:
             f"CAST((rows_below_k{k} * 10000) DIV n_rows AS BIGINT)"
         ).alias("risk_share_bp"),
     )
+
+
+def order_audit_report(per_user: DataFrame) -> DataFrame:
+    """The dq12 summary over a per-user lateness relation
+    ``(n_events, n_late, max_late_us)``: one row — events, late
+    count/share (bp), worst lateness in whole seconds, users with any
+    late event. The SHARED epilogue of batch ``dq12_event_order_audit``
+    and streaming ``st33_stream_order_audit`` — one code path, one
+    oracle."""
+    return per_user.agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_late").cast("bigint").alias("n_late"),
+        F.max("max_late_us").cast("bigint").alias("_max_late_us"),
+        F.sum((F.col("n_late") > 0).cast("int")).cast("bigint").alias(
+            "n_users_affected"
+        ),
+    ).select(
+        "n_events",
+        "n_late",
+        F.expr("CAST((n_late * 10000) DIV n_events AS BIGINT)").alias(
+            "late_share_bp"
+        ),
+        F.expr("CAST(_max_late_us DIV 1000000 AS BIGINT)").alias(
+            "max_lateness_s"
+        ),
+        "n_users_affected",
+    )

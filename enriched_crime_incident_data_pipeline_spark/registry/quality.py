@@ -662,32 +662,24 @@ def q_dq12_event_order_audit(spark, sf_dir):
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    from enriched_crime_incident_data_pipeline_spark.operators.health import (
+        order_audit_report,
+    )
+
     t = ev.select(
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("t"),
     ).withColumn("_rm", F.max("t").over(w))
     late = F.col("_rm").isNotNull() & (F.col("t") < F.col("_rm"))
-    return t.agg(
+    per_user = t.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(late.cast("int")).cast("bigint").alias("n_late"),
         F.max(
             F.when(late, (F.col("_rm") - F.col("t"))).otherwise(F.lit(0))
-        ).alias("_max_late_us"),
-        F.count_distinct(F.when(late, F.col("user_id")))
-        .cast("bigint")
-        .alias("n_users_affected"),
-    ).select(
-        "n_events",
-        "n_late",
-        F.expr("CAST((n_late * 10000) DIV n_events AS BIGINT)").alias(
-            "late_share_bp"
-        ),
-        F.expr("CAST(_max_late_us DIV 1000000 AS BIGINT)").alias(
-            "max_lateness_s"
-        ),
-        "n_users_affected",
+        ).alias("max_late_us"),
     )
+    return order_audit_report(per_user)
 
 
 def q_dq11_k_anonymity(spark, sf_dir):

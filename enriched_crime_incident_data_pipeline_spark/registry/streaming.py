@@ -1237,6 +1237,38 @@ def q_st31_incident_feed_source(spark, sf_dir):
         shutil.rmtree(spool, ignore_errors=True)
 
 
+def q_st33_stream_order_audit(spark, sf_dir):
+    # dq12's watermark-sizing audit as a live stream (the repo's
+    # FIFTH applyInPandasWithState operator): per-user state (gen,
+    # running-max ts, cumulative event/late counters) folds each
+    # micro-batch along the event_id append sequence — a late event
+    # relative to a PREVIOUS batch's maximum is counted exactly once,
+    # against state — and finalize keeps each user's last generation
+    # and runs the SAME epilogue code path as batch dq12
+    # (operators/health.order_audit_report), so dq12's oracle serves
+    # verbatim. The asymmetry worth noting: the audit MEASURES
+    # event-time disorder and tolerates any amount of it; only
+    # event-ID arrival order is contracted (st7's file-source
+    # guarantee). State O(|users|)×5 longs. See
+    # streaming/order_audit.py; 3-way id-split ≡ pinned in
+    # test_streaming_pipeline.py.
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        finalize_order_audit,
+        run_available_now,
+        stream_order_counters,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    emitted = run_available_now(
+        stream_order_counters(ev),
+        "st33_order_audit",
+        "update",
+        state_partitions=8,
+    )
+    return finalize_order_audit(emitted)
+
+
 def q_st32_stream_k_anonymity(spark, sf_dir):
     # live privacy gate (r8 verdict item 7): dq11's quasi-identifier
     # audit as the repo's FOURTH applyInPandasWithState operator —
@@ -1421,6 +1453,7 @@ def q_st28_stream_corpus_refresh(spark, sf_dir):
 
 
 QUERIES = {
+    "st33_stream_order_audit": q_st33_stream_order_audit,
     "st32_stream_k_anonymity": q_st32_stream_k_anonymity,
     "st31_incident_feed_source": q_st31_incident_feed_source,
     "st30_stream_gap_monitor": q_st30_stream_gap_monitor,
@@ -1953,6 +1986,7 @@ def oracles() -> dict[str, str]:
 
     out["st29_stream_schema_drift"] = _quality.oracles()["dq10_schema_drift"]
     out["st32_stream_k_anonymity"] = _quality.oracles()["dq11_k_anonymity"]
+    out["st33_stream_order_audit"] = _quality.oracles()["dq12_event_order_audit"]
     # st30 maintains ts10's gap histogram as per-user streaming state
     # and ends in the same epilogue code path — one oracle for both.
     from enriched_crime_incident_data_pipeline_spark.registry import temporal as _temporal

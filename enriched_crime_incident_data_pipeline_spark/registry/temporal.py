@@ -863,6 +863,39 @@ def q_funnel2_time_bounded(spark, sf_dir):
     )
 
 
+def q_ts11_seasonality_profile(spark, sf_dir):
+    # the load-shape artifact capacity planning and anomaly baselines
+    # read before any model: event counts per (day-of-week 1=Sunday,
+    # hour-of-day) cell with each cell's traffic share in ppm
+    # (integer; bp is too coarse when 168 cells' uniform share is
+    # ~0.6%). ONE groupBy over the ≤168-cell domain; the share total
+    # is a window over that domain relation, never the events. Pairs
+    # with ts10 (gap shape) the way dq12 pairs with the ordering
+    # contract: together they size sessionization and watermarks.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cells.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hod").cast("int").alias("hod"),
+        "n_events",
+        F.sum("n_events").over(wall).alias("_tot"),
+    ).select(
+        "dow",
+        "hod",
+        "n_events",
+        F.expr("CAST((n_events * 1000000) DIV _tot AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
 def q_ts10_gap_histogram(spark, sf_dir):
     # the number sessionization's 1800 s threshold is TUNED on: the
     # per-user inter-event gap distribution as a log2-bucket
@@ -924,6 +957,7 @@ def q_ts9_max_concurrency(spark, sf_dir):
 
 QUERIES = {
     "ts10_gap_histogram": q_ts10_gap_histogram,
+    "ts11_seasonality_profile": q_ts11_seasonality_profile,
     "cdc2_snapshot_diff": q_cdc2_snapshot_diff,
     "asof6_window_agg": q_asof6_window_agg,
     "funnel2_time_bounded": q_funnel2_time_bounded,
@@ -957,6 +991,18 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ts11_seasonality_profile": """
+            WITH cells AS (
+              SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(dow AS INTEGER) AS dow, CAST(hod AS INTEGER) AS hod,
+                   n_events,
+                   CAST((n_events * 1000000) // (sum(n_events) OVER ())
+                     AS BIGINT) AS share_ppm
+            FROM cells
+""",
         "ts10_gap_histogram": """
             WITH g AS (
               SELECT epoch_us(ts) // 1000000

@@ -24,6 +24,10 @@ from enriched_crime_incident_data_pipeline_spark.streaming.sample import (  # no
     finalize_weighted_sample,
     stream_weighted_sample,
 )
+from enriched_crime_incident_data_pipeline_spark.streaming.order_audit import (
+    finalize_order_audit,
+    stream_order_counters,
+)
 from enriched_crime_incident_data_pipeline_spark.streaming.kanon import (
     finalize_k_anonymity,
     stream_group_sizes,
@@ -48,4 +52,6 @@ __all__ = [
     "finalize_gap_histogram",
     "stream_group_sizes",
     "finalize_k_anonymity",
+    "stream_order_counters",
+    "finalize_order_audit",
 ]

@@ -180,6 +180,8 @@ SF1_POOL = [
     "dq12_event_order_audit",  # 0.10 s
     "tp17_truncation_loss",  # 2.08 s
     "ret8_self_retrieval_mrr",  # 3.40 s
+    "ts11_seasonality_profile",  # 0.06 s
+    "st33_stream_order_audit",  # 0.10 s (dq12's oracle)
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

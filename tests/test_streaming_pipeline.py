@@ -472,3 +472,86 @@ def test_st32_multibatch_k_anonymity_equals_batch_dq11(spark, tmp_path):
         k for k, r in last.items() if r["under_k"] == 0 and k in alerted
     ]
     assert len(flipped) >= 1
+
+
+def test_st33_multibatch_order_audit_equals_batch_dq12(spark, tmp_path):
+    # lateness that spans micro-batch boundaries must fold against
+    # the carried running max, not restart — and the fixture INJECTS
+    # disorder (the shipped feed is fully ordered, so without it this
+    # would pin only zeros): user 1's event 7 (arriving in file 2) is
+    # 130 s behind the running max set by event 5 (file 1). Streamed
+    # as 3 id-ordered files (maxFilesPerTrigger=1), the finalized
+    # summary must equal batch dq12 over the union cell-for-cell.
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+    from enriched_crime_incident_data_pipeline_spark.streaming import (
+        finalize_order_audit,
+        run_available_now,
+        stream_order_counters,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # (event_id, user_id, ts_offset_s)
+        (1, 1, 0),
+        (2, 1, 200),   # running max for user 1
+        (3, 2, 0),
+        (4, 2, 10),
+        (5, 1, 210),
+        (6, 2, 20),
+        (7, 1, 80),    # LATE: 130 s behind event 5's 210
+        (8, 1, 300),
+        (9, 2, 30),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, ts(s)) for e, u, s in rows],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    d = str(tmp_path / "fixture")
+    os.makedirs(d)
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(1, 3), (4, 6), (7, 9)]):
+        part = ev.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        )
+        pdir = os.path.join(src, f"b{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        t = 1_000_000_000 + i
+        for root, _, files in os.walk(pdir):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(pdir, (t, t))
+    schema = spark.read.parquet(src + "/b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    emitted = run_available_now(
+        stream_order_counters(stream),
+        "st33_multibatch_test",
+        "update",
+        state_partitions=4,
+    )
+    assert emitted.agg(F.max("gen")).collect()[0][0] >= 2
+    got = [tuple(r) for r in finalize_order_audit(emitted).collect()]
+    want = [
+        tuple(r)
+        for r in spark_queries()["dq12_event_order_audit"](spark, d).collect()
+    ]
+    assert got == want
+    # and the injected disorder is actually visible (not the all-zero
+    # degenerate case): 9 events, 1 late, 130 s worst, 1 user
+    assert got == [(9, 1, 1111, 130, 1)]
