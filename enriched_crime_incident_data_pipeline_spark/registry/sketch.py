@@ -8,7 +8,7 @@ and ``ORACLES`` are assembled into the full registry by
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import bloom_build, bloom_probe, cms_counters, cms_estimates
+from enriched_crime_incident_data_pipeline_spark.datapipe.sketch import bloom_build, bloom_probe, cms_counters, cms_entries, cms_estimates
 from enriched_crime_incident_data_pipeline_spark.functions.text import doc_fingerprint
 from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
 
@@ -179,6 +179,72 @@ def q_sk8_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_sk11_cms_width_curve(spark, sf_dir):
+    # the count-min SIZING artifact (sk10's bloom curve for the other
+    # sketch the engine ships): measured overestimate at widths
+    # w = 2⁸/2¹⁰/2¹² counters per row, d=4 rows, over the lineitem
+    # partkey stream sk3 sketches. The key domain reduces ONCE to a
+    # pinned (key, true_cnt) relation; per width the d-coordinate
+    # explode, the ≤d·w counter matrix, the broadcast-back min
+    # estimate and the error cells all run over that pinned relation
+    # — the raw stream is scanned exactly once whatever the curve
+    # length. CMS never underestimates, so total_overest ≥ 0 by
+    # construction and exact_keys counts collision-free keys;
+    # overest_share_bp = Σ(est−true)·10⁴ DIV Σtrue is the number the
+    # width budget is chosen from.
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = (
+        li.select(F.col("l_partkey").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    outs = []
+    for w in (1 << 8, 1 << 10, 1 << 12):
+        pos = keyed.select(
+            F.explode(cms_entries(F.col("key"), w=w)).alias("e"), "true_cnt"
+        ).select("e.j", "e.bucket", "true_cnt")
+        counters = pos.groupBy("j", "bucket").agg(
+            F.sum("true_cnt").alias("cnt")
+        )
+        est = (
+            keyed.select(
+                "key", F.explode(cms_entries(F.col("key"), w=w)).alias("e")
+            )
+            .select("key", "e.j", "e.bucket")
+            .join(F.broadcast(counters), ["j", "bucket"])
+            .groupBy("key")
+            .agg(F.min("cnt").cast("bigint").alias("est"))
+        )
+        j = keyed.join(est, "key")
+        outs.append(
+            j.agg(
+                F.lit(w).cast("int").alias("w_buckets"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum("true_cnt").cast("bigint").alias("total_true"),
+                F.sum(F.col("est") - F.col("true_cnt"))
+                .cast("bigint")
+                .alias("total_overest"),
+                F.sum((F.col("est") == F.col("true_cnt")).cast("int"))
+                .cast("bigint")
+                .alias("exact_keys"),
+            ).select(
+                "w_buckets",
+                "n_keys",
+                "total_true",
+                "total_overest",
+                "exact_keys",
+                F.expr(
+                    "CAST((total_overest * 10000) DIV total_true AS BIGINT)"
+                ).alias("overest_share_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_sk10_bloom_fpr_curve(spark, sf_dir):
     # the Bloom-filter SIZING artifact (ss19/mm6/dd23 for membership
     # filters — the curve the bits-per-key budget is chosen from):
@@ -293,6 +359,7 @@ QUERIES = {
     "sk4_hll_distinct": q_sk4_hll_distinct,
     "sk5_hll_rollup": q_sk5_hll_rollup,
     "sk2_bloom": q_sk2_bloom,
+    "sk11_cms_width_curve": q_sk11_cms_width_curve,
     "sk10_bloom_fpr_curve": q_sk10_bloom_fpr_curve,
     "sk3_cms": q_sk3_cms,
 }
@@ -463,6 +530,101 @@ def oracles() -> dict[str, str]:
                            CAST(count(*) - 1 AS DOUBLE) * 4294967296.0 / max(h) AS estimate
                     FROM kmin
                 """,
+        "sk11_cms_width_curve": f"""
+            WITH keyed AS MATERIALIZED (
+              SELECT CAST(l_partkey AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS true_cnt
+              FROM lineitem GROUP BY 1
+            ),
+            pos_256 AS (
+              SELECT key, true_cnt, 0 AS j, ('0x' || substr(md5('cms0:' || key), 1, 8))::BIGINT % 256 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 1 AS j, ('0x' || substr(md5('cms1:' || key), 1, 8))::BIGINT % 256 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 2 AS j, ('0x' || substr(md5('cms2:' || key), 1, 8))::BIGINT % 256 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 3 AS j, ('0x' || substr(md5('cms3:' || key), 1, 8))::BIGINT % 256 AS bucket FROM keyed
+            ),
+            counters_256 AS (
+              SELECT j, bucket, sum(true_cnt) AS cnt
+              FROM pos_256 GROUP BY j, bucket
+            ),
+            est_256 AS (
+              SELECT p.key, CAST(min(c.cnt) AS BIGINT) AS est
+              FROM pos_256 p JOIN counters_256 c
+                ON p.j = c.j AND p.bucket = c.bucket
+              GROUP BY p.key
+            ),
+            cell_256 AS (
+              SELECT 256 AS w_buckets,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(k.true_cnt) AS BIGINT) AS total_true,
+                     CAST(sum(e.est - k.true_cnt) AS BIGINT)
+                       AS total_overest,
+                     CAST(sum(CASE WHEN e.est = k.true_cnt THEN 1 ELSE 0 END)
+                       AS BIGINT) AS exact_keys
+              FROM keyed k JOIN est_256 e ON k.key = e.key
+            ),
+            pos_1024 AS (
+              SELECT key, true_cnt, 0 AS j, ('0x' || substr(md5('cms0:' || key), 1, 8))::BIGINT % 1024 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 1 AS j, ('0x' || substr(md5('cms1:' || key), 1, 8))::BIGINT % 1024 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 2 AS j, ('0x' || substr(md5('cms2:' || key), 1, 8))::BIGINT % 1024 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 3 AS j, ('0x' || substr(md5('cms3:' || key), 1, 8))::BIGINT % 1024 AS bucket FROM keyed
+            ),
+            counters_1024 AS (
+              SELECT j, bucket, sum(true_cnt) AS cnt
+              FROM pos_1024 GROUP BY j, bucket
+            ),
+            est_1024 AS (
+              SELECT p.key, CAST(min(c.cnt) AS BIGINT) AS est
+              FROM pos_1024 p JOIN counters_1024 c
+                ON p.j = c.j AND p.bucket = c.bucket
+              GROUP BY p.key
+            ),
+            cell_1024 AS (
+              SELECT 1024 AS w_buckets,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(k.true_cnt) AS BIGINT) AS total_true,
+                     CAST(sum(e.est - k.true_cnt) AS BIGINT)
+                       AS total_overest,
+                     CAST(sum(CASE WHEN e.est = k.true_cnt THEN 1 ELSE 0 END)
+                       AS BIGINT) AS exact_keys
+              FROM keyed k JOIN est_1024 e ON k.key = e.key
+            ),
+            pos_4096 AS (
+              SELECT key, true_cnt, 0 AS j, ('0x' || substr(md5('cms0:' || key), 1, 8))::BIGINT % 4096 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 1 AS j, ('0x' || substr(md5('cms1:' || key), 1, 8))::BIGINT % 4096 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 2 AS j, ('0x' || substr(md5('cms2:' || key), 1, 8))::BIGINT % 4096 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 3 AS j, ('0x' || substr(md5('cms3:' || key), 1, 8))::BIGINT % 4096 AS bucket FROM keyed
+            ),
+            counters_4096 AS (
+              SELECT j, bucket, sum(true_cnt) AS cnt
+              FROM pos_4096 GROUP BY j, bucket
+            ),
+            est_4096 AS (
+              SELECT p.key, CAST(min(c.cnt) AS BIGINT) AS est
+              FROM pos_4096 p JOIN counters_4096 c
+                ON p.j = c.j AND p.bucket = c.bucket
+              GROUP BY p.key
+            ),
+            cell_4096 AS (
+              SELECT 4096 AS w_buckets,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(k.true_cnt) AS BIGINT) AS total_true,
+                     CAST(sum(e.est - k.true_cnt) AS BIGINT)
+                       AS total_overest,
+                     CAST(sum(CASE WHEN e.est = k.true_cnt THEN 1 ELSE 0 END)
+                       AS BIGINT) AS exact_keys
+              FROM keyed k JOIN est_4096 e ON k.key = e.key
+            ),
+            curve AS (
+              SELECT * FROM cell_256
+            UNION ALL SELECT * FROM cell_1024
+            UNION ALL SELECT * FROM cell_4096
+            )
+            SELECT CAST(w_buckets AS INTEGER) AS w_buckets, n_keys,
+                   total_true, total_overest, exact_keys,
+                   CAST((total_overest * 10000) // total_true AS BIGINT)
+                     AS overest_share_bp
+            FROM curve
+""",
         "sk10_bloom_fpr_curve": f"""
             WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
             members AS (

@@ -182,6 +182,7 @@ SF1_POOL = [
     "ret8_self_retrieval_mrr",  # 3.40 s
     "ts11_seasonality_profile",  # 0.06 s
     "st33_stream_order_audit",  # 0.10 s (dq12's oracle)
+    "sk11_cms_width_curve",  # 0.14 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

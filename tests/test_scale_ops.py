@@ -1410,3 +1410,13 @@ def test_r9_op_plans_stay_scale_shaped(spark):
     plan = ret8._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    # sk11: key domain pinned once; per-width passes never rescan
+    # the raw stream (0 FileScans after materialization), counter
+    # joins broadcast
+    sk11 = qs["sk11_cms_width_curve"](spark, sf)
+    sk11.collect()
+    plan = sk11._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 0
