@@ -642,6 +642,49 @@ def q_dq7_ks_drift(spark, sf_dir):
     )
 
 
+def q_dq13_column_profile(spark, sf_dir):
+    # the table profile every lake catalog shows next to a dataset
+    # (and the input to dq-rule generation): per column, null count /
+    # null share / distinct cardinality over the events table, one
+    # row per column. One aggregate computes every cell — the
+    # multi-distinct agg compiles to Spark's Expand (one scan,
+    # |cols|× rows into the partial agg, the planner's standard
+    # multi-distinct strategy — honest cost, stated here), then a
+    # stack unpivots to the ≤|cols|-row profile. Exact integers;
+    # timestamps profile by instant.
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    cells = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        cells.append(
+            F.sum(F.col(c).isNull().cast("int"))
+            .cast("bigint")
+            .alias(f"_null_{c}")
+        )
+        cells.append(
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd_{c}")
+        )
+    one = ev.agg(*cells)
+    return one.select(
+        F.expr(
+            "stack("
+            + str(len(cols))
+            + ", "
+            + ", ".join(f"'{c}', _null_{c}, _nd_{c}" for c in cols)
+            + ") AS (col_name, n_null, n_distinct)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.expr("CAST((n_null * 10000) DIV n_rows AS BIGINT)").alias(
+            "null_bp"
+        ),
+        "n_distinct",
+    )
+
+
 def q_dq12_event_order_audit(spark, sf_dir):
     # the ordering audit the engine's own streaming contracts depend
     # on: st7/st21/st28's carried state is only correct when events
@@ -719,6 +762,7 @@ def q_dq10_schema_drift(spark, sf_dir):
 
 
 QUERIES = {
+    "dq13_column_profile": q_dq13_column_profile,
     "dq12_event_order_audit": q_dq12_event_order_audit,
     "dq10_schema_drift": q_dq10_schema_drift,
     "dq11_k_anonymity": q_dq11_k_anonymity,
@@ -742,6 +786,36 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq13_column_profile": """
+            WITH cells AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+                     CAST(count(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+                     CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+                     CAST(count(DISTINCT ts) AS BIGINT) AS nd_ts,
+                     CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+                     CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+                     CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+                     CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+                     CAST(count(DISTINCT value) AS BIGINT) AS nd_value,
+                     CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+                     CAST(count(DISTINCT props) AS BIGINT) AS nd_props
+              FROM events
+            ),
+            prof AS (
+              SELECT 'event_id' AS col_name, n_rows, null_event_id AS n_null, nd_event_id AS n_distinct FROM cells
+              UNION ALL SELECT 'ts' AS col_name, n_rows, null_ts AS n_null, nd_ts AS n_distinct FROM cells
+              UNION ALL SELECT 'user_id' AS col_name, n_rows, null_user_id AS n_null, nd_user_id AS n_distinct FROM cells
+              UNION ALL SELECT 'event_type' AS col_name, n_rows, null_event_type AS n_null, nd_event_type AS n_distinct FROM cells
+              UNION ALL SELECT 'value' AS col_name, n_rows, null_value AS n_null, nd_value AS n_distinct FROM cells
+              UNION ALL SELECT 'props' AS col_name, n_rows, null_props AS n_null, nd_props AS n_distinct FROM cells
+            )
+            SELECT col_name, n_rows, n_null,
+                   CAST((n_null * 10000) // n_rows AS BIGINT) AS null_bp,
+                   n_distinct
+            FROM prof
+""",
         "dq12_event_order_audit": """
             WITH t AS (
               SELECT user_id, epoch_us(ts) AS t,

@@ -419,6 +419,47 @@ def q_ss19_quant_bits_curve(spark, sf_dir):
     )
 
 
+def q_ss21_dim_stats(spark, sf_dir):
+    # the embedding-column profile ANN index design starts from
+    # (which dimensions carry variance → candidates for pruning /
+    # whitening / PQ sub-space allocation): per-dimension n, mean,
+    # variance, min, max over the corpus, in FIXED-POINT micro-units
+    # (x_µ = round(x·10⁶) as BIGINT — both engines round the same
+    # IEEE doubles, then everything downstream is exact integer
+    # arithmetic: mean_micro = Σx_µ DIV n, var_micro2 =
+    # (n·Σx_µ² − (Σx_µ)²) DIV n² — the ss19/stat6 discipline, no
+    # float accumulation order to pin). One posexplode (64·n rows,
+    # the standard token-explode shape) → one 64-group groupBy;
+    # output is always 64 rows.
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("dim", "_x")
+    ).select(
+        "dim",
+        F.round(F.col("_x").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("xu"),
+    )
+    g = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("xu").cast("decimal(38,0)").alias("_sx"),
+        F.sum(F.col("xu") * F.col("xu")).cast("decimal(38,0)").alias("_sxx"),
+        F.min("xu").alias("min_micro"),
+        F.max("xu").alias("max_micro"),
+    )
+    return g.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_vecs",
+        F.expr("CAST(_sx DIV n_vecs AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST((n_vecs * _sxx - _sx * _sx) DIV (n_vecs * n_vecs)"
+            " AS BIGINT)"
+        ).alias("var_micro2"),
+        "min_micro",
+        "max_micro",
+    )
+
+
 def q_ss20_ivf_balance(spark, sf_dir):
     # IVF list-size balance audit — the artifact that decides whether
     # an IVF index is deployable at all: probe cost is bounded by the
@@ -488,6 +529,7 @@ QUERIES = {
     "ss1_ann_bruteforce": q_ss1_ann_bruteforce,
     "ss17_kmeans_step": q_ss17_kmeans_step,
     "ss2_ivf_assign": q_ss2_ivf_assign,
+    "ss21_dim_stats": q_ss21_dim_stats,
     "ss20_ivf_balance": q_ss20_ivf_balance,
     "ss3_ivf_topk": q_ss3_ivf_topk,
     "ss4_hyperplane_lsh": q_ss4_hyperplane_lsh,
@@ -496,6 +538,30 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ss21_dim_stats": """
+            WITH x AS (
+              SELECT g.i - 1 AS dim,
+                     CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000.0)
+                       AS BIGINT) AS xu
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            g AS (
+              SELECT dim,
+                     CAST(count(*) AS BIGINT) AS n_vecs,
+                     CAST(sum(xu) AS HUGEINT) AS sx,
+                     CAST(sum(xu * xu) AS HUGEINT) AS sxx,
+                     CAST(min(xu) AS BIGINT) AS min_micro,
+                     CAST(max(xu) AS BIGINT) AS max_micro
+              FROM x GROUP BY dim
+            )
+            SELECT CAST(dim AS INTEGER) AS dim, n_vecs,
+                   CAST(sx // n_vecs AS BIGINT) AS mean_micro,
+                   CAST((n_vecs * sxx - sx * sx) // (n_vecs * n_vecs)
+                     AS BIGINT) AS var_micro2,
+                   min_micro, max_micro
+            FROM g
+""",
         "ss16_embed_diversity": """
             WITH e AS (
               SELECT label, vec_id, embedding::DOUBLE[] AS v

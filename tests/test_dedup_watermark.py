@@ -470,3 +470,44 @@ def test_dq12_event_order_audit_injected_lateness(spark):
         r["max_lateness_s"],
         r["n_users_affected"],
     ) == (6, 1, 1666, 90, 1)
+
+
+def test_dq13_column_profile_injected_nulls(spark):
+    """Hand fixture pinning the null path (the shipped events table
+    has no nulls, so tri-SF exactness alone would never exercise
+    null_bp > 0): 4 rows, props null in 2 (5000 bp), value null in 1
+    (2500 bp), distinct counts ignore nulls."""
+    import datetime
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (1, t0, 10, "a", 1.5, '{"k":1}'),
+        (2, t0, 10, "b", None, None),
+        (3, t0, 11, "a", 2.5, '{"k":2}'),
+        (4, t0, 12, "b", 2.5, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["col_name"]: (r["n_null"], r["null_bp"], r["n_distinct"])
+        for r in spark_queries()["dq13_column_profile"](spark, d).collect()
+    }
+    assert got == {
+        "event_id": (0, 0, 4),
+        "ts": (0, 0, 1),
+        "user_id": (0, 0, 3),
+        "event_type": (0, 0, 2),
+        "value": (1, 2500, 2),
+        "props": (2, 5000, 2),
+    }

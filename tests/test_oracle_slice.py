@@ -183,6 +183,8 @@ SF1_POOL = [
     "ts11_seasonality_profile",  # 0.06 s
     "st33_stream_order_audit",  # 0.10 s (dq12's oracle)
     "sk11_cms_width_curve",  # 0.14 s
+    "ss21_dim_stats",  # 0.12 s
+    "dq13_column_profile",  # 0.07 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

@@ -1420,3 +1420,17 @@ def test_r9_op_plans_stay_scale_shaped(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("FileScan") == 0
+
+    # ss21: one posexplode → one 64-group groupBy; join-free
+    ss21 = qs["ss21_dim_stats"](spark, sf)
+    ss21.collect()
+    plan = ss21._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    # dq13: ONE scan — the multi-distinct agg compiles to Expand,
+    # not to per-column scans
+    dq13 = qs["dq13_column_profile"](spark, sf)
+    dq13.collect()
+    plan = dq13._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("FileScan") <= 2  # AQE prints final+initial
