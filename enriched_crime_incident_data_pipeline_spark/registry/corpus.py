@@ -31,6 +31,43 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
 
 
 
+def q_tp18_fragmentation_report(spark, sf_dir):
+    # the OTHER side of tp17's trade: concat-and-chunk packing (tp1)
+    # wastes nothing but FRAGMENTS — a doc whose span crosses a
+    # chunk boundary is split across training sequences. One row:
+    # docs, packs, docs whose [start, start+n_tokens) crosses their
+    # pack's end, the crossing share in bp, and docs-per-pack ×100
+    # (exact integers). Reuses tp1's two-phase prefix-sum relation
+    # verbatim (datapipe/corpus.pack_assignments) + one conditional
+    # agg — no new shuffle shape.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        PACK_BUDGET,
+        pack_assignments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa = pack_assignments(docs)
+    crossing = (
+        F.col("start_offset") + F.col("n_tokens")
+        > (F.col("pack_id") + 1) * PACK_BUDGET
+    )
+    return pa.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("pack_id").cast("bigint").alias("n_packs"),
+        F.sum(crossing.cast("int")).cast("bigint").alias("docs_crossing"),
+    ).select(
+        "n_docs",
+        "n_packs",
+        "docs_crossing",
+        F.expr("CAST((docs_crossing * 10000) DIV n_docs AS BIGINT)").alias(
+            "crossing_bp"
+        ),
+        F.expr("CAST((n_docs * 100) DIV n_packs AS BIGINT)").alias(
+            "docs_per_pack_c"
+        ),
+    )
+
+
 def q_tp17_truncation_loss(spark, sf_dir):
     # the max-sequence-length sizing artifact (tp1 packs; this prices
     # the OTHER regime — truncation, what a finetuning/eval loader
@@ -920,6 +957,7 @@ QUERIES = {
     "tp12_temperature_sample": q_tp12_temperature_sample,
     "tp16_mixture_curve": q_tp16_mixture_curve,
     "tp17_truncation_loss": q_tp17_truncation_loss,
+    "tp18_fragmentation_report": q_tp18_fragmentation_report,
     "tp13_epoch_reshuffle": q_tp13_epoch_reshuffle,
     "tp14_domain_upsample": q_tp14_domain_upsample,
     "tp9_mixture_sample": q_tp9_mixture_sample,
@@ -1561,6 +1599,40 @@ def oracles() -> dict[str, str]:
                     FROM strat d JOIN rates r ON d.stratum = r.stratum
                     WHERE {_HASH32.format(x="'temp:' || CAST(d.doc_id AS VARCHAR)")} < r.thr
                 """,
+        "tp18_fragmentation_report": f"""
+                    WITH t AS (
+                      SELECT doc_id, {_TOKEN_COUNT}::BIGINT AS n_tokens
+                      FROM documents
+                    ),
+                    o AS (
+                      SELECT doc_id, n_tokens,
+                        CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+                      FROM t
+                    ),
+                    pa AS (
+                      SELECT n_tokens, start_offset,
+                             CAST(floor(start_offset / 256.0) AS BIGINT)
+                               AS pack_id
+                      FROM o
+                    ),
+                    cells AS (
+                      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(count(DISTINCT pack_id) AS BIGINT)
+                               AS n_packs,
+                             CAST(sum(CASE WHEN start_offset + n_tokens >
+                                  (pack_id + 1) * 256 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS docs_crossing
+                      FROM pa
+                    )
+                    SELECT n_docs, n_packs, docs_crossing,
+                           CAST((docs_crossing * 10000) // n_docs AS BIGINT)
+                             AS crossing_bp,
+                           CAST((n_docs * 100) // n_packs AS BIGINT)
+                             AS docs_per_pack_c
+                    FROM cells
+""",
         "tp1_pack": f"""
                     WITH t AS (SELECT doc_id, {_TOKEN_COUNT}::BIGINT AS n_tokens FROM documents),
                     o AS (

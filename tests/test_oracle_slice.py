@@ -185,6 +185,7 @@ SF1_POOL = [
     "sk11_cms_width_curve",  # 0.14 s
     "ss21_dim_stats",  # 0.12 s
     "dq13_column_profile",  # 0.07 s
+    "tp18_fragmentation_report",  # 2.06 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
