@@ -273,26 +273,33 @@ def q_st7_stream_corpus_ingest(spark, sf_dir):
     t = pq.read_table(src).sort_by("doc_id")
     n = t.num_rows
     base = tempfile.mkdtemp(prefix="spark_graft_st7_")
-    docs_dir = os.path.join(base, "docs")
-    os.makedirs(docs_dir)
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        path = os.path.join(docs_dir, f"batch{i}.parquet")
-        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        # file-stream source processes oldest-mtime first: pin the
-        # arrival order to the id order the keeper rule assumes
-        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
-    schema = spark.read.parquet(src).schema
-    state_dir = os.path.join(base, "state")
-    os.makedirs(state_dir)
-    out = run_corpus_ingest_stream(spark, docs_dir, schema, state_dir)
-    # detach the result from the on-disk state (localCheckpoint pins
-    # the rows in block storage), then remove the whole temp root —
-    # docs, state parquet, and the per-run streaming checkpoint — so
-    # repeated selfcheck/bench invocations don't leak under /tmp
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    try:
+        docs_dir = os.path.join(base, "docs")
+        os.makedirs(docs_dir)
+        # TWO micro-batches (st28's r9 dial — the r6 floor
+        # decomposition showed per-batch FIXED machinery dominates at
+        # test SFs, so batch count is the cost; index-append +
+        # cross-batch probing still exercised, and the 3-batch
+        # prefix-stability contract stays pinned in
+        # test_multimodal_streaming)
+        cuts = [0, n // 2, n]
+        for i in range(2):
+            path = os.path.join(docs_dir, f"batch{i}.parquet")
+            pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+            # file-stream source processes oldest-mtime first: pin the
+            # arrival order to the id order the keeper rule assumes
+            os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+        schema = spark.read.parquet(src).schema
+        state_dir = os.path.join(base, "state")
+        os.makedirs(state_dir)
+        out = run_corpus_ingest_stream(spark, docs_dir, schema, state_dir)
+        # detach the result from the on-disk state (localCheckpoint
+        # pins the rows in block storage), then remove the whole temp
+        # root — docs, state parquet, and the per-run streaming
+        # checkpoint — so repeated invocations don't leak under /tmp
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_st8_stream_decontaminate(spark, sf_dir):
