@@ -157,6 +157,9 @@ LONGTAIL = [
     "gr15_wedge_skew_audit",  # degree-bucket share of the wedge sum (r9)
     "ret8_self_retrieval_mrr",  # known-item IR eval, rarest-term probe (r9)
     "st33_stream_order_audit",  # streaming twin of dq12 (r9)
+    "sk11_cms_width_curve",  # CMS width-sizing curve (r9)
+    "dq13_column_profile",  # per-column profile, one Expand pass (r9)
+    "tp18_fragmentation_report",  # packing boundary-crossing share (r9)
 ]
 
 

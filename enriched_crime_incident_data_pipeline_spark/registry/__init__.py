@@ -39,13 +39,14 @@ from enriched_crime_incident_data_pipeline_spark.registry import (
     scale as _scale,
     similarity as _similarity,
     sketch as _sketch,
+    stats as _stats,
     streaming as _streaming,
     temporal as _temporal,
     text as _text,
     tpch as _tpch,
 )
 
-_FAMILIES = [_analytics, _corpus, _crime, _decontaminate, _dedup, _graph, _multimodal, _quality, _scale, _similarity, _sketch, _streaming, _temporal, _text, _tpch]
+_FAMILIES = [_analytics, _corpus, _crime, _decontaminate, _dedup, _graph, _multimodal, _quality, _scale, _similarity, _sketch, _stats, _streaming, _temporal, _text, _tpch]
 
 
 def spark_queries() -> dict[str, QueryFn]:
