@@ -257,6 +257,51 @@ def q_dd16_minhash_estimate(spark, sf_dir):
     )
 
 
+def q_dd25_cluster_size_histogram(spark, sf_dir):
+    # the dedup REPORT a curation run publishes (dd9 finds the
+    # clusters; this is the page humans read): duplicate-family size
+    # distribution — per exact size, how many families — plus the
+    # corpus-level cells the decision hangs on (docs in non-singleton
+    # families in bp, largest family). Epilogue is join-free: cluster
+    # sizes groupBy → size histogram (≤|distinct sizes| rows) →
+    # constants via a window over that tiny relation, never the docs.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        dup_clusters,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(docs))
+    cl = dup_clusters(docs, pairs)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        F.col("sz").alias("family_size"),
+        "n_clusters",
+        F.sum(F.col("sz") * F.col("n_clusters")).over(wall).alias("_docs"),
+        F.sum(
+            F.when(F.col("sz") >= 2, F.col("sz") * F.col("n_clusters"))
+            .otherwise(F.lit(0))
+        ).over(wall).alias("_dup_docs"),
+        F.max(F.col("sz")).over(wall).alias("largest_family"),
+    ).select(
+        "family_size",
+        "n_clusters",
+        F.col("_docs").cast("bigint").alias("n_docs"),
+        F.expr("CAST((_dup_docs * 10000) DIV _docs AS BIGINT)").alias(
+            "dup_doc_share_bp"
+        ),
+        F.col("largest_family").cast("bigint").alias("largest_family"),
+    )
+
+
 def q_dd9_dup_clusters(spark, sf_dir):
     # the dedup endgame: LSH candidate pairs → connected components →
     # one canonical doc per cluster (iterative min-label propagation)
@@ -561,6 +606,7 @@ QUERIES = {
     "dd8_simhash_pairs": q_dd8_simhash_pairs,
     "dd8b_simhash_wide": q_dd8b_simhash_wide,
     "dd9_dup_clusters": q_dd9_dup_clusters,
+    "dd25_cluster_size_histogram": q_dd25_cluster_size_histogram,
     "dd22_cluster_agreement": q_dd22_cluster_agreement,
 }
 
@@ -1024,6 +1070,52 @@ def oracles() -> dict[str, str]:
                              AS ari_bp
                     FROM f
                 """,
+        "dd25_cluster_size_histogram": f"""
+                    WITH RECURSIVE pairs AS (
+                      WITH bands AS ({_MINHASH_BANDS_SQL})
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    edges AS (
+                      SELECT a, b FROM pairs
+                      UNION SELECT b AS a, a AS b FROM pairs
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT e.a AS node, r.label
+                      FROM edges e JOIN reach r ON r.node = e.b
+                    ),
+                    cc AS (
+                      SELECT node, min(label) AS cluster_id
+                      FROM reach GROUP BY node
+                    ),
+                    assign AS (
+                      SELECT d.doc_id,
+                             coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+                      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+                    ),
+                    sizes AS (
+                      SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM assign GROUP BY cluster_id
+                    ),
+                    hist AS (
+                      SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+                      FROM sizes GROUP BY sz
+                    )
+                    SELECT sz AS family_size, n_clusters,
+                           CAST(sum(sz * n_clusters) OVER () AS BIGINT)
+                             AS n_docs,
+                           CAST((sum(CASE WHEN sz >= 2
+                                     THEN sz * n_clusters ELSE 0 END) OVER ())
+                                * 10000
+                                // (sum(sz * n_clusters) OVER ()) AS BIGINT)
+                             AS dup_doc_share_bp,
+                           CAST(max(sz) OVER () AS BIGINT) AS largest_family
+                    FROM hist
+""",
         "dd9_dup_clusters": f"""
                     WITH RECURSIVE pairs AS (
                       WITH bands AS ({_MINHASH_BANDS_SQL})

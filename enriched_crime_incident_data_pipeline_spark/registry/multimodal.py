@@ -52,6 +52,32 @@ def q_mm4_resize_plan(spark, sf_dir):
     return resize_thumbnails(media, max_side=224)
 
 
+def q_mm8_exact_media_dedup(spark, sf_dir):
+    # the FIRST pass every media lake runs, before any perceptual
+    # matching (mm5/mm6/mm7 are the near-dup passes): exact payload
+    # dedup by (md5(content), length) — byte-identical copies
+    # collapse regardless of filename/metadata. Hash computed in the
+    # scan task (payload bytes never shuffle — only the 16-byte
+    # digest + length do), one hash-domain groupBy, keeper = min id.
+    # Returns only families with copies (n_copies ≥ 2); the digest
+    # is published so the row is re-checkable.
+    docs = load_table(spark, sf_dir, "documents")
+    media = _documents_as_media(docs)
+    return (
+        media.select(
+            "media_id",
+            F.md5("content").alias("content_md5"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("content_md5", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
 def q_mm7_frame_match(spark, sf_dir):
     # video-level near-dup via the frame-fingerprint inverted index —
     # the CBVR shape (per-frame dHash, exact equality join, hot-hash
@@ -147,6 +173,7 @@ QUERIES = {
     "mm4_resize_plan": q_mm4_resize_plan,
     "mm5_phash_neardup": q_mm5_phash_neardup,
     "mm7_frame_match": q_mm7_frame_match,
+    "mm8_exact_media_dedup": q_mm8_exact_media_dedup,
     "mm6_phash_threshold_curve": q_mm6_phash_threshold_curve,
 }
 
@@ -280,6 +307,14 @@ def oracles() -> dict[str, str]:
                              AS BIGINT) AS media_affected
                     FROM ham WHERE hamming <= 3
                 """,
+        "mm8_exact_media_dedup": """
+            SELECT md5(text) AS content_md5,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_id
+            FROM documents
+            GROUP BY 1, 2 HAVING count(*) >= 2
+""",
         "mm7_frame_match": """
                     WITH hx AS (
                       SELECT doc_id, hex(encode(text)) AS h,

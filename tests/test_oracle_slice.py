@@ -186,6 +186,7 @@ SF1_POOL = [
     "ss21_dim_stats",  # 0.12 s
     "dq13_column_profile",  # 0.07 s
     "tp18_fragmentation_report",  # 2.06 s
+    "mm8_exact_media_dedup",  # 0.10 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
@@ -201,6 +202,9 @@ SF1_POOL = [
 # un-indexed wedge self-join over sf1's symmetric edge list — same
 # class as gr12); its sf1 behavior rides the SCALING sweeps.
 # gr15_wedge_skew_audit likewise excluded at 15.4 s (same edge CTE).
+# dd25_cluster_size_histogram excluded at 359.7 s (DuckDB's
+# recursive-CTE connected components at sf1 — dd20's standing
+# exclusion class).
 
 
 def _sf1_slice_names() -> list[str]:
