@@ -642,6 +642,59 @@ def q_dq7_ks_drift(spark, sf_dir):
     )
 
 
+_PK_SPEC = [
+    # (table, [key columns]) — lineitem's key is composite
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def q_dq14_key_uniqueness(spark, sf_dir):
+    # the lake-wide primary-key gate (dq5 audits FK orphans; this is
+    # the PK side): for EVERY table, rows vs distinct key tuples,
+    # duplicate-key count, and null-key rows — the invariant every
+    # downstream join/merge silently assumes. One count-distinct agg
+    # per table (map-side partial + the standard distinct expand),
+    # unioned into a 10-row report; no joins anywhere.
+    outs = []
+    for t, keys in _PK_SPEC:
+        df = load_table(spark, sf_dir, t)
+        kc = [F.col(k) for k in keys]
+        null_any = kc[0].isNull()
+        for c in kc[1:]:
+            null_any = null_any | c.isNull()
+        outs.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(*kc).cast("bigint").alias("n_keys"),
+                F.sum(null_any.cast("int")).cast("bigint").alias(
+                    "null_key_rows"
+                ),
+            ).select(
+                "table_name",
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys"))
+                .cast("bigint")
+                .alias("dup_key_rows"),
+                "null_key_rows",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_dq13_column_profile(spark, sf_dir):
     # the table profile every lake catalog shows next to a dataset
     # (and the input to dq-rule generation): per column, null count /
@@ -763,6 +816,7 @@ def q_dq10_schema_drift(spark, sf_dir):
 
 QUERIES = {
     "dq13_column_profile": q_dq13_column_profile,
+    "dq14_key_uniqueness": q_dq14_key_uniqueness,
     "dq12_event_order_audit": q_dq12_event_order_audit,
     "dq10_schema_drift": q_dq10_schema_drift,
     "dq11_k_anonymity": q_dq11_k_anonymity,
@@ -786,6 +840,98 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "dq14_key_uniqueness": """
+              SELECT 'region' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (r_regionkey)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (r_regionkey))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM region
+              UNION ALL SELECT 'nation' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (n_nationkey)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (n_nationkey))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM nation
+              UNION ALL SELECT 'customer' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (c_custkey)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (c_custkey))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM customer
+              UNION ALL SELECT 'supplier' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (s_suppkey)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (s_suppkey))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM supplier
+              UNION ALL SELECT 'part' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (p_partkey)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (p_partkey))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM part
+              UNION ALL SELECT 'orders' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (o_orderkey)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (o_orderkey))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM orders
+              UNION ALL SELECT 'lineitem' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM lineitem
+              UNION ALL SELECT 'events' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (event_id)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (event_id))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM events
+              UNION ALL SELECT 'documents' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (doc_id)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (doc_id))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM documents
+              UNION ALL SELECT 'embeddings' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT (vec_id)) AS BIGINT)
+                       AS n_keys,
+                     CAST(count(*) - count(DISTINCT (vec_id))
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM embeddings
+""",
         "dq13_column_profile": """
             WITH cells AS (
               SELECT CAST(count(*) AS BIGINT) AS n_rows,
