@@ -160,6 +160,8 @@ LONGTAIL = [
     "sk11_cms_width_curve",  # CMS width-sizing curve (r9)
     "dq13_column_profile",  # per-column profile, one Expand pass (r9)
     "tp18_fragmentation_report",  # packing boundary-crossing share (r9)
+    "dd25_cluster_size_histogram",  # dup-family size report (r9)
+    "dq14_key_uniqueness",  # lake-wide PK audit over all 10 tables (r9)
 ]
 
 
