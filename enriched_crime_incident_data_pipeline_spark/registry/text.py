@@ -764,6 +764,78 @@ def q_tok11_coverage_curve(spark, sf_dir):
     )
 
 
+def q_ta16_zipf_profile(spark, sf_dir):
+    # the rank-frequency SHAPE (ta15 gives vocab growth, tok11 gives
+    # coverage; this is the Zipf curve itself, the third standard
+    # corpus-stats artifact): token occurrences bucketed by frequency
+    # RANK magnitude (ranks 2^(k−1)..2^k−1), exact at any scale
+    # without ever ranking tokens — a count LEVEL with count c spans
+    # the contiguous rank interval [cum_before+1, cum_before+n], so
+    # its overlap with each rank bucket is closed-form integer
+    # arithmetic (the tok11 equal-count trick extended from "partial
+    # level at one boundary" to "level × bucket interval overlap").
+    # Plan: one token shuffle → level histogram → levels ⋈ ≤40-row
+    # bucket relation (broadcast; levels is O(distinct count values),
+    # never the vocabulary) → ≤40-row profile with occurrence share
+    # in ppm.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cnts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    levels = cnts.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lev = levels.select(
+        "c",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"),
+    )
+    buckets = (
+        docs.sparkSession.range(1, 41)
+        .select(F.col("id").cast("int").alias("k"))
+        .select(
+            "k",
+            F.expr("shiftleft(1L, k - 1)").alias("lo"),
+            F.expr("shiftleft(1L, k) - 1").alias("hi"),
+        )
+    )
+    j = lev.crossJoin(F.broadcast(buckets)).select(
+        "k",
+        "c",
+        (
+            F.least(F.col("hi"), F.col("cum_before") + F.col("n_tokens"))
+            - F.greatest(F.col("lo"), F.col("cum_before") + 1)
+            + 1
+        ).alias("_L"),
+    ).filter(F.col("_L") >= 1)
+    prof = j.groupBy("k").agg(
+        F.sum("_L").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("_L") * F.col("c")).cast("bigint").alias("occ"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return prof.select(
+        F.col("k").alias("rank_bucket"),
+        "n_tokens",
+        "occ",
+        F.sum("occ").over(wall).alias("_tot"),
+    ).select(
+        "rank_bucket",
+        "n_tokens",
+        "occ",
+        F.expr("CAST((occ * 1000000) DIV _tot AS BIGINT)").alias(
+            "occ_share_ppm"
+        ),
+    )
+
+
 def q_tok12_vocab_drift(spark, sf_dir):
     # snapshot-over-snapshot VOCAB drift (r8 verdict item 6) — the
     # training-data twin of dq10's schema diff: a lake re-tokenizes
@@ -884,6 +956,7 @@ def q_tok12_vocab_drift(spark, sf_dir):
 QUERIES = {
     "ta15_heaps_curve": q_ta15_heaps_curve,
     "tok12_vocab_drift": q_tok12_vocab_drift,
+    "ta16_zipf_profile": q_ta16_zipf_profile,
     "tok11_coverage_curve": q_tok11_coverage_curve,
     "tok8_compression_curve": q_tok8_compression_curve,
     "tok9_unigram_train": q_tok9_unigram_train,
@@ -922,6 +995,48 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ta16_zipf_profile": f"""
+            WITH tok AS (
+              SELECT unnest({_TOKENS}) AS token FROM documents
+            ),
+            cnts AS (
+              SELECT token, count(*) AS c FROM tok WHERE token <> ''
+              GROUP BY token
+            ),
+            levels AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM cnts GROUP BY c
+            ),
+            lev AS (
+              SELECT c, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY c DESC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                       AS cum_before
+              FROM levels
+            ),
+            buckets AS (
+              SELECT k, (1::BIGINT << (k - 1)) AS lo,
+                     (1::BIGINT << k) - 1 AS hi
+              FROM (SELECT unnest(generate_series(1, 40)) AS k)
+            ),
+            j AS (
+              SELECT b.k, l.c,
+                     least(b.hi, l.cum_before + l.n_tokens)
+                       - greatest(b.lo, l.cum_before + 1) + 1 AS L
+              FROM lev l CROSS JOIN buckets b
+              WHERE least(b.hi, l.cum_before + l.n_tokens)
+                    - greatest(b.lo, l.cum_before + 1) + 1 >= 1
+            ),
+            prof AS (
+              SELECT k, CAST(sum(L) AS BIGINT) AS n_tokens,
+                     CAST(sum(L * c) AS BIGINT) AS occ
+              FROM j GROUP BY k
+            )
+            SELECT CAST(k AS INTEGER) AS rank_bucket, n_tokens, occ,
+                   CAST((occ * 1000000) // (sum(occ) OVER ()) AS BIGINT)
+                     AS occ_share_ppm
+            FROM prof
+""",
         "tok12_vocab_drift": f"""
             WITH bounds AS (
               SELECT (min(doc_id) + max(doc_id)) // 2 AS cut FROM documents

@@ -188,6 +188,7 @@ SF1_POOL = [
     "tp18_fragmentation_report",  # 2.06 s
     "mm8_exact_media_dedup",  # 0.10 s
     "dq14_key_uniqueness",  # 0.20 s
+    "ta16_zipf_profile",  # 1.46 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

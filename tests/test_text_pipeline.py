@@ -945,3 +945,47 @@ def test_tok12_vocab_drift_injected_shift(spark):
     }
     want = (10000, 10000, 0, 1, 5, 3125)
     assert got == {256: want, 1024: want, 4096: want}
+
+
+def test_ta16_zipf_profile_matches_explicit_ranking(spark):
+    """The level-interval overlap formulation must equal the naive
+    'rank every token, bucket by bit-length' model — valid because
+    bucket occupancy is invariant to which token takes which rank
+    WITHIN an equal-count level. Random multiset fixture, fixed
+    seed."""
+    import os
+    import random
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(60)]
+    words = [rng.choice(vocab) for _ in range(800)]
+    rows, chunk = [], 25
+    for i in range(0, len(words), chunk):
+        rows.append((i // chunk, " ".join(words[i : i + chunk])))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["rank_bucket"]: (r["n_tokens"], r["occ"], r["occ_share_ppm"])
+        for r in spark_queries()["ta16_zipf_profile"](spark, d).collect()
+    }
+
+    from collections import Counter
+
+    counts = sorted(Counter(words).values(), reverse=True)
+    total = sum(counts)
+    want: dict[int, list[int]] = {}
+    for rank, c in enumerate(counts, start=1):
+        k = rank.bit_length()
+        want.setdefault(k, [0, 0])
+        want[k][0] += 1
+        want[k][1] += c
+    expect = {
+        k: (n, occ, occ * 1000000 // total) for k, (n, occ) in want.items()
+    }
+    assert got == expect
