@@ -162,6 +162,7 @@ LONGTAIL = [
     "tp18_fragmentation_report",  # packing boundary-crossing share (r9)
     "dd25_cluster_size_histogram",  # dup-family size report (r9)
     "dq14_key_uniqueness",  # lake-wide PK audit over all 10 tables (r9)
+    "ta16_zipf_profile",  # exact rank-frequency shape, never ranks tokens (r9)
 ]
 
 
