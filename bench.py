@@ -163,6 +163,7 @@ LONGTAIL = [
     "dd25_cluster_size_histogram",  # dup-family size report (r9)
     "dq14_key_uniqueness",  # lake-wide PK audit over all 10 tables (r9)
     "ta16_zipf_profile",  # exact rank-frequency shape, never ranks tokens (r9)
+    "dc9_contamination_by_source",  # per-provider leak attribution (r9)
 ]
 
 

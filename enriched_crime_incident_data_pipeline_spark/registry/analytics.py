@@ -209,6 +209,50 @@ def q_inc_agg_merge(spark, sf_dir):
     return finalize_agg(merge_agg_states(states, "l_returnflag"))
 
 
+def q_ol2_iqr_outliers(spark, sf_dir):
+    # the ROBUST outlier gate (ol1's z-score breaks when the tail
+    # itself inflates σ; Tukey fences don't): per group, exact
+    # interpolated quartiles (Spark percentile ≡ DuckDB quantile_cont
+    # — the stat5 parity), fences at 1.5·IQR, and the count/share of
+    # rows outside. One percentile agg over the ≤|groups| domain,
+    # broadcast back, one conditional agg. Published as the per-group
+    # fence table the gate runs with.
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    fences = q.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(fences), "l_returnflag"
+    )
+    out = (
+        (F.col("l_extendedprice") < F.col("lo_fence"))
+        | (F.col("l_extendedprice") > F.col("hi_fence"))
+    ).cast("int")
+    return j.groupBy("l_returnflag").agg(
+        F.first("q1").alias("q1"),
+        F.first("q3").alias("q3"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(out).cast("bigint").alias("n_outliers"),
+    ).select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        "n_rows",
+        "n_outliers",
+        F.expr("CAST((n_outliers * 10000) DIV n_rows AS BIGINT)").alias(
+            "outlier_bp"
+        ),
+    )
+
+
 def q_ol1_zscore_outliers(spark, sf_dir):
     # per-group z-score outliers from decimal-exact moments — one agg
     # pass, broadcast the tiny per-group stats back onto the rows
@@ -614,6 +658,7 @@ QUERIES = {
     "inc_agg_merge": q_inc_agg_merge,
     "sql1_sql_api": q_sql1_sql_api,
     "ol1_zscore_outliers": q_ol1_zscore_outliers,
+    "ol2_iqr_outliers": q_ol2_iqr_outliers,
     "hist1_totalprice": q_hist1_totalprice,
     "wa1_lead_lag": q_wa1_lead_lag,
     "wa2_rolling": q_wa2_rolling,
@@ -632,6 +677,33 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ol2_iqr_outliers": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.25) AS q1,
+                     quantile_cont(l_extendedprice, 0.75) AS q3
+              FROM lineitem GROUP BY l_returnflag
+            ),
+            f AS (
+              SELECT l_returnflag, q1, q3,
+                     q1 - 1.5 * (q3 - q1) AS lo_fence,
+                     q3 + 1.5 * (q3 - q1) AS hi_fence
+              FROM q
+            )
+            SELECT l.l_returnflag,
+                   any_value(f.q1) AS q1,
+                   any_value(f.q3) AS q3,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l.l_extendedprice < f.lo_fence
+                            OR l.l_extendedprice > f.hi_fence
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   CAST((sum(CASE WHEN l.l_extendedprice < f.lo_fence
+                             OR l.l_extendedprice > f.hi_fence
+                             THEN 1 ELSE 0 END) * 10000) // count(*)
+                     AS BIGINT) AS outlier_bp
+            FROM lineitem l JOIN f USING (l_returnflag)
+            GROUP BY l.l_returnflag
+""",
         "stat6_linear_trend": _LINEAR_TREND_SQL,
         "stat7_lorenz_curve": """
             WITH pu AS (

@@ -61,6 +61,36 @@ def q_dc3_leakage_safe_split(spark, sf_dir):
     return cl.select("doc_id", "cluster_id", split.alias("split"))
 
 
+def q_dc9_contamination_by_source(spark, sf_dir):
+    # the leak-attribution report a curation team publishes from dc1's
+    # per-doc flags: per PROVIDER, training docs, contaminated docs,
+    # and the rate in bp — "which source leaks eval data" is the
+    # actionable form of the audit (you fix a crawler, not a doc).
+    # dc1's machinery verbatim (eval grams broadcast, corpus never
+    # self-joins) + one source-domain groupBy on the join-back.
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    rep = ngram_contamination(train, eval_docs, n=8)
+    return (
+        train.select("doc_id", "source")
+        .join(rep.select("doc_id", "contaminated"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("contaminated").cast("bigint").alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            F.expr(
+                "CAST((n_contaminated * 10000) DIV n_docs AS BIGINT)"
+            ).alias("contamination_bp"),
+        )
+    )
+
+
 def q_dc1_contamination(spark, sf_dir):
     # train/eval 8-gram decontamination: eval set = every 50th doc;
     # eval-gram set broadcast, corpus never self-joins
@@ -154,6 +184,7 @@ QUERIES = {
     "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
     "dc5_semantic_decontaminate": q_dc5_semantic_decontaminate,
     "dc1_contamination": q_dc1_contamination,
+    "dc9_contamination_by_source": q_dc9_contamination_by_source,
     "dc6_flag_in_row": q_dc6_flag_in_row,
     "dc7_bloom_decontaminate": q_dc7_bloom_decontaminate,
     "dc8_scrub_spans": q_dc8_scrub_spans,
@@ -209,6 +240,36 @@ def oracles() -> dict[str, str]:
                                 THEN 'train' ELSE 'eval' END AS split
                     FROM cl
                 """,
+        "dc9_contamination_by_source": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    g AS (
+                      SELECT DISTINCT doc_id,
+                             array_to_string(list_slice(toks, i, i + 7), ' ')
+                               AS gram
+                      FROM w, unnest(generate_series(1,
+                               greatest(len(toks) - 7, 1))) AS t(i)
+                    ),
+                    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+                    hit AS (
+                      SELECT DISTINCT g.doc_id
+                      FROM g JOIN ev USING (gram)
+                      WHERE g.doc_id % 50 <> 0
+                    ),
+                    per AS (
+                      SELECT d.source,
+                             CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(CASE WHEN h.doc_id IS NULL THEN 0
+                                      ELSE 1 END) AS BIGINT)
+                               AS n_contaminated
+                      FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+                      WHERE d.doc_id % 50 <> 0
+                      GROUP BY d.source
+                    )
+                    SELECT source, n_docs, n_contaminated,
+                           CAST((n_contaminated * 10000) // n_docs AS BIGINT)
+                             AS contamination_bp
+                    FROM per
+""",
         "dc1_contamination": f"""
                     WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
                     g AS (

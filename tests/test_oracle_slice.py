@@ -189,6 +189,8 @@ SF1_POOL = [
     "mm8_exact_media_dedup",  # 0.10 s
     "dq14_key_uniqueness",  # 0.20 s
     "ta16_zipf_profile",  # 1.46 s
+    "ol2_iqr_outliers",  # 0.31 s
+    "dc9_contamination_by_source",  # 2.60 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
