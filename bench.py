@@ -164,6 +164,7 @@ LONGTAIL = [
     "dq14_key_uniqueness",  # lake-wide PK audit over all 10 tables (r9)
     "ta16_zipf_profile",  # exact rank-frequency shape, never ranks tokens (r9)
     "dc9_contamination_by_source",  # per-provider leak attribution (r9)
+    "dd26_shingle_sensitivity",  # LSH shingle-width tuning curve (r9)
 ]
 
 

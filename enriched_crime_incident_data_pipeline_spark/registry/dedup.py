@@ -13,6 +13,7 @@ from enriched_crime_incident_data_pipeline_spark.functions.text import token_cou
 from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _BAND_TERMS,
     _COS,
     _HASH32,
     _MINHASH_BANDS_SQL,
@@ -255,6 +256,78 @@ def q_dd16_minhash_estimate(spark, sf_dir):
         "a", "b", "n_match", "est_jaccard",
         F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
     )
+
+
+def _bands_sql_for_shingle(w: int) -> str:
+    # _MINHASH_BANDS_SQL with the shingle width parametrized (the
+    # shared macro is the w=3 instance): same hash basis, same band
+    # layout, only the slice width changes.
+    return f"""
+WITH sh AS (
+    SELECT doc_id, DISTINCT_SH.shingle FROM (
+      SELECT doc_id, toks FROM (SELECT doc_id, {{t}} AS toks FROM documents)
+    ) t,
+    LATERAL (
+      SELECT DISTINCT array_to_string(list_slice(toks, i, i + {w - 1}), ' ')
+        AS shingle
+      FROM unnest(generate_series(1, greatest(len(toks) - {w - 1}, 1)))
+        AS g(i)
+    ) DISTINCT_SH
+),
+hx AS (SELECT doc_id, {{h}} AS x FROM sh),
+sig AS (
+  SELECT doc_id,
+{{m}}
+  FROM hx GROUP BY doc_id
+)
+SELECT doc_id, b.band_id, b.band_hash
+FROM sig, LATERAL (
+  SELECT * FROM (VALUES {{b}}) AS v(band_id, band_hash)
+) b
+""".format(
+        t=_TOKENS,
+        h=_HASH32.format(x="shingle"),
+        m=_MINHASH_TERMS,
+        b=_BAND_TERMS,
+    )
+
+
+def q_dd26_shingle_sensitivity(spark, sf_dir):
+    # the parameter-tuning curve the LSH dedup family is configured
+    # from (ss18 tunes nprobe, sk10/sk11 tune sketch sizes; this
+    # tunes the SHINGLE width): candidate-pair volume and docs
+    # touched at w = 2/3/5 words — small w over-pairs (common phrases
+    # collide), large w under-pairs (one edit breaks every shingle).
+    # Per width: the standard map-only banding (no shuffle until the
+    # band bucket join) → candidate pairs → two cells. Three
+    # independent pipelines unioned; each is dd2's exact shape.
+    docs = load_table(spark, sf_dir, "documents")
+    outs = []
+    for w in (2, 3, 5):
+        pairs = lsh_candidate_pairs(
+            minhash_bands(docs, shingle_words=w)
+        ).select("a", "b").distinct()
+        ids = pairs.select(F.col("a").alias("i")).union(
+            pairs.select(F.col("b"))
+        ).distinct()
+        outs.append(
+            pairs.agg(
+                F.lit(w).cast("int").alias("shingle_words"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            ).crossJoin(
+                F.broadcast(
+                    ids.agg(
+                        F.count(F.lit(1)).cast("bigint").alias(
+                            "n_docs_in_pairs"
+                        )
+                    )
+                )
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def q_dd25_cluster_size_histogram(spark, sf_dir):
@@ -607,8 +680,79 @@ QUERIES = {
     "dd8b_simhash_wide": q_dd8b_simhash_wide,
     "dd9_dup_clusters": q_dd9_dup_clusters,
     "dd25_cluster_size_histogram": q_dd25_cluster_size_histogram,
+    "dd26_shingle_sensitivity": q_dd26_shingle_sensitivity,
     "dd22_cluster_agreement": q_dd22_cluster_agreement,
 }
+
+_DD26_SQL = """
+                    WITH cell_2 AS (
+                      WITH bands AS ({BANDS_2}),
+                      pairs AS (
+                        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                        FROM bands l JOIN bands r
+                          ON l.band_id = r.band_id
+                          AND l.band_hash = r.band_hash
+                        WHERE l.doc_id < r.doc_id
+                      ),
+                      ids AS (
+                        SELECT a AS i FROM pairs
+                        UNION SELECT b FROM pairs
+                      )
+                      SELECT 2 AS shingle_words,
+                             CAST((SELECT count(*) FROM pairs) AS BIGINT)
+                               AS n_candidate_pairs,
+                             CAST((SELECT count(*) FROM ids) AS BIGINT)
+                               AS n_docs_in_pairs
+                    ),
+                    cell_3 AS (
+                      WITH bands AS ({BANDS_3}),
+                      pairs AS (
+                        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                        FROM bands l JOIN bands r
+                          ON l.band_id = r.band_id
+                          AND l.band_hash = r.band_hash
+                        WHERE l.doc_id < r.doc_id
+                      ),
+                      ids AS (
+                        SELECT a AS i FROM pairs
+                        UNION SELECT b FROM pairs
+                      )
+                      SELECT 3 AS shingle_words,
+                             CAST((SELECT count(*) FROM pairs) AS BIGINT)
+                               AS n_candidate_pairs,
+                             CAST((SELECT count(*) FROM ids) AS BIGINT)
+                               AS n_docs_in_pairs
+                    ),
+                    cell_5 AS (
+                      WITH bands AS ({BANDS_5}),
+                      pairs AS (
+                        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                        FROM bands l JOIN bands r
+                          ON l.band_id = r.band_id
+                          AND l.band_hash = r.band_hash
+                        WHERE l.doc_id < r.doc_id
+                      ),
+                      ids AS (
+                        SELECT a AS i FROM pairs
+                        UNION SELECT b FROM pairs
+                      )
+                      SELECT 5 AS shingle_words,
+                             CAST((SELECT count(*) FROM pairs) AS BIGINT)
+                               AS n_candidate_pairs,
+                             CAST((SELECT count(*) FROM ids) AS BIGINT)
+                               AS n_docs_in_pairs
+                    )
+                    SELECT CAST(shingle_words AS INTEGER) AS shingle_words,
+                           n_candidate_pairs, n_docs_in_pairs
+                    FROM (
+                    SELECT * FROM cell_2
+                    UNION ALL SELECT * FROM cell_3
+                    UNION ALL SELECT * FROM cell_5
+                    )
+""".replace("{BANDS_2}", _bands_sql_for_shingle(2)).replace(
+    "{BANDS_3}", _bands_sql_for_shingle(3)
+).replace("{BANDS_5}", _bands_sql_for_shingle(5))
+
 
 def oracles() -> dict[str, str]:
     out = {
@@ -1070,6 +1214,7 @@ def oracles() -> dict[str, str]:
                              AS ari_bp
                     FROM f
                 """,
+        "dd26_shingle_sensitivity": _DD26_SQL,
         "dd25_cluster_size_histogram": f"""
                     WITH RECURSIVE pairs AS (
                       WITH bands AS ({_MINHASH_BANDS_SQL})

@@ -209,6 +209,9 @@ SF1_POOL = [
 # dd25_cluster_size_histogram excluded at 359.7 s (DuckDB's
 # recursive-CTE connected components at sf1 — dd20's standing
 # exclusion class).
+# dd26_shingle_sensitivity excluded at 171.1 s (three un-indexed
+# band self-joins at sf1; the sf1 VALUES are quoted in PLANS.md —
+# w=2 over-pairs 4.3× vs w=3: 12,027 vs 2,781 candidates).
 
 
 def _sf1_slice_names() -> list[str]:
