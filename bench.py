@@ -165,6 +165,12 @@ LONGTAIL = [
     "ta16_zipf_profile",  # exact rank-frequency shape, never ranks tokens (r9)
     "dc9_contamination_by_source",  # per-provider leak attribution (r9)
     "dd26_shingle_sensitivity",  # LSH shingle-width tuning curve (r9)
+    "tp17_truncation_loss",  # truncation-loss side of max-seq-len (r9, wired r10)
+    "dq12_event_order_audit",  # per-user out-of-order audit (r9, wired r10)
+    "ts11_seasonality_profile",  # (dow, hour) seasonality cells (r9, wired r10)
+    "ss21_dim_stats",  # embedding per-dimension profile (r9, wired r10)
+    "mm8_exact_media_dedup",  # (md5, length) media dedup (r9, wired r10)
+    "ol2_iqr_outliers",  # Tukey-fence robust outlier gate (r9, wired r10)
 ]
 
 

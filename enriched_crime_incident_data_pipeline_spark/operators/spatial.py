@@ -218,7 +218,7 @@ def deletion_variant_pairs(
     name_col: str,
     max_distance: int = 1,
     window: int = 6,
-    max_ids_per_variant: int = 256,
+    max_ids_per_variant: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate name pairs via DELETION-NEIGHBORHOOD
     blocking (FastSS / SymSpell symmetric deletes), restricted to the
@@ -244,15 +244,18 @@ def deletion_variant_pairs(
     blocks bounded like any equi-key scheme; ``window`` dials the
     completeness span vs key volume.
 
-    Skew guard: variant values shared by more than
-    ``max_ids_per_variant`` distinct ids are anti-joined out BEFORE
-    the self-join (frame_match_pairs' hot-key cap) — a degenerate
-    name domain (many identical names) would otherwise fan out n²/2
-    pairs from one variant bucket. The cap trades recall on hot
-    buckets for a bounded join; the measured max bucket on the
-    TPC-H-style name domain is 38 ids at every SF (dims replicate,
-    not grow, in the sf1 derivation), so the default 256 never fires
-    there and er4's pinned output is unchanged.
+    Skew guard (OPT-IN, r10 advisor — default None is exact, like
+    two_hop_reach's max_mid_degree): when ``max_ids_per_variant`` is
+    set, variant values shared by more than that many distinct ids
+    are anti-joined out BEFORE the self-join (frame_match_pairs'
+    hot-key cap) — a degenerate name domain (many identical names)
+    would otherwise fan out n²/2 pairs from one variant bucket. The
+    cap trades recall on hot buckets for a bounded join, a
+    recall-affecting choice the CALLER must make knowingly; the
+    previous always-on default of 256 silently dropped pairs on any
+    bucket above the cap (measured safe only on the TPC-H name
+    domain, max bucket 38 ids at every SF — er4 passes 256
+    explicitly and its pinned output is unchanged).
     """
     var = (
         names.select(
@@ -276,13 +279,14 @@ def deletion_variant_pairs(
             .alias("v"),
         )
     )
-    hot = (
-        var.groupBy("v")
-        .agg(F.count_distinct("id").alias("_nid"))
-        .filter(F.col("_nid") > max_ids_per_variant)
-        .select("v")
-    )
-    var = var.join(hot, "v", "left_anti")
+    if max_ids_per_variant is not None:
+        hot = (
+            var.groupBy("v")
+            .agg(F.count_distinct("id").alias("_nid"))
+            .filter(F.col("_nid") > max_ids_per_variant)
+            .select("v")
+        )
+        var = var.join(hot, "v", "left_anti")
     a, b = var.alias("a"), var.alias("b")
     return (
         a.join(b, F.col("a.v") == F.col("b.v"))

@@ -22,6 +22,7 @@ from enriched_crime_incident_data_pipeline_spark.registry.quality import *  # no
 from enriched_crime_incident_data_pipeline_spark.registry.scale import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.similarity import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.sketch import *  # noqa: F401,F403
+from enriched_crime_incident_data_pipeline_spark.registry.stats import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.streaming import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.temporal import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.text import *  # noqa: F401,F403

@@ -272,8 +272,13 @@ def q_er4_deletion_blocking(spark, sf_dir):
         deletion_variant_pairs,
     )
 
+    # cap passed EXPLICITLY (the operator's default is exact, r10):
+    # 256 keeps er4's join bounded on a degenerate name domain; the
+    # measured max bucket here is 38 ids at every SF so it never
+    # fires and the pinned output is unchanged
     deletion_pairs = deletion_variant_pairs(
-        sample, "k", "nm", max_distance=1, window=6
+        sample, "k", "nm", max_distance=1, window=6,
+        max_ids_per_variant=256,
     ).agg(F.count(F.lit(1)).cast("bigint").alias("deletion_pairs"))
     n = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
     return (
@@ -664,6 +669,15 @@ def q_dq14_key_uniqueness(spark, sf_dir):
     # downstream join/merge silently assumes. One count-distinct agg
     # per table (map-side partial + the standard distinct expand),
     # unioned into a 10-row report; no joins anywhere.
+    #
+    # Null semantics (r10, advisor): n_keys counts distinct key
+    # tuples among rows where NO key field is null — Spark's
+    # count_distinct(a, b) already skips any-null tuples, and the
+    # oracle pins the same with a FILTER (DuckDB's row-value
+    # count(DISTINCT (a, b)) would otherwise count a null-field row
+    # as a distinct value).  dup_key_rows is therefore duplicates
+    # among non-null-keyed rows: n_rows - null_key_rows - n_keys;
+    # null-keyed rows are reported solely via null_key_rows.
     outs = []
     for t, keys in _PK_SPEC:
         df = load_table(spark, sf_dir, t)
@@ -683,7 +697,7 @@ def q_dq14_key_uniqueness(spark, sf_dir):
                 "table_name",
                 "n_rows",
                 "n_keys",
-                (F.col("n_rows") - F.col("n_keys"))
+                (F.col("n_rows") - F.col("null_key_rows") - F.col("n_keys"))
                 .cast("bigint")
                 .alias("dup_key_rows"),
                 "null_key_rows",
@@ -838,100 +852,36 @@ QUERIES = {
     "er3_cluster_cohesion": q_er3_cluster_cohesion,
 }
 
+
+def _dq14_oracle_sql() -> str:
+    """Oracle generated from _PK_SPEC so the two engines cannot
+    drift: n_keys is FILTERed to rows with no null key field (DuckDB
+    row-value count(DISTINCT (a, b)) counts a null-field tuple as a
+    value; Spark's count_distinct skips it), and dup_key_rows is
+    n_rows - null_key_rows - n_keys on both sides."""
+    blocks = []
+    for t, keys in _PK_SPEC:
+        nn = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+        anynull = " OR ".join(f"{k} IS NULL" for k in keys)
+        tup = ", ".join(keys)
+        blocks.append(f"""
+              SELECT '{t}' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT ({tup})) FILTER (WHERE {nn})
+                       AS BIGINT) AS n_keys,
+                     CAST(count(*)
+                          - sum(CASE WHEN {anynull} THEN 1 ELSE 0 END)
+                          - count(DISTINCT ({tup})) FILTER (WHERE {nn})
+                       AS BIGINT) AS dup_key_rows,
+                     CAST(sum(CASE WHEN {anynull} THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_key_rows
+              FROM {t}""")
+    return "\n              UNION ALL".join(blocks)
+
+
 def oracles() -> dict[str, str]:
     return {
-        "dq14_key_uniqueness": """
-              SELECT 'region' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (r_regionkey)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (r_regionkey))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM region
-              UNION ALL SELECT 'nation' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (n_nationkey)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (n_nationkey))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM nation
-              UNION ALL SELECT 'customer' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (c_custkey)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (c_custkey))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM customer
-              UNION ALL SELECT 'supplier' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (s_suppkey)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (s_suppkey))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM supplier
-              UNION ALL SELECT 'part' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (p_partkey)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (p_partkey))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM part
-              UNION ALL SELECT 'orders' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (o_orderkey)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (o_orderkey))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM orders
-              UNION ALL SELECT 'lineitem' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM lineitem
-              UNION ALL SELECT 'events' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (event_id)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (event_id))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM events
-              UNION ALL SELECT 'documents' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (doc_id)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (doc_id))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM documents
-              UNION ALL SELECT 'embeddings' AS table_name,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT (vec_id)) AS BIGINT)
-                       AS n_keys,
-                     CAST(count(*) - count(DISTINCT (vec_id))
-                       AS BIGINT) AS dup_key_rows,
-                     CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS null_key_rows
-              FROM embeddings
-""",
+        "dq14_key_uniqueness": _dq14_oracle_sql(),
         "dq13_column_profile": """
             WITH cells AS (
               SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -440,10 +440,18 @@ def q_ss21_dim_stats(spark, sf_dir):
         .cast("bigint")
         .alias("xu"),
     )
+    # cast BEFORE aggregating (r10 advisor): the ACCUMULATOR itself
+    # must be decimal(38,0) — sum over bigint xu*xu terms would
+    # silently wrap (non-ANSI) once a dimension exceeds ~9e6
+    # high-magnitude rows, exactly the scale this operator targets;
+    # DuckDB's oracle sums in HUGEINT so the decimal accumulator is
+    # the matching exact path
     g = x.groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-        F.sum("xu").cast("decimal(38,0)").alias("_sx"),
-        F.sum(F.col("xu") * F.col("xu")).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(F.col("xu").cast("decimal(38,0)")).alias("_sx"),
+        F.sum(
+            (F.col("xu") * F.col("xu")).cast("decimal(38,0)")
+        ).alias("_sxx"),
         F.min("xu").alias("min_micro"),
         F.max("xu").alias("max_micro"),
     )

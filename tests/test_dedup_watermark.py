@@ -511,3 +511,84 @@ def test_dq13_column_profile_injected_nulls(spark):
         "value": (1, 2500, 2),
         "props": (2, 5000, 2),
     }
+
+
+def test_dq14_key_uniqueness_null_composite_keys(spark):
+    """Hand fixture pinning dq14's null-key semantics (r10 advisor:
+    the shipped tables have no null keys, so tri-SF exactness cannot
+    see a null/distinct divergence): n_keys counts distinct key
+    tuples among rows with NO null key field; dup_key_rows counts
+    duplicates among those non-null-keyed rows only; null-keyed rows
+    land solely in null_key_rows.  lineitem gets the pathological
+    composite-key input a PK audit exists to catch — nulls in either
+    field, a repeated (null, null), and a genuine dup."""
+    import os
+    import tempfile
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+    from enriched_crime_incident_data_pipeline_spark.registry.quality import (
+        _PK_SPEC,
+    )
+
+    d = tempfile.mkdtemp()
+    # minimal single-row tables for the 9 simple-key tables (column
+    # pruning means only the key column needs to exist on disk)
+    for t, keys in _PK_SPEC:
+        if t == "lineitem":
+            continue
+        # events additionally needs ts on disk: load_table normalizes
+        # its timestamp precision at load, before column pruning
+        schema = f"{keys[0]} bigint" + (
+            ", ts timestamp" if t == "events" else ""
+        )
+        row = (1, None) if t == "events" else (1,)
+        spark.createDataFrame([row], schema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{t}.parquet"))
+    li = [
+        (1, 1),  # unique
+        (1, 2),  # unique
+        (2, 1),
+        (2, 1),  # dup of (2, 1) — the one real duplicate pair
+        (None, 1),  # null first field
+        (3, None),  # null second field
+        (None, None),
+        (None, None),  # repeated all-null tuple: NOT a dup, NOT a key
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_linenumber bigint"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+    got = {
+        r["table_name"]: (
+            r["n_rows"],
+            r["n_keys"],
+            r["dup_key_rows"],
+            r["null_key_rows"],
+        )
+        for r in spark_queries()["dq14_key_uniqueness"](spark, d).collect()
+    }
+    # 8 rows; 4 null-keyed; 3 distinct non-null tuples; 1 dup row
+    assert got["lineitem"] == (8, 3, 1, 4)
+    assert got["region"] == (1, 1, 0, 0)
+    # the DuckDB oracle agrees on the same fixture (this is exactly
+    # the input the r9 advisor showed diverging pre-fix)
+    import duckdb
+
+    from enriched_crime_incident_data_pipeline_spark.registry.quality import (
+        _dq14_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    for t, _ in _PK_SPEC:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(d, t)}.parquet/*.parquet')"
+        )
+    ora = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(_dq14_oracle_sql()).fetchall()
+    }
+    assert ora == got

@@ -605,11 +605,12 @@ def test_frame_dhash_honors_id_col(spark):
 
 
 def test_deletion_variant_hot_cap_bounds_degenerate_domain(spark):
-    """ADVICE r8: a skewed name domain (many identical names) fans
-    out n²/2 pairs from one variant bucket; the max_ids_per_variant
-    anti-join cap drops the hot bucket BEFORE the self-join. The
-    default (256) never fires on the TPC-H name domain (measured max
-    bucket 38 ids at every SF), so er4's pinned output is unchanged."""
+    """ADVICE r8 + r10: a skewed name domain (many identical names)
+    fans out n²/2 pairs from one variant bucket; the opt-in
+    max_ids_per_variant anti-join cap drops the hot bucket BEFORE
+    the self-join. The DEFAULT is None = exact (r10 advisor: a
+    silent always-on cap was a recall-affecting surprise) — er4
+    passes 256 explicitly for its bounded-join contract."""
     from enriched_crime_incident_data_pipeline_spark.operators.spatial import (
         deletion_variant_pairs,
     )
@@ -624,7 +625,6 @@ def test_deletion_variant_hot_cap_bounds_degenerate_domain(spark):
     ).collect()
     # the 30-way identical bucket is dropped; the unique pair stays
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
-    full = deletion_variant_pairs(
-        df, "id", "nm", max_ids_per_variant=256
-    ).count()
+    # default (no cap) is EXACT: every pair from the hot bucket kept
+    full = deletion_variant_pairs(df, "id", "nm").count()
     assert full == 30 * 29 // 2 + 1
