@@ -160,65 +160,80 @@ def connected_components(
     ``stats["mode"]`` (``"single_task"`` or ``"distributed"``).
     Set ``small_graph_edges=0`` to force the distributed path.
     """
-    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # Pin the projected edge list ONCE before anything consumes it
+    # (r10, the er3 attribution): the union's two branches, the
+    # strategy-deciding take, and the post-take count would otherwise
+    # EACH re-evaluate the caller's edge lineage — for er3 that
+    # lineage is a blocked bounded-levenshtein pass, measured ~2 s
+    # per re-run at sf0.1 (~3 evaluations inside one CC call).  Lazy
+    # checkpoint: materialized by whichever action touches it first,
+    # every later consumer reads the pinned rows.
+    pinned = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    sym = pinned.union(
+        pinned.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # driver tier: one incremental ``take`` both DECIDES the strategy
-    # and, when the graph is tiny (the overwhelming near-dup case),
-    # DELIVERS the edges — union-find runs at the driver and the
-    # labels return as a local relation (no kernel job, no checkpoint
-    # job, broadcast-eligible downstream). For big graphs the take
-    # stops at the cap (limit is evaluated partition-incrementally),
-    # so the wasted work is bounded at ~2·cap rows.
+    # strategy decision: ONE count against the pinned edges (it also
+    # materializes the checkpoint — the count's cost IS the one
+    # unavoidable edge-lineage evaluation, after which every tier
+    # reads cached rows). The r1-r9 design used an incremental
+    # take(2·cap+1) instead, but for an above-cap graph that take
+    # collected ~100k rows to the driver only to discard them
+    # (measured ~1 s at er3's 135k-edge graph), and any shuffle in
+    # the edge lineage makes "incremental" moot — partition 0 already
+    # runs the whole upstream.
+    n_edges = pinned.count()
     cap = min(
         small_graph_edges,
         DRIVER_GRAPH_EDGES if driver_graph_edges is None else driver_graph_edges,
     )
-    if cap > 0:
-        head = sym.take(2 * cap + 1)
-        if len(head) <= 2 * cap:
-            if stats is not None:
-                stats["rounds"] = 1
-                stats["mode"] = "single_task"
-                stats["tier"] = "driver"
-            parent: dict = {}
+    if n_edges <= cap:
+        # driver tier (the overwhelming near-dup case): collect the
+        # pinned edges — cheap, they are already materialized — and
+        # resolve at the driver; the labels return as a local
+        # relation (no kernel job, broadcast-eligible downstream).
+        head = pinned.collect()
+        if stats is not None:
+            stats["rounds"] = 1
+            stats["mode"] = "single_task"
+            stats["tier"] = "driver"
+        parent: dict = {}
 
-            def find(x):
-                root = x
-                while parent[root] != root:
-                    root = parent[root]
-                while parent[x] != x:  # path compression
-                    parent[x], x = root, parent[x]
-                return root
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
 
-            for r in head:
-                a, b = r[0], r[1]
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra  # union-by-min: root stays min id
-            node_t = sym.schema["src"].dataType
-            out_schema = StructType(
-                [
-                    StructField("node", node_t),
-                    StructField("cluster_id", node_t),
-                ]
-            )
-            return edges.sparkSession.createDataFrame(
-                [(n, find(n)) for n in sorted(parent)], out_schema
-            )
-    sym = sym.persist()
-    # one cheap action against the persisted edge list decides the
-    # remaining strategy; every later consumer reuses the cached rows
-    n_sym = sym.count()
-    if n_sym <= 2 * small_graph_edges:
-        labels = _single_task_components(sym).localCheckpoint(eager=True)
-        sym.unpersist()
+        for r in head:
+            a, b = r[0], r[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # union-by-min: root stays min id
+        node_t = sym.schema["src"].dataType
+        out_schema = StructType(
+            [
+                StructField("node", node_t),
+                StructField("cluster_id", node_t),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(n, find(n)) for n in sorted(parent)], out_schema
+        )
+    if n_edges <= small_graph_edges:
+        # executor single-task tier: union-find is direction-blind,
+        # so the kernel reads the DIRECTED pinned pairs (half the
+        # rows the old sym feed shuffled into the one task)
+        labels = _single_task_components(pinned).localCheckpoint(eager=True)
         if stats is not None:
             stats["rounds"] = 1
             stats["mode"] = "single_task"

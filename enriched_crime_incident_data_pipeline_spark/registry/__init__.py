@@ -14,6 +14,7 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (  # no
 from enriched_crime_incident_data_pipeline_spark.registry.analytics import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.corpus import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.crime import *  # noqa: F401,F403
+from enriched_crime_incident_data_pipeline_spark.registry.curation import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.decontaminate import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.dedup import *  # noqa: F401,F403
 from enriched_crime_incident_data_pipeline_spark.registry.graph import *  # noqa: F401,F403
@@ -32,6 +33,7 @@ from enriched_crime_incident_data_pipeline_spark.registry import (
     analytics as _analytics,
     corpus as _corpus,
     crime as _crime,
+    curation as _curation,
     decontaminate as _decontaminate,
     dedup as _dedup,
     graph as _graph,
@@ -47,7 +49,7 @@ from enriched_crime_incident_data_pipeline_spark.registry import (
     tpch as _tpch,
 )
 
-_FAMILIES = [_analytics, _corpus, _crime, _decontaminate, _dedup, _graph, _multimodal, _quality, _scale, _similarity, _sketch, _stats, _streaming, _temporal, _text, _tpch]
+_FAMILIES = [_analytics, _corpus, _crime, _curation, _decontaminate, _dedup, _graph, _multimodal, _quality, _scale, _similarity, _sketch, _stats, _streaming, _temporal, _text, _tpch]
 
 
 def spark_queries() -> dict[str, QueryFn]:

@@ -329,12 +329,18 @@ def q_er3_cluster_cohesion(spark, sf_dir):
         cust, "c_custkey", "c_name", max_distance=1, block_tail=2
     )
     cc = connected_components(pairs, "id_a", "id_b")
+    # pin the membership relation: both sides of the intra-cluster
+    # self-join below derive from it, and without the pin each side
+    # re-runs the cc-customer join (the dq10/er4 1-row-relation
+    # pattern, r10). Post-pin the epilogue cost is the bounded
+    # levenshtein itself (~1.4 s over 742k intra pairs at sf0.1,
+    # measured ~1.9 µs/call — throughput floor, not plan waste).
     mem = cc.join(
         cust.select(
             F.col("c_custkey").alias("node"), F.col("c_name").alias("nm")
         ),
         "node",
-    )
+    ).localCheckpoint(eager=False)
     a = mem.select(
         F.col("cluster_id"), F.col("node").alias("ka"), F.col("nm").alias("na")
     )

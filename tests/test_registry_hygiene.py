@@ -37,10 +37,80 @@ def test_registry_query_names_unique_and_nonempty():
     )
 
     queries = spark_queries()  # raises on cross-family duplicate names
-    assert len(queries) >= 333  # r9 floor; raise as the registry grows
+    assert len(queries) >= 334  # r10 floor; raise as the registry grows
     assert all(callable(v) for v in queries.values())
     # every oracle refers to a registered query
     assert set(oracle_queries()) <= set(queries)
+
+
+def test_every_registry_query_benched_or_excluded():
+    """r10 verdict item 2 (retires the r8/r9 landing-discipline
+    failure class): every name in ``registry.spark_queries()`` must
+    appear in bench.py HEADLINE or LONGTAIL, or carry a measured
+    reason in BENCH_EXCLUDED — so an operator cannot land without
+    either a bench entry or an explicit exclusion. Also asserts the
+    three lists are disjoint and contain no stale (unregistered)
+    names."""
+    import sys
+
+    sys.path.insert(0, str(REGISTRY_DIR.parents[1]))
+    import bench
+
+    from enriched_crime_incident_data_pipeline_spark.registry import (
+        spark_queries,
+    )
+
+    names = set(spark_queries())
+    headline, longtail = set(bench.HEADLINE), set(bench.LONGTAIL)
+    excluded = set(bench.BENCH_EXCLUDED)
+    assert headline & longtail == set()
+    assert (headline | longtail) & excluded == set()
+    stale = (headline | longtail | excluded) - names
+    assert not stale, f"bench.py lists unregistered queries: {stale}"
+    unwired = names - headline - longtail - excluded
+    assert not unwired, (
+        f"registry queries neither benched nor excluded: {unwired} — "
+        "add to bench.py LONGTAIL or BENCH_EXCLUDED with a measured "
+        "reason (tools/bench_audit.py)"
+    )
+    # exclusion reasons must be real text, not placeholders
+    assert all(
+        isinstance(r, str) and len(r) > 10
+        for r in bench.BENCH_EXCLUDED.values()
+    )
+
+
+def test_family_module_public_symbols_reexported():
+    """r10 verdict item 1 (the r9 breakage class): the r9 stats.py
+    split kept the driver contract green but dropped the star
+    re-export, breaking an UNTOUCHED test file's deep import. Assert
+    every public ``q_*``/callable symbol defined in any
+    ``registry/*.py`` family module is importable from the
+    ``registry`` package, so the next module split cannot silently
+    break re-exports."""
+    import importlib
+
+    import enriched_crime_incident_data_pipeline_spark.registry as reg
+
+    missing = {}
+    for mod_path in sorted(REGISTRY_DIR.glob("*.py")):
+        stem = mod_path.stem
+        if stem.startswith("__"):
+            continue
+        mod = importlib.import_module(
+            f"enriched_crime_incident_data_pipeline_spark.registry.{stem}"
+        )
+        public = getattr(mod, "__all__", None) or [
+            n for n in vars(mod) if n.startswith("q_")
+        ]
+        for n in public:
+            if getattr(reg, n, None) is not getattr(mod, n):
+                missing.setdefault(stem, []).append(n)
+    assert not missing, (
+        f"family-module symbols not re-exported from the registry "
+        f"package: {missing} — add the star import in "
+        "registry/__init__.py"
+    )
 
 
 def test_readme_query_count_matches_registry():

@@ -1434,3 +1434,21 @@ def test_r9_op_plans_stay_scale_shaped(spark):
     plan = dq13._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("FileScan") <= 2  # AQE prints final+initial
+
+
+def test_corpus_curation_run_report_plan_is_scan_free(spark):
+    """r10 capstone plan guard: the curation-run report derives
+    entirely from the two pinned relations (the per-doc artifact scan
+    and the verdict relation) — ZERO FileScans in the report plan, so
+    no tier re-derives the documents parquet; and the only corpus
+    self-join in the whole run is the banded LSH candidate join
+    (guarded upstream), so the report itself has no cartesian / no
+    SMJ over doc-scale rows."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    df = registry.spark_queries()["corpus_curation_run"](spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0  # pinned base + verdict
+    assert "CartesianProduct" not in plan
