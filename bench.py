@@ -172,6 +172,9 @@ LONGTAIL = [
     "mm8_exact_media_dedup",  # (md5, length) media dedup (r9, wired r10)
     "ol2_iqr_outliers",  # Tukey-fence robust outlier gate (r9, wired r10)
     "corpus_curation_run",  # dedup->decontaminate->pack capstone report (r10)
+    "tp19_pack_budget_curve",  # one prefix-sum pass pricing 4 pack budgets (r10)
+    "sk12_hll_precision_curve",  # HLL m-sizing curve vs exact distinct (r10)
+    "dd27_jaccard_threshold_curve",  # verified-pair threshold cells (r10)
     # r10 full-registry audit sweep (tools/bench_audit.py): every
     # previously-unwired query was timed warm at sf0.1; all >= 1.5 s
     # land here, the rest carry measured exclusions in BENCH_EXCLUDED
@@ -219,6 +222,10 @@ LONGTAIL = [
 # without regression signal; their correctness coverage is the full
 # selfcheck + the pytest oracle slice.
 BENCH_EXCLUDED = {
+    "ts12_autocorr_profile": "r10: 0.77 s warm at sf0.1, below the 1.5 s longtail bar",
+    "ol3_grouped_mad_outliers": "r10: 1.28 s warm at sf0.1, below the 1.5 s longtail bar",
+    "mm9_payload_size_profile": "r10: 0.28 s warm at sf0.1, below the 1.5 s longtail bar",
+    "dq15_fk_fanout_profile": "r10: 0.87 s warm at sf0.1, below the 1.5 s longtail bar",
     "a10_count_distinct": "r10 audit: 1.43 s single-shot at sf0.1, below the 1.5 s longtail bar",
     "a1_groupby_count": "r10 audit: 0.42 s single-shot at sf0.1, below the 1.5 s longtail bar",
     "a3_watermark_max": "r10 audit: 0.32 s single-shot at sf0.1, below the 1.5 s longtail bar",

@@ -209,6 +209,67 @@ def q_inc_agg_merge(spark, sf_dir):
     return finalize_agg(merge_agg_states(states, "l_returnflag"))
 
 
+def q_ol3_grouped_mad_outliers(spark, sf_dir):
+    # the MAD-based robust outlier gate (r10; completes the ol1/ol2
+    # family — the z-score breaks when the tail inflates sigma, the
+    # IQR fence saturates at 25/75, the MAD rule |x - med| > 3 *
+    # 1.4826 * MAD is the textbook robust-sigma gate): per
+    # o_orderpriority group over o_totalprice, the median, the MAD
+    # (two exact-percentile passes, stat2's mechanics — Spark
+    # percentile == DuckDB quantile_cont, the stat5 parity), the
+    # robust sigma, and the count/share outside the gate. Fence
+    # relations live on the <=|groups| domain and broadcast back;
+    # the float chain (1.4826 scaling, comparisons) is the identical
+    # op sequence in both engines.
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = orders.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(med), "o_orderpriority"
+    )
+    mad = dev.select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("absdev"),
+    ).groupBy("o_orderpriority").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    fences = med.join(mad, "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        "mad",
+        (F.lit(1.4826) * F.col("mad")).alias("robust_sigma"),
+    )
+    j = orders.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(fences), "o_orderpriority"
+    )
+    out = (
+        F.abs(F.col("o_totalprice") - F.col("med"))
+        > F.lit(3.0) * F.col("robust_sigma")
+    ).cast("int")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.first("med").alias("median_price"),
+            F.first("mad").alias("mad"),
+            F.first("robust_sigma").alias("robust_sigma"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(out).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "median_price",
+            "mad",
+            "robust_sigma",
+            "n_rows",
+            "n_outliers",
+            F.expr(
+                "CAST((n_outliers * 10000) DIV n_rows AS BIGINT)"
+            ).alias("outlier_bp"),
+        )
+    )
+
+
 def q_ol2_iqr_outliers(spark, sf_dir):
     # the ROBUST outlier gate (ol1's z-score breaks when the tail
     # itself inflates σ; Tukey fences don't): per group, exact
@@ -659,6 +720,7 @@ QUERIES = {
     "sql1_sql_api": q_sql1_sql_api,
     "ol1_zscore_outliers": q_ol1_zscore_outliers,
     "ol2_iqr_outliers": q_ol2_iqr_outliers,
+    "ol3_grouped_mad_outliers": q_ol3_grouped_mad_outliers,
     "hist1_totalprice": q_hist1_totalprice,
     "wa1_lead_lag": q_wa1_lead_lag,
     "wa2_rolling": q_wa2_rolling,
@@ -677,6 +739,37 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ol3_grouped_mad_outliers": """
+            WITH med AS (
+              SELECT o_orderpriority,
+                     quantile_cont(o_totalprice, 0.5) AS med
+              FROM orders GROUP BY o_orderpriority
+            ),
+            mad AS (
+              SELECT o.o_orderpriority,
+                     quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+              FROM orders o JOIN med m USING (o_orderpriority)
+              GROUP BY o.o_orderpriority
+            ),
+            f AS (
+              SELECT med.o_orderpriority, med.med, mad.mad,
+                     1.4826 * mad.mad AS robust_sigma
+              FROM med JOIN mad USING (o_orderpriority)
+            )
+            SELECT o.o_orderpriority,
+                   any_value(f.med) AS median_price,
+                   any_value(f.mad) AS mad,
+                   any_value(f.robust_sigma) AS robust_sigma,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN abs(o.o_totalprice - f.med)
+                        > 3.0 * f.robust_sigma THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers,
+                   CAST((sum(CASE WHEN abs(o.o_totalprice - f.med)
+                        > 3.0 * f.robust_sigma THEN 1 ELSE 0 END) * 10000)
+                        // count(*) AS BIGINT) AS outlier_bp
+            FROM orders o JOIN f USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
+""",
         "ol2_iqr_outliers": """
             WITH q AS (
               SELECT l_returnflag,

@@ -118,6 +118,62 @@ def q_tp17_truncation_loss(spark, sf_dir):
     )
 
 
+def q_tp19_pack_budget_curve(spark, sf_dir):
+    # the pack-BUDGET sizing artifact (r10; completes the tp17/tp18
+    # trade study): for budgets 128/256/512/1024, the pack count,
+    # boundary-crossing doc count/share, and docs-per-pack. KEY
+    # insight making this one pass: the prefix-sum start_offset is
+    # budget-INDEPENDENT — only pack_id = floor(start DIV b) varies —
+    # so ONE pack_assignments relation prices every budget as
+    # conditional cells of one aggregate (the ss19/tok11 idiom; the
+    # 4-way count_distinct compiles to the planner's standard Expand,
+    # 4x partial-agg rows, cost stated), stack-unpivoted to the
+    # 4-row curve. Exact integers.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        pack_assignments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa = pack_assignments(docs).select("n_tokens", "start_offset")
+    budgets = (128, 256, 512, 1024)
+    cells = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for b in budgets:
+        pid = F.floor(F.col("start_offset") / F.lit(b))
+        cells.append(
+            F.count_distinct(pid).cast("bigint").alias(f"np_{b}")
+        )
+        cells.append(
+            F.sum(
+                (
+                    F.col("start_offset") + F.col("n_tokens")
+                    > (pid + 1) * F.lit(b)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias(f"nc_{b}")
+        )
+    one = pa.agg(*cells)
+    return one.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"{b}, np_{b}, nc_{b}" for b in budgets)
+            + ") AS (budget, n_packs, docs_crossing)"
+        ),
+        "n_docs",
+    ).select(
+        F.col("budget").cast("int").alias("budget"),
+        "n_packs",
+        "docs_crossing",
+        "n_docs",
+        F.expr(
+            "CAST((docs_crossing * 10000) DIV n_docs AS BIGINT)"
+        ).alias("crossing_bp"),
+        F.expr("CAST((n_docs * 100) DIV n_packs AS BIGINT)").alias(
+            "docs_per_pack_c"
+        ),
+    )
+
+
 def q_tp1_pack(spark, sf_dir):
     # concat-and-chunk sequence packing via two-phase prefix sum —
     # the only corpus-wide windows run per value-derived bucket, plus
@@ -958,6 +1014,7 @@ QUERIES = {
     "tp16_mixture_curve": q_tp16_mixture_curve,
     "tp17_truncation_loss": q_tp17_truncation_loss,
     "tp18_fragmentation_report": q_tp18_fragmentation_report,
+    "tp19_pack_budget_curve": q_tp19_pack_budget_curve,
     "tp13_epoch_reshuffle": q_tp13_epoch_reshuffle,
     "tp14_domain_upsample": q_tp14_domain_upsample,
     "tp9_mixture_sample": q_tp9_mixture_sample,
@@ -1632,6 +1689,57 @@ def oracles() -> dict[str, str]:
                            CAST((n_docs * 100) // n_packs AS BIGINT)
                              AS docs_per_pack_c
                     FROM cells
+""",
+        "tp19_pack_budget_curve": f"""
+                    WITH t AS (
+                      SELECT doc_id, {_TOKEN_COUNT}::BIGINT AS n_tokens
+                      FROM documents
+                    ),
+                    o AS (
+                      SELECT doc_id, n_tokens,
+                        CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+                      FROM t
+                    ),
+                    cells AS (
+                      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(count(DISTINCT start_offset // 128)
+                               AS BIGINT) AS np_128,
+                             CAST(sum(CASE WHEN start_offset + n_tokens >
+                                  ((start_offset // 128) + 1) * 128
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nc_128,
+                             CAST(count(DISTINCT start_offset // 256)
+                               AS BIGINT) AS np_256,
+                             CAST(sum(CASE WHEN start_offset + n_tokens >
+                                  ((start_offset // 256) + 1) * 256
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nc_256,
+                             CAST(count(DISTINCT start_offset // 512)
+                               AS BIGINT) AS np_512,
+                             CAST(sum(CASE WHEN start_offset + n_tokens >
+                                  ((start_offset // 512) + 1) * 512
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nc_512,
+                             CAST(count(DISTINCT start_offset // 1024)
+                               AS BIGINT) AS np_1024,
+                             CAST(sum(CASE WHEN start_offset + n_tokens >
+                                  ((start_offset // 1024) + 1) * 1024
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nc_1024
+                      FROM o
+                    )
+                    SELECT CAST(budget AS INTEGER) AS budget, n_packs,
+                           docs_crossing, n_docs,
+                           CAST((docs_crossing * 10000) // n_docs AS BIGINT)
+                             AS crossing_bp,
+                           CAST((n_docs * 100) // n_packs AS BIGINT)
+                             AS docs_per_pack_c
+                    FROM (
+                      SELECT 128 AS budget, np_128 AS n_packs,
+                             nc_128 AS docs_crossing, n_docs FROM cells
+                      UNION ALL SELECT 256, np_256, nc_256, n_docs FROM cells
+                      UNION ALL SELECT 512, np_512, nc_512, n_docs FROM cells
+                      UNION ALL SELECT 1024, np_1024, nc_1024, n_docs
+                      FROM cells
+                    )
 """,
         "tp1_pack": f"""
                     WITH t AS (SELECT doc_id, {_TOKEN_COUNT}::BIGINT AS n_tokens FROM documents),

@@ -75,6 +75,69 @@ def q_dd5b_ngram_capped(spark, sf_dir):
     return ngram_jaccard_pairs(docs, top_k=20, max_df=50)
 
 
+def q_dd27_jaccard_threshold_curve(spark, sf_dir):
+    # the near-dup THRESHOLD sizing artifact (r10; dd23 is the
+    # semdedup/cosine analogue): how many verified pairs a dedup pass
+    # drops at Jaccard >= 0.5 / 0.7 / 0.9 — the knob that trades
+    # recall against false merges. ONE verified-pair relation (dd19's
+    # machinery: banded LSH candidates -> exact shingle Jaccard on
+    # candidates only, never the corpus²), then every threshold is a
+    # conditional cell of ONE 1-row aggregate, compared in EXACT
+    # integer arithmetic (jaccard >= P/Q  <=>  intersect·Q >=
+    # union·P — no float thresholds to pin), stack-unpivoted to the
+    # 3-row curve with each threshold's share of the candidate set.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        lsh_candidate_pairs(minhash_bands(docs))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(ids, "doc_id", "left_semi")
+    vp = ngram_jaccard_pairs(pruned).join(F.broadcast(cand), ["a", "b"])
+    thresholds = [(5000, 1, 2), (7000, 7, 10), (9000, 9, 10)]
+    cells = [F.count(F.lit(1)).cast("bigint").alias("n_candidates")]
+    for bp, p, q in thresholds:
+        cells.append(
+            F.sum(
+                (
+                    F.col("intersect_size") * F.lit(q)
+                    >= F.col("union_size") * F.lit(p)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias(f"np_{bp}")
+        )
+    one = vp.agg(*cells)
+    return one.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{bp}, np_{bp}" for bp, _p, _q in thresholds)
+            + ") AS (threshold_bp, n_pairs)"
+        ),
+        "n_candidates",
+    ).select(
+        F.col("threshold_bp").cast("int").alias("threshold_bp"),
+        "n_pairs",
+        "n_candidates",
+        F.expr(
+            "CAST(CASE WHEN n_candidates = 0 THEN 0"
+            " ELSE (n_pairs * 10000) DIV n_candidates END AS BIGINT)"
+        ).alias("share_of_candidates_bp"),
+    )
+
+
 def q_dd19_lsh_verified(spark, sf_dir):
     # the canonical MinHash pipeline ENDING: banded LSH proposes
     # candidate pairs (recall set, never all-pairs), exact shingle
@@ -669,6 +732,7 @@ QUERIES = {
     "dd17_cdc_segments": q_dd17_cdc_segments,
     "dd18_intradoc_dedup": q_dd18_intradoc_dedup,
     "dd19_lsh_verified": q_dd19_lsh_verified,
+    "dd27_jaccard_threshold_curve": q_dd27_jaccard_threshold_curve,
     "dd12_incremental_lsh": q_dd12_incremental_lsh,
     "dd13_repeated_spans": q_dd13_repeated_spans,
     "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,
@@ -1070,6 +1134,57 @@ def oracles() -> dict[str, str]:
                     JOIN sizes sb ON inter.b = sb.doc_id
                     WHERE CAST(intersect_size AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
                        OR CAST(intersect_size AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
+                """,
+        "dd27_jaccard_threshold_curve": f"""
+                    WITH bands AS ({_MINHASH_BANDS_SQL}),
+                    e AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    ids AS (SELECT a AS doc_id FROM e
+                            UNION SELECT b AS doc_id FROM e),
+                    sh AS ({_SHINGLES3}),
+                    hx AS (
+                      SELECT sh.doc_id, {_HASH32.format(x='shingle')} AS x
+                      FROM sh JOIN ids USING (doc_id)
+                    ),
+                    sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+                    inter AS (
+                      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+                      FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+                      GROUP BY 1, 2
+                    ),
+                    vp AS (
+                      SELECT inter.i AS isz,
+                             sa.n + sb.n - inter.i AS usz
+                      FROM inter
+                      JOIN e ON e.a = inter.a AND e.b = inter.b
+                      JOIN sizes sa ON inter.a = sa.doc_id
+                      JOIN sizes sb ON inter.b = sb.doc_id
+                    ),
+                    cells AS (
+                      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                             CAST(sum(CASE WHEN isz * 2 >= usz * 1
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS np_5000,
+                             CAST(sum(CASE WHEN isz * 10 >= usz * 7
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS np_7000,
+                             CAST(sum(CASE WHEN isz * 10 >= usz * 9
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS np_9000
+                      FROM vp
+                    )
+                    SELECT CAST(threshold_bp AS INTEGER) AS threshold_bp,
+                           n_pairs, n_candidates,
+                           CAST(CASE WHEN n_candidates = 0 THEN 0
+                                ELSE (n_pairs * 10000) // n_candidates END
+                             AS BIGINT) AS share_of_candidates_bp
+                    FROM (
+                      SELECT 5000 AS threshold_bp, np_5000 AS n_pairs,
+                             n_candidates FROM cells
+                      UNION ALL SELECT 7000, np_7000, n_candidates FROM cells
+                      UNION ALL SELECT 9000, np_9000, n_candidates FROM cells
+                    )
                 """,
         "dd19_lsh_verified": f"""
                     WITH bands AS ({_MINHASH_BANDS_SQL}),

@@ -158,6 +158,43 @@ def q_mm3_frame_sample(spark, sf_dir):
     return sample_frame_offsets(media, step_ms=1000)
 
 
+def q_mm9_payload_size_profile(spark, sf_dir):
+    # the media STORAGE-LAYOUT audit (r10): payload-size distribution
+    # as a log2-bucket histogram with byte-mass shares — the artifact
+    # that decides row-group targets and small-file compaction for a
+    # 100 TB binary lake (a long tail of tiny payloads wastes footer/
+    # metadata overhead; a few huge ones break row-group caps).
+    # Bucket index = bit-length of the byte count (pure integer,
+    # ts10's idiom, no log()); ONE metadata-only pass — the length()
+    # runs in the scan task, payload bytes never shuffle (mm8's
+    # discipline), then a <=64-row histogram groupBy; the share
+    # windows run over the bucket domain only.
+    docs = load_table(spark, sf_dir, "documents")
+    media = _documents_as_media(docs)
+    sized = media.select(
+        F.length("content").cast("bigint").alias("nb")
+    ).select(
+        F.length(F.bin(F.col("nb"))).cast("int").alias("bucket"), "nb"
+    )
+    hist = sized.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("nb").cast("bigint").alias("total_bytes"),
+    )
+    return hist.select(
+        "bucket",
+        "n_media",
+        "total_bytes",
+        F.expr(
+            "CAST((total_bytes * 10000) DIV (sum(total_bytes) OVER ())"
+            " AS BIGINT)"
+        ).alias("bytes_share_bp"),
+        F.expr(
+            "CAST((n_media * 10000) DIV (sum(n_media) OVER ())"
+            " AS BIGINT)"
+        ).alias("media_share_bp"),
+    )
+
+
 def q_mm2_media_meta(spark, sf_dir):
     # binary-column metadata path (byte length) — SQL-expressible twin
     docs = load_table(spark, sf_dir, "documents")
@@ -169,6 +206,7 @@ def q_mm2_media_meta(spark, sf_dir):
 QUERIES = {
     "mm1_media_features": q_mm1_media_features,
     "mm2_media_meta": q_mm2_media_meta,
+    "mm9_payload_size_profile": q_mm9_payload_size_profile,
     "mm3_frame_sample": q_mm3_frame_sample,
     "mm4_resize_plan": q_mm4_resize_plan,
     "mm5_phash_neardup": q_mm5_phash_neardup,
@@ -179,6 +217,28 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "mm9_payload_size_profile": """
+            WITH sized AS (
+              SELECT CAST(length(bin(octet_length(encode(text))))
+                       AS INTEGER) AS bucket,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS nb
+              FROM documents
+            ),
+            hist AS (
+              SELECT bucket,
+                     CAST(count(*) AS BIGINT) AS n_media,
+                     CAST(sum(nb) AS BIGINT) AS total_bytes
+              FROM sized GROUP BY bucket
+            )
+            SELECT bucket, n_media, total_bytes,
+                   CAST((total_bytes * 10000)
+                        // (sum(total_bytes) OVER ()) AS BIGINT)
+                     AS bytes_share_bp,
+                   CAST((n_media * 10000)
+                        // (sum(n_media) OVER ()) AS BIGINT)
+                     AS media_share_bp
+            FROM hist
+""",
         "mm1_media_features": """
                     WITH hx AS (
                       SELECT doc_id, hex(encode(text)) AS h,

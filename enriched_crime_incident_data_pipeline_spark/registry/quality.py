@@ -400,6 +400,37 @@ def q_er1_entity_clusters(spark, sf_dir):
     )
 
 
+def q_dq15_fk_fanout_profile(spark, sf_dir):
+    # the JOIN-PLANNING artifact dq5's orphan audit doesn't give: the
+    # orders->lineitem fan-out DISTRIBUTION (how many lineitems each
+    # order key fans into, including zero) — the histogram that
+    # decides broadcast-vs-shuffle thresholds, AQE skew-split
+    # expectations, and salting needs for the lake's hottest join.
+    # One fact groupBy on the FK (map-side combinable count), a
+    # left join from the parent domain filling absent keys with
+    # fan-out 0, then a <=|distinct fanouts|-row histogram; the share
+    # window runs over the histogram only.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fo = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("fanout")
+    )
+    dom = orders.select("o_orderkey").join(fo, "o_orderkey", "left").select(
+        F.coalesce("fanout", F.lit(0)).cast("bigint").alias("fanout")
+    )
+    hist = dom.groupBy("fanout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return hist.select(
+        "fanout",
+        "n_orders",
+        F.expr(
+            "CAST((n_orders * 10000) DIV (sum(n_orders) OVER ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
 def q_dq1_constraint_audit(spark, sf_dir):
     # data-quality audit: the constraint surface a schemaless lake
     # loses vs the reference's Postgres DDL (PK uniqueness, NOT NULL,
@@ -836,6 +867,7 @@ def q_dq10_schema_drift(spark, sf_dir):
 
 QUERIES = {
     "dq13_column_profile": q_dq13_column_profile,
+    "dq15_fk_fanout_profile": q_dq15_fk_fanout_profile,
     "dq14_key_uniqueness": q_dq14_key_uniqueness,
     "dq12_event_order_audit": q_dq12_event_order_audit,
     "dq10_schema_drift": q_dq10_schema_drift,
@@ -887,6 +919,25 @@ def _dq14_oracle_sql() -> str:
 
 def oracles() -> dict[str, str]:
     return {
+        "dq15_fk_fanout_profile": """
+            WITH fo AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(count(*) AS BIGINT) AS fanout
+              FROM lineitem GROUP BY 1
+            ),
+            dom AS (
+              SELECT CAST(coalesce(fo.fanout, 0) AS BIGINT) AS fanout
+              FROM orders o LEFT JOIN fo USING (o_orderkey)
+            ),
+            hist AS (
+              SELECT fanout, CAST(count(*) AS BIGINT) AS n_orders
+              FROM dom GROUP BY fanout
+            )
+            SELECT fanout, n_orders,
+                   CAST((n_orders * 10000) // (sum(n_orders) OVER ())
+                     AS BIGINT) AS share_bp
+            FROM hist
+""",
         "dq14_key_uniqueness": _dq14_oracle_sql(),
         "dq13_column_profile": """
             WITH cells AS (

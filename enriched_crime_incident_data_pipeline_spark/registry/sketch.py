@@ -36,6 +36,91 @@ def q_sk4_hll_distinct(spark, sf_dir):
     return hll_distinct_estimate(li, F.col("l_partkey").cast("string"))
 
 
+_SK12_PRECISIONS = [
+    # (p, m, alpha, divisor=2^(52-p), wbits=52-p). Alphas follow the
+    # HLL paper: 0.709 for m=64, 0.7213/(1+1.079/m) for m>=128 —
+    # computed HERE with the same op sequence the oracle SQL spells
+    # out (m is a power of two, so every scaling step is
+    # exponent-only and the doubles agree bit-for-bit).
+    (6, 64, 0.709, 1 << 46, 46),
+    (8, 256, 0.7213 / (1.0 + 1.079 / 256), 1 << 44, 44),
+    (10, 1024, 0.7213 / (1.0 + 1.079 / 1024), 1 << 42, 42),
+]
+
+
+def q_sk12_hll_precision_curve(spark, sf_dir):
+    # the HLL REGISTER-COUNT sizing artifact (r10; sk11 is the CMS
+    # analogue): raw estimate + error vs the exact distinct at
+    # m = 64 / 256 / 1024 registers, over l_partkey. ONE fact pass:
+    # the shared 52-bit hash is computed once, a 3-struct explode
+    # assigns each precision its (register, rho) split, and one
+    # map-side-combinable groupBy over the ≤(64+256+1024)-cell
+    # (m, register) domain holds ALL three sketches — shuffle volume
+    # is |registers|, never rows. The exact baseline is one
+    # count_distinct branch over the pruned key column (the one
+    # honest extra scan, stated; the whole point of HLL is that at
+    # 100 TB you keep the sketch and DROP that branch — here it is
+    # the curve's truth column). rho via integer bit-length (sk4's
+    # transcendental-free discipline).
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(F.col("l_partkey").cast("string").alias("k"))
+    h = F.conv(F.substring(F.md5(F.col("k")), 1, 13), 16, 10).cast("long")
+    pr = keyed.select(
+        h.alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.lit(float(alpha)).alias("alpha"),
+                        F.lit(div).alias("divisor"),
+                        F.lit(wb).alias("wbits"),
+                    )
+                    for (_p, m, alpha, div, wb) in _SK12_PRECISIONS
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        F.col("c.m").alias("m"),
+        F.col("c.alpha").alias("alpha"),
+        F.col("c.wbits").alias("wbits"),
+        F.expr("h DIV c.divisor").alias("register"),
+        (F.col("h") % F.col("c.divisor")).alias("w"),
+    )
+    regs = pr.select(
+        "m",
+        "alpha",
+        "register",
+        F.when(F.col("w") == 0, F.col("wbits") + 1)
+        .otherwise(F.col("wbits") + 1 - F.length(F.bin(F.col("w"))))
+        .alias("rho"),
+    ).groupBy("m", "alpha", "register").agg(F.max("rho").alias("rho"))
+    est = regs.groupBy("m", "alpha").agg(
+        F.count(F.lit(1)).cast("int").alias("observed"),
+        (
+            F.col("alpha") * F.col("m") * F.col("m")
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.col("m") - F.count(F.lit(1))).cast("double")
+            )
+        ).alias("raw_estimate"),
+    )
+    exact = keyed.agg(
+        F.count_distinct("k").cast("bigint").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("m").cast("int").alias("m"),
+        "observed",
+        "raw_estimate",
+        "exact_distinct",
+        (
+            (F.col("raw_estimate") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+            * F.lit(10000.0)
+        ).alias("err_bp"),
+    )
+
+
 def q_sk5_hll_rollup(spark, sf_dir):
     # mergeable-sketch rollup: distinct active customers per nation /
     # region / global as HLL register tables. The leaf (nation) level
@@ -357,6 +442,7 @@ QUERIES = {
     "sk7_quantile_sketch": q_sk7_quantile_sketch,
     "sk1_kmv_distinct": q_sk1_kmv_distinct,
     "sk4_hll_distinct": q_sk4_hll_distinct,
+    "sk12_hll_precision_curve": q_sk12_hll_precision_curve,
     "sk5_hll_rollup": q_sk5_hll_rollup,
     "sk2_bloom": q_sk2_bloom,
     "sk11_cms_width_curve": q_sk11_cms_width_curve,
@@ -364,8 +450,54 @@ QUERIES = {
     "sk3_cms": q_sk3_cms,
 }
 
+def _sk12_oracle_sql() -> str:
+    """Generated from _SK12_PRECISIONS so the constants cannot drift;
+    the alpha expression is spelled with the same op sequence the
+    Python constants were computed with (m is a power of two, so the
+    doubles agree bit-for-bit — the sk4 precedent)."""
+    cells = []
+    for _p, m, _alpha, div, wb in _SK12_PRECISIONS:
+        alpha_expr = (
+            "0.709" if m == 64 else f"(0.7213 / (1.0 + 1.079 / {m}))"
+        )
+        cells.append(f"""
+            rho{m} AS (
+              SELECT h // {div} AS register,
+                     max(CASE WHEN h % {div} = 0 THEN {wb + 1}
+                         ELSE {wb + 1} - length(bin(h % {div})) END) AS rho
+              FROM h GROUP BY 1
+            ),
+            cell{m} AS (
+              SELECT {m} AS m, CAST(count(*) AS INTEGER) AS observed,
+                     {alpha_expr} * {m} * {m}
+                       / (sum(power(2.0, -rho))
+                          + CAST({m} - count(*) AS DOUBLE)) AS raw_estimate
+              FROM rho{m}
+            )""")
+    return f"""
+            WITH h AS (
+              SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
+              FROM lineitem
+            ),
+            ex AS (
+              SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+                AS exact_distinct FROM lineitem
+            ),{",".join(cells)}
+            SELECT CAST(m AS INTEGER) AS m, observed, raw_estimate,
+                   exact_distinct,
+                   (raw_estimate - CAST(exact_distinct AS DOUBLE))
+                     / CAST(exact_distinct AS DOUBLE) * 10000.0 AS err_bp
+            FROM (
+              SELECT * FROM cell64
+              UNION ALL SELECT * FROM cell256
+              UNION ALL SELECT * FROM cell1024
+            ) CROSS JOIN ex
+"""
+
+
 def oracles() -> dict[str, str]:
     return {
+        "sk12_hll_precision_curve": _sk12_oracle_sql(),
         "sk9_group_heavy_hitters": """
             SELECT event_type AS grp,
                    CAST(user_id AS VARCHAR) AS key,

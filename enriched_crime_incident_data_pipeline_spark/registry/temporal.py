@@ -955,7 +955,55 @@ def q_ts9_max_concurrency(spark, sf_dir):
     )
 
 
+def q_ts12_autocorr_profile(spark, sf_dir):
+    # the seasonality-STRENGTH artifact (r10; ts11 located the
+    # (dow, hour) peaks, this measures how predictive the cycle is):
+    # Pearson autocorrelation of the hourly event-count series at
+    # lags 1 h / 24 h / 168 h — the numbers that justify daily/weekly
+    # capacity models and drift-detector window lengths. The series
+    # is one groupBy over the ≤|hours| bucket domain; one self-join
+    # on (hour + lag) with the 3 lags exploded on the left side
+    # (pairs exist where BOTH hours observed — absent hours are
+    # missing data, not zeros; stated semantics); co-moments are
+    # EXACT BIGINT sums of count products (counts are integers — no
+    # decimal needed), then one fixed float chain per lag (stat1's
+    # discipline: identical op sequence in the oracle, bit-equal).
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select(
+        F.expr("unix_timestamp(ts) DIV 3600").alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lagged = series.select(
+        F.explode(F.array(F.lit(1), F.lit(24), F.lit(168))).alias("lag"),
+        (F.col("h")).alias("h0"),
+        F.col("c").alias("x"),
+    ).withColumn("h2", F.col("h0") + F.col("lag"))
+    joined = lagged.join(
+        series.select(F.col("h").alias("h2"), F.col("c").alias("y")), "h2"
+    )
+    g = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("_sx"),
+        F.sum("y").cast("bigint").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("_syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("_sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = n * d("_sxy") - d("_sx") * d("_sy")
+    den = F.sqrt(
+        (n * d("_sxx") - d("_sx") * d("_sx"))
+        * (n * d("_syy") - d("_sy") * d("_sy"))
+    )
+    return g.select(
+        F.col("lag").cast("int").alias("lag_hours"),
+        "n_pairs",
+        (num / den).alias("autocorr"),
+    )
+
+
 QUERIES = {
+    "ts12_autocorr_profile": q_ts12_autocorr_profile,
     "ts10_gap_histogram": q_ts10_gap_histogram,
     "ts11_seasonality_profile": q_ts11_seasonality_profile,
     "cdc2_snapshot_diff": q_cdc2_snapshot_diff,
@@ -991,6 +1039,38 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ts12_autocorr_profile": """
+            WITH s AS (
+              SELECT epoch_us(ts) // 1000000 // 3600 AS h,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ),
+            lags(lag) AS (VALUES (1), (24), (168)),
+            j AS (
+              SELECT lags.lag, a.c AS x, b.c AS y
+              FROM s a CROSS JOIN lags
+              JOIN s b ON b.h = a.h + lags.lag
+            ),
+            g AS (
+              SELECT lag,
+                     CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM j GROUP BY lag
+            )
+            SELECT CAST(lag AS INTEGER) AS lag_hours, n_pairs,
+                   (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     AS autocorr
+            FROM g
+""",
         "ts11_seasonality_profile": """
             WITH cells AS (
               SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
