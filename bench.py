@@ -175,6 +175,8 @@ LONGTAIL = [
     "tp19_pack_budget_curve",  # one prefix-sum pass pricing 4 pack budgets (r10)
     "sk12_hll_precision_curve",  # HLL m-sizing curve vs exact distinct (r10)
     "dd27_jaccard_threshold_curve",  # verified-pair threshold cells (r10)
+    "dc10_gram_length_curve",  # decontamination n-gram-length knob (r10)
+    "gr16_component_size_histogram",  # citation-graph connectivity profile (r10)
     # r10 full-registry audit sweep (tools/bench_audit.py): every
     # previously-unwired query was timed warm at sf0.1; all >= 1.5 s
     # land here, the rest carry measured exclusions in BENCH_EXCLUDED
@@ -222,6 +224,7 @@ LONGTAIL = [
 # without regression signal; their correctness coverage is the full
 # selfcheck + the pytest oracle slice.
 BENCH_EXCLUDED = {
+    "ts13_burstiness_profile": "r10: 0.31 s warm at sf0.1, below the 1.5 s longtail bar",
     "ts12_autocorr_profile": "r10: 0.77 s warm at sf0.1, below the 1.5 s longtail bar",
     "ol3_grouped_mad_outliers": "r10: 1.28 s warm at sf0.1, below the 1.5 s longtail bar",
     "mm9_payload_size_profile": "r10: 0.28 s warm at sf0.1, below the 1.5 s longtail bar",

@@ -91,6 +91,85 @@ def q_dc9_contamination_by_source(spark, sf_dir):
     )
 
 
+def q_dc10_gram_length_curve(spark, sf_dir):
+    # the GRAM-LENGTH sizing artifact for decontamination (r10; the
+    # n in dc1's "8-gram" is a recall/precision knob nobody should
+    # set unmeasured): contamination rate at n = 4 / 8 / 16 — short
+    # grams over-flag (common phrases), long grams under-flag (only
+    # verbatim spans). ONE tokenization of the corpus (pinned toks
+    # relation; doc_ngrams' lambda-hoisting discipline), then each n
+    # is a map-only gram derivation + broadcast eval-gram semi-join
+    # (dc1's asymmetry: eval benchmarks are MBs) -> three 1-row
+    # cells crossJoined and stacked to the 3-row curve. Exact
+    # integers.
+    from enriched_crime_incident_data_pipeline_spark.operators.parallelism import (
+        fan_out,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    ev = toks.filter(F.col("doc_id") % 50 == 0)
+    tr = toks.filter(F.col("doc_id") % 50 != 0)
+    n_train = tr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_docs")
+    )
+    # NB: the per-n lambda must stay single-parameter — pyspark
+    # treats a 2-arg lambda (even with a default) as the
+    # (element, index) form and silently passes the INDEX into the
+    # second slot; the def closure below is the safe capture
+    def _grams(n: int):
+        n_sh = F.greatest(F.size(F.col("toks")) - F.lit(n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+        )
+
+    out = None
+    for n in (4, 8, 16):
+        grams = _grams(n)
+        eg = (
+            ev.select(F.explode(F.array_distinct(grams)).alias("gram"))
+            .distinct()
+        )
+        tg = tr.select(
+            "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+        )
+        egc = eg.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_eval_grams_{n}")
+        )
+        hit = (
+            tg.join(F.broadcast(eg), "gram")
+            .select("doc_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_contam_{n}"))
+        )
+        cell = F.broadcast(egc).crossJoin(F.broadcast(hit))
+        out = cell if out is None else out.crossJoin(cell)
+    one = n_train.crossJoin(F.broadcast(out))
+    return one.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(
+                f"{n}, n_eval_grams_{n}, n_contam_{n}" for n in (4, 8, 16)
+            )
+            + ") AS (gram_len, n_eval_grams, n_contaminated)"
+        ),
+        "n_train_docs",
+    ).select(
+        F.col("gram_len").cast("int").alias("gram_len"),
+        "n_eval_grams",
+        "n_contaminated",
+        "n_train_docs",
+        F.expr(
+            "CAST((n_contaminated * 10000) DIV n_train_docs AS BIGINT)"
+        ).alias("contamination_bp"),
+    )
+
+
 def q_dc1_contamination(spark, sf_dir):
     # train/eval 8-gram decontamination: eval set = every 50th doc;
     # eval-gram set broadcast, corpus never self-joins
@@ -185,6 +264,7 @@ QUERIES = {
     "dc5_semantic_decontaminate": q_dc5_semantic_decontaminate,
     "dc1_contamination": q_dc1_contamination,
     "dc9_contamination_by_source": q_dc9_contamination_by_source,
+    "dc10_gram_length_curve": q_dc10_gram_length_curve,
     "dc6_flag_in_row": q_dc6_flag_in_row,
     "dc7_bloom_decontaminate": q_dc7_bloom_decontaminate,
     "dc8_scrub_spans": q_dc8_scrub_spans,
@@ -240,6 +320,85 @@ def oracles() -> dict[str, str]:
                                 THEN 'train' ELSE 'eval' END AS split
                     FROM cl
                 """,
+        "dc10_gram_length_curve": f"""
+            WITH
+              cell_4 AS (
+                WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                g AS (
+                  SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(toks, i, i + 3), ' ')
+                           AS gram
+                  FROM w, unnest(generate_series(1,
+                           greatest(len(toks) - 3, 1))) AS t(i)
+                ),
+                ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+                hit AS (
+                  SELECT DISTINCT g.doc_id
+                  FROM g JOIN ev USING (gram)
+                  WHERE g.doc_id % 50 <> 0
+                )
+                SELECT 4 AS gram_len,
+                       CAST((SELECT count(*) FROM ev) AS BIGINT)
+                         AS n_eval_grams,
+                       CAST((SELECT count(*) FROM hit) AS BIGINT)
+                         AS n_contaminated
+              ),
+              cell_8 AS (
+                WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                g AS (
+                  SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(toks, i, i + 7), ' ')
+                           AS gram
+                  FROM w, unnest(generate_series(1,
+                           greatest(len(toks) - 7, 1))) AS t(i)
+                ),
+                ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+                hit AS (
+                  SELECT DISTINCT g.doc_id
+                  FROM g JOIN ev USING (gram)
+                  WHERE g.doc_id % 50 <> 0
+                )
+                SELECT 8 AS gram_len,
+                       CAST((SELECT count(*) FROM ev) AS BIGINT)
+                         AS n_eval_grams,
+                       CAST((SELECT count(*) FROM hit) AS BIGINT)
+                         AS n_contaminated
+              ),
+              cell_16 AS (
+                WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                g AS (
+                  SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(toks, i, i + 15), ' ')
+                           AS gram
+                  FROM w, unnest(generate_series(1,
+                           greatest(len(toks) - 15, 1))) AS t(i)
+                ),
+                ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+                hit AS (
+                  SELECT DISTINCT g.doc_id
+                  FROM g JOIN ev USING (gram)
+                  WHERE g.doc_id % 50 <> 0
+                )
+                SELECT 16 AS gram_len,
+                       CAST((SELECT count(*) FROM ev) AS BIGINT)
+                         AS n_eval_grams,
+                       CAST((SELECT count(*) FROM hit) AS BIGINT)
+                         AS n_contaminated
+              ),
+              tn AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_train_docs
+                FROM documents WHERE doc_id % 50 <> 0
+              )
+            SELECT CAST(gram_len AS INTEGER) AS gram_len, n_eval_grams,
+                   n_contaminated, n_train_docs,
+                   CAST((n_contaminated * 10000) // n_train_docs AS BIGINT)
+                     AS contamination_bp
+            FROM (
+              SELECT * FROM cell_4
+              UNION ALL SELECT * FROM cell_8
+              UNION ALL SELECT * FROM cell_16
+            ) CROSS JOIN tn
+""",
         "dc9_contamination_by_source": f"""
                     WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
                     g AS (

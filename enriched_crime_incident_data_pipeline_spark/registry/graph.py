@@ -448,6 +448,54 @@ def _citation_raw_edges(docs):
     return rot.union(back).union(fwd).filter(F.col("src") != F.col("dst"))
 
 
+def q_gr16_component_size_histogram(spark, sf_dir):
+    # the graph-side family-size report (r10; dd25 histograms LSH dup
+    # clusters — this is the CITATION graph's connectivity profile,
+    # the number that says whether the graph is one giant component
+    # or shattered islands, which decides BFS frontier sizing and
+    # partition-locality expectations): connected components of the
+    # undirected citation graph, every doc counted (docs in no edge
+    # are size-1 singletons via the same coalesce dd9 uses), then a
+    # <=|sizes|-row histogram with node-mass shares. CC resolves in
+    # the driver/single-task tier (edges ∝ near-dups + one cycle per
+    # 16-doc block); the share window runs over the histogram only.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.clusters import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _citation_raw_edges(docs)
+    e = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    cc = connected_components(e, "a", "b")
+    comp = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(F.coalesce("cluster_id", F.col("doc_id")).alias("comp"))
+    )
+    csize = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    hist = csize.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components")
+    )
+    return hist.select(
+        F.col("sz").alias("component_size"),
+        "n_components",
+        (F.col("sz") * F.col("n_components")).cast("bigint").alias("n_nodes"),
+        F.expr(
+            "CAST((sz * n_components * 10000)"
+            " DIV (sum(sz * n_components) OVER ()) AS BIGINT)"
+        ).alias("node_share_bp"),
+    )
+
+
 def q_gr15_wedge_skew_audit(spark, sf_dir):
     # the operator that DECIDES gr14's max_mid_degree and
     # link_predict's cap: a degree-magnitude histogram of the
@@ -676,6 +724,7 @@ QUERIES = {
     "gr12_reciprocity": q_gr12_reciprocity,
     "gr13_assortativity": q_gr13_assortativity,
     "gr15_wedge_skew_audit": q_gr15_wedge_skew_audit,
+    "gr16_component_size_histogram": q_gr16_component_size_histogram,
     "gr14_two_hop_reach": q_gr14_two_hop_reach,
     "gr8_personalized_pagerank": q_gr8_personalized_pagerank,
     "gr7_scc": q_gr7_scc,
@@ -740,6 +789,63 @@ def oracles() -> dict[str, str]:
         "gr10_bfs_distance": _GR10_BFS_SQL,
         "gr12_reciprocity": _GR12_RECIPROCITY_SQL,
         "gr13_assortativity": _GR13_ASSORT_SQL,
+        "gr16_component_size_histogram": f"""
+                    WITH RECURSIVE bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    pairs AS MATERIALIZED (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    rot AS (
+                      SELECT doc_id AS src,
+                             coalesce(lead(doc_id) OVER w,
+                                      first_value(doc_id) OVER w) AS dst
+                      FROM documents
+                      WINDOW w AS (PARTITION BY doc_id // 16 ORDER BY doc_id)
+                    ),
+                    e AS MATERIALIZED (
+                      SELECT DISTINCT least(src, dst) AS a,
+                             greatest(src, dst) AS b
+                      FROM (
+                        SELECT src, dst FROM rot
+                        UNION SELECT b AS src, a AS dst FROM pairs
+                        UNION SELECT a AS src, b AS dst FROM pairs
+                          WHERE (a + b) % 3 = 0
+                      ) WHERE src <> dst
+                    ),
+                    edges AS (
+                      SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+                    ),
+                    reach(node, label) AS (
+                      SELECT DISTINCT a AS node, a AS label FROM edges
+                      UNION
+                      SELECT ed.a AS node, r.label FROM edges ed
+                      JOIN reach r ON r.node = ed.b
+                    ),
+                    cc AS (
+                      SELECT node, min(label) AS cluster_id
+                      FROM reach GROUP BY node
+                    ),
+                    comp AS (
+                      SELECT coalesce(cc.cluster_id, d.doc_id) AS comp
+                      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+                    ),
+                    csize AS (
+                      SELECT comp, CAST(count(*) AS BIGINT) AS sz
+                      FROM comp GROUP BY comp
+                    ),
+                    hist AS (
+                      SELECT sz, CAST(count(*) AS BIGINT) AS n_components
+                      FROM csize GROUP BY sz
+                    )
+                    SELECT sz AS component_size, n_components,
+                           CAST(sz * n_components AS BIGINT) AS n_nodes,
+                           CAST((sz * n_components * 10000)
+                                // (sum(sz * n_components) OVER ())
+                             AS BIGINT) AS node_share_bp
+                    FROM hist
+""",
         "gr15_wedge_skew_audit": f"""
                     WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
                     pairs AS MATERIALIZED (

@@ -955,6 +955,46 @@ def q_ts9_max_concurrency(spark, sf_dir):
     )
 
 
+def q_ts13_burstiness_profile(spark, sf_dir):
+    # the BURSTINESS artifact (r10; ts11 located the seasonal peaks,
+    # ts12 measured cycle strength — this measures dispersion: a
+    # Poisson-like arrival stream has Fano factor ~1, bursty traffic
+    # >>1, and the number sizes stream micro-batch buffers and
+    # rate-limiter headroom): per day-of-week, the variance-to-mean
+    # ratio of the hourly event-count series, in EXACT integer
+    # micro-units — F = (n*sum(c^2) - (sum c)^2) / (n * sum c), both
+    # sides BIGINT, emitted as (num * 1e6) DIV den. One groupBy over
+    # the <=|hours| bucket domain, one over the <=7 dow domain; no
+    # floats anywhere.
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select(
+        F.expr("unix_timestamp(ts) DIV 3600").alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # dow of the bucket: hour-index -> day-index; unix epoch day 0
+    # (1970-01-01) was a Thursday = 5 in the 1=Sunday convention
+    dowed = series.select(
+        (F.expr("h DIV 24") + F.lit(4)).alias("_d"),
+        "c",
+    ).select(
+        ((F.col("_d") % 7) + 1).cast("int").alias("dow"),
+        "c",
+    )
+    g = dowed.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("_sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_scc"),
+    )
+    return g.select(
+        "dow",
+        "n_hours",
+        F.col("_sc").alias("n_events"),
+        F.expr(
+            "CAST(((n_hours * _scc - _sc * _sc) * 1000000)"
+            " DIV (n_hours * _sc) AS BIGINT)"
+        ).alias("fano_micro"),
+    )
+
+
 def q_ts12_autocorr_profile(spark, sf_dir):
     # the seasonality-STRENGTH artifact (r10; ts11 located the
     # (dow, hour) peaks, this measures how predictive the cycle is):
@@ -1004,6 +1044,7 @@ def q_ts12_autocorr_profile(spark, sf_dir):
 
 QUERIES = {
     "ts12_autocorr_profile": q_ts12_autocorr_profile,
+    "ts13_burstiness_profile": q_ts13_burstiness_profile,
     "ts10_gap_histogram": q_ts10_gap_histogram,
     "ts11_seasonality_profile": q_ts11_seasonality_profile,
     "cdc2_snapshot_diff": q_cdc2_snapshot_diff,
@@ -1039,6 +1080,28 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ts13_burstiness_profile": """
+            WITH s AS (
+              SELECT epoch_us(ts) // 1000000 // 3600 AS h,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ),
+            d AS (
+              SELECT CAST(((h // 24 + 4) % 7) + 1 AS INTEGER) AS dow, c
+              FROM s
+            ),
+            g AS (
+              SELECT dow,
+                     CAST(count(*) AS BIGINT) AS n_hours,
+                     CAST(sum(c) AS BIGINT) AS sc,
+                     CAST(sum(c * c) AS BIGINT) AS scc
+              FROM d GROUP BY dow
+            )
+            SELECT dow, n_hours, sc AS n_events,
+                   CAST(((n_hours * scc - sc * sc) * 1000000)
+                        // (n_hours * sc) AS BIGINT) AS fano_micro
+            FROM g
+""",
         "ts12_autocorr_profile": """
             WITH s AS (
               SELECT epoch_us(ts) // 1000000 // 3600 AS h,

@@ -234,6 +234,8 @@ SF1_POOL = [
     "ol3_grouped_mad_outliers",  # 0.18 s
     "mm9_payload_size_profile",  # 0.05 s
     "dq15_fk_fanout_profile",  # 0.15 s
+    "dc10_gram_length_curve",  # 3.23 s
+    "ts13_burstiness_profile",  # 0.02 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
@@ -255,6 +257,10 @@ SF1_POOL = [
 # dd26_shingle_sensitivity excluded at 171.1 s (three un-indexed
 # band self-joins at sf1; the sf1 VALUES are quoted in PLANS.md —
 # w=2 over-pairs 4.3× vs w=3: 12,027 vs 2,781 candidates).
+# r10 measurement: gr16_component_size_histogram excluded at a
+# measured 97.1 s (the recursive-CTE CC over the sf1 citation edges,
+# dd20's class); its sf1 behavior rides the CC components already in
+# the pool and the SCALING sweeps.
 # r10 measurement: dd27_jaccard_threshold_curve excluded (>200 s,
 # killed at the cap — dd19's un-indexed band-join + shingle
 # intersection class at sf1); its threshold cells are dd19's verified
