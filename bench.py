@@ -177,6 +177,8 @@ LONGTAIL = [
     "dd27_jaccard_threshold_curve",  # verified-pair threshold cells (r10)
     "dc10_gram_length_curve",  # decontamination n-gram-length knob (r10)
     "gr16_component_size_histogram",  # citation-graph connectivity profile (r10)
+    "ret9_postings_skew_profile",  # term-df skew, the max_df cap evidence (r10)
+    "tok13_piece_length_profile",  # usage-weighted piece-length histogram (r10)
     # r10 full-registry audit sweep (tools/bench_audit.py): every
     # previously-unwired query was timed warm at sf0.1; all >= 1.5 s
     # land here, the rest carry measured exclusions in BENCH_EXCLUDED

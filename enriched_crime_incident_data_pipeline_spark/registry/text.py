@@ -368,6 +368,88 @@ def q_retention1_cohorts(spark, sf_dir):
 
 
 
+def q_ret9_postings_skew_profile(spark, sf_dir):
+    # the INDEX-SKEW artifact (r10; the evidence behind every max_df
+    # cap in the repo — dd5b's shingle cap, ret4's relative stopword
+    # cap, frame_match's hot-hash cap): the term document-frequency
+    # distribution as a log2-bucket histogram with posting-mass
+    # shares. The top bucket's share IS the stopword problem: at
+    # 100 TB a term in 10% of docs is one join key with a quadratic
+    # pair fan-out in any term-join, and this profile prices the cut
+    # BEFORE choosing the cap. One distinct (doc, token) explode ->
+    # term-df groupBy (map-side combinable) -> <=64-row histogram;
+    # the share window runs over the histogram only.
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    df_ = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    b = df_.select(
+        F.length(F.conv(F.col("df").cast("string"), 10, 2))
+        .cast("int")
+        .alias("bucket"),
+        "df",
+    )
+    hist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("df").cast("bigint").alias("total_postings"),
+    )
+    return hist.select(
+        "bucket",
+        F.expr("CAST((CAST(2 AS BIGINT) << (bucket - 1)) - 1 AS BIGINT)").alias(
+            "bucket_max_df"
+        ),
+        "n_terms",
+        "total_postings",
+        F.expr(
+            "CAST((total_postings * 10000)"
+            " DIV (sum(total_postings) OVER ()) AS BIGINT)"
+        ).alias("postings_share_bp"),
+    )
+
+
+def q_tok13_piece_length_profile(spark, sf_dir):
+    # the VOCAB-ERGONOMICS artifact (r10; tok7 measured fertility per
+    # domain, tok8 the compression curve — this shows WHERE the
+    # compression comes from): the corpus-usage-weighted histogram of
+    # encoded piece character-lengths under the 3-merge char-BPE
+    # vocab. A healthy vocab moves token mass into multi-char pieces;
+    # a stuck one leaves everything at length 1 (char fallback). The
+    # trained word-symbol relation already knows every word's pieces
+    # (tok6's never-rewalk-text discipline), so this is one explode
+    # of the Zipf-small (word, freq, pieces) relation -> piece-level
+    # usage groupBy -> <=|lengths| histogram with usage shares.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.bpe import (
+        _train_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sym, _ = _train_chars(docs, 3, "text", apply_last=True)
+    pieces = sym.select(
+        F.explode("arr").alias("piece"), F.col("freq").cast("bigint").alias("freq")
+    )
+    per_piece = pieces.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("usage")
+    )
+    hist = per_piece.select(
+        F.length("piece").cast("int").alias("piece_len"), "usage"
+    ).groupBy("piece_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+        F.sum("usage").cast("bigint").alias("total_usage"),
+    )
+    return hist.select(
+        "piece_len",
+        "n_pieces",
+        "total_usage",
+        F.expr(
+            "CAST((total_usage * 10000)"
+            " DIV (sum(total_usage) OVER ()) AS BIGINT)"
+        ).alias("usage_share_bp"),
+    )
+
+
 def q_ret4_postings_blocks(spark, sf_dir):
     # inverted-index build artifact: one term-shard (md5(token) mod
     # 3 == 0) of blocked doc-ordered posting lists with skip-list
@@ -972,6 +1054,7 @@ QUERIES = {
     "tok4_bpe_sampled": q_tok4_bpe_sampled,
     "tok5_bpe_char_merges": q_tok5_bpe_char_merges,
     "tok6_bpe_char_encode": q_tok6_bpe_char_encode,
+    "tok13_piece_length_profile": q_tok13_piece_length_profile,
     "tok7_fertility_audit": q_tok7_fertility_audit,
     "ta1_token_count": q_ta1_token_count,
     "ta2_quality": q_ta2_quality,
@@ -987,6 +1070,7 @@ QUERIES = {
     "ret1_bm25_topk": q_ret1_bm25_topk,
     "ret8_self_retrieval_mrr": q_ret8_self_retrieval_mrr,
     "ret4_postings_blocks": q_ret4_postings_blocks,
+    "ret9_postings_skew_profile": q_ret9_postings_skew_profile,
     "ret6_trigram_search": q_ret6_trigram_search,
     "ret7_phrase_search": q_ret7_phrase_search,
     "ret2_hybrid_rrf": q_ret2_hybrid_rrf,
@@ -1369,6 +1453,35 @@ def oracles() -> dict[str, str]:
             FROM documents
             WHERE instr(text, 'merge batch') > 0
 """,
+        "ret9_postings_skew_profile": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, t.tok
+              FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) w,
+                   unnest(w.toks) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            tdf AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df
+              FROM dt GROUP BY tok
+            ),
+            bk AS (
+              SELECT CAST(length(bin(df)) AS INTEGER) AS bucket, df FROM tdf
+            ),
+            hist AS (
+              SELECT bucket,
+                     CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(df) AS BIGINT) AS total_postings
+              FROM bk GROUP BY bucket
+            )
+            SELECT bucket,
+                   CAST((2::BIGINT << (bucket - 1)) - 1 AS BIGINT)
+                     AS bucket_max_df,
+                   n_terms, total_postings,
+                   CAST((total_postings * 10000)
+                        // (sum(total_postings) OVER ()) AS BIGINT)
+                     AS postings_share_bp
+            FROM hist
+""",
         "ret4_postings_blocks": f"""
             WITH toks AS (
               SELECT doc_id AS docid, unnest({_TOKENS}) AS token
@@ -1734,6 +1847,32 @@ def oracles() -> dict[str, str]:
         "tok2_bpe_encode": _TOK2_BPE_SQL,
         "tok3_wordpiece_encode": _TOK3_WORDPIECE_SQL,
         "tok4_bpe_sampled": _TOK4_SAMPLED_SQL,
+        "tok13_piece_length_profile": (
+            "\n            WITH "
+            + _TOK5_CHAIN
+            + f""",
+            c4 AS (SELECT w, freq, {_TOK1_APPLY} AS arr FROM c3, wm3),
+            pieces AS (
+              SELECT t.piece, freq
+              FROM c4, unnest(c4.arr) AS t(piece)
+            ),
+            per_piece AS (
+              SELECT piece, CAST(sum(freq) AS BIGINT) AS usage
+              FROM pieces GROUP BY piece
+            ),
+            hist AS (
+              SELECT CAST(length(piece) AS INTEGER) AS piece_len,
+                     CAST(count(*) AS BIGINT) AS n_pieces,
+                     CAST(sum(usage) AS BIGINT) AS total_usage
+              FROM per_piece GROUP BY 1
+            )
+            SELECT piece_len, n_pieces, total_usage,
+                   CAST((total_usage * 10000)
+                        // (sum(total_usage) OVER ()) AS BIGINT)
+                     AS usage_share_bp
+            FROM hist
+"""
+        ),
         "tok5_bpe_char_merges": _TOK5_CHAR_MERGES_SQL,
         "tok7_fertility_audit": "\n            WITH "
                     + _TOK5_CHAIN
