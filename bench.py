@@ -226,6 +226,7 @@ LONGTAIL = [
 # without regression signal; their correctness coverage is the full
 # selfcheck + the pytest oracle slice.
 BENCH_EXCLUDED = {
+    "er5_block_size_profile": "r10: 1.04 s warm at sf0.1, below the 1.5 s longtail bar",
     "ts13_burstiness_profile": "r10: 0.31 s warm at sf0.1, below the 1.5 s longtail bar",
     "ts12_autocorr_profile": "r10: 0.77 s warm at sf0.1, below the 1.5 s longtail bar",
     "ol3_grouped_mad_outliers": "r10: 1.28 s warm at sf0.1, below the 1.5 s longtail bar",

@@ -364,6 +364,62 @@ def q_er3_cluster_cohesion(spark, sf_dir):
     )
 
 
+def q_er5_block_size_profile(spark, sf_dir):
+    # the BLOCKING-COST artifact for the ER family (r10; gr15 is the
+    # graph twin): per blocking configuration (fuzzy prefix blocking
+    # at tail=1 — er1's config — and tail=2 — er3's), the block-size
+    # log2 histogram with each bucket's share of the candidate-pair
+    # sum sigma s·(s−1)/2 — the quantity the blocked self-join
+    # actually pays, and the number that says when a config needs
+    # er4's hot-bucket cap. One name scan per config (the block key
+    # is a column expression), a block groupBy, then a <=64-row
+    # histogram; the share window runs over the histogram only.
+    cust = load_table(spark, sf_dir, "customer")
+    outs = []
+    for tail in (1, 2):
+        blk = cust.select(
+            F.concat(
+                F.expr(
+                    f"substring(c_name, 1, length(c_name) - {tail})"
+                ),
+                F.lit("#"),
+                F.length("c_name").cast("string"),
+            ).alias("blk")
+        )
+        sizes = blk.groupBy("blk").agg(
+            F.count(F.lit(1)).cast("bigint").alias("s")
+        )
+        hist = sizes.select(
+            F.length(F.conv(F.col("s").cast("string"), 10, 2))
+            .cast("int")
+            .alias("bucket"),
+            "s",
+        ).groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("s").cast("bigint").alias("n_names"),
+            F.sum(F.expr("s * (s - 1) DIV 2")).cast("bigint").alias(
+                "cand_pairs"
+            ),
+        )
+        outs.append(
+            hist.select(
+                F.lit(f"tail{tail}").alias("scheme"),
+                "bucket",
+                "n_blocks",
+                "n_names",
+                "cand_pairs",
+                F.expr(
+                    "CAST(CASE WHEN sum(cand_pairs) OVER"
+                    " (PARTITION BY 1) = 0 THEN 0"
+                    " ELSE (cand_pairs * 10000) DIV"
+                    " (sum(cand_pairs) OVER (PARTITION BY 1)) END"
+                    " AS BIGINT)"
+                ).alias("pair_share_bp"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_er1_entity_clusters(spark, sf_dir):
     # entity resolution end-to-end: fuzzy-blocked name pairs (fuzzy1)
     # -> connected components -> one canonical entity per component
@@ -868,6 +924,7 @@ def q_dq10_schema_drift(spark, sf_dir):
 QUERIES = {
     "dq13_column_profile": q_dq13_column_profile,
     "dq15_fk_fanout_profile": q_dq15_fk_fanout_profile,
+    "er5_block_size_profile": q_er5_block_size_profile,
     "dq14_key_uniqueness": q_dq14_key_uniqueness,
     "dq12_event_order_audit": q_dq12_event_order_audit,
     "dq10_schema_drift": q_dq10_schema_drift,
@@ -919,6 +976,54 @@ def _dq14_oracle_sql() -> str:
 
 def oracles() -> dict[str, str]:
     return {
+        "er5_block_size_profile": """
+            WITH
+              tail1 AS (
+                WITH sizes AS (
+                  SELECT substring(c_name, 1, length(c_name) - 1)
+                           || '#' || CAST(length(c_name) AS VARCHAR) AS blk,
+                         CAST(count(*) AS BIGINT) AS s
+                  FROM customer GROUP BY 1
+                ),
+                hist AS (
+                  SELECT CAST(length(bin(s)) AS INTEGER) AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_blocks,
+                         CAST(sum(s) AS BIGINT) AS n_names,
+                         CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+                  FROM sizes GROUP BY 1
+                )
+                SELECT 'tail1' AS scheme, bucket, n_blocks, n_names,
+                       cand_pairs,
+                       CAST(CASE WHEN sum(cand_pairs) OVER () = 0 THEN 0
+                            ELSE (cand_pairs * 10000)
+                                 // (sum(cand_pairs) OVER ()) END
+                         AS BIGINT) AS pair_share_bp
+                FROM hist
+              ),
+              tail2 AS (
+                WITH sizes AS (
+                  SELECT substring(c_name, 1, length(c_name) - 2)
+                           || '#' || CAST(length(c_name) AS VARCHAR) AS blk,
+                         CAST(count(*) AS BIGINT) AS s
+                  FROM customer GROUP BY 1
+                ),
+                hist AS (
+                  SELECT CAST(length(bin(s)) AS INTEGER) AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_blocks,
+                         CAST(sum(s) AS BIGINT) AS n_names,
+                         CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+                  FROM sizes GROUP BY 1
+                )
+                SELECT 'tail2' AS scheme, bucket, n_blocks, n_names,
+                       cand_pairs,
+                       CAST(CASE WHEN sum(cand_pairs) OVER () = 0 THEN 0
+                            ELSE (cand_pairs * 10000)
+                                 // (sum(cand_pairs) OVER ()) END
+                         AS BIGINT) AS pair_share_bp
+                FROM hist
+              )
+            SELECT * FROM tail1 UNION ALL SELECT * FROM tail2
+""",
         "dq15_fk_fanout_profile": """
             WITH fo AS (
               SELECT l_orderkey AS o_orderkey,

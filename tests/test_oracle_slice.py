@@ -238,6 +238,7 @@ SF1_POOL = [
     "ts13_burstiness_profile",  # 0.02 s
     "ret9_postings_skew_profile",  # 3.07 s
     "tok13_piece_length_profile",  # 4.68 s
+    "er5_block_size_profile",  # 0.02 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
