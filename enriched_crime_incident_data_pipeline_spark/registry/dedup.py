@@ -321,6 +321,111 @@ def q_dd16_minhash_estimate(spark, sf_dir):
     )
 
 
+def q_dd28_sig_length_curve(spark, sf_dir):
+    # the SIGNATURE-LENGTH sizing artifact (r10; dd26 tunes the
+    # shingle width, sk11 the CMS width — this prices the OTHER
+    # minhash knob: how many hash functions k to pay for). Per LSH
+    # candidate pair, the MinHash Jaccard estimate from the first k
+    # of the 16 minima (k = 4/8/16) next to the exact shingle
+    # Jaccard, folded into a per-k histogram of |estimate − truth|
+    # (1000-bp-wide error buckets). Theory says the estimator's std
+    # error is sqrt(J(1−J)/k) — halving error costs 4× signature
+    # bytes AND 4× banding shuffle at 100 TB; this artifact is the
+    # measured version of that trade on the corpus itself. Exact
+    # integers throughout: est_bp = n_match·(10000/k) (2500/1250/625
+    # — all exact), truth_bp = isz·10000 DIV usz. ONE pinned
+    # candidate relation, two broadcast signature lookups over the
+    # candidate-pruned corpus, dd27's exact-verify pass, a 3-way
+    # stack, then a ≤33-row histogram; the share window runs over
+    # the histogram only, partitioned by k.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        minhash_sigs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        lsh_candidate_pairs(minhash_bands(docs))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(ids, "doc_id", "left_semi")
+    sigs = minhash_sigs(pruned)
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(16)],
+    )
+
+    def _nm(lo: int, hi: int):
+        return sum(
+            (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+            for j in range(lo, hi)
+        )
+
+    est = (
+        cand.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            _nm(0, 4).alias("_n4"),
+            _nm(4, 8).alias("_i8"),
+            _nm(8, 16).alias("_i16"),
+        )
+        .select(
+            "a",
+            "b",
+            "_n4",
+            (F.col("_n4") + F.col("_i8")).alias("_n8"),
+            (F.col("_n4") + F.col("_i8") + F.col("_i16")).alias("_n16"),
+        )
+    )
+    vp = ngram_jaccard_pairs(pruned).select(
+        "a", "b", "intersect_size", "union_size"
+    )
+    pe = est.join(vp, ["a", "b"], "left").select(
+        "_n4",
+        "_n8",
+        "_n16",
+        F.expr(
+            "CAST((coalesce(intersect_size, 0) * 10000)"
+            " DIV coalesce(union_size, 1) AS BIGINT)"
+        ).alias("_tbp"),
+    )
+    rows = pe.select(
+        F.expr(
+            "stack(3,"
+            " 4, abs(_n4 * 2500 - _tbp),"
+            " 8, abs(_n8 * 1250 - _tbp),"
+            " 16, abs(_n16 * 625 - _tbp)) AS (k, err_bp)"
+        )
+    )
+    hist = rows.groupBy(
+        F.col("k").cast("int").alias("k"),
+        F.expr("CAST((err_bp DIV 1000) * 1000 AS INT)").alias(
+            "err_bucket_bp"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return hist.select(
+        "k",
+        "err_bucket_bp",
+        "n_pairs",
+        F.expr(
+            "CAST((n_pairs * 10000)"
+            " DIV (sum(n_pairs) OVER (PARTITION BY k)) AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
 def _bands_sql_for_shingle(w: int) -> str:
     # _MINHASH_BANDS_SQL with the shingle width parametrized (the
     # shared macro is the w=3 instance): same hash basis, same band
@@ -733,6 +838,7 @@ QUERIES = {
     "dd18_intradoc_dedup": q_dd18_intradoc_dedup,
     "dd19_lsh_verified": q_dd19_lsh_verified,
     "dd27_jaccard_threshold_curve": q_dd27_jaccard_threshold_curve,
+    "dd28_sig_length_curve": q_dd28_sig_length_curve,
     "dd12_incremental_lsh": q_dd12_incremental_lsh,
     "dd13_repeated_spans": q_dd13_repeated_spans,
     "dd13b_repeated_spans_sampled": q_dd13b_repeated_spans_sampled,
@@ -1134,6 +1240,74 @@ def oracles() -> dict[str, str]:
                     JOIN sizes sb ON inter.b = sb.doc_id
                     WHERE CAST(intersect_size AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
                        OR CAST(intersect_size AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
+                """,
+        "dd28_sig_length_curve": f"""
+                    WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+                    pairs AS (
+                      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM bands l JOIN bands r
+                        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                      WHERE l.doc_id < r.doc_id
+                    ),
+                    ids AS (SELECT a AS doc_id FROM pairs
+                            UNION SELECT b AS doc_id FROM pairs),
+                    sh AS ({_SHINGLES3}),
+                    hx AS MATERIALIZED (
+                      SELECT sh.doc_id, {_HASH32.format(x='shingle')} AS x
+                      FROM sh JOIN ids USING (doc_id)
+                    ),
+                    sig AS (
+                      SELECT doc_id,
+        {_MINHASH_TERMS}
+                      FROM hx GROUP BY doc_id
+                    ),
+                    nm AS (
+                      SELECT p.a, p.b,
+                             ({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(4))})
+                               AS n4,
+                             ({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(8))})
+                               AS n8,
+                             ({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(16))})
+                               AS n16
+                      FROM pairs p
+                      JOIN sig sa ON sa.doc_id = p.a
+                      JOIN sig sb ON sb.doc_id = p.b
+                    ),
+                    sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+                    inter AS (
+                      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+                      FROM hx l JOIN hx r ON l.x = r.x AND l.doc_id < r.doc_id
+                      GROUP BY 1, 2
+                    ),
+                    pe AS MATERIALIZED (
+                      SELECT nm.n4, nm.n8, nm.n16,
+                             (coalesce(i.i, 0) * 10000)
+                               // (CASE WHEN i.i IS NULL THEN 1
+                                   ELSE sa.n + sb.n - i.i END) AS tbp
+                      FROM nm
+                      JOIN sizes sa ON nm.a = sa.doc_id
+                      JOIN sizes sb ON nm.b = sb.doc_id
+                      LEFT JOIN inter i ON i.a = nm.a AND i.b = nm.b
+                    ),
+                    rws AS (
+                      SELECT 4 AS k, abs(n4 * 2500 - tbp) AS err_bp FROM pe
+                      UNION ALL
+                      SELECT 8, abs(n8 * 1250 - tbp) FROM pe
+                      UNION ALL
+                      SELECT 16, abs(n16 * 625 - tbp) FROM pe
+                    ),
+                    hist AS (
+                      SELECT k,
+                             CAST((err_bp // 1000) * 1000 AS INTEGER)
+                               AS err_bucket_bp,
+                             CAST(count(*) AS BIGINT) AS n_pairs
+                      FROM rws GROUP BY 1, 2
+                    )
+                    SELECT CAST(k AS INTEGER) AS k, err_bucket_bp, n_pairs,
+                           CAST((n_pairs * 10000)
+                                // (sum(n_pairs) OVER (PARTITION BY k))
+                             AS BIGINT) AS share_bp
+                    FROM hist
                 """,
         "dd27_jaccard_threshold_curve": f"""
                     WITH bands AS ({_MINHASH_BANDS_SQL}),

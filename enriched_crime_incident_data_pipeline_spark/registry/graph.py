@@ -717,7 +717,61 @@ def q_gr9_link_predict(spark, sf_dir):
     return link_predict(hub.union(pairs), k=50)
 
 
+def q_gr17_transitivity(spark, sf_dir):
+    # the GLOBAL clustering coefficient of the near-dup graph (r10):
+    # C = 3·triangles / wedges — the one number that says whether
+    # near-dup pairs come in transitive FAMILIES (C → 1: safe to
+    # collapse clusters to one keeper, dd9/dd10's premise) or in
+    # chains/boilerplate bridges (C → 0: cluster-collapse
+    # over-merges; verify pairwise instead). gr4 counts the
+    # triangles per node and gr15 prices the wedges — this is the
+    # published ratio, exact integers end-to-end. The edge list is
+    # pinned ONCE (eager checkpoint) and feeds all three aggregates;
+    # the triangle pass is the canonical a<b<c two-join (never
+    # all-pairs), wedges are Σ deg·(deg−1)/2 over the degree
+    # relation, and the epilogue is a 1-row crossJoin of broadcast
+    # scalars.
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        lsh_candidate_pairs(minhash_bands(docs))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    sym = e.select(F.col("a").alias("u")).unionAll(
+        e.select(F.col("b").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    wed = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    one = ne.crossJoin(F.broadcast(wed)).crossJoin(F.broadcast(tri))
+    return one.select(
+        "n_edges",
+        "n_nodes",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CAST(CASE WHEN n_wedges = 0 THEN 0"
+            " ELSE (n_triangles * 3 * 10000) DIV n_wedges END AS BIGINT)"
+        ).alias("transitivity_bp"),
+    )
+
+
 QUERIES = {
+    "gr17_transitivity": q_gr17_transitivity,
     "gr9_link_predict": q_gr9_link_predict,
     "gr6_kcore": q_gr6_kcore,
     "gr10_bfs_distance": q_gr10_bfs_distance,
@@ -845,6 +899,38 @@ def oracles() -> dict[str, str]:
                                 // (sum(sz * n_components) OVER ())
                              AS BIGINT) AS node_share_bp
                     FROM hist
+""",
+        "gr17_transitivity": f"""
+            WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),
+            e AS MATERIALIZED (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              WHERE l.doc_id < r.doc_id
+            ),
+            tri AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            deg AS (
+              SELECT u, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e)
+              GROUP BY u
+            ),
+            wed AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+                       AS n_wedges
+              FROM deg
+            ),
+            ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+            SELECT n_edges, n_nodes, n_wedges, n_triangles,
+                   CAST(CASE WHEN n_wedges = 0 THEN 0
+                        ELSE (n_triangles * 3 * 10000) // n_wedges END
+                     AS BIGINT) AS transitivity_bp
+            FROM ne, wed, tri
 """,
         "gr15_wedge_skew_audit": f"""
                     WITH bands AS MATERIALIZED ({_MINHASH_BANDS_SQL}),

@@ -12,7 +12,9 @@ from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_tab
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
     _KS_DRIFT_SQL,
+    _STOPWORD_SETS,
     _TOKENS,
+    _TOKEN_COUNT,
 )
 
 
@@ -921,7 +923,73 @@ def q_dq10_schema_drift(spark, sf_dir):
     return schema_drift(load_table(spark, sf_dir, "events"))
 
 
+def q_ta17_filter_attribution(spark, sf_dir):
+    # the FILTER-SHRINKAGE attribution report (r10): ta7 publishes
+    # the per-doc keep/drop verdict — this answers the question every
+    # curation run gets asked next: WHICH rule shrank the corpus, and
+    # by how many documents and tokens? (The published ablation table
+    # of the Gopher-rule literature, measured on this corpus.) Per
+    # rule: failing-doc count, its share of the corpus in bp, and the
+    # token mass those docs carry (overlapping by design — it's
+    # per-rule attribution — with the 'any' row giving the de-duped
+    # union, i.e. what ta7 actually drops). ONE conditional-agg pass
+    # over the same quality_features ta7 gates on (no per-rule
+    # re-scans), stack-unpivoted to the fixed 6-row report; shares
+    # derive from the same 1-row relation, so nothing re-aggregates.
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    base = docs.select(
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("sw"),
+        feats["digit_ratio"].alias("dg"),
+        feats["punct_ratio"].alias("pc"),
+    )
+    rules = [
+        ("len_min", F.col("n_tokens") < 10),
+        ("len_max", F.col("n_tokens") > 500),
+        ("stopword", F.col("sw") < 0.05),
+        ("digit", F.col("dg") > 0.2),
+        ("punct", F.col("pc") > 0.2),
+    ]
+    any_fail = rules[0][1]
+    for _, pred in rules[1:]:
+        any_fail = any_fail | pred
+    cells = [F.count(F.lit(1)).cast("bigint").alias("_n_docs")]
+    for name, pred in rules + [("any", any_fail)]:
+        cells.append(
+            F.sum(pred.cast("int")).cast("bigint").alias(f"_f_{name}")
+        )
+        cells.append(
+            F.sum(F.when(pred, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_t_{name}")
+        )
+    one = base.agg(*cells)
+    names = [n for n, _ in rules] + ["any"]
+    return one.select(
+        F.expr(
+            "stack(6, "
+            + ", ".join(f"'{n}', _f_{n}, _t_{n}" for n in names)
+            + ") AS (rule, n_fail, tokens_lost)"
+        ),
+        "_n_docs",
+    ).select(
+        "rule",
+        "n_fail",
+        F.expr(
+            "CAST(CASE WHEN _n_docs = 0 THEN 0"
+            " ELSE (n_fail * 10000) DIV _n_docs END AS BIGINT)"
+        ).alias("fail_share_bp"),
+        "tokens_lost",
+    )
+
+
 QUERIES = {
+    "ta17_filter_attribution": q_ta17_filter_attribution,
     "dq13_column_profile": q_dq13_column_profile,
     "dq15_fk_fanout_profile": q_dq15_fk_fanout_profile,
     "er5_block_size_profile": q_er5_block_size_profile,
@@ -976,6 +1044,68 @@ def _dq14_oracle_sql() -> str:
 
 def oracles() -> dict[str, str]:
     return {
+        "ta17_filter_attribution": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     {_TOKEN_COUNT} AS n_tokens,
+                     len(list_filter({_TOKENS},
+                         t -> list_contains({_STOPWORD_SETS['en']}, t))) AS sw_hits,
+                     length(text) - length(regexp_replace(text,
+                       '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g')) AS punct_chars,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS digit_chars
+              FROM documents
+            ),
+            flags AS (
+              SELECT n_tokens,
+                     n_tokens < 10 AS f_len_min,
+                     n_tokens > 500 AS f_len_max,
+                     (CASE WHEN n_tokens > 0
+                           THEN CAST(sw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                           ELSE 0.0 END) < 0.05 AS f_stopword,
+                     (CASE WHEN n_chars > 0
+                           THEN CAST(digit_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                           ELSE 0.0 END) > 0.2 AS f_digit,
+                     (CASE WHEN n_chars > 0
+                           THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                           ELSE 0.0 END) > 0.2 AS f_punct
+              FROM base
+            ),
+            agg AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN f_len_min THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                     CAST(sum(CASE WHEN f_len_min THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+                     CAST(sum(CASE WHEN f_len_max THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                     CAST(sum(CASE WHEN f_len_max THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+                     CAST(sum(CASE WHEN f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+                     CAST(sum(CASE WHEN f_stopword THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+                     CAST(sum(CASE WHEN f_digit THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+                     CAST(sum(CASE WHEN f_digit THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+                     CAST(sum(CASE WHEN f_punct THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+                     CAST(sum(CASE WHEN f_punct THEN n_tokens ELSE 0 END) AS BIGINT) AS t5,
+                     CAST(sum(CASE WHEN f_len_min OR f_len_max OR f_stopword
+                                   OR f_digit OR f_punct
+                              THEN 1 ELSE 0 END) AS BIGINT) AS f6,
+                     CAST(sum(CASE WHEN f_len_min OR f_len_max OR f_stopword
+                                   OR f_digit OR f_punct
+                              THEN n_tokens ELSE 0 END) AS BIGINT) AS t6
+              FROM flags
+            )
+            SELECT rule, n_fail,
+                   CAST(CASE WHEN n_docs = 0 THEN 0
+                        ELSE (n_fail * 10000) // n_docs END AS BIGINT)
+                     AS fail_share_bp,
+                   tokens_lost
+            FROM (
+              SELECT 'len_min' AS rule, f1 AS n_fail, t1 AS tokens_lost, n_docs FROM agg
+              UNION ALL SELECT 'len_max', f2, t2, n_docs FROM agg
+              UNION ALL SELECT 'stopword', f3, t3, n_docs FROM agg
+              UNION ALL SELECT 'digit', f4, t4, n_docs FROM agg
+              UNION ALL SELECT 'punct', f5, t5, n_docs FROM agg
+              UNION ALL SELECT 'any', f6, t6, n_docs FROM agg
+            )
+""",
         "er5_block_size_profile": """
             WITH
               tail1 AS (

@@ -519,7 +519,56 @@ def q_ss16_embed_diversity(spark, sf_dir):
     return embedding_diversity(emb, group_col="label")
 
 
+def q_ss22_norm_profile(spark, sf_dir):
+    # the embedding NORM-HEALTH profile (r10; ss21 profiles the
+    # per-dimension moments — this profiles the per-VECTOR energy):
+    # the distribution of squared L2 norms as a log2-bucket
+    # histogram. Cosine ANN silently assumes comparable norms — a
+    # fat low bucket means near-zero vectors (dead encoder rows,
+    # padding artifacts) whose cosine is numerically meaningless,
+    # and a wide spread means dot-product shortcuts (ss6/ss7
+    # quantizers) misrank against true cosine. Fixed-point exact:
+    # xu = round(x·10⁶), normsq = Σ xu² per row (map-only, one
+    # per-row aggregate over the array — the corpus never shuffles),
+    # log2 bucket via binary-string length (no float log); the share
+    # window runs over the ≤64-row histogram only.
+    emb = load_table(spark, sf_dir, "embeddings")
+    xu = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast(
+            "bigint"
+        ),
+    )
+    normsq = F.coalesce(
+        F.aggregate(
+            xu, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    b = emb.select(normsq.alias("normsq")).select(
+        F.length(F.conv(F.col("normsq").cast("string"), 10, 2))
+        .cast("int")
+        .alias("bucket"),
+        "normsq",
+    )
+    hist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("normsq").cast("bigint").alias("min_normsq"),
+        F.max("normsq").cast("bigint").alias("max_normsq"),
+    )
+    return hist.select(
+        "bucket",
+        "n_vecs",
+        "min_normsq",
+        "max_normsq",
+        F.expr(
+            "CAST((n_vecs * 10000) DIV (sum(n_vecs) OVER ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
 QUERIES = {
+    "ss22_norm_profile": q_ss22_norm_profile,
     "ss16_embed_diversity": q_ss16_embed_diversity,
     "ss15_batch_topk": q_ss15_batch_topk,
     "ss18_nprobe_curve": q_ss18_nprobe_curve,
@@ -546,6 +595,38 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ss22_norm_profile": """
+            WITH xs AS (
+              SELECT vec_id,
+                     CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000.0)
+                       AS BIGINT) AS xu
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            n AS (
+              SELECT vec_id, CAST(sum(xu * xu) AS BIGINT) AS normsq
+              FROM xs GROUP BY vec_id
+            ),
+            all_n AS (
+              SELECT e.vec_id, coalesce(n.normsq, 0) AS normsq
+              FROM embeddings e LEFT JOIN n USING (vec_id)
+            ),
+            b AS (
+              SELECT CAST(length(bin(normsq)) AS INTEGER) AS bucket, normsq
+              FROM all_n
+            ),
+            hist AS (
+              SELECT bucket,
+                     CAST(count(*) AS BIGINT) AS n_vecs,
+                     CAST(min(normsq) AS BIGINT) AS min_normsq,
+                     CAST(max(normsq) AS BIGINT) AS max_normsq
+              FROM b GROUP BY bucket
+            )
+            SELECT bucket, n_vecs, min_normsq, max_normsq,
+                   CAST((n_vecs * 10000) // (sum(n_vecs) OVER ())
+                     AS BIGINT) AS share_bp
+            FROM hist
+""",
         "ss21_dim_stats": """
             WITH x AS (
               SELECT g.i - 1 AS dim,

@@ -1042,7 +1042,71 @@ def q_ts12_autocorr_profile(spark, sf_dir):
     )
 
 
+def q_ts14_changepoint_profile(spark, sf_dir):
+    # the CHANGE-POINT magnitude profile (r10; ts11 shows the stable
+    # weekly shape, ts13 the dispersion — this finds the LEVEL SHIFT:
+    # did a feed break or a backfill land mid-series?). Classic CUSUM
+    # against the per-type mean, in exact integers: with N days and
+    # total T, the scaled cumulative deviation at day k is
+    # s_k = N·cum_k − k·T (= N·Σ(x_i − T/N) without ever forming the
+    # fractional mean); the profile row per event_type is max|s_k|,
+    # its day (ties → earliest), and the magnitude normalized by the
+    # series mass in bp. Zero-filled day spine (a missing day IS a
+    # deviation), one bounded-domain groupBy, then windows over the
+    # |types|×|days| spine only — never over raw event rows.
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    cur = filled.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("k"),
+        F.sum("x").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+    )
+    s = cur.select(
+        "event_type",
+        "day",
+        "nd",
+        "tot",
+        F.abs(F.col("nd") * F.col("cum") - F.col("k") * F.col("tot")).alias(
+            "abs_s"
+        ),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("abs_s").desc(), F.col("day")
+            )
+        ),
+    )
+    return s.filter(F.col("_rn") == 1).select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.col("tot").cast("bigint").alias("total_events"),
+        F.col("abs_s").cast("bigint").alias("cusum_max"),
+        F.expr(
+            "CAST(CASE WHEN tot = 0 THEN 0"
+            " ELSE (abs_s * 10000) DIV (nd * tot) END AS BIGINT)"
+        ).alias("cusum_max_bp"),
+        F.col("day").alias("changepoint_day"),
+    )
+
+
 QUERIES = {
+    "ts14_changepoint_profile": q_ts14_changepoint_profile,
     "ts12_autocorr_profile": q_ts12_autocorr_profile,
     "ts13_burstiness_profile": q_ts13_burstiness_profile,
     "ts10_gap_histogram": q_ts10_gap_histogram,
@@ -1080,6 +1144,48 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ts14_changepoint_profile": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+            types AS (SELECT DISTINCT event_type FROM events),
+            filled AS (
+              SELECT t.event_type, d.day, coalesce(dl.x, 0) AS x
+              FROM types t CROSS JOIN days d
+              LEFT JOIN daily dl
+                ON dl.event_type = t.event_type AND dl.day = d.day
+            ),
+            cur AS (
+              SELECT event_type, day,
+                     sum(x) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS k,
+                     sum(x) OVER (PARTITION BY event_type) AS tot,
+                     count(*) OVER (PARTITION BY event_type) AS nd
+              FROM filled
+            ),
+            s AS (
+              SELECT event_type, day, nd, tot,
+                     abs(nd * cum - k * tot) AS abs_s,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(nd * cum - k * tot) DESC, day) AS rn
+              FROM cur
+            )
+            SELECT event_type,
+                   CAST(nd AS BIGINT) AS n_days,
+                   CAST(tot AS BIGINT) AS total_events,
+                   CAST(abs_s AS BIGINT) AS cusum_max,
+                   CAST(CASE WHEN tot = 0 THEN 0
+                        ELSE (abs_s * 10000) // (nd * tot) END AS BIGINT)
+                     AS cusum_max_bp,
+                   day AS changepoint_day
+            FROM s WHERE rn = 1
+""",
         "ts13_burstiness_profile": """
             WITH s AS (
               SELECT epoch_us(ts) // 1000000 // 3600 AS h,

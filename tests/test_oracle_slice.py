@@ -239,6 +239,9 @@ SF1_POOL = [
     "ret9_postings_skew_profile",  # 3.07 s
     "tok13_piece_length_profile",  # 4.68 s
     "er5_block_size_profile",  # 0.02 s
+    # r10 third wave (measured sf1 DuckDB oracle costs, 2026-08-16):
+    "ts14_changepoint_profile",  # 0.22 s
+    "ss22_norm_profile",  # 0.14 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the
@@ -273,6 +276,13 @@ SF1_POOL = [
 # class PLUS the full gram join); its sf1 behavior rides the
 # component queries already in the pool/sweeps (dd1/tp1/tp18 here,
 # dc9 at 2.6 s) and the SCALING sweeps.
+# r10 third-wave measurements: dd28_sig_length_curve excluded at
+# 19.8 s (dd16's un-indexed band join + shingle intersection at
+# sf1), gr17_transitivity at 20.1 s (the triangle two-join over
+# sf1's band-derived edge list, gr12/gr14's class),
+# ta17_filter_attribution at 12.7 s (the per-doc stopword
+# list_filter over sf1's 5M docs — ta7's oracle class). All three
+# ride the sf0.1 slice and the SCALING sweeps.
 
 
 def _sf1_slice_names() -> list[str]:

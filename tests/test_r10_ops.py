@@ -75,3 +75,132 @@ def test_dd27_threshold_boundary_is_inclusive_integer(spark):
     }
     assert set(rows) == {5000, 7000, 9000}
     assert rows[5000] >= rows[7000] >= rows[9000]
+
+
+def test_ts14_cusum_peaks_at_level_shift(spark):
+    """A step change in the daily rate puts the CUSUM max exactly at
+    the last pre-shift day, in exact integers: type A runs 1/day for
+    3 days then 3/day for 3 days -> N=6, T=12, s_3 = 6*6 - 3*12 =
+    -18 is the extreme (|s|=18, bp = 18*10000 DIV 72 = 2500). Type B
+    exercises the zero-filled spine: all 5 events on day 1, the
+    other five global days absent from its raw rows -> s_1 = 25."""
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day, n in [(0, 1), (1, 1), (2, 1), (3, 3), (4, 3), (5, 3)]:
+        for _ in range(n):
+            rows.append((eid, t0 + datetime.timedelta(days=day), "A"))
+            eid += 1
+    for _ in range(5):
+        rows.append((eid, t0, "B"))
+        eid += 1
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in spark_queries()["ts14_changepoint_profile"](
+            spark, d
+        ).collect()
+    }
+    a = got["A"]
+    assert (a["n_days"], a["total_events"], a["cusum_max"]) == (6, 12, 18)
+    assert a["cusum_max_bp"] == 2500
+    assert a["changepoint_day"] == datetime.date(2024, 3, 3)
+    b = got["B"]
+    # zero-filled: N=6 global days, T=5; s_1 = 6*5 - 1*5 = 25
+    assert (b["n_days"], b["total_events"], b["cusum_max"]) == (6, 5, 25)
+    assert b["changepoint_day"] == datetime.date(2024, 3, 1)
+
+
+def test_ta17_attributes_fail_counts_per_rule(spark):
+    """Per-rule attribution on a hand corpus: one too-short doc, one
+    too-long stopword-free doc, one healthy doc. len_min and len_max
+    each catch exactly their doc; tokens_lost carries the failing
+    docs' token mass; 'any' is the de-duped union (2 of 3 docs)."""
+    d = tempfile.mkdtemp()
+    healthy = "the cat sat on the mat and the dog ran off today"
+    spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, "lorem " * 600),
+            (3, healthy),
+        ],
+        "doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["rule"]: r
+        for r in spark_queries()["ta17_filter_attribution"](
+            spark, d
+        ).collect()
+    }
+    assert set(got) == {"len_min", "len_max", "stopword", "digit", "punct", "any"}
+    assert (got["len_min"]["n_fail"], got["len_min"]["tokens_lost"]) == (1, 2)
+    assert (got["len_max"]["n_fail"], got["len_max"]["tokens_lost"]) == (1, 600)
+    assert got["len_max"]["fail_share_bp"] == 3333
+    # doc 2 has zero stopwords; doc 1's two tokens are non-stopwords
+    assert got["stopword"]["n_fail"] == 2
+    assert got["digit"]["n_fail"] == 0
+    # union: docs 1 and 2 fail, the healthy doc passes every rule
+    assert (got["any"]["n_fail"], got["any"]["tokens_lost"]) == (2, 602)
+    assert got["any"]["fail_share_bp"] == 6666
+
+
+def test_gr17_consistent_with_gr4_triangle_counts(spark):
+    """Cross-operator pin on the real fixture: gr4 publishes per-node
+    triangle membership over the SAME near-dup edge list, so summing
+    it counts each triangle exactly 3 times; gr17's global count must
+    agree, and the wedge count bounds triangles (every triangle
+    closes 3 wedges)."""
+    sf = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    row = qs["gr17_transitivity"](spark, sf).collect()[0]
+    per_node = qs["gr4_triangles"](spark, sf).agg(
+        F.sum("n_triangles").alias("s")
+    ).collect()[0]["s"]
+    assert (per_node or 0) == 3 * row["n_triangles"]
+    assert row["n_wedges"] >= 3 * row["n_triangles"]
+    if row["n_wedges"]:
+        assert row["transitivity_bp"] == (
+            row["n_triangles"] * 3 * 10000
+        ) // row["n_wedges"]
+
+
+def test_dd28_histogram_partitions_sum_to_candidates(spark):
+    """Each k-slice of the error histogram is a partition of the SAME
+    candidate-pair set (one relation, stacked 3 ways): per-k n_pairs
+    totals are equal across k and match dd16's per-pair report; the
+    estimator can only take k+1 distinct values so the k=4 histogram
+    is confined to coarser error levels than k=16."""
+    sf = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    rows = qs["dd28_sig_length_curve"](spark, sf).collect()
+    per_k = {}
+    for r in rows:
+        per_k.setdefault(r["k"], 0)
+        per_k[r["k"]] += r["n_pairs"]
+    n16 = qs["dd16_minhash_estimate"](spark, sf).count()
+    assert per_k == {4: n16, 8: n16, 16: n16}
+    for r in rows:
+        assert 0 <= r["err_bucket_bp"] <= 10000
+        assert 0 < r["share_bp"] <= 10000
+
+
+def test_ss22_buckets_by_normsq_bit_length(spark):
+    """Hand vectors: [0.001, 0.002] -> micro units (1000, 2000) ->
+    normsq 5,000,000 (23 bits); the zero vector lands in bucket 1
+    with normsq 0 (bin(0) = '0'). Shares split 5000/5000."""
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, [0.001, 0.002]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = {
+        r["bucket"]: r
+        for r in spark_queries()["ss22_norm_profile"](spark, d).collect()
+    }
+    assert set(got) == {23, 1}
+    assert (got[23]["min_normsq"], got[23]["max_normsq"]) == (5000000, 5000000)
+    assert (got[1]["min_normsq"], got[1]["max_normsq"]) == (0, 0)
+    assert got[23]["share_bp"] == 5000 and got[1]["share_bp"] == 5000

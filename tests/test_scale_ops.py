@@ -1452,3 +1452,44 @@ def test_corpus_curation_run_report_plan_is_scan_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 0  # pinned base + verdict
     assert "CartesianProduct" not in plan
+
+
+def test_r10_wave3_plans_stay_scale_shaped(spark):
+    """Plan guards for the r10 third-wave design artifacts: ta17 and
+    ss22 are single-pass (join-free up to their histogram windows);
+    ts14's spine fill never degenerates to a cartesian product; gr17
+    runs entirely off the pinned edge checkpoint (0 FileScans — the
+    LSH banding is never re-derived by the triangle or degree
+    passes); dd28's broadcast signature lookups stay hash joins."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    ta17 = qs["ta17_filter_attribution"](spark, sf)
+    ta17.collect()
+    plan = ta17._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+    ss22 = qs["ss22_norm_profile"](spark, sf)
+    ss22.collect()
+    plan = ss22._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    ts14 = qs["ts14_changepoint_profile"](spark, sf)
+    ts14.collect()
+    plan = ts14._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    gr17 = qs["gr17_transitivity"](spark, sf)
+    gr17.collect()
+    plan = gr17._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 0  # pinned edge relation only
+
+    dd28 = qs["dd28_sig_length_curve"](spark, sf)
+    dd28.collect()
+    plan = dd28._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
