@@ -181,6 +181,8 @@ LONGTAIL = [
     "tok13_piece_length_profile",  # usage-weighted piece-length histogram (r10)
     "dd28_sig_length_curve",  # minhash signature-length error curve (r10, 4.55 s warm)
     "gr17_transitivity",  # global clustering coefficient, near-dup graph (r10, 1.81 s warm)
+    "sk13_cms_depth_curve",  # CMS depth-sizing curve, d=1/2/4 (r10, 1.74 s warm)
+    "er6_distance_threshold_curve",  # ER verify-threshold pricing (r10, 2.34 s warm)
     # r10 full-registry audit sweep (tools/bench_audit.py): every
     # previously-unwired query was timed warm at sf0.1; all >= 1.5 s
     # land here, the rest carry measured exclusions in BENCH_EXCLUDED
@@ -231,6 +233,7 @@ BENCH_EXCLUDED = {
     "ta17_filter_attribution": "r10: 1.27 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
     "ts14_changepoint_profile": "r10: 0.60 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
     "ss22_norm_profile": "r10: 0.38 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
+    "geo3_grid_density_profile": "r10: 0.79 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
     "er5_block_size_profile": "r10: 1.04 s warm at sf0.1, below the 1.5 s longtail bar",
     "ts13_burstiness_profile": "r10: 0.31 s warm at sf0.1, below the 1.5 s longtail bar",
     "ts12_autocorr_profile": "r10: 0.77 s warm at sf0.1, below the 1.5 s longtail bar",

@@ -988,8 +988,126 @@ def q_ta17_filter_attribution(spark, sf_dir):
     )
 
 
+def q_geo3_grid_density_profile(spark, sf_dir):
+    # the GRID-SIZING artifact for the spatial family (r10; er5's
+    # idiom on geo1/geo2's grid): per cell size g = 1/4/16, the
+    # cell-occupancy log2 histogram with each bucket's share of the
+    # within-cell candidate-pair sum Σ s·(s−1)/2 — the term a grid
+    # proximity join pays per cell (the 3×3 neighborhood probe
+    # multiplies it by a bounded constant ≤9). Coarser cells mean
+    # fewer join keys but quadratically fatter buckets; this curve
+    # is how the cell size is chosen BEFORE running geo1 at scale.
+    # One point scan per config (the cell key is a column
+    # expression), a cell groupBy, a ≤64-row histogram; the share
+    # window runs over the histogram only.
+    cust = load_table(spark, sf_dir, "customer")
+    points = cust.select(
+        (F.col("c_custkey") % 89).cast("int").alias("px"),
+        (F.col("c_custkey") % 97).cast("int").alias("py"),
+    )
+    outs = []
+    for g in (1, 4, 16):
+        sizes = points.groupBy(
+            F.expr(f"px DIV {g}").alias("cx"),
+            F.expr(f"py DIV {g}").alias("cy"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+        hist = sizes.select(
+            F.length(F.conv(F.col("s").cast("string"), 10, 2))
+            .cast("int")
+            .alias("bucket"),
+            "s",
+        ).groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("s").cast("bigint").alias("n_points"),
+            F.sum(F.expr("s * (s - 1) DIV 2")).cast("bigint").alias(
+                "cand_pairs"
+            ),
+        )
+        outs.append(
+            hist.select(
+                F.lit(f"g{g}").alias("scheme"),
+                "bucket",
+                "n_cells",
+                "n_points",
+                "cand_pairs",
+                F.expr(
+                    "CAST(CASE WHEN sum(cand_pairs) OVER"
+                    " (PARTITION BY 1) = 0 THEN 0"
+                    " ELSE (cand_pairs * 10000) DIV"
+                    " (sum(cand_pairs) OVER (PARTITION BY 1)) END"
+                    " AS BIGINT)"
+                ).alias("pair_share_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_er6_distance_threshold_curve(spark, sf_dir):
+    # the VERIFY-THRESHOLD pricing artifact for the ER family (r10;
+    # dd27 is the Jaccard twin): within er3's tail-2 prefix blocking,
+    # how many candidate pairs verify at levenshtein ≤ 1 / 2 / 3 —
+    # the knob that trades merge recall against false merges, priced
+    # on the corpus before committing a threshold. ONE blocked
+    # candidate relation (block sizes bounded — er5 publishes the
+    # histogram), ONE bounded-levenshtein evaluation per pair
+    # (threshold=3 short-circuits the DP past the bound, ~2× on
+    # exhaustive passes), every threshold a conditional cell of ONE
+    # 1-row aggregate, stack-unpivoted to the 3-row curve.
+    cust = load_table(spark, sf_dir, "customer")
+    blk = F.concat(
+        F.expr("substring(c_name, 1, length(c_name) - 2)"),
+        F.lit("#"),
+        F.length("c_name").cast("string"),
+    )
+    names = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("nm"),
+        blk.alias("blk"),
+    )
+    left = names.select(
+        F.col("id").alias("id_a"), F.col("nm").alias("nm_a"), "blk"
+    )
+    right = names.select(
+        F.col("id").alias("id_b"), F.col("nm").alias("nm_b"), "blk"
+    )
+    cand = (
+        left.join(right, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.levenshtein(F.col("nm_a"), F.col("nm_b"), 3).alias("lev"))
+    )
+    cells = [F.count(F.lit(1)).cast("bigint").alias("n_candidates")]
+    for t in (1, 2, 3):
+        cells.append(
+            F.sum(((F.col("lev") >= 0) & (F.col("lev") <= t)).cast("int"))
+            .cast("bigint")
+            .alias(f"np_{t}")
+        )
+    one = cand.agg(*cells)
+    return one.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{t}, np_{t}" for t in (1, 2, 3))
+            + ") AS (threshold, n_pairs)"
+        ),
+        "n_candidates",
+    ).select(
+        F.col("threshold").cast("int").alias("threshold"),
+        "n_pairs",
+        "n_candidates",
+        F.expr(
+            "CAST(CASE WHEN n_candidates = 0 THEN 0"
+            " ELSE (n_pairs * 10000) DIV n_candidates END AS BIGINT)"
+        ).alias("share_of_candidates_bp"),
+    )
+
+
 QUERIES = {
     "ta17_filter_attribution": q_ta17_filter_attribution,
+    "geo3_grid_density_profile": q_geo3_grid_density_profile,
+    "er6_distance_threshold_curve": q_er6_distance_threshold_curve,
     "dq13_column_profile": q_dq13_column_profile,
     "dq15_fk_fanout_profile": q_dq15_fk_fanout_profile,
     "er5_block_size_profile": q_er5_block_size_profile,
@@ -1104,6 +1222,109 @@ def oracles() -> dict[str, str]:
               UNION ALL SELECT 'digit', f4, t4, n_docs FROM agg
               UNION ALL SELECT 'punct', f5, t5, n_docs FROM agg
               UNION ALL SELECT 'any', f6, t6, n_docs FROM agg
+            )
+""",
+        "geo3_grid_density_profile": """
+            WITH
+              pts AS MATERIALIZED (
+                SELECT CAST(c_custkey % 89 AS INTEGER) AS px,
+                       CAST(c_custkey % 97 AS INTEGER) AS py
+                FROM customer
+              ),
+              g1 AS (
+                WITH sizes AS (
+                  SELECT px // 1 AS cx, py // 1 AS cy,
+                         CAST(count(*) AS BIGINT) AS s
+                  FROM pts GROUP BY 1, 2
+                ),
+                hist AS (
+                  SELECT CAST(length(bin(s)) AS INTEGER) AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_cells,
+                         CAST(sum(s) AS BIGINT) AS n_points,
+                         CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+                  FROM sizes GROUP BY 1
+                )
+                SELECT 'g1' AS scheme, bucket, n_cells, n_points, cand_pairs,
+                       CAST(CASE WHEN sum(cand_pairs) OVER () = 0 THEN 0
+                            ELSE (cand_pairs * 10000)
+                                 // (sum(cand_pairs) OVER ()) END
+                         AS BIGINT) AS pair_share_bp
+                FROM hist
+              ),
+              g4 AS (
+                WITH sizes AS (
+                  SELECT px // 4 AS cx, py // 4 AS cy,
+                         CAST(count(*) AS BIGINT) AS s
+                  FROM pts GROUP BY 1, 2
+                ),
+                hist AS (
+                  SELECT CAST(length(bin(s)) AS INTEGER) AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_cells,
+                         CAST(sum(s) AS BIGINT) AS n_points,
+                         CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+                  FROM sizes GROUP BY 1
+                )
+                SELECT 'g4' AS scheme, bucket, n_cells, n_points, cand_pairs,
+                       CAST(CASE WHEN sum(cand_pairs) OVER () = 0 THEN 0
+                            ELSE (cand_pairs * 10000)
+                                 // (sum(cand_pairs) OVER ()) END
+                         AS BIGINT) AS pair_share_bp
+                FROM hist
+              ),
+              g16 AS (
+                WITH sizes AS (
+                  SELECT px // 16 AS cx, py // 16 AS cy,
+                         CAST(count(*) AS BIGINT) AS s
+                  FROM pts GROUP BY 1, 2
+                ),
+                hist AS (
+                  SELECT CAST(length(bin(s)) AS INTEGER) AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_cells,
+                         CAST(sum(s) AS BIGINT) AS n_points,
+                         CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+                  FROM sizes GROUP BY 1
+                )
+                SELECT 'g16' AS scheme, bucket, n_cells, n_points, cand_pairs,
+                       CAST(CASE WHEN sum(cand_pairs) OVER () = 0 THEN 0
+                            ELSE (cand_pairs * 10000)
+                                 // (sum(cand_pairs) OVER ()) END
+                         AS BIGINT) AS pair_share_bp
+                FROM hist
+              )
+            SELECT * FROM g1
+            UNION ALL SELECT * FROM g4
+            UNION ALL SELECT * FROM g16
+""",
+        "er6_distance_threshold_curve": """
+            WITH names AS (
+              SELECT c_custkey AS id, c_name AS nm,
+                     substring(c_name, 1, length(c_name) - 2)
+                       || '#' || CAST(length(c_name) AS VARCHAR) AS blk
+              FROM customer
+            ),
+            cand AS MATERIALIZED (
+              SELECT levenshtein(l.nm, r.nm) AS lev
+              FROM names l JOIN names r ON l.blk = r.blk AND l.id < r.id
+            ),
+            cells AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                     CAST(sum(CASE WHEN lev <= 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS np_1,
+                     CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS np_2,
+                     CAST(sum(CASE WHEN lev <= 3 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS np_3
+              FROM cand
+            )
+            SELECT CAST(threshold AS INTEGER) AS threshold, n_pairs,
+                   n_candidates,
+                   CAST(CASE WHEN n_candidates = 0 THEN 0
+                        ELSE (n_pairs * 10000) // n_candidates END
+                     AS BIGINT) AS share_of_candidates_bp
+            FROM (
+              SELECT 1 AS threshold, np_1 AS n_pairs, n_candidates FROM cells
+              UNION ALL SELECT 2, np_2, n_candidates FROM cells
+              UNION ALL SELECT 3, np_3, n_candidates FROM cells
             )
 """,
         "er5_block_size_profile": """

@@ -435,7 +435,87 @@ def q_sk3_cms(spark, sf_dir):
         )
     )
 
+def q_sk13_cms_depth_curve(spark, sf_dir):
+    # the OTHER count-min knob (r10; sk11 priced the width w — this
+    # prices the depth d): measured overestimate with d = 1/2/4 rows
+    # at fixed w = 2¹⁰, over the same lineitem partkey stream. Depth
+    # buys failure-probability (P[err > ε] ≤ e^−d), width buys ε —
+    # the two knobs cost the same memory per unit, and this pair of
+    # curves is how the budget is split. The d-row counter matrix is
+    # built ONCE (row j is independent of d); the depth-d estimate is
+    # the min over rows j < d, so all three estimates come out of ONE
+    # per-key conditional-min groupBy, one 1-row aggregate, and a
+    # 3-way stack. Key domain pinned once (sk11's discipline) — the
+    # raw stream is scanned exactly once whatever the curve length.
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = (
+        li.select(F.col("l_partkey").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    w = 1 << 10
+    pos = keyed.select(
+        F.explode(cms_entries(F.col("key"), w=w)).alias("e"), "true_cnt"
+    ).select("e.j", "e.bucket", "true_cnt")
+    counters = pos.groupBy("j", "bucket").agg(
+        F.sum("true_cnt").alias("cnt")
+    )
+    perkey = (
+        keyed.select(
+            "key", F.explode(cms_entries(F.col("key"), w=w)).alias("e")
+        )
+        .select("key", "e.j", "e.bucket")
+        .join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("key")
+        .agg(
+            F.min(F.when(F.col("j") == 0, F.col("cnt")))
+            .cast("bigint")
+            .alias("est1"),
+            F.min(F.when(F.col("j") < 2, F.col("cnt")))
+            .cast("bigint")
+            .alias("est2"),
+            F.min("cnt").cast("bigint").alias("est4"),
+        )
+    )
+    one = keyed.join(perkey, "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_keys"),
+        F.sum("true_cnt").cast("bigint").alias("_total_true"),
+        *[
+            c
+            for d in (1, 2, 4)
+            for c in (
+                F.sum(F.col(f"est{d}") - F.col("true_cnt"))
+                .cast("bigint")
+                .alias(f"_o{d}"),
+                F.sum((F.col(f"est{d}") == F.col("true_cnt")).cast("int"))
+                .cast("bigint")
+                .alias(f"_x{d}"),
+            )
+        ],
+    )
+    return one.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{d}, _o{d}, _x{d}" for d in (1, 2, 4))
+            + ") AS (d_rows, total_overest, exact_keys)"
+        ),
+        "_n_keys",
+        "_total_true",
+    ).select(
+        F.col("d_rows").cast("int").alias("d_rows"),
+        F.col("_n_keys").alias("n_keys"),
+        F.col("_total_true").alias("total_true"),
+        "total_overest",
+        "exact_keys",
+        F.expr(
+            "CAST((total_overest * 10000) DIV _total_true AS BIGINT)"
+        ).alias("overest_share_bp"),
+    )
+
+
 QUERIES = {
+    "sk13_cms_depth_curve": q_sk13_cms_depth_curve,
     "sk8_heavy_hitters": q_sk8_heavy_hitters,
     "sk9_group_heavy_hitters": q_sk9_group_heavy_hitters,
     "sk6_kmv_set_ops": q_sk6_kmv_set_ops,
@@ -662,6 +742,55 @@ def oracles() -> dict[str, str]:
                            CAST(count(*) - 1 AS DOUBLE) * 4294967296.0 / max(h) AS estimate
                     FROM kmin
                 """,
+        "sk13_cms_depth_curve": f"""
+            WITH keyed AS MATERIALIZED (
+              SELECT CAST(l_partkey AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS true_cnt
+              FROM lineitem GROUP BY 1
+            ),
+            pos AS MATERIALIZED (
+              SELECT key, true_cnt, 0 AS j, ('0x' || substr(md5('cms0:' || key), 1, 8))::BIGINT % 1024 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 1 AS j, ('0x' || substr(md5('cms1:' || key), 1, 8))::BIGINT % 1024 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 2 AS j, ('0x' || substr(md5('cms2:' || key), 1, 8))::BIGINT % 1024 AS bucket FROM keyed
+              UNION ALL SELECT key, true_cnt, 3 AS j, ('0x' || substr(md5('cms3:' || key), 1, 8))::BIGINT % 1024 AS bucket FROM keyed
+            ),
+            counters AS (
+              SELECT j, bucket, sum(true_cnt) AS cnt
+              FROM pos GROUP BY j, bucket
+            ),
+            perkey AS (
+              SELECT p.key,
+                     CAST(min(CASE WHEN p.j = 0 THEN c.cnt END) AS BIGINT)
+                       AS est1,
+                     CAST(min(CASE WHEN p.j < 2 THEN c.cnt END) AS BIGINT)
+                       AS est2,
+                     CAST(min(c.cnt) AS BIGINT) AS est4
+              FROM pos p JOIN counters c
+                ON p.j = c.j AND p.bucket = c.bucket
+              GROUP BY p.key
+            ),
+            agg AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(k.true_cnt) AS BIGINT) AS total_true,
+                     CAST(sum(p.est1 - k.true_cnt) AS BIGINT) AS o1,
+                     CAST(sum(CASE WHEN p.est1 = k.true_cnt THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                     CAST(sum(p.est2 - k.true_cnt) AS BIGINT) AS o2,
+                     CAST(sum(CASE WHEN p.est2 = k.true_cnt THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+                     CAST(sum(p.est4 - k.true_cnt) AS BIGINT) AS o4,
+                     CAST(sum(CASE WHEN p.est4 = k.true_cnt THEN 1 ELSE 0 END) AS BIGINT) AS x4
+              FROM keyed k JOIN perkey p ON k.key = p.key
+            )
+            SELECT CAST(d_rows AS INTEGER) AS d_rows, n_keys, total_true,
+                   total_overest, exact_keys,
+                   CAST((total_overest * 10000) // total_true AS BIGINT)
+                     AS overest_share_bp
+            FROM (
+              SELECT 1 AS d_rows, n_keys, total_true,
+                     o1 AS total_overest, x1 AS exact_keys FROM agg
+              UNION ALL SELECT 2, n_keys, total_true, o2, x2 FROM agg
+              UNION ALL SELECT 4, n_keys, total_true, o4, x4 FROM agg
+            )
+""",
         "sk11_cms_width_curve": f"""
             WITH keyed AS MATERIALIZED (
               SELECT CAST(l_partkey AS VARCHAR) AS key,

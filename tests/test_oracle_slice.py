@@ -242,6 +242,10 @@ SF1_POOL = [
     # r10 third wave (measured sf1 DuckDB oracle costs, 2026-08-16):
     "ts14_changepoint_profile",  # 0.22 s
     "ss22_norm_profile",  # 0.14 s
+    # r10 fourth wave (measured sf1 DuckDB oracle costs, 2026-08-16):
+    "sk13_cms_depth_curve",  # 0.10 s
+    "geo3_grid_density_profile",  # 0.01 s
+    "er6_distance_threshold_curve",  # 0.98 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

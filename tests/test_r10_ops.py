@@ -204,3 +204,64 @@ def test_ss22_buckets_by_normsq_bit_length(spark):
     assert (got[23]["min_normsq"], got[23]["max_normsq"]) == (5000000, 5000000)
     assert (got[1]["min_normsq"], got[1]["max_normsq"]) == (0, 0)
     assert got[23]["share_bp"] == 5000 and got[1]["share_bp"] == 5000
+
+
+def test_sk13_depth_curve_monotone_and_pins_sk11_cell(spark):
+    """More sketch rows can only help: total_overest is non-increasing
+    and exact_keys non-decreasing in d; the d=4 row IS sk11's
+    w=1024 cell (same counters, same stream), a cross-operator pin."""
+    sf = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    rows = {r["d_rows"]: r for r in qs["sk13_cms_depth_curve"](spark, sf).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["total_overest"] >= rows[2]["total_overest"] >= rows[4]["total_overest"]
+    assert rows[1]["exact_keys"] <= rows[2]["exact_keys"] <= rows[4]["exact_keys"]
+    assert len({r["n_keys"] for r in rows.values()}) == 1
+    sk11 = {
+        r["w_buckets"]: r
+        for r in qs["sk11_cms_width_curve"](spark, sf).collect()
+    }[1024]
+    assert rows[4]["total_overest"] == sk11["total_overest"]
+    assert rows[4]["exact_keys"] == sk11["exact_keys"]
+
+
+def test_geo3_coarser_cells_merge_points(spark):
+    """Two points in distinct unit cells that share one g=16 cell:
+    g1/g4 report two singleton cells and zero candidate pairs; g16
+    reports one 2-point cell carrying the whole pair mass."""
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1,), (4,)], "c_custkey bigint"
+    ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    rows = spark_queries()["geo3_grid_density_profile"](spark, d).collect()
+    by_scheme = {}
+    for r in rows:
+        by_scheme.setdefault(r["scheme"], []).append(r)
+    for g in ("g1", "g4"):
+        (r,) = by_scheme[g]
+        assert (r["bucket"], r["n_cells"], r["cand_pairs"], r["pair_share_bp"]) == (1, 2, 0, 0)
+    (r,) = by_scheme["g16"]
+    assert (r["bucket"], r["n_cells"], r["n_points"], r["cand_pairs"]) == (2, 1, 2, 1)
+    assert r["pair_share_bp"] == 10000
+
+
+def test_er6_thresholds_on_hand_names(spark):
+    """Three names in one tail-2 block with pairwise distances
+    1/2/2 and one name in its own block: 3 candidates, 1 pair at
+    t<=1, all 3 at t<=2 and t<=3."""
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "CUST-AAA"), (2, "CUST-AAB"), (3, "CUST-AXY"), (4, "ZOTHER-Q")],
+        "c_custkey bigint, c_name string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    got = {
+        r["threshold"]: r
+        for r in spark_queries()["er6_distance_threshold_curve"](
+            spark, d
+        ).collect()
+    }
+    assert {t: (got[t]["n_pairs"], got[t]["n_candidates"]) for t in got} == {
+        1: (1, 3), 2: (3, 3), 3: (3, 3)
+    }
+    assert got[1]["share_of_candidates_bp"] == 3333
+    assert got[2]["share_of_candidates_bp"] == 10000

@@ -1493,3 +1493,31 @@ def test_r10_wave3_plans_stay_scale_shaped(spark):
     plan = dd28._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r10_wave4_plans_stay_scale_shaped(spark):
+    """sk13 builds the counter matrix once and probes it via a
+    broadcast hash join (no cartesian); geo3 is join-free (cell keys
+    are column expressions); er6's blocked self-join is an equi-join
+    on the block key, never a cartesian product."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    sk13 = qs["sk13_cms_depth_curve"](spark, sf)
+    sk13.collect()
+    plan = sk13._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    geo3 = qs["geo3_grid_density_profile"](spark, sf)
+    geo3.collect()
+    plan = geo3._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    er6 = qs["er6_distance_threshold_curve"](spark, sf)
+    er6.collect()
+    plan = er6._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
