@@ -702,7 +702,104 @@ def q_stat6_linear_trend(spark, sf_dir):
     return trend_from_moments(agg)
 
 
+def q_ol4_gate_agreement(spark, sf_dir):
+    # the gate-AGREEMENT audit (r10): ol1/ol2/ol3 each publish one
+    # outlier rule on its own column — this runs all THREE rules on
+    # the SAME column (events.value per event_type, ol1's
+    # setting — the column with the real tail) and publishes the 8-cell agreement histogram: rows
+    # flagged by every subset of {z-score > 2.5, Tukey 1.5·IQR fence,
+    # 3·1.4826·MAD}. The cells where the gates DISAGREE are the
+    # decision evidence: z-only cells mean the tail inflated σ
+    # (trust the robust gates); robust-only cells mean a heavy but
+    # legitimate tail the z-gate absorbed. All three stats relations
+    # live on the ≤|groups| domain and broadcast back; the verdict
+    # is ONE conditional pass over the fact rows; float chains are
+    # the identical op sequences the three parent gates already pin.
+    from enriched_crime_incident_data_pipeline_spark.functions.stats import (
+        dec2,
+        mean_from_moments,
+        moments,
+        var_from_moments,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    m = moments(F.col("value"))
+    zs = ev.groupBy("event_type").agg(
+        m["n"].alias("_n"), m["s"].alias("_s"), m["ss"].alias("_ss")
+    ).select(
+        "event_type",
+        mean_from_moments(F.col("_n"), F.col("_s")).alias("_mean"),
+        F.sqrt(
+            var_from_moments(F.col("_n"), F.col("_s"), F.col("_ss"))
+        ).alias("_sd"),
+    )
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("_q1"),
+        F.expr("percentile(value, 0.75)").alias("_q3"),
+        F.expr("percentile(value, 0.5)").alias("_med"),
+    )
+    mad = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(q.select("event_type", "_med")), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("value") - F.col("_med")).alias("_absdev"),
+        )
+        .groupBy("event_type")
+        .agg(F.expr("percentile(_absdev, 0.5)").alias("_mad"))
+    )
+    g = (
+        zs.join(q, "event_type")
+        .join(mad, "event_type")
+        .select(
+            "event_type",
+            "_mean",
+            "_sd",
+            "_med",
+            (F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))).alias(
+                "_lo_fence"
+            ),
+            (F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))).alias(
+                "_hi_fence"
+            ),
+            (F.lit(1.4826) * F.col("_mad")).alias("_robust_sigma"),
+        )
+    )
+    j = ev.select("event_type", "value").join(
+        F.broadcast(g), "event_type"
+    )
+    flag_z = (F.col("_sd") > 0) & (
+        F.abs(
+            (dec2(F.col("value")).cast("double") - F.col("_mean"))
+            / F.col("_sd")
+        )
+        > 2.5
+    )
+    flag_iqr = (F.col("value") < F.col("_lo_fence")) | (
+        F.col("value") > F.col("_hi_fence")
+    )
+    flag_mad = (
+        F.abs(F.col("value") - F.col("_med"))
+        > F.lit(3.0) * F.col("_robust_sigma")
+    )
+    cells = j.groupBy(
+        flag_z.alias("flag_z"),
+        flag_iqr.alias("flag_iqr"),
+        flag_mad.alias("flag_mad"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    return cells.select(
+        "flag_z",
+        "flag_iqr",
+        "flag_mad",
+        "n_rows",
+        F.expr(
+            "CAST((n_rows * 10000) DIV (sum(n_rows) OVER ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
 QUERIES = {
+    "ol4_gate_agreement": q_ol4_gate_agreement,
     "stat6_linear_trend": q_stat6_linear_trend,
     "stat7_lorenz_curve": q_stat7_lorenz_curve,
     "topk_per_group": q_topk_per_group,
@@ -739,6 +836,60 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ol4_gate_agreement": """
+            WITH zs AS (
+              SELECT event_type,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS mean,
+                     sqrt(greatest(
+                       CAST(sum(CAST(value AS DECIMAL(18,2))
+                                * CAST(value AS DECIMAL(18,2)))
+                         AS DOUBLE) / count(*)
+                       - (CAST(sum(CAST(value AS DECIMAL(18,2)))
+                           AS DOUBLE) / count(*))
+                         * (CAST(sum(CAST(value AS DECIMAL(18,2)))
+                             AS DOUBLE) / count(*)),
+                       0.0)) AS sd
+              FROM events GROUP BY event_type
+            ),
+            q AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3,
+                     quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ),
+            mad AS (
+              SELECT o.event_type,
+                     quantile_cont(abs(o.value - q.med), 0.5) AS mad
+              FROM events o JOIN q USING (event_type)
+              GROUP BY o.event_type
+            ),
+            g AS (
+              SELECT zs.event_type, zs.mean, zs.sd, q.med,
+                     q.q1 - 1.5 * (q.q3 - q.q1) AS lo_fence,
+                     q.q3 + 1.5 * (q.q3 - q.q1) AS hi_fence,
+                     1.4826 * mad.mad AS robust_sigma
+              FROM zs
+              JOIN q USING (event_type)
+              JOIN mad USING (event_type)
+            ),
+            fl AS (
+              SELECT (g.sd > 0 AND
+                      abs((CAST(CAST(o.value AS DECIMAL(18,2))
+                            AS DOUBLE) - g.mean) / g.sd) > 2.5) AS flag_z,
+                     (o.value < g.lo_fence
+                      OR o.value > g.hi_fence) AS flag_iqr,
+                     (abs(o.value - g.med)
+                      > 3.0 * g.robust_sigma) AS flag_mad
+              FROM events o JOIN g USING (event_type)
+            )
+            SELECT flag_z, flag_iqr, flag_mad,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST((count(*) * 10000) // (sum(count(*)) OVER ())
+                     AS BIGINT) AS share_bp
+            FROM fl GROUP BY 1, 2, 3
+""",
         "ol3_grouped_mad_outliers": """
             WITH med AS (
               SELECT o_orderpriority,

@@ -246,6 +246,7 @@ SF1_POOL = [
     "sk13_cms_depth_curve",  # 0.10 s
     "geo3_grid_density_profile",  # 0.01 s
     "er6_distance_threshold_curve",  # 0.98 s
+    "ol4_gate_agreement",  # 0.17 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

@@ -265,3 +265,31 @@ def test_er6_thresholds_on_hand_names(spark):
     }
     assert got[1]["share_of_candidates_bp"] == 3333
     assert got[2]["share_of_candidates_bp"] == 10000
+
+
+def test_ol4_catches_z_gate_masking(spark):
+    """The textbook masking case the agreement audit exists for: 5
+    outliers at 100 among 16 ones inflate sigma enough that NO row
+    reaches |z| > 2.5 (z(100) ~ 1.79), while the robust gates (IQR
+    fence and MAD, both degenerate-tight here) flag all 5 — so the
+    histogram shows a (False, True, True) disagreement cell and no
+    all-True cell."""
+    d = tempfile.mkdtemp()
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [(i, t0, "A", 1.0) for i in range(16)] + [
+        (100 + i, t0, "A", 100.0) for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["flag_z"], r["flag_iqr"], r["flag_mad"]): (
+            r["n_rows"],
+            r["share_bp"],
+        )
+        for r in spark_queries()["ol4_gate_agreement"](spark, d).collect()
+    }
+    assert got == {
+        (False, False, False): (16, 7619),
+        (False, True, True): (5, 2380),
+    }

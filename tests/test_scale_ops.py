@@ -1521,3 +1521,18 @@ def test_r10_wave4_plans_stay_scale_shaped(spark):
     plan = er6._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ol4_plan_stays_scale_shaped(spark):
+    """ol4's three stats relations live on the group domain and come
+    back as broadcasts; the verdict is one conditional pass — no
+    cartesian, no nested-loop join anywhere."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    ol4 = registry.spark_queries()["ol4_gate_agreement"](
+        spark, "/root/testdata/sf0.001"
+    )
+    ol4.collect()
+    plan = ol4._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
