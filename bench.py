@@ -235,6 +235,8 @@ BENCH_EXCLUDED = {
     "ts14_changepoint_profile": "r10: 0.60 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
     "ss22_norm_profile": "r10: 0.38 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
     "geo3_grid_density_profile": "r10: 0.79 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
+    "sj3_salt_factor_curve": "r10: 0.93 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
+    "tp20_fragmentation_by_source": "r10: 1.47 s warm at sf0.1 (median of 3), below the 1.5 s longtail bar",
     "er5_block_size_profile": "r10: 1.04 s warm at sf0.1, below the 1.5 s longtail bar",
     "ts13_burstiness_profile": "r10: 0.31 s warm at sf0.1, below the 1.5 s longtail bar",
     "ts12_autocorr_profile": "r10: 0.77 s warm at sf0.1, below the 1.5 s longtail bar",
@@ -411,7 +413,15 @@ BENCH_EXCLUDED = {
 # stable scan+agg whose wall only moves with machine conditions.  The
 # resulting series lets a later reader attribute cross-round deltas to
 # load (canary moved too) vs regression (canary flat, query moved).
+# r10 lesson: the scan-bound q6 canary moved only +11% during a
+# capped-frequency window that inflated compute-bound entries
+# +30-40% (all cores flat 2100 MHz; diff-identity ruled out code) —
+# so a SECOND, compute-bound canary (sk3's md5 hashing + counter
+# matrix) rides the same drift schedule; normalize scan-shaped
+# entries against series 1 and arithmetic-shaped entries against
+# series 2.
 DRIFT_QUERY = "tpch_q6"
+DRIFT_QUERY2 = "sk3_cms"
 DRIFT_EVERY = 5
 
 
@@ -440,6 +450,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     drift: list[float] = []
+    drift2: list[float] = []
     _query_counter = [0]
 
     def _run_once(name: str) -> float:
@@ -461,6 +472,7 @@ def main() -> None:
             _query_counter[0] += 1
             if _query_counter[0] % DRIFT_EVERY == 0:
                 drift.append(round(_run_once(DRIFT_QUERY), 3))
+                drift2.append(round(_run_once(DRIFT_QUERY2), 3))
         return med, mins
 
     timings, timings_min = timed(HEADLINE)
@@ -487,6 +499,11 @@ def main() -> None:
             "drift_query": DRIFT_QUERY,
             # re-timed every DRIFT_EVERY queries; spread == noise floor
             "drift_series": drift,
+            # compute-bound companion canary (r10 lesson: a frequency
+            # cap moves arithmetic-heavy entries far more than the
+            # scan-bound series 1 can indicate)
+            "drift_query2": DRIFT_QUERY2,
+            "drift_series2": drift2,
         },
     }
     line = json.dumps(payload)

@@ -31,6 +31,51 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
 
 
 
+def q_tp20_fragmentation_by_source(spark, sf_dir):
+    # tp18 publishes the GLOBAL boundary-crossing share — this
+    # attributes it: WHICH source's documents fragment the packs
+    # (long-doc sources cross chunk boundaries; short-doc sources
+    # don't), the number a mixture designer reads next to dc9's
+    # leak-by-source and ta17's filter attribution. Reuses tp1/tp18's
+    # two-phase prefix-sum relation verbatim (pack_assignments with
+    # the size column precomputed so text never enters the plan),
+    # joined back to the (doc_id, source) projection on the primary
+    # key — co-partitioned at scale, broadcast under AQE at test SFs
+    # — then ONE conditional agg over the ≤|sources| domain.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.corpus import (
+        PACK_BUDGET,
+        pack_assignments,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("bigint").alias("nt")
+    )
+    pa = pack_assignments(sized, size_col="nt")
+    j = pa.join(sized.select("doc_id", "source"), "doc_id")
+    crossing = (
+        F.col("start_offset") + F.col("n_tokens")
+        > (F.col("pack_id") + 1) * PACK_BUDGET
+    )
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(crossing.cast("int")).cast("bigint").alias("docs_crossing"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "docs_crossing",
+        F.expr("CAST((docs_crossing * 10000) DIV n_docs AS BIGINT)").alias(
+            "crossing_bp"
+        ),
+    )
+
+
 def q_tp18_fragmentation_report(spark, sf_dir):
     # the OTHER side of tp17's trade: concat-and-chunk packing (tp1)
     # wastes nothing but FRAGMENTS — a doc whose span crosses a
@@ -1014,6 +1059,7 @@ QUERIES = {
     "tp16_mixture_curve": q_tp16_mixture_curve,
     "tp17_truncation_loss": q_tp17_truncation_loss,
     "tp18_fragmentation_report": q_tp18_fragmentation_report,
+    "tp20_fragmentation_by_source": q_tp20_fragmentation_by_source,
     "tp19_pack_budget_curve": q_tp19_pack_budget_curve,
     "tp13_epoch_reshuffle": q_tp13_epoch_reshuffle,
     "tp14_domain_upsample": q_tp14_domain_upsample,
@@ -1656,6 +1702,37 @@ def oracles() -> dict[str, str]:
                     FROM strat d JOIN rates r ON d.stratum = r.stratum
                     WHERE {_HASH32.format(x="'temp:' || CAST(d.doc_id AS VARCHAR)")} < r.thr
                 """,
+        "tp20_fragmentation_by_source": f"""
+                    WITH t AS (
+                      SELECT doc_id, source,
+                             {_TOKEN_COUNT}::BIGINT AS n_tokens
+                      FROM documents
+                    ),
+                    o AS (
+                      SELECT doc_id, source, n_tokens,
+                        CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+                      FROM t
+                    ),
+                    pa AS (
+                      SELECT source, n_tokens, start_offset,
+                             CAST(floor(start_offset / 256.0) AS BIGINT)
+                               AS pack_id
+                      FROM o
+                    )
+                    SELECT source,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                           CAST(sum(CASE WHEN start_offset + n_tokens >
+                                (pack_id + 1) * 256 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS docs_crossing,
+                           CAST((sum(CASE WHEN start_offset + n_tokens >
+                                (pack_id + 1) * 256 THEN 1 ELSE 0 END)
+                                * 10000) // count(*) AS BIGINT)
+                             AS crossing_bp
+                    FROM pa GROUP BY source
+""",
         "tp18_fragmentation_report": f"""
                     WITH t AS (
                       SELECT doc_id, {_TOKEN_COUNT}::BIGINT AS n_tokens

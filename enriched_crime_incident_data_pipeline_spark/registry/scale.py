@@ -192,7 +192,67 @@ def q_zo2_skipping_audit(spark, sf_dir):
     )
 
 
+def q_sj3_salt_factor_curve(spark, sf_dir):
+    # the SALT-FACTOR sizing artifact (r10; er5/geo3's idiom for the
+    # skew family): sj1/sj2 fix n_salts at 16/8 — this prices the
+    # knob BEFORE running, from the key histogram alone. Per salt
+    # factor s = 1/4/16, the ideal-split reducer profile over sj1's
+    # synthetic 90%-hot key distribution: the largest (key, salt)
+    # bucket is ceil(c_max/s) rows, its share of the shuffle is the
+    # residual skew s can't remove, and the bucket count Σ min(s, c)
+    # is the state-fan-out cost salting ADDS. s=1 is the unsalted
+    # baseline (one reducer holds 90% of the shuffle); the curve
+    # shows the knee where more salts stop buying balance. ONE key
+    # groupBy (map-side combinable), every s a conditional cell of
+    # ONE 1-row aggregate over the key-domain relation, stacked.
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 100 < 90, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("k")
+    )
+    counts = e.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    factors = (1, 4, 16)
+    cells = [
+        F.count(F.lit(1)).cast("bigint").alias("_n_keys"),
+        F.sum("c").cast("bigint").alias("_total_rows"),
+        F.max("c").cast("bigint").alias("_max_key_rows"),
+    ]
+    for s in factors:
+        cells.append(
+            F.max(F.expr(f"(c + {s} - 1) DIV {s}"))
+            .cast("bigint")
+            .alias(f"_mb{s}")
+        )
+        cells.append(
+            F.sum(F.least(F.lit(s).cast("bigint"), F.col("c")))
+            .cast("bigint")
+            .alias(f"_nb{s}")
+        )
+    one = counts.agg(*cells)
+    return one.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{s}, _mb{s}, _nb{s}" for s in factors)
+            + ") AS (n_salts, max_bucket_rows, n_buckets)"
+        ),
+        "_n_keys",
+        "_total_rows",
+        "_max_key_rows",
+    ).select(
+        F.col("n_salts").cast("int").alias("n_salts"),
+        F.col("_n_keys").alias("n_keys"),
+        F.col("_total_rows").alias("total_rows"),
+        F.col("_max_key_rows").alias("max_key_rows"),
+        "n_buckets",
+        "max_bucket_rows",
+        F.expr(
+            "CAST((max_bucket_rows * 10000) DIV _total_rows AS BIGINT)"
+        ).alias("max_bucket_share_bp"),
+    )
+
+
 QUERIES = {
+    "sj3_salt_factor_curve": q_sj3_salt_factor_curve,
     "zo2_skipping_audit": q_zo2_skipping_audit,
     "sj1_salted_hot_agg": q_sj1_salted_hot_agg,
     "sj2_salted_join": q_sj2_salted_join,
@@ -201,6 +261,41 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "sj3_salt_factor_curve": """
+            WITH ek AS (
+              SELECT CASE WHEN event_id % 100 < 90 THEN 'hot'
+                     ELSE event_type END AS k
+              FROM events
+            ),
+            counts AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS c
+              FROM ek GROUP BY k
+            ),
+            agg AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(c) AS BIGINT) AS total_rows,
+                     CAST(max(c) AS BIGINT) AS max_key_rows,
+                     CAST(max((c + 0) // 1) AS BIGINT) AS mb1,
+                     CAST(sum(least(1, c)) AS BIGINT) AS nb1,
+                     CAST(max((c + 3) // 4) AS BIGINT) AS mb4,
+                     CAST(sum(least(4, c)) AS BIGINT) AS nb4,
+                     CAST(max((c + 15) // 16) AS BIGINT) AS mb16,
+                     CAST(sum(least(16, c)) AS BIGINT) AS nb16
+              FROM counts
+            )
+            SELECT CAST(n_salts AS INTEGER) AS n_salts, n_keys,
+                   total_rows, max_key_rows, n_buckets, max_bucket_rows,
+                   CAST((max_bucket_rows * 10000) // total_rows AS BIGINT)
+                     AS max_bucket_share_bp
+            FROM (
+              SELECT 1 AS n_salts, n_keys, total_rows, max_key_rows,
+                     nb1 AS n_buckets, mb1 AS max_bucket_rows FROM agg
+              UNION ALL SELECT 4, n_keys, total_rows, max_key_rows,
+                     nb4, mb4 FROM agg
+              UNION ALL SELECT 16, n_keys, total_rows, max_key_rows,
+                     nb16, mb16 FROM agg
+            )
+""",
         "sj1_salted_hot_agg": """
                     SELECT CASE WHEN event_id % 100 < 90 THEN 'hot'
                                 ELSE event_type END AS k,

@@ -247,6 +247,8 @@ SF1_POOL = [
     "geo3_grid_density_profile",  # 0.01 s
     "er6_distance_threshold_curve",  # 0.98 s
     "ol4_gate_agreement",  # 0.17 s
+    "sj3_salt_factor_curve",  # 0.03 s
+    "tp20_fragmentation_by_source",  # 2.41 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

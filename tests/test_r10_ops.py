@@ -293,3 +293,38 @@ def test_ol4_catches_z_gate_masking(spark):
         (False, False, False): (16, 7619),
         (False, True, True): (5, 2380),
     }
+
+
+def test_sj3_prices_ideal_salt_split(spark):
+    """90 hot rows + 10 'x' rows: unsalted the hot reducer holds 90%
+    of the shuffle; s=4 cuts the max bucket to ceil(90/4)=23 (2300
+    bp) at 8 buckets; s=16 to 6 rows (600 bp) at 26 buckets."""
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [(i, t0, "x") for i in range(100)]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["n_salts"]: r
+        for r in spark_queries()["sj3_salt_factor_curve"](spark, d).collect()
+    }
+    for s, (mb, nb, bp) in {
+        1: (90, 2, 9000), 4: (23, 8, 2300), 16: (6, 26, 600)
+    }.items():
+        r = got[s]
+        assert (r["n_keys"], r["total_rows"], r["max_key_rows"]) == (2, 100, 90)
+        assert (r["max_bucket_rows"], r["n_buckets"], r["max_bucket_share_bp"]) == (mb, nb, bp)
+
+
+def test_tp20_sums_to_tp18_global_cells(spark):
+    """Per-source attribution partitions tp18's global report: source
+    rows sum to the global doc count and crossing count (same
+    prefix-sum relation, same boundary predicate)."""
+    sf = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    per_src = qs["tp20_fragmentation_by_source"](spark, sf).collect()
+    g = qs["tp18_fragmentation_report"](spark, sf).collect()[0]
+    assert sum(r["n_docs"] for r in per_src) == g["n_docs"]
+    assert sum(r["docs_crossing"] for r in per_src) == g["docs_crossing"]
+    assert len(per_src) > 1  # the attribution is non-degenerate

@@ -1536,3 +1536,23 @@ def test_ol4_plan_stays_scale_shaped(spark):
     plan = ol4._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r10_wave6_plans_stay_scale_shaped(spark):
+    """sj3 is join-free (one key groupBy, conditional cells, stack);
+    tp20's only join is the primary-key join-back of the prefix-sum
+    relation — never a cartesian."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.spark_queries()
+
+    sj3 = qs["sj3_salt_factor_curve"](spark, sf)
+    sj3.collect()
+    plan = sj3._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    tp20 = qs["tp20_fragmentation_by_source"](spark, sf)
+    tp20.collect()
+    plan = tp20._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
