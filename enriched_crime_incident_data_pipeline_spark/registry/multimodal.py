@@ -18,6 +18,61 @@ from enriched_crime_incident_data_pipeline_spark.registry._shared import (
 
 
 
+def q_mm10_dhash_band_skew(spark, sf_dir):
+    # the BLOCK-SKEW profile for the media family (r10; completes the
+    # set — ret9 prices the term index, er5 the ER blocks, gr15 the
+    # graph wedges, geo3 the spatial grid, this the dHash bands):
+    # per pigeonhole band, the bucket-occupancy log2 histogram with
+    # each bucket's share of the candidate-pair sum Σ s·(s−1)/2 —
+    # the cost mm5/mm6's band equi-join actually pays, and the
+    # number that says when a hot-hash cap (mm7's discipline) is
+    # needed. One Arrow signature pass, one (band_idx, band_val)
+    # groupBy, a ≤4×64-row histogram; share windows run over the
+    # histogram only, partitioned by band.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        simhash_bands,
+    )
+    from enriched_crime_incident_data_pipeline_spark.datapipe.multimodal import (
+        dhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dhash_signatures(
+        _documents_as_media(docs), "media_id"
+    ).withColumnRenamed("dhash", "simhash")
+    bands = simhash_bands(sig, "media_id")
+    sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    hist = sizes.select(
+        F.col("band_idx").cast("int").alias("band_idx"),
+        F.length(F.conv(F.col("s").cast("string"), 10, 2))
+        .cast("int")
+        .alias("bucket"),
+        "s",
+    ).groupBy("band_idx", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("s").cast("bigint").alias("n_media"),
+        F.sum(F.expr("s * (s - 1) DIV 2")).cast("bigint").alias(
+            "cand_pairs"
+        ),
+    )
+    return hist.select(
+        "band_idx",
+        "bucket",
+        "n_buckets",
+        "n_media",
+        "cand_pairs",
+        F.expr(
+            "CAST(CASE WHEN sum(cand_pairs) OVER"
+            " (PARTITION BY band_idx) = 0 THEN 0"
+            " ELSE (cand_pairs * 10000) DIV"
+            " (sum(cand_pairs) OVER (PARTITION BY band_idx)) END"
+            " AS BIGINT)"
+        ).alias("pair_share_bp"),
+    )
+
+
 def q_mm1_media_features(spark, sf_dir):
     # Arrow-batched mapInPandas feature extraction over binary media.
     # The driver-compared face is the exact integer byte-histogram
@@ -210,6 +265,7 @@ QUERIES = {
     "mm3_frame_sample": q_mm3_frame_sample,
     "mm4_resize_plan": q_mm4_resize_plan,
     "mm5_phash_neardup": q_mm5_phash_neardup,
+    "mm10_dhash_band_skew": q_mm10_dhash_band_skew,
     "mm7_frame_match": q_mm7_frame_match,
     "mm8_exact_media_dedup": q_mm8_exact_media_dedup,
     "mm6_phash_threshold_curve": q_mm6_phash_threshold_curve,
@@ -439,6 +495,68 @@ def oracles() -> dict[str, str]:
                       ON a.fhash = b.fhash AND a.doc_id < b.doc_id
                     GROUP BY a.doc_id, b.doc_id
                     HAVING count(*) >= 2
+                """,
+        "mm10_dhash_band_skew": """
+                    WITH hx AS (
+                      SELECT doc_id, hex(encode(text)) AS h,
+                             octet_length(encode(text)) AS nb
+                      FROM documents
+                    ),
+                    pos AS (
+                      SELECT doc_id, h, unnest(range(nb)) AS i FROM hx
+                    ),
+                    cellsum AS (
+                      SELECT doc_id, CAST(i % 72 AS INTEGER) AS k,
+                             CAST(sum(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2))
+                                      ::INTEGER) AS BIGINT) AS s
+                      FROM pos GROUP BY doc_id, i % 72
+                    ),
+                    grid AS (
+                      SELECT d.doc_id, CAST(g.k AS INTEGER) AS k
+                      FROM documents d
+                      CROSS JOIN (SELECT unnest(range(72)) AS k) g
+                    ),
+                    cells AS (
+                      SELECT grid.doc_id, grid.k, COALESCE(cellsum.s, 0) AS s
+                      FROM grid LEFT JOIN cellsum
+                        ON grid.doc_id = cellsum.doc_id AND grid.k = cellsum.k
+                    ),
+                    bits AS (
+                      SELECT a.doc_id,
+                             CAST((a.k // 9) * 8 + (a.k % 9) AS INTEGER) AS j,
+                             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+                      FROM cells a JOIN cells b
+                        ON a.doc_id = b.doc_id AND b.k = a.k + 1
+                      WHERE a.k % 9 <> 8
+                    ),
+                    bands AS (
+                      SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
+                             CAST(sum(CAST(bit AS BIGINT)
+                                      * (1::BIGINT << (j % 16))) AS BIGINT) AS band_val
+                      FROM bits GROUP BY doc_id, j // 16
+                    ),
+                    sizes AS (
+                      SELECT band_idx, band_val,
+                             CAST(count(*) AS BIGINT) AS s
+                      FROM bands GROUP BY 1, 2
+                    ),
+                    hist AS (
+                      SELECT band_idx,
+                             CAST(length(bin(s)) AS INTEGER) AS bucket,
+                             CAST(count(*) AS BIGINT) AS n_buckets,
+                             CAST(sum(s) AS BIGINT) AS n_media,
+                             CAST(sum(s * (s - 1) // 2) AS BIGINT)
+                               AS cand_pairs
+                      FROM sizes GROUP BY 1, 2
+                    )
+                    SELECT band_idx, bucket, n_buckets, n_media, cand_pairs,
+                           CAST(CASE WHEN sum(cand_pairs) OVER
+                                  (PARTITION BY band_idx) = 0 THEN 0
+                                ELSE (cand_pairs * 10000)
+                                     // (sum(cand_pairs) OVER
+                                         (PARTITION BY band_idx)) END
+                             AS BIGINT) AS pair_share_bp
+                    FROM hist
                 """,
         "mm5_phash_neardup": """
                     WITH hx AS (

@@ -283,6 +283,9 @@ SF1_POOL = [
 # class PLUS the full gram join); its sf1 behavior rides the
 # component queries already in the pool/sweeps (dd1/tp1/tp18 here,
 # dc9 at 2.6 s) and the SCALING sweeps.
+# r10 sixth-wave measurement: mm10_dhash_band_skew excluded at
+# 17.0 s (the per-byte dHash CTE chain at sf1 — mm6's 396 s class,
+# lighter because no pair join follows); rides the sf0.1 slice.
 # r10 third-wave measurements: dd28_sig_length_curve excluded at
 # 19.8 s (dd16's un-indexed band join + shingle intersection at
 # sf1), gr17_transitivity at 20.1 s (the triangle two-join over

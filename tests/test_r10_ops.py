@@ -328,3 +328,20 @@ def test_tp20_sums_to_tp18_global_cells(spark):
     assert sum(r["n_docs"] for r in per_src) == g["n_docs"]
     assert sum(r["docs_crossing"] for r in per_src) == g["docs_crossing"]
     assert len(per_src) > 1  # the attribution is non-degenerate
+
+
+def test_mm10_each_band_partitions_the_media(spark):
+    """Every media row lands in exactly one bucket per band, so each
+    of the 4 pigeonhole bands accounts for the same media total; the
+    per-band share column sums to ~10000 bp wherever pairs exist."""
+    sf = "/root/testdata/sf0.001"
+    rows = spark_queries()["mm10_dhash_band_skew"](spark, sf).collect()
+    per_band = {}
+    shares = {}
+    for r in rows:
+        per_band[r["band_idx"]] = per_band.get(r["band_idx"], 0) + r["n_media"]
+        shares[r["band_idx"]] = shares.get(r["band_idx"], 0) + r["pair_share_bp"]
+    assert set(per_band) == {0, 1, 2, 3}
+    assert len(set(per_band.values())) == 1
+    for b, s in shares.items():
+        assert s <= 10000

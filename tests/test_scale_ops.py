@@ -1556,3 +1556,17 @@ def test_r10_wave6_plans_stay_scale_shaped(spark):
     tp20.collect()
     plan = tp20._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_mm10_plan_stays_scale_shaped(spark):
+    """mm10 is one Arrow signature pass + bounded-domain groupBys —
+    no pair join at all (it PRICES mm5's join without running it)."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    mm10 = registry.spark_queries()["mm10_dhash_band_skew"](
+        spark, "/root/testdata/sf0.001"
+    )
+    mm10.collect()
+    plan = mm10._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
