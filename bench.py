@@ -185,6 +185,7 @@ LONGTAIL = [
     "er6_distance_threshold_curve",  # ER verify-threshold pricing (r10, 2.34 s warm)
     "ol4_gate_agreement",  # z/IQR/MAD outlier-gate agreement cells (r10, 2.12 s warm)
     "mm10_dhash_band_skew",  # dHash band-bucket skew profile (r10, 2.34 s warm)
+    "dc11_bloom_exact_agreement",  # measured Bloom FP mass on the real workload (r10, 3.72 s warm)
     # r10 full-registry audit sweep (tools/bench_audit.py): every
     # previously-unwired query was timed warm at sf0.1; all >= 1.5 s
     # land here, the rest carry measured exclusions in BENCH_EXCLUDED

@@ -14,6 +14,8 @@ from enriched_crime_incident_data_pipeline_spark.functions.text import doc_finge
 from enriched_crime_incident_data_pipeline_spark.sources.catalog import load_table
 
 from enriched_crime_incident_data_pipeline_spark.registry._shared import (
+    _BLOOM_GPOS,
+    _BLOOM_GPOS_DOC,
     _DC7_BLOOM_SQL,
     _HASH32,
     _MINHASH_BANDS_SQL,
@@ -259,7 +261,51 @@ def q_dc2_cross_snapshot(spark, sf_dir):
     kept = cross_snapshot_new_docs(new, old, "fingerprint")
     return kept.select("doc_id", "fingerprint")
 
+def q_dc11_bloom_exact_agreement(spark, sf_dir):
+    # the BLOOM-TRUST audit (r10): sk10 publishes the filter's FPR on
+    # synthetic membership probes — this measures it on the REAL
+    # decontamination workload, as the agreement cells between dc1's
+    # exact broadcast-set verdict and dc7's m-bit Bloom verdict over
+    # the same train/eval split. Bloom admits NO false negatives, so
+    # the (exact ∧ ¬bloom) cell is structurally empty (pinned by
+    # test) and the (¬exact ∧ bloom) cell IS the measured
+    # false-positive mass: the documents a Bloom-only pipeline would
+    # over-drop, which is exactly the number that decides whether m
+    # bits suffice or the exact set must be sharded. Two doc-domain
+    # flag relations (each the parent op's own machinery), one
+    # primary-key join, one ≤4-cell conditional agg.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.decontaminate import (
+        bloom_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    ex = ngram_contamination(train, eval_docs, n=8).select(
+        "doc_id",
+        (F.col("contaminated") > 0).alias("exact_contaminated"),
+    )
+    bl = bloom_decontaminate(train, eval_docs, n=8).select(
+        "doc_id",
+        (F.col("contaminated") > 0).alias("bloom_contaminated"),
+    )
+    cells = (
+        ex.join(bl, "doc_id")
+        .groupBy("exact_contaminated", "bloom_contaminated")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return cells.select(
+        "exact_contaminated",
+        "bloom_contaminated",
+        "n_docs",
+        F.expr(
+            "CAST((n_docs * 10000) DIV (sum(n_docs) OVER ()) AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
 QUERIES = {
+    "dc11_bloom_exact_agreement": q_dc11_bloom_exact_agreement,
     "dc3_leakage_safe_split": q_dc3_leakage_safe_split,
     "dc5_semantic_decontaminate": q_dc5_semantic_decontaminate,
     "dc1_contamination": q_dc1_contamination,
@@ -429,6 +475,50 @@ def oracles() -> dict[str, str]:
                              AS contamination_bp
                     FROM per
 """,
+        "dc11_bloom_exact_agreement": f"""
+                    WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                    g AS MATERIALIZED (
+                      SELECT DISTINCT doc_id,
+                             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+                      FROM w, unnest(generate_series(1, greatest(len(toks) - 7, 1)))
+                               AS t(i)
+                    ),
+                    ev AS MATERIALIZED (
+                      SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+                    ),
+                    shared AS (
+                      SELECT g.doc_id, count(*) AS n_shared
+                      FROM g JOIN ev USING (gram)
+                      WHERE g.doc_id % 50 <> 0
+                      GROUP BY g.doc_id
+                    ),
+                    bits AS (
+                      SELECT DISTINCT bit FROM ({_BLOOM_GPOS.format(src="ev")})
+                    ),
+                    gp AS ({_BLOOM_GPOS_DOC.format(src="g WHERE doc_id % 50 <> 0")}),
+                    ghit AS (
+                      SELECT gp.doc_id, gp.gram
+                      FROM gp LEFT JOIN bits b ON gp.bit = b.bit
+                      GROUP BY gp.doc_id, gp.gram
+                      HAVING sum(CASE WHEN b.bit IS NULL THEN 1 ELSE 0 END) = 0
+                    ),
+                    hit AS (SELECT DISTINCT doc_id FROM ghit),
+                    fl AS (
+                      SELECT d.doc_id,
+                             coalesce(s.n_shared, 0) > 0 AS exact_contaminated,
+                             h.doc_id IS NOT NULL AS bloom_contaminated
+                      FROM documents d
+                      LEFT JOIN shared s ON d.doc_id = s.doc_id
+                      LEFT JOIN hit h ON d.doc_id = h.doc_id
+                      WHERE d.doc_id % 50 <> 0
+                    )
+                    SELECT exact_contaminated, bloom_contaminated,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST((count(*) * 10000)
+                                // (sum(count(*)) OVER ()) AS BIGINT)
+                             AS share_bp
+                    FROM fl GROUP BY 1, 2
+                """,
         "dc1_contamination": f"""
                     WITH w AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
                     g AS (

@@ -249,6 +249,7 @@ SF1_POOL = [
     "ol4_gate_agreement",  # 0.17 s
     "sj3_salt_factor_curve",  # 0.03 s
     "tp20_fragmentation_by_source",  # 2.41 s
+    "dc11_bloom_exact_agreement",  # 4.79 s
 ]
 # deliberately NOT in the pool (measured r6): gr3_hits (207 s — the
 # unrolled-HITS DuckDB oracle over the sf1 banding is itself the

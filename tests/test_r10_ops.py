@@ -345,3 +345,21 @@ def test_mm10_each_band_partitions_the_media(spark):
     assert len(set(per_band.values())) == 1
     for b, s in shares.items():
         assert s <= 10000
+
+
+def test_dc11_bloom_admits_no_false_negatives(spark):
+    """Structural pin of the Bloom guarantee on the real fixture: the
+    (exact ∧ ¬bloom) cell cannot exist — every exactly-contaminated
+    doc is also bloom-flagged; cell totals cover the whole train
+    split and shares sum to ≤10000."""
+    sf = "/root/testdata/sf0.001"
+    qs = spark_queries()
+    rows = qs["dc11_bloom_exact_agreement"](spark, sf).collect()
+    cells = {
+        (r["exact_contaminated"], r["bloom_contaminated"]): r["n_docs"]
+        for r in rows
+    }
+    assert (True, False) not in cells
+    n_train = qs["dc1_contamination"](spark, sf).count()
+    assert sum(cells.values()) == n_train
+    assert sum(r["share_bp"] for r in rows) <= 10000

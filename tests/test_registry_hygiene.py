@@ -37,7 +37,7 @@ def test_registry_query_names_unique_and_nonempty():
     )
 
     queries = spark_queries()  # raises on cross-family duplicate names
-    assert len(queries) >= 359  # r10 floor; raise as the registry grows
+    assert len(queries) >= 360  # r10 floor; raise as the registry grows
     assert all(callable(v) for v in queries.values())
     # every oracle refers to a registered query
     assert set(oracle_queries()) <= set(queries)

@@ -1570,3 +1570,17 @@ def test_mm10_plan_stays_scale_shaped(spark):
     plan = mm10._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dc11_plan_stays_scale_shaped(spark):
+    """dc11 composes two doc-domain flag relations (broadcast
+    eval-gram set; broadcast packed bitset) and joins them on the
+    primary key — no cartesian, no corpus self-join."""
+    from enriched_crime_incident_data_pipeline_spark import registry
+
+    dc11 = registry.spark_queries()["dc11_bloom_exact_agreement"](
+        spark, "/root/testdata/sf0.001"
+    )
+    dc11.collect()
+    plan = dc11._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
