@@ -17,12 +17,16 @@ by conflict-skip:
   named ``upto-<maxid>.jsonl`` by the producer (a real poller
   publishes its high-water mark), so advancing the offset reads NO
   data on the driver.
-- **partitions(start, end)** splits the (start, end] id range into
-  fixed-width slices — one executor task per slice, no driver loop.
-- **read(partition)** runs on executors: scan spool files whose
-  name-declared max id exceeds the slice start, parse JSON lines,
-  emit rows with ``start < incident_id <= end``.  Re-reading a range
-  is deterministic on the append-only spool, which is what makes
+- **partitions(start, end)** maps the (start, end] id range onto the
+  spool files it intersects — both bounds of every file's id range
+  are carried by file NAMES under the append-only contract, so each
+  slice reads exactly one file (``slice_width`` optionally splits a
+  file's range further) — one executor task per slice, no driver
+  loop.
+- **read(partition)** runs on executors: parse the slice's file with
+  pyarrow's native JSONL reader, filter ``start < incident_id <=
+  end`` columnar, yield Arrow RecordBatches.  Re-reading a range is
+  deterministic on the append-only spool, which is what makes
   checkpoint replay exactly-once.
 
 Hermetic by design (the engine's standing boundary): the spool is
@@ -48,10 +52,17 @@ _SCHEMA = "incident_id bigint, ts string, location string, nature string"
 
 
 class _IdRange(InputPartition):
-    def __init__(self, path: str, start: int, end: int) -> None:
+    def __init__(
+        self, path: str, start: int, end: int, file: str | None = None
+    ) -> None:
         self.path = path
         self.start = start
         self.end = end
+        # the one spool file this slice reads (r10 optimization: the
+        # append-only contract gives every file a name-declared id
+        # range, so a slice never needs to scan the whole spool);
+        # None = the empty well-formed slice of a no-new-data trigger
+        self.file = file
 
 
 def _spool_files(path: str) -> list[str]:
@@ -78,39 +89,120 @@ class IncidentFeedStreamReader(DataSourceStreamReader):
         return {"max_id": max(_file_max_id(f) for f in files)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # r10 optimization: slices are FILE-ALIGNED. The append-only
+        # producer contract (enforced by ``write_spool_file``) means
+        # file i's ids lie in (max_{i-1}, max_i] — both bounds carried
+        # by file NAMES — so the id range (lo, hi] maps onto exactly
+        # the files it intersects, each slice reads ONE file, and no
+        # slice ever re-scans the rest of the spool (the r9 shape cut
+        # the range into fixed-width slices that each re-parsed every
+        # overlapping file: O(spool) JSON work per slice).
+        # ``slice_width`` (when set) still splits a single file's
+        # range for intra-file parallelism; default is one slice per
+        # file — at scale the producer bounds poll size, so files are
+        # the natural parallel unit.
         lo, hi = start["max_id"], end["max_id"]
-        if hi <= lo:
+        out: list[InputPartition] = []
+        if hi > lo:
+            prev: int | None = None  # name-declared min bound (exclusive)
+            for f in _spool_files(self._path):
+                fhi = _file_max_id(f)
+                flo = prev
+                prev = fhi
+                if fhi <= lo:
+                    continue
+                if flo is not None and flo >= hi:
+                    break  # files are sorted by max id: all later ones out of range
+                s = lo if flo is None else max(lo, flo)
+                e = min(hi, fhi)
+                if e <= s:
+                    continue
+                width = self._width if self._width > 0 else (e - s)
+                c = s
+                while c < e:
+                    d = min(c + width, e)
+                    out.append(_IdRange(self._path, c, d, file=f))
+                    c = d
+        if not out:
             # no new data this trigger: one empty slice keeps the
             # batch well-formed
             return [_IdRange(self._path, lo, lo)]
-        out = []
-        s = lo
-        while s < hi:
-            e = min(s + self._width, hi)
-            out.append(_IdRange(self._path, s, e))
-            s = e
         return out
 
-    def read(self, partition: _IdRange) -> Iterator[tuple]:
-        # executor-side: only files whose declared max id can contain
-        # ids past the slice start are opened (name-carried skip
-        # bound — the spool twin of parquet min/max pruning)
-        for f in _spool_files(partition.path):
-            if _file_max_id(f) <= partition.start:
-                continue
-            with open(f) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    r = json.loads(line)
-                    rid = int(r["incident_id"])
-                    if partition.start < rid <= partition.end:
-                        yield (
-                            rid,
-                            r.get("ts"),
-                            r.get("location"),
-                            r.get("nature"),
-                        )
+    def read(self, partition: _IdRange) -> Iterator:
+        # executor-side, vectorized (r10): the slice's ONE file is
+        # parsed by pyarrow's native JSONL reader, range-filtered
+        # columnar, and yielded as Arrow RecordBatches — no per-line
+        # ``json.loads`` and no per-row tuple pickling across the
+        # Python-source boundary. A malformed file falls back to the
+        # r9 line-loop (same rows, built into one RecordBatch so the
+        # yield type stays uniform).
+        if partition.file is None or partition.start >= partition.end:
+            return
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("incident_id", pa.int64()),
+                ("ts", pa.string()),
+                ("location", pa.string()),
+                ("nature", pa.string()),
+            ]
+        )
+        try:
+            import pyarrow.json as pj
+
+            tbl = pj.read_json(
+                partition.file,
+                read_options=pj.ReadOptions(use_threads=False),
+                parse_options=pj.ParseOptions(
+                    explicit_schema=schema,
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+        except Exception:
+            tbl = self._read_file_lines(partition.file, schema)
+        import pyarrow.compute as pc
+
+        ids = tbl.column("incident_id")
+        sel = tbl.filter(
+            pc.and_(
+                pc.greater(ids, pa.scalar(partition.start, pa.int64())),
+                pc.less_equal(ids, pa.scalar(partition.end, pa.int64())),
+            )
+        )
+        for batch in sel.to_batches():
+            if batch.num_rows:
+                yield batch
+
+    @staticmethod
+    def _read_file_lines(f: str, schema) -> "object":
+        """Line-loop fallback (exact r9 semantics, batched): skip
+        blank lines, ``json.loads`` the rest."""
+        import pyarrow as pa
+
+        ids: list[int] = []
+        tss: list[str | None] = []
+        locs: list[str | None] = []
+        nats: list[str | None] = []
+        with open(f) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                ids.append(int(r["incident_id"]))
+                tss.append(r.get("ts"))
+                locs.append(r.get("location"))
+                nats.append(r.get("nature"))
+        return pa.table(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(tss, pa.string()),
+                pa.array(locs, pa.string()),
+                pa.array(nats, pa.string()),
+            ],
+            schema=schema,
+        )
 
     def commit(self, end: dict) -> None:
         # the spool is append-only; nothing to clean up. A production
@@ -133,8 +225,42 @@ class IncidentFeedDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("incident_feed source requires a path")
-        width = int(self.options.get("slice_width", "1000"))
+        # 0 = one slice per spool file (default; see partitions());
+        # a positive width additionally splits each file's id range
+        width = int(self.options.get("slice_width", "0"))
         return IncidentFeedStreamReader(path, width)
+
+
+def write_spool_frame(path: str, pdf) -> str:
+    """Vectorized producer twin of :func:`write_spool_file` for bulk
+    polls: a pandas DataFrame with columns ``incident_id / ts /
+    location / nature`` is rendered to JSONL by ``to_json`` (one
+    native call, no per-row ``json.dumps``) under the same
+    append-only contract and atomic-rename publish."""
+    os.makedirs(path, exist_ok=True)
+    if len(pdf) == 0:
+        raise ValueError(
+            "cannot spool an empty poll: the file NAME carries the new "
+            "high-water mark, so an empty batch has no offset to publish "
+            "(skip the poll instead)"
+        )
+    max_id = int(pdf["incident_id"].max())
+    existing = _spool_files(path)
+    if existing:
+        prev = max(_file_max_id(f) for f in existing)
+        lo = int(pdf["incident_id"].min())
+        if lo <= prev:
+            raise ValueError(
+                f"spool append-only violation: new min id {lo} <= "
+                f"published high-water {prev}"
+            )
+    out = os.path.join(path, f"upto-{max_id}.jsonl")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(pdf.to_json(orient="records", lines=True))
+        fh.write("\n")
+    os.replace(tmp, out)
+    return out
 
 
 def write_spool_file(path: str, rows: list[dict]) -> str:

@@ -79,11 +79,26 @@ def test_incident_feed_offsets_replay_and_append_only(spark, tmp_path):
     o1 = r.latestOffset()
     assert o1 == {"max_id": 4}
 
+    # r10: read() yields Arrow RecordBatches (vectorized reader)
+    def _ids(parts):
+        return sorted(
+            i
+            for p in parts
+            for b in r.read(p)
+            for i in b.column("incident_id").to_pylist()
+        )
+
     parts = r.partitions({"max_id": -1}, o1)
     assert [(p.start, p.end) for p in parts] == [(-1, 1), (1, 3), (3, 4)]
-    batch1 = sorted(
-        row[0] for p in parts for row in r.read(p)
-    )
+    # file-aligned slicing: every slice of the first poll reads the
+    # first spool file only (the name-declared range makes any other
+    # file unreachable for these ids)
+    import os as _os
+
+    assert {p.file for p in parts} == {
+        _os.path.join(spool, "upto-4.jsonl")
+    }
+    batch1 = _ids(parts)
     assert batch1 == [0, 1, 2, 3, 4]
 
     # second poll arrives
@@ -96,18 +111,12 @@ def test_incident_feed_offsets_replay_and_append_only(spark, tmp_path):
     )
     o2 = r.latestOffset()
     assert o2 == {"max_id": 7}
-    batch2 = sorted(
-        row[0]
-        for p in r.partitions(o1, o2)
-        for row in r.read(p)
-    )
+    batch2 = _ids(r.partitions(o1, o2))
     assert batch2 == [5, 6, 7]
 
     # replay of the FIRST committed range after the spool grew:
     # byte-identical row set — exactly-once under checkpoint recovery
-    replay = sorted(
-        row[0] for p in r.partitions({"max_id": -1}, o1) for row in r.read(p)
-    )
+    replay = _ids(r.partitions({"max_id": -1}, o1))
     assert replay == batch1
 
     # no-new-data trigger stays well-formed (one empty slice)
