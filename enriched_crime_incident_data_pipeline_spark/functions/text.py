@@ -58,19 +58,26 @@ def _bind(value: Column, body) -> Column:
     return F.transform(F.array(value), body)[0]
 
 
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """n-word shingles from an ALREADY-TOKENIZED array column — the
+    shared-tokenization half of :func:`word_shingles`, public so a
+    query that needs SEVERAL shingle widths (``dd26``) can tokenize
+    once and derive every width from the same array instead of
+    re-running the normalize/split regex per width. ``toks`` must be
+    a cheap reference (a bound column), not a recomputed expression —
+    it is referenced inside a per-position lambda."""
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-word shingles (array<string>) for MinHash / Jaccard dedup.
 
     Documents shorter than ``n`` tokens yield a single shingle of all
     their tokens, so every non-empty document has ≥1 shingle.
     """
-
-    def build(toks: Column) -> Column:
-        n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-        idx = F.sequence(F.lit(1), n_sh)
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-
-    return _bind(tokens(text), build)
+    return _bind(tokens(text), lambda toks: shingles_from_tokens(toks, n))
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:

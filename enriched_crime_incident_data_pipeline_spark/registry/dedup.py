@@ -466,36 +466,137 @@ def q_dd26_shingle_sensitivity(spark, sf_dir):
     # tunes the SHINGLE width): candidate-pair volume and docs
     # touched at w = 2/3/5 words — small w over-pairs (common phrases
     # collide), large w under-pairs (one edit breaks every shingle).
-    # Per width: the standard map-only banding (no shuffle until the
-    # band bucket join) → candidate pairs → two cells. Three
-    # independent pipelines unioned; each is dd2's exact shape.
+    # r10 optimization (was: three independent dd2-shaped pipelines
+    # unioned — 36 planned scans of the corpus, one tokenize and one
+    # band-bucket shuffle PER width): the corpus is scanned and
+    # tokenized ONCE (tokenization is width-independent), all three
+    # widths' shingle-hash arrays and 16 minima derive from that one
+    # token array in a single staged map chain, and the 12 width-
+    # tagged band structs ride ONE explode into ONE bucket self-join
+    # keyed (w, band_id, band_hash) — per-width buckets can't
+    # cross-pair because w is in the key, so the candidate sets are
+    # bit-identical to the per-width pipelines. One corpus scan, one
+    # band shuffle, one distinct for all three curve rows.
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        BAND_SIZE,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+        NUM_HASHES,
+        hash32,
+    )
+    from enriched_crime_incident_data_pipeline_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+    from enriched_crime_incident_data_pipeline_spark.operators.parallelism import (
+        fan_out,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    outs = []
-    for w in (2, 3, 5):
-        pairs = lsh_candidate_pairs(
-            minhash_bands(docs, shingle_words=w)
-        ).select("a", "b").distinct()
-        ids = pairs.select(F.col("a").alias("i")).union(
-            pairs.select(F.col("b"))
-        ).distinct()
-        outs.append(
-            pairs.agg(
-                F.lit(w).cast("int").alias("shingle_words"),
-                F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
-            ).crossJoin(
-                F.broadcast(
-                    ids.agg(
-                        F.count(F.lit(1)).cast("bigint").alias(
-                            "n_docs_in_pairs"
+    widths = (2, 3, 5)
+    toked = fan_out(docs).select(
+        F.col("doc_id"), tokens(F.col("text")).alias("_toks")
+    )
+    # one projection per derivation level so each array is computed
+    # once and shared (minhash_sigs' staging idiom)
+    staged = toked.select(
+        "doc_id",
+        *[
+            F.transform(
+                F.array_distinct(shingles_from_tokens(F.col("_toks"), w)),
+                lambda s: hash32(s),
+            ).alias(f"_xs{w}")
+            for w in widths
+        ],
+    )
+
+    def perm(j: int):
+        return lambda x: (
+            F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])
+        ) % MINHASH_PRIME
+
+    sigs = staged.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col(f"_xs{w}"), perm(j))).alias(
+                f"_mh{w}_{j}"
+            )
+            for w in widths
+            for j in range(NUM_HASHES)
+        ],
+    )
+    structs = []
+    for w in widths:
+        for b in range(NUM_HASHES // BAND_SIZE):
+            cols = [
+                F.col(f"_mh{w}_{b * BAND_SIZE + r}") for r in range(BAND_SIZE)
+            ]
+            structs.append(
+                F.struct(
+                    F.lit(w).alias("w"),
+                    F.lit(b).alias("band_id"),
+                    F.unhex(
+                        F.md5(
+                            F.concat_ws(
+                                "-", *[c.cast("string") for c in cols]
+                            )
                         )
-                    )
+                    ).alias("band_hash"),
                 )
             )
+    # pin the width-tagged band table before the self-join: branch
+    # lineages are not deduplicated at runtime, so unpinned the whole
+    # tokenize→hash→minima chain would run once per join side
+    # (interleaved A/B at sf0.1: 4.2 → 2.4 s with both pins)
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bd")
+    ).select(
+        "doc_id",
+        F.col("bd.w").alias("w"),
+        F.col("bd.band_id").alias("band_id"),
+        F.col("bd.band_hash").alias("band_hash"),
+    ).localCheckpoint(eager=True)
+    left = bands.select(F.col("doc_id").alias("a"), "w", "band_id", "band_hash")
+    right = bands.select(F.col("doc_id").alias("b"), "w", "band_id", "band_hash")
+    # pin the (tiny) pair set: three consumers read it, and measured
+    # A/B shows branch lineages are NOT deduplicated at runtime —
+    # unpinned, the whole scan→tokenize→minhash→join chain executes
+    # once per consumer (1.8 s vs 0.33 s at sf0.1)
+    pairs = (
+        left.join(right, ["w", "band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("w", "a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pc_ = pairs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+    )
+    ids = (
+        pairs.select("w", F.col("a").alias("i"))
+        .union(pairs.select("w", F.col("b")))
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_in_pairs"))
+    )
+    # a width with zero candidate pairs must still emit its (w, 0, 0)
+    # row (the per-width aggs of the r9 shape did) — left-join the
+    # 3-row width frame
+    wd = spark.createDataFrame([(w,) for w in widths], "w int")
+    return (
+        wd.join(pc_, "w", "left")
+        .join(ids, "w", "left")
+        .select(
+            F.col("w").cast("int").alias("shingle_words"),
+            F.coalesce(F.col("n_candidate_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+            F.coalesce(F.col("n_docs_in_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_in_pairs"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 def q_dd25_cluster_size_histogram(spark, sf_dir):

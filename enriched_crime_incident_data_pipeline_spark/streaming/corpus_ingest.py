@@ -131,7 +131,9 @@ def corpus_ingest_batch(
             ).drop("batch")
             pairs = incremental_lsh_pairs(new_bands, index)
         else:
-            pairs = lsh_candidate_pairs(new_bands)
+            # new_bands is already lazily checkpointed above — the
+            # default pin would just add a per-batch job
+            pairs = lsh_candidate_pairs(new_bands, pin=False)
         # keep-earliest: a pair (a, b) with a < b drops b; with
         # id-ordered arrival the greater side is always in this batch
         dropped = pairs.select(F.col("b").alias("doc_id")).distinct()
