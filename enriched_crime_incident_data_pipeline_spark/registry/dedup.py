@@ -292,12 +292,19 @@ def q_dd16_minhash_estimate(spark, sf_dir):
     # the only joins are the band bucket join and two broadcast
     # signature lookups.
     from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        bands_from_sigs,
         minhash_sigs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(minhash_bands(docs))
-    sigs = minhash_sigs(docs)
+    # r10: ONE signature pass — the raw signatures are pinned and
+    # BOTH the banding (candidate join) and the two broadcast
+    # signature lookups read the pinned relation, instead of the
+    # tokenize→hash→minima chain running once for the bands and
+    # again for the lookups (same bits: bands_from_sigs is
+    # minhash_bands' banding half)
+    sigs = minhash_sigs(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(bands_from_sigs(sigs), pin=False)
     sa = sigs.select(
         F.col("doc_id").alias("a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(16)],
@@ -339,12 +346,19 @@ def q_dd28_sig_length_curve(spark, sf_dir):
     # stack, then a ≤33-row histogram; the share window runs over
     # the histogram only, partitioned by k.
     from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        bands_from_sigs,
         minhash_sigs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # r10: one signature pass (dd16's idiom) — the pinned full-corpus
+    # signatures feed the banding AND replace the second
+    # minhash_sigs(pruned) tokenize pass (a semi-join filter of the
+    # pinned relation is bit-identical to re-deriving signatures on
+    # the pruned docs: the signature is a per-row function)
+    sigs_full = minhash_sigs(docs).localCheckpoint(eager=True)
     cand = (
-        lsh_candidate_pairs(minhash_bands(docs))
+        lsh_candidate_pairs(bands_from_sigs(sigs_full), pin=False)
         .select("a", "b")
         .distinct()
         .localCheckpoint(eager=True)
@@ -355,7 +369,7 @@ def q_dd28_sig_length_curve(spark, sf_dir):
         .distinct()
     )
     pruned = docs.join(ids, "doc_id", "left_semi")
-    sigs = minhash_sigs(pruned)
+    sigs = sigs_full.join(ids, "doc_id", "left_semi")
     sa = sigs.select(
         F.col("doc_id").alias("a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(16)],

@@ -55,7 +55,7 @@ def q_st3_stream_static_join(spark, sf_dir):
         )
     )
     return run_available_now(
-        agg, "st3_static_join", "complete", state_partitions=8
+        agg, "st3_static_join", "complete", state_partitions=4
     )
 
 
@@ -155,7 +155,7 @@ def q_st6_stream_lsh_probe(spark, sf_dir):
         .dropDuplicates(["a", "b"])
     )
     return run_available_now(
-        hits, "st6_lsh_probe", "append", state_partitions=8
+        hits, "st6_lsh_probe", "append", state_partitions=4
     )
 
 
@@ -247,7 +247,7 @@ def q_st14_stream_phash_probe(spark, sf_dir):
         .select("a", "b", "hamming")
     )
     return run_available_now(
-        hits, "st14_phash_probe", "append", state_partitions=8
+        hits, "st14_phash_probe", "append", state_partitions=4
     )
 
 
@@ -332,7 +332,7 @@ def q_st8_stream_decontaminate(spark, sf_dir):
         .dropDuplicates(["doc_id"])
     )
     return run_available_now(
-        hits, "st8_decontaminate", "append", state_partitions=8
+        hits, "st8_decontaminate", "append", state_partitions=4
     )
 
 
@@ -357,7 +357,7 @@ def q_st9_stream_hll(spark, sf_dir):
         F.col("register").cast("bigint").alias("register"),
         F.col("rho").cast("bigint").alias("rho"),
     )
-    return run_available_now(out, "st9_hll", "complete", state_partitions=8)
+    return run_available_now(out, "st9_hll", "complete", state_partitions=4)
 
 
 def q_st18_stream_word_hist(spark, sf_dir):
@@ -383,7 +383,7 @@ def q_st18_stream_word_hist(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return run_available_now(
-        hist, "st18_word_hist", "complete", state_partitions=8
+        hist, "st18_word_hist", "complete", state_partitions=4
     )
 
 
@@ -407,7 +407,7 @@ def q_st19_stream_heavy_hitters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     out = run_available_now(
-        counts, "st19_heavy", "complete", state_partitions=8
+        counts, "st19_heavy", "complete", state_partitions=4
     )
     return out.filter(F.col("n") >= 80)
 
@@ -433,7 +433,7 @@ def q_st16_stream_quantile(spark, sf_dir):
     ev = stream_table(spark, sf_dir, "events")
     buckets = histogram_buckets(ev, F.col("value"), 5.0)
     state = run_available_now(
-        buckets, "st16_quantile", "complete", state_partitions=8
+        buckets, "st16_quantile", "complete", state_partitions=4
     )
     return histogram_quantile_readout(
         state, 5.0, qs=((1, 4), (1, 2), (19, 20), (99, 100))
@@ -496,7 +496,7 @@ def q_st10_stream_embed_probe(spark, sf_dir):
         .select("vec_id", "match_id", "cosine")
     )
     return run_available_now(
-        hits, "st10_embed_probe", "append", state_partitions=8
+        hits, "st10_embed_probe", "append", state_partitions=4
     )
 
 
@@ -532,7 +532,7 @@ def q_st11_stream_ohlc(spark, sf_dir):
             "open", "high", "low", "close", "n",
         )
     )
-    return run_available_now(bars, "st11_ohlc", "complete", state_partitions=8)
+    return run_available_now(bars, "st11_ohlc", "complete", state_partitions=4)
 
 
 
@@ -579,7 +579,7 @@ def q_st12_stream_temperature_sample(spark, sf_dir):
         .select("doc_id", "stratum")
     )
     return run_available_now(
-        kept, "st12_temp_sample", "append", state_partitions=8
+        kept, "st12_temp_sample", "append", state_partitions=4
     )
 
 
@@ -594,7 +594,7 @@ def q_st4_stream_dedup(spark, sf_dir):
     s = stream_events(spark, sf_dir)
     dd = s.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    return run_available_now(agg, "st4_dedup", "complete", state_partitions=8)
+    return run_available_now(agg, "st4_dedup", "complete", state_partitions=4)
 
 
 def q_st5_stream_stream_join(spark, sf_dir):
@@ -645,7 +645,7 @@ def q_st5_stream_stream_join(spark, sf_dir):
     # buffered rows) — see run_available_now's docstring; 32 was pure
     # per-store commit overhead (the round-3 "st5 regression" was
     # noise around that fixed cost, root-caused in SCALING.md r4)
-    return run_available_now(out, "st5_join", "append", state_partitions=8)
+    return run_available_now(out, "st5_join", "append", state_partitions=4)
 
 
 def q_st1_stream_tumbling(spark, sf_dir):
@@ -657,7 +657,7 @@ def q_st1_stream_tumbling(spark, sf_dir):
 
     s = stream_events(spark, sf_dir)
     return run_available_now(
-        tumbling_counts(s), "st1_tumbling", "complete", state_partitions=8
+        tumbling_counts(s), "st1_tumbling", "complete", state_partitions=4
     )
 
 
@@ -674,7 +674,7 @@ def q_st13_stream_sliding(spark, sf_dir):
 
     s = stream_events(spark, sf_dir)
     return run_available_now(
-        sliding_counts(s), "st13_sliding", "complete", state_partitions=8
+        sliding_counts(s), "st13_sliding", "complete", state_partitions=4
     )
 
 
@@ -688,7 +688,7 @@ def q_st2_stream_sessions(spark, sf_dir):
     s = stream_events(spark, sf_dir)
     return run_available_now(
         session_counts_stateful(s), "st2_sessions", "update",
-        state_partitions=8,
+        state_partitions=4,
     )
 
 
@@ -725,7 +725,7 @@ def q_st20_stream_decayed_counts(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
     return run_available_now(
-        out, "st20_decayed", "complete", state_partitions=8
+        out, "st20_decayed", "complete", state_partitions=4
     )
 
 
@@ -823,7 +823,7 @@ def q_st22_stream_weighted_sample(spark, sf_dir):
     )
     emitted = stream_weighted_sample(keyed, k=100)
     table = run_available_now(
-        emitted, "st22_weighted_sample", "update", state_partitions=8
+        emitted, "st22_weighted_sample", "update", state_partitions=4
     )
     return finalize_weighted_sample(table, k=100)
 
@@ -1151,7 +1151,7 @@ def q_st33_stream_order_audit(spark, sf_dir):
         stream_order_counters(ev),
         "st33_order_audit",
         "update",
-        state_partitions=8,
+        state_partitions=4,
     )
     return finalize_order_audit(emitted)
 
@@ -1180,7 +1180,7 @@ def q_st32_stream_k_anonymity(spark, sf_dir):
         stream_group_sizes(cust, k=5),
         "st32_k_anonymity",
         "update",
-        state_partitions=8,
+        state_partitions=4,
     )
     return finalize_k_anonymity(emitted, k=5)
 
@@ -1205,7 +1205,7 @@ def q_st30_stream_gap_monitor(spark, sf_dir):
     ev = stream_table(spark, sf_dir, "events")
     emitted = run_available_now(
         stream_gap_buckets(ev), "st30_gap_monitor", "update",
-        state_partitions=8,
+        state_partitions=4,
     )
     return finalize_gap_histogram(emitted)
 

@@ -93,7 +93,11 @@ def run_available_now(
     therefore pure overhead: the round-4 st5 audit measured the
     sf0.1 interval join at 7.9 s with 32 state partitions vs 2.7 s
     with 8, with state commit (not data) the dominant line in
-    ``stateOperators.commitTimeMs``. Size to state volume (rows ×
+    ``stateOperators.commitTimeMs``; the r10 re-audit measured the
+    same join at 3.22 s with 8 vs 2.80 with 4 (interleaved medians),
+    so the registry's stateful bounded runs now pass 4 — at bench
+    SFs every stateful operator holds hundreds of keys, far below
+    one partition's worth of state. Size to state volume (rows ×
     bytes per key), not to CPU count; on a 1000-executor deployment
     the same reasoning picks a LARGER number than the input-scan
     parallelism only when state actually needs it. ``None`` keeps
