@@ -495,6 +495,12 @@ def main() -> None:
         "sf": sf,
         "host": {
             "cpus": os.cpu_count(),
+            # the core count the bench actually RAN at (local[N]) —
+            # r10 verdict item 8: a record must be attributable to its
+            # config, so the filename below carries it too
+            "cpus_conf": int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "bench_wall_sec": round(time.time() - t_bench0, 1),
@@ -510,14 +516,22 @@ def main() -> None:
     }
     line = json.dumps(payload)
     print(line)
+    sys.stdout.flush()
     # the driver's BENCH_r{N}.json keeps only a 2 kB tail of stdout,
     # which truncates the headline numbers out of the round record —
     # persist the complete result next to the repo so every per-query
-    # number is recoverable from the repo alone (committed per round)
+    # number is recoverable from the repo alone (committed per round).
+    # r11 (verdict item 8): the filename carries the core count and
+    # scale factor, so the driver's 8-core sweep (or an sf1 run) can
+    # never clobber the committed 32-core sf0.1 record.
+    cpus_conf = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf_tag = str(sf).rstrip("0").rstrip(".") if sf > 0 else "unknown"
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"),
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_FULL_c{cpus_conf}_sf{sf_tag}.json",
+            ),
             "w",
         ) as f:
             f.write(line + "\n")

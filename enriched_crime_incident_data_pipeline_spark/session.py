@@ -50,6 +50,13 @@ def get_spark(
         # interleaved A/B over the join-heavy bench entries: −2.6%
         # total, no regression beyond noise. Join RESULTS are
         # strategy-independent; full selfcheck re-verified 360/360.
+        # CAVEAT (ADVICE r10): preferSortMergeJoin=false also steers
+        # the STATIC planner, which picks shuffled-hash from size
+        # ESTIMATES — a badly misestimated or skewed build side can
+        # OOM where sort-merge would spill. The AQE threshold below
+        # bounds only the AQE conversion path. On a cluster whose
+        # stats are unreliable, drop this line and keep the AQE
+        # threshold alone (runtime sizes, bounded build side).
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

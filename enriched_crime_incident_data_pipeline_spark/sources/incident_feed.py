@@ -66,7 +66,14 @@ class _IdRange(InputPartition):
 
 
 def _spool_files(path: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(path, "upto-*.jsonl")))
+    # NUMERIC sort by the name-carried max id: partitions() derives
+    # each file's lower bound from the PREVIOUS file's max id and
+    # early-breaks, so a lexicographic sort ("upto-12" < "upto-9")
+    # would silently drop rows whenever max ids cross a digit-count
+    # boundary.
+    return sorted(
+        glob.glob(os.path.join(path, "upto-*.jsonl")), key=_file_max_id
+    )
 
 
 def _file_max_id(f: str) -> int:
@@ -226,7 +233,12 @@ class IncidentFeedDataSource(DataSource):
         if not path:
             raise ValueError("incident_feed source requires a path")
         # 0 = one slice per spool file (default; see partitions());
-        # a positive width additionally splits each file's id range
+        # a positive width additionally splits each file's id range.
+        # NOTE (ADVICE r10): intra-file sub-slices each parse the
+        # WHOLE file and range-filter columnar, so a file split k ways
+        # is parsed k times — use slice_width only when one file's
+        # range is too large for a single task and the k-fold parse is
+        # cheaper than the lost parallelism.
         width = int(self.options.get("slice_width", "0"))
         return IncidentFeedStreamReader(path, width)
 

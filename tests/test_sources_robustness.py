@@ -131,6 +131,52 @@ def test_incident_feed_offsets_replay_and_append_only(spark, tmp_path):
         )
 
 
+def test_incident_feed_digit_boundary_spool_order(tmp_path):
+    """ADVICE r10 (high): partitions() derives each file's lower
+    bound from the PREVIOUS file's max id, so _spool_files must sort
+    NUMERICALLY — lexicographically 'upto-12' < 'upto-9', which bound
+    the second poll's file to (-1, 12] and silently dropped ids 0-8.
+    Regression: spool max ids crossing a digit-count boundary."""
+    from enriched_crime_incident_data_pipeline_spark.sources.incident_feed import (
+        IncidentFeedStreamReader,
+        write_spool_file,
+    )
+
+    spool = str(tmp_path / "spool")
+    write_spool_file(
+        spool,
+        [
+            dict(incident_id=i, ts=None, location=None, nature="a")
+            for i in range(0, 10)  # publishes upto-9.jsonl
+        ],
+    )
+    write_spool_file(
+        spool,
+        [
+            dict(incident_id=i, ts=None, location=None, nature="b")
+            for i in range(10, 13)  # publishes upto-12.jsonl
+        ],
+    )
+    r = IncidentFeedStreamReader(spool, slice_width=0)
+    o = r.latestOffset()
+    assert o == {"max_id": 12}
+    parts = r.partitions({"max_id": -1}, o)
+    got = sorted(
+        i
+        for p in parts
+        for b in r.read(p)
+        for i in b.column("incident_id").to_pylist()
+    )
+    assert got == list(range(0, 13))
+    # and each slice is bound to the correct single file
+    import os as _os
+
+    by_file = {
+        _os.path.basename(p.file): (p.start, p.end) for p in parts
+    }
+    assert by_file == {"upto-9.jsonl": (-1, 9), "upto-12.jsonl": (9, 12)}
+
+
 def test_write_spool_file_rejects_empty_poll(tmp_path):
     """ADVICE r8: an empty poll used to crash with an opaque
     ``max() arg is an empty sequence``; the file NAME carries the
