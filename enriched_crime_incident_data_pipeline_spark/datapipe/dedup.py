@@ -19,6 +19,8 @@ DuckDB twin.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,7 +55,27 @@ def _pin(df: DataFrame) -> DataFrame:
     by Spark's ContextCleaner as soon as the checkpointed RDD is no
     longer referenced, so long-lived sessions running many queries
     don't accumulate executor cache pressure (round-3 advice on
-    ``ngram_containment_pairs``)."""
+    ``ngram_containment_pairs``).
+
+    RELIABILITY TRADEOFF (r10 verdict item 2): ``localCheckpoint``
+    TRUNCATES lineage into executor-local, non-replicated block
+    storage — on a real cluster, losing an executor that holds pinned
+    blocks FAILS the job instead of recomputing (local mode has no
+    such failure domain). The pinned relations here are tiny next to
+    their inputs (band tables, pair sets), so re-running a failed
+    query is cheap; a deployment that can't accept job-level retry
+    sets ``SPARK_GRAFT_PIN_MODE=persist`` — ``persist(DISK_ONLY)``
+    keeps lineage, so a lost executor's blocks recompute instead of
+    failing the job. The persist variant re-inherits the
+    CacheManager-lifetime caveat above (blocks live until the
+    DataFrame is garbage-collected or ``unpersist()`` is called) and
+    stays lazy (no materialization barrier; concurrent first
+    consumers may compute a partition twice before the cache fills —
+    correct, occasionally redundant)."""
+    if os.environ.get("SPARK_GRAFT_PIN_MODE", "local") == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
     return df.localCheckpoint(eager=True)
 
 
@@ -300,9 +322,11 @@ def lsh_candidate_pairs(
     halving). Pass ``pin=False`` when the input is already
     materialized (a checkpointed batch relation in the streaming
     foreachBatch paths) where the extra pin job outweighs the saved
-    recompute."""
+    recompute. The pin honors ``SPARK_GRAFT_PIN_MODE`` — see
+    :func:`_pin` for the localCheckpoint-vs-persist reliability
+    tradeoff on clusters."""
     if pin and not bands.isStreaming:
-        bands = bands.localCheckpoint(eager=True)
+        bands = _pin(bands)
     left = bands.select(
         F.col(id_col).alias("a"), "band_id", "band_hash"
     )

@@ -55,7 +55,7 @@ def q_st3_stream_static_join(spark, sf_dir):
         )
     )
     return run_available_now(
-        agg, "st3_static_join", "complete", state_partitions=4
+        agg, "st3_static_join", "complete"
     )
 
 
@@ -120,7 +120,9 @@ def q_st15_stream_temporal_enrich(spark, sf_dir):
     # join at the 10M-event backfill point (62 s → 28 s at sf10;
     # with the projection-cast fix above, 7.2 s vs the 3.5 s batch
     # twin — the residue is micro-batch machinery + sink collection)
-    return run_available_now(joined, "st15_temporal_enrich", "append")
+    return run_available_now(
+        joined, "st15_temporal_enrich", "append", state_partitions=None
+    )
 
 
 def q_st6_stream_lsh_probe(spark, sf_dir):
@@ -155,7 +157,7 @@ def q_st6_stream_lsh_probe(spark, sf_dir):
         .dropDuplicates(["a", "b"])
     )
     return run_available_now(
-        hits, "st6_lsh_probe", "append", state_partitions=4
+        hits, "st6_lsh_probe", "append"
     )
 
 
@@ -182,7 +184,11 @@ def q_st17_stream_bloom_probe(spark, sf_dir):
         .select("doc_id", "text")
     )
     out = bloom_decontaminate(stream_train, eval_docs, n=8)
-    return run_available_now(out, "st17_bloom_probe", "append")
+    # stateless broadcast-bloom probe: shuffle tracks data volume
+    # (st15's reasoning), so keep the session default
+    return run_available_now(
+        out, "st17_bloom_probe", "append", state_partitions=None
+    )
 
 
 def q_st14_stream_phash_probe(spark, sf_dir):
@@ -247,7 +253,7 @@ def q_st14_stream_phash_probe(spark, sf_dir):
         .select("a", "b", "hamming")
     )
     return run_available_now(
-        hits, "st14_phash_probe", "append", state_partitions=4
+        hits, "st14_phash_probe", "append"
     )
 
 
@@ -332,7 +338,7 @@ def q_st8_stream_decontaminate(spark, sf_dir):
         .dropDuplicates(["doc_id"])
     )
     return run_available_now(
-        hits, "st8_decontaminate", "append", state_partitions=4
+        hits, "st8_decontaminate", "append"
     )
 
 
@@ -357,7 +363,7 @@ def q_st9_stream_hll(spark, sf_dir):
         F.col("register").cast("bigint").alias("register"),
         F.col("rho").cast("bigint").alias("rho"),
     )
-    return run_available_now(out, "st9_hll", "complete", state_partitions=4)
+    return run_available_now(out, "st9_hll", "complete")
 
 
 def q_st18_stream_word_hist(spark, sf_dir):
@@ -383,7 +389,7 @@ def q_st18_stream_word_hist(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return run_available_now(
-        hist, "st18_word_hist", "complete", state_partitions=4
+        hist, "st18_word_hist", "complete"
     )
 
 
@@ -407,7 +413,7 @@ def q_st19_stream_heavy_hitters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     out = run_available_now(
-        counts, "st19_heavy", "complete", state_partitions=4
+        counts, "st19_heavy", "complete"
     )
     return out.filter(F.col("n") >= 80)
 
@@ -433,7 +439,7 @@ def q_st16_stream_quantile(spark, sf_dir):
     ev = stream_table(spark, sf_dir, "events")
     buckets = histogram_buckets(ev, F.col("value"), 5.0)
     state = run_available_now(
-        buckets, "st16_quantile", "complete", state_partitions=4
+        buckets, "st16_quantile", "complete"
     )
     return histogram_quantile_readout(
         state, 5.0, qs=((1, 4), (1, 2), (19, 20), (99, 100))
@@ -496,7 +502,7 @@ def q_st10_stream_embed_probe(spark, sf_dir):
         .select("vec_id", "match_id", "cosine")
     )
     return run_available_now(
-        hits, "st10_embed_probe", "append", state_partitions=4
+        hits, "st10_embed_probe", "append"
     )
 
 
@@ -532,7 +538,7 @@ def q_st11_stream_ohlc(spark, sf_dir):
             "open", "high", "low", "close", "n",
         )
     )
-    return run_available_now(bars, "st11_ohlc", "complete", state_partitions=4)
+    return run_available_now(bars, "st11_ohlc", "complete")
 
 
 
@@ -579,7 +585,7 @@ def q_st12_stream_temperature_sample(spark, sf_dir):
         .select("doc_id", "stratum")
     )
     return run_available_now(
-        kept, "st12_temp_sample", "append", state_partitions=4
+        kept, "st12_temp_sample", "append"
     )
 
 
@@ -594,7 +600,7 @@ def q_st4_stream_dedup(spark, sf_dir):
     s = stream_events(spark, sf_dir)
     dd = s.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    return run_available_now(agg, "st4_dedup", "complete", state_partitions=4)
+    return run_available_now(agg, "st4_dedup", "complete")
 
 
 def q_st5_stream_stream_join(spark, sf_dir):
@@ -645,7 +651,7 @@ def q_st5_stream_stream_join(spark, sf_dir):
     # buffered rows) — see run_available_now's docstring; 32 was pure
     # per-store commit overhead (the round-3 "st5 regression" was
     # noise around that fixed cost, root-caused in SCALING.md r4)
-    return run_available_now(out, "st5_join", "append", state_partitions=4)
+    return run_available_now(out, "st5_join", "append")
 
 
 def q_st1_stream_tumbling(spark, sf_dir):
@@ -657,7 +663,7 @@ def q_st1_stream_tumbling(spark, sf_dir):
 
     s = stream_events(spark, sf_dir)
     return run_available_now(
-        tumbling_counts(s), "st1_tumbling", "complete", state_partitions=4
+        tumbling_counts(s), "st1_tumbling", "complete"
     )
 
 
@@ -674,7 +680,7 @@ def q_st13_stream_sliding(spark, sf_dir):
 
     s = stream_events(spark, sf_dir)
     return run_available_now(
-        sliding_counts(s), "st13_sliding", "complete", state_partitions=4
+        sliding_counts(s), "st13_sliding", "complete"
     )
 
 
@@ -688,7 +694,6 @@ def q_st2_stream_sessions(spark, sf_dir):
     s = stream_events(spark, sf_dir)
     return run_available_now(
         session_counts_stateful(s), "st2_sessions", "update",
-        state_partitions=4,
     )
 
 
@@ -725,7 +730,7 @@ def q_st20_stream_decayed_counts(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
     return run_available_now(
-        out, "st20_decayed", "complete", state_partitions=4
+        out, "st20_decayed", "complete"
     )
 
 
@@ -789,7 +794,9 @@ def q_st21_stream_asof(spark, sf_dir):
     )
     # stateless (no aggregation/dedup/stream-stream join): no
     # state_partitions override — shuffle tracks data volume
-    return run_available_now(joined, "st21_stream_asof", "append")
+    return run_available_now(
+        joined, "st21_stream_asof", "append", state_partitions=None
+    )
 
 
 def q_st22_stream_weighted_sample(spark, sf_dir):
@@ -823,7 +830,7 @@ def q_st22_stream_weighted_sample(spark, sf_dir):
     )
     emitted = stream_weighted_sample(keyed, k=100)
     table = run_available_now(
-        emitted, "st22_weighted_sample", "update", state_partitions=4
+        emitted, "st22_weighted_sample", "update"
     )
     return finalize_weighted_sample(table, k=100)
 
@@ -852,7 +859,7 @@ def q_st23_stream_ks_drift(spark, sf_dir):
         F.col("source").alias("g"), F.col("n_chars").alias("x")
     ).agg(F.count(F.lit(1)).alias("cnt_s"))
     state = run_available_now(
-        counts, "st23_ks_drift", "complete", state_partitions=4
+        counts, "st23_ks_drift", "complete"
     )
     return ks_drift_from_counts(state, group_col="source")
 
@@ -897,7 +904,7 @@ def q_st24_stream_concurrency(spark, sf_dir):
     ).select("user_id", F.col("sd.t").alias("t"), F.col("sd.d").alias("d"))
     net = deltas.groupBy("user_id", "t").agg(F.sum("d").alias("d_net"))
     state = run_available_now(
-        net, "st24_concurrency", "complete", state_partitions=4
+        net, "st24_concurrency", "complete"
     )
     return peak_from_deltas(state, ["user_id"], "t", "d_net").select(
         "user_id",
@@ -942,7 +949,7 @@ def q_st25_stream_trend(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     state = run_available_now(
-        sums, "st25_trend", "complete", state_partitions=4
+        sums, "st25_trend", "complete"
     )
     return trend_from_moments(state)
 
@@ -985,7 +992,7 @@ def q_st26_stream_session_window(spark, sf_dir):
         )
     )
     return run_available_now(
-        agg, "st26_session_window", "complete", state_partitions=4
+        agg, "st26_session_window", "complete"
     )
 
 
@@ -1012,7 +1019,7 @@ def q_st27_stream_mixture(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     state = run_available_now(
-        counts, "st27_mixture", "complete", state_partitions=4
+        counts, "st27_mixture", "complete"
     )
     dec = "decimal(38,0)"
     weights = {
@@ -1118,7 +1125,7 @@ def q_st31_incident_feed_source(spark, sf_dir):
         )
 
         return run_available_now(
-            counts, "st31_incident_feed", "complete", state_partitions=4
+            counts, "st31_incident_feed", "complete"
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(spool, ignore_errors=True)
@@ -1151,7 +1158,6 @@ def q_st33_stream_order_audit(spark, sf_dir):
         stream_order_counters(ev),
         "st33_order_audit",
         "update",
-        state_partitions=4,
     )
     return finalize_order_audit(emitted)
 
@@ -1180,7 +1186,6 @@ def q_st32_stream_k_anonymity(spark, sf_dir):
         stream_group_sizes(cust, k=5),
         "st32_k_anonymity",
         "update",
-        state_partitions=4,
     )
     return finalize_k_anonymity(emitted, k=5)
 
@@ -1205,7 +1210,6 @@ def q_st30_stream_gap_monitor(spark, sf_dir):
     ev = stream_table(spark, sf_dir, "events")
     emitted = run_available_now(
         stream_gap_buckets(ev), "st30_gap_monitor", "update",
-        state_partitions=4,
     )
     return finalize_gap_histogram(emitted)
 
@@ -1271,7 +1275,7 @@ def q_st29_stream_schema_drift(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n2"),
     )
     state = run_available_now(
-        counts, "st29_schema_drift", "complete", state_partitions=4
+        counts, "st29_schema_drift", "complete"
     )
     rows1 = spark.createDataFrame([(rows1_val,)], "_rows1 bigint")
     rows2 = spark.createDataFrame([(rows2_val,)], "_rows2 bigint")

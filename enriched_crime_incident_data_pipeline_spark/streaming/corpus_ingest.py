@@ -16,14 +16,14 @@ PERSISTENT state of everything ingested before it, then appended:
    the seen-segment state (or occurs earlier within the batch) drop;
    docs are rebuilt from the survivors.
 3. **idempotent append** — rebuilt docs, batch bands, and surviving
-   segment hashes each land in a per-batch state subdirectory
-   (``batch=N``) written with OVERWRITE: foreachBatch is
-   at-least-once, so a crashed batch replays — overwriting its own
-   directory (and excluding it from the state reads) makes the
-   replay a no-op instead of a duplicate, i.e. effective
-   exactly-once without a transactional table format. An id-order
-   watermark (one JSON line, driver-side) rejects genuinely
-   out-of-order batches loudly.
+   segment hashes union into ONE per-batch state subdirectory
+   (``batch=N`` of the single state relation — r11) written with
+   OVERWRITE: foreachBatch is at-least-once, so a crashed batch
+   replays — overwriting its own directory (and excluding it from
+   the state reads) makes the replay a no-op instead of a duplicate,
+   i.e. effective exactly-once without a transactional table format.
+   An id-order watermark (one JSON line, driver-side) rejects
+   genuinely out-of-order batches loudly.
 
 Keep-EARLIEST is the streaming-correct keeper rule: the batch
 builds' keep-longest (``dedup_drop_list``) needs the whole cluster
@@ -63,13 +63,55 @@ from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
     rebuild_winners,
 )
 
-_BANDS = "band_index"
-_SEGS = "seen_segments"
-_CORPUS = "corpus"
+# r11 (verdict item 1): ONE state relation instead of three. Band
+# rows (every seen doc), surviving segment hashes, and rebuilt corpus
+# rows share a union schema (each kind's unused columns NULL) and
+# land in the SAME per-batch directory with ONE write — the per-batch
+# fold runs one state-write job instead of three against a fixed
+# ~0.4-0.6 s/job micro-batch floor (guide §1.2/§5: fewer driver
+# barriers). Kind dispatch at read time is a NULL test on the kind's
+# witness column (band_id / seg_hash / n_kept); the union write emits
+# each branch's partitions as separate parquet FILES, so files stay
+# kind-pure and IS NOT NULL filters prune whole row groups via
+# parquet null-count stats.
+_STATE = "ingest_state"
 
 
 def _p(state_dir: str, name: str) -> str:
     return os.path.join(state_dir, name)
+
+
+def _band_kind(bands: DataFrame) -> DataFrame:
+    return bands.select(
+        "doc_id",
+        "band_id",
+        "band_hash",
+        F.lit(None).cast("binary").alias("seg_hash"),
+        F.lit(None).cast("int").alias("n_kept"),
+        F.lit(None).cast("string").alias("deduped_text"),
+    )
+
+
+def _seg_kind(segs: DataFrame) -> DataFrame:
+    return segs.select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("int").alias("band_id"),
+        F.lit(None).cast("binary").alias("band_hash"),
+        "seg_hash",
+        F.lit(None).cast("int").alias("n_kept"),
+        F.lit(None).cast("string").alias("deduped_text"),
+    )
+
+
+def _corpus_kind(rebuilt: DataFrame) -> DataFrame:
+    return rebuilt.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("band_id"),
+        F.lit(None).cast("binary").alias("band_hash"),
+        F.lit(None).cast("binary").alias("seg_hash"),
+        "n_kept",
+        "deduped_text",
+    )
 
 
 def _batch_p(state_dir: str, name: str, batch_id: int) -> str:
@@ -90,24 +132,22 @@ def corpus_ingest_batch(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # ALL per-batch cuts are LAZY (r6, the r5 lazy-cut rule): each
-        # relation's FIRST consumer scans it in full, so its blocks
-        # materialize inside an action the batch pays anyway, and the
-        # 4 dedicated checkpoint barriers per micro-batch disappear —
-        # the batch runs 4 jobs (bounds probe + 3 state writes), not
-        # 8. Block-ownership order: the bounds .first() materializes
-        # batch_df; the band-state write materializes new_bands (so
-        # the pairs union's TWO reads of it hit blocks, not lineage);
-        # the segment-state write runs the whole pairs→anti-join→
-        # keeper chain and owns kept_docs + kept_segs; the corpus
-        # write then reads all three as blocks.
-        # the id-bounds ride the batch's FIRST job as observe()
-        # metrics (r6) instead of a dedicated min/max aggregation job
-        # — one fewer barrier per micro-batch; the out-of-order check
-        # moves to right after the band-state write (the first
-        # action), which un-writes its own state before raising, so
-        # the corpus/segment state a failed batch leaves behind is
-        # unchanged and consumers never see the bad batch.
+        # ALL per-batch cuts are LAZY (r6, the r5 lazy-cut rule) and —
+        # r11 — the whole fold is ONE state-write job: bands, surviving
+        # segment hashes, and rebuilt corpus rows union into the
+        # batch's single state directory, so the fixed per-job
+        # micro-batch floor is paid once instead of three times. The
+        # lazy checkpoints still cut each multi-consumer relation
+        # (batch_df, new_bands, kept_docs, kept_segs): within the one
+        # job the first stage that computes a pinned relation caches
+        # its blocks and later stages read them — two stages racing on
+        # a not-yet-cached pin can compute a batch-sized map chain
+        # twice (measured small next to the saved job barriers; the
+        # work is bounded by ONE batch, never the corpus).
+        # the id-bounds ride the write as observe() metrics (r6); the
+        # out-of-order check runs right after it and un-writes the
+        # batch's single state directory before raising, so a rejected
+        # batch leaves NO trace.
         from pyspark.sql import Observation
 
         batch_df = batch_df.localCheckpoint(eager=False)
@@ -122,13 +162,14 @@ def corpus_ingest_batch(
         bands_out = new_bands.observe(
             obs, F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
         )
-        bands_path = _p(state_dir, _BANDS)
-        if os.path.exists(bands_path):
+        state_path = _p(state_dir, _STATE)
+        if os.path.exists(state_path):
             # the index excludes this batch's own (possibly partial)
             # earlier attempt — state reads must not see replay debris
-            index = spark.read.parquet(bands_path).filter(
-                F.col("batch") != batch_id
-            ).drop("batch")
+            # — and non-band kinds via the witness column
+            index = spark.read.parquet(state_path).filter(
+                (F.col("batch") != batch_id) & F.col("band_id").isNotNull()
+            ).select("doc_id", "band_id", "band_hash")
             pairs = incremental_lsh_pairs(new_bands, index)
         else:
             # new_bands is already lazily checkpointed above — the
@@ -148,16 +189,19 @@ def corpus_ingest_batch(
         segs = doc_segments(kept_docs, seg_tokens).select(
             "doc_id", "seg_idx", "seg_hash"
         )
-        segs_path = _p(state_dir, _SEGS)
-        if os.path.exists(segs_path):
-            seen = spark.read.parquet(segs_path).filter(
-                F.col("batch") != batch_id
-            ).drop("batch")
+        if os.path.exists(state_path):
+            seen = spark.read.parquet(state_path).filter(
+                (F.col("batch") != batch_id) & F.col("seg_hash").isNotNull()
+            ).select("seg_hash")
             segs = segs.join(seen, "seg_hash", "left_anti")
         kept_segs = keep_first_segment(segs).localCheckpoint(eager=False)
         rebuilt = rebuild_winners(kept_segs, kept_docs, seg_tokens)
-        bands_out.write.mode("overwrite").parquet(
-            _batch_p(state_dir, _BANDS, batch_id)
+        # ONE state write per batch (r11): bands + surviving segment
+        # hashes + rebuilt corpus rows union into the batch's directory
+        _band_kind(bands_out).unionByName(
+            _seg_kind(kept_segs.select("seg_hash"))
+        ).unionByName(_corpus_kind(rebuilt)).write.mode("overwrite").parquet(
+            _batch_p(state_dir, _STATE, batch_id)
         )
         # keep-earliest assumes id-ordered arrival (docs arrive
         # chronologically, ids assigned monotonically). An
@@ -165,8 +209,8 @@ def corpus_ingest_batch(
         # doc — fail loudly instead of silently producing a different
         # corpus than the batch twin. The watermark is a one-line
         # driver-side file, not a scan of the growing index; the
-        # bounds come from the observe() metrics of the band write
-        # (the batch's first job), so the check costs no job.
+        # bounds come from the observe() metrics of the state write
+        # (the batch's one job), so the check costs no job.
         bounds = obs.get
         wm_path = _p(state_dir, "_id_watermark")
         if bounds["lo"] is not None and os.path.exists(wm_path):
@@ -177,13 +221,12 @@ def corpus_ingest_batch(
             # — the per-batch overwrite makes it idempotent; only a
             # genuinely different, earlier-id batch is an error
             if wm["batch_id"] != batch_id and bounds["lo"] <= wm["hi"]:
-                # un-write this batch's band state before failing so
-                # the rejected batch leaves NO trace (segment/corpus
-                # state was never written — the raise precedes them)
+                # un-write this batch's single state directory before
+                # failing so the rejected batch leaves NO trace
                 import shutil
 
                 shutil.rmtree(
-                    _batch_p(state_dir, _BANDS, batch_id),
+                    _batch_p(state_dir, _STATE, batch_id),
                     ignore_errors=True,
                 )
                 raise ValueError(
@@ -191,12 +234,6 @@ def corpus_ingest_batch(
                     f"{bounds['lo']} <= already-indexed max {wm['hi']}; "
                     "keep-earliest dedup requires id-ordered batches"
                 )
-        kept_segs.select("seg_hash").write.mode("overwrite").parquet(
-            _batch_p(state_dir, _SEGS, batch_id)
-        )
-        rebuilt.write.mode("overwrite").parquet(
-            _batch_p(state_dir, _CORPUS, batch_id)
-        )
         if bounds["hi"] is not None:
             # atomic: write-then-rename so a crash mid-write leaves the
             # old complete watermark, never truncated JSON that would
@@ -215,7 +252,7 @@ def run_corpus_ingest_stream(
     schema,
     state_dir: str,
     seg_tokens: int = 10,
-    state_partitions: int | None = 4,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Run an AvailableNow documents stream from ``docs_dir`` (one
     micro-batch per file, in file-timestamp order) through
@@ -229,16 +266,33 @@ def run_corpus_ingest_stream(
     over BATCH-sized relations, so task count should track batch
     volume, not CPU count; it also bounds the file count of each
     per-batch state write, which the next batch pays to re-read. The
-    session conf is restored after the bounded run."""
+    default ``"auto"`` resolves the ``$SPARK_GRAFT_STATE_PARTITIONS``
+    deployment knob (``streaming.windows.default_state_partitions``).
+    The session conf is restored after the bounded run."""
+    from enriched_crime_incident_data_pipeline_spark.streaming.windows import (
+        default_state_partitions,
+    )
+
+    if state_partitions == "auto":
+        state_partitions = default_state_partitions()
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_dir)
     )
+    # AQE off for the fold (r11): the fold's shuffles are pinned to
+    # ``state_partitions`` (nothing for AQE coalescing to do) and AQE
+    # materializes every exchange as its own driver job — measured
+    # 10-14 → 3-6 jobs per batch, ~0.3-0.8 s/batch at sf0.1; see
+    # corpus_refresh.py's runner for the full rationale. Restored
+    # after the bounded run.
     prev = None
+    prev_aqe = None
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         q = (
             stream.writeStream.foreachBatch(
@@ -254,7 +308,13 @@ def run_corpus_ingest_stream(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(_p(state_dir, _CORPUS)).drop("batch")
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return (
+        spark.read.parquet(_p(state_dir, _STATE))
+        .filter(F.col("n_kept").isNotNull())
+        .select("doc_id", "n_kept", "deduped_text")
+    )
 
 
 def batch_twin(docs: DataFrame, seg_tokens: int = 10) -> DataFrame:

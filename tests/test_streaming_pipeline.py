@@ -555,3 +555,44 @@ def test_st33_multibatch_order_audit_equals_batch_dq12(spark, tmp_path):
     # and the injected disorder is actually visible (not the all-zero
     # degenerate case): 9 events, 1 late, 130 s worst, 1 user
     assert got == [(9, 1, 1111, 130, 1)]
+
+
+def test_state_partitions_env_default(monkeypatch):
+    """r11 (verdict item 6): the bounded-run state partitioning is one
+    env-resolved deployment default, not a literal at every registry
+    call site — SPARK_GRAFT_STATE_PARTITIONS drives it, 4 is the
+    measured bench-SF optimum fallback."""
+    from enriched_crime_incident_data_pipeline_spark.streaming.windows import (
+        default_state_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS", raising=False)
+    assert default_state_partitions() == 4
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "16")
+    assert default_state_partitions() == 16
+
+
+def test_run_available_now_auto_resolves_env(spark, monkeypatch, tmp_path):
+    """The "auto" default must apply the env-resolved partition count
+    to the bounded run (observable via the state-store shuffle) and
+    restore the session conf afterwards."""
+    import pyspark.sql.functions as F
+
+    from enriched_crime_incident_data_pipeline_spark.streaming.windows import (
+        run_available_now,
+    )
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, k string"
+    ).write.parquet(src)
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "2")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = spark.readStream.schema("id long, k string").parquet(src)
+    out = run_available_now(
+        stream.groupBy("k").agg(F.count(F.lit(1)).alias("n")),
+        "t_auto_state_parts",
+        "complete",
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("a", 1), ("b", 1)]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
