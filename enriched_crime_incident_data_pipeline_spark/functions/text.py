@@ -226,17 +226,35 @@ def repetition_features(doc_grams: "DataFrame") -> "DataFrame":
 
 
 def winnow_fingerprint(text: Column, n: int = 5) -> Column:
-    """Robust content fingerprint: min 32-bit hash over the distinct
-    character ``n``-grams of the normalized text (a 1-hash winnowing
-    sketch). Survives local edits that break the exact md5
-    fingerprint; collisions between unrelated docs are ~2⁻³² per
-    pair."""
-    grams = F.array_distinct(char_ngrams(text, n))
-    hashed = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-    )
-    return F.array_min(hashed)
+    """Robust content fingerprint: min 32-bit hash over the character
+    ``n``-grams of the normalized text (a 1-hash winnowing sketch).
+    Survives local edits that break the exact md5 fingerprint;
+    collisions between unrelated docs are ~2⁻³² per pair.
+
+    r11 (guide §1.2 per-task work, ta6 A/B −11%): fused to ONE
+    transform — position index → substring → hash, folded by
+    ``array_min`` — instead of materializing the gram-string array,
+    de-duplicating it (``array_distinct`` over strings compares
+    element pairs), and hashing in a second transform. Dropping the
+    distinct is free correctness-wise: ``min`` is duplicate-
+    insensitive, so the minimum over all grams equals the minimum
+    over distinct grams bit-for-bit (the duplicate fraction of
+    natural-text char-grams is small, so the few extra md5 calls
+    cost less than the distinct + the second array)."""
+
+    def build(norm: Column) -> Column:
+        n_gr = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), n_gr)
+        return F.array_min(
+            F.transform(
+                idx,
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substring(norm, i, n)), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    return _bind(normalize_text(text), build)
 
 
 # GPT-2-style pretokenizer pattern, restricted to constructs shared by

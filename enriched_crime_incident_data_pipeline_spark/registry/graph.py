@@ -704,15 +704,23 @@ def q_gr9_link_predict(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    hub = None
-    for k in (13, 17, 19):
-        h = docs.select(
-            F.col("doc_id").alias("a"),
-            (F.lit(1000000000 + 1000 * k) + F.col("doc_id") % k).alias(
-                "b"
-            ),
-        )
-        hub = h if hub is None else hub.union(h)
+    # r11 (guide §2.4, dd26 idiom): ONE documents scan + a 3-element
+    # array explode emits all three hub-family edges — the union shape
+    # re-scanned `documents` once per modulus (3 scans; plan evidence
+    # in plans/r11/gr9_hub_edges_{before,after}.txt). Wall-neutral at
+    # sf0.1 (the LSH + wedge join dominate — interleaved A/B 3.57 vs
+    # 3.55) but strictly one corpus pass instead of three at scale.
+    hub = docs.select(
+        F.col("doc_id").alias("a"),
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(1000000000 + 1000 * k) + F.col("doc_id") % k)
+                    for k in (13, 17, 19)
+                ]
+            )
+        ).alias("b"),
+    )
     pairs = lsh_candidate_pairs(minhash_bands(docs)).select("a", "b")
     return link_predict(hub.union(pairs), k=50)
 

@@ -141,12 +141,23 @@ def q_ta4_fingerprint(spark, sf_dir):
 
 
 def q_ta6_winnow(spark, sf_dir):
+    # r11: fan_out before the md5-per-gram projection — the documents
+    # table arrives as ONE parquet row group, so this map-only query
+    # (no shuffle anywhere downstream) ran on a single core end to
+    # end: measured 2.66 → 0.35 s at sf0.1 and 40.2 → 1.9 s at sf1
+    # (interleaved A/B). Same conf-driven primitive every other heavy
+    # per-row text derivation here uses (minhash/shingle/segment
+    # paths); disabled via spark.sparkgraft.fanout.partitions=0 on
+    # deployments whose scans already arrive well-partitioned.
     from enriched_crime_incident_data_pipeline_spark.functions.text import (
         winnow_fingerprint,
     )
+    from enriched_crime_incident_data_pipeline_spark.operators.parallelism import (
+        fan_out,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id", winnow_fingerprint(F.col("text")).alias("winnow")
     )
 
